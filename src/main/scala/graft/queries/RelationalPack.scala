@@ -1,0 +1,305 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory from SURVEY.md §2, re-expressed as
+  * standalone Spark queries over the driver testdata (TESTDATA.md) with
+  * DuckDB oracle SQL for the hash-parity gate.
+  *
+  * Conventions for oracle parity:
+  *   - money aggregates go through DecimalType(18,2) so sums are exact in
+  *     both engines (double sums are order-dependent and would hash-differ);
+  *   - window orderings always include a unique tiebreak column;
+  *   - second-level time deltas use integer seconds (`cast(ts as long)` here,
+  *     `date_diff('second', …)` in DuckDB — both floor to whole seconds).
+  */
+object RelationalPack {
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def c(name: String): Column = col(name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: grain extraction — group-by with MIN(event time), the SCD staging
+    // aggregation shape (ETL.sql:20-27).
+    "q01_agg_grain_min" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(c("l_returnflag"), c("l_linestatus"))
+        .agg(min(c("l_shipdate")).as("start_dt"), count(lit(1)).as("cnt"))),
+
+    // A1 + exact money math: decimal sums survive hash comparison.
+    "q02_agg_decimal_sum" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(c("l_returnflag"))
+        .agg(
+          sum(dec(c("l_quantity"))).as("sum_qty"),
+          sum(dec(c("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(c("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("cnt"))),
+
+    // J1: anti-join (NOT EXISTS → LeftAnti, ETL.sql:89-100).
+    "q03_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), c("c_custkey") === c("o_custkey"), "left_anti")
+        .select(c("c_custkey"), c("c_name"))),
+
+    // Semi-join (EXISTS) — completes the subquery-join family.
+    "q04_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(c("o_orderstatus") === "F"),
+          c("c_custkey") === c("o_custkey"), "left_semi")
+        .select(c("c_custkey"), c("c_acctbal"))),
+
+    // J3: 5-table inner equi-join chain (Data_mart.sql:175-183) + agg.
+    // region/nation are tiny → broadcast; customer joins shuffle, AQE tunes.
+    "q05_join5_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), c("l_orderkey") === c("o_orderkey"))
+        .join(Tables.customer(s, d), c("o_custkey") === c("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), c("c_nationkey") === c("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), c("n_regionkey") === c("r_regionkey"))
+        .groupBy(c("r_name"), c("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(c("l_extendedprice"))).as("sum_price"))),
+
+    // W1: lead() → SCD2 end-dating (ETL.sql:19).
+    "q06_scd2_lead" -> ((s, d) => {
+      val w = Window.partitionBy(c("user_id")).orderBy(c("ts"), c("event_id"))
+      Tables.events(s, d)
+        .select(c("event_id"), c("user_id"), c("ts").as("start_dt"),
+          lead(c("ts"), 1).over(w).as("end_dt"))
+    }),
+
+    // W2+W3: last_value full-frame + min/max-over-partition + CASE
+    // (SCD1 latest-attribute-wins, ETL.sql:252-260).
+    "q07_scd1_last" -> ((s, d) => {
+      val ordered = Window.partitionBy(c("user_id")).orderBy(c("ts"), c("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val whole = Window.partitionBy(c("user_id"))
+      Tables.events(s, d)
+        .select(
+          c("user_id"),
+          last(c("event_type")).over(ordered).as("last_type"),
+          min(c("ts")).over(whole).as("create_dt"),
+          when(max(c("ts")).over(whole) === min(c("ts")).over(whole), lit(null))
+            .otherwise(max(c("ts")).over(whole)).as("update_dt"))
+        .distinct()
+    }),
+
+    // W5: lag deltas with the load-bearing defaults (Data_mart.sql:30-31):
+    // first row per key → value_diff = -1, sec_diff = 0.
+    "q08_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy(c("user_id")).orderBy(c("ts"), c("event_id"))
+      Tables.events(s, d)
+        .select(c("event_id"), c("user_id"),
+          coalesce(c("value") - lag(c("value"), 1).over(w), lit(-1.0)).as("value_diff"),
+          coalesce(c("ts").cast("long") - lag(c("ts"), 1).over(w).cast("long"), lit(0L))
+            .as("sec_diff"))
+    }),
+
+    // P7: DISTINCT (ETL.sql:250).
+    "q09_distinct" -> ((s, d) =>
+      Tables.events(s, d).select(c("user_id"), c("event_type")).distinct()),
+
+    // U1: UNION ALL of two classification branches (Data_mart.sql:273).
+    "q10_union_classify" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val big = o.filter(c("o_totalprice") > 150000.0)
+        .select(c("o_orderkey"), to_date(c("o_orderdate")).as("d"),
+          lit("high_value").as("tag"))
+      val urgent = o.filter(c("o_orderpriority") === "1-URGENT")
+        .select(c("o_orderkey"), to_date(c("o_orderdate")).as("d"),
+          lit("urgent").as("tag"))
+      big.unionByName(urgent)
+    }),
+
+    // F1s+F3s: null-propagating concat (GP `||`) + ordered CASE.
+    "q11_case_concat" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(c("c_custkey"),
+          concat(c("c_name"), lit(" "), c("c_mktsegment")).as("fio"),
+          when(c("c_acctbal") < 0, "neg")
+            .when(c("c_acctbal") < 5000, "low")
+            .otherwise("high").as("band"))),
+
+    // P4+A2+F4s+F5s: sliding lookback with a scalar cutoff —
+    // `ts >= midnight(max(ts)) - 1h` (Data_mart.sql:139). The cutoff is a
+    // 1-row broadcast join, not a driver collect, so the plan stays fully
+    // distributed.
+    "q12_lookback_cutoff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = ev.agg(
+        (date_trunc("DAY", max(c("ts"))) - expr("INTERVAL 1 HOUR")).as("cutoff"))
+      ev.join(broadcast(cut), c("ts") >= c("cutoff"))
+        .select(c("event_id"), c("user_id"), c("ts"), c("event_type"))
+    }),
+
+    // W4+P8: F3 "city hop" shape — value change vs previous row within the
+    // hour, filter applied OUTSIDE the window projection (Data_mart.sql:293).
+    "q13_city_hop" -> ((s, d) => {
+      val w = Window.partitionBy(c("user_id")).orderBy(c("ts"), c("event_id"))
+      Tables.events(s, d)
+        .select(c("user_id"), c("ts"), c("event_type"),
+          lag(c("event_type"), 1).over(w).as("prev_type"),
+          lag(c("ts"), 1).over(w).as("prev_ts"))
+        .filter(c("prev_type").isNotNull &&
+          c("event_type") =!= c("prev_type") &&
+          (c("ts").cast("long") - c("prev_ts").cast("long")) < 3600)
+        .select(c("user_id"), c("ts").as("fraud_dt"), c("event_type"),
+          c("prev_type"))
+    }),
+
+    // A4: pivoted daily counts (plot_report.py:16). Conditional aggregation
+    // instead of `.pivot()` so empty cells are 0 in both engines.
+    "q14_daily_type_counts" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(t =>
+        count(when(c("event_type") === t, lit(1))).as(t))
+      Tables.events(s, d)
+        .groupBy(to_date(c("ts")).as("d"))
+        .agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // Semi-structured props: JSON field extraction.
+    "q15_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(c("event_id"),
+          get_json_object(c("props"), "$.k").cast("long").as("k"))),
+
+    // Sessionization (gaps-and-islands): running sum over a new-session flag.
+    // The training-pipeline shape for event logs; 30-min inactivity gap.
+    "q16_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(c("user_id")).orderBy(c("ts"), c("event_id"))
+      val flagged = Tables.events(s, d)
+        .select(c("user_id"), c("ts"), c("event_id"),
+          when(lag(c("ts"), 1).over(w).isNull ||
+            (c("ts").cast("long") - lag(c("ts"), 1).over(w).cast("long")) > 1800,
+            lit(1)).otherwise(lit(0)).as("new_sess"))
+      flagged
+        .select(c("user_id"), c("ts"),
+          sum(c("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("session_id"))
+        .groupBy(c("user_id"), c("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(c("ts")).as("sess_start"), max(c("ts")).as("sess_end"))
+    }),
+
+    // Top-k per group: row_number with deterministic tiebreak.
+    "q17_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(c("user_id"))
+        .orderBy(c("value").desc, c("event_id"))
+      Tables.events(s, d)
+        .select(c("user_id"), c("event_id"), c("value"),
+          row_number().over(w).as("rk"))
+        .filter(c("rk") <= 3)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_grain_min" ->
+      """SELECT l_returnflag, l_linestatus, min(l_shipdate) AS start_dt,
+        | count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_agg_decimal_sum" ->
+      """SELECT l_returnflag,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q03_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q05_join5_revenue" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey  = c_custkey
+        | JOIN nation   ON c_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q06_scd2_lead" ->
+      """SELECT event_id, user_id, ts AS start_dt,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_dt
+        |FROM events""".stripMargin,
+    "q07_scd1_last" ->
+      """SELECT DISTINCT user_id,
+        | last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+        | min(ts) OVER (PARTITION BY user_id) AS create_dt,
+        | CASE WHEN max(ts) OVER (PARTITION BY user_id)
+        |        = min(ts) OVER (PARTITION BY user_id) THEN NULL
+        |      ELSE max(ts) OVER (PARTITION BY user_id) END AS update_dt
+        |FROM events""".stripMargin,
+    "q08_lag_delta" ->
+      """SELECT event_id, user_id,
+        | COALESCE(value - lag(value) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id), -1) AS value_diff,
+        | COALESCE(date_diff('second',
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS sec_diff
+        |FROM events""".stripMargin,
+    "q09_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q10_union_classify" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, 'high_value' AS tag
+        |FROM orders WHERE o_totalprice > 150000
+        |UNION ALL
+        |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, 'urgent' AS tag
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q11_case_concat" ->
+      """SELECT c_custkey, c_name || ' ' || c_mktsegment AS fio,
+        | CASE WHEN c_acctbal < 0 THEN 'neg'
+        |      WHEN c_acctbal < 5000 THEN 'low'
+        |      ELSE 'high' END AS band
+        |FROM customer""".stripMargin,
+    "q12_lookback_cutoff" ->
+      """SELECT event_id, user_id, ts, event_type FROM events
+        |WHERE ts >= (SELECT date_trunc('day', max(ts)) - INTERVAL 1 HOUR FROM events)""".stripMargin,
+    "q13_city_hop" ->
+      """SELECT user_id, ts AS fraud_dt, event_type, prev_type FROM (
+        | SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events) t
+        |WHERE prev_type IS NOT NULL AND event_type <> prev_type
+        |  AND date_diff('second', prev_ts, ts) < 3600""".stripMargin,
+    "q14_daily_type_counts" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        | count(*) FILTER (WHERE event_type = 'click')    AS click,
+        | count(*) FILTER (WHERE event_type = 'error')    AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        | count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q16_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM (
+        | SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        | FROM (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |          OR date_diff('second',
+        |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |        THEN 1 ELSE 0 END AS new_sess
+        |  FROM events) f) g
+        |GROUP BY user_id, session_id""".stripMargin,
+    "q17_topk_per_group" ->
+      """SELECT user_id, event_id, value, rk FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        | FROM events) t
+        |WHERE rk <= 3""".stripMargin
+  )
+}
