@@ -1,0 +1,41 @@
+package graft
+
+import graft.etl.Etl
+import graft.ingest.Ingest
+import graft.mart.{Mart, MartStaging}
+import graft.storage.Lakehouse
+
+/** Dev tool: replay the 3-day reference protocol and dump every table for
+  * the DuckDB differential comparison (tools/replay_duckdb.py).
+  *
+  * Usage: runMain graft.ReplayDump <scd2|scd1> <outDir>
+  */
+object ReplayDump {
+  val FixedClock: java.sql.Timestamp =
+    java.sql.Timestamp.valueOf("2020-05-09 12:00:00")
+
+  def main(args: Array[String]): Unit = {
+    val Array(scd, outDir) = args
+    val spark = GraftSession.get()
+    val lake = new Lakehouse(spark, s"$outDir/lake")
+    val scdType =
+      if (scd == "scd2") MartStaging.Scd2Dims else MartStaging.Scd1Dims
+    (1 to 3).foreach { day =>
+      Ingest.loadDayFromParquet(lake,
+        s"src/test/resources/fixtures/day$day.parquet")
+      Etl.normalizeTransactions(lake)
+      Mart.addReportData(lake, scdType, FixedClock)
+    }
+    val dims =
+      if (scd == "scd2")
+        Seq("dim_terminals_hist", "dim_cards_hist", "dim_accounts_hist",
+          "dim_clients_hist")
+      else
+        Seq("dim_terminals", "dim_cards", "dim_accounts", "dim_clients")
+    ("report" +: "fact_transactions" +: dims).foreach { t =>
+      lake.read(t).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$t")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.etl
+
+import graft.storage.Lakehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD-Type-2 load: staging derivation + close/insert merge.
+  *
+  * Reference shape (per entity, ETL.sql:86-119 for terminals):
+  *   1. staging = landing grain (GROUP BY all dim attrs, MIN(trans_date) as
+  *      start_dt) + `lead(start_dt) over (partition by key order by
+  *      start_dt)` as end_dt — multiple intra-batch versions chain up;
+  *   2. UPDATE: open dim rows (end_dt IS NULL) whose key has a *new* combo
+  *      (NOT EXISTS on the full attribute set) get end-dated with the
+  *      staged current version's start_dt (the `sc.end_dt is null` guard);
+  *   3. INSERT: all staged combos not already present (same NOT EXISTS).
+  *
+  * Known reference quirk, preserved: a combo that re-appears after an
+  * intermediate version (A→B→A across batches) is filtered by the NOT
+  * EXISTS, so the returning A is neither inserted nor closes B — history
+  * stays stale. Oracle parity beats repair (SURVEY.md §7.5.3).
+  *
+  * Scale notes: grain agg and window both hash-partition on the entity key
+  * (one shuffle, Catalyst reuses it); the anti-join/merge joins are
+  * key-equi and AQE-broadcast when a side is small. The merge result is a
+  * full dim snapshot rewrite — at 100 TB dims this would be a Delta MERGE,
+  * but dims here are orders of magnitude smaller than the fact.
+  */
+object Scd2 {
+
+  /** Staging: grain + lead() end-dating (ETL.sql:11-84). */
+  def staging(landing: DataFrame, spec: EntitySpec): DataFrame = {
+    val grain = landing
+      .groupBy(spec.attrs.map { case (src, _) => col(src) }: _*)
+      .agg(min(col("trans_date")).as("start_dt"))
+      .select(spec.attrs.map { case (src, dst) => col(src).as(dst) } :+
+        col("start_dt"): _*)
+    val w = Window.partitionBy(col(spec.key)).orderBy(col("start_dt"))
+    grain.withColumn("end_dt", lead(col("start_dt"), 1).over(w))
+  }
+
+  /** Close + insert merge; returns the new dim snapshot (caller persists). */
+  def merge(dim: DataFrame, stg: DataFrame, spec: EntitySpec): DataFrame = {
+    val attrCols = spec.attrs.map(_._2)
+    // NOT EXISTS on the full attribute set (null-rejecting equality, as in
+    // GP: a NULL attr never matches ⇒ row counts as new).
+    val newRows = stg.as("s").join(dim.as("c"),
+      attrCols.map(a => col(s"s.$a") === col(s"c.$a")).reduce(_ && _),
+      "left_anti")
+
+    // The staged *current* version (end_dt IS NULL) end-dates the open dim
+    // row of the same key (ETL.sql:86-104).
+    val closers = newRows.filter(col("end_dt").isNull)
+      .select(col(spec.key).as("_k"), col("start_dt").as("_new_end"))
+
+    val closed = dim.as("c")
+      .join(broadcast(closers), col(spec.key) === col("_k"), "left_outer")
+      .withColumn("end_dt",
+        when(col("_k").isNotNull && col("end_dt").isNull, col("_new_end"))
+          .otherwise(col("end_dt")))
+      .drop("_k", "_new_end")
+
+    closed.unionByName(
+      newRows.select((attrCols :+ "start_dt" :+ "end_dt").map(col): _*))
+  }
+
+  /** One entity: staging → merge → snapshot overwrite. */
+  def apply(lake: Lakehouse, landing: DataFrame, spec: EntitySpec): Unit = {
+    val stg = staging(landing, spec)
+    val next = merge(lake.read(spec.scd2Dim), stg, spec)
+    lake.overwrite(spec.scd2Dim, next)
+  }
+}

@@ -1,0 +1,31 @@
+package graft.mart
+
+import graft.storage.Lakehouse
+import org.apache.spark.sql.DataFrame
+
+/** `fn_add_report_data(scd_type)` (Data_mart.sql:109-299): build the
+  * re-denormalized staging, run F1+F2, F3, then F4, append everything to
+  * the cumulative `report` (non-idempotent by design — rerunning a day
+  * duplicates rows, as in the reference).
+  *
+  * `clock` replaces `current_timestamp` for deterministic goldens (F8s);
+  * the reference renders report_dt at second precision, so callers pass a
+  * seconds-truncated timestamp (see [[Mart.now]]).
+  */
+object Mart {
+
+  def now(): java.sql.Timestamp =
+    new java.sql.Timestamp(System.currentTimeMillis() / 1000 * 1000)
+
+  def addReportData(lake: Lakehouse, scdType: MartStaging.ScdType,
+      clock: java.sql.Timestamp = now()): DataFrame = {
+    val stg = MartStaging.build(lake, scdType).cache()
+    try {
+      val rows = FraudRules.expiredDocs(stg, clock)
+        .unionByName(FraudRules.cityHop(stg, clock))
+        .unionByName(AmountGuessing.detect(stg, clock))
+      lake.append("report", rows)
+      lake.read("report")
+    } finally stg.unpersist()
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.etl.Etl
+import graft.ingest.Ingest
+import graft.mart.{Mart, MartStaging}
+import graft.model.Strings
+import graft.storage.Lakehouse
+import org.apache.spark.sql.functions._
+
+/** End-to-end 3-day replay of the reference protocol (README.md:26-54):
+  * per day: load fixture → normalize → addReportData, for each SCD family.
+  * Fixtures are the reference's own daily snapshots converted to parquet
+  * (tools/xlsx_to_parquet.py).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def fixture(day: Int): String =
+    getClass.getResource(s"/fixtures/day$day.parquet").getPath
+
+  private val clock = ts("2020-05-09 12:00:00")
+
+  private def replay(scd: MartStaging.ScdType): Lakehouse = {
+    val lake = new Lakehouse(spark, tmpDir("pipeline"))
+    (1 to 3).foreach { day =>
+      Ingest.loadDayFromParquet(lake, fixture(day))
+      Etl.normalizeTransactions(lake)
+      Mart.addReportData(lake, scd, clock)
+    }
+    lake
+  }
+
+  test("scd2 replay: 3 days end-to-end") {
+    val lake = replay(MartStaging.Scd2Dims)
+
+    // fact accumulates exactly the per-day rows: 808 + 826 + 830
+    assert(lake.read("fact_transactions").count() === 2464)
+    // landing truncated after each normalize
+    assert(lake.read("denormalized").count() === 0)
+
+    // SCD2 invariants: exactly one open row per key; intervals chain
+    val dims = Seq("dim_terminals_hist" -> "terminal_id",
+      "dim_cards_hist" -> "card_num", "dim_accounts_hist" -> "account_num",
+      "dim_clients_hist" -> "client_id")
+    dims.foreach { case (dim, key) =>
+      val open = lake.read(dim).filter(col("end_dt").isNull)
+        .groupBy(col(key)).count().filter(col("count") > 1).count()
+      assert(open === 0, s"$dim has keys with >1 open row")
+    }
+    assert(lake.read("dim_terminals_hist").count() >= 100)
+    assert(lake.read("dim_clients_hist").count() >= 100)
+
+    val report = lake.read("report").cache()
+    val byType = report.groupBy(col("fraud_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all four fraud types fire on the reference data
+    assert(byType.keySet === Set(Strings.FraudExpiredPassport,
+      Strings.FraudExpiredContract, Strings.FraudCityHop,
+      Strings.FraudAmountGuessing))
+    assert(report.filter(col("report_dt") =!= lit(clock)).count() === 0)
+    // regression pin: exact per-type counts, validated row-identical against
+    // the independent DuckDB replay (tools/replay_duckdb.py DIFFERENTIAL PASS)
+    assert(byType === Map(
+      Strings.FraudCityHop -> 682L,
+      Strings.FraudExpiredContract -> 26L,
+      Strings.FraudExpiredPassport -> 20L,
+      Strings.FraudAmountGuessing -> 2L))
+    report.unpersist()
+  }
+
+  test("scd1 replay: 3 days end-to-end") {
+    val lake = replay(MartStaging.Scd1Dims)
+    assert(lake.read("fact_transactions").count() === 2464)
+    // SCD1 dims: one row per key (terminals deduped; others may carry the
+    // duplicate-insert quirk only for multi-combo first batches)
+    assert(lake.read("dim_terminals").count() === 100)
+    val report = lake.read("report")
+    val byType = report.groupBy(col("fraud_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // identical to scd2 on this data (no dim attribute ever regresses)
+    assert(byType === Map(
+      Strings.FraudCityHop -> 682L,
+      Strings.FraudExpiredContract -> 26L,
+      Strings.FraudExpiredPassport -> 20L,
+      Strings.FraudAmountGuessing -> 2L))
+  }
+
+  test("mart rerun duplicates report rows (reference non-idempotence preserved)") {
+    // each run covers the last-day window only, so a rerun re-appends
+    // exactly that window's rows — twice the same delta, no dedup
+    val lake = replay(MartStaging.Scd2Dims)
+    val n0 = lake.read("report").count()
+    Mart.addReportData(lake, MartStaging.Scd2Dims, clock)
+    val n1 = lake.read("report").count()
+    Mart.addReportData(lake, MartStaging.Scd2Dims, clock)
+    val n2 = lake.read("report").count()
+    assert(n1 - n0 > 0)
+    assert(n1 - n0 === n2 - n1)
+  }
+}
