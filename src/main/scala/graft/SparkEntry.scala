@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.RelationalPack
+import graft.queries.{RelationalPack, TrainingPack}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,8 @@ object SparkEntry {
 
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (RelationalPack.queries, RelationalPack.oracles)
+      (RelationalPack.queries, RelationalPack.oracles),
+      (TrainingPack.queries, TrainingPack.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora.
+  *
+  * Hash functions are md5-derived (`hash32`) rather than Spark's murmur
+  * `hash()` so every stage is reproducible in any engine (the DuckDB
+  * oracle included) and stable across Spark versions — at the cost of a
+  * few cycles per token, irrelevant next to the shuffle.
+  *
+  * Scale design:
+  *   - exact dedup = one hash-aggregate on the fingerprint (map-side
+  *     partial aggregation collapses duplicates before the shuffle);
+  *   - MinHash/LSH = map-only signature computation, then a shuffle on
+  *     (band, bucket) whose fan-in is the bucket size, never all-pairs;
+  *     candidate verification touches only co-bucketed pairs;
+  *   - SimHash = map-only signature; near-dup = band the 16 bits into 4
+  *     sub-keys (any ≤4-bit-distant pair shares a sub-key by pigeonhole
+  *     when split appropriately) — here exposed as signature + bucket join.
+  */
+object Dedup {
+
+  /** 32-bit integer from md5 of `c` salted with `seed` — engine-portable. */
+  def hash32(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 8), 16, 10)
+      .cast("bigint")
+
+  /** Exact duplicate groups: fingerprint → (keep = min id, n). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature of the token set, k independent permutations. */
+  def minhashSignature(text: Column, k: Int): Seq[Column] = {
+    val toks = array_distinct(TextOps.tokens(lower(text)))
+    (0 until k).map { i =>
+      array_min(transform(toks, t => hash32(t, i))).as(s"mh$i")
+    }
+  }
+
+  /** LSH candidate pairs from banded minhash signatures: docs sharing any
+    * band bucket, verified with exact token-set Jaccard ≥ `threshold`.
+    * `bands` × `rowsPerBand` must equal the signature length.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs.select(
+      col(idCol).as("id") +:
+        array_distinct(TextOps.tokens(lower(col(textCol)))).as("toks") +:
+        minhashSignature(col(textCol), k): _*)
+
+    // one row per (doc, band): bucket = md5 over the band's minhashes
+    val banded = sig.select(col("id"), col("toks"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("_",
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+      }: _*)).as(Seq("band", "bucket")))
+
+    // co-bucketed pairs (a < b), then exact Jaccard verification
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("toks").as("toks_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+      .cast("double")
+    val union = (size(col("toks_a")) + size(col("toks_b"))).cast("double") -
+      inter
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (inter / union).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash from token hashes: bit j is the sign of Σ ±1 over
+    * tokens (weighted by presence). Map-only; near-dup = small hamming
+    * distance between signatures.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(TextOps.tokens(lower(text)))
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10)
+      .cast("bigint"))
+    val bits = (0 until 16).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).as("simhash")
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** N-gram (word 3-gram) Jaccard similarity between all candidate pairs
+    * sharing a shingle-minhash bucket — the shingle variant of near-dup.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles3(lower(col(textCol)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // bucket on the single min shingle-hash (1-band LSH: recall-light,
+    // cheap; callers wanting higher recall use minhashNearDups)
+    val bucketed = sh.withColumn("bucket",
+      array_min(transform(col("sh"), t => hash32(t, 0))))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("sh").as("sh_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a `text`
+  * column: tokenization, counting, quality scoring, language ID,
+  * fingerprinting. All pure column expressions (whole-stage codegen'd —
+  * no UDFs), so they scale to 100 TB document sets as map-only work:
+  * no shuffle unless the caller aggregates.
+  */
+object TextOps {
+
+  /** Whitespace tokens (`\S+` runs) — the BPE-ish baseline tokenizer. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast("bigint")
+
+  /** Word 3-gram shingles (for n-gram Jaccard / MinHash input). Guarded:
+    * Spark's `sequence(1, n)` runs DESCENDING when n < 1, so short texts
+    * must short-circuit to an empty array.
+    */
+  def shingles3(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 3,
+      transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Type-token ratio: distinct / total tokens (lexical diversity). */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[\\p{Punct}]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Per-language stopword hit counts — the n-gram-heuristic language ID.
+    * Deterministic: argmax over fixed language order (first wins ties).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = array_distinct(tokens(lower(text)))
+    stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+  }
+
+  /** Predicted language: CJK-presence beats the stopword vote (zh has no
+    * whitespace stopwords); then argmax in declaration order; "und"
+    * (undetermined) when no signal.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    val vote = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives earlier languages precedence on ties
+    when(cjk, lit("zh")).otherwise(vote)
+  }
+
+  /** Canonical content fingerprint: md5 over lowercased,
+    * whitespace-normalized text. Identical in any engine with md5 —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ",
+      regexp_extract_all(lower(text), lit("\\S+"), lit(0))))
+
+  /** Composite quality score in [0,1]: length signal × diversity ×
+    * (1 − punctuation excess). A filterable heuristic, not a model.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenSig = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val diversity = typeTokenRatio(text)
+    val punct = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(5.0))
+    lenSig * diversity * punct
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `Array[Float]` embedding column.
+  *
+  * Similarities are computed on integer-quantized components
+  * (`floor(x * 1000)` per dim): exact integer arithmetic makes results
+  * bit-reproducible across engines and summation orders (float dot
+  * products are order-dependent), at ~1e-3 component precision — plenty
+  * for top-k ranking, and what makes the DuckDB oracle possible.
+  *
+  * Scale design: brute-force top-k is a broadcast of the (small) query
+  * set against a map-side partial top-k — no all-pairs shuffle; the
+  * LSH variant buckets by hyperplane sign bits so each probe touches one
+  * bucket instead of the full corpus.
+  */
+object VectorOps {
+
+  /** floor(x*1000) per component, as bigint array. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("bigint"))
+
+  /** Integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force top-k cosine (integer-dot ranking) neighbors for each
+    * query vector. `queries` and `corpus` both carry (id, vec).
+    * Deterministic: rank by (dot desc, neighbor id).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+      quantize(col("vec")).as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      quantize(col("vec")).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        qdot(col("qv"), col("cv")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: md5-derived,
+    * centered 16-bit value for (plane j, dim i).
+    */
+  private def planeWeight(j: Int, i: Column): Column =
+    conv(substring(md5(concat(lit(s"plane$j-"), i.cast("string"))), 1, 4),
+      16, 10).cast("bigint") - 32768L
+
+  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val qv = quantize(vec)
+    val bits = (0 until nPlanes).map { j =>
+      val dot = aggregate(
+        zip_with(qv, sequence(lit(1), size(qv)), (x, i) => x * planeWeight(j, i)),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: exact ranking within the query's bucket only.
+    * Trades recall (bucket misses) for touching 1/2^planes of the corpus.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+      quantize(col("vec")).as("qv"),
+      lshBucket(col("vec"), nPlanes).as("bucket"))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      quantize(col("vec")).as("cv"),
+      lshBucket(col("vec"), nPlanes).as("bucket"))
+    val scored = broadcast(q).join(c, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        qdot(col("qv"), col("cv")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Per-label quantized centroid components: (label, dim, sum, n) —
+    * the IVF coarse-quantizer build step, exact integer sums.
+    */
+  def centroidSums(corpus: DataFrame, labelCol: String): DataFrame =
+    corpus.select(col(labelCol).as("label"),
+      posexplode(quantize(col("vec"))).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n"))
+
+  /** Embedding-cosine near-duplicate pairs above an integer-dot threshold,
+    * restricted to LSH co-bucketed candidates.
+    */
+  def embeddingNearDups(corpus: DataFrame, nPlanes: Int,
+      minDot: Long): DataFrame = {
+    val v = corpus.select(col("id"), quantize(col("vec")).as("qv"),
+      lshBucket(col("vec"), nPlanes).as("bucket"))
+    val l = v.select(col("bucket"), col("id").as("id_a"), col("qv").as("qa"))
+    val r = v.select(col("bucket"), col("id").as("id_b"), col("qv").as("qb"))
+    l.join(r, "bucket").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), qdot(col("qa"), col("qb")).as("dot"))
+      .filter(col("dot") >= minDot)
+  }
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup, text analysis, similarity
+  * search) as driver-checkable queries over `documents` / `embeddings`.
+  *
+  * Every hash is md5-derived and every similarity integer-quantized
+  * precisely so these have exact DuckDB oracles (see ops/ scaladoc);
+  * double-valued ratios are pure IEEE division/multiplication chains with
+  * identical association order on both sides.
+  */
+object TrainingPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+  private def embIdVec(s: SparkSession, d: String): DataFrame =
+    embs(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis -------------------------------------------------
+    "t01_token_stats" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextOps.tokens(lower(col("text")))))
+          .cast("bigint").as("n_distinct"),
+        TextOps.meanTokenLen(col("text")).as("mean_token_len"))),
+
+    "t02_quality_score" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.typeTokenRatio(col("text")).as("ttr"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    "t03_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+
+    "t04_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    "t05_shingle_stats" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(TextOps.shingles3(col("text"))).cast("bigint").as("n_shingles"),
+        size(array_distinct(TextOps.shingles3(lower(col("text")))))
+          .cast("bigint").as("n_distinct_shingles"))),
+
+    // ---- deduplication -------------------------------------------------
+    "d01_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(docs(s, d), "doc_id", "text")),
+
+    // near-dup by 10-token-prefix fingerprint (cheap blocking key)
+    "d02_dedup_prefix" -> ((s, d) =>
+      docs(s, d).groupBy(
+        md5(concat_ws(" ",
+          slice(TextOps.tokens(lower(col("text"))), 1, 10))).as("fp10"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
+
+    "d03_minhash_sig" -> ((s, d) =>
+      docs(s, d).select(col("doc_id") +:
+        Dedup.minhashSignature(col("text"), 8): _*)),
+
+    "d04_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashNearDups(docs(s, d).withColumnRenamed("doc_id", "id"),
+        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8)),
+
+    "d05_simhash" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), Dedup.simhash16(col("text")))),
+
+    "d06_embedding_neardups" -> ((s, d) =>
+      VectorOps.embeddingNearDups(embIdVec(s, d), nPlanes = 4,
+        minDot = 200000L)),
+
+    // ---- similarity search --------------------------------------------
+    "e01_knn_brute" -> ((s, d) =>
+      VectorOps.bruteForceTopK(
+        embIdVec(s, d).filter(col("id") < 5), embIdVec(s, d), k = 5)),
+
+    "e02_centroid_sums" -> ((s, d) =>
+      VectorOps.centroidSums(
+        embs(s, d).select(col("label"), col("embedding").as("vec")),
+        "label")),
+
+    "e03_lsh_topk" -> ((s, d) =>
+      VectorOps.lshTopK(
+        embIdVec(s, d).filter(col("id") < 5), embIdVec(s, d), k = 5,
+        nPlanes = 4)),
+
+    // ---- multimodal plumbing ------------------------------------------
+    // binary column round-trip: byte length + content digest (the schema
+    // shape image/audio payloads use; see ops/Multimodal for the typed
+    // pipeline with stubbed decoders)
+    "m01_binary_meta" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        octet_length(to_binary(col("text"), lit("utf-8"))).cast("bigint")
+          .as("n_bytes"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("digest")))
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  private val toks = "regexp_extract_all(text, '\\S+')"
+  private val ltoks = "regexp_extract_all(lower(text), '\\S+')"
+  private val dtoks = s"list_distinct($ltoks)"
+
+  /** hash32 oracle form. */
+  private def h32(e: String, seed: Int): String =
+    s"CAST(concat('0x', substr(md5(concat($e, '#$seed')), 1, 8)) AS BIGINT)"
+
+  private val qv =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  private def qdotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
+
+  private def planeBitsSql(v: String): String =
+    (0 until 4).map { j =>
+      val w = s"CAST(concat('0x', substr(md5(concat('plane$j-', " +
+        s"CAST(i AS VARCHAR))), 1, 4)) AS BIGINT) - 32768"
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> ($v)[i] * ($w))) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""SELECT doc_id, len($toks)::BIGINT AS n_tokens,
+         | len($dtoks)::BIGINT AS n_distinct,
+         | CAST(list_sum(list_transform($toks, x -> length(x))) AS DOUBLE)
+         |   / CAST(greatest(len($toks), 1) AS DOUBLE) AS mean_token_len
+         |FROM documents""".stripMargin,
+    "t02_quality_score" ->
+      s"""SELECT doc_id, ttr, (least(CAST(n_tok AS DOUBLE)/100.0, 1.0) * ttr)
+         |  * greatest(0.0, 1.0 - punct*5.0) AS quality
+         |FROM (
+         | SELECT doc_id,
+         |  CAST(len($dtoks) AS DOUBLE)/CAST(greatest(len($ltoks),1) AS DOUBLE) AS ttr,
+         |  len($toks) AS n_tok,
+         |  CAST(len(regexp_extract_all(text,'[[:punct:]]')) AS DOUBLE)
+         |    / CAST(greatest(length(text),1) AS DOUBLE) AS punct
+         | FROM documents) b""".stripMargin,
+    "t03_lang_id" -> {
+      val sw = TextOps.stopwords.map { case (lang, words) =>
+        lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
+      }
+      val scores = sw.map { case (lang, arr) =>
+        s"len(list_intersect($dtoks, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val best = sw.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val vote = sw.map { case (l, _) =>
+        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang,
+         | CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
+         |   THEN 'zh' ELSE CASE $vote ELSE 'und' END END AS lang_pred
+         |FROM (SELECT doc_id, lang, text, $scores FROM documents) b""".stripMargin
+    },
+    "t04_fingerprint" ->
+      s"SELECT doc_id, md5(array_to_string($ltoks, ' ')) AS fp FROM documents",
+    "t05_shingle_stats" -> {
+      def sh(src: String) =
+        s"list_transform(range(1, greatest(len($src) - 2, 0) + 1), " +
+          s"i -> concat(($src)[i], ' ', ($src)[i+1], ' ', ($src)[i+2]))"
+      s"""SELECT doc_id, len(${sh(toks)})::BIGINT AS n_shingles,
+         | len(list_distinct(${sh(ltoks)}))::BIGINT AS n_distinct_shingles
+         |FROM documents""".stripMargin
+    },
+    "d01_dedup_exact" ->
+      s"""SELECT md5(array_to_string($ltoks, ' ')) AS fp,
+         | min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM documents GROUP BY 1""".stripMargin,
+    "d02_dedup_prefix" ->
+      s"""SELECT md5(array_to_string(list_slice($ltoks, 1, 10), ' ')) AS fp10,
+         | min(doc_id) AS keep_id, count(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin,
+    "d03_minhash_sig" -> {
+      val mhs = (0 until 8).map(i =>
+        s"list_min(list_transform($dtoks, t -> ${h32("t", i)})) AS mh$i")
+        .mkString(", ")
+      s"SELECT doc_id, $mhs FROM documents"
+    },
+    "d04_minhash_pairs" -> {
+      val mhs = (0 until 8).map(i =>
+        s"list_min(list_transform(toks, t -> CAST(concat('0x', substr(md5(concat(t, '#$i')), 1, 8)) AS BIGINT))) AS mh$i")
+        .mkString(", ")
+      val bucketExprs = (0 until 4).map { b =>
+        s"concat(CAST(mh${2 * b} AS VARCHAR), '_', CAST(mh${2 * b + 1} AS VARCHAR))"
+      }
+      val bandRows = bucketExprs.zipWithIndex.map { case (e, b) =>
+        s"SELECT id, toks, $b AS band, md5($e) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id AS id, $dtoks AS toks FROM documents),
+         |sig AS (SELECT id, toks, $mhs FROM t),
+         |banded AS ($bandRows),
+         |pairs AS (
+         | SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         |  CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+         |  (CAST(len(l.toks) + len(r.toks) AS DOUBLE)
+         |    - CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)) AS jaccard
+         | FROM banded l JOIN banded r
+         |   ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin
+    },
+    "d05_simhash" -> {
+      val hashes =
+        s"list_transform($dtoks, t -> CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT))"
+      val bits = (0 until 16).map { j =>
+        s"(CASE WHEN coalesce(list_sum(list_transform($hashes, " +
+          s"h -> CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM documents"
+    },
+    "d06_embedding_neardups" ->
+      s"""WITH v AS (SELECT vec_id AS id, $qv AS q,
+         | ${planeBitsSql(qv)} AS bucket FROM embeddings)
+         |SELECT l.id AS id_a, r.id AS id_b, ${qdotSql("l.q", "r.q")} AS dot
+         |FROM v l JOIN v r ON l.bucket = r.bucket AND l.id < r.id
+         |WHERE ${qdotSql("l.q", "r.q")} >= 200000""".stripMargin,
+    "e01_knn_brute" ->
+      s"""SELECT query_id, neighbor_id, dot, rk FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${qdotSql("q.q", "c.q")} AS dot,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${qdotSql("q.q", "c.q")} DESC, c.vec_id) AS rk
+         | FROM (SELECT vec_id, $qv AS q FROM embeddings WHERE vec_id < 5) q
+         | CROSS JOIN (SELECT vec_id, $qv AS q FROM embeddings) c
+         | WHERE q.vec_id <> c.vec_id) t
+         |WHERE rk <= 5""".stripMargin,
+    "e02_centroid_sums" ->
+      s"""SELECT label, dim, CAST(sum(qc) AS BIGINT) AS qsum, count(*) AS n
+         |FROM (SELECT label, generate_subscripts(q, 1) - 1 AS dim,
+         |        unnest(q) AS qc
+         |      FROM (SELECT label, $qv AS q FROM embeddings) t) u
+         |GROUP BY label, dim""".stripMargin,
+    "e03_lsh_topk" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS q, ${planeBitsSql(qv)} AS bucket
+         |  FROM embeddings)
+         |SELECT query_id, neighbor_id, dot, rk FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${qdotSql("q.q", "c.q")} AS dot,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${qdotSql("q.q", "c.q")} DESC, c.vec_id) AS rk
+         | FROM (SELECT * FROM v WHERE vec_id < 5) q
+         | JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id) t
+         |WHERE rk <= 5""".stripMargin,
+    "m01_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        | md5(text) AS digest FROM documents""".stripMargin
+  )
+}
