@@ -32,25 +32,37 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature of the token set, k independent permutations. */
-  def minhashSignature(text: Column, k: Int): Seq[Column] = {
-    val toks = array_distinct(TextOps.tokens(lower(text)))
+  /** MinHash signature from a pre-projected distinct-token column. */
+  def minhashSignatureFromTokens(toks: Column, k: Int): Seq[Column] =
     (0 until k).map { i =>
       array_min(transform(toks, t => hash32(t, i))).as(s"mh$i")
     }
-  }
+
+  /** MinHash signature of the token set, k independent permutations. */
+  def minhashSignature(text: Column, k: Int): Seq[Column] =
+    minhashSignatureFromTokens(
+      array_distinct(TextOps.tokens(lower(text))), k)
 
   /** LSH candidate pairs from banded minhash signatures: docs sharing any
     * band bucket, verified with exact token-set Jaccard ≥ `threshold`.
     * `bands` × `rowsPerBand` must equal the signature length.
+    *
+    * `maxBucket` is the megabucket guard: buckets above the cap are
+    * skipped entirely (their pair blow-up is quadratic — one degenerate
+    * bucket of m docs costs m² comparisons). Standard production LSH
+    * practice; the skipped mass is a documented recall trade, not a bug.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 100): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = docs.select(
-      col(idCol).as("id") +:
-        array_distinct(TextOps.tokens(lower(col(textCol)))).as("toks") +:
-        minhashSignature(col(textCol), k): _*)
+    // two-step projection: tokenize once, then hash from the materialized
+    // array (CollapseProject keeps multi-use expensive aliases projected)
+    val sig = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextOps.tokens(lower(col(textCol)))).as("toks"))
+      .select(col("id") +: col("toks") +:
+        minhashSignatureFromTokens(col("toks"), k): _*)
 
     // one row per (doc, band): bucket = md5 over the band's minhashes
     val banded = sig.select(col("id"), col("toks"),
@@ -59,10 +71,15 @@ object Dedup {
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
       }: _*)).as(Seq("band", "bucket")))
 
+    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
+      .count().filter(col("count") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(broadcast(smallBuckets), Seq("band", "bucket"))
+
     // co-bucketed pairs (a < b), then exact Jaccard verification
-    val l = banded.select(col("band"), col("bucket"),
+    val l = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("toks").as("toks_a"))
-    val r = banded.select(col("band"), col("bucket"),
+    val r = capped.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("toks").as("toks_b"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
       .cast("double")
@@ -79,10 +96,16 @@ object Dedup {
     * tokens (weighted by presence). Map-only; near-dup = small hamming
     * distance between signatures.
     */
-  def simhash16(text: Column): Column = {
-    val toks = array_distinct(TextOps.tokens(lower(text)))
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10)
-      .cast("bigint"))
+  def simhash16(text: Column): Column =
+    simhash16FromHashes(
+      transform(array_distinct(TextOps.tokens(lower(text))),
+        t => conv(substring(md5(t), 1, 4), 16, 10).cast("bigint")))
+
+  /** SimHash from a pre-projected token-hash array column — the 16
+    * per-bit vote aggregates each re-scan the array, so the md5 work must
+    * be materialized once, not inlined 16×.
+    */
+  def simhash16FromHashes(hashes: Column): Column = {
     val bits = (0 until 16).map { j =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, lit(1L))

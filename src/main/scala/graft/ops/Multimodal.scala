@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side design is real — schema, partitioning, batch iteration,
+  * feature schema — while the actual codec calls are STUBBED with
+  * deterministic byte-level fakes (this container ships no image/audio
+  * libraries; a deployment swaps [[Codecs]] for JNI/FFI decoders without
+  * touching the pipeline).
+  *
+  * Scale notes: payloads stay in executor memory only for the partition
+  * batch being mapped (`mapPartitions` streams the iterator — no
+  * `collect`, no whole-partition materialization); decode is map-only and
+  * embarrassingly parallel, so throughput scales with executors; outputs
+  * are narrow feature rows, so the expensive bytes are dropped before any
+  * shuffle.
+  */
+object Multimodal {
+
+  /** A media row: payload + metadata (the lakehouse schema for media). */
+  case class MediaItem(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      n_frames: Int)
+
+  /** Extracted features: fixed-width vector + provenance. */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      feature: Array[Float])
+
+  /** Deterministic stand-ins for the real codecs. Each consumes the raw
+    * payload exactly like a decoder would (full scan of the bytes) and
+    * produces a stable, content-dependent result — so pipeline tests
+    * exercise realistic data flow and stay reproducible.
+    */
+  object Codecs {
+    /** "Decode" = 16-bin byte histogram, L1-normalized — the stub for
+      * image decode + embed. A real impl calls the codec here.
+      */
+    def decodeToFeature(payload: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](16)
+      var i = 0
+      while (i < payload.length) {
+        bins((payload(i) & 0xff) >> 4) += 1f
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      bins.map(_ / n)
+    }
+
+    /** "Resize" = keep every k-th byte (stride sampling). */
+    def resize(payload: Array[Byte], factor: Int): Array[Byte] =
+      payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+
+    /** "Frame sample" = split payload into n_frames equal chunks, take
+      * every `stride`-th chunk.
+      */
+    def sampleFrames(payload: Array[Byte], nFrames: Int,
+        stride: Int): Seq[Array[Byte]] = {
+      if (nFrames <= 0) return Seq.empty
+      val frameLen = math.max(payload.length / nFrames, 1)
+      (0 until nFrames by stride).map { f =>
+        payload.slice(f * frameLen, math.min((f + 1) * frameLen, payload.length))
+      }
+    }
+  }
+
+  /** Batch feature extraction: binary in, features out, per partition. */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+          Codecs.decodeToFeature(m.payload))
+      }
+    }
+  }
+
+  /** Frame-sampled video → one feature row per kept frame. */
+  def extractFrameFeatures(items: Dataset[MediaItem],
+      stride: Int): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        Codecs.sampleFrames(m.payload, m.n_frames, stride).zipWithIndex.map {
+          case (frame, idx) =>
+            (m.media_id, idx * stride, Codecs.decodeToFeature(frame))
+        }
+      }
+    }.toDF("media_id", "frame_no", "feature")
+  }
+
+  /** Synthesize a MediaItem table from any (id, text) source — lets the
+    * plumbing run against the testdata `documents` table.
+    */
+  def fromText(df: DataFrame, idCol: String, textCol: String,
+      kind: String): Dataset[MediaItem] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        MediaItem(id, kind, bytes, width = bytes.length, height = 1,
+          sample_rate = 16000, n_frames = math.max(bytes.length / 64, 1))
+      }
+  }
+}

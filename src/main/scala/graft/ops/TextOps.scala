@@ -18,19 +18,23 @@ object TextOps {
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("\\S+")).cast("bigint")
 
-  /** Word 3-gram shingles (for n-gram Jaccard / MinHash input). Guarded:
+  /** Word 3-gram shingles from a pre-projected token array. Guarded:
     * Spark's `sequence(1, n)` runs DESCENDING when n < 1, so short texts
-    * must short-circuit to an empty array.
+    * must short-circuit to an empty array. Prefer passing a projected
+    * token *column* (not `tokens(text)` inline): expressions inside
+    * higher-order lambdas are not common-subexpression-eliminated, so an
+    * inline tokenizer would re-run the regex per element.
     */
-  def shingles3(text: Column): Column = {
-    val t = tokens(text)
+  def shingles3FromTokens(t: Column): Column =
     when(size(t) >= 3,
       transform(
         sequence(lit(1), size(t) - 2),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
           element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word 3-gram shingles (for n-gram Jaccard / MinHash input). */
+  def shingles3(text: Column): Column = shingles3FromTokens(tokens(text))
 
   /** Type-token ratio: distinct / total tokens (lexical diversity). */
   def typeTokenRatio(text: Column): Column = {

@@ -46,22 +46,53 @@ object VectorOps {
   }
 
   /** Deterministic pseudo-random hyperplane component: md5-derived,
-    * centered 16-bit value for (plane j, dim i).
+    * centered 16-bit value for (plane j, dim i). `prefix` namespaces
+    * independent plane sets (multi-table LSH).
     */
-  private def planeWeight(j: Int, i: Column): Column =
-    conv(substring(md5(concat(lit(s"plane$j-"), i.cast("string"))), 1, 4),
+  private def planeWeight(prefix: String, j: Int, i: Column): Column =
+    conv(substring(md5(concat(lit(s"$prefix$j-"), i.cast("string"))), 1, 4),
       16, 10).cast("bigint") - 32768L
 
   /** Sign-bit LSH bucket id from `nPlanes` hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int,
+      planePrefix: String = "plane"): Column = {
     val qv = quantize(vec)
     val bits = (0 until nPlanes).map { j =>
       val dot = aggregate(
-        zip_with(qv, sequence(lit(1), size(qv)), (x, i) => x * planeWeight(j, i)),
+        zip_with(qv, sequence(lit(1), size(qv)),
+          (x, i) => x * planeWeight(planePrefix, j, i)),
         lit(0L), (acc, v) => acc + v)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Multi-table (OR-amplified) sign-LSH top-k: `nTables` independent
+    * hyperplane sets; candidates = union of co-bucketed rows across
+    * tables, then exact integer-dot ranking. Recall ≈ 1-(1-p)^L for
+    * single-table collision probability p — the standard production
+    * answer to single-table LSH's recall cliff.
+    */
+  def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int, nTables: Int): DataFrame = {
+    // one row per (id, table, bucket) → plain equi-join on (table, bucket):
+    // shuffles by bucket key and scales to large query sets, unlike an
+    // OR-of-buckets join (which degenerates to nested-loop)
+    def exploded(df: DataFrame, idName: String, vecName: String) =
+      df.select(col("id").as(idName), quantize(col("vec")).as(vecName),
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col("vec"), nPlanes, planePrefix = s"tbl$t-plane")): _*))
+          .as(Seq("tbl", "bucket")))
+    val q = exploded(queries, "query_id", "qv")
+    val c = exploded(corpus, "neighbor_id", "cv")
+    val scored = broadcast(q).join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        qdot(col("qv"), col("cv")).as("dot"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** Bucketed ANN: exact ranking within the query's bucket only.

@@ -45,10 +45,14 @@ object TrainingPack {
         TextOps.fingerprint(col("text")).as("fp"))),
 
     "t05_shingle_stats" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        size(TextOps.shingles3(col("text"))).cast("bigint").as("n_shingles"),
-        size(array_distinct(TextOps.shingles3(lower(col("text")))))
-          .cast("bigint").as("n_distinct_shingles"))),
+      docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"),
+          TextOps.tokens(lower(col("text"))).as("ltk"))
+        .select(col("doc_id"),
+          size(TextOps.shingles3FromTokens(col("tk"))).cast("bigint")
+            .as("n_shingles"),
+          size(array_distinct(TextOps.shingles3FromTokens(col("ltk"))))
+            .cast("bigint").as("n_distinct_shingles"))),
 
     // ---- deduplication -------------------------------------------------
     "d01_dedup_exact" -> ((s, d) =>
@@ -62,15 +66,24 @@ object TrainingPack {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
 
     "d03_minhash_sig" -> ((s, d) =>
-      docs(s, d).select(col("doc_id") +:
-        Dedup.minhashSignature(col("text"), 8): _*)),
+      docs(s, d)
+        .select(col("doc_id"),
+          array_distinct(TextOps.tokens(lower(col("text")))).as("toks"))
+        .select(col("doc_id") +:
+          Dedup.minhashSignatureFromTokens(col("toks"), 8): _*)),
 
     "d04_minhash_pairs" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d).withColumnRenamed("doc_id", "id"),
-        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8)),
+        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
+        maxBucket = 100)),
 
     "d05_simhash" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), Dedup.simhash16(col("text")))),
+      docs(s, d)
+        .select(col("doc_id"),
+          transform(array_distinct(TextOps.tokens(lower(col("text")))),
+            t => conv(substring(md5(t), 1, 4), 16, 10).cast("bigint"))
+            .as("hashes"))
+        .select(col("doc_id"), Dedup.simhash16FromHashes(col("hashes")))),
 
     "d06_embedding_neardups" -> ((s, d) =>
       VectorOps.embeddingNearDups(embIdVec(s, d), nPlanes = 4,
@@ -90,6 +103,22 @@ object TrainingPack {
       VectorOps.lshTopK(
         embIdVec(s, d).filter(col("id") < 5), embIdVec(s, d), k = 5,
         nPlanes = 4)),
+
+    "e04_lsh_topk_multi" -> ((s, d) =>
+      VectorOps.lshTopKMulti(
+        embIdVec(s, d).filter(col("id") < 5), embIdVec(s, d), k = 5,
+        nPlanes = 3, nTables = 4)),
+
+    // typed multimodal pipeline (mapPartitions over binary payloads with a
+    // stubbed decoder) — not SQL-expressible, rows-only check
+    "m02_media_features" -> ((s, d) => {
+      val items = graft.ops.Multimodal.fromText(docs(s, d), "doc_id", "text",
+        kind = "image")
+      graft.ops.Multimodal.extractFeatures(items)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          element_at(col("feature"), 1).as("f0"))
+    }),
 
     // ---- multimodal plumbing ------------------------------------------
     // binary column round-trip: byte length + content digest (the schema
@@ -118,9 +147,10 @@ object TrainingPack {
   private def qdotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
 
-  private def planeBitsSql(v: String): String =
-    (0 until 4).map { j =>
-      val w = s"CAST(concat('0x', substr(md5(concat('plane$j-', " +
+  private def planeBitsSql(v: String, nPlanes: Int = 4,
+      prefix: String = "plane"): String =
+    (0 until nPlanes).map { j =>
+      val w = s"CAST(concat('0x', substr(md5(concat('$prefix$j-', " +
         s"CAST(i AS VARCHAR))), 1, 4)) AS BIGINT) - 32768"
       s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> ($v)[i] * ($w))) > 0" +
         s" THEN ${1L << j} ELSE 0 END)"
@@ -196,12 +226,16 @@ object TrainingPack {
       s"""WITH t AS (SELECT doc_id AS id, $dtoks AS toks FROM documents),
          |sig AS (SELECT id, toks, $mhs FROM t),
          |banded AS ($bandRows),
+         |small AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+         |          HAVING count(*) <= 100),
+         |capped AS (SELECT b.* FROM banded b JOIN small s
+         |           ON b.band = s.band AND b.bucket = s.bucket),
          |pairs AS (
          | SELECT DISTINCT l.id AS id_a, r.id AS id_b,
          |  CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
          |  (CAST(len(l.toks) + len(r.toks) AS DOUBLE)
          |    - CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)) AS jaccard
-         | FROM banded l JOIN banded r
+         | FROM capped l JOIN capped r
          |   ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin
     },
@@ -237,6 +271,30 @@ object TrainingPack {
          |        unnest(q) AS qc
          |      FROM (SELECT label, $qv AS q FROM embeddings) t) u
          |GROUP BY label, dim""".stripMargin,
+    "e04_lsh_topk_multi" -> {
+      val buckets = (0 until 4).map(t =>
+        s"${planeBitsSql(qv, nPlanes = 3, prefix = s"tbl$t-plane")} AS b$t")
+        .mkString(", ")
+      val banded = (0 until 4).map(t =>
+        s"SELECT vec_id, q, $t AS tbl, b$t AS bucket FROM v")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, $qv AS q, $buckets FROM embeddings),
+         |banded AS ($banded),
+         |cand AS (
+         | SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${qdotSql("q.q", "c.q")} AS dot
+         | FROM (SELECT * FROM banded WHERE vec_id < 5) q
+         | JOIN banded c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |   AND q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, dot, rk FROM (
+         | SELECT query_id, neighbor_id, dot,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rk
+         | FROM cand) t
+         |WHERE rk <= 5""".stripMargin
+    },
+    "m01_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        | md5(text) AS digest FROM documents""".stripMargin,
     "e03_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, $qv AS q, ${planeBitsSql(qv)} AS bucket
          |  FROM embeddings)
@@ -247,9 +305,6 @@ object TrainingPack {
          |    ORDER BY ${qdotSql("q.q", "c.q")} DESC, c.vec_id) AS rk
          | FROM (SELECT * FROM v WHERE vec_id < 5) q
          | JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id) t
-         |WHERE rk <= 5""".stripMargin,
-    "m01_binary_meta" ->
-      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-        | md5(text) AS digest FROM documents""".stripMargin
+         |WHERE rk <= 5""".stripMargin
   )
 }

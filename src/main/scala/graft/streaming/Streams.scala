@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extensions: the reference's batch protocol
+  * re-expressed as streams (README.md models a daily file drop; nothing in
+  * the reference is streaming, so these are the engine's forward-looking
+  * surface, SURVEY.md §1.3 / §7.5).
+  *
+  * Scale notes: the file source tracks processed files in the checkpoint
+  * (exactly-once per file); watermarks bound state for the windowed aggs;
+  * `flatMapGroupsWithState` state is per-key and dropped on timeout.
+  */
+object Streams {
+
+  /** The daily landing drop as a stream: new parquet files appearing under
+    * `dir` stream through the same conform logic as batch ingest.
+    * Run with `Trigger.AvailableNow` to drain what's there and stop.
+    */
+  def landingStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.denormalized)
+      .parquet(dir)
+
+  /** Windowed per-city transaction counts with a watermark — the
+    * streaming form of the mart's per-day aggregation.
+    */
+  def txnCountsByWindow(landing: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    landing
+      .withWatermark("trans_date", watermark)
+      .groupBy(window(col("trans_date"), window_), col("city"))
+      .agg(count(lit(1)).as("n_txns"),
+        sum(col("amount")).as("total_amount"))
+
+  /** Per-card running state for streaming fraud screening: consecutive
+    * rejected-operation count, emitting a row whenever a card crosses
+    * `threshold` consecutive rejections (the streaming cousin of F4's
+    * chain detection — exact chain semantics stay in the batch mart).
+    */
+  case class CardState(consecutiveRejects: Int)
+  case class RejectAlert(card_num: String, rejects: Int,
+      at: java.sql.Timestamp)
+
+  def consecutiveRejectAlerts(landing: DataFrame, threshold: Int)
+      : Dataset[RejectAlert] = {
+    val spark = landing.sparkSession
+    import spark.implicits._
+    landing
+      .select(col("card_num"), col("trans_date"), col("oper_result"))
+      .as[(String, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (card: String, rows: Iterator[(String, java.sql.Timestamp, String)],
+            state: GroupState[CardState]) => {
+          var s = state.getOption.getOrElse(CardState(0))
+          val out = Seq.newBuilder[RejectAlert]
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, res) =>
+            s =
+              if (res == graft.model.Strings.Rejected)
+                CardState(s.consecutiveRejects + 1)
+              else CardState(0)
+            if (s.consecutiveRejects == threshold)
+              out += RejectAlert(card, s.consecutiveRejects, ts)
+          }
+          state.update(s)
+          out.result().iterator
+        })
+  }
+}

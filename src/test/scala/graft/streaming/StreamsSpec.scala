@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Strings
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming specs driven synchronously: parquet fixture dir as the file
+  * source, memory sink, processAllAvailable.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private def stageFixtures(): String = {
+    val dir = tmpDir("stream-landing")
+    // stage day1 fixture as the first file drop
+    val src = getClass.getResource("/fixtures/day1.parquet").getPath
+    val df = spark.read.parquet(src)
+    graft.ingest.Ingest.conform(df).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed txn counts with watermark over the file stream") {
+    val dir = stageFixtures()
+    val q = Streams.txnCountsByWindow(Streams.landingStream(spark, dir))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("txn_counts").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.sql("SELECT count(*) FROM txn_counts").head().getLong(0)
+    assert(n > 0)
+    val total = spark.sql("SELECT sum(n_txns) FROM txn_counts")
+      .head().getLong(0)
+    assert(total === 808) // all of day 1 flows through
+  }
+
+  test("stateful consecutive-reject alerts fire at the threshold") {
+    val dir = stageFixtures()
+    val q = Streams.consecutiveRejectAlerts(
+      Streams.landingStream(spark, dir), threshold = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("alerts").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val alerts = spark.sql("SELECT * FROM alerts")
+    // hand-checked against the fixture: cards with ≥3 consecutive rejects
+    val expected = spark.read.parquet(
+      getClass.getResource("/fixtures/day1.parquet").getPath)
+      // raw fixture is TIMESTAMP_NTZ; cast to session-TZ timestamp like
+      // Ingest.conform does
+      .select(col("card_num"), col("trans_date").cast("timestamp"),
+        col("oper_result"))
+      .collect()
+      .groupBy(_.getString(0))
+      .count { case (_, rows) =>
+        val sorted = rows.sortBy(_.getTimestamp(1).getTime).map(_.getString(2))
+        sorted.foldLeft((0, false)) { case ((run, hit), r) =>
+          val n = if (r == Strings.Rejected) run + 1 else 0
+          (n, hit || n == 3)
+        }._2
+      }
+    assert(alerts.count() === expected)
+  }
+}
