@@ -39,10 +39,12 @@ object RelationalPack {
             .as("revenue"),
           count(lit(1)).as("cnt"))),
 
-    // J1: anti-join (NOT EXISTS → LeftAnti, ETL.sql:89-100).
+    // J1: anti-join (NOT EXISTS → LeftAnti, ETL.sql:89-100) — customers
+    // with no urgent order.
     "q03_anti_join" -> ((s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), c("c_custkey") === c("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).filter(c("o_orderpriority") === "1-URGENT"),
+          c("c_custkey") === c("o_custkey"), "left_anti")
         .select(c("c_custkey"), c("c_name"))),
 
     // Semi-join (EXISTS) — completes the subquery-join family.
@@ -195,6 +197,69 @@ object RelationalPack {
         .select(c("user_id"), c("event_id"), c("value"),
           row_number().over(w).as("rk"))
         .filter(c("rk") <= 3)
+    }),
+
+    // As-of (point-in-time) join: each purchase matched to the user's most
+    // recent view at-or-before it — composed from union + window
+    // (ops/AsOfJoin), one shuffle, no range-join explosion.
+    "q18_asof_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.AsOfJoin.backward(
+        left = ev.filter(c("event_type") === "purchase")
+          .select(c("user_id"), c("event_id"), c("ts")),
+        right = ev.filter(c("event_type") === "view"),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        rightId = "event_id", rightCols = Map("ts" -> "view_ts"))
+    }),
+
+    // ROLLUP subtotals (grouping-sets family).
+    "q19_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(c("l_returnflag"), c("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(c("l_quantity"))).as("sum_qty"))),
+
+    // INTERSECT / EXCEPT (distinct set semantics).
+    "q20_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(c("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d)
+          .select(c("s_nationkey").as("nationkey")))),
+    // (user, day) pairs that clicked but made no purchase that day
+    "q21_except" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(c("event_type") === "click")
+        .select(c("user_id"), to_date(c("ts")).as("d")).distinct()
+        .except(ev.filter(c("event_type") === "purchase")
+          .select(c("user_id"), to_date(c("ts")).as("d")).distinct())
+    }),
+
+    // FULL OUTER join of two aggregates (merged key via using-column).
+    "q22_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(c("event_type") === "click")
+        .groupBy(to_date(c("ts")).as("d")).agg(count(lit(1)).as("clicks"))
+      val errors = ev.filter(c("event_type") === "error")
+        .groupBy(to_date(c("ts")).as("d")).agg(count(lit(1)).as("errors"))
+      clicks.join(errors, Seq("d"), "full_outer")
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont` — both linear interpolation).
+    "q23_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(c("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))),
+
+    // Key + time-range join (shipments within 30 days of order date).
+    "q25_range_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      l.join(o, c("l_orderkey") === c("o_orderkey") &&
+        c("l_shipdate") >= c("o_orderdate") &&
+        c("l_shipdate") <= c("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(c("o_orderpriority"))
+        .agg(count(lit(1)).as("n_shipped"))
     })
   )
 
@@ -211,7 +276,8 @@ object RelationalPack {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q03_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q04_semi_join" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -300,6 +366,55 @@ object RelationalPack {
         | SELECT user_id, event_id, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
         | FROM events) t
-        |WHERE rk <= 3""".stripMargin
+        |WHERE rk <= 3""".stripMargin,
+    "q18_asof_funnel" ->
+      """WITH u AS (
+        | SELECT user_id, event_id, ts, ts AS _t, 1 AS il,
+        |        NULL::BIGINT AS ord, NULL::BIGINT AS r_id, NULL::TIMESTAMP AS r_ts
+        | FROM events WHERE event_type = 'purchase'
+        | UNION ALL
+        | SELECT user_id, NULL, NULL, ts, 0, event_id, event_id, ts
+        | FROM events WHERE event_type = 'view'),
+        |w AS (SELECT user_id, event_id, ts, il,
+        |  last_value(r_ts IGNORE NULLS) OVER win AS view_ts,
+        |  last_value(r_id IGNORE NULLS) OVER win AS matched_event_id
+        | FROM u WINDOW win AS (PARTITION BY user_id ORDER BY _t, il, ord
+        |   ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, event_id, ts, view_ts, matched_event_id
+        |FROM w WHERE il = 1""".stripMargin,
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q20_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q21_except" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q22_full_outer" ->
+      """SELECT d, clicks, errors FROM (
+        | SELECT CAST(ts AS DATE) AS d, count(*) AS clicks FROM events
+        | WHERE event_type = 'click' GROUP BY 1) c
+        |FULL JOIN (
+        | SELECT CAST(ts AS DATE) AS d, count(*) AS errors FROM events
+        | WHERE event_type = 'error' GROUP BY 1) e USING (d)""".stripMargin,
+    "q23_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS p50_qty,
+        | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        | quantile_cont(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q25_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_shipped
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }
