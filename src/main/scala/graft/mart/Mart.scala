@@ -18,13 +18,23 @@ object Mart {
     new java.sql.Timestamp(System.currentTimeMillis() / 1000 * 1000)
 
   def addReportData(lake: Lakehouse, scdType: MartStaging.ScdType,
-      clock: java.sql.Timestamp = now()): DataFrame = {
+      clock: java.sql.Timestamp = now(),
+      idempotent: Boolean = false): DataFrame = {
     val stg = MartStaging.build(lake, scdType).cache()
     try {
       val rows = FraudRules.expiredDocs(stg, clock)
         .unionByName(FraudRules.cityHop(stg, clock))
         .unionByName(AmountGuessing.detect(stg, clock))
-      lake.append("report", rows)
+      // default = faithful reference behavior (rerun duplicates rows);
+      // idempotent mode anti-joins on the fraud identity (all columns
+      // except the stamping clock) — the "fixed" extension SURVEY §7.5.3
+      val toInsert =
+        if (!idempotent) rows
+        else {
+          val keys = Seq("fraud_dt", "passport", "fio", "phone", "fraud_type")
+          rows.join(lake.read("report"), keys, "left_anti")
+        }
+      lake.append("report", toInsert)
       lake.read("report")
     } finally stg.unpersist()
   }

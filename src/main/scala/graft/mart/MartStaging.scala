@@ -42,10 +42,18 @@ object MartStaging {
         (lake.read("dim_terminals"), lake.read("dim_cards"),
           lake.read("dim_accounts"), lake.read("dim_clients"))
     }
-    val fact = lake.read("fact_transactions")
+    val fact = lake.readWithPartitionColumns("fact_transactions")
     val cutoff = maxDayMidnight(fact)
+    // redundant day-grain predicate on the physical partition column: the
+    // trans_date filter alone is only a row-group filter; this one prunes
+    // whole day partitions (at 100 TB, the difference between scanning
+    // 2 days and scanning all history)
+    // (computed in-plan with the session TZ and constant-folded, so it
+    // still reaches the scan as a literal partition predicate)
+    val cutoffDay = to_date(lit(cutoff) - expr("INTERVAL 1 HOUR"))
     val txns = fact
-      .filter(col("trans_date") >= lit(cutoff) - expr("INTERVAL 1 HOUR"))
+      .filter(col("trans_dt_day") >= cutoffDay &&
+        col("trans_date") >= lit(cutoff) - expr("INTERVAL 1 HOUR"))
       .select("trans_id", "trans_date", "card_num", "amt", "oper_result",
         "terminal")
 

@@ -64,19 +64,18 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = array_distinct(tokens(lower(text)))
+  def langScoresFromTokens(dtoks: Column): Seq[(String, Column)] =
     stopwords.map { case (lang, words) =>
-      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+      lang -> size(array_intersect(dtoks, array(words.map(lit): _*)))
     }
-  }
 
-  /** Predicted language: CJK-presence beats the stopword vote (zh has no
-    * whitespace stopwords); then argmax in declaration order; "und"
-    * (undetermined) when no signal.
+  /** Predicted language from a pre-projected distinct-token column + the
+    * raw text (for the CJK check): CJK-presence beats the stopword vote
+    * (zh has no whitespace stopwords); then argmax in declaration order;
+    * "und" (undetermined) when no signal.
     */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+  def langIdFromTokens(dtoks: Column, text: Column): Column = {
+    val scores = langScoresFromTokens(dtoks)
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0
     val vote = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
@@ -85,6 +84,9 @@ object TextOps {
     // foldRight gives earlier languages precedence on ties
     when(cjk, lit("zh")).otherwise(vote)
   }
+
+  def langId(text: Column): Column =
+    langIdFromTokens(array_distinct(tokens(lower(text))), text)
 
   /** Canonical content fingerprint: md5 over lowercased,
     * whitespace-normalized text. Identical in any engine with md5 —

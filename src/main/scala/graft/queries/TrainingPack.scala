@@ -37,8 +37,12 @@ object TrainingPack {
         TextOps.qualityScore(col("text")).as("quality"))),
 
     "t03_lang_id" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), col("lang"),
-        TextOps.langId(col("text")).as("lang_pred"))),
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          array_distinct(TextOps.tokens(lower(col("text")))).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          TextOps.langIdFromTokens(col("toks"), col("text"))
+            .as("lang_pred"))),
 
     "t04_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),

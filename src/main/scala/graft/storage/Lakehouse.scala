@@ -49,6 +49,19 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
       schema.add("trans_dt_day", org.apache.spark.sql.types.DateType)
     else schema
 
+  /** Like [[read]] but keeps physical partition columns (e.g. the fact's
+    * `trans_dt_day`) so callers can write partition-pruning predicates.
+    */
+  def readWithPartitionColumns(name: String): DataFrame = {
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    val full = readSchema(name, schema)
+    if (exists(name))
+      spark.read.schema(full).parquet(tablePath(name))
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
+  }
+
   def append(name: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(tablePath(name))
 

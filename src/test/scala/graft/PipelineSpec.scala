@@ -95,5 +95,10 @@ class PipelineSpec extends SparkSpec {
     val n2 = lake.read("report").count()
     assert(n1 - n0 > 0)
     assert(n1 - n0 === n2 - n1)
+
+    // extension: idempotent mode anti-joins existing fraud identities
+    val n3 = Mart.addReportData(lake, MartStaging.Scd2Dims, clock,
+      idempotent = true).count()
+    assert(n3 === n2)
   }
 }
