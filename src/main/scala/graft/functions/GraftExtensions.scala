@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * functions for SQL use (`SELECT md5_prefix64(col) …`). Installed by
+  * GraftSession via `withExtensions`; also usable with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (FunctionIdentifier("md5_prefix64"),
+        new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
+        (children: Seq[Expression]) => Md5Prefix64(children.head)))
+  }
+}

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 32-bit integer from md5 of `c` salted with `seed` — engine-portable. */
+  /** 32-bit integer from md5 of `c` salted with `seed` — engine-portable
+    * (≡ `conv(substring(md5(…),1,8),16,10)`, see the DuckDB oracles), via
+    * the native codegen'd expression.
+    */
   def hash32(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 8), 16, 10)
-      .cast("bigint")
+    graft.functions.Md5Prefix64(concat(c, lit(s"#$seed")))
 
   /** Exact duplicate groups: fingerprint → (keep = min id, n). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -96,10 +98,15 @@ object Dedup {
     * tokens (weighted by presence). Map-only; near-dup = small hamming
     * distance between signatures.
     */
+  /** 16-bit token hash = top half of the 32-bit md5 prefix (first 4 hex
+    * chars ≡ first 2 digest bytes).
+    */
+  def hash16(c: Column): Column =
+    shiftright(graft.functions.Md5Prefix64(c), 16)
+
   def simhash16(text: Column): Column =
     simhash16FromHashes(
-      transform(array_distinct(TextOps.tokens(lower(text))),
-        t => conv(substring(md5(t), 1, 4), 16, 10).cast("bigint")))
+      transform(array_distinct(TextOps.tokens(lower(text))), t => hash16(t)))
 
   /** SimHash from a pre-projected token-hash array column — the 16
     * per-bit vote aggregates each re-scan the array, so the md5 work must

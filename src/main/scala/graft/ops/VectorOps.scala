@@ -50,8 +50,8 @@ object VectorOps {
     * independent plane sets (multi-table LSH).
     */
   private def planeWeight(prefix: String, j: Int, i: Column): Column =
-    conv(substring(md5(concat(lit(s"$prefix$j-"), i.cast("string"))), 1, 4),
-      16, 10).cast("bigint") - 32768L
+    shiftright(graft.functions.Md5Prefix64(
+      concat(lit(s"$prefix$j-"), i.cast("string"))), 16) - 32768L
 
   /** Sign-bit LSH bucket id from `nPlanes` hyperplanes. */
   def lshBucket(vec: Column, nPlanes: Int,

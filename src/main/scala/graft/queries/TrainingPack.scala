@@ -85,8 +85,7 @@ object TrainingPack {
       docs(s, d)
         .select(col("doc_id"),
           transform(array_distinct(TextOps.tokens(lower(col("text")))),
-            t => conv(substring(md5(t), 1, 4), 16, 10).cast("bigint"))
-            .as("hashes"))
+            t => Dedup.hash16(t)).as("hashes"))
         .select(col("doc_id"), Dedup.simhash16FromHashes(col("hashes")))),
 
     "d06_embedding_neardups" -> ((s, d) =>

@@ -1,0 +1,16 @@
+/*
+ * Bridge into Spark's private[sql] Column internals: Spark 4 wraps
+ * Columns around ColumnNodes, and the Expression <-> Column conversions
+ * live in classic.ExpressionUtils. This is the sanctioned pattern for
+ * libraries shipping native Catalyst expressions.
+ */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object GraftColumnBridge {
+  def toExpr(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+}
