@@ -92,6 +92,36 @@ object TrainingPack {
       VectorOps.embeddingNearDups(embIdVec(s, d), nPlanes = 4,
         minDot = 200000L)),
 
+    // keep-first dedup returning the surviving document rows
+    "d07_dedup_keep_first" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      docs(s, d)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // the end-to-end corpus-selection pipeline: quality gate + language
+    // gate + dedup, the shape of a real training-data filter job
+    "d08_corpus_select" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          array_distinct(TextOps.tokens(lower(col("text")))).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"),
+          TextOps.fingerprint(col("text")).as("fp"))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      scored
+        .filter(col("quality") >= 0.15 && col("lang_pred") === "en")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
     // ---- similarity search --------------------------------------------
     "e01_knn_brute" -> ((s, d) =>
       VectorOps.bruteForceTopK(
@@ -258,6 +288,40 @@ object TrainingPack {
          |SELECT l.id AS id_a, r.id AS id_b, ${qdotSql("l.q", "r.q")} AS dot
          |FROM v l JOIN v r ON l.bucket = r.bucket AND l.id < r.id
          |WHERE ${qdotSql("l.q", "r.q")} >= 200000""".stripMargin,
+    "d07_dedup_keep_first" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         | SELECT doc_id, lang, n_chars, row_number() OVER (
+         |   PARTITION BY md5(array_to_string($ltoks, ' '))
+         |   ORDER BY doc_id) AS rn
+         | FROM documents) t WHERE rn = 1""".stripMargin,
+    "d08_corpus_select" -> {
+      val sw = TextOps.stopwords.map { case (lang, words) =>
+        lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
+      }
+      val scores = sw.map { case (lang, arr) =>
+        s"len(list_intersect($dtoks, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val best = sw.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val vote = sw.map { case (l, _) =>
+        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (
+         | SELECT doc_id, lang,
+         |  (least(CAST(len($toks) AS DOUBLE)/100.0, 1.0)
+         |    * (CAST(len($dtoks) AS DOUBLE)/CAST(greatest(len($ltoks),1) AS DOUBLE)))
+         |   * greatest(0.0, 1.0 -
+         |      (CAST(len(regexp_extract_all(text,'[[:punct:]]')) AS DOUBLE)
+         |        / CAST(greatest(length(text),1) AS DOUBLE)) * 5.0) AS quality,
+         |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
+         |    THEN 'zh' ELSE CASE $vote ELSE 'und' END END AS lang_pred,
+         |  md5(array_to_string($ltoks, ' ')) AS fp
+         | FROM (SELECT doc_id, lang, text, $scores FROM documents) b)
+         |SELECT doc_id, lang, quality FROM (
+         | SELECT doc_id, lang, quality,
+         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         | FROM scored WHERE quality >= 0.15 AND lang_pred = 'en') t
+         |WHERE rn = 1""".stripMargin
+    },
     "e01_knn_brute" ->
       s"""SELECT query_id, neighbor_id, dot, rk FROM (
          | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

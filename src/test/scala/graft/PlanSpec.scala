@@ -1,0 +1,71 @@
+package graft
+
+/** Plan-shape regression tests: the perf properties the engine's design
+  * depends on, asserted on explain output (AQE wraps the physical plan in
+  * AdaptiveSparkPlanExec, so tree `collect` can't see inside — the
+  * explain text can). No data is processed.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def explain(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).length
+
+  test("q05 join chain: all dims broadcast, exactly one shuffle (final agg)") {
+    val p = explain("q05_join5_revenue")
+    assert(count(p, "BroadcastHashJoin") === 4, p)
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("t01 token stats: map-only (no exchange of any kind)") {
+    val p = explain("t01_token_stats")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("scans prune columns: q01 reads only the 3 needed lineitem columns") {
+    val p = SparkEntry.queries("q01_agg_grain_min")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(Seq("l_returnflag", "l_linestatus", "l_shipdate")
+      .forall(read.contains), read)
+    assert(!read.contains("l_extendedprice") && !read.contains("l_orderkey"),
+      read)
+  }
+
+  test("mart fact scan carries a partition filter") {
+    val lake = new graft.storage.Lakehouse(spark, tmpDir("planspec"))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row("t1", ts("2020-05-01 10:00:00"), "c", "Оплата",
+          dec("10"), "Успешно", "T1")),
+      graft.model.Schemas.factTransactions)
+    lake.appendPartitionedByDay("fact_transactions", df, "trans_date")
+    val stg = graft.mart.MartStaging.build(lake, graft.mart.MartStaging.Scd2Dims)
+    val p = stg.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PartitionFilters: [isnotnull(trans_dt_day"), p)
+  }
+
+  test("F4 detect: single shuffle on client, no driver-side collect in plan") {
+    import org.apache.spark.sql.functions._
+    val lake = new graft.storage.Lakehouse(spark, tmpDir("planspec-f4"))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row("t1", ts("2020-05-01 10:00:00"), "c", "Оплата",
+          dec("10"), "Успешно", "T1")),
+      graft.model.Schemas.factTransactions)
+    lake.appendPartitionedByDay("fact_transactions", df, "trans_date")
+    val stg = graft.mart.MartStaging.build(lake, graft.mart.MartStaging.Scd2Dims)
+      .select(col("trans_date"), col("client"), col("passport_num"),
+        col("fio"), col("phone"), col("oper_result"), col("amount"))
+    val p = graft.mart.AmountGuessing.detect(stg, ts("2020-05-09 12:00:00"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("MapGroups"), p)
+  }
+}
