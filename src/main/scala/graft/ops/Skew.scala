@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins: salting.
+  *
+  * A hot key routes all its rows to one reducer; salting splits the big
+  * side's key space into `factor` sub-keys and replicates the small side
+  * across all salts, so the hot key's work spreads over `factor` tasks.
+  * Results are identical to the plain join (the salt is an equi-join
+  * column derived deterministically on the big side and exploded on the
+  * small side) — the d*_salted query's DuckDB oracle is simply the
+  * UNSALTED join, which is the strongest possible correctness check for
+  * the technique.
+  *
+  * AQE's skew-join handles many cases at runtime; explicit salting still
+  * matters when a single key exceeds what one task can hold (AQE splits
+  * partitions, not keys, for aggregations) and for deterministic layout.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, salted `factor` ways. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(col(key)), lit(factor)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Salted aggregation: two-phase group-by for hot grouping keys —
+    * partial agg on (key, salt), then final agg on key. For algebraic
+    * aggregates this is exactly what map-side partial aggregation already
+    * does; the explicit form matters for high-cardinality intermediate
+    * state (e.g. collect_set) where one reducer would OOM.
+    */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+      factor: Int): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(col(key)), lit(factor)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(key))
+      .agg(sum(col("_c")).as("cnt"), sum(col("_s")).as("total"))
+}

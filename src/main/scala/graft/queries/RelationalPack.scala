@@ -251,6 +251,35 @@ object RelationalPack {
           expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
           expr("percentile(l_extendedprice, 0.75)").as("p75_price"))),
 
+    // Salted skew join — oracle is the UNSALTED join, proving the salt is
+    // invisible to results (ops/Skew).
+    "q26_salted_join" -> ((s, d) =>
+      graft.ops.Skew.saltedJoin(
+        Tables.lineitem(s, d).select(c("l_orderkey"), c("l_quantity")),
+        Tables.orders(s, d).select(c("o_orderkey").as("l_orderkey"),
+          c("o_orderpriority")),
+        key = "l_orderkey", factor = 8)
+        .groupBy(c("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(c("l_quantity"))).as("sum_qty"))),
+
+    // Trailing event-time window (RANGE frame): events per user in the
+    // preceding hour — the rate-limiting / feature-engineering shape.
+    "q27_trailing_window" -> ((s, d) => {
+      val w = Window.partitionBy(c("user_id"))
+        .orderBy(c("ts").cast("long"))
+        .rangeBetween(-3599, 0)
+      Tables.events(s, d)
+        .select(c("event_id"), c("user_id"), c("ts"),
+          count(lit(1)).over(w).as("n_last_hour"))
+    }),
+
+    // CUBE subtotals over two dimensions.
+    "q28_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .cube(c("event_type"), to_date(c("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // Key + time-range join (shipments within 30 days of order date).
     "q25_range_join" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
@@ -409,6 +438,20 @@ object RelationalPack {
         | quantile_cont(l_extendedprice, 0.25) AS p25_price,
         | quantile_cont(l_extendedprice, 0.75) AS p75_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q26_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q27_trailing_window" ->
+      """SELECT event_id, user_id, ts,
+        | count(*) OVER (PARTITION BY user_id
+        |   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events""".stripMargin,
+    "q28_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+        |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin,
     "q25_range_join" ->
       """SELECT o_orderpriority, count(*) AS n_shipped
         |FROM lineitem JOIN orders

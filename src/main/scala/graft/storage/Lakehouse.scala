@@ -82,6 +82,26 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"rename failed for $name")
   }
 
+  /** Bucketed write: pre-shuffles into `buckets` files per bucket key and
+    * registers a catalog table, so later equi-joins/aggregations on `key`
+    * between co-bucketed tables run WITHOUT an exchange — the lakehouse
+    * analogue of the reference's `distributed by (key)` co-location
+    * (DDL.sql:40,59; verified shuffle-free in BucketingSpec).
+    */
+  def writeBucketed(name: String, df: DataFrame, key: String,
+      buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", tablePath(name))
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(name)
+  }
+
+  def readTable(name: String): DataFrame = spark.table(name)
+
   /** TRUNCATE (ETL.sql:447): drop the data, keep the (virtual) table. */
   def truncate(name: String): Unit = {
     val dest = new Path(tablePath(name))
