@@ -280,6 +280,16 @@ object RelationalPack {
         .cube(c("event_type"), to_date(c("ts")).as("d"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // Approximate aggregates (HLL distinct, approx quantiles) — sketch
+    // results are engine-specific, so no SQL oracle (rows-only check);
+    // the exact counterparts q09/q23 are oracle-checked.
+    "q24_approx_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(c("l_returnflag"))
+        .agg(approx_count_distinct(c("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+            .as("approx_median_price"))),
+
     // Key + time-range join (shipments within 30 days of order date).
     "q25_range_join" -> ((s, d) => {
       val l = Tables.lineitem(s, d)

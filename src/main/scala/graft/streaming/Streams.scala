@@ -36,6 +36,20 @@ object Streams {
       .agg(count(lit(1)).as("n_txns"),
         sum(col("amount")).as("total_amount"))
 
+  /** Streaming exact dedup: drop rows whose content fingerprint was seen
+    * within the watermark horizon — the streaming form of
+    * `Dedup.exactGroups`. State is bounded by the watermark (old
+    * fingerprints age out), which is what makes dedup feasible on an
+    * unbounded 100 TB/day stream.
+    */
+  def dedupByFingerprint(stream: DataFrame, textCol: String,
+      tsCol: String, watermark: String): DataFrame =
+    stream
+      .withColumn("_fp", graft.ops.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Per-card running state for streaming fraud screening: consecutive
     * rejected-operation count, emitting a row whenever a card crosses
     * `threshold` consecutive rejections (the streaming cousin of F4's

@@ -32,6 +32,26 @@ class StreamsSpec extends SparkSpec {
     assert(total === 808) // all of day 1 flows through
   }
 
+  test("streaming dedup by fingerprint drops in-watermark duplicates") {
+    import spark.implicits._
+    val dir = tmpDir("dedup-stream")
+    Seq(
+      ("a b c", ts("2024-01-01 10:00:00")),
+      ("a  B   c", ts("2024-01-01 10:01:00")), // same fingerprint (case/ws)
+      ("x y z", ts("2024-01-01 10:02:00")))
+      .toDF("text", "ts").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("text STRING, ts TIMESTAMP").parquet(dir)
+    val q = Streams.dedupByFingerprint(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val texts = spark.sql("SELECT text FROM dedup_out").collect()
+      .map(_.getString(0)).sorted
+    assert(texts.length === 2)
+    assert(texts.contains("x y z"))
+  }
+
   test("stateful consecutive-reject alerts fire at the threshold") {
     val dir = stageFixtures()
     val q = Streams.consecutiveRejectAlerts(
