@@ -54,8 +54,11 @@ object Scd2 {
     val closers = newRows.filter(col("end_dt").isNull)
       .select(col(spec.key).as("_k"), col("start_dt").as("_new_end"))
 
+    // no forced broadcast: closers scales with the batch's changed keys
+    // (a bulk attribute change could make it dim-sized); AQE broadcasts
+    // at runtime when it is actually small
     val closed = dim.as("c")
-      .join(broadcast(closers), col(spec.key) === col("_k"), "left_outer")
+      .join(closers, col(spec.key) === col("_k"), "left_outer")
       .withColumn("end_dt",
         when(col("_k").isNotNull && col("end_dt").isNull, col("_new_end"))
           .otherwise(col("end_dt")))

@@ -22,6 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Md5Prefix64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  // fail at analysis, not at codegen/runtime, for non-string inputs
+  // (AbstractDataType/ExpectsInputTypes are private[sql] in Spark 4, so
+  // the check is spelled out)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_prefix64 requires a STRING argument, got ${other.sql}")
+    }
   override def nullSafeEval(v: Any): Any =
     Md5Prefix64.hash(v.asInstanceOf[UTF8String])
 

@@ -34,11 +34,16 @@ object Ingest {
       .drop("max_day")
   }
 
-  /** Full daily load: conform → last-day filter → append to landing. */
+  /** Full daily load: conform → last-day filter → append to landing.
+    * The filtered frame is cached across the two actions (append +
+    * count) so the feed is read and filtered once, not twice.
+    */
   def loadDay(lake: Lakehouse, src: DataFrame): Long = {
-    val day = lastDayOnly(conform(src))
-    lake.append("denormalized", day)
-    day.count()
+    val day = lastDayOnly(conform(src)).cache()
+    try {
+      lake.append("denormalized", day)
+      day.count()
+    } finally day.unpersist()
   }
 
   def loadDayFromParquet(lake: Lakehouse, path: String): Long =

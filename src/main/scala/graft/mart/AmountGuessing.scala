@@ -73,10 +73,18 @@ object AmountGuessing {
           counter = 0; secCount = 0; zeroOnPrev = true
         } else if (success) {
           counter = 0; secCount = 0; zeroOnPrev = true
-        } else if (z.amountDiff.signum >= 0 || secCount >= 1200) {
-          counter = 1; secCount = 0; zeroOnPrev = false
-        } else if (z.amountDiff.signum < 0 && secCount < 1200 && rejected) {
-          counter += 1; zeroOnPrev = false
+        } else {
+          // amountDiff is never null on the reference semantics: the
+          // coalesce(amount - lag(amount), -1) in detect() (mirroring
+          // Data_mart.sql:30) maps EVERY null diff — first row or a NULL
+          // amount mid-stream — to -1 "decreasing". The Option guard is
+          // defensive only, for callers feeding runChain directly.
+          val ad = Option(z.amountDiff)
+          if (ad.exists(_.signum >= 0) || secCount >= 1200) {
+            counter = 1; secCount = 0; zeroOnPrev = false
+          } else if (ad.exists(_.signum < 0) && secCount < 1200 && rejected) {
+            counter += 1; zeroOnPrev = false
+          }
         }
       }
     }

@@ -57,14 +57,18 @@ object MartStaging {
       .select("trans_id", "trans_date", "card_num", "amt", "oper_result",
         "terminal")
 
+    // dims are joined without forced broadcast hints: terminals are tiny,
+    // but cards/accounts/clients scale with the customer base (at 100 TB
+    // they are shuffle-join territory) — AQE broadcasts the small ones at
+    // runtime from observed sizes
     val te = broadcast(terminals.select("terminal_id", "terminal_city"))
-    val ca = broadcast(cards.select("card_num", "account_num"))
-    val ac = broadcast(accounts.select("account_num", "valid_to", "client"))
-    val cl = broadcast(clients.select(
+    val ca = cards.select("card_num", "account_num")
+    val ac = accounts.select("account_num", "valid_to", "client")
+    val cl = clients.select(
       col("client_id"),
       concat(col("last_name"), lit(" "), col("first_name"), lit(" "),
         col("patrinymic")).as("fio"),
-      col("phone"), col("passport_valid_to"), col("passport_num")))
+      col("phone"), col("passport_valid_to"), col("passport_num"))
 
     te.join(txns, col("terminal_id") === col("terminal"))
       .join(ca, txns("card_num") === ca("card_num"))

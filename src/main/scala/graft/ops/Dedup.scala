@@ -73,10 +73,12 @@ object Dedup {
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
       }: _*)).as(Seq("band", "bucket")))
 
+    // no forced broadcast: the small-bucket list scales with corpus size
+    // (≈ one row per bucket); AQE broadcasts when it fits
     val smallBuckets = banded.groupBy(col("band"), col("bucket"))
       .count().filter(col("count") <= maxBucket)
       .select(col("band"), col("bucket"))
-    val capped = banded.join(broadcast(smallBuckets), Seq("band", "bucket"))
+    val capped = banded.join(smallBuckets, Seq("band", "bucket"))
 
     // co-bucketed pairs (a < b), then exact Jaccard verification
     val l = capped.select(col("band"), col("bucket"),

@@ -36,10 +36,13 @@ object TextOps {
   /** Word 3-gram shingles (for n-gram Jaccard / MinHash input). */
   def shingles3(text: Column): Column = shingles3FromTokens(tokens(text))
 
-  /** Type-token ratio: distinct / total tokens (lexical diversity). */
+  /** Type-token ratio: distinct / total tokens (lexical diversity).
+    * Distinctness is case-insensitive, consistent with every other
+    * token-set operator here (and the DuckDB oracles).
+    */
   def typeTokenRatio(text: Column): Column = {
     val t = tokens(text)
-    size(array_distinct(t)).cast("double") /
+    size(array_distinct(tokens(lower(text)))).cast("double") /
       greatest(size(t), lit(1)).cast("double")
   }
 

@@ -54,35 +54,51 @@ object Streams {
     * rejected-operation count, emitting a row whenever a card crosses
     * `threshold` consecutive rejections (the streaming cousin of F4's
     * chain detection — exact chain semantics stay in the batch mart).
+    *
+    * State is evicted `stateTtlMs` past the event-time watermark per
+    * inactive card (EventTimeTimeout) — on an unbounded card keyspace the
+    * state store must not grow forever; an evicted card simply restarts
+    * its count, which for a consecutive-rejects screen is the intended
+    * semantics. (Event-time, not processing-time: wall-clock timers keep
+    * an AvailableNow drain alive waiting for them to fire.)
     */
   case class CardState(consecutiveRejects: Int)
   case class RejectAlert(card_num: String, rejects: Int,
       at: java.sql.Timestamp)
 
-  def consecutiveRejectAlerts(landing: DataFrame, threshold: Int)
-      : Dataset[RejectAlert] = {
+  def consecutiveRejectAlerts(landing: DataFrame, threshold: Int,
+      watermark: String = "2 hours",
+      stateTtlMs: Long = 24L * 3600 * 1000): Dataset[RejectAlert] = {
     val spark = landing.sparkSession
     import spark.implicits._
     landing
+      .withWatermark("trans_date", watermark)
       .select(col("card_num"), col("trans_date"), col("oper_result"))
       .as[(String, java.sql.Timestamp, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+        GroupStateTimeout.EventTimeTimeout)(
         (card: String, rows: Iterator[(String, java.sql.Timestamp, String)],
             state: GroupState[CardState]) => {
-          var s = state.getOption.getOrElse(CardState(0))
-          val out = Seq.newBuilder[RejectAlert]
-          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, res) =>
-            s =
-              if (res == graft.model.Strings.Rejected)
-                CardState(s.consecutiveRejects + 1)
-              else CardState(0)
-            if (s.consecutiveRejects == threshold)
-              out += RejectAlert(card, s.consecutiveRejects, ts)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(CardState(0))
+            val out = Seq.newBuilder[RejectAlert]
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, res) =>
+              s =
+                if (res == graft.model.Strings.Rejected)
+                  CardState(s.consecutiveRejects + 1)
+                else CardState(0)
+              if (s.consecutiveRejects == threshold)
+                out += RejectAlert(card, s.consecutiveRejects, ts)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + stateTtlMs)
+            out.result().iterator
           }
-          state.update(s)
-          out.result().iterator
         })
   }
 }
