@@ -299,7 +299,33 @@ object RelationalPack {
         c("l_shipdate") <= c("o_orderdate") + expr("INTERVAL 30 DAYS"))
         .groupBy(c("o_orderpriority"))
         .agg(count(lit(1)).as("n_shipped"))
-    })
+    }),
+
+    // String scalar-function battery.
+    "q29_string_funcs" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        c("c_custkey"),
+        upper(c("c_name")).as("up"),
+        lower(c("c_mktsegment")).as("lo"),
+        substring(c("c_name"), 3, 5).as("sub"),
+        regexp_replace(c("c_name"), lit("#"), lit("-")).as("repl"),
+        lpad(c("c_custkey").cast("string"), 10, "0").as("padded"),
+        reverse(c("c_mktsegment")).as("rev"),
+        length(c("c_name")).cast("bigint").as("len"),
+        levenshtein(substring(c("c_name"), 1, 8), lit("Customer"))
+          .cast("bigint").as("lev"))),
+
+    // Date/time scalar-function battery.
+    "q30_date_funcs" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        c("o_orderkey"),
+        year(c("o_orderdate")).cast("bigint").as("y"),
+        month(c("o_orderdate")).cast("bigint").as("m"),
+        dayofmonth(c("o_orderdate")).cast("bigint").as("dom"),
+        date_trunc("MONTH", c("o_orderdate")).as("month_start"),
+        last_day(to_date(c("o_orderdate"))).as("month_end"),
+        date_add(to_date(c("o_orderdate")), 30).as("plus30"),
+        add_months(to_date(c("o_orderdate")), 2).as("plus2m")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -468,6 +494,25 @@ object RelationalPack {
         |  ON l_orderkey = o_orderkey
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q29_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        | substr(c_name, 3, 5) AS sub,
+        | regexp_replace(c_name, '#', '-', 'g') AS repl,
+        | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        | reverse(c_mktsegment) AS rev,
+        | length(c_name)::BIGINT AS len,
+        | levenshtein(substr(c_name, 1, 8), 'Customer')::BIGINT AS lev
+        |FROM customer""".stripMargin,
+    "q30_date_funcs" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate)::BIGINT AS y,
+        | month(o_orderdate)::BIGINT AS m,
+        | day(o_orderdate)::BIGINT AS dom,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+        |FROM orders""".stripMargin
   )
 }
