@@ -15,12 +15,13 @@ object ReplayDump {
     java.sql.Timestamp.valueOf("2020-05-09 12:00:00")
 
   def main(args: Array[String]): Unit = {
-    val Array(scd, outDir) = args
+    val (scd, outDir) = (args(0), args(1))
+    val days = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.get()
     val lake = new Lakehouse(spark, s"$outDir/lake")
     val scdType =
       if (scd == "scd2") MartStaging.Scd2Dims else MartStaging.Scd1Dims
-    (1 to 3).foreach { day =>
+    (1 to days).foreach { day =>
       Ingest.loadDayFromParquet(lake,
         s"src/test/resources/fixtures/day$day.parquet")
       Etl.normalizeTransactions(lake)

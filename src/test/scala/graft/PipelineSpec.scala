@@ -84,6 +84,27 @@ class PipelineSpec extends SparkSpec {
       Strings.FraudAmountGuessing -> 2L))
   }
 
+  test("day-4 churn: SCD2 closes and SCD1 updates fire, invariants hold") {
+    // day4.parquet (tools/make_day4.py) mutates 30 terminals, ~20 clients,
+    // 20 accounts, 15 cards; row-identical to the DuckDB replay over
+    // 4 days (tools/replay_duckdb.py scd2|scd1 <dir> 4)
+    val lake = new Lakehouse(spark, tmpDir("pipeline4"))
+    (1 to 4).foreach { day =>
+      Ingest.loadDayFromParquet(lake, fixture(day))
+      Etl.normalizeTransactions(lake)
+      Mart.addReportData(lake, MartStaging.Scd2Dims, clock)
+    }
+    val closedTerminals = lake.read("dim_terminals_hist")
+      .filter(col("end_dt").isNotNull).count()
+    assert(closedTerminals === 31) // 1 from day 1-3 + 30 churned
+    // still exactly one open row per key
+    val dupOpen = lake.read("dim_terminals_hist")
+      .filter(col("end_dt").isNull)
+      .groupBy(col("terminal_id")).count().filter(col("count") > 1).count()
+    assert(dupOpen === 0)
+    assert(lake.read("report").count() === 1181) // pinned vs differential
+  }
+
   test("mart rerun duplicates report rows (reference non-idempotence preserved)") {
     // each run covers the last-day window only, so a rerun re-appends
     // exactly that window's rows — twice the same delta, no dedup

@@ -272,9 +272,10 @@ def compare(con, table, spark_dir):
 
 def main():
     scd, spark_dir = sys.argv[1], sys.argv[2]
+    days = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     con = duckdb.connect()
     ddl(con)
-    for day in (1, 2, 3):
+    for day in range(1, days + 1):
         load_day(con, day)
         normalize(con)
         add_report_data(con, scd)
