@@ -31,8 +31,14 @@ object Mart {
       val toInsert =
         if (!idempotent) rows
         else {
+          // null-safe (<=>) equality: a NULL identity column (e.g. fio when
+          // patrinymic is NULL — concat is null-propagating by design) must
+          // still match its already-inserted copy, or "idempotent" reruns
+          // would re-append exactly those rows forever
+          val existing = lake.read("report")
           val keys = Seq("fraud_dt", "passport", "fio", "phone", "fraud_type")
-          rows.join(lake.read("report"), keys, "left_anti")
+          val cond = keys.map(k => rows(k) <=> existing(k)).reduce(_ && _)
+          rows.join(existing, cond, "left_anti")
         }
       lake.append("report", toInsert)
       lake.read("report")

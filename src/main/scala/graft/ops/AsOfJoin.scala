@@ -36,6 +36,11 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightId: String,
       rightCols: Map[String, String]): DataFrame = {
+    val internal = Set("_t", "_is_left", "_ord", "_p", "_m")
+    val colliding = (left.columns ++ right.columns).toSet.intersect(internal)
+    require(colliding.isEmpty,
+      s"AsOfJoin.backward: input columns collide with internal names " +
+        s"${colliding.mkString(", ")} — rename them first")
     val leftCols = left.columns.toSeq
     val payload = rightCols.toSeq.sortBy(_._1)
 

@@ -96,16 +96,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 16-bit SimHash from token hashes: bit j is the sign of Σ ±1 over
-    * tokens (weighted by presence). Map-only; near-dup = small hamming
-    * distance between signatures.
-    */
   /** 16-bit token hash = top half of the 32-bit md5 prefix (first 4 hex
     * chars ≡ first 2 digest bytes).
     */
   def hash16(c: Column): Column =
     shiftright(graft.functions.Md5Prefix64(c), 16)
 
+  /** 16-bit SimHash from token hashes: bit j is the sign of Σ ±1 over
+    * tokens (weighted by presence). Map-only; near-dup = small hamming
+    * distance between signatures.
+    */
   def simhash16(text: Column): Column =
     simhash16FromHashes(
       transform(array_distinct(TextOps.tokens(lower(text))), t => hash16(t)))
@@ -129,19 +129,27 @@ object Dedup {
 
   /** N-gram (word 3-gram) Jaccard similarity between all candidate pairs
     * sharing a shingle-minhash bucket — the shingle variant of near-dup.
+    * Same megabucket cap as [[minhashNearDups]]: a degenerate bucket of m
+    * docs would cost m² comparisons.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles3(lower(col(textCol)))).as("sh"))
+      threshold: Double, maxBucket: Int = 100): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        TextOps.tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"),
+        array_distinct(TextOps.shingles3FromTokens(col("tk"))).as("sh"))
       .filter(size(col("sh")) > 0)
     // bucket on the single min shingle-hash (1-band LSH: recall-light,
     // cheap; callers wanting higher recall use minhashNearDups)
     val bucketed = sh.withColumn("bucket",
       array_min(transform(col("sh"), t => hash32(t, 0))))
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"),
+    val small = bucketed.groupBy(col("bucket")).count()
+      .filter(col("count") <= maxBucket).select(col("bucket"))
+    val capped = bucketed.join(small, Seq("bucket"))
+    val l = capped.select(col("bucket"), col("id").as("id_a"),
       col("sh").as("sh_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"),
+    val r = capped.select(col("bucket"), col("id").as("id_b"),
       col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter

@@ -63,15 +63,20 @@ object Multimodal {
       payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
 
     /** "Frame sample" = split payload into n_frames equal chunks, take
-      * every `stride`-th chunk.
+      * every `stride`-th chunk. Frames whose start offset is past the end
+      * of the payload (inconsistent metadata, e.g. n_frames > bytes) are
+      * dropped rather than emitted as phantom empty frames.
       */
     def sampleFrames(payload: Array[Byte], nFrames: Int,
         stride: Int): Seq[Array[Byte]] = {
       if (nFrames <= 0) return Seq.empty
       val frameLen = math.max(payload.length / nFrames, 1)
-      (0 until nFrames by stride).map { f =>
-        payload.slice(f * frameLen, math.min((f + 1) * frameLen, payload.length))
-      }
+      (0 until nFrames by stride)
+        .filter(f => f * frameLen < payload.length)
+        .map { f =>
+          payload.slice(f * frameLen,
+            math.min((f + 1) * frameLen, payload.length))
+        }
     }
   }
 

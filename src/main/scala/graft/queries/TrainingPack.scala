@@ -92,6 +92,11 @@ object TrainingPack {
       VectorOps.embeddingNearDups(embIdVec(s, d), nPlanes = 4,
         minDot = 200000L)),
 
+    // shingle-bucketed n-gram Jaccard near-dup pairs
+    "d09_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d).withColumnRenamed("doc_id", "id"),
+        "id", "text", threshold = 0.5, maxBucket = 100)),
+
     // keep-first dedup returning the surviving document rows
     "d07_dedup_keep_first" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -193,7 +198,7 @@ object TrainingPack {
     "t01_token_stats" ->
       s"""SELECT doc_id, len($toks)::BIGINT AS n_tokens,
          | len($dtoks)::BIGINT AS n_distinct,
-         | CAST(list_sum(list_transform($toks, x -> length(x))) AS DOUBLE)
+         | CAST(coalesce(list_sum(list_transform($toks, x -> length(x))), 0) AS DOUBLE)
          |   / CAST(greatest(len($toks), 1) AS DOUBLE) AS mean_token_len
          |FROM documents""".stripMargin,
     "t02_quality_score" ->
@@ -288,6 +293,26 @@ object TrainingPack {
          |SELECT l.id AS id_a, r.id AS id_b, ${qdotSql("l.q", "r.q")} AS dot
          |FROM v l JOIN v r ON l.bucket = r.bucket AND l.id < r.id
          |WHERE ${qdotSql("l.q", "r.q")} >= 200000""".stripMargin,
+    "d09_ngram_jaccard" -> {
+      val mkSh = s"list_transform(range(1, greatest(len(tk) - 2, 0) + 1), " +
+        s"i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"
+      s"""WITH t AS (SELECT doc_id AS id, $ltoks AS tk FROM documents),
+         |s AS (SELECT id, list_distinct($mkSh) AS sh FROM t),
+         |b AS (SELECT id, sh,
+         |  list_min(list_transform(sh, x -> ${h32("x", 0)})) AS bucket
+         | FROM s WHERE len(sh) > 0),
+         |small AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 100),
+         |capped AS (SELECT b.* FROM b JOIN small USING (bucket))
+         |SELECT l.id AS id_a, r.id AS id_b,
+         | CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         | (CAST(len(l.sh) + len(r.sh) AS DOUBLE)
+         |   - CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)) AS jaccard
+         |FROM capped l JOIN capped r
+         |  ON l.bucket = r.bucket AND l.id < r.id
+         |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         | (CAST(len(l.sh) + len(r.sh) AS DOUBLE)
+         |   - CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)) >= 0.5""".stripMargin
+    },
     "d07_dedup_keep_first" ->
       s"""SELECT doc_id, lang, n_chars FROM (
          | SELECT doc_id, lang, n_chars, row_number() OVER (
