@@ -301,6 +301,29 @@ object RelationalPack {
         .agg(count(lit(1)).as("n_shipped"))
     }),
 
+    // Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface.
+    "q33_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          |FROM v_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |                        (o_orderstatus, o_orderpriority))""".stripMargin)
+    }),
+
+    // Ranking-function family (rank/dense_rank/ntile/percent_rank) with a
+    // deterministic unique ordering.
+    "q34_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(c("user_id"))
+        .orderBy(c("value").desc, c("event_id"))
+      Tables.events(s, d)
+        .select(c("user_id"), c("event_id"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"))
+    }),
+
     // String scalar-function battery.
     "q29_string_funcs" -> ((s, d) =>
       Tables.customer(s, d).select(
@@ -524,6 +547,19 @@ object RelationalPack {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    "q33_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))""".stripMargin,
+    "q34_rank_family" ->
+      """SELECT user_id, event_id,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS prank
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)""".stripMargin,
     "q29_string_funcs" ->
       """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
         | substr(c_name, 3, 5) AS sub,
