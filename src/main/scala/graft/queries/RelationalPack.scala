@@ -324,6 +324,19 @@ object RelationalPack {
           percent_rank().over(w).as("prank"))
     }),
 
+    // Typed Aggregator: bounded top-k collector (O(k) buffers + map-side
+    // merge instead of a per-group window sort).
+    "q35_topk_aggregator" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.events(s, d)
+        .select(c("user_id"), c("event_id"), c("value"))
+        .as[(Long, Long, Double)]
+      ds.groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(new graft.functions.TopKIds(3).toColumn.name("top_ids"))
+        .toDF("user_id", "top_ids")
+    }),
+
     // String scalar-function battery.
     "q29_string_funcs" -> ((s, d) =>
       Tables.customer(s, d).select(
@@ -547,6 +560,10 @@ object RelationalPack {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    "q35_topk_aggregator" ->
+      """SELECT user_id,
+        | (list(event_id ORDER BY value DESC, event_id))[1:3] AS top_ids
+        |FROM events GROUP BY user_id""".stripMargin,
     "q33_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders

@@ -52,6 +52,24 @@ class StreamsSpec extends SparkSpec {
     assert(texts.contains("x y z"))
   }
 
+  test("stream-static join: landing stream enriched with a static dim") {
+    import org.apache.spark.sql.functions._
+    val dir = stageFixtures()
+    // static dim: terminal -> city (from the same fixture, batch-side)
+    val dim = spark.read.parquet(
+      getClass.getResource("/fixtures/day1.parquet").getPath)
+      .select(col("terminal"), col("city")).distinct()
+      .withColumnRenamed("city", "dim_city")
+    val q = Streams.landingStream(spark, dir)
+      .join(dim, Seq("terminal"))
+      .groupBy(col("dim_city")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("enriched").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val total = spark.sql("SELECT sum(n) FROM enriched").head().getLong(0)
+    assert(total === 808) // every landing row matched its terminal dim
+  }
+
   test("stateful consecutive-reject alerts fire at the threshold") {
     val dir = stageFixtures()
     val q = Streams.consecutiveRejectAlerts(
