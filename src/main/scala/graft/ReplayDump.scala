@@ -5,10 +5,11 @@ import graft.ingest.Ingest
 import graft.mart.{Mart, MartStaging}
 import graft.storage.Lakehouse
 
-/** Dev tool: replay the 3-day reference protocol and dump every table for
-  * the DuckDB differential comparison (tools/replay_duckdb.py).
+/** Dev tool: replay the reference protocol (3 fixture days by default,
+  * 4 to include the synthetic churn day) and dump every table for the
+  * DuckDB differential comparison (tools/replay_duckdb.py).
   *
-  * Usage: runMain graft.ReplayDump <scd2|scd1> <outDir>
+  * Usage: runMain graft.ReplayDump <scd2|scd1> <outDir> [days]
   */
 object ReplayDump {
   val FixedClock: java.sql.Timestamp =

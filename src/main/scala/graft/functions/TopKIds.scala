@@ -23,8 +23,16 @@ class TopKIds(k: Int) extends Aggregator[(Long, Double), Seq[(Double, Long)], Se
   override def zero: Seq[(Double, Long)] = Seq.empty
 
   override def reduce(b: Seq[(Double, Long)],
-      a: (Long, Double)): Seq[(Double, Long)] =
+      a: (Long, Double)): Seq[(Double, Long)] = {
+    // fast path: full buffer and the new row can't displace the current
+    // worst entry — one comparison instead of a re-sort (this is what
+    // makes the scan O(n log k) rather than O(n·k log k))
+    if (b.length == k) {
+      val (wv, wid) = b.last // trim keeps the buffer sorted, worst last
+      if (a._2 < wv || (a._2 == wv && a._1 >= wid)) return b
+    }
     trim(b :+ ((a._2, a._1)))
+  }
 
   override def merge(b1: Seq[(Double, Long)],
       b2: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b1 ++ b2)

@@ -41,6 +41,13 @@ object AsOfJoin {
     require(colliding.isEmpty,
       s"AsOfJoin.backward: input columns collide with internal names " +
         s"${colliding.mkString(", ")} — rename them first")
+    // output names must also be fresh on the left side, or the final
+    // select would emit duplicate column names
+    val outNames = rightCols.values.toSet + s"matched_$rightId"
+    val outClash = left.columns.toSet.intersect(outNames)
+    require(outClash.isEmpty,
+      s"AsOfJoin.backward: output names ${outClash.mkString(", ")} already " +
+        s"exist on the left input — pick different rightCols names")
     val leftCols = left.columns.toSeq
     val payload = rightCols.toSeq.sortBy(_._1)
 

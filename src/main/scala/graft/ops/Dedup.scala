@@ -132,25 +132,6 @@ object Dedup {
     * Same megabucket cap as [[minhashNearDups]]: a degenerate bucket of m
     * docs would cost m² comparisons.
     */
-  /** 3-gram shingle hashes from per-token hashes: each token is md5-hashed
-    * ONCE, triples combine by polynomial arithmetic — one md5 per token
-    * beats one md5 per shingle-string by the shingle width, and the
-    * integer form is engine-portable (same formula in the DuckDB oracle).
-    * h = ((h1·P mod M + h2)·P mod M + h3) mod M, P=1000003, M=2^31−1.
-    */
-  def shingleHashes3(tokenHashes: Column): Column = {
-    val P = 1000003L
-    val M = 2147483647L
-    when(size(tokenHashes) >= 3,
-      transform(sequence(lit(1), size(tokenHashes) - 2), i =>
-        pmod(
-          pmod(
-            pmod(element_at(tokenHashes, i) * P, lit(M)) +
-              element_at(tokenHashes, i + 1), lit(M)) * P +
-            element_at(tokenHashes, i + 2), lit(M))))
-      .otherwise(array().cast("array<bigint>"))
-  }
-
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxBucket: Int = 100): DataFrame = {
     // Jaccard runs over HASHED shingle sets: integer intersections are an

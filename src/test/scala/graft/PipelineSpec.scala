@@ -102,6 +102,11 @@ class PipelineSpec extends SparkSpec {
       .filter(col("end_dt").isNull)
       .groupBy(col("terminal_id")).count().filter(col("count") > 1).count()
     assert(dupOpen === 0)
+    // SCD1 updates fired too (normalize builds both families regardless of
+    // which mart branch is queried): 1 from days 1-3 + 30 churned
+    val updatedScd1 = lake.read("dim_terminals")
+      .filter(col("update_dt").isNotNull).count()
+    assert(updatedScd1 === 31)
     assert(lake.read("report").count() === 1181) // pinned vs differential
   }
 

@@ -7,7 +7,11 @@ Day 4 (2020-05-04) derives deterministically from day 3's entities:
   - 30 terminals move city (+address);
   - 20 clients get an expired passport_valid_to (feeds F1);
   - 20 accounts get an expired valid_to (feeds F2);
-  - 15 cards move to a different existing account;
+  - 15 cards move to a different existing account (NOTE: those rows keep
+    the original person's name/passport while carrying alt_client — the
+    resulting same-day multi-combo churn on alt_client is intentional, it
+    exercises intra-batch SCD version chaining; the pinned counts depend
+    on it);
   - plus unmodified traffic, same-day fraud chains for F3/F4.
 Writes src/test/resources/fixtures/day4.parquet (NON-cumulative on
 purpose — the loader's last-day filter makes cumulative vs daily
@@ -39,7 +43,7 @@ SELECT
   CAST(TIMESTAMP '2020-05-04 00:00:00'
     + INTERVAL 1 SECOND * CAST(30 + (b.rn * 97) % 86000 AS INTEGER) AS TIMESTAMP)
     AS trans_date,
-  CASE WHEN cm.card_num IS NOT NULL THEN b.card_num ELSE b.card_num END AS card_num,
+  b.card_num AS card_num,
   CASE WHEN cm.card_num IS NOT NULL THEN aa.alt_account ELSE b.account END AS account,
   CASE WHEN cm.card_num IS NOT NULL THEN aa.alt_valid_to
        WHEN ae.account IS NOT NULL THEN DATE '2020-02-01'
