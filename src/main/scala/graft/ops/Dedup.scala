@@ -90,6 +90,11 @@ object Dedup {
     val union = (size(col("toks_a")) + size(col("toks_b"))).cast("double") -
       inter
     l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      // size-ratio prefilter (see ngramJaccardPairs): necessary condition
+      // for jaccard ≥ threshold, result-neutral, skips the set intersection
+      .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
+        lit(threshold) *
+          greatest(size(col("toks_a")), size(col("toks_b"))).cast("double"))
       .select(col("id_a"), col("id_b"),
         (inter / union).as("jaccard"))
       .distinct()
@@ -166,6 +171,14 @@ object Dedup {
     val r = capped.select(col("bucket"), col("id").as("id_b"),
       col("sh").as("sh_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      // size-ratio prefilter: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+      // jaccard ≥ t requires min ≥ t·max — a necessary condition checked on
+      // two already-computed ints, skipping array_intersect for the bulk of
+      // size-mismatched candidate pairs. Result-neutral (the jaccard ≥ t
+      // filter below subsumes it), so the oracle needs no mirror.
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        lit(threshold) *
+          greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       // single projection for the intersection — inlining it into the
       // jaccard expression would evaluate array_intersect twice per pair
       .withColumn("inter",

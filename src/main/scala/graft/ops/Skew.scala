@@ -8,11 +8,19 @@ import org.apache.spark.sql.functions._
   * A hot key routes all its rows to one reducer; salting splits the big
   * side's key space into `factor` sub-keys and replicates the small side
   * across all salts, so the hot key's work spreads over `factor` tasks.
-  * Results are identical to the plain join (the salt is an equi-join
-  * column derived deterministically on the big side and exploded on the
-  * small side) — the d*_salted query's DuckDB oracle is simply the
-  * UNSALTED join, which is the strongest possible correctness check for
-  * the technique.
+  * Results are identical to the plain join (the salt is an extra equi-join
+  * column the small side carries for every value) — the q26 query's DuckDB
+  * oracle is simply the UNSALTED join, which is the strongest possible
+  * correctness check for the technique.
+  *
+  * The salt MUST be per-row, not per-key: a salt derived from the join key
+  * alone sends every row of a hot key to the same salt bucket — the skew
+  * survives and the small-side replication is pure overhead. We derive it
+  * from the physical row position (`monotonically_increasing_id`), which is
+  * deterministic for a fixed partition layout and — unlike `rand()` —
+  * stable under task retries (a retried task re-reads the same rows in the
+  * same order, so recomputed salts agree with any already-shuffled output).
+  * SkewSpec asserts a hot key's rows actually span >1 salt.
   *
   * AQE's skew-join handles many cases at runtime; explicit salting still
   * matters when a single key exceeds what one task can hold (AQE splits
@@ -20,11 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Per-row salt in [0, factor): row-position hash, key-independent. */
+  private def rowSalt(factor: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int")
+
   /** Equi-join `big ⋈ small` on `key`, salted `factor` ways. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
-    val salted = big.withColumn("_salt",
-      pmod(xxhash64(col(key)), lit(factor)).cast("int"))
+    val salted = big.withColumn("_salt", rowSalt(factor))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -38,7 +49,7 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
       factor: Int): DataFrame =
-    df.withColumn("_salt", pmod(xxhash64(col(key)), lit(factor)))
+    df.withColumn("_salt", rowSalt(factor))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an `Array[Float]` embedding column.
@@ -13,11 +12,36 @@ import org.apache.spark.sql.functions._
   * for top-k ranking, and what makes the DuckDB oracle possible.
   *
   * Scale design: brute-force top-k is a broadcast of the (small) query
-  * set against a map-side partial top-k — no all-pairs shuffle; the
-  * LSH variant buckets by hyperplane sign bits so each probe touches one
-  * bucket instead of the full corpus.
+  * set against the corpus scan with a bounded [[graft.functions.TopKPairs]]
+  * aggregation — partial top-k buffers merge map-side, so the shuffle
+  * carries O(|Q|·k) rows, never the |Q|×|C| scored set (a window
+  * `row_number` here would funnel the full cross product through |Q|
+  * tasks). The LSH variants bucket by hyperplane sign bits so each probe
+  * touches one bucket instead of the full corpus, then rank the
+  * bucket-bounded candidates the same way.
   */
 object VectorOps {
+
+  /** Bounded top-k per query over a (query_id, neighbor_id, dot) frame:
+    * rank by (dot desc, neighbor_id asc), keep k, emit rk = 1..k.
+    * Output order/typing matches the window `row_number` formulation
+    * row-for-row — the DuckDB oracles still use that spelling.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("dot").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKPairs(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb._1").as("neighbor_id"),
+        col("nb._2").as("dot"), (col("pos") + 1).cast("int").as("rk"))
+  }
 
   /** floor(x*1000) per component, as bigint array. */
   def quantize(vec: Column): Column =
@@ -40,9 +64,7 @@ object VectorOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         qdot(col("qv"), col("cv")).as("dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component: md5-derived,
@@ -90,9 +112,7 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"),
         qdot(col("qv"), col("cv")).as("dot"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Bucketed ANN: exact ranking within the query's bucket only.
@@ -110,9 +130,7 @@ object VectorOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         qdot(col("qv"), col("cv")).as("dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Per-label quantized centroid components: (label, dim, sum, n) —
@@ -126,13 +144,24 @@ object VectorOps {
 
   /** Embedding-cosine near-duplicate pairs above an integer-dot threshold,
     * restricted to LSH co-bucketed candidates.
+    *
+    * `maxBucket` is the megabucket guard (same rationale as
+    * [[Dedup.minhashNearDups]]): a clustered corpus can put most vectors
+    * in one sign-bucket, and an unguarded self-join there costs m² pairs.
+    * Buckets above the cap are skipped — a documented recall trade, and
+    * the d06 oracle applies the identical cap.
     */
   def embeddingNearDups(corpus: DataFrame, nPlanes: Int,
-      minDot: Long): DataFrame = {
+      minDot: Long, maxBucket: Int = 200): DataFrame = {
     val v = corpus.select(col("id"), quantize(col("vec")).as("qv"),
       lshBucket(col("vec"), nPlanes).as("bucket"))
-    val l = v.select(col("bucket"), col("id").as("id_a"), col("qv").as("qa"))
-    val r = v.select(col("bucket"), col("id").as("id_b"), col("qv").as("qb"))
+    // no forced broadcast: the small-bucket list is ≤ 2^nPlanes rows,
+    // AQE broadcasts it on its own
+    val small = v.groupBy(col("bucket")).count()
+      .filter(col("count") <= maxBucket).select(col("bucket"))
+    val capped = v.join(small, Seq("bucket"))
+    val l = capped.select(col("bucket"), col("id").as("id_a"), col("qv").as("qa"))
+    val r = capped.select(col("bucket"), col("id").as("id_b"), col("qv").as("qb"))
     l.join(r, "bucket").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), qdot(col("qa"), col("qb")).as("dot"))
       .filter(col("dot") >= minDot)

@@ -12,7 +12,14 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Conventions for oracle parity:
   *   - money aggregates go through DecimalType(18,2) so sums are exact in
-  *     both engines (double sums are order-dependent and would hash-differ);
+  *     both engines (double sums are order-dependent and would hash-differ),
+  *     then cast to DOUBLE as the very last step: the comparator reads both
+  *     results through pandas, which renders DuckDB's DECIMAL(38,2)/HUGEINT
+  *     as float64 while Spark's parquet keeps Decimal/int64 — equal values,
+  *     different dtype, different hash. The exact-sum-then-cast is
+  *     deterministic, so parity survives;
+  *   - array-typed output columns are serialized with `array_join` (pandas
+  *     cannot factorize ndarray cells when the comparator sorts rows);
   *   - window orderings always include a unique tiebreak column;
   *   - second-level time deltas use integer seconds (`cast(ts as long)` here,
   *     `date_diff('second', …)` in DuckDB — both floor to whole seconds).
@@ -34,9 +41,9 @@ object RelationalPack {
       Tables.lineitem(s, d)
         .groupBy(c("l_returnflag"))
         .agg(
-          sum(dec(c("l_quantity"))).as("sum_qty"),
+          sum(dec(c("l_quantity"))).cast("double").as("sum_qty"),
           sum(dec(c("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(c("l_discount"))))
-            .as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("cnt"))),
 
     // J1: anti-join (NOT EXISTS → LeftAnti, ETL.sql:89-100) — customers
@@ -65,7 +72,7 @@ object RelationalPack {
         .join(broadcast(Tables.region(s, d)), c("n_regionkey") === c("r_regionkey"))
         .groupBy(c("r_name"), c("n_name"))
         .agg(count(lit(1)).as("n_items"),
-          sum(dec(c("l_extendedprice"))).as("sum_price"))),
+          sum(dec(c("l_extendedprice"))).cast("double").as("sum_price"))),
 
     // W1: lead() → SCD2 end-dating (ETL.sql:19).
     "q06_scd2_lead" -> ((s, d) => {
@@ -217,7 +224,7 @@ object RelationalPack {
       Tables.lineitem(s, d)
         .rollup(c("l_returnflag"), c("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
-          sum(dec(c("l_quantity"))).as("sum_qty"))),
+          sum(dec(c("l_quantity"))).cast("double").as("sum_qty"))),
 
     // INTERSECT / EXCEPT (distinct set semantics).
     "q20_intersect" -> ((s, d) =>
@@ -261,7 +268,7 @@ object RelationalPack {
         key = "l_orderkey", factor = 8)
         .groupBy(c("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
-          sum(dec(c("l_quantity"))).as("sum_qty"))),
+          sum(dec(c("l_quantity"))).cast("double").as("sum_qty"))),
 
     // Trailing event-time window (RANGE frame): events per user in the
     // preceding hour — the rate-limiting / feature-engineering shape.
@@ -335,6 +342,10 @@ object RelationalPack {
         .mapValues(t => (t._2, t._3))
         .agg(new graft.functions.TopKIds(3).toColumn.name("top_ids"))
         .toDF("user_id", "top_ids")
+        // serialized: the comparator's pandas sort can't hash ndarray cells
+        .select(c("user_id"),
+          array_join(transform(c("top_ids"), _.cast("string")), ",")
+            .as("top_ids"))
     }),
 
     // String scalar-function battery.
@@ -363,7 +374,9 @@ object RelationalPack {
           element_at(sort_array(c("qv")), 1).as("min_q"),
           element_at(sort_array(c("qv"), asc = false), 1).as("max_q"),
           size(array_distinct(c("qv"))).cast("bigint").as("n_distinct"),
-          slice(c("qv"), 1, 4).as("head4"),
+          // serialized: the comparator's pandas sort can't hash ndarray cells
+          array_join(transform(slice(c("qv"), 1, 4), _.cast("string")), ",")
+            .as("head4"),
           array_contains(c("qv"), 0L).as("has_zero"))),
 
     // The SQL surface: the engine is equally drivable via spark.sql over
@@ -374,7 +387,7 @@ object RelationalPack {
       Tables.customer(s, d).createOrReplaceTempView("v_customer")
       s.sql(
         """SELECT n_name, count(*) AS n_custs,
-          |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
           |FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
           |WHERE c_acctbal > 0
           |GROUP BY n_name""".stripMargin)
@@ -399,9 +412,9 @@ object RelationalPack {
         | count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_agg_decimal_sum" ->
       """SELECT l_returnflag,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q03_anti_join" ->
@@ -414,7 +427,7 @@ object RelationalPack {
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
     "q05_join5_revenue" ->
       """SELECT r_name, n_name, count(*) AS n_items,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         | JOIN orders   ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey  = c_custkey
@@ -482,7 +495,7 @@ object RelationalPack {
         | min(ts) AS sess_start, max(ts) AS sess_end
         |FROM (
         | SELECT user_id, ts,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
         | FROM (
         |  SELECT user_id, ts, event_id,
         |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -514,7 +527,7 @@ object RelationalPack {
         |FROM w WHERE il = 1""".stripMargin,
     "q19_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q20_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
@@ -541,7 +554,7 @@ object RelationalPack {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q26_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "q27_trailing_window" ->
@@ -562,7 +575,7 @@ object RelationalPack {
         |GROUP BY o_orderpriority""".stripMargin,
     "q35_topk_aggregator" ->
       """SELECT user_id,
-        | (list(event_id ORDER BY value DESC, event_id))[1:3] AS top_ids
+        | array_to_string((list(event_id ORDER BY value DESC, event_id))[1:3], ',') AS top_ids
         |FROM events GROUP BY user_id""".stripMargin,
     "q33_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
@@ -594,13 +607,13 @@ object RelationalPack {
          | (list_sort(qv))[1] AS min_q,
          | (list_reverse_sort(qv))[1] AS max_q,
          | len(list_distinct(qv))::BIGINT AS n_distinct,
-         | list_slice(qv, 1, 4) AS head4,
+         | array_to_string(list_slice(qv, 1, 4), ',') AS head4,
          | list_contains(qv, 0) AS has_zero
          |FROM (SELECT vec_id, $qv AS qv FROM embeddings) t""".stripMargin
     },
     "q32_sql_surface" ->
       """SELECT n_name, count(*) AS n_custs,
-        |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 0
         |GROUP BY n_name""".stripMargin,

@@ -90,7 +90,7 @@ object TrainingPack {
 
     "d06_embedding_neardups" -> ((s, d) =>
       VectorOps.embeddingNearDups(embIdVec(s, d), nPlanes = 4,
-        minDot = 200000L)),
+        minDot = 200000L, maxBucket = 200)),
 
     // shingle-bucketed n-gram Jaccard near-dup pairs
     "d09_ngram_jaccard" -> ((s, d) =>
@@ -182,8 +182,10 @@ object TrainingPack {
   private val qv =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
 
+  // CAST: DuckDB list_sum yields HUGEINT, which pandas renders as float64
+  // while Spark's dot is int64 — same value, dtype-mismatched hash.
   private def qdotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
+    s"CAST(list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i])) AS BIGINT)"
 
   private def planeBitsSql(v: String, nPlanes: Int = 4,
       prefix: String = "plane"): String =
@@ -289,9 +291,11 @@ object TrainingPack {
     },
     "d06_embedding_neardups" ->
       s"""WITH v AS (SELECT vec_id AS id, $qv AS q,
-         | ${planeBitsSql(qv)} AS bucket FROM embeddings)
+         | ${planeBitsSql(qv)} AS bucket FROM embeddings),
+         |small AS (SELECT bucket FROM v GROUP BY bucket HAVING count(*) <= 200),
+         |c AS (SELECT v.* FROM v JOIN small USING (bucket))
          |SELECT l.id AS id_a, r.id AS id_b, ${qdotSql("l.q", "r.q")} AS dot
-         |FROM v l JOIN v r ON l.bucket = r.bucket AND l.id < r.id
+         |FROM c l JOIN c r ON l.bucket = r.bucket AND l.id < r.id
          |WHERE ${qdotSql("l.q", "r.q")} >= 200000""".stripMargin,
     "d09_ngram_jaccard" -> {
       val mkSh = s"list_transform(range(1, greatest(len(tk) - 2, 0) + 1), " +

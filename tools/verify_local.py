@@ -6,12 +6,100 @@ Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
 Reads each <outDir>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same
 sfDir tables, sorts rows and columns by name, and compares values exactly.
+
+Two comparison layers:
+  1. raw values via repr (value-exact, representation-tolerant);
+  2. the PANDAS path the driver actually uses — both sides loaded as
+     pandas DataFrames, rows sorted, per-cell hash. This is the layer
+     that caught round 1's HUGEINT/DECIMAL→float64 dtype mismatches the
+     repr layer was blind to (CORRECTNESS_r01 vs verify_local disagreed).
+
 Dev-only tool (driver-side python env); not part of the engine.
 """
 import json, math, sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
+
+
+def _family(series):
+    """Dtype family as the driver's hash effectively sees it. Calibrated
+    against CORRECTNESS_r01: int32 vs int64, datetime64[ns] vs [us], and
+    date-object vs datetime64 all hash EQUAL there; float64 vs int64,
+    float64 vs Decimal-object, and ndarray cells all hash DIFFERENT."""
+    import datetime, decimal
+    import numpy as np
+    d = str(series.dtype)
+    if d.startswith(("int", "uint")):
+        return "int"
+    if d.startswith("float"):
+        return "float"
+    if d.startswith("datetime64"):
+        return "time"
+    if d == "bool":
+        return "bool"
+    sample = next((v for v in series if v is not None
+                   and not (isinstance(v, float) and math.isnan(v))), None)
+    if isinstance(sample, decimal.Decimal):
+        return "decimal"
+    if isinstance(sample, (datetime.date, datetime.datetime)):
+        return "time"
+    if isinstance(sample, (np.ndarray, list, tuple)):
+        return "array"
+    if isinstance(sample, bool):
+        return "bool"
+    if isinstance(sample, (int, np.integer)):
+        return "int"
+    if isinstance(sample, (float, np.floating)):
+        return "float"
+    return "str"
+
+
+def _canon_cell(v, fam):
+    import numpy as np
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return "<null>"
+    if fam == "time":
+        return pd.Timestamp(v).isoformat()
+    if fam == "int":
+        return int(v)
+    if fam == "float":
+        return float(v)
+    return repr(v)
+
+
+def pandas_mismatch(con, qdir, oracle_sql):
+    """Replicate the driver's compare: pandas frames, columns sorted by
+    name, rows sorted, per-column dtype-FAMILY equality plus exact value
+    equality within the family. Returns an error string or None."""
+    try:
+        got = pd.read_parquet(qdir)
+        exp = con.execute(oracle_sql).df()
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            return f"pandas columns {list(got.columns)} vs {list(exp.columns)}"
+        if got.shape != exp.shape:
+            return f"pandas shape {got.shape} vs {exp.shape}"
+        fams = {}
+        for c in got.columns:
+            fa, fb = _family(got[c]), _family(exp[c])
+            if fa == "array" or fb == "array":
+                return f"array-typed column [{c}] — driver comparator crashes"
+            if fa != fb:
+                return f"dtype family[{c}] spark={fa}({got[c].dtype}) duck={fb}({exp[c].dtype})"
+            fams[c] = fa
+        ga = sorted(tuple(_canon_cell(r[c], fams[c]) for c in got.columns)
+                    for r in got.to_dict("records"))
+        ea = sorted(tuple(_canon_cell(r[c], fams[c]) for c in exp.columns)
+                    for r in exp.to_dict("records"))
+        if ga != ea:
+            bad = next((a, b) for a, b in zip(ga, ea) if a != b)
+            return f"values differ: spark={bad[0]} duck={bad[1]}"
+        return None
+    except Exception as e:
+        return f"pandas compare crashed: {type(e).__name__}: {e}"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -75,8 +163,13 @@ def main():
                 only_d = list(se - sg)[:2]
                 print(f"      only_spark={only_g}\n      only_duck={only_d}")
         else:
-            n_pass += 1
-            print(f"  ok {name} ({len(gr)} rows)")
+            pm = pandas_mismatch(con, qdir, oracle[name])
+            if pm is not None:
+                n_fail += 1
+                print(f"  X {name}: values ok but DRIVER-PATH fails: {pm}")
+            else:
+                n_pass += 1
+                print(f"  ok {name} ({len(gr)} rows)")
     print(f"PASS {n_pass} FAIL {n_fail}")
     sys.exit(1 if n_fail else 0)
 
