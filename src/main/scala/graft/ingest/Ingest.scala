@@ -48,4 +48,10 @@ object Ingest {
 
   def loadDayFromParquet(lake: Lakehouse, path: String): Long =
     loadDay(lake, lake.spark.read.parquet(path))
+
+  /** End-to-end from the reference's raw xlsx feed (S1) — no out-of-band
+    * conversion step; see [[Xlsx]].
+    */
+  def loadDayFromXlsx(lake: Lakehouse, path: String): Long =
+    loadDay(lake, Xlsx.read(lake.spark, path))
 }

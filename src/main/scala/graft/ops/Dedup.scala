@@ -95,8 +95,11 @@ object Dedup {
       .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
         lit(threshold) *
           greatest(size(col("toks_a")), size(col("toks_b"))).cast("double"))
+      // EvalOnce: the threshold filter below would otherwise be pushed
+      // through this projection with the jaccard expression (and its two
+      // array scans) inlined into the predicate — double evaluation
       .select(col("id_a"), col("id_b"),
-        (inter / union).as("jaccard"))
+        graft.functions.EvalOnce(inter / union).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= threshold)
   }
@@ -146,7 +149,13 @@ object Dedup {
     // lambda references `tk` several times per element, and without the
     // exchange Catalyst inlines the tokenizer regex into each reference
     // (measured ~6× slowdown); the shuffled frame is just (id, tokens)
+    // the no-shingle guard runs BEFORE tokenization as a cheap regexp_count
+    // at the scan (≥3 tokens ⇔ non-empty 3-gram set): filtering on the sh
+    // alias AFTER the projection would be pushed through it, inlining the
+    // whole tokenize+shingle+md5 pipeline into the predicate and running
+    // it twice per row (measured 3 s → 12 s on sf0.1)
     val sh = docs
+      .filter(TextOps.tokenCount(col(textCol)) >= 3)
       .select(col(idCol).as("id"),
         TextOps.tokens(lower(col(textCol))).as("tk"))
       .repartition(col("id"))
@@ -154,14 +163,18 @@ object Dedup {
         array_distinct(
           transform(TextOps.shingles3FromTokens(col("tk")),
             t => hash32(t, 0))).as("sh"))
-      .filter(size(col("sh")) > 0)
     // bucket on the single min shingle-hash (1-band LSH: recall-light,
     // cheap; callers wanting higher recall use minhashNearDups).
     // The bucket repartition is the single materialization point: the
     // bucket-count agg, the cap join, and both self-join sides all reuse
     // this one exchange (ReusedExchange), so the shingle+md5 pipeline
     // runs exactly once.
-    val bucketed = sh.withColumn("bucket", array_min(col("sh")))
+    // EvalOnce on the join key: the cap join infers isnotnull(bucket) and
+    // would push it below BOTH exchanges with the full tokenize+shingle+md5
+    // pipeline inlined into the scan filter (where the tokenizer regex
+    // re-runs per lambda element — measured 13 s of a 15 s query)
+    val bucketed = sh.withColumn("bucket",
+      graft.functions.EvalOnce(array_min(col("sh"))))
       .repartition(col("bucket"))
     val small = bucketed.groupBy(col("bucket")).count()
       .filter(col("count") <= maxBucket).select(col("bucket"))
@@ -179,10 +192,11 @@ object Dedup {
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
         lit(threshold) *
           greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
-      // single projection for the intersection — inlining it into the
-      // jaccard expression would evaluate array_intersect twice per pair
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      // single evaluation for the intersection: EvalOnce pins the alias so
+      // neither the jaccard projection nor the pushed-down threshold filter
+      // re-inlines array_intersect (once per consumer otherwise)
+      .withColumn("inter", graft.functions.EvalOnce(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")))
       .select(col("id_a"), col("id_b"),
         (col("inter") /
           ((size(col("sh_a")) + size(col("sh_b"))).cast("double") -

@@ -120,12 +120,13 @@ object VectorOps {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int): DataFrame = {
+    // EvalOnce on the join key — see embeddingNearDups
     val q = queries.select(col("id").as("query_id"),
       quantize(col("vec")).as("qv"),
-      lshBucket(col("vec"), nPlanes).as("bucket"))
+      graft.functions.EvalOnce(lshBucket(col("vec"), nPlanes)).as("bucket"))
     val c = corpus.select(col("id").as("neighbor_id"),
       quantize(col("vec")).as("cv"),
-      lshBucket(col("vec"), nPlanes).as("bucket"))
+      graft.functions.EvalOnce(lshBucket(col("vec"), nPlanes)).as("bucket"))
     val scored = broadcast(q).join(c, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -153,8 +154,11 @@ object VectorOps {
     */
   def embeddingNearDups(corpus: DataFrame, nPlanes: Int,
       minDot: Long, maxBucket: Int = 200): DataFrame = {
+    // EvalOnce on the join key: the self-join infers isnotnull(bucket),
+    // which would otherwise be pushed to the scan with all nPlanes
+    // hyperplane dot products inlined into the filter
     val v = corpus.select(col("id"), quantize(col("vec")).as("qv"),
-      lshBucket(col("vec"), nPlanes).as("bucket"))
+      graft.functions.EvalOnce(lshBucket(col("vec"), nPlanes)).as("bucket"))
     // no forced broadcast: the small-bucket list is ≤ 2^nPlanes rows,
     // AQE broadcasts it on its own
     val small = v.groupBy(col("bucket")).count()
@@ -163,7 +167,11 @@ object VectorOps {
     val l = capped.select(col("bucket"), col("id").as("id_a"), col("qv").as("qa"))
     val r = capped.select(col("bucket"), col("id").as("id_b"), col("qv").as("qb"))
     l.join(r, "bucket").filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), qdot(col("qa"), col("qb")).as("dot"))
+      // EvalOnce: the minDot filter would otherwise be pushed through this
+      // projection, inlining the 64-dim dot product into the predicate and
+      // evaluating it twice per candidate pair
+      .select(col("id_a"), col("id_b"),
+        graft.functions.EvalOnce(qdot(col("qa"), col("qb"))).as("dot"))
       .filter(col("dot") >= minDot)
   }
 }

@@ -112,12 +112,18 @@ object TrainingPack {
     // gate + dedup, the shape of a real training-data filter job
     "d08_corpus_select" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // EvalOnce on the two filtered aliases: the quality/lang gate below
+      // would otherwise be pushed through this projection with both
+      // feature pipelines inlined into the predicate (double evaluation)
       val scored = docs(s, d)
         .select(col("doc_id"), col("lang"), col("text"),
           array_distinct(TextOps.tokens(lower(col("text")))).as("toks"))
         .select(col("doc_id"), col("lang"),
-          TextOps.qualityScore(col("text")).as("quality"),
-          TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"),
+          graft.functions.EvalOnce(TextOps.qualityScore(col("text")))
+            .as("quality"),
+          graft.functions.EvalOnce(
+            TextOps.langIdFromTokens(col("toks"), col("text")))
+            .as("lang_pred"),
           TextOps.fingerprint(col("text")).as("fp"))
       val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
       scored
