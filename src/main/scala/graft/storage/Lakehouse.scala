@@ -12,12 +12,14 @@ import org.apache.spark.sql.types.StructType
   * Semantics needed by the DWH:
   *   - `append` — plain parquet append (fact, report, landing loads);
   *   - `overwrite` — SCD merge result snapshots. In-place UPDATE doesn't
-  *     exist on parquet, so the merged DataFrame is materialized to a
-  *     staging dir first (which forces computation — the plan may read the
-  *     table being replaced), then swapped in via delete + rename. The swap
-  *     is two metadata ops, not atomic across a crash; a real deployment
-  *     would layer Delta/Iceberg commits here, the query-side API is
-  *     unchanged.
+  *     exist on parquet, so each snapshot is written to a fresh version
+  *     directory `<table>/_v<N>/` and committed by atomically creating a
+  *     single `_GRAFT_COMMIT` marker file inside it. Readers resolve the
+  *     highest committed version; a crash at ANY point before the marker
+  *     exists leaves the previous snapshot fully readable (the miniature
+  *     form of a Delta/Iceberg commit log — no jars for those ship in this
+  *     env). Older versions are garbage-collected after commit; a crash
+  *     during GC only leaves shadowed dirs that the next overwrite removes.
   *   - day-partitioned fact writes (`partitionBy`) so lookback predicates
   *     prune partitions at 100 TB instead of scanning history.
   */
@@ -28,6 +30,35 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
   def tablePath(name: String): String = s"$root/$name"
   def exists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
 
+  private val VersionPrefix = "_v"
+  private val CommitMarker = "_GRAFT_COMMIT"
+
+  /** (version, dir) for every `_v<N>` subdir of a table, committed or not. */
+  private def versionDirs(dest: Path): Seq[(Long, Path)] =
+    if (!fs.exists(dest)) Seq.empty
+    else fs.listStatus(dest).toSeq.collect {
+      case st if st.isDirectory &&
+          st.getPath.getName.startsWith(VersionPrefix) &&
+          st.getPath.getName.drop(VersionPrefix.length).forall(_.isDigit) =>
+        (st.getPath.getName.drop(VersionPrefix.length).toLong, st.getPath)
+    }
+
+  private def isCommitted(vdir: Path): Boolean =
+    fs.exists(new Path(vdir, CommitMarker))
+
+  /** The directory readers (and appends) should target: the highest
+    * committed version for versioned tables, the table dir itself for the
+    * plain append layout. Underscore-prefixed version dirs are invisible to
+    * Spark's file listing, so an uncommitted (crashed) version under a plain
+    * dir can never leak rows.
+    */
+  def dataPath(name: String): String = {
+    val dest = new Path(tablePath(name))
+    val committed = versionDirs(dest).filter { case (_, p) => isCommitted(p) }
+    if (committed.isEmpty) dest.toString
+    else committed.maxBy(_._1)._2.toString
+  }
+
   /** Read a table; absent or empty tables yield an empty DataFrame with the
     * registered schema, so first-run ETL needs no special-casing.
     */
@@ -37,7 +68,7 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     if (exists(name))
       // explicit schema: an empty parquet dir or partition-discovery columns
       // must not change the contract
-      spark.read.schema(readSchema(name, schema)).parquet(tablePath(name))
+      spark.read.schema(readSchema(name, schema)).parquet(dataPath(name))
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -57,13 +88,13 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"unknown table: $name"))
     val full = readSchema(name, schema)
     if (exists(name))
-      spark.read.schema(full).parquet(tablePath(name))
+      spark.read.schema(full).parquet(dataPath(name))
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
   }
 
   def append(name: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(tablePath(name))
+    df.write.mode("append").parquet(dataPath(name))
 
   /** Append with day partitioning (fact table). */
   def appendPartitionedByDay(name: String, df: DataFrame, tsCol: String): Unit =
@@ -71,15 +102,33 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
       .write.mode("append").partitionBy("trans_dt_day")
       .parquet(tablePath(name))
 
-  /** Atomic-ish snapshot replace: materialize to staging, then swap. */
-  def overwrite(name: String, df: DataFrame): Unit = {
+  /** Crash-safe snapshot replace. Protocol:
+    *   1. write the new snapshot to `<table>/_v<N>` (N = max existing + 1;
+    *      the write may read the table being replaced — the old version's
+    *      files are untouched);
+    *   2. COMMIT: create the `_GRAFT_COMMIT` marker in the new dir — one
+    *      atomic file-create, after which [[dataPath]] resolves to vN;
+    *   3. GC older versions and any pre-versioning top-level data files
+    *      (post-commit; a crash here leaves shadowed garbage only).
+    * A test hook runs between write and commit so LakehouseSpec can prove a
+    * crash in the window leaves the previous snapshot readable.
+    */
+  def overwrite(name: String, df: DataFrame,
+      beforeCommit: () => Unit = () => ()): Unit = {
     val dest = new Path(tablePath(name))
-    val tmp = new Path(s"$root/.staging/$name-${System.nanoTime()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dest)) fs.delete(dest, true)
-    fs.mkdirs(dest.getParent)
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(s"rename failed for $name")
+    val all = versionDirs(dest)
+    val next = all.map(_._1).maxOption.getOrElse(0L) + 1L
+    val vdir = new Path(dest, s"$VersionPrefix$next")
+    df.write.mode("overwrite").parquet(vdir.toString)
+    beforeCommit()
+    fs.create(new Path(vdir, CommitMarker), false).close() // the commit point
+    // GC: everything except the just-committed version.
+    all.foreach { case (_, p) => fs.delete(p, true) }
+    fs.listStatus(dest).foreach { st =>
+      val n = st.getPath.getName
+      if (n != vdir.getName && !n.startsWith("_") && !n.startsWith("."))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Bucketed write: pre-shuffles into `buckets` files per bucket key and

@@ -1,0 +1,79 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Crash-safety of the versioned-overwrite commit protocol
+  * (Lakehouse.overwrite): a failure at ANY point before the commit marker
+  * is created must leave the previous snapshot fully readable.
+  */
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dimDf(cards: (String, String)*) =
+    spark.createDataFrame(
+      cards.toDF("card_num", "account_num")
+        .withColumn("create_dt", org.apache.spark.sql.functions
+          .lit(ts("2020-05-01 00:00:00")))
+        .withColumn("update_dt", org.apache.spark.sql.functions
+          .lit(null).cast("timestamp")).rdd,
+      graft.model.Schemas.dimCards)
+
+  test("overwrite round-trips and keeps exactly one committed version") {
+    val lake = new Lakehouse(spark, tmpDir("lake-ow"))
+    lake.overwrite("dim_cards", dimDf("c1" -> "a1"))
+    lake.overwrite("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2"))
+    assert(lake.read("dim_cards").count() == 2)
+    val fs = new Path(lake.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new Path(lake.tablePath("dim_cards")))
+      .map(_.getPath.getName).filter(_.startsWith("_v"))
+    assert(versions.toSeq == Seq("_v2"), s"expected only _v2, got ${versions.toSeq}")
+  }
+
+  test("crash between snapshot write and commit preserves the old snapshot") {
+    val lake = new Lakehouse(spark, tmpDir("lake-crash"))
+    lake.overwrite("dim_cards", dimDf("c1" -> "a1"))
+    val boom = intercept[RuntimeException] {
+      lake.overwrite("dim_cards", dimDf("cX" -> "aX"),
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    assert(boom.getMessage == "crash")
+    // the new _v2 dir exists on disk but is uncommitted — readers must
+    // still see v1
+    val rows = lake.read("dim_cards").select("card_num").as[String].collect()
+    assert(rows.toSeq == Seq("c1"))
+    // recovery: the next overwrite commits and GCs the orphaned version
+    lake.overwrite("dim_cards", dimDf("c2" -> "a2"))
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq == Seq("c2"))
+  }
+
+  test("overwrite migrates a plain append layout and shadows nothing") {
+    val lake = new Lakehouse(spark, tmpDir("lake-migrate"))
+    lake.append("dim_cards", dimDf("old1" -> "a", "old2" -> "b"))
+    lake.overwrite("dim_cards", dimDf("new1" -> "c"))
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq == Seq("new1"))
+  }
+
+  test("append after overwrite lands in the current version") {
+    val lake = new Lakehouse(spark, tmpDir("lake-append"))
+    lake.overwrite("dim_cards", dimDf("c1" -> "a1"))
+    lake.append("dim_cards", dimDf("c2" -> "a2"))
+    assert(lake.read("dim_cards").count() == 2)
+    // a later overwrite still replaces everything
+    lake.overwrite("dim_cards", dimDf("c9" -> "a9"))
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq == Seq("c9"))
+  }
+
+  test("snapshot write may read the table it replaces") {
+    val lake = new Lakehouse(spark, tmpDir("lake-selfread"))
+    lake.overwrite("dim_cards", dimDf("c1" -> "a1"))
+    val merged = lake.read("dim_cards")
+      .unionByName(dimDf("c2" -> "a2"))
+    lake.overwrite("dim_cards", merged)
+    assert(lake.read("dim_cards").count() == 2)
+  }
+}
