@@ -348,6 +348,45 @@ object RelationalPack {
             .as("top_ids"))
     }),
 
+    // F4 amount-guessing chain detection, windowed reformulation
+    // (Data_mart.sql:1-106): the per-client cursor state machine becomes
+    // gaps-and-islands — a chain (island) restarts where the previous row
+    // is absent / not a reject, the amount stops strictly decreasing, or
+    // the time budget is blown; the emitted row is an island's terminal
+    // success with >= minRejected rejects behind it inside the budget.
+    // Constants scaled to the synthetic event rate (~10 h between a user's
+    // events): budget 86400 s, chain >= 2; the reference's 1200 s / >= 3
+    // run in mart/AmountGuessing with the exact sequential semantics.
+    "q36_chain_detect" -> ((s, d) => {
+      val w = Window.partitionBy(c("user_id")).orderBy(c("ts"), c("event_id"))
+      val budget = 86400L
+      val flagged = Tables.events(s, d)
+        .select(c("user_id"), c("ts"), c("event_id"), c("event_type"),
+          c("value"),
+          when(lag(c("ts"), 1).over(w).isNull ||
+            lag(c("event_type"), 1).over(w) =!= "error" ||
+            (c("event_type") === "error" &&
+              c("value") >= lag(c("value"), 1).over(w)) ||
+            (c("ts").cast("long") - lag(c("ts"), 1).over(w).cast("long"))
+              >= budget,
+            lit(1)).otherwise(lit(0)).as("boundary"))
+      val isl = Window.partitionBy(c("user_id"), c("island"))
+      flagged
+        .select(c("user_id"), c("ts"), c("event_id"), c("event_type"),
+          sum(c("boundary")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("island"))
+        .select(c("user_id"), c("ts"), c("event_id"), c("event_type"),
+          count(when(c("event_type") === "error", lit(1))).over(isl)
+            .as("n_rejected"),
+          min(c("ts")).over(isl).as("chain_start"))
+        .filter(c("event_type") =!= "error" && c("n_rejected") >= 2 &&
+          (c("ts").cast("long") - c("chain_start").cast("long")) < budget)
+        .select(c("user_id"), c("ts").as("fraud_dt"), c("event_id"),
+          c("n_rejected"),
+          (c("ts").cast("long") - c("chain_start").cast("long"))
+            .as("chain_seconds"))
+    }),
+
     // String scalar-function battery.
     "q29_string_funcs" -> ((s, d) =>
       Tables.customer(s, d).select(
@@ -577,6 +616,31 @@ object RelationalPack {
       """SELECT user_id,
         | array_to_string((list(event_id ORDER BY value DESC, event_id))[1:3], ',') AS top_ids
         |FROM events GROUP BY user_id""".stripMargin,
+    "q36_chain_detect" ->
+      """WITH b AS (
+        | SELECT user_id, ts, event_id, event_type, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR lag(event_type) OVER w <> 'error'
+        |        OR (event_type = 'error' AND value >= lag(value) OVER w)
+        |        OR date_diff('second', lag(ts) OVER w, ts) >= 86400
+        |       THEN 1 ELSE 0 END AS boundary
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island
+        | FROM b),
+        |a AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  count(*) FILTER (WHERE event_type = 'error') OVER isl AS n_rejected,
+        |  min(ts) OVER isl AS chain_start
+        | FROM g
+        | WINDOW isl AS (PARTITION BY user_id, island))
+        |SELECT user_id, ts AS fraud_dt, event_id, n_rejected,
+        | date_diff('second', chain_start, ts) AS chain_seconds
+        |FROM a
+        |WHERE event_type <> 'error' AND n_rejected >= 2
+        |  AND date_diff('second', chain_start, ts) < 86400""".stripMargin,
     "q33_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders
