@@ -14,10 +14,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.get()
 
-    // warm the JVM + parquet footers once (not timed): tiny scale factor
-    SparkEntry.queries.get("q01_agg_grain_min")
-      .foreach(f => f(spark, "/root/testdata/sf0.001").write
-        .format("noop").mode("overwrite").save())
+    // warm the JVM + parquet footers once per plan shape (not timed, tiny
+    // scale factor) so first-heavy-query JIT noise doesn't land on the
+    // first timed query: agg, window, broadcast join, HOF-lambda LSH,
+    // vector top-k aggregator
+    Seq("q01_agg_grain_min", "q34_rank_family", "q05_join5_revenue",
+      "d04_minhash_pairs", "e03_lsh_topk")
+      .foreach(n => SparkEntry.queries.get(n).foreach { f =>
+        try f(spark, "/root/testdata/sf0.001").write
+          .format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // warm-up failures surface in the timed run
+      })
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

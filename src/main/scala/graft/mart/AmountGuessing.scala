@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * single-threaded cursor; the state machine is nevertheless per-client
   * independent (both cross-client entry paths reset the state — SURVEY.md
   * §2.10), so the Spark form is a typed
-  * `groupByKey(client).flatMapGroups` — each client's chain scan runs in
-  * parallel on executors, removing the reference's one serial bottleneck.
+  * `groupByKey(client).flatMapSortedGroups` — each client's chain scan runs
+  * in parallel on executors, removing the reference's one serial bottleneck.
   *
   * Input (Data_mart.sql:19-47): staging rows with
   * `trans_date >= midnight(max) − 20 min`, per client ordered by
@@ -117,10 +117,10 @@ object AmountGuessing {
 
     prepared.as[Row4]
       .groupByKey(_.client)
-      .flatMapGroups { (_, it) =>
-        // sort within group: cursor order is (client, fraud_dt)
-        runChain(it.toIndexedSeq.sortBy(_.fraudDt.getTime).iterator, clock)
-      }
+      // cursor order is (client, fraud_dt); the shuffle's sort delivers it,
+      // so each group streams through runChain without materializing — a
+      // pathological client no longer has to fit in one task's heap
+      .flatMapSortedGroups($"fraudDt")((_, it) => runChain(it, clock))
       .toDF()
   }
 }

@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.StructType
   *
   * Ties: a right row at exactly leftTime is visible (right sorts before
   * left at equal time); among equal-time right rows the highest `rightId`
-  * wins — deterministic.
+  * wins — deterministic. `rightId` must be an integral column (validated
+  * at analysis time — a silent cast-to-NULL would destroy the tie-break).
+  *
+  * NULL keys follow SQL equi-join semantics: right rows with a NULL key
+  * are dropped, left rows with a NULL key come through unmatched (window
+  * partitioning would otherwise group the NULLs together and match them).
   */
 object AsOfJoin {
 
@@ -48,13 +53,22 @@ object AsOfJoin {
     require(outClash.isEmpty,
       s"AsOfJoin.backward: output names ${outClash.mkString(", ")} already " +
         s"exist on the left input — pick different rightCols names")
+    right.schema(rightId).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"AsOfJoin.backward: rightId '$rightId' must be an integral column " +
+          s"(tie-break order), got $other")
+    }
     val leftCols = left.columns.toSeq
     val payload = rightCols.toSeq.sortBy(_._1)
 
     val rightStruct = struct(
       col(rightId).cast("bigint").as("_rid") +:
         payload.map { case (src, dst) => col(src).as(dst) }: _*)
-    val taggedRight = right.select(
+    val taggedRight = right.filter(col(key).isNotNull).select(
       col(key), col(rightTime).as("_t"), lit(0).as("_is_left"),
       col(rightId).cast("bigint").as("_ord"), rightStruct.as("_p"))
 

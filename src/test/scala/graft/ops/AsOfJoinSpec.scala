@@ -35,4 +35,34 @@ class AsOfJoinSpec extends SparkSpec {
       (12L, None, None),
       (13L, None, None)))
   }
+
+  test("backward as-of: non-integral rightId fails at analysis, not silently") {
+    import spark.implicits._
+    val left = Seq(("u1", 100L, 10L)).toDF("user_id", "t", "left_id")
+    val right = Seq(("u1", 50L, "r1", "a")).toDF("user_id", "t", "rid", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, key = "user_id", leftTime = "t",
+        rightTime = "t", rightId = "rid", rightCols = Map("v" -> "matched_v"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("backward as-of: NULL keys follow equi-join semantics (no match)") {
+    import spark.implicits._
+    val left = Seq(
+      (Option.empty[String], 100L, 10L), // NULL key → unmatched
+      (Option("u1"), 100L, 11L)
+    ).toDF("user_id", "t", "left_id")
+    val right = Seq(
+      (Option.empty[String], 50L, 1L, "null-key"), // dropped
+      (Option("u1"), 50L, 2L, "ok")
+    ).toDF("user_id", "t", "rid", "v")
+    val out = AsOfJoin.backward(left, right, key = "user_id",
+      leftTime = "t", rightTime = "t", rightId = "rid",
+      rightCols = Map("v" -> "matched_v"))
+      .collect()
+      .map(r => (r.getLong(2), Option(r.getAs[String]("matched_v"))))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((10L, None), (11L, Some("ok"))))
+  }
 }
