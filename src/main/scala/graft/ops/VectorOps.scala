@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an `Array[Float]` embedding column.
@@ -142,6 +143,49 @@ object VectorOps {
       posexplode(quantize(col("vec"))).as(Seq("dim", "q")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n"))
+
+  /** IVF (inverted-file) top-k — the clustered-index ANN scale path.
+    * `corpus` carries (id, vec, label) where `label` is the coarse
+    * quantizer's cell assignment; centroids are exact integer floor-means
+    * of the quantized corpus per cell, so both engines derive bit-identical
+    * centroids; each query probes only its `nProbe` closest cells (by
+    * integer dot against the centroid) and is ranked exactly against those
+    * inverted lists.
+    *
+    * Scale design: the centroid table is |cells|×dims rows — broadcast
+    * both into the assignment join and (with the tiny probe map) into the
+    * list scan; the corpus shuffles once on label, which at 100 TB is the
+    * stored inverted-list partitioning, so a probe touches nProbe/|cells|
+    * of the data instead of all of it. Recall misses come only from
+    * neighbors living in unprobed cells — the standard IVF trade.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    // floor(qsum / n) via the nonneg remainder, exact in integer math
+    // (plain `/` would detour through double with engine-specific rounding)
+    val cent = centroidSums(corpus.select(col("label"), col("vec")), "label")
+      .select(col("label"), col("dim"),
+        ((col("qsum") - pmod(col("qsum"), col("n"))) / col("n"))
+          .cast("long").as("c"))
+    val q = queries.select(col("id").as("query_id"),
+      quantize(col("vec")).as("qv"))
+    val qd = q.select(col("query_id"), posexplode(col("qv")).as(Seq("dim", "qc")))
+    val pr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("label"))
+    val probes = qd.join(broadcast(cent), "dim")
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(col("qc") * col("c")).as("cdot"))
+      .withColumn("pr", row_number().over(pr))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("label"))
+    val lists = corpus.select(col("id").as("neighbor_id"), col("label"),
+      quantize(col("vec")).as("cv"))
+    val scored = broadcast(q.join(probes, "query_id")).join(lists, "label")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        qdot(col("qv"), col("cv")).as("dot"))
+    topKPerQuery(scored, k)
+  }
 
   /** Embedding-cosine near-duplicate pairs above an integer-dot threshold,
     * restricted to LSH co-bucketed candidates.

@@ -153,6 +153,13 @@ object TrainingPack {
         embIdVec(s, d).filter(col("id") < 5), embIdVec(s, d), k = 5,
         nPlanes = 3, nTables = 4)),
 
+    "e05_ivf_topk" -> ((s, d) =>
+      VectorOps.ivfTopK(
+        embIdVec(s, d).filter(col("id") < 5),
+        embs(s, d).select(col("vec_id").as("id"),
+          col("embedding").as("vec"), col("label")),
+        k = 5, nProbe = 2)),
+
     // typed multimodal pipeline (mapPartitions over binary payloads with a
     // stubbed decoder) — not SQL-expressible, rows-only check
     "m02_media_features" -> ((s, d) => {
@@ -393,6 +400,40 @@ object TrainingPack {
          | FROM cand) t
          |WHERE rk <= 5""".stripMargin
     },
+    "e05_ivf_topk" ->
+      s"""WITH sums AS (
+         | SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
+         | FROM (SELECT label, $qv AS q FROM embeddings) t),
+         |cent AS (
+         | SELECT label, dim,
+         |  CAST((CAST(sum(qc) AS BIGINT)
+         |        - ((CAST(sum(qc) AS BIGINT) % count(*)) + count(*)) % count(*))
+         |       / count(*) AS BIGINT) AS c
+         | FROM sums GROUP BY label, dim),
+         |q AS (SELECT vec_id AS query_id, $qv AS q
+         |      FROM embeddings WHERE vec_id < 5),
+         |qd AS (SELECT query_id, generate_subscripts(q, 1) - 1 AS dim,
+         |        unnest(q) AS qc FROM q),
+         |assign AS (
+         | SELECT query_id, label, CAST(sum(qc * c) AS BIGINT) AS cdot
+         | FROM qd JOIN cent USING (dim) GROUP BY query_id, label),
+         |probes AS (
+         | SELECT query_id, label FROM (
+         |  SELECT query_id, label,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cdot DESC, label) AS pr
+         |  FROM assign) t WHERE pr <= 2),
+         |lists AS (SELECT vec_id AS neighbor_id, label, $qv AS q
+         |          FROM embeddings)
+         |SELECT query_id, neighbor_id, dot, rk FROM (
+         | SELECT q.query_id, lists.neighbor_id,
+         |  ${qdotSql("q.q", "lists.q")} AS dot,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${qdotSql("q.q", "lists.q")} DESC, lists.neighbor_id) AS rk
+         | FROM probes JOIN q USING (query_id)
+         | JOIN lists ON lists.label = probes.label
+         |           AND lists.neighbor_id <> q.query_id) t
+         |WHERE rk <= 5""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         | md5(text) AS digest FROM documents""".stripMargin,
