@@ -18,6 +18,34 @@ object TextOps {
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("\\S+")).cast("bigint")
 
+  /** GPT-2-style BPE pre-tokenizer pattern (contractions, letter runs,
+    * digit runs, punctuation runs, each with optional leading space),
+    * restricted to lookahead-free syntax so the identical pattern runs
+    * under both Java regex (Spark) and RE2 (DuckDB oracle).
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish token count — the ~token-budget estimator for training-data
+    * accounting (whitespace counting under-counts punctuation-heavy text).
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("bigint")
+
+  /** Polynomial rolling hash over a pre-projected token array:
+    * h ← (31·h + t) mod 1e9+7, t = first 24 bits of md5(token).
+    * Order-sensitive, unlike [[fingerprint]]: reordered-token documents
+    * fingerprint differently. Pure integer math, engine-portable.
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (h, tok) => pmod(
+        h * lit(31L) +
+          // Md5Prefix64 is the first 32 md5 bits; >>> 8 keeps the first 24
+          // (= the oracle's substr(md5, 1, 6) parsed base-16)
+          shiftrightunsigned(graft.functions.Md5Prefix64(tok), 8),
+        lit(1000000007L)))
+
   /** Word 3-gram shingles from a pre-projected token array. Guarded:
     * Spark's `sequence(1, n)` runs DESCENDING when n < 1, so short texts
     * must short-circuit to an empty array. Prefer passing a projected

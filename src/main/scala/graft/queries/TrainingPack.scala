@@ -48,6 +48,17 @@ object TrainingPack {
       docs(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
+    "t06_bpe_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    "t07_rolling_fp" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          TextOps.rollingFingerprint(col("tk")).as("rfp"))),
+
     "t05_shingle_stats" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"),
@@ -161,14 +172,19 @@ object TrainingPack {
         k = 5, nProbe = 2)),
 
     // typed multimodal pipeline (mapPartitions over binary payloads with a
-    // stubbed decoder) — not SQL-expressible, rows-only check
+    // stubbed decoder). Oracle-checkable through the stub's byte
+    // histogram: round(bin₂ · n_bytes) recovers the exact count of bytes
+    // 0x20-0x2F (float32 k/n times n rounds back to k for k < 2²³), and
+    // those bytes occur in UTF-8 only as the literal ASCII chars the
+    // oracle counts with a char class.
     "m02_media_features" -> ((s, d) => {
       val items = graft.ops.Multimodal.fromText(docs(s, d), "doc_id", "text",
         kind = "image")
       graft.ops.Multimodal.extractFeatures(items)
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          element_at(col("feature"), 1).as("f0"))
+          round(element_at(col("feature"), 3).cast("double") * col("n_bytes"))
+            .cast("bigint").as("bin2_bytes"))
     }),
 
     // ---- multimodal plumbing ------------------------------------------
@@ -437,6 +453,26 @@ object TrainingPack {
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         | md5(text) AS digest FROM documents""".stripMargin,
+    "m02_media_features" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        | octet_length(encode(text))::BIGINT AS n_bytes,
+        | CAST(len(regexp_extract_all(text, '[\x20-\x2f]')) AS BIGINT)
+        |   AS bin2_bytes
+        |FROM documents""".stripMargin,
+    "t06_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text,
+        |   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+        |   AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "t07_rolling_fp" ->
+      """SELECT doc_id, list_reduce(
+        | list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(regexp_extract_all(text, '\S+'),
+        |     t -> CAST(concat('0x', substr(md5(t), 1, 6)) AS BIGINT))),
+        | (h, t) -> (h * 31 + t) % 1000000007) AS rfp
+        |FROM documents""".stripMargin,
     "e03_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, $qv AS q, ${planeBitsSql(qv)} AS bucket
          |  FROM embeddings)
