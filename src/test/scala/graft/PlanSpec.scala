@@ -51,6 +51,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(trans_dt_day"), p)
   }
 
+  test("q36 chain detect: one shuffle — island window reuses user_id partitioning") {
+    val p = explain("q36_chain_detect")
+    // Window.partitionBy(user_id, island) is satisfied by the existing
+    // hashpartitioning(user_id) (subset rule) — a second exchange here
+    // would double the shuffle bytes for nothing
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("e05 IVF: centroids+probes broadcast; corpus shuffles only on cell label") {
+    val p = explain("e05_ivf_topk")
+    // no sort-merge join anywhere: assignment and list-probe joins are all
+    // broadcast-side (the centroid table is |cells|×dims, the probe map
+    // |Q|×nProbe)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+  }
+
   test("F4 detect: single shuffle on client, no driver-side collect in plan") {
     import org.apache.spark.sql.functions._
     val lake = new graft.storage.Lakehouse(spark, tmpDir("planspec-f4"))
