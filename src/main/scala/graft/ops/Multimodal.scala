@@ -91,7 +91,10 @@ object Multimodal {
     }
   }
 
-  /** Frame-sampled video → one feature row per kept frame. */
+  /** Frame-sampled video → one feature row per kept frame, with the
+    * frame's byte length (provenance a downstream consumer needs, and what
+    * makes the histogram invertible for the m03 oracle).
+    */
   def extractFrameFeatures(items: Dataset[MediaItem],
       stride: Int): DataFrame = {
     import items.sparkSession.implicits._
@@ -99,10 +102,11 @@ object Multimodal {
       it.flatMap { m =>
         Codecs.sampleFrames(m.payload, m.n_frames, stride).zipWithIndex.map {
           case (frame, idx) =>
-            (m.media_id, idx * stride, Codecs.decodeToFeature(frame))
+            (m.media_id, idx * stride, frame.length.toLong,
+              Codecs.decodeToFeature(frame))
         }
       }
-    }.toDF("media_id", "frame_no", "feature")
+    }.toDF("media_id", "frame_no", "frame_bytes", "feature")
   }
 
   /** Synthesize a MediaItem table from any (id, text) source — lets the

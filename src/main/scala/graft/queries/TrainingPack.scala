@@ -187,6 +187,20 @@ object TrainingPack {
             .cast("bigint").as("bin2_bytes"))
     }),
 
+    // frame-sampled video path: payload split into n_frames chunks, every
+    // 2nd frame decoded. Oracle-checkable because the documents corpus is
+    // pure ASCII (verified both SFs), so DuckDB's char-wise substr slices
+    // the same byte ranges the executor-side sampler does.
+    "m03_frame_features" -> ((s, d) => {
+      val items = graft.ops.Multimodal.fromText(docs(s, d), "doc_id", "text",
+        kind = "video")
+      graft.ops.Multimodal.extractFrameFeatures(items, stride = 2)
+        .select(col("media_id"), col("frame_no").cast("bigint").as("frame_no"),
+          col("frame_bytes"),
+          round(element_at(col("feature"), 3).cast("double") *
+            col("frame_bytes")).cast("bigint").as("bin2_bytes"))
+    }),
+
     // ---- multimodal plumbing ------------------------------------------
     // binary column round-trip: byte length + content digest (the schema
     // shape image/audio payloads use; see ops/Multimodal for the typed
@@ -459,6 +473,23 @@ object TrainingPack {
         | CAST(len(regexp_extract_all(text, '[\x20-\x2f]')) AS BIGINT)
         |   AS bin2_bytes
         |FROM documents""".stripMargin,
+    "m03_frame_features" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS n,
+        |  greatest(length(text) // 64, 1) AS nf
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, text, n, greatest(n // nf, 1) AS fl,
+        |  unnest(range(0, nf, 2)) AS fr
+        | FROM d),
+        |k AS (
+        | SELECT doc_id, fr, substr(text, fr * fl + 1, fl) AS chunk
+        | FROM f WHERE fr * fl < n)
+        |SELECT doc_id AS media_id, CAST(fr AS BIGINT) AS frame_no,
+        | CAST(length(chunk) AS BIGINT) AS frame_bytes,
+        | CAST(len(regexp_extract_all(chunk, '[\x20-\x2f]')) AS BIGINT)
+        |   AS bin2_bytes
+        |FROM k""".stripMargin,
     "t06_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
