@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering step
+  * that turns near-duplicate PAIRS (minhash/simhash/embedding) into dedup
+  * GROUPS ("keep one doc per component"), which is what a training-data
+  * pipeline actually executes.
+  *
+  * Algorithm: iterative min-label propagation — each round every node
+  * takes the minimum label among itself and its neighbors; the fixpoint
+  * assigns every node the minimum node id of its component (unique, so
+  * results are engine-comparable regardless of iteration schedule). One
+  * round = one shuffle join + one aggregation; convergence in O(component
+  * diameter) rounds. Near-dup graphs have tiny diameters (clusters are
+  * dense), so this beats the O(log n) star-contraction variants on
+  * constant factors while staying 3 joins of plain DataFrame code.
+  *
+  * Scale notes: the driver loop runs ACTIONS per round (a convergence
+  * count), not collects — per-round work is fully distributed.
+  * `localCheckpoint` truncates the growing lineage each round (on a
+  * cluster with a checkpoint dir, `checkpoint` gives the same effect with
+  * fault tolerance). `maxIter` bounds the worst case; the loop exits as
+  * soon as a round changes nothing.
+  */
+object Components {
+
+  /** @param nodes single column `id`
+    * @param edges columns `src`, `dst` (undirected; either orientation)
+    * @return (id, component) where component = min id in the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("_did"), col("component")),
+          col("dst") === col("_did"))
+        .groupBy(col("src")).agg(min(col("component")).as("_nbr"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "_sid"),
+          col("id") === col("_sid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint(eager = true)
+      // labels only ever decrease, so "<" is the full change test
+      changed = next
+        .join(labels.select(col("id"), col("component").as("_prev")), "id")
+        .filter(col("component") < col("_prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+}

@@ -92,6 +92,19 @@ object TrainingPack {
         "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
         maxBucket = 100)),
 
+    // near-dup pairs → dedup groups: connected components over the d04
+    // edge list; component = min doc_id, singletons keep their own id
+    "d10_dedup_components" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDups(
+        docs(s, d).withColumnRenamed("doc_id", "id"),
+        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
+        maxBucket = 100)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.ops.Components.connectedComponents(
+        docs(s, d).select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     "d05_simhash" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"),
@@ -218,6 +231,35 @@ object TrainingPack {
   private val ltoks = "regexp_extract_all(lower(text), '\\S+')"
   private val dtoks = s"list_distinct($ltoks)"
 
+  /** The d04 banded-minhash candidate-pair CTE chain (t → sig → banded →
+    * small → capped → pairs), shared by d04 and d10.
+    */
+  private lazy val minhashPairsCtes: String = {
+    val mhs = (0 until 8).map(i =>
+      s"list_min(list_transform(toks, t -> CAST(concat('0x', substr(md5(concat(t, '#$i')), 1, 8)) AS BIGINT))) AS mh$i")
+      .mkString(", ")
+    val bucketExprs = (0 until 4).map { b =>
+      s"concat(CAST(mh${2 * b} AS VARCHAR), '_', CAST(mh${2 * b + 1} AS VARCHAR))"
+    }
+    val bandRows = bucketExprs.zipWithIndex.map { case (e, b) =>
+      s"SELECT id, toks, $b AS band, md5($e) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""t AS (SELECT doc_id AS id, $dtoks AS toks FROM documents),
+       |sig AS (SELECT id, toks, $mhs FROM t),
+       |banded AS ($bandRows),
+       |small AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+       |          HAVING count(*) <= 100),
+       |capped AS (SELECT b.* FROM banded b JOIN small s
+       |           ON b.band = s.band AND b.bucket = s.bucket),
+       |pairs AS (
+       | SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+       |  CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+       |  (CAST(len(l.toks) + len(r.toks) AS DOUBLE)
+       |    - CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)) AS jaccard
+       | FROM capped l JOIN capped r
+       |   ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)""".stripMargin
+  }
+
   /** hash32 oracle form. */
   private def h32(e: String, seed: Int): String =
     s"CAST(concat('0x', substr(md5(concat($e, '#$seed')), 1, 8)) AS BIGINT)"
@@ -296,32 +338,20 @@ object TrainingPack {
         .mkString(", ")
       s"SELECT doc_id, $mhs FROM documents"
     },
-    "d04_minhash_pairs" -> {
-      val mhs = (0 until 8).map(i =>
-        s"list_min(list_transform(toks, t -> CAST(concat('0x', substr(md5(concat(t, '#$i')), 1, 8)) AS BIGINT))) AS mh$i")
-        .mkString(", ")
-      val bucketExprs = (0 until 4).map { b =>
-        s"concat(CAST(mh${2 * b} AS VARCHAR), '_', CAST(mh${2 * b + 1} AS VARCHAR))"
-      }
-      val bandRows = bucketExprs.zipWithIndex.map { case (e, b) =>
-        s"SELECT id, toks, $b AS band, md5($e) AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH t AS (SELECT doc_id AS id, $dtoks AS toks FROM documents),
-         |sig AS (SELECT id, toks, $mhs FROM t),
-         |banded AS ($bandRows),
-         |small AS (SELECT band, bucket FROM banded GROUP BY band, bucket
-         |          HAVING count(*) <= 100),
-         |capped AS (SELECT b.* FROM banded b JOIN small s
-         |           ON b.band = s.band AND b.bucket = s.bucket),
-         |pairs AS (
-         | SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-         |  CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
-         |  (CAST(len(l.toks) + len(r.toks) AS DOUBLE)
-         |    - CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)) AS jaccard
-         | FROM capped l JOIN capped r
-         |   ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
-         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin
-    },
+    "d04_minhash_pairs" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    "d10_dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM good
+         |        UNION ALL SELECT id_b, id_a FROM good),
+         |reach AS (
+         | SELECT doc_id AS id, doc_id AS lbl FROM documents
+         | UNION
+         | SELECT s.dst AS id, r.lbl FROM reach r JOIN sym s ON s.src = r.id)
+         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+         |FROM reach GROUP BY id""".stripMargin,
     "d05_simhash" -> {
       val hashes =
         s"list_transform($dtoks, t -> CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT))"
