@@ -121,6 +121,35 @@ object TrainingPack {
       Dedup.ngramJaccardPairs(docs(s, d).withColumnRenamed("doc_id", "id"),
         "id", "text", threshold = 0.5, maxBucket = 100)),
 
+    // deterministic hash-based train/val/test split (80/10/10): the split
+    // is a pure function of the doc id, so it's stable across runs,
+    // engines, and corpus growth — the property a training pipeline needs
+    // (random splits reshuffle docs between train and eval on every run)
+    "d11_hash_split" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        pmod(graft.functions.Md5Prefix64(
+          concat(lit("split-"), col("doc_id").cast("string"))), lit(100L))
+          .as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))),
+
+    // stratified sampling: deterministic hash-ordered top-n per language
+    // (balanced eval sets); the md5 order is uniform but reproducible
+    "d12_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.Md5Prefix64(
+            concat(lit("sample-"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("doc_id"), col("lang"), col("rn"))
+    }),
+
     // keep-first dedup returning the surviving document rows
     "d07_dedup_keep_first" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -341,6 +370,21 @@ object TrainingPack {
     "d04_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    "d11_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat('split-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
+        | FROM documents) t""".stripMargin,
+    "d12_stratified_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY
+        |   CAST(concat('0x', substr(md5(concat('sample-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT),
+        |   doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 50""".stripMargin,
     "d10_dedup_components" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
