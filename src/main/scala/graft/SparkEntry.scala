@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{RelationalPack, TrainingPack}
+import graft.queries.{RelationalPack, StreamingPack, TrainingPack}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalPack.queries, RelationalPack.oracles),
-      (TrainingPack.queries, TrainingPack.oracles)
+      (TrainingPack.queries, TrainingPack.oracles),
+      (StreamingPack.queries, StreamingPack.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
