@@ -432,6 +432,35 @@ object RelationalPack {
           |GROUP BY n_name""".stripMargin)
     }),
 
+    // Correlated scalar subqueries — Catalyst's
+    // RewriteCorrelatedScalarSubquery decorrelation path (left-outer join +
+    // aggregate), incl. the COUNT-on-empty-group case (0, not NULL).
+    "q37_correlated_scalar" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT c_custkey,
+          | (SELECT count(*) FROM v_orders o
+          |  WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          | (SELECT max(o_orderdate) FROM v_orders o
+          |  WHERE o.o_custkey = c.c_custkey) AS last_order
+          |FROM v_customer c""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT — per-group top-n
+    // expressed the SQL way (decorrelated by Catalyst), complementing
+    // q17's window formulation.
+    "q38_lateral_topn" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT n_name, c_custkey, c_acctbal
+          |FROM v_nation n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM v_customer c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    }),
+
     // Date/time scalar-function battery.
     "q30_date_funcs" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -681,6 +710,19 @@ object RelationalPack {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 0
         |GROUP BY n_name""".stripMargin,
+    "q37_correlated_scalar" ->
+      """SELECT c_custkey,
+        | (SELECT count(*) FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        | (SELECT max(o_orderdate) FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey) AS last_order
+        |FROM customer c""".stripMargin,
+    "q38_lateral_topn" ->
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
     "q30_date_funcs" ->
       """SELECT o_orderkey,
         | year(o_orderdate)::BIGINT AS y,
