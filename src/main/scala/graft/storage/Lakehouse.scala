@@ -131,6 +131,16 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Small-file compaction: rewrite the current snapshot into `numFiles`
+    * files via the crash-safe overwrite protocol (readers see the old
+    * layout until the commit marker lands). Append-heavy tables accumulate
+    * one file per micro-batch/day-load; at cluster scale the open-file and
+    * footer-read overhead of thousands of small files dominates scan time,
+    * and compaction is the standing maintenance job every lakehouse runs.
+    */
+  def compact(name: String, numFiles: Int): Unit =
+    overwrite(name, read(name).repartition(numFiles))
+
   /** Bucketed write: pre-shuffles into `buckets` files per bucket key and
     * registers a catalog table, so later equi-joins/aggregations on `key`
     * between co-bucketed tables run WITHOUT an exchange — the lakehouse

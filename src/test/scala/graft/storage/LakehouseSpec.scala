@@ -68,6 +68,21 @@ class LakehouseSpec extends SparkSpec {
       .collect().toSeq == Seq("c9"))
   }
 
+  test("compact rewrites many small files into few, data unchanged") {
+    val lake = new Lakehouse(spark, tmpDir("lake-compact"))
+    (1 to 5).foreach(i => lake.append("dim_cards", dimDf(s"c$i" -> s"a$i")))
+    val before = lake.read("dim_cards").select("card_num").as[String]
+      .collect().sorted.toSeq
+    lake.compact("dim_cards", numFiles = 1)
+    val fs = new Path(lake.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new Path(lake.dataPath("dim_cards")))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    assert(dataFiles === 1)
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().sorted.toSeq === before)
+  }
+
   test("snapshot write may read the table it replaces") {
     val lake = new Lakehouse(spark, tmpDir("lake-selfread"))
     lake.overwrite("dim_cards", dimDf("c1" -> "a1"))
