@@ -32,9 +32,15 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 30): DataFrame = {
+    // materialize the symmetrized edge list ONCE — every round joins it,
+    // and without this the upstream pipeline that produced the edges
+    // (e.g. the full minhash-LSH candidate generation) re-executes per
+    // round (measured 12 s → 6 s on d10 at sf0.1; the rest is per-round
+    // job overhead inherent to the iteration)
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(eager = true)
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint(eager = true)
     var changed = 1L

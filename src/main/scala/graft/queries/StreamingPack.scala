@@ -50,6 +50,29 @@ object StreamingPack {
       s.table(sink)
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"))
+    }),
+
+    // stream-static join: the event stream enriched against a static
+    // dimension (the batch customer table), aggregated per segment —
+    // the streaming form of the mart's dim-enrichment joins
+    "s02_stream_static_enrich" -> ((s, d) => {
+      val sink = s"s02_out_${System.nanoTime()}"
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val q = eventsStream(s, d)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        // no DISTINCT aggregates on streams; min/max are the exact,
+        // order-insensitive companions
+        .agg(count(lit(1)).as("n_events"),
+          min(col("user_id")).as("min_user"),
+          max(col("user_id")).as("max_user"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
     })
   )
 
@@ -57,6 +80,11 @@ object StreamingPack {
     "s01_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         | count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "s02_stream_static_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }
