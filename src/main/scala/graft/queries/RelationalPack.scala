@@ -461,6 +461,49 @@ object RelationalPack {
           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
     }),
 
+    // J2/J4 made driver-visible: the SCD2 close+insert MERGE itself (round
+    // 1 verified it only via the builder-side replay). events become a
+    // (user_id, k) change log; the first half of the month is the existing
+    // dim, the second half the incoming batch, and the output is
+    // Scd2.merge's new snapshot — close rows end-dated by the staged
+    // current version, NOT-EXISTS-filtered inserts appended.
+    "q39_scd2_merge" -> ((s, d) => {
+      val spec = graft.etl.EntitySpec(
+        name = "profiles", key = "user_id",
+        attrs = Seq("user_id" -> "user_id", "k" -> "k"),
+        scd2Dim = "", scd1Dim = "", scd1Updatable = Seq("k"),
+        scd1Distinct = false)
+      val ev = Tables.events(s, d).select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("ts").as("trans_date"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val dim = graft.etl.Scd2.staging(ev.filter(col("trans_date") < cut), spec)
+      val stg = graft.etl.Scd2.staging(ev.filter(col("trans_date") >= cut), spec)
+      graft.etl.Scd2.merge(dim, stg, spec)
+        .select(col("user_id"), col("k"), col("start_dt"), col("end_dt"))
+    }),
+
+    // Same for the SCD1 latest-wins upsert: staged latest attributes
+    // overwrite changed keys (null-rejecting change predicate), new keys
+    // insert with staging multiplicity.
+    "q40_scd1_merge" -> ((s, d) => {
+      val spec = graft.etl.EntitySpec(
+        name = "profiles", key = "user_id",
+        attrs = Seq("user_id" -> "user_id", "k" -> "k"),
+        scd2Dim = "", scd1Dim = "", scd1Updatable = Seq("k"),
+        scd1Distinct = false)
+      val ev = Tables.events(s, d).select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("ts").as("trans_date"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val dim = graft.etl.Scd1.staging(ev.filter(col("trans_date") < cut), spec)
+      val stg = graft.etl.Scd1.staging(ev.filter(col("trans_date") >= cut), spec)
+      graft.etl.Scd1.merge(dim, stg, spec)
+        .select(col("user_id"), col("k"), col("create_dt"), col("update_dt"))
+    }),
+
     // Date/time scalar-function battery.
     "q30_date_funcs" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -710,6 +753,78 @@ object RelationalPack {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 0
         |GROUP BY n_name""".stripMargin,
+    "q39_scd2_merge" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |        ts AS trans_date FROM events),
+        |dim0 AS (
+        | SELECT user_id, k, start_dt,
+        |  lead(start_dt) OVER (PARTITION BY user_id ORDER BY start_dt) AS end_dt
+        | FROM (SELECT user_id, k, min(trans_date) AS start_dt FROM ev
+        |       WHERE trans_date < TIMESTAMP '2024-01-16 00:00:00'
+        |       GROUP BY 1, 2) g),
+        |stg AS (
+        | SELECT user_id, k, start_dt,
+        |  lead(start_dt) OVER (PARTITION BY user_id ORDER BY start_dt) AS end_dt
+        | FROM (SELECT user_id, k, min(trans_date) AS start_dt FROM ev
+        |       WHERE trans_date >= TIMESTAMP '2024-01-16 00:00:00'
+        |       GROUP BY 1, 2) g),
+        |newrows AS (
+        | SELECT s.* FROM stg s WHERE NOT EXISTS (
+        |  SELECT 1 FROM dim0 c WHERE s.user_id = c.user_id AND s.k = c.k)),
+        |closers AS (
+        | SELECT user_id AS ck, start_dt AS new_end FROM newrows
+        | WHERE end_dt IS NULL),
+        |closed AS (
+        | SELECT c.user_id, c.k, c.start_dt,
+        |  CASE WHEN cl.ck IS NOT NULL AND c.end_dt IS NULL THEN cl.new_end
+        |       ELSE c.end_dt END AS end_dt
+        | FROM dim0 c LEFT JOIN closers cl ON c.user_id = cl.ck)
+        |SELECT user_id, k, start_dt, end_dt FROM closed
+        |UNION ALL
+        |SELECT user_id, k, start_dt, end_dt FROM newrows""".stripMargin,
+    "q40_scd1_merge" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |        ts AS trans_date FROM events),
+        |d1 AS (
+        | SELECT user_id,
+        |  last_value(k) OVER (PARTITION BY user_id ORDER BY create_dt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS k,
+        |  min(create_dt) OVER (PARTITION BY user_id) AS create_dt,
+        |  CASE WHEN max(create_dt) OVER (PARTITION BY user_id)
+        |          = min(create_dt) OVER (PARTITION BY user_id) THEN NULL
+        |       ELSE max(create_dt) OVER (PARTITION BY user_id) END AS update_dt
+        | FROM (SELECT user_id, k, min(trans_date) AS create_dt FROM ev
+        |       WHERE trans_date < TIMESTAMP '2024-01-16 00:00:00'
+        |       GROUP BY 1, 2) g),
+        |s1 AS (
+        | SELECT user_id,
+        |  last_value(k) OVER (PARTITION BY user_id ORDER BY create_dt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS k,
+        |  min(create_dt) OVER (PARTITION BY user_id) AS create_dt,
+        |  CASE WHEN max(create_dt) OVER (PARTITION BY user_id)
+        |          = min(create_dt) OVER (PARTITION BY user_id) THEN NULL
+        |       ELSE max(create_dt) OVER (PARTITION BY user_id) END AS update_dt
+        | FROM (SELECT user_id, k, min(trans_date) AS create_dt FROM ev
+        |       WHERE trans_date >= TIMESTAMP '2024-01-16 00:00:00'
+        |       GROUP BY 1, 2) g),
+        |ins AS (
+        | SELECT s.* FROM s1 s WHERE NOT EXISTS (
+        |  SELECT 1 FROM d1 c WHERE c.user_id = s.user_id)),
+        |sone AS (SELECT DISTINCT user_id, k, create_dt, update_dt FROM s1),
+        |upd AS (
+        | SELECT c.user_id,
+        |  CASE WHEN s.user_id IS NOT NULL AND s.k <> c.k THEN s.k
+        |       ELSE c.k END AS k,
+        |  c.create_dt,
+        |  CASE WHEN s.user_id IS NOT NULL AND s.k <> c.k
+        |       THEN coalesce(s.update_dt, s.create_dt)
+        |       ELSE c.update_dt END AS update_dt
+        | FROM d1 c LEFT JOIN sone s ON c.user_id = s.user_id)
+        |SELECT user_id, k, create_dt, update_dt FROM upd
+        |UNION ALL
+        |SELECT user_id, k, create_dt, update_dt FROM ins""".stripMargin,
     "q37_correlated_scalar" ->
       """SELECT c_custkey,
         | (SELECT count(*) FROM orders o
