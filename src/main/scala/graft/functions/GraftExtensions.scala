@@ -16,5 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("md5_prefix64"),
         new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
         (children: Seq[Expression]) => Md5Prefix64(children.head)))
+    // the alias-materialization barrier (see EvalOnce scaladoc), for SQL
+    // users hitting the same pushdown re-evaluation trap
+    e.injectFunction(
+      (FunctionIdentifier("eval_once"),
+        new ExpressionInfo(classOf[EvalOnce].getName, "eval_once"),
+        (children: Seq[Expression]) => EvalOnce(children.head)))
   }
 }
