@@ -35,36 +35,41 @@ object Components {
     // materialize the symmetrized edge list ONCE — every round joins it,
     // and without this the upstream pipeline that produced the edges
     // (e.g. the full minhash-LSH candidate generation) re-executes per
-    // round (measured 12 s → 6 s on d10 at sf0.1; the rest is per-round
-    // job overhead inherent to the iteration)
+    // round (measured 12 s → 6 s on d10 at sf0.1). No distinct(): the
+    // input pairs are unique with src < dst, so the two orientations
+    // cannot collide, and min-aggregation is duplicate-insensitive anyway.
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint(eager = true)
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint(eager = true)
-    var changed = 1L
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("_did"), col("component")),
           col("dst") === col("_did"))
         .groupBy(col("src")).agg(min(col("component")).as("_nbr"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("src", "_sid"),
-          col("id") === col("_sid"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("_nbr"), col("component")))
-            .as("component"))
         .localCheckpoint(eager = true)
-      // labels only ever decrease, so "<" is the full change test
-      changed = next
-        .join(labels.select(col("id"), col("component").as("_prev")), "id")
-        .filter(col("component") < col("_prev")).count()
-      labels = next
+      // convergence test BEFORE building the next snapshot (labels only
+      // ever decrease): the final round costs one count, not a full
+      // join + checkpoint
+      converged = nbrMin
+        .join(labels.select(col("id").as("_lid"), col("component")),
+          col("src") === col("_lid"))
+        .filter(col("_nbr") < col("component")).isEmpty
+      if (!converged) {
+        labels = labels
+          .join(nbrMin.withColumnRenamed("src", "_sid"),
+            col("id") === col("_sid"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("_nbr"), col("component")))
+              .as("component"))
+          .localCheckpoint(eager = true)
+      }
       iter += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
