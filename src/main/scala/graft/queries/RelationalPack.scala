@@ -504,6 +504,34 @@ object RelationalPack {
         .select(col("user_id"), col("k"), col("create_dt"), col("update_dt"))
     }),
 
+    // UNPIVOT (wide → long melt): the inverse of q14's pivoted counts,
+    // via the typed Dataset.unpivot API.
+    "q41_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(t =>
+        count(when(c("event_type") === t, lit(1))).as(t))
+      Tables.events(s, d)
+        .groupBy(to_date(c("ts")).as("d"))
+        .agg(aggs.head, aggs.tail: _*)
+        .unpivot(Array(c("d")), types.map(col).toArray, "event_type", "cnt")
+    }),
+
+    // Time-series gap fill: per user, a dense daily count series over the
+    // user's own [first, last] day span, missing days as 0 — the resample
+    // step every event-history feature pipeline needs. sequence + explode
+    // generates rows engine-side; no driver loop.
+    "q43_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(c("user_id"), to_date(c("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = daily.groupBy(c("user_id"))
+        .agg(min(c("day")).as("d0"), max(c("day")).as("d1"))
+      val days = span.select(c("user_id"),
+        explode(sequence(c("d0"), c("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+      days.join(daily, Seq("user_id", "day"), "left")
+        .select(c("user_id"), c("day"), coalesce(c("n"), lit(0L)).as("n"))
+    }),
+
     // Date/time scalar-function battery.
     "q30_date_funcs" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -753,6 +781,35 @@ object RelationalPack {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 0
         |GROUP BY n_name""".stripMargin,
+    "q41_unpivot" ->
+      """WITH wide AS (
+        | SELECT CAST(ts AS DATE) AS d,
+        |  count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view')     AS view
+        | FROM events GROUP BY CAST(ts AS DATE))
+        |SELECT d, 'click' AS event_type, click AS cnt FROM wide
+        |UNION ALL SELECT d, 'error', error FROM wide
+        |UNION ALL SELECT d, 'purchase', purchase FROM wide
+        |UNION ALL SELECT d, 'signup', signup FROM wide
+        |UNION ALL SELECT d, 'view', view FROM wide""".stripMargin,
+    "q43_gap_fill" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |span AS (
+        | SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily
+        | GROUP BY 1),
+        |days AS (
+        | SELECT user_id,
+        |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM span)
+        |SELECT days.user_id, days.day, CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM days LEFT JOIN daily
+        |  ON days.user_id = daily.user_id AND days.day = daily.day""".stripMargin,
     "q39_scd2_merge" ->
       """WITH ev AS (
         | SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
