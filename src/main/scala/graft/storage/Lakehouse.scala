@@ -9,19 +9,25 @@ import org.apache.spark.sql.types.StructType
 /** Thin parquet table layer (no Delta/Iceberg jars in this env —
   * SURVEY.md §7.1). One directory per table under `root`.
   *
-  * Semantics needed by the DWH:
-  *   - `append` — plain parquet append (fact, report, landing loads);
-  *   - `overwrite` — SCD merge result snapshots. In-place UPDATE doesn't
-  *     exist on parquet, so each snapshot is written to a fresh version
-  *     directory `<table>/_v<N>/` and committed by atomically creating a
-  *     single `_GRAFT_COMMIT` marker file inside it. Readers resolve the
-  *     highest committed version; a crash at ANY point before the marker
-  *     exists leaves the previous snapshot fully readable (the miniature
-  *     form of a Delta/Iceberg commit log — no jars for those ship in this
-  *     env). Older versions are garbage-collected after commit; a crash
-  *     during GC only leaves shadowed dirs that the next overwrite removes.
-  *   - day-partitioned fact writes (`partitionBy`) so lookback predicates
-  *     prune partitions at 100 TB instead of scanning history.
+  * EVERY write — overwrite AND append — is a commit-protected version
+  * directory `<table>/_v<N>/`, made visible by atomically creating a
+  * single empty marker file inside it whose NAME encodes the commit kind:
+  * `_GRAFT_COMMIT_FULL` (snapshot: shadows everything older) or
+  * `_GRAFT_COMMIT_DELTA` (append: adds to the live set). Readers resolve
+  * the live set = the latest committed FULL version plus every committed
+  * DELTA after it (or all committed deltas, plus any pre-versioning
+  * top-level files, when no full exists). A crash at ANY point before the
+  * marker exists leaves the previous table state fully readable — the
+  * miniature form of a Delta/Iceberg commit log. Marker existence is the
+  * commit bit and its name the payload, so there is no window where a
+  * half-written marker could be misread (an empty `_GRAFT_COMMIT` file
+  * from the earlier protocol revision still reads as FULL).
+  *
+  * Full commits garbage-collect older versions afterwards; a crash during
+  * GC only leaves shadowed dirs the next full commit removes. Day
+  * partitioning (`partitionBy` inside each version dir) keeps lookback
+  * partition pruning working at 100 TB: Spark treats each version root as
+  * its own partition-discovery base.
   */
 final class Lakehouse(val spark: SparkSession, val root: String) {
   private def fs: FileSystem =
@@ -31,7 +37,9 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
   def exists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
 
   private val VersionPrefix = "_v"
-  private val CommitMarker = "_GRAFT_COMMIT"
+  private val MarkerFull = "_GRAFT_COMMIT_FULL"
+  private val MarkerDelta = "_GRAFT_COMMIT_DELTA"
+  private val MarkerLegacy = "_GRAFT_COMMIT" // pre-delta protocol = full
 
   /** (version, dir) for every `_v<N>` subdir of a table, committed or not. */
   private def versionDirs(dest: Path): Seq[(Long, Path)] =
@@ -43,21 +51,37 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
         (st.getPath.getName.drop(VersionPrefix.length).toLong, st.getPath)
     }
 
-  private def isCommitted(vdir: Path): Boolean =
-    fs.exists(new Path(vdir, CommitMarker))
+  /** None = uncommitted; Some(true) = full snapshot; Some(false) = delta. */
+  private def commitKind(vdir: Path): Option[Boolean] =
+    if (fs.exists(new Path(vdir, MarkerFull)) ||
+      fs.exists(new Path(vdir, MarkerLegacy))) Some(true)
+    else if (fs.exists(new Path(vdir, MarkerDelta))) Some(false)
+    else None
 
-  /** The directory readers (and appends) should target: the highest
-    * committed version for versioned tables, the table dir itself for the
-    * plain append layout. Underscore-prefixed version dirs are invisible to
-    * Spark's file listing, so an uncommitted (crashed) version under a plain
-    * dir can never leak rows.
+  /** The live data roots, oldest first: the latest committed full version
+    * and every committed delta after it; with no full version, any
+    * pre-versioning top-level files (underscore version dirs are invisible
+    * to Spark's listing there) plus all committed deltas.
     */
-  def dataPath(name: String): String = {
+  def dataPaths(name: String): Seq[String] = {
     val dest = new Path(tablePath(name))
-    val committed = versionDirs(dest).filter { case (_, p) => isCommitted(p) }
-    if (committed.isEmpty) dest.toString
-    else committed.maxBy(_._1)._2.toString
+    val committed = versionDirs(dest).sortBy(_._1).flatMap {
+      case (v, p) => commitKind(p).map(full => (v, p, full))
+    }
+    val lastFull = committed.lastIndexWhere(_._3)
+    if (lastFull >= 0) committed.drop(lastFull).map(_._2.toString)
+    else {
+      val plain = fs.exists(dest) && fs.listStatus(dest).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      val deltas = committed.map(_._2.toString)
+      if (plain || deltas.isEmpty) dest.toString +: deltas else deltas
+    }
   }
+
+  /** Newest live root (the compaction/inspection target). */
+  def dataPath(name: String): String = dataPaths(name).last
 
   /** Read a table; absent or empty tables yield an empty DataFrame with the
     * registered schema, so first-run ETL needs no special-casing.
@@ -68,11 +92,20 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     if (exists(name))
       // explicit schema: an empty parquet dir or partition-discovery columns
       // must not change the contract
-      spark.read.schema(readSchema(name, schema)).parquet(dataPath(name))
+      readRoots(name, readSchema(name, schema))
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
+
+  /** One scan per live root, each its own partition-discovery base (a
+    * multi-path read would try to find one common base and trip over the
+    * version dirs), unioned. Filters and pruning push into every branch.
+    */
+  private def readRoots(name: String, schema: StructType): DataFrame =
+    dataPaths(name)
+      .map(p => spark.read.schema(schema).option("basePath", p).parquet(p))
+      .reduce(_ unionByName _)
 
   /** Fact is written with an extra partition column; include it on read. */
   private def readSchema(name: String, schema: StructType): StructType =
@@ -88,42 +121,60 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"unknown table: $name"))
     val full = readSchema(name, schema)
     if (exists(name))
-      spark.read.schema(full).parquet(dataPath(name))
+      readRoots(name, full)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
   }
 
-  def append(name: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(dataPath(name))
+  /** Write a new version dir and commit it by creating the named marker —
+    * one atomic file-create; a `beforeCommit` test hook simulates a crash
+    * in the window.
+    */
+  private def writeVersion(name: String, marker: String,
+      beforeCommit: () => Unit)(write: String => Unit): Path = {
+    val dest = new Path(tablePath(name))
+    val next = versionDirs(dest).map(_._1).maxOption.getOrElse(0L) + 1L
+    val vdir = new Path(dest, s"$VersionPrefix$next")
+    write(vdir.toString)
+    beforeCommit()
+    fs.create(new Path(vdir, marker), false).close() // the commit point
+    vdir
+  }
 
-  /** Append with day partitioning (fact table). */
-  def appendPartitionedByDay(name: String, df: DataFrame, tsCol: String): Unit =
-    df.withColumn("trans_dt_day", to_date(col(tsCol)))
-      .write.mode("append").partitionBy("trans_dt_day")
-      .parquet(tablePath(name))
+  /** Crash-safe append: the batch lands as a committed DELTA version, so a
+    * failure mid-write can never expose partial part-files to readers
+    * (plain `mode("append")` into a shared dir would).
+    */
+  def append(name: String, df: DataFrame,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    writeVersion(name, MarkerDelta, beforeCommit)(p =>
+      df.write.mode("overwrite").parquet(p))
+    ()
+  }
 
-  /** Crash-safe snapshot replace. Protocol:
-    *   1. write the new snapshot to `<table>/_v<N>` (N = max existing + 1;
-    *      the write may read the table being replaced — the old version's
-    *      files are untouched);
-    *   2. COMMIT: create the `_GRAFT_COMMIT` marker in the new dir — one
-    *      atomic file-create, after which [[dataPath]] resolves to vN;
-    *   3. GC older versions and any pre-versioning top-level data files
-    *      (post-commit; a crash here leaves shadowed garbage only).
-    * A test hook runs between write and commit so LakehouseSpec can prove a
-    * crash in the window leaves the previous snapshot readable.
+  /** Crash-safe append with day partitioning (fact table). */
+  def appendPartitionedByDay(name: String, df: DataFrame, tsCol: String): Unit = {
+    writeVersion(name, MarkerDelta, () => ())(p =>
+      df.withColumn("trans_dt_day", to_date(col(tsCol)))
+        .write.mode("overwrite").partitionBy("trans_dt_day").parquet(p))
+    ()
+  }
+
+  /** Crash-safe snapshot replace: a committed FULL version shadows every
+    * older version and any pre-versioning top-level files, which are then
+    * garbage-collected (post-commit; a crash there leaves shadowed dirs
+    * the next full commit removes). The snapshot computation may read the
+    * table being replaced — the old versions' files are untouched until
+    * after the commit.
     */
   def overwrite(name: String, df: DataFrame,
       beforeCommit: () => Unit = () => ()): Unit = {
     val dest = new Path(tablePath(name))
-    val all = versionDirs(dest)
-    val next = all.map(_._1).maxOption.getOrElse(0L) + 1L
-    val vdir = new Path(dest, s"$VersionPrefix$next")
-    df.write.mode("overwrite").parquet(vdir.toString)
-    beforeCommit()
-    fs.create(new Path(vdir, CommitMarker), false).close() // the commit point
+    val older = versionDirs(dest)
+    val vdir = writeVersion(name, MarkerFull, beforeCommit)(p =>
+      df.write.mode("overwrite").parquet(p))
     // GC: everything except the just-committed version.
-    all.foreach { case (_, p) => fs.delete(p, true) }
+    older.foreach { case (_, p) => fs.delete(p, true) }
     fs.listStatus(dest).foreach { st =>
       val n = st.getPath.getName
       if (n != vdir.getName && !n.startsWith("_") && !n.startsWith("."))
@@ -131,12 +182,11 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Small-file compaction: rewrite the current snapshot into `numFiles`
-    * files via the crash-safe overwrite protocol (readers see the old
-    * layout until the commit marker lands). Append-heavy tables accumulate
-    * one file per micro-batch/day-load; at cluster scale the open-file and
-    * footer-read overhead of thousands of small files dominates scan time,
-    * and compaction is the standing maintenance job every lakehouse runs.
+  /** Small-file compaction: fold the live version chain (one delta per
+    * append) back into a single full snapshot with `numFiles` files, via
+    * the crash-safe overwrite protocol. At cluster scale the open-file and
+    * footer-read overhead of thousands of small files dominates scan time;
+    * compaction is the standing maintenance job every lakehouse runs.
     */
   def compact(name: String, numFiles: Int): Unit =
     overwrite(name, read(name).repartition(numFiles))

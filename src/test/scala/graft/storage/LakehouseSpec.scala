@@ -57,7 +57,7 @@ class LakehouseSpec extends SparkSpec {
       .collect().toSeq == Seq("new1"))
   }
 
-  test("append after overwrite lands in the current version") {
+  test("append after overwrite reads as full + delta chain") {
     val lake = new Lakehouse(spark, tmpDir("lake-append"))
     lake.overwrite("dim_cards", dimDf("c1" -> "a1"))
     lake.append("dim_cards", dimDf("c2" -> "a2"))
@@ -66,6 +66,20 @@ class LakehouseSpec extends SparkSpec {
     lake.overwrite("dim_cards", dimDf("c9" -> "a9"))
     assert(lake.read("dim_cards").select("card_num").as[String]
       .collect().toSeq == Seq("c9"))
+  }
+
+  test("crash mid-append leaves the previous rows readable") {
+    val lake = new Lakehouse(spark, tmpDir("lake-append-crash"))
+    lake.append("dim_cards", dimDf("c1" -> "a1"))
+    intercept[RuntimeException] {
+      lake.append("dim_cards", dimDf("cX" -> "aX"),
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq == Seq("c1"))
+    lake.append("dim_cards", dimDf("c2" -> "a2"))
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().sorted.toSeq == Seq("c1", "c2"))
   }
 
   test("compact rewrites many small files into few, data unchanged") {
