@@ -83,6 +83,38 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
   /** Newest live root (the compaction/inspection target). */
   def dataPath(name: String): String = dataPaths(name).last
 
+  /** Committed versions, oldest first: (version, isFullSnapshot). */
+  def versions(name: String): Seq[(Long, Boolean)] =
+    versionDirs(new Path(tablePath(name))).sortBy(_._1).flatMap {
+      case (v, p) => commitKind(p).map(v -> _)
+    }
+
+  /** Time travel: the table as of commit `maxVersion` (inclusive) — the
+    * latest full snapshot at or before it plus the deltas between. Only
+    * reaches versions still on disk: a full commit garbage-collects its
+    * predecessors, so the window is bounded by the append chain since the
+    * last overwrite/compact (a real deployment would add retention policy
+    * before GC).
+    */
+  def readAt(name: String, maxVersion: Long): DataFrame = {
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    val dest = new Path(tablePath(name))
+    val committed = versionDirs(dest).sortBy(_._1)
+      .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
+      .takeWhile(_._1 <= maxVersion)
+    require(committed.nonEmpty,
+      s"$name has no committed version <= $maxVersion")
+    val lastFull = committed.lastIndexWhere(_._3)
+    val roots = (if (lastFull >= 0) committed.drop(lastFull) else committed)
+      .map(_._2.toString)
+    roots
+      .map(p => spark.read.schema(readSchema(name, schema))
+        .option("basePath", p).parquet(p))
+      .reduce(_ unionByName _)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Read a table; absent or empty tables yield an empty DataFrame with the
     * registered schema, so first-run ETL needs no special-casing.
     */

@@ -97,6 +97,21 @@ class LakehouseSpec extends SparkSpec {
       .collect().sorted.toSeq === before)
   }
 
+  test("time travel: readAt sees the table as of an earlier commit") {
+    val lake = new Lakehouse(spark, tmpDir("lake-tt"))
+    lake.append("dim_cards", dimDf("c1" -> "a1")) // v1 delta
+    lake.append("dim_cards", dimDf("c2" -> "a2")) // v2 delta
+    lake.append("dim_cards", dimDf("c3" -> "a3")) // v3 delta
+    assert(lake.versions("dim_cards") ===
+      Seq(1L -> false, 2L -> false, 3L -> false))
+    assert(lake.readAt("dim_cards", 2L).select("card_num").as[String]
+      .collect().sorted.toSeq === Seq("c1", "c2"))
+    assert(lake.readAt("dim_cards", 3L).count() === 3)
+    // a full commit resets the chain (and GCs what's before it)
+    lake.compact("dim_cards", numFiles = 1)
+    assert(lake.versions("dim_cards") === Seq(4L -> true))
+  }
+
   test("snapshot write may read the table it replaces") {
     val lake = new Lakehouse(spark, tmpDir("lake-selfread"))
     lake.overwrite("dim_cards", dimDf("c1" -> "a1"))
