@@ -51,11 +51,14 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
         (st.getPath.getName.drop(VersionPrefix.length).toLong, st.getPath)
     }
 
-  /** None = uncommitted; Some(true) = full snapshot; Some(false) = delta. */
+  /** None = uncommitted; Some(true) = full snapshot; Some(false) = delta
+    * (incl. batchId-suffixed exactly-once markers, `_GRAFT_COMMIT_DELTA_b<id>`).
+    */
   private def commitKind(vdir: Path): Option[Boolean] =
     if (fs.exists(new Path(vdir, MarkerFull)) ||
       fs.exists(new Path(vdir, MarkerLegacy))) Some(true)
-    else if (fs.exists(new Path(vdir, MarkerDelta))) Some(false)
+    else if (fs.listStatus(vdir).exists(
+      _.getPath.getName.startsWith(MarkerDelta))) Some(false)
     else None
 
   /** The live data roots, oldest first: the latest committed full version
@@ -184,6 +187,25 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     ()
   }
 
+  /** Idempotent crash-safe append for streaming foreachBatch sinks: the
+    * commit marker carries the micro-batch id, so a batch replayed after a
+    * failure (foreachBatch's at-least-once contract) is recognized as
+    * already committed and skipped — net effect: exactly-once appends into
+    * the lakehouse, built from the same single-file commit point.
+    */
+  def appendExactlyOnce(name: String, df: DataFrame, batchId: Long): Unit = {
+    val dest = new Path(tablePath(name))
+    val marker = s"${MarkerDelta}_b$batchId"
+    val already = versionDirs(dest).exists { case (_, p) =>
+      fs.exists(new Path(p, marker))
+    }
+    if (!already) {
+      writeVersion(name, marker, () => ())(p =>
+        df.write.mode("overwrite").parquet(p))
+      ()
+    }
+  }
+
   /** Crash-safe append with day partitioning (fact table). */
   def appendPartitionedByDay(name: String, df: DataFrame, tsCol: String): Unit = {
     writeVersion(name, MarkerDelta, () => ())(p =>
@@ -220,8 +242,16 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     * footer-read overhead of thousands of small files dominates scan time;
     * compaction is the standing maintenance job every lakehouse runs.
     */
-  def compact(name: String, numFiles: Int): Unit =
-    overwrite(name, read(name).repartition(numFiles))
+  def compact(name: String, numFiles: Int, sortCols: Seq[String] = Nil): Unit = {
+    val base = read(name).repartition(numFiles)
+    // optional clustering: sorting within the rewritten files tightens
+    // parquet row-group min/max ranges so point/range predicates skip
+    // whole row groups at scan time (the linear form of OPTIMIZE ZORDER)
+    val clustered =
+      if (sortCols.isEmpty) base
+      else base.sortWithinPartitions(sortCols.map(col): _*)
+    overwrite(name, clustered)
+  }
 
   /** Bucketed write: pre-shuffles into `buckets` files per bucket key and
     * registers a catalog table, so later equi-joins/aggregations on `key`

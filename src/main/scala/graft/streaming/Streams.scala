@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.model.Schemas
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.storage.Lakehouse
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming extensions: the reference's batch protocol
   * re-expressed as streams (README.md models a daily file drop; nothing in
@@ -49,6 +50,19 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** Exactly-once streaming sink into the lakehouse: each micro-batch
+    * commits through [[Lakehouse.appendExactlyOnce]] keyed by its batch
+    * id, so the batch replays foreachBatch allows after a failure land as
+    * already-committed no-ops instead of duplicate rows. Batch ids are
+    * per-checkpoint — reuse the checkpoint across restarts (set
+    * `checkpointLocation` on the returned writer), as any streaming sink
+    * requires for its exactly-once story.
+    */
+  def lakeSink(stream: DataFrame, lake: Lakehouse,
+      table: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch(
+      (batch: DataFrame, id: Long) => lake.appendExactlyOnce(table, batch, id))
 
   /** Per-card running state for streaming fraud screening: consecutive
     * rejected-operation count, emitting a row whenever a card crosses

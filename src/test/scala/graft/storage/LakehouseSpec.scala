@@ -97,6 +97,30 @@ class LakehouseSpec extends SparkSpec {
       .collect().sorted.toSeq === before)
   }
 
+  test("appendExactlyOnce: a replayed batch id is a committed no-op") {
+    val lake = new Lakehouse(spark, tmpDir("lake-eo"))
+    lake.appendExactlyOnce("dim_cards", dimDf("c1" -> "a1"), batchId = 0L)
+    // foreachBatch retry: same batch id, same (or partially different)
+    // data — must not double-append
+    lake.appendExactlyOnce("dim_cards", dimDf("c1" -> "a1"), batchId = 0L)
+    assert(lake.read("dim_cards").count() === 1)
+    lake.appendExactlyOnce("dim_cards", dimDf("c2" -> "a2"), batchId = 1L)
+    assert(lake.read("dim_cards").count() === 2)
+  }
+
+  test("compact with sort columns clusters rows within the rewritten file") {
+    val lake = new Lakehouse(spark, tmpDir("lake-sort"))
+    lake.append("dim_cards", dimDf("c3" -> "a3", "c1" -> "a1"))
+    lake.append("dim_cards", dimDf("c2" -> "a2"))
+    lake.compact("dim_cards", numFiles = 1, sortCols = Seq("card_num"))
+    // single sorted file: reading it back preserves the clustered order
+    val rows = spark.read
+      .schema(graft.model.Schemas.dimCards)
+      .parquet(lake.dataPath("dim_cards"))
+      .select("card_num").as[String].collect().toSeq
+    assert(rows === Seq("c1", "c2", "c3"))
+  }
+
   test("time travel: readAt sees the table as of an earlier commit") {
     val lake = new Lakehouse(spark, tmpDir("lake-tt"))
     lake.append("dim_cards", dimDf("c1" -> "a1")) // v1 delta
