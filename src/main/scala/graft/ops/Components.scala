@@ -31,7 +31,7 @@ object Components {
     * @return (id, component) where component = min id in the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 100): DataFrame = {
     // materialize the symmetrized edge list ONCE — every round joins it,
     // and without this the upstream pipeline that produced the edges
     // (e.g. the full minhash-LSH candidate generation) re-executes per
@@ -43,21 +43,24 @@ object Components {
       .localCheckpoint(eager = true)
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint(eager = true)
+    def nbrMinOf(ls: DataFrame): DataFrame = sym
+      .join(ls.select(col("id").as("_did"), col("component")),
+        col("dst") === col("_did"))
+      .groupBy(col("src")).agg(min(col("component")).as("_nbr"))
+
+    def improves(ls: DataFrame, nbrMin: DataFrame): Boolean = !nbrMin
+      .join(ls.select(col("id").as("_lid"), col("component")),
+        col("src") === col("_lid"))
+      .filter(col("_nbr") < col("component")).isEmpty
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("_did"), col("component")),
-          col("dst") === col("_did"))
-        .groupBy(col("src")).agg(min(col("component")).as("_nbr"))
-        .localCheckpoint(eager = true)
+      val nbrMin = nbrMinOf(labels).localCheckpoint(eager = true)
       // convergence test BEFORE building the next snapshot (labels only
       // ever decrease): the final round costs one count, not a full
       // join + checkpoint
-      converged = nbrMin
-        .join(labels.select(col("id").as("_lid"), col("component")),
-          col("src") === col("_lid"))
-        .filter(col("_nbr") < col("component")).isEmpty
+      converged = !improves(labels, nbrMin)
       if (!converged) {
         labels = labels
           .join(nbrMin.withColumnRenamed("src", "_sid"),
@@ -69,6 +72,10 @@ object Components {
       }
       iter += 1
     }
+    // a graph needing exactly maxIter improvement rounds exits the loop
+    // unconverged even though the LAST update may have reached the
+    // fixpoint — check once more before declaring failure
+    if (!converged) converged = !improves(labels, nbrMinOf(labels))
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
     labels

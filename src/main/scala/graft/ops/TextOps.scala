@@ -20,11 +20,13 @@ object TextOps {
 
   /** GPT-2-style BPE pre-tokenizer pattern (contractions, letter runs,
     * digit runs, punctuation runs, each with optional leading space),
-    * restricted to lookahead-free syntax so the identical pattern runs
-    * under both Java regex (Spark) and RE2 (DuckDB oracle).
+    * restricted to syntax with identical semantics under both Java regex
+    * (Spark) and RE2 (DuckDB oracle): no lookahead, and the whitespace
+    * class spelled out — Java's \s includes vertical tab \x0B, RE2's
+    * does not.
     */
   val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"
 
   /** BPE-ish token count — the ~token-budget estimator for training-data
     * accounting (whitespace counting under-counts punctuation-heavy text).

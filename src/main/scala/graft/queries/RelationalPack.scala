@@ -28,6 +28,25 @@ object RelationalPack {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def c(name: String): Column = col(name)
 
+  /** q39/q40's shared setup: events as a (user_id, k) change log split at
+    * mid-month into (spec, existing-dim half, incoming-batch half).
+    */
+  private def scdChangelog(s: SparkSession, d: String)
+      : (graft.etl.EntitySpec, DataFrame, DataFrame) = {
+    val spec = graft.etl.EntitySpec(
+      name = "profiles", key = "user_id",
+      attrs = Seq("user_id" -> "user_id", "k" -> "k"),
+      scd2Dim = "", scd1Dim = "", scd1Updatable = Seq("k"),
+      scd1Distinct = false)
+    val ev = Tables.events(s, d).select(
+      col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      col("ts").as("trans_date"))
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    (spec, ev.filter(col("trans_date") < cut),
+      ev.filter(col("trans_date") >= cut))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: grain extraction — group-by with MIN(event time), the SCD staging
     // aggregation shape (ETL.sql:20-27).
@@ -468,19 +487,10 @@ object RelationalPack {
     // Scd2.merge's new snapshot — close rows end-dated by the staged
     // current version, NOT-EXISTS-filtered inserts appended.
     "q39_scd2_merge" -> ((s, d) => {
-      val spec = graft.etl.EntitySpec(
-        name = "profiles", key = "user_id",
-        attrs = Seq("user_id" -> "user_id", "k" -> "k"),
-        scd2Dim = "", scd1Dim = "", scd1Updatable = Seq("k"),
-        scd1Distinct = false)
-      val ev = Tables.events(s, d).select(
-        col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
-        col("ts").as("trans_date"))
-      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
-      val dim = graft.etl.Scd2.staging(ev.filter(col("trans_date") < cut), spec)
-      val stg = graft.etl.Scd2.staging(ev.filter(col("trans_date") >= cut), spec)
-      graft.etl.Scd2.merge(dim, stg, spec)
+      val (spec, existing, incoming) = scdChangelog(s, d)
+      graft.etl.Scd2.merge(
+        graft.etl.Scd2.staging(existing, spec),
+        graft.etl.Scd2.staging(incoming, spec), spec)
         .select(col("user_id"), col("k"), col("start_dt"), col("end_dt"))
     }),
 
@@ -488,19 +498,10 @@ object RelationalPack {
     // overwrite changed keys (null-rejecting change predicate), new keys
     // insert with staging multiplicity.
     "q40_scd1_merge" -> ((s, d) => {
-      val spec = graft.etl.EntitySpec(
-        name = "profiles", key = "user_id",
-        attrs = Seq("user_id" -> "user_id", "k" -> "k"),
-        scd2Dim = "", scd1Dim = "", scd1Updatable = Seq("k"),
-        scd1Distinct = false)
-      val ev = Tables.events(s, d).select(
-        col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
-        col("ts").as("trans_date"))
-      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
-      val dim = graft.etl.Scd1.staging(ev.filter(col("trans_date") < cut), spec)
-      val stg = graft.etl.Scd1.staging(ev.filter(col("trans_date") >= cut), spec)
-      graft.etl.Scd1.merge(dim, stg, spec)
+      val (spec, existing, incoming) = scdChangelog(s, d)
+      graft.etl.Scd1.merge(
+        graft.etl.Scd1.staging(existing, spec),
+        graft.etl.Scd1.staging(incoming, spec), spec)
         .select(col("user_id"), col("k"), col("create_dt"), col("update_dt"))
     }),
 

@@ -47,9 +47,9 @@ object StreamingPack {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink)
-        .select(col("window.start").as("w_start"), col("event_type"),
-          col("n"))
+      drained(s, sink,
+        s.table(sink).select(col("window.start").as("w_start"),
+          col("event_type"), col("n")))
     }),
 
     // stream-static join: the event stream enriched against a static
@@ -72,9 +72,23 @@ object StreamingPack {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink)
+      drained(s, sink, s.table(sink))
     })
   )
+
+  /** Detach the (small, final) result from the memory sink and drop the
+    * sink table — repeated invocations in one session (3 SFs + bench)
+    * would otherwise accumulate every run's full result set on the
+    * driver heap. The data already lives on the driver by the memory
+    * sink's nature; this only frees it after use.
+    */
+  private def drained(s: SparkSession, sink: String,
+      df: DataFrame): DataFrame = {
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    s.catalog.dropTempView(sink)
+    out
+  }
 
   val oracles: Map[String, String] = Map(
     "s01_stream_hourly_counts" ->

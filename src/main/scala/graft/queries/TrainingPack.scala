@@ -568,7 +568,7 @@ object TrainingPack {
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
         | CAST(len(regexp_extract_all(text,
-        |   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+        |   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0B]+'))
         |   AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
     "t07_rolling_fp" ->

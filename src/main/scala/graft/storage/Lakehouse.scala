@@ -28,6 +28,11 @@ import org.apache.spark.sql.types.StructType
   * partitioning (`partitionBy` inside each version dir) keeps lookback
   * partition pruning working at 100 TB: Spark treats each version root as
   * its own partition-discovery base.
+  *
+  * Single-writer assumption (as in the reference's ETL): version numbers
+  * are allocated by listing, not by an atomic counter, so two concurrent
+  * writers could claim the same `_v<N>`. Concurrency control (a lock file
+  * or CAS on a log, as Delta does) is deliberately out of scope.
   */
 final class Lakehouse(val spark: SparkSession, val root: String) {
   private def fs: FileSystem =
@@ -40,14 +45,21 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
   private val MarkerFull = "_GRAFT_COMMIT_FULL"
   private val MarkerDelta = "_GRAFT_COMMIT_DELTA"
   private val MarkerLegacy = "_GRAFT_COMMIT" // pre-delta protocol = full
+  // batch-id tombstones carried into full commits so exactly-once replay
+  // detection survives compaction's GC of the delta dirs
+  private val SeenPrefix = "_GRAFT_SEEN_b"
 
   /** (version, dir) for every `_v<N>` subdir of a table, committed or not. */
   private def versionDirs(dest: Path): Seq[(Long, Path)] =
     if (!fs.exists(dest)) Seq.empty
     else fs.listStatus(dest).toSeq.collect {
-      case st if st.isDirectory &&
-          st.getPath.getName.startsWith(VersionPrefix) &&
-          st.getPath.getName.drop(VersionPrefix.length).forall(_.isDigit) =>
+      // suffix guards: nonEmpty (a stray dir named exactly "_v" must not
+      // crash ""+toLong) and bounded length (Long overflow)
+      case st if st.isDirectory && {
+        val suffix = st.getPath.getName.drop(VersionPrefix.length)
+        st.getPath.getName.startsWith(VersionPrefix) &&
+          suffix.nonEmpty && suffix.length <= 18 && suffix.forall(_.isDigit)
+      } =>
         (st.getPath.getName.drop(VersionPrefix.length).toLong, st.getPath)
     }
 
@@ -109,8 +121,17 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     require(committed.nonEmpty,
       s"$name has no committed version <= $maxVersion")
     val lastFull = committed.lastIndexWhere(_._3)
-    val roots = (if (lastFull >= 0) committed.drop(lastFull) else committed)
+    val versioned = (if (lastFull >= 0) committed.drop(lastFull) else committed)
       .map(_._2.toString)
+    // pre-versioning top-level files are the base under every delta-only
+    // chain, exactly as in dataPaths — readAt at the newest version must
+    // agree with read()
+    val roots =
+      if (lastFull < 0 && fs.exists(dest) && fs.listStatus(dest).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }) dest.toString +: versioned
+      else versioned
     roots
       .map(p => spark.read.schema(readSchema(name, schema))
         .option("basePath", p).parquet(p))
@@ -197,7 +218,8 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     val dest = new Path(tablePath(name))
     val marker = s"${MarkerDelta}_b$batchId"
     val already = versionDirs(dest).exists { case (_, p) =>
-      fs.exists(new Path(p, marker))
+      fs.exists(new Path(p, marker)) ||
+        fs.exists(new Path(p, s"$SeenPrefix$batchId"))
     }
     if (!already) {
       writeVersion(name, marker, () => ())(p =>
@@ -222,11 +244,38 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     * after the commit.
     */
   def overwrite(name: String, df: DataFrame,
+      beforeCommit: () => Unit = () => ()): Unit =
+    overwritePartitioned(name, df, Nil, beforeCommit)
+
+  /** [[overwrite]] with a physical partitioning for the new snapshot
+    * (compaction of the day-partitioned fact must not flatten it — the
+    * partition column exists only as directory structure, so an
+    * unpartitioned rewrite would read it back as NULL everywhere and
+    * break every lookback filter).
+    */
+  def overwritePartitioned(name: String, df: DataFrame,
+      partitionCols: Seq[String],
       beforeCommit: () => Unit = () => ()): Unit = {
     val dest = new Path(tablePath(name))
     val older = versionDirs(dest)
-    val vdir = writeVersion(name, MarkerFull, beforeCommit)(p =>
-      df.write.mode("overwrite").parquet(p))
+    val vdir = writeVersion(name, MarkerFull, beforeCommit) { p =>
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(p)
+    }
+    // carry exactly-once batch markers out of the dirs we are about to
+    // delete (a streaming batch replayed after compaction must still be
+    // recognized); a crash before this completes is safe — the old dirs
+    // and their markers still exist until the deletes below
+    val seen = older.flatMap { case (_, p) =>
+      fs.listStatus(p).map(_.getPath.getName).collect {
+        case n if n.startsWith(s"${MarkerDelta}_b") =>
+          n.stripPrefix(s"${MarkerDelta}_b")
+        case n if n.startsWith(SeenPrefix) => n.stripPrefix(SeenPrefix)
+      }
+    }.distinct
+    seen.foreach(id =>
+      fs.create(new Path(vdir, s"$SeenPrefix$id"), false).close())
     // GC: everything except the just-committed version.
     older.foreach { case (_, p) => fs.delete(p, true) }
     fs.listStatus(dest).foreach { st =>
@@ -243,14 +292,20 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     * compaction is the standing maintenance job every lakehouse runs.
     */
   def compact(name: String, numFiles: Int, sortCols: Seq[String] = Nil): Unit = {
-    val base = read(name).repartition(numFiles)
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    // physical partition columns (fact's trans_dt_day) must survive the
+    // rewrite as partition structure, so read them and write them back
+    val partCols = readSchema(name, schema).fieldNames.toSeq
+      .diff(schema.fieldNames.toSeq)
+    val base = readWithPartitionColumns(name).repartition(numFiles)
     // optional clustering: sorting within the rewritten files tightens
     // parquet row-group min/max ranges so point/range predicates skip
     // whole row groups at scan time (the linear form of OPTIMIZE ZORDER)
     val clustered =
       if (sortCols.isEmpty) base
       else base.sortWithinPartitions(sortCols.map(col): _*)
-    overwrite(name, clustered)
+    overwritePartitioned(name, clustered, partCols)
   }
 
   /** Bucketed write: pre-shuffles into `buckets` files per bucket key and

@@ -121,6 +121,36 @@ class LakehouseSpec extends SparkSpec {
     assert(rows === Seq("c1", "c2", "c3"))
   }
 
+  test("compact preserves the fact table's day partitioning") {
+    import org.apache.spark.sql.functions.col
+    val lake = new Lakehouse(spark, tmpDir("lake-fact-compact"))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row("t1", ts("2020-05-01 10:00:00"), "c",
+          "Оплата", dec("10"), "Успешно", "T1"),
+        org.apache.spark.sql.Row("t2", ts("2020-05-02 10:00:00"), "c",
+          "Оплата", dec("20"), "Успешно", "T1")),
+      graft.model.Schemas.factTransactions)
+    lake.appendPartitionedByDay("fact_transactions", df, "trans_date")
+    lake.compact("fact_transactions", numFiles = 1)
+    val out = lake.readWithPartitionColumns("fact_transactions")
+    assert(out.filter(col("trans_dt_day").isNull).count() === 0)
+    assert(out.select("trans_dt_day").distinct().count() === 2)
+  }
+
+  test("exactly-once batch detection survives compaction's GC") {
+    val lake = new Lakehouse(spark, tmpDir("lake-eo-compact"))
+    lake.appendExactlyOnce("dim_cards", dimDf("c1" -> "a1"), batchId = 0L)
+    lake.compact("dim_cards", numFiles = 1) // GCs the delta dir + marker
+    // the stream replays batch 0 after a restart: must still be a no-op
+    lake.appendExactlyOnce("dim_cards", dimDf("c1" -> "a1"), batchId = 0L)
+    assert(lake.read("dim_cards").count() === 1)
+    // and the tombstone survives a SECOND compaction too
+    lake.compact("dim_cards", numFiles = 1)
+    lake.appendExactlyOnce("dim_cards", dimDf("c1" -> "a1"), batchId = 0L)
+    assert(lake.read("dim_cards").count() === 1)
+  }
+
   test("time travel: readAt sees the table as of an earlier commit") {
     val lake = new Lakehouse(spark, tmpDir("lake-tt"))
     lake.append("dim_cards", dimDf("c1" -> "a1")) // v1 delta
