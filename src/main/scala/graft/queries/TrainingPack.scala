@@ -116,6 +116,18 @@ object TrainingPack {
       VectorOps.embeddingNearDups(embIdVec(s, d), nPlanes = 4,
         minDot = 200000L, maxBucket = 200)),
 
+    // embedding near-dup pairs → clusters: the same connected-components
+    // step as d10, over the cosine edge list — semantic dedup emits one
+    // representative per component
+    "d13_embedding_clusters" -> ((s, d) => {
+      val pairs = VectorOps.embeddingNearDups(embIdVec(s, d), nPlanes = 4,
+        minDot = 200000L, maxBucket = 200)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.ops.Components.connectedComponents(
+        embs(s, d).select(col("vec_id").as("id")), pairs)
+        .select(col("id").as("vec_id"), col("component"))
+    }),
+
     // shingle-bucketed n-gram Jaccard near-dup pairs
     "d09_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d).withColumnRenamed("doc_id", "id"),
@@ -259,6 +271,19 @@ object TrainingPack {
   private val toks = "regexp_extract_all(text, '\\S+')"
   private val ltoks = "regexp_extract_all(lower(text), '\\S+')"
   private val dtoks = s"list_distinct($ltoks)"
+
+  /** d06's bucketed embedding-pair CTE chain (v → small → c → epairs),
+    * shared by d06 and d13.
+    */
+  private lazy val embeddingPairsCtes: String =
+    s"""v AS (SELECT vec_id AS id, $qv AS q,
+       | ${planeBitsSql(qv)} AS bucket FROM embeddings),
+       |small AS (SELECT bucket FROM v GROUP BY bucket HAVING count(*) <= 200),
+       |c AS (SELECT v.* FROM v JOIN small USING (bucket)),
+       |epairs AS (
+       | SELECT l.id AS id_a, r.id AS id_b, ${qdotSql("l.q", "r.q")} AS dot
+       | FROM c l JOIN c r ON l.bucket = r.bucket AND l.id < r.id
+       | WHERE ${qdotSql("l.q", "r.q")} >= 200000)""".stripMargin
 
   /** The d04 banded-minhash candidate-pair CTE chain (t → sig → banded →
     * small → capped → pairs), shared by d04 and d10.
@@ -407,13 +432,18 @@ object TrainingPack {
       s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM documents"
     },
     "d06_embedding_neardups" ->
-      s"""WITH v AS (SELECT vec_id AS id, $qv AS q,
-         | ${planeBitsSql(qv)} AS bucket FROM embeddings),
-         |small AS (SELECT bucket FROM v GROUP BY bucket HAVING count(*) <= 200),
-         |c AS (SELECT v.* FROM v JOIN small USING (bucket))
-         |SELECT l.id AS id_a, r.id AS id_b, ${qdotSql("l.q", "r.q")} AS dot
-         |FROM c l JOIN c r ON l.bucket = r.bucket AND l.id < r.id
-         |WHERE ${qdotSql("l.q", "r.q")} >= 200000""".stripMargin,
+      s"""WITH $embeddingPairsCtes
+         |SELECT id_a, id_b, dot FROM epairs""".stripMargin,
+    "d13_embedding_clusters" ->
+      s"""WITH RECURSIVE $embeddingPairsCtes,
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM epairs
+         |        UNION ALL SELECT id_b, id_a FROM epairs),
+         |reach AS (
+         | SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+         | UNION
+         | SELECT s.dst AS id, r.lbl FROM reach r JOIN sym s ON s.src = r.id)
+         |SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS component
+         |FROM reach GROUP BY id""".stripMargin,
     "d09_ngram_jaccard" -> {
       val mkSh = s"list_transform(range(1, greatest(len(tk) - 2, 0) + 1), " +
         s"i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"

@@ -68,6 +68,14 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2, p)
   }
 
+  test("q39/q40 SCD merges: equi-joins only, no cartesian product") {
+    Seq("q39_scd2_merge", "q40_scd1_merge").foreach { q =>
+      val p = explain(q)
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+        s"$q:\n$p")
+    }
+  }
+
   test("F4 detect: single shuffle on client, no driver-side collect in plan") {
     import org.apache.spark.sql.functions._
     val lake = new graft.storage.Lakehouse(spark, tmpDir("planspec-f4"))
