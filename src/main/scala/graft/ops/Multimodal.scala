@@ -91,6 +91,22 @@ object Multimodal {
     }
   }
 
+  /** Resize-then-decode: stride-sample each payload (the "thumbnail" step)
+    * before feature extraction — the remaining codec stub driven through
+    * the same batch pipeline shape.
+    */
+  def extractResizedFeatures(items: Dataset[MediaItem],
+      factor: Int): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val resized = Codecs.resize(m.payload, factor)
+        MediaFeatures(m.media_id, m.kind, resized.length.toLong,
+          Codecs.decodeToFeature(resized))
+      }
+    }
+  }
+
   /** Frame-sampled video → one feature row per kept frame, with the
     * frame's byte length (provenance a downstream consumer needs, and what
     * makes the histogram invertible for the m03 oracle).

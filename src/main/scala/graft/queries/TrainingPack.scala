@@ -241,6 +241,19 @@ object TrainingPack {
             .cast("bigint").as("bin2_bytes"))
     }),
 
+    // resize path: every 2nd byte kept, then decoded — the stub's byte
+    // histogram is invertible exactly as in m02, and the kept positions
+    // (1, 3, 5, … 1-based) are chars in the pure-ASCII corpus
+    "m04_resized_features" -> ((s, d) => {
+      val items = graft.ops.Multimodal.fromText(docs(s, d), "doc_id", "text",
+        kind = "image")
+      graft.ops.Multimodal.extractResizedFeatures(items, factor = 2)
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("feature"), 3).cast("double") * col("n_bytes"))
+            .cast("bigint").as("bin2_bytes"))
+    }),
+
     // frame-sampled video path: payload split into n_frames chunks, every
     // 2nd frame decoded. Oracle-checkable because the documents corpus is
     // pure ASCII (verified both SFs), so DuckDB's char-wise substr slices
@@ -576,6 +589,13 @@ object TrainingPack {
         | octet_length(encode(text))::BIGINT AS n_bytes,
         | CAST(len(regexp_extract_all(text, '[\x20-\x2f]')) AS BIGINT)
         |   AS bin2_bytes
+        |FROM documents""".stripMargin,
+    "m04_resized_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST((length(text) + 1) // 2 AS BIGINT) AS n_bytes,
+        | CAST(len(list_filter(range(1, length(text) + 1, 2),
+        |   i -> substr(text, i, 1) >= ' ' AND substr(text, i, 1) <= '/'))
+        |   AS BIGINT) AS bin2_bytes
         |FROM documents""".stripMargin,
     "m03_frame_features" ->
       """WITH d AS (
