@@ -59,6 +59,30 @@ object TrainingPack {
         .select(col("doc_id"),
           TextOps.rollingFingerprint(col("tk")).as("rfp"))),
 
+    // character-trigram profile (the n-gram side of language ID): each
+    // doc's dominant trigram and profile width, deterministic tie-break
+    "t08_char_ngrams" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tris = docs(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(when(length(col("t")) >= 3,
+            transform(sequence(lit(1), length(col("t")) - 2),
+              i => col("t").substr(i, lit(3))))
+            .otherwise(array().cast("array<string>"))).as("tri"))
+      val counts = tris.groupBy(col("doc_id"), col("tri"))
+        .agg(count(lit(1)).as("cnt"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      counts
+        .select(col("doc_id"), col("tri"), col("cnt"),
+          count(lit(1)).over(byDoc).as("n_distinct_tri"),
+          row_number().over(byDoc.orderBy(col("cnt").desc, col("tri")))
+            .as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tri").as("top_tri"),
+          col("cnt").as("top_cnt"), col("n_distinct_tri"))
+    }),
+
     "t05_shingle_stats" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"),
@@ -621,6 +645,22 @@ object TrainingPack {
         |   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0B]+'))
         |   AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+    "t08_char_ngrams" ->
+      """WITH tris AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   range(1, greatest(length(t) - 2, 0) + 1),
+        |   i -> substr(t, i, 3))) AS tri
+        | FROM (SELECT doc_id, lower(text) AS t FROM documents) x),
+        |counts AS (
+        | SELECT doc_id, tri, count(*) AS cnt FROM tris GROUP BY 1, 2)
+        |SELECT doc_id, tri AS top_tri, cnt AS top_cnt, n_distinct_tri
+        |FROM (
+        | SELECT doc_id, tri, cnt,
+        |  count(*) OVER (PARTITION BY doc_id) AS n_distinct_tri,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY cnt DESC, tri) AS rn
+        | FROM counts) w
+        |WHERE rn = 1""".stripMargin,
     "t07_rolling_fp" ->
       """SELECT doc_id, list_reduce(
         | list_prepend(CAST(0 AS BIGINT),
