@@ -104,6 +104,29 @@ object TrainingPack {
           slice(TextOps.tokens(lower(col("text"))), 1, 10))).as("fp10"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
 
+    // edit-distance near-dup pairs inside d02's cheap blocking buckets:
+    // exact levenshtein is O(|a|·|b|) per pair, affordable only because
+    // the blocking key (first-10-token fingerprint) bounds the candidate
+    // set — the classic blocked fuzzy-matching shape, megabucket-capped
+    // like every other pair generator here
+    "d14_edit_distance_pairs" -> ((s, d) => {
+      val blocked = docs(s, d).select(col("doc_id"), col("text"),
+        md5(concat_ws(" ",
+          slice(TextOps.tokens(lower(col("text"))), 1, 10))).as("blk"))
+      val small = blocked.groupBy(col("blk")).count()
+        .filter(col("count") <= 100).select(col("blk"))
+      val capped = blocked.join(small, Seq("blk"))
+      val l = capped.select(col("blk"), col("doc_id").as("id_a"),
+        col("text").as("ta"))
+      val r = capped.select(col("blk"), col("doc_id").as("id_b"),
+        col("text").as("tb"))
+      l.join(r, "blk").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.EvalOnce(levenshtein(col("ta"), col("tb")))
+            .cast("bigint").as("edit_dist"))
+        .filter(col("edit_dist") <= 50)
+    }),
+
     "d03_minhash_sig" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"),
@@ -423,6 +446,17 @@ object TrainingPack {
       s"""SELECT md5(array_to_string(list_slice($ltoks, 1, 10), ' ')) AS fp10,
          | min(doc_id) AS keep_id, count(*) AS n
          |FROM documents GROUP BY 1""".stripMargin,
+    "d14_edit_distance_pairs" ->
+      s"""WITH b AS (
+         | SELECT doc_id, text,
+         |  md5(array_to_string(list_slice($ltoks, 1, 10), ' ')) AS blk
+         | FROM documents),
+         |small AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 100),
+         |c AS (SELECT b.* FROM b JOIN small USING (blk))
+         |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         | CAST(levenshtein(l.text, r.text) AS BIGINT) AS edit_dist
+         |FROM c l JOIN c r ON l.blk = r.blk AND l.doc_id < r.doc_id
+         |WHERE levenshtein(l.text, r.text) <= 50""".stripMargin,
     "d03_minhash_sig" -> {
       val mhs = (0 until 8).map(i =>
         s"list_min(list_transform($dtoks, t -> ${h32("t", i)})) AS mh$i")
