@@ -26,6 +26,10 @@ import org.apache.spark.sql.types.StructType
   * NULL keys follow SQL equi-join semantics: right rows with a NULL key
   * are dropped, left rows with a NULL key come through unmatched (window
   * partitioning would otherwise group the NULLs together and match them).
+  * Right rows with a NULL time are dropped for the same reason — under
+  * the window's nulls-first ordering they would otherwise become a
+  * fallback "match" for left rows that have no true at-or-before match,
+  * though `NULL <= t` is unknown in SQL.
   */
 object AsOfJoin {
 
@@ -68,7 +72,8 @@ object AsOfJoin {
     val rightStruct = struct(
       col(rightId).cast("bigint").as("_rid") +:
         payload.map { case (src, dst) => col(src).as(dst) }: _*)
-    val taggedRight = right.filter(col(key).isNotNull).select(
+    val taggedRight = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull).select(
       col(key), col(rightTime).as("_t"), lit(0).as("_is_left"),
       col(rightId).cast("bigint").as("_ord"), rightStruct.as("_p"))
 

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   * count), not collects — per-round work is fully distributed.
   * `localCheckpoint` truncates the growing lineage each round (on a
   * cluster with a checkpoint dir, `checkpoint` gives the same effect with
-  * fault tolerance). `maxIter` bounds the worst case; the loop exits as
-  * soon as a round changes nothing.
+  * fault tolerance). Superseded checkpoint blocks are released by Spark's
+  * ContextCleaner once the loop drops its references (there is no public
+  * API to unpersist a localCheckpoint eagerly); storage is bounded by the
+  * handful of rounds a near-dup graph's diameter needs. `maxIter` bounds
+  * the worst case; the loop exits as soon as a round changes nothing.
   */
 object Components {
 

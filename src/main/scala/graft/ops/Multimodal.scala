@@ -58,9 +58,20 @@ object Multimodal {
       bins.map(_ / n)
     }
 
-    /** "Resize" = keep every k-th byte (stride sampling). */
-    def resize(payload: Array[Byte], factor: Int): Array[Byte] =
-      payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+    /** "Resize" = keep every k-th byte (stride sampling). Allocation-free
+      * stride copy — this runs per payload on the decode hot path, where
+      * boxing every byte into a tuple would dominate the work.
+      */
+    def resize(payload: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, s"resize factor must be >= 1, got $factor")
+      val out = new Array[Byte]((payload.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload(i * factor)
+        i += 1
+      }
+      out
+    }
 
     /** "Frame sample" = split payload into n_frames equal chunks, take
       * every `stride`-th chunk. Frames whose start offset is past the end

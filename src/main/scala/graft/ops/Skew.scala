@@ -32,9 +32,21 @@ object Skew {
   private def rowSalt(factor: Int): Column =
     pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int")
 
+  /** `factor` must be positive (pmod by 0 yields NULL salts, which the
+    * null-rejecting equi-join would silently drop row by row), and the
+    * internal `_salt` name must be free (withColumn would silently clobber
+    * caller data — same guard convention as AsOfJoin).
+    */
+  private def validate(factor: Int, dfs: DataFrame*): Unit = {
+    require(factor >= 1, s"salting factor must be >= 1, got $factor")
+    require(!dfs.exists(_.columns.contains("_salt")),
+      "input already has a _salt column — rename it first")
+  }
+
   /** Equi-join `big ⋈ small` on `key`, salted `factor` ways. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
+    validate(factor, big, small)
     val salted = big.withColumn("_salt", rowSalt(factor))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
@@ -48,10 +60,12 @@ object Skew {
     * state (e.g. collect_set) where one reducer would OOM.
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
-      factor: Int): DataFrame =
+      factor: Int): DataFrame = {
+    validate(factor, df)
     df.withColumn("_salt", rowSalt(factor))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))
       .agg(sum(col("_c")).as("cnt"), sum(col("_s")).as("total"))
+  }
 }

@@ -100,7 +100,10 @@ object VectorOps {
       nPlanes: Int, nTables: Int): DataFrame = {
     // one row per (id, table, bucket) → plain equi-join on (table, bucket):
     // shuffles by bucket key and scales to large query sets, unlike an
-    // OR-of-buckets join (which degenerates to nested-loop)
+    // OR-of-buckets join (which degenerates to nested-loop). No forced
+    // broadcast — that would collect |Q|·nTables quantized vectors to the
+    // driver and defeat the scale claim; AQE broadcasts small query sets
+    // on its own
     def exploded(df: DataFrame, idName: String, vecName: String) =
       df.select(col("id").as(idName), quantize(col("vec")).as(vecName),
         posexplode(array((0 until nTables).map(t =>
@@ -108,7 +111,7 @@ object VectorOps {
           .as(Seq("tbl", "bucket")))
     val q = exploded(queries, "query_id", "qv")
     val c = exploded(corpus, "neighbor_id", "cv")
-    val scored = broadcast(q).join(c, Seq("tbl", "bucket"))
+    val scored = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         qdot(col("qv"), col("cv")).as("dot"))

@@ -47,6 +47,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("backward as-of: NULL right times never match (no nulls-first fallback)") {
+    import spark.implicits._
+    val left = Seq(("u1", 100L, 10L)).toDF("user_id", "t", "left_id")
+    val right = Seq(
+      ("u1", Option.empty[Long], 1L, "null-time"), // must never be visible
+      ("u1", Option(200L), 2L, "future")           // after leftTime
+    ).toDF("user_id", "t", "rid", "v")
+    val out = AsOfJoin.backward(left, right, key = "user_id",
+      leftTime = "t", rightTime = "t", rightId = "rid",
+      rightCols = Map("v" -> "matched_v")).collect()
+    assert(out.length === 1)
+    assert(Option(out.head.getAs[String]("matched_v")).isEmpty)
+  }
+
   test("backward as-of: NULL keys follow equi-join semantics (no match)") {
     import spark.implicits._
     val left = Seq(

@@ -38,5 +38,9 @@ class MultimodalSpec extends SparkSpec {
   test("codec stubs: resize strides bytes") {
     assert(Multimodal.Codecs.resize(Array[Byte](1, 2, 3, 4, 5), 2).toSeq
       === Seq[Byte](1, 3, 5))
+    assert(Multimodal.Codecs.resize(Array.empty[Byte], 3).toSeq === Seq())
+    intercept[IllegalArgumentException] {
+      Multimodal.Codecs.resize(Array[Byte](1), 0)
+    }
   }
 }

@@ -50,4 +50,14 @@ class SkewSpec extends SparkSpec {
       .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
+
+  test("invalid inputs fail fast: non-positive factor, _salt collision") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq((1, "y")).toDF("k", "w")
+    intercept[IllegalArgumentException] { Skew.saltedJoin(a, b, "k", 0) }
+    intercept[IllegalArgumentException] { Skew.saltedCountSum(a, "k", "k", -1) }
+    val clash = a.withColumn("_salt", org.apache.spark.sql.functions.lit(1))
+    intercept[IllegalArgumentException] { Skew.saltedJoin(clash, b, "k", 4) }
+  }
 }
