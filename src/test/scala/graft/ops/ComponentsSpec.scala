@@ -31,4 +31,31 @@ class ComponentsSpec extends SparkSpec {
       .select(countDistinct(col("component"))).first().getLong(0)
     assert(got === 1L)
   }
+
+  test("property: random graphs match a brute-force union-find oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(n)
+      val edges = Seq.fill(nEdges)(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+
+      val got = Components.connectedComponents(
+        (1L to n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: n=$n edges=$edges")
+    }
+  }
 }
