@@ -22,12 +22,14 @@ class ComponentsSpec extends SparkSpec {
       8L -> 8L, 9L -> 9L))
   }
 
-  test("connected components: long path converges within maxIter") {
+  test("connected components: 300-node path converges in O(log D) rounds") {
     import spark.implicits._
-    val n = 20L
+    val n = 300L
     val nodes = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Components.connectedComponents(nodes, edges)
+    // pointer doubling covers ~2^k hops after k rounds; without the
+    // shortcut this graph needs ~n rounds and maxIter=12 would throw
+    val got = Components.connectedComponents(nodes, edges, maxIter = 12)
       .select(countDistinct(col("component"))).first().getLong(0)
     assert(got === 1L)
   }
