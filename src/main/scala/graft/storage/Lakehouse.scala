@@ -33,8 +33,17 @@ import org.apache.spark.sql.types.StructType
   * are allocated by listing, not by an atomic counter, so two concurrent
   * writers could claim the same `_v<N>`. Concurrency control (a lock file
   * or CAS on a log, as Delta does) is deliberately out of scope.
+  *
+  * @param retainSnapshots how many SUPERSEDED full snapshots each full
+  *   commit keeps for time travel (plus the deltas between them, so every
+  *   retained version can still resolve its snapshot base — retention is
+  *   chain-aware, never a bare suffix of version numbers). 0 (default) =
+  *   the original behavior: a full commit garbage-collects everything it
+  *   shadows, and `readAt` only reaches the append chain since then.
   */
-final class Lakehouse(val spark: SparkSession, val root: String) {
+final class Lakehouse(val spark: SparkSession, val root: String,
+    val retainSnapshots: Int = 0) {
+  require(retainSnapshots >= 0, s"retainSnapshots < 0: $retainSnapshots")
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -106,10 +115,10 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
 
   /** Time travel: the table as of commit `maxVersion` (inclusive) — the
     * latest full snapshot at or before it plus the deltas between. Only
-    * reaches versions still on disk: a full commit garbage-collects its
-    * predecessors, so the window is bounded by the append chain since the
-    * last overwrite/compact (a real deployment would add retention policy
-    * before GC).
+    * reaches versions still on disk: the window is the append chain since
+    * the last overwrite/compact plus, with `retainSnapshots` > 0, the
+    * retained snapshot generations before it; anything older throws
+    * (never silently resolves against a GC'd base).
     */
   def readAt(name: String, maxVersion: Long): DataFrame = {
     val schema = Schemas.byName.getOrElse(name,
@@ -276,13 +285,34 @@ final class Lakehouse(val spark: SparkSession, val root: String) {
     }.distinct
     seen.foreach(id =>
       fs.create(new Path(vdir, s"$SeenPrefix$id"), false).close())
-    // GC: everything except the just-committed version.
-    older.foreach { case (_, p) => fs.delete(p, true) }
-    fs.listStatus(dest).foreach { st =>
-      val n = st.getPath.getName
-      if (n != vdir.getName && !n.startsWith("_") && !n.startsWith("."))
-        fs.delete(st.getPath, true)
+    // GC with retention: keep the newest `retainSnapshots` superseded FULL
+    // commits plus every committed version at-or-after the oldest retained
+    // full (the deltas those snapshots' readAt chains need). Uncommitted
+    // dirs are crash debris and always go. With no superseded full yet but
+    // retention on, the pre-full state (committed deltas + any
+    // pre-versioning top-level files) IS the previous snapshot — keep it
+    // whole or readAt would silently resolve a delta-only chain.
+    val committedOlder = older.flatMap { case (v, p) =>
+      commitKind(p).map(full => (v, p, full))
     }
+    val retainedFulls = committedOlder.filter(_._3).sortBy(-_._1)
+      .take(retainSnapshots)
+    val keepPreVersioningBase =
+      retainSnapshots > 0 && committedOlder.forall(!_._3)
+    val keep: Set[String] =
+      if (keepPreVersioningBase) committedOlder.map(_._2.getName).toSet
+      else retainedFulls.map(_._1).minOption match {
+        case Some(cutoff) =>
+          committedOlder.filter(_._1 >= cutoff).map(_._2.getName).toSet
+        case None => Set.empty
+      }
+    older.foreach { case (_, p) => if (!keep(p.getName)) fs.delete(p, true) }
+    if (!keepPreVersioningBase)
+      fs.listStatus(dest).foreach { st =>
+        val n = st.getPath.getName
+        if (n != vdir.getName && !n.startsWith("_") && !n.startsWith("."))
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** Small-file compaction: fold the live version chain (one delta per

@@ -166,6 +166,42 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.versions("dim_cards") === Seq(4L -> true))
   }
 
+  test("retention: time travel survives compaction across generations") {
+    val lake = new Lakehouse(spark, tmpDir("lake-retain"), retainSnapshots = 1)
+    lake.overwrite("dim_cards", dimDf("c1" -> "a1"))        // v1 full
+    lake.append("dim_cards", dimDf("c2" -> "a2"))           // v2 delta
+    lake.compact("dim_cards", numFiles = 1)                 // v3 full
+    // the superseded generation (full + its delta) is retained whole
+    assert(lake.versions("dim_cards") ===
+      Seq(1L -> true, 2L -> false, 3L -> true))
+    assert(lake.readAt("dim_cards", 1L).select("card_num").as[String]
+      .collect().toSeq === Seq("c1"))
+    assert(lake.readAt("dim_cards", 2L).select("card_num").as[String]
+      .collect().sorted.toSeq === Seq("c1", "c2"))
+    assert(lake.read("dim_cards").count() === 2)
+    lake.append("dim_cards", dimDf("c3" -> "a3"))           // v4 delta
+    lake.compact("dim_cards", numFiles = 1)                 // v5 full
+    // one generation of history: v1's generation ages out, v3's stays
+    assert(lake.versions("dim_cards") ===
+      Seq(3L -> true, 4L -> false, 5L -> true))
+    assert(lake.readAt("dim_cards", 4L).count() === 3)
+    // older than the retention window throws, never silently mis-resolves
+    intercept[IllegalArgumentException](lake.readAt("dim_cards", 2L))
+  }
+
+  test("retention keeps the pre-versioning delta chain as a snapshot base") {
+    val lake = new Lakehouse(spark, tmpDir("lake-retain-base"),
+      retainSnapshots = 1)
+    lake.append("dim_cards", dimDf("c1" -> "a1"))           // v1 delta
+    lake.append("dim_cards", dimDf("c2" -> "a2"))           // v2 delta
+    lake.overwrite("dim_cards", dimDf("c9" -> "a9"))        // v3 full
+    // no superseded full existed — the delta chain IS the prior snapshot
+    assert(lake.readAt("dim_cards", 2L).select("card_num").as[String]
+      .collect().sorted.toSeq === Seq("c1", "c2"))
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq === Seq("c9"))
+  }
+
   test("snapshot write may read the table it replaces") {
     val lake = new Lakehouse(spark, tmpDir("lake-selfread"))
     lake.overwrite("dim_cards", dimDf("c1" -> "a1"))
