@@ -22,5 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("eval_once"),
         new ExpressionInfo(classOf[EvalOnce].getName, "eval_once"),
         (children: Seq[Expression]) => EvalOnce(children.head)))
+    e.injectFunction(
+      (FunctionIdentifier("char_ngram_profile"),
+        new ExpressionInfo(classOf[CharNgramProfile].getName,
+          "char_ngram_profile"),
+        (children: Seq[Expression]) => children match {
+          case Seq(s, org.apache.spark.sql.catalyst.expressions
+            .Literal(n: Int, org.apache.spark.sql.types.IntegerType)) =>
+            CharNgramProfile(s, n)
+          case _ => throw new IllegalArgumentException(
+            "char_ngram_profile(text, n) requires a literal INT width")
+        }))
   }
 }

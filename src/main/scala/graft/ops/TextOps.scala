@@ -55,13 +55,61 @@ object TextOps {
     * higher-order lambdas are not common-subexpression-eliminated, so an
     * inline tokenizer would re-run the regex per element.
     */
-  def shingles3FromTokens(t: Column): Column =
-    when(size(t) >= 3,
+  def shingles3FromTokens(t: Column): Column = ngramsFromTokens(t, 3)
+
+  /** Word n-grams from a pre-projected token array, space-joined; same
+    * short-text guard as the 3-gram case. */
+  def ngramsFromTokens(t: Column, n: Int): Column = {
+    require(n >= 1, s"ngram width < 1: $n")
+    when(size(t) >= n,
       transform(
-        sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2))))
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(t, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Dominant element of a SORTED string array as struct
+    * (best, best_cnt, n_distinct), via one linear fold: the longest run
+    * wins; ties keep the FIRST run, which in an ascending array is the
+    * smallest element — the deterministic `ORDER BY cnt DESC, x ASC`
+    * tie-break. Map-side replacement for the explode → count → rank
+    * pattern, whose shuffle is ~|corpus| × element width at scale.
+    */
+  def dominantOfSorted(arr: Column): Column =
+    aggregate(arr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best_cnt"),
+        lit("").as("best"), lit(0L).as("n_distinct")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > acc("best_cnt"), run).otherwise(acc("best_cnt"))
+            .as("best_cnt"),
+          when(run > acc("best_cnt"), x).otherwise(acc("best")).as("best"),
+          (acc("n_distinct") + when(x =!= acc("prev"), 1L).otherwise(0L))
+            .as("n_distinct"))
+      },
+      acc => struct(acc("best").as("best"), acc("best_cnt").as("best_cnt"),
+        acc("n_distinct").as("n_distinct")))
+
+  /** Occurrences belonging to elements appearing more than once in a
+    * SORTED array — the duplicate-n-gram repetition signal of the Gopher
+    * data pipeline (Rae et al. 2021, §A1.1). Exact integers, map-side;
+    * the finish step flushes the last run.
+    */
+  def dupOccurrencesOfSorted(arr: Column): Column =
+    aggregate(arr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup")),
+      (acc, x) => {
+        val closes = x =!= acc("prev")
+        struct(x.as("prev"),
+          when(closes, lit(1L)).otherwise(acc("run") + 1L).as("run"),
+          (acc("dup") +
+            when(closes && acc("run") > 1L, acc("run")).otherwise(0L))
+            .as("dup"))
+      },
+      acc => acc("dup") +
+        when(acc("run") > 1L, acc("run")).otherwise(lit(0L)))
 
   /** Word 3-gram shingles (for n-gram Jaccard / MinHash input). */
   def shingles3(text: Column): Column = shingles3FromTokens(tokens(text))

@@ -23,6 +23,53 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.toSeq === Seq(10, 20, 30))
   }
 
+  test("char_ngram_profile: counts, binary tie-break, short-string NULL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ababa"),   // aba ×2 > bab ×1; 2 distinct
+      (2L, "abcabc"),  // abc ×2 wins; bca, cab ×1 each; wait: abc,bca,cab,abc
+      (3L, "xyz"),     // single trigram
+      (4L, "ab"),      // shorter than n -> NULL
+      (5L, "aaaa")     // aaa ×2, 1 distinct
+    ).toDF("id", "s")
+      .select(col("id"), CharNgramProfile(col("s"), 3).as("p"))
+      .select(col("id"), col("p.best"), col("p.best_cnt"),
+        col("p.n_distinct"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null
+        else (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ("aba", 2L, 2L))
+    assert(got(2L) === ("abc", 2L, 3L))
+    assert(got(3L) === ("xyz", 1L, 1L))
+    assert(got(4L) === null)
+    assert(got(5L) === ("aaa", 2L, 1L))
+    // all-ties: the binary-smallest gram wins (ORDER BY cnt DESC, g ASC)
+    val tie = Seq("zyxw").toDF("s")
+      .select(CharNgramProfile(col("s"), 3).as("p")).first()
+    assert(tie.getStruct(0).getString(0) === "yxw")
+  }
+
+  test("char_ngram_profile handles supplementary-plane code points") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // U+10400 is one code point but two UTF-16 code units: grams must
+    // count code points, so "𐐀bc𐐀bc" has 4 trigrams, dominant "𐐀bc" ×2
+    val s = "𐐀bc𐐀bc"
+    val r = Seq(s).toDF("s")
+      .select(CharNgramProfile(col("s"), 3).as("p")).first().getStruct(0)
+    assert(r.getString(0) === "𐐀bc")
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 3L)
+  }
+
+  test("char_ngram_profile is callable from SQL") {
+    val r = spark.sql(
+      "SELECT char_ngram_profile('ababa', 3) AS p").first().getStruct(0)
+    assert(r.getString(0) === "aba")
+    assert(r.getLong(1) === 2L)
+  }
+
   test("eval_once blocks filter pushdown through its alias") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
