@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, TextOps, VectorOps}
+import graft.ops.{Dedup, Packing, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -224,6 +224,18 @@ object TrainingPack {
         .filter(col("rn") <= 50)
         .select(col("doc_id"), col("lang"), col("rn"))
     }),
+
+    // token-budget sequence packing: every doc's starting offset in the
+    // id-ordered token stream and its training-chunk number — a
+    // distributed two-phase prefix sum (partition-local cumsum + tiny
+    // collected per-partition offsets), NOT a single-partition
+    // `sum OVER (ORDER BY id)` window, which is the oracle's spelling
+    // and exactly the shape that dies at 100 TB
+    "d15_seq_pack" -> ((s, d) =>
+      Packing.packSequences(
+        docs(s, d).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("nt")),
+        "doc_id", "nt", budget = 512L)),
 
     // keep-first dedup returning the surviving document rows
     "d07_dedup_keep_first" -> ((s, d) => {
@@ -497,6 +509,16 @@ object TrainingPack {
         |   doc_id) AS rn
         | FROM documents) t
         |WHERE rn <= 50""".stripMargin,
+    "d15_seq_pack" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS start_off,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |    OVER (ORDER BY doc_id) AS cum
+        | FROM documents) t""".stripMargin,
     "d10_dedup_components" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
