@@ -63,34 +63,34 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = nbrMinOf(labels).localCheckpoint(eager = true)
-      // convergence test BEFORE building the next snapshot (labels only
-      // ever decrease): the final round costs one count, not a full
-      // join + checkpoint
-      converged = !improves(labels, nbrMin)
-      if (!converged) {
-        val merged = labels
-          .join(nbrMin.withColumnRenamed("src", "_sid"),
-            col("id") === col("_sid"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("_nbr"), col("component")))
-              .as("component"))
-        // pointer-doubling shortcut: every label value is itself a node
-        // id (labels are mins over node ids), so look up ITS label in the
-        // previous round's table (already checkpointed — reusing it twice
-        // in one plan is free) and jump there. Labels only decrease and
-        // never drop below the component minimum, so the jump is safe;
-        // left join because a fixpoint label maps to itself but an id
-        // may be absent from a filtered nodes frame.
-        labels = merged
-          .join(labels.select(col("id").as("_pid"),
-            col("component").as("_pc")), col("component") === col("_pid"),
-            "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("_pc"), col("component")))
-              .as("component"))
-          .localCheckpoint(eager = true)
-      }
+      // one pipeline per round: neighbor-min join + agg, merge, then the
+      // pointer-doubling shortcut — every label value is itself a node id
+      // (labels are mins over node ids), so look up ITS label in the
+      // previous round's table (already checkpointed — reusing it three
+      // times in one plan is free) and jump there. Labels only decrease
+      // and never drop below the component minimum, so the jump is safe;
+      // left joins because a fixpoint label maps to itself but an id may
+      // be absent from a filtered nodes frame. The `_changed` flag rides
+      // along so convergence costs one cheap scan of the checkpoint
+      // afterwards, not a separate join per round (2 jobs/round, not 3).
+      val merged = labels
+        .join(nbrMinOf(labels).withColumnRenamed("src", "_sid"),
+          col("id") === col("_sid"), "left")
+        .select(col("id"), col("component").as("_old"),
+          least(col("component"), coalesce(col("_nbr"), col("component")))
+            .as("_m"))
+      val next = merged
+        .join(labels.select(col("id").as("_pid"),
+          col("component").as("_pc")), col("_m") === col("_pid"), "left")
+        .select(col("id"), col("_old"),
+          least(col("_m"), coalesce(col("_pc"), col("_m"))).as("component"))
+        .select(col("id"), col("component"),
+          (col("component") < col("_old")).as("_changed"))
+        .localCheckpoint(eager = true)
+      // no row changed ⇒ in particular the neighbor-min step changed
+      // nothing ⇒ labels are constant along every edge ⇒ fixpoint
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.drop("_changed")
       iter += 1
     }
     // a graph needing exactly maxIter improvement rounds exits the loop
