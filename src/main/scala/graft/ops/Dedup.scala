@@ -203,4 +203,33 @@ object Dedup {
             col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Benchmark decontamination: for every corpus document, how many of
+    * its distinct word 3-grams (case-insensitive) also occur in the
+    * benchmark/eval set — the overlap signal training pipelines use to
+    * drop eval-contaminated documents (docs with `n_hits` ≥ some cutoff).
+    *
+    * Scale shape: the benchmark side is an eval suite — thousands to
+    * millions of shingles, not corpus-sized — so its distinct-shingle set
+    * is BROADCAST and the corpus side never shuffles its exploded
+    * shingles; the only exchange is the final per-doc count aggregation
+    * (map-side partial on doc id). Drop the `broadcast` hint if a
+    * benchmark ever outgrows executor memory and AQE will pick a shuffle
+    * join on the same plan.
+    */
+  def decontaminationHits(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // project tokens before shingling (no CSE inside HOF lambdas —
+    // see ngramJaccardPairs) and de-dup per doc so a shingle repeated
+    // inside one document counts once
+    def shingled(df: DataFrame, cols: Column*) = df
+      .select(cols :+ TextOps.tokens(lower(col(textCol))).as("tk"): _*)
+      .select(cols :+ explode(array_distinct(
+        TextOps.shingles3FromTokens(col("tk")))).as("sh"): _*)
+    val bs = shingled(bench).select(col("sh")).distinct()
+    shingled(corpus, col(idCol))
+      .join(broadcast(bs), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

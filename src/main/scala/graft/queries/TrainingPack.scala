@@ -237,6 +237,17 @@ object TrainingPack {
           TextOps.tokenCount(col("text")).as("nt")),
         "doc_id", "nt", budget = 512L)),
 
+    // benchmark decontamination: distinct-shingle overlap of each corpus
+    // doc against a benchmark set (src0 as the stand-in eval suite);
+    // benchmark shingles broadcast, corpus side never shuffles raw grams
+    "d16_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.decontaminationHits(
+        all.filter(col("source") =!= "src0"),
+        all.filter(col("source") === "src0"),
+        "doc_id", "text")
+    }),
+
     // keep-first dedup returning the surviving document rows
     "d07_dedup_keep_first" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -519,6 +530,17 @@ object TrainingPack {
         |  sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
         |    OVER (ORDER BY doc_id) AS cum
         | FROM documents) t""".stripMargin,
+    "d16_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |  regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |shx AS (SELECT doc_id, source, unnest(list_distinct(
+        |  list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |    i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS sh FROM tk),
+        |bs AS (SELECT DISTINCT sh FROM shx WHERE source = 'src0')
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM (SELECT doc_id, sh FROM shx WHERE source <> 'src0') c
+        |JOIN bs USING (sh)
+        |GROUP BY 1""".stripMargin,
     "d10_dedup_components" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
