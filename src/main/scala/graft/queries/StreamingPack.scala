@@ -73,6 +73,40 @@ object StreamingPack {
         .start()
       q.awaitTermination()
       drained(s, sink, s.table(sink))
+    }),
+
+    // stream-stream interval join: purchases matched to the same user's
+    // clicks within the preceding 10 minutes. Both sides carry watermarks
+    // and the join has a time-range bound, so join state is EVICTABLE —
+    // the only shape an unbounded stream-stream join can scale with
+    // (unbounded state otherwise). Inner-join append output emits every
+    // matched pair exactly once, so the drained result is deterministic
+    // and hash-comparable to the batch self-join oracle.
+    "s03_stream_stream_join" -> ((s, d) => {
+      val sink = s"s03_out_${System.nanoTime()}"
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val q = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") +
+              expr("INTERVAL 10 MINUTES"))
+        .select(col("c_user").as("user_id"), col("click_id"),
+          col("purchase_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drained(s, sink, s.table(sink))
     })
   )
 
@@ -99,6 +133,12 @@ object StreamingPack {
       """SELECT c_mktsegment, count(*) AS n_events,
         | min(user_id) AS min_user, max(user_id) AS max_user
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+    "s03_stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS click_id,
+        | b.event_id AS purchase_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""".stripMargin
   )
 }
