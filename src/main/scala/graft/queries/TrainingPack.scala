@@ -19,6 +19,19 @@ object TrainingPack {
     Tables.documents(s, d)
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+
+  /** Top-`size` tokenizer vocabulary: (token, cnt, vocab_id), ranked by
+    * count desc then token asc (deterministic). Shared by t10/t11.
+    */
+  private def vocab(s: SparkSession, d: String, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d)
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("vocab_id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).cast("bigint"))
+      .filter(col("vocab_id") <= size)
+  }
   private def embIdVec(s: SparkSession, d: String): DataFrame =
     embs(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
 
@@ -108,6 +121,28 @@ object TrainingPack {
             .as("n_shingles"),
           size(array_distinct(TextOps.shingles3FromTokens(col("ltk"))))
             .cast("bigint").as("n_distinct_shingles"))),
+
+    // tokenizer-vocabulary build: global token counts, ranked. The rank
+    // window runs over the AGGREGATED vocabulary (|distinct tokens|, not
+    // |corpus|) and only to cut the top-V head — the count agg is the
+    // distributed part; a vocab-sized single-partition sort is bounded
+    // by V, not the data
+    "t10_vocab" -> ((s, d) => vocab(s, d, 20)),
+
+    // unigram-LM proxy score per document: every token looked up in the
+    // broadcast top-V vocabulary; exact integer outputs (rank sum + OOV
+    // count) rather than float log-probs so the oracle hash is stable
+    "t11_unigram_score" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("token"))
+      toks
+        .join(broadcast(vocab(s, d, 20).select(col("token"),
+          col("vocab_id"))), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("vocab_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+          coalesce(sum(col("vocab_id")), lit(0L)).as("rank_sum"))
+    }),
 
     // ---- deduplication -------------------------------------------------
     "d01_dedup_exact" -> ((s, d) =>
@@ -530,6 +565,33 @@ object TrainingPack {
         |  sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
         |    OVER (ORDER BY doc_id) AS cum
         | FROM documents) t""".stripMargin,
+    "t10_vocab" ->
+      """WITH tok AS (SELECT
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        | FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+        |SELECT token, cnt, vocab_id FROM (
+        | SELECT token, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+        |    AS vocab_id
+        | FROM c) x
+        |WHERE vocab_id <= 20""".stripMargin,
+    "t11_unigram_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        | FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |v AS (SELECT token, vocab_id FROM (
+        | SELECT token,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+        |    AS vocab_id
+        | FROM c) x WHERE vocab_id <= 20)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN v.vocab_id IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_oov,
+        | CAST(COALESCE(sum(v.vocab_id), 0) AS BIGINT) AS rank_sum
+        |FROM tok t LEFT JOIN v ON t.token = v.token
+        |GROUP BY 1""".stripMargin,
     "d16_decontaminate" ->
       """WITH tk AS (SELECT doc_id, source,
         |  regexp_extract_all(lower(text), '\S+') AS t FROM documents),

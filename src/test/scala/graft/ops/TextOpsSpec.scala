@@ -53,6 +53,40 @@ class TextOpsSpec extends SparkSpec {
     assert(ru.getString(1) === fp1)
   }
 
+  test("property: sort/fold helpers match naive run accounting") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.array_sort
+    val rnd = new scala.util.Random(11)
+    // random small-alphabet arrays maximize duplicate runs and ties
+    val arrays = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(
+        ('a' + rnd.nextInt(3)).toChar.toString))
+    }
+    val got = arrays.toDF("id", "arr")
+      .select($"id",
+        TextOps.dominantOfSorted(array_sort($"arr")).as("dom"),
+        TextOps.dupOccurrencesOfSorted(array_sort($"arr")).as("dup"))
+      .select($"id", $"dom.best", $"dom.best_cnt", $"dom.n_distinct",
+        $"dup")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    arrays.foreach { case (id, arr) =>
+      val counts = arr.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected =
+        if (arr.isEmpty) ("", 0L, 0L, 0L)
+        else {
+          // max count, ties to the smallest element
+          val (bt, bc) = counts.toSeq.minBy { case (t, c) => (-c, t) }
+          (bt, bc, counts.size.toLong,
+            counts.values.filter(_ > 1).sum)
+        }
+      assert(got(id) === expected, s"id=$id arr=$arr")
+    }
+  }
+
   test("simhash/minhash of empty token sets are defined") {
     val r = one("").select(
       Dedup.simhash16(col("text")) +:
