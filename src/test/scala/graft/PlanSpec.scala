@@ -76,6 +76,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t08 trigram profile: map-only native expression, no exchange") {
+    val p = explain("t08_char_ngrams")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("char_ngram_profile"), p)
+  }
+
+  test("t09 repetition signals: map-only (no exchange of any kind)") {
+    val p = explain("t09_repetition")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("d16 decontamination: benchmark side broadcast, corpus grams never shuffle") {
+    val p = explain("d16_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly two hash exchanges: the BENCHMARK-side shingle distinct
+    // (eval-suite-sized, cheap) and the final per-doc count agg — the
+    // corpus side's exploded grams must never appear in an exchange
+    assert(count(p, "Exchange hashpartitioning") === 2, p)
+  }
+
+  test("t11 unigram score: vocab broadcast to the exploded token stream") {
+    val p = explain("t11_unigram_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d15 packing plan has no global single-partition sort") {
+    // the prefix sum must never degenerate to `sum OVER (ORDER BY id)`:
+    // a rangepartitioning exchange with numPartitions=1 (or a Window
+    // with an empty partition spec) would be that anti-pattern
+    val p = explain("d15_seq_pack")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("rangepartitioning(id ASC NULLS FIRST, 1)"), p)
+  }
+
   test("F4 detect: single shuffle on client, no driver-side collect in plan") {
     import org.apache.spark.sql.functions._
     val lake = new graft.storage.Lakehouse(spark, tmpDir("planspec-f4"))
