@@ -245,6 +245,22 @@ object TrainingPack {
             .when(col("bucket") < 90, "val")
             .otherwise("test").as("split"))),
 
+    // domain-mixture sampling: per-source Bernoulli keep rates (the
+    // data-mixing step that up/down-weights domains before training),
+    // applied through a deterministic md5 bucket per doc — reproducible
+    // across runs and engines, map-only, no rand(). Rates here derive
+    // from the source id (15%..75%) purely so the oracle can mirror
+    // them; a real run passes a rates map
+    "d17_mixture_sample" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("b", pmod(graft.functions.Md5Prefix64(
+          concat(lit("mix-"), col("doc_id").cast("string"))), lit(100L)))
+        .withColumn("rate",
+          (pmod(substring(col("source"), 4, 10).cast("long"), lit(5L)) +
+            1L) * 15L)
+        .filter(col("b") < col("rate"))
+        .select(col("doc_id"), col("source"), col("b").as("bucket"))),
+
     // stratified sampling: deterministic hash-ordered top-n per language
     // (balanced eval sets); the md5 order is uniform but reproducible
     "d12_stratified_sample" -> ((s, d) => {
@@ -547,6 +563,13 @@ object TrainingPack {
         |FROM (SELECT doc_id,
         |  CAST(concat('0x', substr(md5(concat('split-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
         | FROM documents) t""".stripMargin,
+    "d17_mixture_sample" ->
+      """SELECT doc_id, source, b AS bucket FROM (
+        | SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(concat('mix-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b,
+        |  (CAST(substr(source, 4, 10) AS BIGINT) % 5 + 1) * 15 AS rate
+        | FROM documents) t
+        |WHERE b < rate""".stripMargin,
     "d12_stratified_sample" ->
       """SELECT doc_id, lang, rn FROM (
         | SELECT doc_id, lang,
