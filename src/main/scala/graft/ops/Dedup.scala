@@ -135,6 +135,63 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs by banded hamming distance (Manku et al.,
+    * WWW'07): a 64-bit signature held as FOUR independently-salted 16-bit
+    * quadrants, banded on quadrant equality. By pigeonhole, any pair
+    * within `maxHamming` ≤ 3 bits over the 64 differs in at most 3
+    * quadrants, so it shares at least one — the banding is EXACT recall
+    * for the threshold, never all-pairs. Quadrants stay separate longs
+    * (never assembled into one word): bit 63 would flip the sign in
+    * Spark while overflowing DuckDB's BIGINT constructor, and the
+    * banding only ever compares quadrants anyway.
+    *
+    * Scale: signatures are map-only; the shuffle is on (band, quadrant
+    * value) with fan-in = bucket size; `maxBucket` is the same megabucket
+    * guard as [[minhashNearDups]] (a degenerate bucket of m docs costs m²
+    * pairs — skipped mass is a documented recall trade).
+    */
+  /** Quadrant `q`'s salted token hashes (the [[simhashHammingPairs]]
+    * signature input) from a pre-projected distinct-token array —
+    * exposed so callers can persist signatures and tests can brute-force
+    * the pair set.
+    */
+  def simhashQuadrantHashes(toks: Column, q: Int): Column =
+    transform(toks, t => hash16(concat(t, lit(s"@shq$q"))))
+
+  def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding over 4 quadrants is exact only for maxHamming ≤ 3: $maxHamming")
+    // three-step projection (CollapseProject keeps multi-use expensive
+    // aliases apart): tokenize once; hash per quadrant once; then the 16
+    // per-bit votes of each quadrant re-scan the materialized hash array
+    val base = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextOps.tokens(lower(col(textCol)))).as("toks"))
+      .select(col("id") +: (0 until 4).map(q =>
+        simhashQuadrantHashes(col("toks"), q).as(s"h$q")): _*)
+      .select(col("id") +: (0 until 4).map(q =>
+        simhash16FromHashes(col(s"h$q")).as(s"sh$q")): _*)
+
+    val shCols = (0 until 4).map(q => col(s"sh$q"))
+    val banded = base.select(col("id") +: shCols :+
+      posexplode(array(shCols: _*)).as(Seq("band", "bkey")): _*)
+    val small = banded.groupBy(col("band"), col("bkey")).count()
+      .filter(col("count") <= maxBucket).select(col("band"), col("bkey"))
+    val capped = banded.join(small, Seq("band", "bkey"))
+
+    val l = capped.select(col("band") +: col("bkey") +:
+      col("id").as("id_a") +: (0 until 4).map(q => col(s"sh$q").as(s"a$q")): _*)
+    val r = capped.select(col("band") +: col("bkey") +:
+      col("id").as("id_b") +: (0 until 4).map(q => col(s"sh$q").as(s"b$q")): _*)
+    val ham = (0 until 4).map(q => hamming(col(s"a$q"), col(s"b$q")))
+      .reduce(_ + _).cast("bigint")
+    l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+      .distinct() // a pair sharing k quadrants appears in k bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** N-gram (word 3-gram) Jaccard similarity between all candidate pairs
     * sharing a shingle-minhash bucket — the shingle variant of near-dup.
     * Same megabucket cap as [[minhashNearDups]]: a degenerate bucket of m

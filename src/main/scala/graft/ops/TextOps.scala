@@ -34,6 +34,32 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpePattern)).cast("bigint")
 
+  /** PII patterns, restricted (like [[BpePattern]]) to syntax with
+    * identical semantics under Java regex (Spark) and RE2 (DuckDB
+    * oracle): character classes, bounded repeats, `\b` word boundaries —
+    * no lookahead. Deliberately simple recall-oriented shapes; a
+    * production scrubber layers more patterns through the same map-only
+    * pipeline.
+    */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Pattern: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Mask emails / IPv4 addresses / phone numbers with typed placeholder
+    * tokens — the PII-scrubbing step of a training-data pipeline. Order
+    * matters and is fixed: emails first (their local/domain parts contain
+    * digit-dot runs an IP pattern could claim), then IPs, then phones.
+    * Pure column expression: map-only, codegen'd, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Polynomial rolling hash over a pre-projected token array:
     * h ← (31·h + t) mod 1e9+7, t = first 24 bits of md5(token).
     * Order-sensitive, unlike [[fingerprint]]: reordered-token documents

@@ -122,6 +122,51 @@ object TrainingPack {
           size(array_distinct(TextOps.shingles3FromTokens(col("ltk"))))
             .cast("bigint").as("n_distinct_shingles"))),
 
+    // PII scrubbing: deterministic synthetic PII is appended per doc (an
+    // email for every doc, a phone for every 3rd, an IPv4 for every 5th)
+    // so the masking is actually exercised and the oracle can mirror the
+    // inputs; a real run calls TextOps.redactPii on the raw column
+    // directly. Map-only, codegen'd.
+    "t12_pii_redact" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("raw", concat_ws(" ", col("text"),
+          concat(lit("u"), col("doc_id").cast("string"),
+            lit("@example.com")),
+          when(pmod(col("doc_id"), lit(3L)) === 0L,
+            concat(lit("tel 555-"),
+              lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))),
+          when(pmod(col("doc_id"), lit(5L)) === 0L,
+            concat(lit("host 10.0."),
+              pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+              (pmod(col("doc_id"), lit(254L)) + 1L).cast("string")))))
+        .select(col("doc_id"),
+          TextOps.redactPii(col("raw")).as("redacted"),
+          size(regexp_extract_all(col("raw"), lit(TextOps.EmailPattern),
+            lit(0))).cast("bigint").as("n_email"),
+          size(regexp_extract_all(col("raw"), lit(TextOps.PhonePattern),
+            lit(0))).cast("bigint").as("n_phone"),
+          size(regexp_extract_all(col("raw"), lit(TextOps.Ipv4Pattern),
+            lit(0))).cast("bigint").as("n_ip"))),
+
+    // fixed-width token chunking with overlap (window 32, stride 24):
+    // long documents split into overlapping context-window chunks — the
+    // precursor to d15's sequence packing. sequence + slice over a
+    // pre-projected token array, one row per chunk via posexplode;
+    // map-only, no shuffle
+    "t13_chunk" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          posexplode(when(size(col("tk")) > 0,
+            sequence(lit(0), size(col("tk")) - 1, lit(24)))
+            .otherwise(array().cast("array<int>")))
+            .as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+          array_join(slice(col("tk"), col("start") + 1, lit(32)), " ")
+            .as("chunk_text"),
+          least(size(col("tk")) - col("start"), lit(32)).cast("bigint")
+            .as("n_tokens"))),
+
     // tokenizer-vocabulary build: global token counts, ranked. The rank
     // window runs over the AGGREGATED vocabulary (|distinct tokens|, not
     // |corpus|) and only to cut the top-V head — the count agg is the
@@ -260,6 +305,14 @@ object TrainingPack {
             1L) * 15L)
         .filter(col("b") < col("rate"))
         .select(col("doc_id"), col("source"), col("b").as("bucket"))),
+
+    // simhash near-dup pairs: banded hamming over 4 salted 16-bit
+    // quadrants (exact recall for hamming ≤ 3 by pigeonhole) — the
+    // signature-distance member of the near-dup family, next to d04
+    // (minhash jaccard) and d09 (shingle jaccard)
+    "d18_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashHammingPairs(docs(s, d), "doc_id", "text",
+        maxHamming = 3, maxBucket = 100)),
 
     // stratified sampling: deterministic hash-ordered top-n per language
     // (balanced eval sets); the md5 order is uniform but reproducible
@@ -615,6 +668,34 @@ object TrainingPack {
         | CAST(COALESCE(sum(v.vocab_id), 0) AS BIGINT) AS rank_sum
         |FROM tok t LEFT JOIN v ON t.token = v.token
         |GROUP BY 1""".stripMargin,
+    "t12_pii_redact" -> {
+      // raw-text synthesis mirrors the Spark side exactly; CASE with no
+      // ELSE yields NULL, which concat_ws skips in both engines
+      val raw = "concat_ws(' ', text, " +
+        "concat('u', CAST(doc_id AS VARCHAR), '@example.com'), " +
+        "CASE WHEN doc_id % 3 = 0 THEN concat('tel 555-', " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) END, " +
+        "CASE WHEN doc_id % 5 = 0 THEN concat('host 10.0.', " +
+        "CAST(doc_id % 256 AS VARCHAR), '.', " +
+        "CAST(doc_id % 254 + 1 AS VARCHAR)) END)"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b[0-9]{3}-[0-9]{4}\\b"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      s"""SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(raw,
+         |   '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |   '$phone', '<PHONE>', 'g') AS redacted,
+         | CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(raw, '$phone')) AS BIGINT) AS n_phone,
+         | CAST(len(regexp_extract_all(raw, '$ip')) AS BIGINT) AS n_ip
+         |FROM (SELECT doc_id, $raw AS raw FROM documents) t""".stripMargin
+    },
+    "t13_chunk" ->
+      s"""SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+         | array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text,
+         | CAST(least(len(tk) - s, 32) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS s
+         |      FROM (SELECT doc_id, $toks AS tk FROM documents) b) t""".stripMargin,
     "d16_decontaminate" ->
       """WITH tk AS (SELECT doc_id, source,
         |  regexp_extract_all(lower(text), '\S+') AS t FROM documents),
@@ -646,6 +727,38 @@ object TrainingPack {
           s"THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM documents"
+    },
+    "d18_simhash_pairs" -> {
+      // per-quadrant 16-bit simhash with a salted token hash — mirrors
+      // Dedup.simhashHammingPairs' signature construction
+      def quadSql(salt: String): String = {
+        val hashes = s"list_transform($dtoks, t -> CAST(concat('0x', " +
+          s"substr(md5(concat(t, '$salt')), 1, 4)) AS BIGINT))"
+        val bits = (0 until 16).map { j =>
+          s"(CASE WHEN coalesce(list_sum(list_transform($hashes, " +
+            s"h -> CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 " +
+            s"THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"CAST($bits AS BIGINT)"
+      }
+      val quads = (0 until 4).map(q => s"${quadSql(s"@shq$q")} AS sh$q")
+        .mkString(", ")
+      val bands = (0 until 4).map(q =>
+        s"SELECT doc_id, sh0, sh1, sh2, sh3, $q AS band, sh$q AS bkey FROM base")
+        .mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT doc_id, $quads FROM documents),
+         |banded AS ($bands),
+         |small AS (SELECT band, bkey FROM banded
+         |          GROUP BY band, bkey HAVING count(*) <= 100),
+         |capped AS (SELECT b.* FROM banded b JOIN small USING (band, bkey)),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) +
+         |       bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3))
+         |    AS BIGINT) AS hamming
+         | FROM capped a JOIN capped b USING (band, bkey)
+         | WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
     },
     "d06_embedding_neardups" ->
       s"""WITH $embeddingPairsCtes

@@ -82,6 +82,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("char_ngram_profile"), p)
   }
 
+  test("t12 redaction and t13 chunking: map-only (no exchange of any kind)") {
+    assert(!explain("t12_pii_redact").contains("Exchange"))
+    assert(!explain("t13_chunk").contains("Exchange"))
+  }
+
+  test("d18 simhash pairs: equi-join banding only, no cartesian product") {
+    val p = explain("d18_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t09 repetition signals: map-only (no exchange of any kind)") {
     val p = explain("t09_repetition")
     assert(!p.contains("Exchange"), p)

@@ -53,6 +53,19 @@ class TextOpsSpec extends SparkSpec {
     assert(ru.getString(1) === fp1)
   }
 
+  test("PII redaction masks emails, IPs, and phones with typed tokens") {
+    val r = one("mail a.b-c_1@sub.example.org or 10.0.3.42 call 555-0199 end")
+      .select(TextOps.redactPii(col("text"))).head()
+    assert(r.getString(0) === "mail <EMAIL> or <IP> call <PHONE> end")
+  }
+
+  test("PII redaction leaves clean and near-miss text untouched") {
+    // 1.2.3 = too few octets; 12-3456 = too few phone digits; a@b = no TLD
+    val t = "ver 1.2.3 of 12-3456 by a@b done"
+    val r = one(t).select(TextOps.redactPii(col("text"))).head()
+    assert(r.getString(0) === t)
+  }
+
   test("property: sort/fold helpers match naive run accounting") {
     val spark2 = spark
     import spark2.implicits._
