@@ -23,6 +23,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[EvalOnce].getName, "eval_once"),
         (children: Seq[Expression]) => EvalOnce(children.head)))
     e.injectFunction(
+      (FunctionIdentifier("simhash16"),
+        new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
+        (children: Seq[Expression]) => children match {
+          case Seq(toks) => Simhash16(toks, "")
+          case Seq(toks, org.apache.spark.sql.catalyst.expressions
+            .Literal(s: org.apache.spark.unsafe.types.UTF8String,
+              org.apache.spark.sql.types.StringType)) =>
+            Simhash16(toks, s.toString)
+          case _ => throw new IllegalArgumentException(
+            "simhash16(tokens[, salt]) requires a literal STRING salt")
+        }))
+    e.injectFunction(
       (FunctionIdentifier("char_ngram_profile"),
         new ExpressionInfo(classOf[CharNgramProfile].getName,
           "char_ngram_profile"),

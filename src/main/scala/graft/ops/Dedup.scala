@@ -112,15 +112,20 @@ object Dedup {
 
   /** 16-bit SimHash from token hashes: bit j is the sign of Σ ±1 over
     * tokens (weighted by presence). Map-only; near-dup = small hamming
-    * distance between signatures.
+    * distance between signatures. One compiled pass via the native
+    * [[graft.functions.Simhash16]] expression.
     */
   def simhash16(text: Column): Column =
-    simhash16FromHashes(
-      transform(array_distinct(TextOps.tokens(lower(text))), t => hash16(t)))
+    graft.functions.Simhash16(
+      array_distinct(TextOps.tokens(lower(text))), "").as("simhash")
 
   /** SimHash from a pre-projected token-hash array column — the 16
     * per-bit vote aggregates each re-scan the array, so the md5 work must
-    * be materialized once, not inlined 16×.
+    * be materialized once, not inlined 16×. This is the BUILT-IN spelling
+    * of [[graft.functions.Simhash16]]'s vote loop, kept as the
+    * independent reference implementation its parity spec checks the
+    * native expression against (and for callers that already hold hash
+    * arrays rather than tokens).
     */
   def simhash16FromHashes(hashes: Column): Column = {
     val bits = (0 until 16).map { j =>
@@ -162,16 +167,14 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding over 4 quadrants is exact only for maxHamming ≤ 3: $maxHamming")
-    // three-step projection (CollapseProject keeps multi-use expensive
-    // aliases apart): tokenize once; hash per quadrant once; then the 16
-    // per-bit votes of each quadrant re-scan the materialized hash array
+    // two-step projection (CollapseProject keeps the multi-use tokenize
+    // alias apart): tokenize once, then one native single-pass signature
+    // per quadrant (hash + all 16 bit votes fused — see Simhash16)
     val base = docs
       .select(col(idCol).as("id"),
         array_distinct(TextOps.tokens(lower(col(textCol)))).as("toks"))
       .select(col("id") +: (0 until 4).map(q =>
-        simhashQuadrantHashes(col("toks"), q).as(s"h$q")): _*)
-      .select(col("id") +: (0 until 4).map(q =>
-        simhash16FromHashes(col(s"h$q")).as(s"sh$q")): _*)
+        graft.functions.Simhash16(col("toks"), s"@shq$q").as(s"sh$q")): _*)
 
     val shCols = (0 until 4).map(q => col(s"sh$q"))
     val banded = base.select(col("id") +: shCols :+

@@ -249,11 +249,7 @@ object TrainingPack {
     }),
 
     "d05_simhash" -> ((s, d) =>
-      docs(s, d)
-        .select(col("doc_id"),
-          transform(array_distinct(TextOps.tokens(lower(col("text")))),
-            t => Dedup.hash16(t)).as("hashes"))
-        .select(col("doc_id"), Dedup.simhash16FromHashes(col("hashes")))),
+      docs(s, d).select(col("doc_id"), Dedup.simhash16(col("text")))),
 
     "d06_embedding_neardups" -> ((s, d) =>
       VectorOps.embeddingNearDups(embIdVec(s, d), nPlanes = 4,

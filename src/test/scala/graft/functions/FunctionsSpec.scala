@@ -70,6 +70,39 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(1) === 2L)
   }
 
+  test("simhash16: native expression matches the built-in fold spelling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("spark", "join", "ключ", "深度", "agg", "a", "bb", "")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ =>
+        vocab(rnd.nextInt(vocab.size))))
+    } :+ (999L, Seq.empty[String]) // empty array → 0 on both paths
+    val df = rows.toDF("id", "toks")
+    for (salt <- Seq("", "@shq2")) {
+      val r = df.select(
+        Simhash16(col("toks"), salt).as("native"),
+        graft.ops.Dedup.simhash16FromHashes(
+          transform(col("toks"),
+            t => graft.ops.Dedup.hash16(concat(t, lit(salt)))))
+          .as("fold"))
+        .collect()
+      r.foreach(row => assert(row.getLong(0) === row.getLong(1), salt))
+    }
+    assert(df.filter(col("id") === 999L)
+      .select(Simhash16(col("toks"), "x")).head().getLong(0) === 0L)
+  }
+
+  test("simhash16 is callable from SQL; NULL array gives NULL") {
+    val r = spark.sql(
+      """SELECT simhash16(array('a', 'b'), '@s') AS s,
+        | simhash16(array('a', 'b')) AS nosalt,
+        | simhash16(CAST(NULL AS ARRAY<STRING>)) AS n""".stripMargin).first()
+    assert(!r.isNullAt(0) && !r.isNullAt(1))
+    assert(r.isNullAt(2))
+  }
+
   test("eval_once blocks filter pushdown through its alias") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
