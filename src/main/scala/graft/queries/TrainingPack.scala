@@ -310,6 +310,39 @@ object TrainingPack {
       Dedup.simhashHammingPairs(docs(s, d), "doc_id", "text",
         maxHamming = 3, maxBucket = 100)),
 
+    // deterministic sharded shuffle: the data-loader ordering step — a
+    // reproducible global permutation materialized as (shard, pos). The
+    // sort is PER SHARD (hash-partition on shard, sort within), never a
+    // global single-partition window; at scale nShards is sized to
+    // cluster parallelism and each task sorts one shard
+    "d19_shuffle_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, d)
+        .select(col("doc_id"),
+          graft.functions.Md5Prefix64(
+            concat(lit("shuf-"), col("doc_id").cast("string"))).as("h"))
+        .select(col("doc_id"), col("h"), pmod(col("h"), lit(8L)).as("shard"))
+        .select(col("doc_id"), col("shard"),
+          (row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+            - 1).cast("bigint").as("pos"))
+    }),
+
+    // ANN quality evaluation: recall@k of the LSH top-k (e03) against
+    // the brute-force ground truth (e01) — the measurement loop any
+    // production ANN deployment runs on a sampled query set
+    "e06_lsh_recall" -> ((s, d) => {
+      val ex = queries("e01_knn_brute")(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val ap = queries("e03_lsh_topk")(s, d)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hit"), count(lit(1)).as("n_exact"))
+        .select(col("query_id"), col("n_hit"), col("n_exact"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }),
+
     // stratified sampling: deterministic hash-ordered top-n per language
     // (balanced eval sets); the md5 order is uniform but reproducible
     "d12_stratified_sample" -> ((s, d) => {
@@ -822,16 +855,24 @@ object TrainingPack {
          | FROM scored WHERE quality >= 0.15 AND lang_pred = 'en') t
          |WHERE rn = 1""".stripMargin
     },
-    "e01_knn_brute" ->
-      s"""SELECT query_id, neighbor_id, dot, rk FROM (
-         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  ${qdotSql("q.q", "c.q")} AS dot,
-         |  row_number() OVER (PARTITION BY q.vec_id
-         |    ORDER BY ${qdotSql("q.q", "c.q")} DESC, c.vec_id) AS rk
-         | FROM (SELECT vec_id, $qv AS q FROM embeddings WHERE vec_id < 5) q
-         | CROSS JOIN (SELECT vec_id, $qv AS q FROM embeddings) c
-         | WHERE q.vec_id <> c.vec_id) t
-         |WHERE rk <= 5""".stripMargin,
+    "e01_knn_brute" -> e01Sql,
+    "e06_lsh_recall" ->
+      s"""WITH ex AS ($e01Sql),
+         |ap AS ($e03Sql)
+         |SELECT ex.query_id, CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.neighbor_id) AS DOUBLE) / count(*) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin,
+    "d19_shuffle_shards" ->
+      """SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+        |   AS BIGINT) AS pos
+        |FROM (SELECT doc_id, h, h % 8 AS shard
+        | FROM (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat('shuf-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+        |  FROM documents) a) t""".stripMargin,
     "e02_centroid_sums" ->
       s"""SELECT label, dim, CAST(sum(qc) AS BIGINT) AS qsum, count(*) AS n
          |FROM (SELECT label, generate_subscripts(q, 1) - 1 AS dim,
@@ -980,16 +1021,31 @@ object TrainingPack {
         |     t -> CAST(concat('0x', substr(md5(t), 1, 6)) AS BIGINT))),
         | (h, t) -> (h * 31 + t) % 1000000007) AS rfp
         |FROM documents""".stripMargin,
-    "e03_lsh_topk" ->
-      s"""WITH v AS (SELECT vec_id, $qv AS q, ${planeBitsSql(qv)} AS bucket
-         |  FROM embeddings)
-         |SELECT query_id, neighbor_id, dot, rk FROM (
-         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  ${qdotSql("q.q", "c.q")} AS dot,
-         |  row_number() OVER (PARTITION BY q.vec_id
-         |    ORDER BY ${qdotSql("q.q", "c.q")} DESC, c.vec_id) AS rk
-         | FROM (SELECT * FROM v WHERE vec_id < 5) q
-         | JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id) t
-         |WHERE rk <= 5""".stripMargin
+    "e03_lsh_topk" -> e03Sql
   )
+
+  /** e01/e03 as standalone SELECTs — shared with e06's recall CTEs. */
+  private lazy val e01Sql: String =
+    s"""SELECT query_id, neighbor_id, dot, rk FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${qdotSql("q.q", "c.q")} AS dot,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${qdotSql("q.q", "c.q")} DESC, c.vec_id) AS rk
+       | FROM (SELECT vec_id, $qv AS q FROM embeddings WHERE vec_id < 5) q
+       | CROSS JOIN (SELECT vec_id, $qv AS q FROM embeddings) c
+       | WHERE q.vec_id <> c.vec_id) t
+       |WHERE rk <= 5""".stripMargin
+
+  private lazy val e03Sql: String =
+    s"""SELECT query_id, neighbor_id, dot, rk FROM (
+       | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${qdotSql("q.q", "c.q")} AS dot,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${qdotSql("q.q", "c.q")} DESC, c.vec_id) AS rk
+       | FROM (SELECT * FROM (SELECT vec_id, $qv AS q, ${planeBitsSql(qv)} AS bucket
+       |        FROM embeddings) WHERE vec_id < 5) q
+       | JOIN (SELECT vec_id, $qv AS q, ${planeBitsSql(qv)} AS bucket
+       |       FROM embeddings) c
+       |   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id) t
+       |WHERE rk <= 5""".stripMargin
 }

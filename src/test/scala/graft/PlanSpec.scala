@@ -87,6 +87,12 @@ class PlanSpec extends SparkSpec {
     assert(!explain("t13_chunk").contains("Exchange"))
   }
 
+  test("d19 sharded shuffle: one exchange (per-shard sort, no global window)") {
+    val p = explain("d19_shuffle_shards")
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("d18 simhash pairs: equi-join banding only, no cartesian product") {
     val p = explain("d18_simhash_pairs")
     assert(!p.contains("CartesianProduct"), p)
