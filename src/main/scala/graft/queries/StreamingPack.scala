@@ -118,6 +118,29 @@ object StreamingPack {
       q.awaitTermination()
       drained(s, sink, s.table(sink))
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // streaming dedup: first-occurrence-wins on the content fingerprint.
+    // Only the FINGERPRINT is projected before dropDuplicates, so the
+    // drained result (the distinct fingerprint set) is deterministic even
+    // though which physical row wins per fingerprint depends on
+    // micro-batch arrival order — the batch oracle is SELECT DISTINCT.
+    // This replay keeps state unbounded (drain-and-stop); the production
+    // watermark-TTL'd variant is Streams.dedupByFingerprint (spec-tested,
+    // state evicted by event time).
+    "s04_stream_dedup" -> ((s, d) => {
+      val sink = s"s04_out_${System.nanoTime()}"
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+        .dropDuplicates("fp")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drained(s, sink, s.table(sink))
     })
   )
 
@@ -150,6 +173,11 @@ object StreamingPack {
         | b.event_id AS purchase_id
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
-        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""".stripMargin
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""".stripMargin,
+    "s04_stream_dedup" ->
+      """SELECT DISTINCT
+        | md5(array_to_string(regexp_extract_all(lower(text), '\S+'), ' '))
+        |   AS fp
+        |FROM documents""".stripMargin
   )
 }

@@ -343,6 +343,42 @@ object TrainingPack {
           (col("n_hit").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    // cross-document duplicate n-gram fraction (the Lee et al. 2022
+    // "Deduplicating Training Data" signal, at 8-gram granularity):
+    // fraction of a doc's distinct 8-grams that also appear in ANOTHER
+    // doc. One exchange on the gram hash serves the share-count agg AND
+    // the join back (ReusedExchange), then one agg on doc_id — two
+    // shuffles total, both with map-side partial aggregation
+    "d20_crossdoc_ngrams" -> ((s, d) => {
+      val grams = docs(s, d)
+        .filter(TextOps.tokenCount(col("text")) >= 8)
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("tk"))
+        // projection barrier: without it Catalyst inlines the tokenizer
+        // regex into each lambda reference of tk (see ngramJaccardPairs)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(array_distinct(
+          transform(TextOps.ngramsFromTokens(col("tk"), 8),
+            g => Dedup.hash32(g, 0)))).as("g"))
+        .repartition(col("g"))
+      // join-free identity: a gram with GLOBAL count 1 has exactly one
+      // owner (min(doc_id) = the doc), so n_shared = n_grams − n_unique.
+      // Joining the shared-gram list back through the gram table would
+      // re-derive the whole tokenize+gram+md5 pipeline on the build side
+      // (no subtree reuse past the inferred isnotnull) — here both
+      // aggregations consume the ONE gram exchange (ReusedExchange,
+      // pinned), and a megagram costs a counter, never a buffered
+      // partition
+      val uniq = grams.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("d"))
+        .filter(col("n") === 1)
+        .groupBy(col("d")).agg(count(lit(1)).as("n_uniq"))
+      val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val nShared = col("n_grams") - coalesce(col("n_uniq"), lit(0L))
+      tot.join(uniq, tot("doc_id") === uniq("d"), "left")
+        .select(tot("doc_id"), col("n_grams"), nShared.as("n_shared"),
+          (nShared.cast("double") / col("n_grams")).as("dup_frac"))
+    }),
+
     // stratified sampling: deterministic hash-ordered top-n per language
     // (balanced eval sets); the md5 order is uniform but reproducible
     "d12_stratified_sample" -> ((s, d) => {
@@ -865,6 +901,21 @@ object TrainingPack {
          |FROM ex LEFT JOIN ap
          |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
          |GROUP BY ex.query_id""".stripMargin,
+    "d20_crossdoc_ngrams" -> {
+      val gram8 = (0 until 8).map(k => s"tk[i+$k]").mkString(", ' ', ")
+      s"""WITH tk AS (SELECT doc_id, $ltoks AS tk FROM documents
+         |           WHERE len($ltoks) >= 8),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        list_transform(range(1, len(tk) - 7 + 1),
+         |          i -> ${h32(s"concat($gram8)", 0)}))) AS gh
+         |      FROM tk),
+         |sh AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(sh.gh) AS BIGINT) AS n_shared,
+         |  CAST(count(sh.gh) AS DOUBLE) / count(*) AS dup_frac
+         |FROM g LEFT JOIN sh ON g.gh = sh.gh
+         |GROUP BY doc_id""".stripMargin
+    },
     "d19_shuffle_shards" ->
       """SELECT doc_id, shard,
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1

@@ -93,6 +93,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("d20 cross-doc grams: gram exchange reused by both aggregations") {
+    // exchange reuse happens at AQE runtime — execute, then read the
+    // final adaptive plan
+    val df = SparkEntry.queries("d20_crossdoc_ngrams")(spark, sf)
+    df.collect()
+    // explainString appends the pre-AQE "Initial Plan" — trim to the
+    // final plan before counting operators
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+      .split("== Initial Plan ==").head
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("ReusedExchange"), p)
+    // the expensive gram pipeline (tokenize + 8-gram + md5 explode) must
+    // be planned exactly once
+    assert(count(p, "Generate explode") === 1, p)
+  }
+
   test("d18 simhash pairs: equi-join banding only, no cartesian product") {
     val p = explain("d18_simhash_pairs")
     assert(!p.contains("CartesianProduct"), p)
