@@ -215,6 +215,20 @@ object RelationalPack {
           min(c("ts")).as("sess_start"), max(c("ts")).as("sess_end"))
     }),
 
+    // Dynamic session windows via the DECLARATIVE session_window operator
+    // (q16 is the manual gaps-and-islands spelling; this is the built-in
+    // that also runs stateful on streams — s05 drains the same plan).
+    // Semantics pinned by the shared oracle: a session ends when the gap
+    // to the next event is ≥ the 10-minute timeout (window end exclusive),
+    // s_end = last event + gap
+    "q44_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(c("ts"), "10 minutes"), c("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), c("user_id"),
+          col("n_events"))),
+
     // Top-k per group: row_number with deterministic tiebreak.
     "q17_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(c("user_id"))
@@ -546,7 +560,28 @@ object RelationalPack {
         add_months(to_date(c("o_orderdate")), 2).as("plus2m")))
   )
 
+  /** Session-window oracle (10-min gap, end-exclusive: gap ≥ 600 s breaks;
+    * s_end = last event + gap) — shared with the streaming drain s05.
+    */
+  private[queries] val sessionWindowSql: String =
+    """SELECT min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,
+      | user_id, count(*) AS n_events
+      |FROM (
+      | SELECT user_id, ts,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM (
+      |  SELECT user_id, ts, event_id,
+      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |          OR date_diff('second',
+      |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |               ts) >= 600
+      |        THEN 1 ELSE 0 END AS brk
+      |  FROM events) f) g
+      |GROUP BY user_id, sid""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q44_session_window" -> sessionWindowSql,
     "q01_agg_grain_min" ->
       """SELECT l_returnflag, l_linestatus, min(l_shipdate) AS start_dt,
         | count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,

@@ -120,6 +120,31 @@ object StreamingPack {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // dynamic session windows on the stream — the same declarative
+    // session_window plan as batch q44, drained in Complete mode so the
+    // final merged sessions are deterministic (merge order across
+    // micro-batches doesn't affect the converged result). Production
+    // variants add a watermark and emit in append mode as sessions close.
+    "s05_stream_sessions" -> ((s, d) => {
+      val sink = s"s05_out_${System.nanoTime()}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = eventsStream(s, d)
+          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("session_window.start").as("s_start"),
+            col("session_window.end").as("s_end"), col("user_id"),
+            col("n_events"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        drained(s, sink, s.table(sink))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // streaming dedup: first-occurrence-wins on the content fingerprint.
     // Only the FINGERPRINT is projected before dropDuplicates, so the
     // drained result (the distinct fingerprint set) is deterministic even
@@ -174,6 +199,7 @@ object StreamingPack {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""".stripMargin,
+    "s05_stream_sessions" -> RelationalPack.sessionWindowSql,
     "s04_stream_dedup" ->
       """SELECT DISTINCT
         | md5(array_to_string(regexp_extract_all(lower(text), '\S+'), ' '))
