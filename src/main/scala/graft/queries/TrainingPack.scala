@@ -379,6 +379,37 @@ object TrainingPack {
           (nShared.cast("double") / col("n_grams")).as("dup_frac"))
     }),
 
+    // end-to-end corpus curation — the whole training-data funnel as ONE
+    // plan: quality+language gate with keep-first exact dedup (d08),
+    // minus benchmark-contaminated docs (d16, ≥ 3 shingle hits) and the
+    // benchmark source itself, then domain-mixture sampling (d17) and
+    // split assignment (d11), aggregated to per-(source, split) doc and
+    // token budgets. Shapes at scale: one semi join on doc_id, one
+    // broadcast-able anti join, map-only sampling, small final agg
+    "d21_curation_pipeline" -> ((s, d) => {
+      val kept = queries("d08_corpus_select")(s, d).select(col("doc_id"))
+      val contaminated = queries("d16_decontaminate")(s, d)
+        .filter(col("n_hits") >= 3).select(col("doc_id"))
+      docs(s, d)
+        .filter(col("source") =!= "src0")
+        .join(kept, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("b", pmod(graft.functions.Md5Prefix64(
+          concat(lit("mix-"), col("doc_id").cast("string"))), lit(100L)))
+        .withColumn("rate",
+          (pmod(substring(col("source"), 4, 10).cast("long"), lit(5L)) +
+            1L) * 15L)
+        .filter(col("b") < col("rate"))
+        .withColumn("sb", pmod(graft.functions.Md5Prefix64(
+          concat(lit("split-"), col("doc_id").cast("string"))), lit(100L)))
+        .withColumn("split",
+          when(col("sb") < 80, "train").when(col("sb") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+    }),
+
     // stratified sampling: deterministic hash-ordered top-n per language
     // (balanced eval sets); the md5 order is uniform but reproducible
     "d12_stratified_sample" -> ((s, d) => {
@@ -761,17 +792,27 @@ object TrainingPack {
          | CAST(least(len(tk) - s, 32) AS BIGINT) AS n_tokens
          |FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS s
          |      FROM (SELECT doc_id, $toks AS tk FROM documents) b) t""".stripMargin,
-    "d16_decontaminate" ->
-      """WITH tk AS (SELECT doc_id, source,
-        |  regexp_extract_all(lower(text), '\S+') AS t FROM documents),
-        |shx AS (SELECT doc_id, source, unnest(list_distinct(
-        |  list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-        |    i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS sh FROM tk),
-        |bs AS (SELECT DISTINCT sh FROM shx WHERE source = 'src0')
-        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        |FROM (SELECT doc_id, sh FROM shx WHERE source <> 'src0') c
-        |JOIN bs USING (sh)
-        |GROUP BY 1""".stripMargin,
+    "d16_decontaminate" -> d16Sql,
+    "d21_curation_pipeline" ->
+      s"""SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |   AS n_tokens
+         |FROM (
+         | SELECT source, text,
+         |  CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM (
+         |  SELECT d.source, d.text,
+         |   CAST(concat('0x', substr(md5(concat('split-', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS sb,
+         |   CAST(concat('0x', substr(md5(concat('mix-', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b,
+         |   (CAST(substr(d.source, 4, 10) AS BIGINT) % 5 + 1) * 15 AS rate
+         |  FROM documents d
+         |  JOIN (SELECT doc_id FROM ($d08Sql) s8) kept ON d.doc_id = kept.doc_id
+         |  LEFT JOIN (SELECT doc_id FROM ($d16Sql) s16 WHERE n_hits >= 3) cont
+         |    ON d.doc_id = cont.doc_id
+         |  WHERE cont.doc_id IS NULL AND d.source <> 'src0') f
+         | WHERE b < rate) g
+         |GROUP BY source, split""".stripMargin,
     "d10_dedup_components" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
@@ -863,34 +904,7 @@ object TrainingPack {
          |   PARTITION BY md5(array_to_string($ltoks, ' '))
          |   ORDER BY doc_id) AS rn
          | FROM documents) t WHERE rn = 1""".stripMargin,
-    "d08_corpus_select" -> {
-      val sw = TextOps.stopwords.map { case (lang, words) =>
-        lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
-      }
-      val scores = sw.map { case (lang, arr) =>
-        s"len(list_intersect($dtoks, $arr)) AS s_$lang"
-      }.mkString(", ")
-      val best = sw.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-      val vote = sw.map { case (l, _) =>
-        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""WITH scored AS (
-         | SELECT doc_id, lang,
-         |  (least(CAST(len($toks) AS DOUBLE)/100.0, 1.0)
-         |    * (CAST(len($dtoks) AS DOUBLE)/CAST(greatest(len($ltoks),1) AS DOUBLE)))
-         |   * greatest(0.0, 1.0 -
-         |      (CAST(len(regexp_extract_all(text,'[[:punct:]]')) AS DOUBLE)
-         |        / CAST(greatest(length(text),1) AS DOUBLE)) * 5.0) AS quality,
-         |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
-         |    THEN 'zh' ELSE CASE $vote ELSE 'und' END END AS lang_pred,
-         |  md5(array_to_string($ltoks, ' ')) AS fp
-         | FROM (SELECT doc_id, lang, text, $scores FROM documents) b)
-         |SELECT doc_id, lang, quality FROM (
-         | SELECT doc_id, lang, quality,
-         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-         | FROM scored WHERE quality >= 0.15 AND lang_pred = 'en') t
-         |WHERE rn = 1""".stripMargin
-    },
+    "d08_corpus_select" -> d08Sql,
     "e01_knn_brute" -> e01Sql,
     "e06_lsh_recall" ->
       s"""WITH ex AS ($e01Sql),
@@ -1074,6 +1088,53 @@ object TrainingPack {
         |FROM documents""".stripMargin,
     "e03_lsh_topk" -> e03Sql
   )
+
+  /** d08 (quality + language gate + keep-first dedup) as a standalone
+    * SELECT — shared with d21's curation CTE chain.
+    */
+  private lazy val d08Sql: String = {
+    val sw = TextOps.stopwords.map { case (lang, words) =>
+      lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+    val scores = sw.map { case (lang, arr) =>
+      s"len(list_intersect($dtoks, $arr)) AS s_$lang"
+    }.mkString(", ")
+    val best = sw.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val vote = sw.map { case (l, _) =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       | SELECT doc_id, lang,
+       |  (least(CAST(len($toks) AS DOUBLE)/100.0, 1.0)
+       |    * (CAST(len($dtoks) AS DOUBLE)/CAST(greatest(len($ltoks),1) AS DOUBLE)))
+       |   * greatest(0.0, 1.0 -
+       |      (CAST(len(regexp_extract_all(text,'[[:punct:]]')) AS DOUBLE)
+       |        / CAST(greatest(length(text),1) AS DOUBLE)) * 5.0) AS quality,
+       |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
+       |    THEN 'zh' ELSE CASE $vote ELSE 'und' END END AS lang_pred,
+       |  md5(array_to_string($ltoks, ' ')) AS fp
+       | FROM (SELECT doc_id, lang, text, $scores FROM documents) b)
+       |SELECT doc_id, lang, quality FROM (
+       | SELECT doc_id, lang, quality,
+       |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       | FROM scored WHERE quality >= 0.15 AND lang_pred = 'en') t
+       |WHERE rn = 1""".stripMargin
+  }
+
+  /** d16 (per-doc benchmark-shingle hit counts) as a standalone SELECT —
+    * shared with d21.
+    */
+  private lazy val d16Sql: String =
+    """WITH tk AS (SELECT doc_id, source,
+      |  regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+      |shx AS (SELECT doc_id, source, unnest(list_distinct(
+      |  list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |    i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS sh FROM tk),
+      |bs AS (SELECT DISTINCT sh FROM shx WHERE source = 'src0')
+      |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM (SELECT doc_id, sh FROM shx WHERE source <> 'src0') c
+      |JOIN bs USING (sh)
+      |GROUP BY 1""".stripMargin
 
   /** e01/e03 as standalone SELECTs — shared with e06's recall CTEs. */
   private lazy val e01Sql: String =
