@@ -35,6 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "simhash16(tokens[, salt]) requires a literal STRING salt")
         }))
     e.injectFunction(
+      (FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+        (children: Seq[Expression]) => children match {
+          case Seq(toks, org.apache.spark.sql.catalyst.expressions
+            .Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+            MinhashSig(toks, k)
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig(tokens, k) requires a literal INT signature length")
+        }))
+    e.injectFunction(
       (FunctionIdentifier("char_ngram_profile"),
         new ExpressionInfo(classOf[CharNgramProfile].getName,
           "char_ngram_profile"),

@@ -34,11 +34,22 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature from a pre-projected distinct-token column. */
+  /** MinHash signature from a pre-projected distinct-token column — the
+    * BUILT-IN spelling (k interpreted `transform` passes), kept as the
+    * reference implementation [[graft.functions.MinhashSig]]'s parity
+    * spec checks the native one-pass expression against.
+    */
   def minhashSignatureFromTokens(toks: Column, k: Int): Seq[Column] =
     (0 until k).map { i =>
       array_min(transform(toks, t => hash32(t, i))).as(s"mh$i")
     }
+
+  /** All k signature mins in one compiled pass (see MinhashSig). Project
+    * this ONCE into a named column, then `element_at` the seeds — inlining
+    * it per seed would re-run the whole pass k times.
+    */
+  def minhashSigArray(toks: Column, k: Int): Column =
+    graft.functions.MinhashSig(toks, k)
 
   /** MinHash signature of the token set, k independent permutations. */
   def minhashSignature(text: Column, k: Int): Seq[Column] =
@@ -58,19 +69,20 @@ object Dedup {
       bands: Int, rowsPerBand: Int, threshold: Double,
       maxBucket: Int = 100): DataFrame = {
     val k = bands * rowsPerBand
-    // two-step projection: tokenize once, then hash from the materialized
-    // array (CollapseProject keeps multi-use expensive aliases projected)
+    // two-step projection: tokenize once, then ONE native signature pass
+    // (CollapseProject keeps multi-use expensive aliases projected)
     val sig = docs
       .select(col(idCol).as("id"),
         array_distinct(TextOps.tokens(lower(col(textCol)))).as("toks"))
-      .select(col("id") +: col("toks") +:
-        minhashSignatureFromTokens(col("toks"), k): _*)
+      .select(col("id"), col("toks"),
+        minhashSigArray(col("toks"), k).as("sig"))
 
     // one row per (doc, band): bucket = md5 over the band's minhashes
     val banded = sig.select(col("id"), col("toks"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("_",
-          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
       }: _*)).as(Seq("band", "bucket")))
 
     // no forced broadcast: the small-bucket list scales with corpus size

@@ -227,8 +227,9 @@ object TrainingPack {
       docs(s, d)
         .select(col("doc_id"),
           array_distinct(TextOps.tokens(lower(col("text")))).as("toks"))
+        .select(col("doc_id"), Dedup.minhashSigArray(col("toks"), 8).as("sig"))
         .select(col("doc_id") +:
-          Dedup.minhashSignatureFromTokens(col("toks"), 8): _*)),
+          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)),
 
     "d04_minhash_pairs" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d).withColumnRenamed("doc_id", "id"),

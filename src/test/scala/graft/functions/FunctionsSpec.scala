@@ -94,6 +94,30 @@ class FunctionsSpec extends SparkSpec {
       .select(Simhash16(col("toks"), "x")).head().getLong(0) === 0L)
   }
 
+  test("minhash_sig: native expression matches the k-fold spelling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("spark", "join", "ключ", "深度", "agg", "a", "bb", "")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ =>
+        vocab(rnd.nextInt(vocab.size))))
+    } :+ (999L, Seq.empty[String])
+    val df = rows.toDF("id", "toks")
+    val k = 8
+    val r = df.select(
+      col("id"),
+      MinhashSig(col("toks"), k).as("native"),
+      array(graft.ops.Dedup.minhashSignatureFromTokens(col("toks"), k): _*)
+        .as("fold")).collect()
+    r.foreach { row =>
+      assert(row.getSeq[Any](1) === row.getSeq[Any](2), s"id=${row.getLong(0)}")
+    }
+    // empty token set → k NULL elements, matching array_min of empty
+    val empty = r.find(_.getLong(0) == 999L).get
+    assert(empty.getSeq[Any](1).forall(_ == null))
+  }
+
   test("simhash16 is callable from SQL; NULL array gives NULL") {
     val r = spark.sql(
       """SELECT simhash16(array('a', 'b'), '@s') AS s,
