@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `qdot(a, b)` — integer dot product of two quantized `array<bigint>`
+  * vectors in one compiled loop, bit-identical to the built-in spelling
+  * `aggregate(zip_with(a, b, (x, y) => x * y), 0L, _ + _)` including its
+  * null semantics: `zip_with` pads the shorter side with NULL and a NULL
+  * product poisons the running sum, so ANY length mismatch or NULL
+  * element yields NULL; two empty arrays yield 0; NULL input → NULL.
+  *
+  * Why native (SURVEY.md §7.4 ladder, step (b)): the fold spelling walks
+  * two interpreted higher-order lambdas per CANDIDATE PAIR — the single
+  * hottest loop of the ANN/near-dup family (e01 evaluates it |Q|×|C|
+  * times, d06/e03-e05 once per co-bucketed pair). CodegenFallback costs
+  * one virtual call per pair against a compiled 64-iteration loop.
+  */
+case class QDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"qdot requires two ARRAY<BIGINT> arguments, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null // zip_with pads → NULL product
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "qdot"
+}
+
+object QDot {
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(
+      QDot(GraftColumnBridge.toExpr(a), GraftColumnBridge.toExpr(b)))
+}

@@ -48,8 +48,16 @@ object VectorOps {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000).cast("bigint"))
 
-  /** Integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
+  /** Integer dot product of two quantized vectors — one compiled loop
+    * via the native [[graft.functions.QDot]] expression (the hot inner
+    * loop of every candidate-pair ranking here).
+    */
+  def qdot(a: Column, b: Column): Column = graft.functions.QDot(a, b)
+
+  /** The built-in fold spelling of [[qdot]], kept as the reference
+    * implementation the native expression's parity spec checks against.
+    */
+  def qdotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Brute-force top-k cosine (integer-dot ranking) neighbors for each
@@ -69,22 +77,34 @@ object VectorOps {
   }
 
   /** Deterministic pseudo-random hyperplane component: md5-derived,
-    * centered 16-bit value for (plane j, dim i). `prefix` namespaces
-    * independent plane sets (multi-table LSH).
+    * centered 16-bit value for (plane j, dim i) ≡ the oracle's
+    * `CAST(concat('0x', substr(md5('<prefix><j>-<i>'), 1, 4)) AS BIGINT)
+    * - 32768`. `prefix` namespaces independent plane sets (multi-table
+    * LSH). Computed DRIVER-SIDE: the weights are constants per (plane,
+    * dim), so hashing them per corpus row (the old in-plan spelling cost
+    * dims × nPlanes md5 evaluations per vector) was pure waste — they
+    * ship as array literals instead.
     */
-  private def planeWeight(prefix: String, j: Int, i: Column): Column =
-    shiftright(graft.functions.Md5Prefix64(
-      concat(lit(s"$prefix$j-"), i.cast("string"))), 16) - 32768L
+  private def planeWeightValue(prefix: String, j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$prefix$j-$i".getBytes("UTF-8"))
+    val h32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h32 >> 16) - 32768L
+  }
 
-  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int,
-      planePrefix: String = "plane"): Column = {
-    val qv = quantize(vec)
+  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes, over a
+    * PRE-PROJECTED quantized column (project `quantize(vec)` once and
+    * pass the alias — inlining re-runs the interpreted quantize transform
+    * per plane). `dims` must match the embedding width (64 everywhere,
+    * incl. the oracle's `range(1, 65)`): a mismatched vector nulls the
+    * dot (QDot length contract), failing `> 0` into bit 0.
+    */
+  def lshBucketFromQuantized(qv: Column, nPlanes: Int,
+      planePrefix: String = "plane", dims: Int = 64): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val dot = aggregate(
-        zip_with(qv, sequence(lit(1), size(qv)),
-          (x, i) => x * planeWeight(planePrefix, j, i)),
-        lit(0L), (acc, v) => acc + v)
+      val w = lit((1 to dims).map(planeWeightValue(planePrefix, j, _)).toArray)
+      val dot = graft.functions.QDot(qv, w)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -105,10 +125,12 @@ object VectorOps {
     // driver and defeat the scale claim; AQE broadcasts small query sets
     // on its own
     def exploded(df: DataFrame, idName: String, vecName: String) =
-      df.select(col("id").as(idName), quantize(col("vec")).as(vecName),
-        posexplode(array((0 until nTables).map(t =>
-          lshBucket(col("vec"), nPlanes, planePrefix = s"tbl$t-plane")): _*))
-          .as(Seq("tbl", "bucket")))
+      df.select(col("id").as(idName), quantize(col("vec")).as(vecName))
+        .select(col(idName), col(vecName),
+          posexplode(array((0 until nTables).map(t =>
+            lshBucketFromQuantized(col(vecName), nPlanes,
+              planePrefix = s"tbl$t-plane")): _*))
+            .as(Seq("tbl", "bucket")))
     val q = exploded(queries, "query_id", "qv")
     val c = exploded(corpus, "neighbor_id", "cv")
     val scored = q.join(c, Seq("tbl", "bucket"))
@@ -126,11 +148,15 @@ object VectorOps {
       nPlanes: Int): DataFrame = {
     // EvalOnce on the join key — see embeddingNearDups
     val q = queries.select(col("id").as("query_id"),
-      quantize(col("vec")).as("qv"),
-      graft.functions.EvalOnce(lshBucket(col("vec"), nPlanes)).as("bucket"))
+      quantize(col("vec")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        graft.functions.EvalOnce(lshBucketFromQuantized(col("qv"), nPlanes))
+          .as("bucket"))
     val c = corpus.select(col("id").as("neighbor_id"),
-      quantize(col("vec")).as("cv"),
-      graft.functions.EvalOnce(lshBucket(col("vec"), nPlanes)).as("bucket"))
+      quantize(col("vec")).as("cv"))
+      .select(col("neighbor_id"), col("cv"),
+        graft.functions.EvalOnce(lshBucketFromQuantized(col("cv"), nPlanes))
+          .as("bucket"))
     val scored = broadcast(q).join(c, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -204,8 +230,10 @@ object VectorOps {
     // EvalOnce on the join key: the self-join infers isnotnull(bucket),
     // which would otherwise be pushed to the scan with all nPlanes
     // hyperplane dot products inlined into the filter
-    val v = corpus.select(col("id"), quantize(col("vec")).as("qv"),
-      graft.functions.EvalOnce(lshBucket(col("vec"), nPlanes)).as("bucket"))
+    val v = corpus.select(col("id"), quantize(col("vec")).as("qv"))
+      .select(col("id"), col("qv"),
+        graft.functions.EvalOnce(lshBucketFromQuantized(col("qv"), nPlanes))
+          .as("bucket"))
     // no forced broadcast: the small-bucket list is ≤ 2^nPlanes rows,
     // AQE broadcasts it on its own
     val small = v.groupBy(col("bucket")).count()

@@ -118,6 +118,30 @@ class FunctionsSpec extends SparkSpec {
     assert(empty.getSeq[Any](1).forall(_ == null))
   }
 
+  test("qdot: native expression matches the zip_with/aggregate fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 100).map { i =>
+      (i.toLong,
+        (0 until 64).map(_ => rnd.nextInt(2001).toLong - 1000),
+        (0 until 64).map(_ => rnd.nextInt(2001).toLong - 1000))
+    } ++ Seq(
+      (900L, Seq(1L, 2L), Seq(3L)),          // length mismatch → NULL
+      (901L, Seq.empty[Long], Seq.empty[Long])) // empty → 0
+    val df = rows.toDF("id", "a", "b")
+    val r = df.select(col("id"),
+      graft.functions.QDot(col("a"), col("b")).as("native"),
+      graft.ops.VectorOps.qdotFold(col("a"), col("b")).as("fold")).collect()
+    r.foreach { row =>
+      assert(row.isNullAt(1) === row.isNullAt(2), s"id=${row.getLong(0)}")
+      if (!row.isNullAt(1))
+        assert(row.getLong(1) === row.getLong(2), s"id=${row.getLong(0)}")
+    }
+    assert(r.find(_.getLong(0) == 900L).get.isNullAt(1))
+    assert(r.find(_.getLong(0) == 901L).get.getLong(1) === 0L)
+  }
+
   test("simhash16 is callable from SQL; NULL array gives NULL") {
     val r = spark.sql(
       """SELECT simhash16(array('a', 'b'), '@s') AS s,
