@@ -77,13 +77,18 @@ object Dedup {
       .select(col("id"), col("toks"),
         minhashSigArray(col("toks"), k).as("sig"))
 
-    // one row per (doc, band): bucket = md5 over the band's minhashes
+    // one row per (doc, band): bucket = md5 over the band's minhashes.
+    // The repartition is the single materialization point: the
+    // bucket-count agg, the cap join, and both self-join sides reuse
+    // this one exchange instead of re-deriving the signature pipeline
+    // (same pattern as ngramJaccardPairs / simhashHammingPairs)
     val banded = sig.select(col("id"), col("toks"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("_",
           (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
       }: _*)).as(Seq("band", "bucket")))
+      .repartition(col("band"), col("bucket"))
 
     // no forced broadcast: the small-bucket list scales with corpus size
     // (≈ one row per bucket); AQE broadcasts when it fits
@@ -189,8 +194,15 @@ object Dedup {
         graft.functions.Simhash16(col("toks"), s"@shq$q").as(s"sh$q")): _*)
 
     val shCols = (0 until 4).map(q => col(s"sh$q"))
+    // one materialization point for the signature pipeline: the explicit
+    // null pre-filter makes the inferred isnotnull(bkey) of the joins a
+    // no-op, so the bucket-count agg, the cap join, and both self-join
+    // sides all reuse THIS exchange instead of re-deriving the scan +
+    // 4 signature passes (same pattern as ngramJaccardPairs)
     val banded = base.select(col("id") +: shCols :+
       posexplode(array(shCols: _*)).as(Seq("band", "bkey")): _*)
+      .filter(col("bkey").isNotNull)
+      .repartition(col("band"), col("bkey"))
     val small = banded.groupBy(col("band"), col("bkey")).count()
       .filter(col("count") <= maxBucket).select(col("band"), col("bkey"))
     val capped = banded.join(small, Seq("band", "bkey"))
