@@ -19,7 +19,10 @@ object Bench {
     // first timed query: agg, window, broadcast join, HOF-lambda LSH,
     // vector top-k aggregator
     Seq("q01_agg_grain_min", "q34_rank_family", "q05_join5_revenue",
-      "d04_minhash_pairs", "e03_lsh_topk")
+      "d04_minhash_pairs", "e03_lsh_topk",
+      // the streaming engine (micro-batch planner, state stores) and the
+      // iterative-CC loop JIT separately from the batch shapes
+      "s01_stream_hourly_counts", "d10_dedup_components")
       .foreach(n => SparkEntry.queries.get(n).foreach { f =>
         try f(spark, "/root/testdata/sf0.001").write
           .format("noop").mode("overwrite").save()
