@@ -562,6 +562,9 @@ object RelationalPack {
 
   /** Session-window oracle (10-min gap, end-exclusive: gap ≥ 600 s breaks;
     * s_end = last event + gap) — shared with the streaming drain s05.
+    * The gap compares MICROSECONDS: `date_diff('second', …)` counts
+    * second-boundary crossings (truncates both ends), which at sf0.1
+    * split a 599.23 s gap that session_window's exact arithmetic merges.
     */
   private[queries] val sessionWindowSql: String =
     """SELECT min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,
@@ -573,9 +576,9 @@ object RelationalPack {
       | FROM (
       |  SELECT user_id, ts, event_id,
       |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |          OR date_diff('second',
+      |          OR date_diff('microsecond',
       |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-      |               ts) >= 600
+      |               ts) >= 600000000
       |        THEN 1 ELSE 0 END AS brk
       |  FROM events) f) g
       |GROUP BY user_id, sid""".stripMargin
