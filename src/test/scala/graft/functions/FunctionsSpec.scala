@@ -116,6 +116,10 @@ class FunctionsSpec extends SparkSpec {
     // empty token set → k NULL elements, matching array_min of empty
     val empty = r.find(_.getLong(0) == 999L).get
     assert(empty.getSeq[Any](1).forall(_ == null))
+    // SQL registration path
+    val sqlRow = spark.sql(
+      "SELECT minhash_sig(array('a', 'b'), 4) AS s").first()
+    assert(sqlRow.getSeq[Any](0).length === 4)
   }
 
   test("qdot: native expression matches the zip_with/aggregate fold") {
