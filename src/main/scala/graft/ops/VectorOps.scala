@@ -216,6 +216,63 @@ object VectorOps {
     topKPerQuery(scored, k)
   }
 
+  /** Product-quantization top-k with asymmetric distance (ADC, Jégou et
+    * al. 2011): vectors are encoded per SUBSPACE as the id of the nearest
+    * codebook centroid, and a query ranks candidates by the sum of its
+    * exact subspace distances to each candidate's code centroids — the
+    * memory-bound ANN scale path (a 64-dim vector stores as `subspaces`
+    * small codes). The codebook reuses the IVF coarse cells: per-(label,
+    * dim) floor-mean centroids, quantized independently per subspace, so
+    * both engines derive bit-identical codes (exact integer math
+    * throughout; distances are Σ(q−c)², ties → smallest label).
+    *
+    * Scale shapes: the codebook is |labels|×dims rows — broadcast; the
+    * encode step's (vector × label × subspace) distance table is the
+    * one-off codebook-assignment pass (stored alongside the corpus in
+    * practice); the per-query ADC join touches |corpus|×subspaces rows
+    * joined to a broadcast (query × label × subspace) distance table,
+    * ranked through the bounded top-k aggregator — never a window over
+    * the scored set.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      subspaces: Int = 4, dims: Int = 64): DataFrame = {
+    require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
+    val width = dims / subspaces
+    val cent = centroidSums(corpus.select(col("label"), col("vec")), "label")
+      .select(col("label"), col("dim"),
+        ((col("qsum") - pmod(col("qsum"), col("n"))) / col("n"))
+          .cast("long").as("c"))
+
+    // Σ(q−c)² per (id, centroid label, subspace) — exact integers
+    def subDists(df: DataFrame, idName: String) = df
+      .select(col("id").as(idName),
+        posexplode(quantize(col("vec"))).as(Seq("dim", "qc")))
+      .join(broadcast(cent), "dim")
+      .groupBy(col(idName), col("label"),
+        (col("dim") / lit(width)).cast("int").as("s"))
+      .agg(sum((col("qc") - col("c")) * (col("qc") - col("c"))).as("d2"))
+
+    // encode: nearest centroid per (vector, subspace), ties → min label
+    val codes = subDists(corpus, "nid")
+      .groupBy(col("nid"), col("s"))
+      .agg(min(struct(col("d2"), col("label"))).as("m"))
+      .select(col("nid").as("neighbor_id"), col("s"), col("m.label").as("label"))
+
+    val qd = subDists(queries, "query_id")
+      .select(col("query_id"), col("s"), col("label"), col("d2"))
+
+    val scored = codes.join(broadcast(qd), Seq("s", "label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("dist"))
+      // rank by dist ASC through the bounded top-k aggregator (it ranks
+      // dot DESC, neighbor ASC — negate)
+      .select(col("query_id"), col("neighbor_id"), (-col("dist")).as("dot"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("dot")).as("dist"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above an integer-dot threshold,
     * restricted to LSH co-bucketed candidates.
     *

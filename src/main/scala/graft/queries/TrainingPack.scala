@@ -344,6 +344,14 @@ object TrainingPack {
           (col("n_hit").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    // product-quantization ADC top-k — the memory-bound ANN family
+    // member next to e01 (brute), e03/e04 (LSH) and e05 (IVF)
+    "e07_pq_topk" -> ((s, d) => {
+      val corpus = embs(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      VectorOps.pqTopK(corpus.filter(col("id") < 5), corpus, k = 5)
+    }),
+
     // cross-document duplicate n-gram fraction (the Lee et al. 2022
     // "Deduplicating Training Data" signal, at 8-gram granularity):
     // fraction of a doc's distinct 8-grams that also appear in ANOTHER
@@ -931,6 +939,42 @@ object TrainingPack {
          |FROM g LEFT JOIN sh ON g.gh = sh.gh
          |GROUP BY doc_id""".stripMargin
     },
+    "e07_pq_topk" ->
+      s"""WITH sums AS (
+         | SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
+         | FROM (SELECT label, $qv AS q FROM embeddings) t),
+         |cent AS (
+         | SELECT label, dim,
+         |  CAST((CAST(sum(qc) AS BIGINT)
+         |        - ((CAST(sum(qc) AS BIGINT) % count(*)) + count(*)) % count(*))
+         |       / count(*) AS BIGINT) AS c
+         | FROM sums GROUP BY label, dim),
+         |cd AS (
+         | SELECT vec_id, label, dim // 16 AS s,
+         |  CAST(sum((qc - c) * (qc - c)) AS BIGINT) AS d2
+         | FROM (SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,
+         |        unnest(q) AS qc
+         |       FROM (SELECT vec_id, $qv AS q FROM embeddings) t) v
+         | JOIN cent USING (dim)
+         | GROUP BY vec_id, label, dim // 16),
+         |codes AS (
+         | SELECT vec_id AS neighbor_id, s, label FROM (
+         |  SELECT vec_id, s, label,
+         |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, label) AS rn
+         |  FROM cd) t WHERE rn = 1),
+         |qd AS (SELECT vec_id AS query_id, s, label, d2 FROM cd
+         |       WHERE vec_id < 5),
+         |adc AS (
+         | SELECT qd.query_id, codes.neighbor_id,
+         |  CAST(sum(qd.d2) AS BIGINT) AS dist
+         | FROM codes JOIN qd USING (s, label)
+         | WHERE codes.neighbor_id <> qd.query_id
+         | GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, dist, rk FROM (
+         | SELECT query_id, neighbor_id, dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist, neighbor_id) AS rk
+         | FROM adc) t WHERE rk <= 5""".stripMargin,
     "d19_shuffle_shards" ->
       """SELECT doc_id, shard,
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
