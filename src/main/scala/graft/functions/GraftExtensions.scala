@@ -44,6 +44,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "minhash_sig(tokens, k) requires a literal INT signature length")
         }))
+    // sketch probes (ops/Sketches): the BINARY argument is a serialized
+    // spark.util.sketch BloomFilter / CountMinSketch, typically bound as
+    // a parameter (spark.sql(..., Map("sk" -> bytes)))
+    e.injectFunction(
+      (FunctionIdentifier("bloom_might_contain"),
+        new ExpressionInfo(classOf[BloomMightContain].getName,
+          "bloom_might_contain"),
+        (children: Seq[Expression]) => children match {
+          case Seq(k, sk) => BloomMightContain(k, sk)
+          case _ => throw new IllegalArgumentException(
+            "bloom_might_contain(key, sketch_bytes) takes 2 arguments")
+        }))
+    e.injectFunction(
+      (FunctionIdentifier("cms_estimate"),
+        new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+        (children: Seq[Expression]) => children match {
+          case Seq(k, sk) => CmsEstimate(k, sk)
+          case _ => throw new IllegalArgumentException(
+            "cms_estimate(key, sketch_bytes) takes 2 arguments")
+        }))
     e.injectFunction(
       (FunctionIdentifier("char_ngram_profile"),
         new ExpressionInfo(classOf[CharNgramProfile].getName,

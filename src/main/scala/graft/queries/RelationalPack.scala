@@ -320,15 +320,55 @@ object RelationalPack {
         .cube(c("event_type"), to_date(c("ts")).as("d"))
         .agg(count(lit(1)).as("cnt"))),
 
-    // Approximate aggregates (HLL distinct, approx quantiles) — sketch
-    // results are engine-specific, so no SQL oracle (rows-only check);
-    // the exact counterparts q09/q23 are oracle-checked.
+    // Approximate aggregates (HLL++ distinct, approx quantiles). Sketch
+    // estimates are engine-specific, so the oracle-comparable output is
+    // the exact statistic plus a boolean pinning the estimate inside a
+    // tolerance band — the estimate is deterministic for fixed data, so
+    // the booleans are stable and the oracle (exact + literal true)
+    // genuinely fails if Spark's sketch drifts out of band.
     "q24_approx_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(c("l_returnflag"))
-        .agg(approx_count_distinct(c("l_orderkey")).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)")
-            .as("approx_median_price"))),
+        .agg(count_distinct(c("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(c("l_orderkey"), 0.01).as("_a"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_m"))
+        .select(c("l_returnflag"), c("exact_orders"), c("p50_price"),
+          (abs(c("_a") - c("exact_orders")) <=
+            c("exact_orders") * 0.05).as("approx_orders_ok"),
+          (abs(c("_m") - c("p50_price")) <=
+            c("p50_price") * 0.05).as("approx_median_ok"))),
+
+    // Count-Min heavy hitters: shuffle-free sketch pass prefilters to
+    // candidate keys, exact re-count confirms — output is exact
+    // (ops/Sketches.cmsHeavyHitters; the oracle is the plain HAVING).
+    "q42_cms_heavy_hitters" -> ((s, d) =>
+      graft.ops.Sketches.cmsHeavyHitters(
+        Tables.events(s, d).select(c("user_id")), "user_id",
+        minCount = 80, eps = 1e-5, confidence = 0.99)),
+
+    // Bloom-prefiltered semi-join: MB-scale filter built over the dim
+    // side prunes the fact scan before the join; exact semi-join cleans
+    // up false positives (ops/Sketches.bloomSemiJoin).
+    "q45_bloom_semi_join" -> ((s, d) => {
+      val keys = Tables.supplier(s, d)
+        .filter(c("s_nationkey") < 5)
+        .select(c("s_suppkey").as("l_suppkey"))
+      graft.ops.Sketches.bloomSemiJoin(
+        Tables.lineitem(s, d)
+          .select(c("l_suppkey"), c("l_returnflag"), c("l_quantity")),
+        keys, "l_suppkey", expectedItems = 1 << 20)
+        .groupBy(c("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(c("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    // Mergeable-sketch rollup: per-day HLL sketches union into months
+    // without re-scanning raw rows (the re-aggregation exact distinct
+    // counts lack). Output = exact count + in-tolerance boolean.
+    "q46_hll_monthly_uniques" -> ((s, d) =>
+      graft.ops.Sketches.hllMonthlyUniques(
+        Tables.orders(s, d), "o_orderdate", "o_custkey")),
 
     // Key + time-range join (shipments within 30 days of order date).
     "q25_range_join" -> ((s, d) => {
@@ -730,6 +770,28 @@ object RelationalPack {
         | quantile_cont(l_extendedprice, 0.25) AS p25_price,
         | quantile_cont(l_extendedprice, 0.75) AS p75_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // exact stats verified for real; the *_ok literals fail if Spark's
+    // sketch estimates drift outside the 5% band (deterministic data →
+    // deterministic estimates → stable booleans)
+    "q24_approx_stats" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | quantile_cont(l_extendedprice, 0.5) AS p50_price,
+        | true AS approx_orders_ok, true AS approx_median_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q42_cms_heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id HAVING count(*) >= 80""".stripMargin,
+    "q45_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        |GROUP BY l_returnflag""".stripMargin,
+    "q46_hll_monthly_uniques" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        | count(DISTINCT o_custkey) AS exact_uniques, true AS hll_ok
+        |FROM orders GROUP BY 1""".stripMargin,
     "q26_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -14,6 +14,25 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(0) === 0x3c6e0b8aL)
   }
 
+  test("bloom_might_contain / cms_estimate are callable from SQL via params") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val bloom = df.stat.bloomFilter("k", 10, 0.01)
+    val cms = df.stat.countMinSketch(
+      org.apache.spark.sql.functions.col("k"), 0.001, 0.999, 42)
+    def bytes(w: java.io.OutputStream => Unit) = {
+      val bos = new java.io.ByteArrayOutputStream(); w(bos); bos.toByteArray
+    }
+    df.createOrReplaceTempView("v_sketch")
+    val r = spark.sql(
+      """SELECT count(*) AS hits,
+        | max(cms_estimate(k, :cms)) AS mx
+        |FROM v_sketch WHERE bloom_might_contain(k, :bloom)""".stripMargin,
+      Map("bloom" -> bytes(bloom.writeTo), "cms" -> bytes(cms.writeTo))).first()
+    assert(r.getLong(0) === 4) // no false negatives on inserted keys
+    assert(r.getLong(1) >= 2) // CMS never underestimates the duplicate
+  }
+
   test("eval_once is callable from SQL and is an identity") {
     import spark.implicits._
     Seq(1, 2, 3).toDF("x").createOrReplaceTempView("v_eval_once")
