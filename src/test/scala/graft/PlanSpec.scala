@@ -146,6 +146,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning(id ASC NULLS FIRST, 1)"), p)
   }
 
+  test("q45 bloom semi-join: probe filters the scan before the join") {
+    val p = explain("q45_bloom_semi_join")
+    // the bloom probe must sit in the lineitem scan's Filter (pre-join
+    // row pruning — the whole point), and the exact semi-join must be
+    // the broadcast form, never a shuffled SMJ
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.indexOf("bloom_might_contain") < p.indexOf("Join LeftSemi") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q42 CMS heavy hitters: prefilter precedes the one count shuffle") {
+    val p = explain("q42_cms_heavy_hitters")
+    assert(p.contains("cms_estimate"), p)
+    // exactly one hash exchange — the exact re-count over candidates;
+    // the sketch pass itself is a separate collected job, not a shuffle
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("q46 HLL rollup: day sketches union without re-scanning raw rows") {
+    val p = explain("q46_hll_monthly_uniques")
+    // estimate path: day-grain partial agg → month-grain union agg;
+    // the month union consumes sketches, not raw o_custkey rows
+    assert(p.contains("hll_union_agg") || p.contains("HllUnionAgg"), p)
+    assert(p.contains("hll_sketch_agg") || p.contains("HllSketchAgg"), p)
+  }
+
   test("F4 detect: single shuffle on client, no driver-side collect in plan") {
     import org.apache.spark.sql.functions._
     val lake = new graft.storage.Lakehouse(spark, tmpDir("planspec-f4"))
