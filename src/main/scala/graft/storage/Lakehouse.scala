@@ -57,6 +57,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   // batch-id tombstones carried into full commits so exactly-once replay
   // detection survives compaction's GC of the delta dirs
   private val SeenPrefix = "_GRAFT_SEEN_b"
+  // per-file min/max zone maps (parquet, inside the version dir — the
+  // underscore prefix hides it from normal table scans)
+  private val StatsDir = "_GRAFT_STATS"
 
   /** (version, dir) for every `_v<N>` subdir of a table, committed or not. */
   private def versionDirs(dest: Path): Seq[(Long, Path)] =
@@ -206,14 +209,38 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     vdir
   }
 
+  /** Zone maps: one row per data file with min/max of `statsCols`,
+    * written INSIDE the version dir before its commit marker (stats are
+    * part of the version payload — a crash between data and stats leaves
+    * an uncommitted, invisible version). The manifest is the file-level
+    * analogue of parquet's row-group statistics: [[readBetween]] prunes
+    * whole files at plan time, before any footer is opened — at 100 TB
+    * that's the difference between listing a manifest and scheduling a
+    * task per file.
+    */
+  private def writeStats(vdir: String, statsCols: Seq[String]): Unit =
+    if (statsCols.nonEmpty) {
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(vdir)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/$StatsDir")
+    }
+
   /** Crash-safe append: the batch lands as a committed DELTA version, so a
     * failure mid-write can never expose partial part-files to readers
-    * (plain `mode("append")` into a shared dir would).
+    * (plain `mode("append")` into a shared dir would). `statsCols` adds a
+    * zone-map manifest for [[readBetween]] pruning.
     */
   def append(name: String, df: DataFrame,
-      beforeCommit: () => Unit = () => ()): Unit = {
-    writeVersion(name, MarkerDelta, beforeCommit)(p =>
-      df.write.mode("overwrite").parquet(p))
+      beforeCommit: () => Unit = () => (),
+      statsCols: Seq[String] = Nil): Unit = {
+    writeVersion(name, MarkerDelta, beforeCommit) { p =>
+      df.write.mode("overwrite").parquet(p)
+      writeStats(p, statsCols)
+    }
     ()
   }
 
@@ -264,13 +291,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   def overwritePartitioned(name: String, df: DataFrame,
       partitionCols: Seq[String],
-      beforeCommit: () => Unit = () => ()): Unit = {
+      beforeCommit: () => Unit = () => (),
+      statsCols: Seq[String] = Nil): Unit = {
     val dest = new Path(tablePath(name))
     val older = versionDirs(dest)
     val vdir = writeVersion(name, MarkerFull, beforeCommit) { p =>
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(p)
+      writeStats(p, statsCols)
     }
     // carry exactly-once batch markers out of the dirs we are about to
     // delete (a streaming batch replayed after compaction must still be
@@ -328,14 +357,74 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // rewrite as partition structure, so read them and write them back
     val partCols = readSchema(name, schema).fieldNames.toSeq
       .diff(schema.fieldNames.toSeq)
-    val base = readWithPartitionColumns(name).repartition(numFiles)
-    // optional clustering: sorting within the rewritten files tightens
-    // parquet row-group min/max ranges so point/range predicates skip
-    // whole row groups at scan time (the linear form of OPTIMIZE ZORDER)
+    val raw = readWithPartitionColumns(name)
+    // clustering: RANGE-repartition on the sort key, then sort within each
+    // file. Round-robin + local sort would tighten row-group stats but
+    // leave every FILE spanning the whole key range — per-file zone maps
+    // would never exclude anything. Range partitioning makes the files'
+    // key ranges disjoint, so [[readBetween]] (and parquet row-group
+    // skipping) prune maximally — the linear form of OPTIMIZE ZORDER.
     val clustered =
-      if (sortCols.isEmpty) base
-      else base.sortWithinPartitions(sortCols.map(col): _*)
-    overwritePartitioned(name, clustered, partCols)
+      if (sortCols.isEmpty) raw.repartition(numFiles)
+      else raw.repartitionByRange(numFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    // sorted compaction gets a zone-map manifest for free — the stats
+    // scan reads the files just written (for unpartitioned tables; a
+    // partitioned rewrite keeps partition pruning as its skipping axis)
+    val stats = if (partCols.isEmpty) sortCols else Nil
+    overwritePartitioned(name, clustered, partCols, statsCols = stats)
+  }
+
+  /** Zone-map-pruned range read: rows of `name` with `colName` in
+    * [lo, hi], reading ONLY the files whose manifest range intersects.
+    * Exact — the residual filter still applies inside surviving files;
+    * files without stats (older writes, all-NULL ranges are pruned since
+    * NULL never matches a range) are read, never silently skipped.
+    * Manifest pruning happens at plan time on the driver (a manifest is
+    * one tiny parquet per version — reading it is the planning cost).
+    * Unpartitioned tables only: partitioned tables' skipping axis is the
+    * partition filter, and an explicit file list would bypass partition
+    * discovery.
+    */
+  def readBetween(name: String, colName: String, lo: Any, hi: Any): DataFrame = {
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    require(readSchema(name, schema) == schema,
+      s"readBetween does not support partitioned table $name")
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    if (!exists(name))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .filter(pred)
+    val parts = dataPaths(name).map { root =>
+      val statsPath = new Path(root, StatsDir)
+      // the manifest dir itself is underscore-hidden, so it must be read
+      // by its explicit part files (Spark's hidden-path filter only
+      // checks the leaf name of given roots)
+      val manifest: Seq[String] =
+        if (!fs.exists(statsPath)) Nil
+        else fs.listStatus(statsPath).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val pruned: Option[Seq[String]] =
+        if (manifest.isEmpty) None
+        else {
+          val st = spark.read.parquet(manifest: _*)
+          if (!st.columns.contains(s"min_$colName")) None
+          else Some(st
+            .filter(col(s"max_$colName") >= lit(lo) &&
+              col(s"min_$colName") <= lit(hi))
+            .select(col("file")).collect().map(_.getString(0)).toSeq)
+        }
+      pruned match {
+        case Some(Nil) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        case Some(files) =>
+          spark.read.schema(schema).parquet(files: _*)
+        case None =>
+          spark.read.schema(schema).option("basePath", root).parquet(root)
+      }
+    }
+    parts.reduce(_ unionByName _).filter(pred)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Bucketed write: pre-shuffles into `buckets` files per bucket key and

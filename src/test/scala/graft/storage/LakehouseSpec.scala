@@ -210,4 +210,44 @@ class LakehouseSpec extends SparkSpec {
     lake.overwrite("dim_cards", merged)
     assert(lake.read("dim_cards").count() == 2)
   }
+
+  test("zone maps: readBetween prunes whole delta files, stays exact") {
+    val lake = new Lakehouse(spark, tmpDir("lake-zonemap"))
+    // two appends with disjoint key ranges → two versions, stats on each
+    lake.append("dim_cards", dimDf("a1" -> "x", "a2" -> "x"),
+      statsCols = Seq("card_num"))
+    lake.append("dim_cards", dimDf("m1" -> "x", "m2" -> "x"),
+      statsCols = Seq("card_num"))
+    val narrow = lake.readBetween("dim_cards", "card_num", "a0", "a9")
+    assert(narrow.select("card_num").as[String].collect().sorted.toSeq ===
+      Seq("a1", "a2"))
+    // only the first version's files are planned — the manifest excluded v2
+    assert(narrow.inputFiles.nonEmpty &&
+      narrow.inputFiles.forall(_.contains("/_v1/")), narrow.inputFiles.toSeq)
+    // a range matching nothing reads nothing
+    assert(lake.readBetween("dim_cards", "card_num", "z1", "z9").count() === 0)
+  }
+
+  test("zone maps: sorted compaction yields disjoint file ranges") {
+    val lake = new Lakehouse(spark, tmpDir("lake-zonemap-compact"))
+    val cards = (1 to 96).map(i => f"c$i%03d" -> "a")
+    lake.append("dim_cards", dimDf(scala.util.Random.shuffle(cards): _*))
+    lake.compact("dim_cards", numFiles = 4, sortCols = Seq("card_num"))
+    // a narrow slice of the key space must hit a strict subset of files
+    val slice = lake.readBetween("dim_cards", "card_num", "c010", "c015")
+    assert(slice.count() === 6)
+    assert(slice.inputFiles.length < 4, slice.inputFiles.toSeq)
+    // and the pruned read agrees with the unpruned filter
+    val want = lake.read("dim_cards")
+      .filter($"card_num" >= "c010" && $"card_num" <= "c015")
+    assert(slice.select("card_num").as[String].collect().sorted.toSeq ===
+      want.select("card_num").as[String].collect().sorted.toSeq)
+  }
+
+  test("readBetween without stats falls back to a full correct read") {
+    val lake = new Lakehouse(spark, tmpDir("lake-zonemap-nostats"))
+    lake.append("dim_cards", dimDf("c1" -> "a1", "d1" -> "a2")) // no statsCols
+    assert(lake.readBetween("dim_cards", "card_num", "c0", "c9")
+      .select("card_num").as[String].collect().toSeq === Seq("c1"))
+  }
 }
