@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Driver-checkable Structured Streaming coverage: the batch parquet
   * testdata replayed through the streaming engine with
@@ -145,6 +145,49 @@ object StreamingPack {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // arbitrary stateful processing, driver-visible: per-user consecutive
+    // 'error' counter in flatMapGroupsWithState, alert at the 3rd of a
+    // run (the driver-checkable cousin of Streams.consecutiveRejectAlerts
+    // — same state-machine shape, spec-tested there with event-time TTL).
+    // Rows are sorted by event time inside each group's iterator; the
+    // single-file AvailableNow drain delivers each group once, so the
+    // run positions are deterministic and the batch gaps-and-islands
+    // oracle applies exactly.
+    "s06_stream_stateful_alerts" -> ((s, d) => {
+      val sink = s"s06_out_${System.nanoTime()}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        import s.implicits._
+        val q = eventsStream(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .as[(Long, Long, java.sql.Timestamp, String)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Append,
+            GroupStateTimeout.NoTimeout)(
+            (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+                state: GroupState[Int]) => {
+              var consec = state.getOption.getOrElse(0)
+              val out = Seq.newBuilder[(Long, Long)]
+              rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach {
+                case (_, eid, _, typ) =>
+                  consec = if (typ == "error") consec + 1 else 0
+                  if (consec == 3) out += ((user, eid))
+              }
+              state.update(consec)
+              out.result().iterator
+            })
+          .toDF("user_id", "event_id")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        drained(s, sink, s.table(sink))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // streaming dedup: first-occurrence-wins on the content fingerprint.
     // Only the FINGERPRINT is projected before dropDuplicates, so the
     // drained result (the distinct fingerprint set) is deterministic even
@@ -200,6 +243,24 @@ object StreamingPack {
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""".stripMargin,
     "s05_stream_sessions" -> RelationalPack.sessionWindowSql,
+    // the 3rd event of every consecutive-error run, per user: runs are
+    // islands of (global rownum − per-type rownum), position within the
+    // island = the state machine's counter value
+    "s06_stream_stateful_alerts" ->
+      """WITH o AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rne
+        | FROM events),
+        |runs AS (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id, event_type, rn - rne
+        |    ORDER BY ts, event_id) AS pos
+        | FROM o)
+        |SELECT user_id, event_id FROM runs
+        |WHERE event_type = 'error' AND pos = 3""".stripMargin,
     "s04_stream_dedup" ->
       """SELECT DISTINCT
         | md5(array_to_string(regexp_extract_all(lower(text), '\S+'), ' '))
