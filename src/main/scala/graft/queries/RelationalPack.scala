@@ -370,6 +370,32 @@ object RelationalPack {
       graft.ops.Sketches.hllMonthlyUniques(
         Tables.orders(s, d), "o_orderdate", "o_custkey")),
 
+    // Sketch set algebra: |clickers ∩ purchasers| by inclusion-exclusion
+    // over HLL sketches (|A|+|B|−|A∪B|) — audience overlap without a
+    // join or a distinct shuffle; the exact count (one agg per user)
+    // rides along as the oracle-checked value, the estimate as a
+    // tolerance boolean (same pattern as q24/q46).
+    "q47_hll_set_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val exact = ev.groupBy(c("user_id"))
+        .agg(max(when(c("event_type") === "click", 1).otherwise(0)).as("ck"),
+          max(when(c("event_type") === "purchase", 1).otherwise(0)).as("pu"))
+        .agg(sum(when(c("ck") === 1 && c("pu") === 1, 1L).otherwise(0L))
+          .as("exact_both"))
+      val sk = ev.agg(
+        hll_sketch_agg(when(c("event_type") === "click", c("user_id")))
+          .as("skc"),
+        hll_sketch_agg(when(c("event_type") === "purchase", c("user_id")))
+          .as("skp"))
+        .select(hll_sketch_estimate(c("skc")).as("ec"),
+          hll_sketch_estimate(c("skp")).as("ep"),
+          hll_sketch_estimate(hll_union(c("skc"), c("skp"))).as("eu"))
+      exact.crossJoin(sk)
+        .select(c("exact_both"),
+          (abs(c("ec") + c("ep") - c("eu") - c("exact_both")) <=
+            greatest(c("exact_both") * 0.1, lit(5.0))).as("overlap_ok"))
+    }),
+
     // Key + time-range join (shipments within 30 days of order date).
     "q25_range_join" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
@@ -792,6 +818,14 @@ object RelationalPack {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         | count(DISTINCT o_custkey) AS exact_uniques, true AS hll_ok
         |FROM orders GROUP BY 1""".stripMargin,
+    "q47_hll_set_overlap" ->
+      """SELECT CAST(sum(CASE WHEN ck = 1 AND pu = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS exact_both,
+        | true AS overlap_ok
+        |FROM (SELECT user_id,
+        |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pu
+        | FROM events GROUP BY user_id)""".stripMargin,
     "q26_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

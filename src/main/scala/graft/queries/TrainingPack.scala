@@ -167,6 +167,34 @@ object TrainingPack {
           least(size(col("tk")) - col("start"), lit(32)).cast("bigint")
             .as("n_tokens"))),
 
+    // corpus-level tf-idf keyword extraction: the 3 most distinctive
+    // terms per document. The idf factor is the LOG-FREE surrogate
+    // (N−df+0.5)/(df+0.5) — log is monotone so per-term ranking is
+    // unchanged, and the score stays within IEEE-exact mul/div chains
+    // (identical association order both engines; ln() carries no
+    // cross-engine bit guarantee). Scale: df is an agg over (doc,token)
+    // pairs, broadcast back onto the tf rows (vocabulary-sized); the
+    // rank window is per-document, bounded by doc vocabulary.
+    "t14_tfidf_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs(s, d).count()
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(dfreq), "token")
+        .withColumn("score", col("tf").cast("double") *
+          ((lit(n).cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("bigint").as("rk"),
+          col("token"), col("tf"), col("score"))
+    }),
+
     // tokenizer-vocabulary build: global token counts, ranked. The rank
     // window runs over the AGGREGATED vocabulary (|distinct tokens|, not
     // |corpus|) and only to cut the top-V head — the count agg is the
@@ -801,6 +829,21 @@ object TrainingPack {
          | CAST(least(len(tk) - s, 32) AS BIGINT) AS n_tokens
          |FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS s
          |      FROM (SELECT doc_id, $toks AS tk FROM documents) b) t""".stripMargin,
+    "t14_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ltoks) AS token
+         |             FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, token, tf,
+         |  CAST(tf AS DOUBLE) *
+         |    ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS score
+         | FROM tf JOIN dfq USING (token) CROSS JOIN nn)
+         |SELECT doc_id,
+         | CAST(row_number() OVER w AS BIGINT) AS rk, token, tf, score
+         |FROM sc
+         |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, token)
+         |QUALIFY rk <= 3""".stripMargin,
     "d16_decontaminate" -> d16Sql,
     "d21_curation_pipeline" ->
       s"""SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
