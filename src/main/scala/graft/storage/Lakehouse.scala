@@ -151,6 +151,41 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Change feed: the rows appended by the committed DELTA versions in
+    * (fromVersion, toVersion] — the incremental-consumer API (downstream
+    * jobs re-process only what changed since their last run, never the
+    * full table). Append-only by construction: a FULL commit in the range
+    * is a rewrite, not a delta, so it throws rather than silently
+    * misreporting changes; versions GC'd by a later compaction also
+    * throw (same never-misresolve stance as readAt).
+    */
+  def changesBetween(name: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    val committed = versionDirs(new Path(tablePath(name))).sortBy(_._1)
+      .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
+    val have = committed.map(_._1).toSet
+    ((fromVersion + 1) to toVersion).foreach(v => require(have(v),
+      s"$name version $v is not on disk (GC'd or never committed) — " +
+        "the change feed would be incomplete"))
+    val range = committed.filter(t => t._1 > fromVersion && t._1 <= toVersion)
+    range.find(_._3).foreach { case (v, _, _) =>
+      throw new IllegalArgumentException(
+        s"$name version $v is a FULL rewrite — no row-level change feed " +
+          "across snapshots")
+    }
+    if (range.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else range.map { case (_, p, _) =>
+      spark.read.schema(readSchema(name, schema))
+        .option("basePath", p.toString).parquet(p.toString)
+    }.reduce(_ unionByName _)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Read a table; absent or empty tables yield an empty DataFrame with the
     * registered schema, so first-run ETL needs no special-casing.
     */
@@ -373,6 +408,28 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // partitioned rewrite keeps partition pruning as its skipping axis)
     val stats = if (partCols.isEmpty) sortCols else Nil
     overwritePartitioned(name, clustered, partCols, statsCols = stats)
+  }
+
+  /** Z-order compaction: rewrite the table clustered along the Morton
+    * curve of `zCols` (see [[ZOrder]]), with zone maps on every z column
+    * — one layout that lets [[readBetween]] prune files for range
+    * predicates on ANY of them, where `compact(sortCols)`'s linear order
+    * only serves its leading column. Unpartitioned tables (a partitioned
+    * table's skipping axis is its partition filter).
+    */
+  def compactZOrder(name: String, numFiles: Int, zCols: Seq[String],
+      bits: Int = 8): Unit = {
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    require(readSchema(name, schema) == schema,
+      s"compactZOrder does not support partitioned table $name")
+    val raw = read(name)
+    val clustered = raw
+      .withColumn("_zkey", ZOrder.zkey(raw, zCols, bits))
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+    overwritePartitioned(name, clustered, Nil, statsCols = zCols)
   }
 
   /** Zone-map-pruned range read: rows of `name` with `colName` in
