@@ -326,25 +326,25 @@ object RelationalPack {
     // tolerance band — the estimate is deterministic for fixed data, so
     // the booleans are stable and the oracle (exact + literal true)
     // genuinely fails if Spark's sketch drifts out of band.
-    // NB: the exact distinct count, the sketch aggregates, and the exact
-    // percentile each aggregate SEPARATELY and join on the 3-row group
-    // key. count(DISTINCT) in the same agg as any non-distinct aggregate
-    // triggers the distinct-rewrite Expand plan (every row duplicated per
-    // branch); combined with the percentile's buffering it object-hash
-    // fell back and took 90 s at sf0.1, where these three plain aggs take
-    // a few seconds. The explicit distinct-then-count is the same
-    // two-phase shape the rewrite produces, minus the row expansion.
+    // NB: the exact distinct count aggregates SEPARATELY from everything
+    // else and joins on the 3-row group key. count(DISTINCT) in the same
+    // agg as any non-distinct aggregate triggers the distinct-rewrite
+    // Expand plan (every row duplicated per branch); combined with the
+    // percentile's buffering it object-hash fell back and took 90 s at
+    // sf0.1, where these two plain aggs take ~1 s. The explicit
+    // distinct-then-count is the same two-phase shape the rewrite
+    // produces, minus the row expansion; the sketch and percentile
+    // aggregates are all non-distinct and share one scan.
     "q24_approx_stats" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val dis = li.select(c("l_returnflag"), c("l_orderkey")).distinct()
         .groupBy(c("l_returnflag"))
         .agg(count(lit(1)).as("exact_orders"))
-      val apx = li.groupBy(c("l_returnflag"))
+      val rest = li.groupBy(c("l_returnflag"))
         .agg(approx_count_distinct(c("l_orderkey"), 0.01).as("_a"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_m"))
-      val pct = li.groupBy(c("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
-      dis.join(apx, "l_returnflag").join(pct, "l_returnflag")
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_m"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+      dis.join(rest, "l_returnflag")
         .select(c("l_returnflag"), c("exact_orders"), c("p50_price"),
           (abs(c("_a") - c("exact_orders")) <=
             c("exact_orders") * 0.05).as("approx_orders_ok"),

@@ -170,7 +170,14 @@ object StreamingPack {
                 state: GroupState[Int]) => {
               var consec = state.getOption.getOrElse(0)
               val out = Seq.newBuilder[(Long, Long)]
-              rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach {
+              // microsecond-exact sort key: getTime alone is millisecond
+              // precision, and events carry microsecond timestamps — a
+              // same-millisecond tie would order differently than the
+              // oracle's ORDER BY ts (the session oracle hit exactly
+              // this precision class before)
+              def micros(t: java.sql.Timestamp): Long =
+                (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+              rows.toSeq.sortBy(r => (micros(r._3), r._2)).foreach {
                 case (_, eid, _, typ) =>
                   consec = if (typ == "error") consec + 1 else 0
                   if (consec == 3) out += ((user, eid))

@@ -165,11 +165,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"fromVersion $fromVersion > toVersion $toVersion")
     val schema = Schemas.byName.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table: $name"))
-    val committed = versionDirs(new Path(tablePath(name))).sortBy(_._1)
+    val all = versionDirs(new Path(tablePath(name))).sortBy(_._1)
+    val committed = all
       .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
-    val have = committed.map(_._1).toSet
-    ((fromVersion + 1) to toVersion).foreach(v => require(have(v),
-      s"$name version $v is not on disk (GC'd or never committed) — " +
+    // completeness check against dirs PRESENT on disk, not committed
+    // ones: an uncommitted dir is crash debris that contributed no rows
+    // (a crashed append claims a version number forever — it must not
+    // poison every later feed range), while a MISSING number means GC
+    // folded that delta into a snapshot and the row-level feed is gone
+    val present = all.map(_._1).toSet
+    ((fromVersion + 1) to toVersion).foreach(v => require(present(v),
+      s"$name version $v is not on disk (GC'd) — " +
         "the change feed would be incomplete"))
     val range = committed.filter(t => t._1 > fromVersion && t._1 <= toVersion)
     range.find(_._3).foreach { case (v, _, _) =>
@@ -257,6 +263,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (statsCols.nonEmpty) {
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      // the extra pass reads ONLY the stats columns (column pruning on
+      // the just-written, page-cache-warm parquet) — not a full re-read.
+      // Extracting the same ranges from the parquet footers would avoid
+      // even that, at the cost of hand-decoding typed statistics; the
+      // pruned scan is the simpler trade at these column counts.
       spark.read.parquet(vdir)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)

@@ -100,7 +100,10 @@ object Streams {
           } else {
             var s = state.getOption.getOrElse(CardState(0))
             val out = Seq.newBuilder[RejectAlert]
-            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, res) =>
+            // microsecond-exact (getTime is millis; see StreamingPack s06)
+            rows.toSeq.sortBy(r =>
+              (r._2.getTime / 1000) * 1000000L + r._2.getNanos / 1000)
+              .foreach { case (_, ts, res) =>
               s =
                 if (res == graft.model.Strings.Rejected)
                   CardState(s.consecutiveRejects + 1)

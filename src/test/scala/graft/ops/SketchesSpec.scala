@@ -75,6 +75,23 @@ class SketchesSpec extends SparkSpec {
     assert(out.find(_.getDate(0).toLocalDate.getMonthValue == 1).get.getLong(1) === exactJan)
   }
 
+  test("property: cmsHeavyHitters equals exact heavy hitters on random skews") {
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      // zipf-ish: key k drawn with weight ~ 1/k over a random key space
+      val keys = 1 + rnd.nextInt(40)
+      val draws = Seq.fill(2000)(1 + (math.pow(rnd.nextDouble(), 2.5) * keys).toInt)
+      val df = draws.map(k => Tuple1(k.toLong)).toDF("k")
+      val t = 10 + rnd.nextInt(150)
+      val got = Sketches.cmsHeavyHitters(df, "k", minCount = t,
+        eps = 1e-4, confidence = 0.999, seed = trial)
+      val want = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= t)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"trial $trial keys=$keys t=$t")
+    }
+  }
+
   test("probes fail at analysis on bad input types") {
     val bloom = Seq(1L).toDF("k").stat.bloomFilter("k", 10, 0.01)
     val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)

@@ -271,6 +271,23 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("z-order key normalizes DATE columns and orders by rank") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 64).map(i =>
+      (s"a$i", java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i * 7)), "c", ts("2020-05-01 00:00:00"),
+        None: Option[java.sql.Timestamp]))
+    val df = spark.createDataFrame(
+      rows.toDF("account_num", "valid_to", "client", "create_dt",
+        "update_dt").rdd, graft.model.Schemas.dimAccounts)
+    val keyed = df.withColumn("z", ZOrder.zkey(df, Seq("valid_to"), bits = 2))
+      .select("valid_to", "z").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).sortBy(_._1)
+    assert(keyed.map(_._2).distinct.toSeq === Seq(0L, 1L, 2L, 3L))
+    // bucket ids are monotone in the date rank
+    assert(keyed.map(_._2).toSeq === keyed.map(_._2).sorted.toSeq)
+  }
+
   test("changesBetween feeds exactly the delta rows in range") {
     val lake = new Lakehouse(spark, tmpDir("lake-cdc"))
     lake.append("dim_cards", dimDf("c1" -> "a"))   // v1
@@ -291,6 +308,20 @@ class LakehouseSpec extends SparkSpec {
       lake.changesBetween("dim_cards", 3L, 5L))
     assert(lake.changesBetween("dim_cards", 4L, 5L)
       .select("card_num").as[String].collect().toSeq === Seq("c4"))
+  }
+
+  test("changesBetween skips crash-debris versions instead of failing forever") {
+    val lake = new Lakehouse(spark, tmpDir("lake-cdc-debris"))
+    lake.append("dim_cards", dimDf("c1" -> "a"))   // v1
+    // v2 crashes before its commit marker: the dir exists, uncommitted
+    intercept[RuntimeException] {
+      lake.append("dim_cards", dimDf("cX" -> "a"),
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    lake.append("dim_cards", dimDf("c3" -> "a"))   // v3
+    // the debris contributed no rows — the feed is complete without it
+    assert(lake.changesBetween("dim_cards", 1L, 3L)
+      .select("card_num").as[String].collect().toSeq === Seq("c3"))
   }
 
   test("readBetween without stats falls back to a full correct read") {
