@@ -383,6 +383,34 @@ object RelationalPack {
       graft.ops.Sketches.hllMonthlyUniques(
         Tables.orders(s, d), "o_orderdate", "o_custkey")),
 
+    // Time-series linear interpolation: every event gets the value
+    // linearly interpolated between the user's surrounding 'purchase'
+    // observations (sensor-style gap filling at event positions — the
+    // value-interpolating cousin of q43's time-axis gap fill). Exact
+    // float parity: the fraction is a mul/div chain over microsecond
+    // longs (exact in double) with identical association order in the
+    // oracle; a purchase row reproduces its own value via the
+    // zero-denominator guard. Two windows per row, one shuffle.
+    "q48_interpolate" -> ((s, d) => {
+      val w = Window.partitionBy(c("user_id")).orderBy(c("ts"), c("event_id"))
+      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsV = when(c("event_type") === "purchase", c("value"))
+      val obsT = when(c("event_type") === "purchase", unix_micros(c("ts")))
+      Tables.events(s, d)
+        .select(c("event_id"), c("user_id"), c("ts"),
+          last(obsV, ignoreNulls = true).over(wp).as("pv"),
+          last(obsT, ignoreNulls = true).over(wp).as("pt"),
+          first(obsV, ignoreNulls = true).over(wn).as("nv"),
+          first(obsT, ignoreNulls = true).over(wn).as("nt"))
+        .select(c("event_id"), c("user_id"),
+          when(c("nt") === c("pt"), c("pv"))
+            .otherwise(c("pv") + (c("nv") - c("pv")) *
+              ((unix_micros(c("ts")).cast("double") - c("pt")) /
+                (c("nt") - c("pt"))))
+            .as("interp"))
+    }),
+
     // Sketch set algebra: |clickers ∩ purchasers| by inclusion-exclusion
     // over HLL sketches (|A|+|B|−|A∪B|) — audience overlap without a
     // join or a distinct shuffle; the exact count (one agg per user)
@@ -831,6 +859,29 @@ object RelationalPack {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         | count(DISTINCT o_custkey) AS exact_uniques, true AS hll_ok
         |FROM orders GROUP BY 1""".stripMargin,
+    "q48_interpolate" ->
+      """WITH b AS (
+        | SELECT event_id, user_id, ts,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+        |    IGNORE NULLS) OVER wp AS pt,
+        |  first_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+        |    IGNORE NULLS) OVER wn AS nt
+        | FROM events
+        | WINDOW
+        |  wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        | CASE WHEN nt = pt THEN pv
+        |      ELSE pv + (nv - pv) *
+        |        ((CAST(epoch_us(ts) AS DOUBLE) - pt) / (nt - pt)) END
+        |   AS interp
+        |FROM b""".stripMargin,
     "q47_hll_set_overlap" ->
       """SELECT CAST(sum(CASE WHEN ck = 1 AND pu = 1 THEN 1 ELSE 0 END)
         |   AS BIGINT) AS exact_both,
