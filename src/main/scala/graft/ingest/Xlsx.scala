@@ -112,9 +112,13 @@ object Xlsx {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => row = Array.fill[String](NCols)(null)
+            case "row" => row = Array.fill[String](NCols)(null); cellCol = -1
             case "c" =>
-              cellCol = colIndex(r.getAttributeValue(null, "r"))
+              // the r="A1" reference is OPTIONAL in ECMA-376 (streaming
+              // writers omit it): an absent ref means "next column after
+              // the previous cell", per the spec's sequential default
+              val ref = r.getAttributeValue(null, "r")
+              cellCol = if (ref != null) colIndex(ref) else cellCol + 1
               cellShared = r.getAttributeValue(null, "t") == "s"
             case "v" => inV = true; v.clear()
             case _ =>

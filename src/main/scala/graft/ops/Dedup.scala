@@ -288,10 +288,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Benchmark decontamination: for every corpus document, how many of
-    * its distinct word 3-grams (case-insensitive) also occur in the
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct word 3-grams (case-insensitive) also occur in the
     * benchmark/eval set — the overlap signal training pipelines use to
     * drop eval-contaminated documents (docs with `n_hits` ≥ some cutoff).
+    *
+    * ZERO-HIT documents emit NO row (the inner join drops them by
+    * design): materializing an explicit 0 for the uncontaminated
+    * majority would shuffle the whole corpus id space for information
+    * the absence already carries. Consumers keep clean docs with an
+    * anti-join against the `n_hits >= cutoff` set (exactly what the d21
+    * curation pipeline does), never by filtering this output directly.
     *
     * Scale shape: the benchmark side is an eval suite — thousands to
     * millions of shingles, not corpus-sized — so its distinct-shingle set

@@ -16,10 +16,17 @@ import org.apache.spark.sql.functions._
   * The salt MUST be per-row, not per-key: a salt derived from the join key
   * alone sends every row of a hot key to the same salt bucket — the skew
   * survives and the small-side replication is pure overhead. We derive it
-  * from the physical row position (`monotonically_increasing_id`), which is
-  * deterministic for a fixed partition layout and — unlike `rand()` —
-  * stable under task retries (a retried task re-reads the same rows in the
-  * same order, so recomputed salts agree with any already-shuffled output).
+  * from the hash of the WHOLE row (every column, not just the key):
+  * content-determined, so a task retry recomputes identical salts no
+  * matter how the upstream stage reordered rows. Position-derived salts
+  * (`monotonically_increasing_id`) or `rand()` are NOT retry-stable once
+  * the big side sits downstream of a shuffle — intra-partition order can
+  * differ between attempts, and a salt that routes the shuffle write is
+  * then the SPARK-23207 class of silent duplication/loss. The trade:
+  * fully identical rows share a salt — harmless for correctness
+  * (identical rows are interchangeable), and hot-key rows in practice
+  * differ in their payload columns. A big side projected down to ONLY
+  * the join key gets no spread — keep a differing column in scope.
   * SkewSpec asserts a hot key's rows actually span >1 salt.
   *
   * AQE's skew-join handles many cases at runtime; explicit salting still
@@ -28,9 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Per-row salt in [0, factor): row-position hash, key-independent. */
-  private def rowSalt(factor: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int")
+  /** Per-row salt in [0, factor): whole-row content hash — deterministic
+    * under task retries regardless of upstream row order.
+    */
+  private def rowSalt(df: DataFrame, factor: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor))
+      .cast("int")
 
   /** `factor` must be positive (pmod by 0 yields NULL salts, which the
     * null-rejecting equi-join would silently drop row by row), and the
@@ -47,7 +57,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
     validate(factor, big, small)
-    val salted = big.withColumn("_salt", rowSalt(factor))
+    val salted = big.withColumn("_salt", rowSalt(big, factor))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -62,7 +72,7 @@ object Skew {
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
       factor: Int): DataFrame = {
     validate(factor, df)
-    df.withColumn("_salt", rowSalt(factor))
+    df.withColumn("_salt", rowSalt(df, factor))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))

@@ -104,15 +104,21 @@ object TextOps {
     */
   def dominantOfSorted(arr: Column): Column =
     aggregate(arr,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best_cnt"),
-        lit("").as("best"), lit(0L).as("n_distinct")),
+      // NULL `prev` sentinel, not "": an empty string is a legal array
+      // element, and a "" sentinel would absorb a leading "" into a
+      // phantom run (n_distinct one short). NULL can't collide — the
+      // comparisons below are explicitly null-guarded.
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best_cnt"), lit("").as("best"),
+        lit(0L).as("n_distinct")),
       (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        val continues = acc("prev").isNotNull && (x === acc("prev"))
+        val run = when(continues, acc("run") + 1L).otherwise(lit(1L))
         struct(x.as("prev"), run.as("run"),
           when(run > acc("best_cnt"), run).otherwise(acc("best_cnt"))
             .as("best_cnt"),
           when(run > acc("best_cnt"), x).otherwise(acc("best")).as("best"),
-          (acc("n_distinct") + when(x =!= acc("prev"), 1L).otherwise(0L))
+          (acc("n_distinct") + when(continues, 0L).otherwise(1L))
             .as("n_distinct"))
       },
       acc => struct(acc("best").as("best"), acc("best_cnt").as("best_cnt"),

@@ -27,11 +27,18 @@ object VectorOps {
     * rank by (dot desc, neighbor_id asc), keep k, emit rk = 1..k.
     * Output order/typing matches the window `row_number` formulation
     * row-for-row — the DuckDB oracles still use that spelling.
+    *
+    * NULL-scored candidates (qdot of a length-mismatched or null-element
+    * vector — a malformed corpus row) are dropped, never ranked: the
+    * typed aggregator's non-nullable encoder would otherwise abort the
+    * whole job on one bad vector.
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
     scored
+      .filter(col("dot").isNotNull &&
+        col("query_id").isNotNull && col("neighbor_id").isNotNull)
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
         col("dot").cast("long"))
       .as[(Long, Long, Long)]

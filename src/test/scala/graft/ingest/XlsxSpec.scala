@@ -34,6 +34,29 @@ class XlsxSpec extends SparkSpec {
     }
   }
 
+  test("cells without the optional r= reference parse sequentially") {
+    // ECMA-376 makes <c r="A1"> optional — streaming writers omit it and
+    // cells default to the next column; mix ref-less and ref'd cells
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row><c><v>trans_id</v></c></row>
+        |<row><c><v>t1</v></c><c><v>43952.4166666666</v></c>
+        |  <c r="O2"><v>12.34</v></c><c><v>ok</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zip.write(sheet.getBytes("UTF-8"))
+    zip.closeEntry(); zip.close()
+    val rows = Xlsx.parseWorkbook(bos.toByteArray)
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(0) === "t1")
+    assert(r.getTimestamp(1) === ts("2020-05-01 10:00:00")) // serial col 1
+    assert(r.getDecimal(14) === dec("12.34")) // explicit r="O2"
+    assert(r.getString(15) === "ok") // sequential after the ref'd cell
+  }
+
   test("3-day pipeline replays end-to-end from raw xlsx") {
     val lake = new Lakehouse(spark, tmpDir("xlsx-pipeline"))
     val clock = ts("2020-05-09 12:00:00")

@@ -28,9 +28,10 @@ class SkewSpec extends SparkSpec {
   }
 
   test("hot key's rows span more than one salt bucket") {
-    // reproduce the internal salt derivation shape: per-row, key-independent
+    // reproduce the internal salt derivation shape: whole-row content
+    // hash — per-row (rows differ in v), key-independent, retry-stable
     val salted = bigSkewed.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
+      pmod(xxhash64(col("k"), col("v")), lit(8)).cast("int"))
     val saltsForHotKey = salted.filter(col("k") === 0L)
       .select(countDistinct(col("_salt"))).as[Long].head()
     assert(saltsForHotKey > 1L,

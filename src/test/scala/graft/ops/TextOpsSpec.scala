@@ -100,6 +100,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dominantOfSorted counts a leading empty string as its own element") {
+    val spark2 = spark
+    import spark2.implicits._
+    val r = Seq(Tuple1(Seq("", "a")), Tuple1(Seq("")), Tuple1(Seq("", "", "b")))
+      .toDF("arr")
+      .select(TextOps.dominantOfSorted(col("arr")).as("d"))
+      .select(col("d.best"), col("d.best_cnt"), col("d.n_distinct"))
+      .collect()
+    assert(r(0).getLong(2) === 2L) // ["", "a"]: two distinct elements
+    assert((r(1).getString(0), r(1).getLong(1), r(1).getLong(2)) ===
+      (("", 1L, 1L)))
+    assert((r(2).getString(0), r(2).getLong(1), r(2).getLong(2)) ===
+      (("", 2L, 2L)))
+  }
+
   test("simhash/minhash of empty token sets are defined") {
     val r = one("").select(
       Dedup.simhash16(col("text")) +:
