@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Driver-checkable Structured Streaming coverage: the batch parquet
   * testdata replayed through the streaming engine with
@@ -195,6 +195,46 @@ object StreamingPack {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // the SAME state machine through Spark 4's arbitrary-state v2 API
+    // (transformWithState + StatefulProcessor + ValueState, which
+    // REQUIRES the RocksDB state store — exercised here, scoped to the
+    // query): the forward-looking replacement for flatMapGroupsWithState,
+    // with typed per-key state primitives and store-backed TTL. Same
+    // gaps-and-islands oracle as s06 — two engines' worth of evidence
+    // that both stateful APIs implement identical semantics.
+    "s07_stream_transform_state" -> ((s, d) => {
+      val sink = s"s07_out_${System.nanoTime()}"
+      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val q = eventsStream(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .as[(Long, Long, java.sql.Timestamp, String)]
+          .groupByKey(_._1)
+          .transformWithState(new ConsecErrorProcessor, TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "event_id")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        drained(s, sink, s.table(sink))
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevPart)
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    }),
+
     // streaming dedup: first-occurrence-wins on the content fingerprint.
     // Only the FINGERPRINT is projected before dropDuplicates, so the
     // drained result (the distinct fingerprint set) is deterministic even
@@ -219,6 +259,36 @@ object StreamingPack {
     })
   )
 
+  /** s07's state machine as a StatefulProcessor (arbitrary-state v2):
+    * one ValueState[Int] per user carries the consecutive-error counter
+    * across micro-batches; rows sort microsecond-exact inside each
+    * group delivery, as in s06.
+    */
+  private class ConsecErrorProcessor extends StatefulProcessor[
+      Long, (Long, Long, java.sql.Timestamp, String), (Long, Long)] {
+    @transient private var consec: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      consec = getHandle.getValueState[Int]("consec",
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      var c = if (consec.exists()) consec.get() else 0
+      val out = Seq.newBuilder[(Long, Long)]
+      def micros(t: java.sql.Timestamp): Long =
+        (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+      rows.toSeq.sortBy(r => (micros(r._3), r._2)).foreach {
+        case (_, eid, _, typ) =>
+          c = if (typ == "error") c + 1 else 0
+          if (c == 3) out += ((user, eid))
+      }
+      consec.update(c)
+      out.result().iterator
+    }
+  }
+
   /** Detach the (small, final) result from the memory sink and drop the
     * sink table — repeated invocations in one session (3 SFs + bench)
     * would otherwise accumulate every run's full result set on the
@@ -232,6 +302,22 @@ object StreamingPack {
     s.catalog.dropTempView(sink)
     out
   }
+
+  private val consecErrorSql =
+    """WITH o AS (
+      | SELECT user_id, event_id, ts, event_type,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS rn,
+      |  row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id) AS rne
+      | FROM events),
+      |runs AS (
+      | SELECT user_id, event_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id, event_type, rn - rne
+      |    ORDER BY ts, event_id) AS pos
+      | FROM o)
+      |SELECT user_id, event_id FROM runs
+      |WHERE event_type = 'error' AND pos = 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s01_stream_hourly_counts" ->
@@ -252,22 +338,10 @@ object StreamingPack {
     "s05_stream_sessions" -> RelationalPack.sessionWindowSql,
     // the 3rd event of every consecutive-error run, per user: runs are
     // islands of (global rownum − per-type rownum), position within the
-    // island = the state machine's counter value
-    "s06_stream_stateful_alerts" ->
-      """WITH o AS (
-        | SELECT user_id, event_id, ts, event_type,
-        |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id) AS rn,
-        |  row_number() OVER (PARTITION BY user_id, event_type
-        |    ORDER BY ts, event_id) AS rne
-        | FROM events),
-        |runs AS (
-        | SELECT user_id, event_id, event_type,
-        |  row_number() OVER (PARTITION BY user_id, event_type, rn - rne
-        |    ORDER BY ts, event_id) AS pos
-        | FROM o)
-        |SELECT user_id, event_id FROM runs
-        |WHERE event_type = 'error' AND pos = 3""".stripMargin,
+    // island = the state machine's counter value; shared by both
+    // stateful APIs (s06 flatMapGroupsWithState, s07 transformWithState)
+    "s06_stream_stateful_alerts" -> consecErrorSql,
+    "s07_stream_transform_state" -> consecErrorSql,
     "s04_stream_dedup" ->
       """SELECT DISTINCT
         | md5(array_to_string(regexp_extract_all(lower(text), '\S+'), ' '))
