@@ -195,6 +195,28 @@ object TrainingPack {
           col("token"), col("tf"), col("score"))
     }),
 
+    // the first BPE TRAINING step: adjacent character-pair counts over
+    // all word occurrences, top-20 merge candidates (t06 counts tokens
+    // with a fixed vocab; this is where that vocab comes from). The pair
+    // count is the distributed part; the rank window runs over the
+    // aggregated pair vocabulary — bounded by |alphabet|², not corpus —
+    // the same justification as t10's vocab ranking.
+    "t15_bpe_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = docs(s, d)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("wd"))
+        .select(col("wd"),
+          explode(when(length(col("wd")) >= 2,
+            sequence(lit(1), length(col("wd")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(expr("concat(substring(wd, i, 1), ' ', substring(wd, i + 1, 1))")
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      pairs.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 20)
+    }),
+
     // tokenizer-vocabulary build: global token counts, ranked. The rank
     // window runs over the AGGREGATED vocabulary (|distinct tokens|, not
     // |corpus|) and only to cut the top-V head — the count agg is the
@@ -423,6 +445,34 @@ object TrainingPack {
     // split assignment (d11), aggregated to per-(source, split) doc and
     // token budgets. Shapes at scale: one semi join on doc_id, one
     // broadcast-able anti join, map-only sampling, small final agg
+    // contrastive negative sampling: k deterministic pseudo-random
+    // negatives per anchor (md5-hash draw over the id space — seeded,
+    // reproducible across engines and retries, like d11/d17's buckets),
+    // minus self-draws and accidental positives (exact-duplicate texts).
+    // Scale: the candidate set is k·|corpus| rows equi-joined on the
+    // drawn id — shuffle-partitioned by id, no broadcast of the corpus;
+    // near-dup (not just exact-dup) exclusion composes with d04's pair
+    // table as an extra anti-join when needed.
+    "d22_negative_pairs" -> ((s, d) => {
+      val k = 4
+      val base = docs(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val n = base.count()
+      val cand = base
+        .select(col("doc_id").as("anchor_id"), col("fp").as("fp_a"),
+          explode(sequence(lit(0), lit(k - 1))).as("j"))
+        .withColumn("neg_id", pmod(graft.functions.Md5Prefix64(
+          concat(lit("neg-"), col("anchor_id").cast("string"),
+            lit("-"), col("j").cast("string"))), lit(n)))
+        .filter(col("neg_id") =!= col("anchor_id"))
+      cand
+        .join(base.select(col("doc_id").as("neg_id"), col("fp").as("fp_b")),
+          "neg_id")
+        .filter(col("fp_a") =!= col("fp_b"))
+        .select(col("anchor_id"), col("j").cast("bigint").as("j"),
+          col("neg_id"))
+    }),
+
     "d21_curation_pipeline" -> ((s, d) => {
       val kept = queries("d08_corpus_select")(s, d).select(col("doc_id"))
       val contaminated = queries("d16_decontaminate")(s, d)
@@ -844,6 +894,29 @@ object TrainingPack {
          |FROM sc
          |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, token)
          |QUALIFY rk <= 3""".stripMargin,
+    "t15_bpe_merge" ->
+      s"""WITH w AS (SELECT unnest($ltoks) AS wd FROM documents),
+         |ix AS (SELECT wd, CAST(unnest(range(1, length(wd))) AS INT) AS i
+         |       FROM w),
+         |pr AS (SELECT concat(substring(wd, i, 1), ' ',
+         |         substring(wd, i + 1, 1)) AS pair FROM ix),
+         |c AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY 1)
+         |SELECT pair, cnt,
+         | CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rk
+         |FROM c QUALIFY rk <= 20""".stripMargin,
+    "d22_negative_pairs" ->
+      s"""WITH base AS (SELECT doc_id,
+         |  md5(array_to_string($ltoks, ' ')) AS fp FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |cand AS (
+         | SELECT b.doc_id AS anchor_id, b.fp AS fp_a, js.j,
+         |  CAST(concat('0x', substr(md5(concat('neg-',
+         |    CAST(b.doc_id AS VARCHAR), '-', CAST(js.j AS VARCHAR))), 1, 8))
+         |    AS BIGINT) % nn.n AS neg_id
+         | FROM base b, nn, (SELECT unnest(range(0, 4)) AS j) js)
+         |SELECT c.anchor_id, CAST(c.j AS BIGINT) AS j, c.neg_id
+         |FROM cand c JOIN base nb ON c.neg_id = nb.doc_id
+         |WHERE c.neg_id <> c.anchor_id AND c.fp_a <> nb.fp""".stripMargin,
     "d16_decontaminate" -> d16Sql,
     "d21_curation_pipeline" ->
       s"""SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,

@@ -173,6 +173,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hll_sketch_agg") || p.contains("HllSketchAgg"), p)
   }
 
+  test("t14 tf-idf: doc-frequency table broadcast, no SMJ") {
+    val p = explain("t14_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q48 interpolation: both window frames share one user_id exchange") {
+    val p = explain("q48_interpolate")
+    // forward and backward carries partition and order identically —
+    // a second exchange (or a per-frame re-sort exchange) would double
+    // the shuffle for nothing
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
   test("F4 detect: single shuffle on client, no driver-side collect in plan") {
     import org.apache.spark.sql.functions._
     val lake = new graft.storage.Lakehouse(spark, tmpDir("planspec-f4"))
