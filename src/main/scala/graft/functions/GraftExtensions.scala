@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "minhash_sig(tokens, k) requires a literal INT signature length")
         }))
+    e.injectFunction(
+      (FunctionIdentifier("qdot"),
+        new ExpressionInfo(classOf[QDot].getName, "qdot"),
+        (children: Seq[Expression]) => children match {
+          case Seq(a, b) => QDot(a, b)
+          case _ => throw new IllegalArgumentException(
+            "qdot(a, b) takes 2 ARRAY<BIGINT> arguments")
+        }))
     // sketch probes (ops/Sketches): the BINARY argument is a serialized
     // spark.util.sketch BloomFilter / CountMinSketch, typically bound as
     // a parameter (spark.sql(..., Map("sk" -> bytes)))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   * Why native (SURVEY.md §7.4 ladder, step (b)): the fold spelling walks
   * two interpreted higher-order lambdas per CANDIDATE PAIR — the single
   * hottest loop of the ANN/near-dup family (e01 evaluates it |Q|×|C|
-  * times, d06/e03-e05 once per co-bucketed pair). CodegenFallback costs
-  * one virtual call per pair against a compiled 64-iteration loop.
+  * times, d06/e03-e05 once per co-bucketed pair). `doGenCode` emits the
+  * 64-iteration loop straight into whole-stage codegen — no per-pair
+  * virtual call, no boxing, no codegen-span break around the ranking
+  * projection (the CodegenFallback this replaced cost all three).
   */
 case class QDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -49,6 +51,29 @@ case class QDot(left: Expression, right: Expression)
     }
     sum
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sum = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $sum += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QDot =

@@ -33,6 +33,23 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(1) >= 2) // CMS never underestimates the duplicate
   }
 
+  test("qdot is callable from SQL; codegen path agrees with eval") {
+    import spark.implicits._
+    // enough rows that the projection runs through whole-stage codegen
+    val rows = (1 to 200).map(i =>
+      (Seq.tabulate(64)(j => (i + j).toLong), Seq.tabulate(64)(j => (j - i).toLong)))
+    rows.toDF("a", "b").createOrReplaceTempView("v_qdot")
+    val got = spark.sql(
+      """SELECT sum(qdot(a, b)) AS s,
+        | sum(aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (p, q) -> p + q)) AS w
+        |FROM v_qdot""".stripMargin).first()
+    assert(got.getLong(0) === got.getLong(1))
+    // mismatched lengths and NULL elements stay NULL through codegen
+    val n = spark.sql(
+      "SELECT qdot(array(1L, 2L), array(1L)) AS x, qdot(array(1L, NULL), array(1L, 2L)) AS y").first()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("eval_once is callable from SQL and is an identity") {
     import spark.implicits._
     Seq(1, 2, 3).toDF("x").createOrReplaceTempView("v_eval_once")
