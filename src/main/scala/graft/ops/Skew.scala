@@ -36,11 +36,24 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Per-row salt in [0, factor): whole-row content hash — deterministic
-    * under task retries regardless of upstream row order.
+    * under task retries regardless of upstream row order. Columns are
+    * resolved via `df.col` (exact names — `col("a.b")` would parse as a
+    * struct path) and any map-bearing columns are skipped (xxhash64
+    * rejects MapType: map iteration order is undefined, so maps can't
+    * contribute deterministically anyway).
     */
-  private def rowSalt(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor))
-      .cast("int")
+  private def rowSalt(df: DataFrame, factor: Int): Column = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => df.col(f.name)).toIndexedSeq
+    require(cols.nonEmpty, "no hashable columns to derive a row salt from")
+    pmod(xxhash64(cols: _*), lit(factor)).cast("int")
+  }
 
   /** `factor` must be positive (pmod by 0 yields NULL salts, which the
     * null-rejecting equi-join would silently drop row by row), and the

@@ -438,32 +438,30 @@ object TrainingPack {
           (nShared.cast("double") / col("n_grams")).as("dup_frac"))
     }),
 
-    // end-to-end corpus curation — the whole training-data funnel as ONE
-    // plan: quality+language gate with keep-first exact dedup (d08),
-    // minus benchmark-contaminated docs (d16, ≥ 3 shingle hits) and the
-    // benchmark source itself, then domain-mixture sampling (d17) and
-    // split assignment (d11), aggregated to per-(source, split) doc and
-    // token budgets. Shapes at scale: one semi join on doc_id, one
-    // broadcast-able anti join, map-only sampling, small final agg
-    // contrastive negative sampling: k deterministic pseudo-random
+    // contrastive negative sampling: UP TO k deterministic pseudo-random
     // negatives per anchor (md5-hash draw over the id space — seeded,
-    // reproducible across engines and retries, like d11/d17's buckets),
-    // minus self-draws and accidental positives (exact-duplicate texts).
-    // Scale: the candidate set is k·|corpus| rows equi-joined on the
-    // drawn id — shuffle-partitioned by id, no broadcast of the corpus;
-    // near-dup (not just exact-dup) exclusion composes with d04's pair
-    // table as an extra anti-join when needed.
+    // reproducible across engines and retries, like d11/d17's buckets).
+    // Sampling is with-replacement over a DENSE 0-based id domain (what
+    // `documents` provides; densify sparse id spaces first): self-draws
+    // and accidental positives (exact-duplicate texts) are dropped, not
+    // redrawn. Scale: the corpus size enters as a cross-joined 1-row agg
+    // (lazy — no driver-side count action at plan-build time) and the
+    // candidate set is k·|corpus| rows equi-joined on the drawn id —
+    // shuffle-partitioned, no corpus broadcast; near-dup (not just
+    // exact-dup) exclusion composes with d04's pair table as an extra
+    // anti-join when needed.
     "d22_negative_pairs" -> ((s, d) => {
       val k = 4
       val base = docs(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))
-      val n = base.count()
+      val n = base.agg(count(lit(1)).as("_n"))
       val cand = base
         .select(col("doc_id").as("anchor_id"), col("fp").as("fp_a"),
           explode(sequence(lit(0), lit(k - 1))).as("j"))
+        .crossJoin(broadcast(n))
         .withColumn("neg_id", pmod(graft.functions.Md5Prefix64(
           concat(lit("neg-"), col("anchor_id").cast("string"),
-            lit("-"), col("j").cast("string"))), lit(n)))
+            lit("-"), col("j").cast("string"))), col("_n")))
         .filter(col("neg_id") =!= col("anchor_id"))
       cand
         .join(base.select(col("doc_id").as("neg_id"), col("fp").as("fp_b")),
@@ -473,6 +471,13 @@ object TrainingPack {
           col("neg_id"))
     }),
 
+    // end-to-end corpus curation — the whole training-data funnel as ONE
+    // plan: quality+language gate with keep-first exact dedup (d08),
+    // minus benchmark-contaminated docs (d16, ≥ 3 shingle hits) and the
+    // benchmark source itself, then domain-mixture sampling (d17) and
+    // split assignment (d11), aggregated to per-(source, split) doc and
+    // token budgets. Shapes at scale: one semi join on doc_id, one
+    // broadcast-able anti join, map-only sampling, small final agg
     "d21_curation_pipeline" -> ((s, d) => {
       val kept = queries("d08_corpus_select")(s, d).select(col("doc_id"))
       val contaminated = queries("d16_decontaminate")(s, d)
