@@ -241,34 +241,43 @@ object VectorOps {
     * ranked through the bounded top-k aggregator — never a window over
     * the scored set.
     */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      subspaces: Int = 4, dims: Int = 64): DataFrame = {
-    require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
-    val width = dims / subspaces
-    val cent = centroidSums(corpus.select(col("label"), col("vec")), "label")
+  /** Per-label exact floor-mean centroids of the quantized corpus —
+    * shared coarse quantizer / codebook of the IVF and PQ families.
+    */
+  private def floorCentroids(corpus: DataFrame): DataFrame =
+    centroidSums(corpus.select(col("label"), col("vec")), "label")
       .select(col("label"), col("dim"),
         ((col("qsum") - pmod(col("qsum"), col("n"))) / col("n"))
           .cast("long").as("c"))
 
-    // Σ(q−c)² per (id, centroid label, subspace) — exact integers
-    def subDists(df: DataFrame, idName: String) = df
-      .select(col("id").as(idName),
-        posexplode(quantize(col("vec"))).as(Seq("dim", "qc")))
-      .join(broadcast(cent), "dim")
-      .groupBy(col(idName), col("label"),
-        (col("dim") / lit(width)).cast("int").as("s"))
-      .agg(sum((col("qc") - col("c")) * (col("qc") - col("c"))).as("d2"))
+  /** Σ(q−c)² per (id, centroid label, subspace) — exact integers. */
+  private def subspaceDists(cent: DataFrame, width: Int)(
+      df: DataFrame, idName: String): DataFrame = df
+    .select(col("id").as(idName),
+      posexplode(quantize(col("vec"))).as(Seq("dim", "qc")))
+    .join(broadcast(cent), "dim")
+    .groupBy(col(idName), col("label"),
+      (col("dim") / lit(width)).cast("int").as("s"))
+    .agg(sum((col("qc") - col("c")) * (col("qc") - col("c"))).as("d2"))
 
-    // encode: nearest centroid per (vector, subspace), ties → min label
-    val codes = subDists(corpus, "nid")
+  /** PQ encode: nearest codebook centroid per (vector, subspace), ties →
+    * min label.
+    */
+  private def pqCodes(cent: DataFrame, width: Int,
+      corpus: DataFrame): DataFrame =
+    subspaceDists(cent, width)(corpus, "nid")
       .groupBy(col("nid"), col("s"))
       .agg(min(struct(col("d2"), col("label"))).as("m"))
       .select(col("nid").as("neighbor_id"), col("s"), col("m.label").as("label"))
 
-    val qd = subDists(queries, "query_id")
-      .select(col("query_id"), col("s"), col("label"), col("d2"))
-
-    val scored = codes.join(broadcast(qd), Seq("s", "label"))
+  /** ADC rank: sum the query's per-(s, code label) distances over each
+    * candidate's codes, keep k per query (dist ASC via negated top-k).
+    * `joinKeys` carries query_id when the candidate frame is already
+    * per-query (the IVF-restricted path).
+    */
+  private def adcTopK(codes: DataFrame, qd: DataFrame, k: Int,
+      joinKeys: Seq[String] = Seq("s", "label")): DataFrame = {
+    val scored = codes.join(broadcast(qd), joinKeys)
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2")).as("dist"))
@@ -278,6 +287,61 @@ object VectorOps {
     topKPerQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"),
         (-col("dot")).as("dist"), col("rk"))
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      subspaces: Int = 4, dims: Int = 64): DataFrame = {
+    require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
+    val width = dims / subspaces
+    val cent = floorCentroids(corpus)
+    val codes = pqCodes(cent, width, corpus)
+    val qd = subspaceDists(cent, width)(queries, "query_id")
+      .select(col("query_id"), col("s"), col("label"), col("d2"))
+    adcTopK(codes, qd, k)
+  }
+
+  /** IVF+PQ — the production ANN composition (FAISS's IVFPQ shape): the
+    * coarse inverted-file probe bounds the candidate set to `nProbe`
+    * cells, and PQ asymmetric distances rank those candidates from
+    * their compact codes. Same exact-integer math as e05/e07, so both
+    * engines agree bit-for-bit.
+    *
+    * Scale shapes: everything pqTopK broadcasts stays broadcast (the
+    * codebook, the query distance table, now also the |Q|×nProbe probe
+    * map); the corpus-sized frames — codes and the coarse-cell map —
+    * equi-join on neighbor_id, and the probe restriction drops
+    * (1 − nProbe/|cells|) of the candidate rows BEFORE the ADC
+    * aggregation shuffles anything.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
+      subspaces: Int = 4, dims: Int = 64): DataFrame = {
+    require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
+    val width = dims / subspaces
+    val cent = floorCentroids(corpus)
+    // coarse probes: nProbe closest cells by integer centroid dot
+    val pr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("label"))
+    val probes = queries
+      .select(col("id").as("query_id"),
+        posexplode(quantize(col("vec"))).as(Seq("dim", "qc")))
+      .join(broadcast(cent), "dim")
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(col("qc") * col("c")).as("cdot"))
+      .withColumn("pr", row_number().over(pr))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("label").as("coarse"))
+    val coarse = corpus.select(col("id").as("neighbor_id"),
+      col("label").as("coarse"))
+    val codes = pqCodes(cent, width, corpus)
+      .join(coarse, "neighbor_id")
+    val qd = subspaceDists(cent, width)(queries, "query_id")
+      .select(col("query_id"), col("s"), col("label"), col("d2"))
+    // probe restriction BEFORE the ADC agg: candidates outside the
+    // query's probed cells never reach the distance sum (the join
+    // attaches query_id, so the ADC join carries it too)
+    val restricted = codes.join(broadcast(probes), Seq("coarse"))
+      .drop("coarse")
+    adcTopK(restricted, qd, k, Seq("query_id", "s", "label"))
   }
 
   /** Embedding-cosine near-duplicate pairs above an integer-dot threshold,

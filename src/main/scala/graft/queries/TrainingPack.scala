@@ -402,6 +402,15 @@ object TrainingPack {
       VectorOps.pqTopK(corpus.filter(col("id") < 5), corpus, k = 5)
     }),
 
+    // IVF+PQ composition — coarse probe bounds the candidates, ADC
+    // ranks them from compact codes (the production FAISS IVFPQ shape)
+    "e08_ivfpq_topk" -> ((s, d) => {
+      val corpus = embs(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      VectorOps.ivfPqTopK(corpus.filter(col("id") < 5), corpus,
+        k = 5, nProbe = 2)
+    }),
+
     // cross-document duplicate n-gram fraction (the Lee et al. 2022
     // "Deduplicating Training Data" signal, at 8-gram granularity):
     // fraction of a doc's distinct 8-grams that also appear in ANOTHER
@@ -1090,6 +1099,64 @@ object TrainingPack {
          |  CAST(sum(qd.d2) AS BIGINT) AS dist
          | FROM codes JOIN qd USING (s, label)
          | WHERE codes.neighbor_id <> qd.query_id
+         | GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, dist, rk FROM (
+         | SELECT query_id, neighbor_id, dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist, neighbor_id) AS rk
+         | FROM adc) t WHERE rk <= 5""".stripMargin,
+    // e07's codebook/code/ADC CTEs + e05's probe CTEs, with the probe
+    // restriction applied to the candidate's COARSE cell (the corpus
+    // `label` column) before the ADC sum
+    "e08_ivfpq_topk" ->
+      s"""WITH sums AS (
+         | SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
+         | FROM (SELECT label, $qv AS q FROM embeddings) t),
+         |cent AS (
+         | SELECT label, dim,
+         |  CAST((CAST(sum(qc) AS BIGINT)
+         |        - ((CAST(sum(qc) AS BIGINT) % count(*)) + count(*)) % count(*))
+         |       / count(*) AS BIGINT) AS c
+         | FROM sums GROUP BY label, dim),
+         |cd AS (
+         | SELECT vec_id, label, dim // 16 AS s,
+         |  CAST(sum((qc - c) * (qc - c)) AS BIGINT) AS d2
+         | FROM (SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,
+         |        unnest(q) AS qc
+         |       FROM (SELECT vec_id, $qv AS q FROM embeddings) t) v
+         | JOIN cent USING (dim)
+         | GROUP BY vec_id, label, dim // 16),
+         |codes AS (
+         | SELECT vec_id AS neighbor_id, s, label FROM (
+         |  SELECT vec_id, s, label,
+         |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, label) AS rn
+         |  FROM cd) t WHERE rn = 1),
+         |qdists AS (SELECT vec_id AS query_id, s, label, d2 FROM cd
+         |           WHERE vec_id < 5),
+         |qfull AS (SELECT vec_id AS query_id,
+         |           generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
+         |          FROM (SELECT vec_id, $qv AS q FROM embeddings
+         |                WHERE vec_id < 5) t),
+         |assign AS (
+         | SELECT query_id, label, CAST(sum(qc * c) AS BIGINT) AS cdot
+         | FROM qfull JOIN cent USING (dim) GROUP BY query_id, label),
+         |probes AS (
+         | SELECT query_id, label AS coarse FROM (
+         |  SELECT query_id, label,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cdot DESC, label) AS pr
+         |  FROM assign) t WHERE pr <= 2),
+         |co AS (SELECT vec_id AS neighbor_id, label AS coarse
+         |       FROM embeddings),
+         |adc AS (
+         | SELECT qdists.query_id, codes.neighbor_id,
+         |  CAST(sum(qdists.d2) AS BIGINT) AS dist
+         | FROM codes
+         | JOIN co USING (neighbor_id)
+         | JOIN probes ON probes.coarse = co.coarse
+         | JOIN qdists ON qdists.query_id = probes.query_id
+         |            AND qdists.s = codes.s AND qdists.label = codes.label
+         | WHERE codes.neighbor_id <> qdists.query_id
          | GROUP BY 1, 2)
          |SELECT query_id, neighbor_id, dist, rk FROM (
          | SELECT query_id, neighbor_id, dist,
