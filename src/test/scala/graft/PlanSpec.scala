@@ -173,6 +173,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hll_sketch_agg") || p.contains("HllSketchAgg"), p)
   }
 
+  test("e08 IVF+PQ: probe map and query distances broadcast, no cartesian") {
+    val p = explain("e08_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t14 tf-idf: doc-frequency table broadcast, no SMJ") {
     val p = explain("t14_tfidf_terms")
     assert(p.contains("BroadcastHashJoin"), p)
