@@ -3,15 +3,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * `SPARK_GRAFT_SF_DIR` on local[32] and prints ONE JSON line.
+  * `SPARK_GRAFT_SF_DIR` on local[32] and prints ONE JSON line — the very
+  * last stdout line, after logging is silenced — so the driver's tail
+  * capture gets it whole (BENCH_r01/r02 both lost the head of the JSON to
+  * post-print shutdown noise → `parsed: null`).
   *
   * Each query is forced through the `noop` sink — a plain `count()` would
   * let Catalyst prune the projected columns (windows, hashes, dot
   * products) and time a skeleton of the real plan.
+  *
+  * Variance discipline (round-2 verdict item 8): the whole suite is swept
+  * `SPARK_GRAFT_BENCH_RUNS` times (default 3); the headline per-query
+  * number is the MEDIAN, with per-run times and the min persisted to
+  * `BENCH_DETAIL.json` in the cwd. A single-run outlier (q15 in round 2:
+  * 3.6 s vs 0.48 s in round 1, never reproduced) can no longer define a
+  * query's number. The q49/q50 protocol replays run once per bench — each
+  * is a ~40-job end-to-end ETL replay, not a scan-shaped query; sweeping
+  * them would triple bench wall-clock for no variance insight.
   */
 object Bench {
+
+  /** Full pipeline replays: timed, but once per bench run (see above). */
+  private val RunOnce = Set("q49_pipeline_scd2", "q50_pipeline_scd1")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark: SparkSession = GraftSession.get()
 
     // warm the JVM + parquet footers once per plan shape (not timed, tiny
@@ -29,26 +46,56 @@ object Bench {
         catch { case _: Throwable => () } // warm-up failures surface in the timed run
       })
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // per-query timings across sweeps; -1 is the machine-readable failure
+    // sentinel (stderr drowns in Spark log noise) — a crashed query must
+    // not read as a speedup
+    val times = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[Double]): _*)
+    for (r <- 1 to runs; name <- names
+         if r == 1 || !RunOnce.contains(name)) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val sec =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          -1.0
         }
-      // -1 is the machine-readable failure sentinel (stderr drowns in
-      // Spark log noise) — a crashed query must not read as a speedup
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      times(name) :+= sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    // total sums ONLY successful queries (a -1 sentinel summed in would
-    // make a crash read as a speedup); failures are counted separately
-    val failed = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // a query failed if ANY sweep failed — partial failure must not hide
+    // behind a clean median of the surviving sweeps
+    val failedNames = names.filter(n => times(n).exists(_ < 0))
+    val med = names.map(n => n ->
+      (if (failedNames.contains(n)) -1.0 else median(times(n)))).toMap
+    val total = names.map(med).filter(_ >= 0).sum
+
+    def jmap(m: Seq[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val detail = jmap(names.map { n =>
+      val v = times(n)
+      n -> jmap(Seq(
+        "runs" -> v.map(x => f"$x%.3f").mkString("[", ",", "]"),
+        "min" -> f"${if (v.exists(_ < 0)) -1.0 else v.min}%.3f",
+        "median" -> f"${med(n)}%.3f"))
+    })
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"sf":"$sfDir","sweeps":$runs,"queries":$detail}""")
+
+    val qs = jmap(names.map(n => n -> f"${med(n)}%.3f"))
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
+    // silence everything BEFORE printing so no shutdown log lands after
+    // the JSON line in a merged stdout+stderr capture
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{RelationalPack, StreamingPack, TrainingPack}
+import graft.queries.{PipelinePack, RelationalPack, StreamingPack, TrainingPack}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,8 @@ object SparkEntry {
     Seq(
       (RelationalPack.queries, RelationalPack.oracles),
       (TrainingPack.queries, TrainingPack.oracles),
-      (StreamingPack.queries, StreamingPack.oracles)
+      (StreamingPack.queries, StreamingPack.oracles),
+      (PipelinePack.queries, PipelinePack.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -63,11 +63,14 @@ object Dedup {
     * `maxBucket` is the megabucket guard: buckets above the cap are
     * skipped entirely (their pair blow-up is quadratic — one degenerate
     * bucket of m docs costs m² comparisons). Standard production LSH
-    * practice; the skipped mass is a documented recall trade, not a bug.
+    * practice; the skipped mass is a recall trade the caller can AUDIT by
+    * passing `capAudit` (see [[CapAudit]] — dropped buckets/rows reported
+    * with the action, no extra pass).
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, threshold: Double,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100,
+      capAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val k = bands * rowsPerBand
     // two-step projection: tokenize once, then ONE native signature pass
     // (CollapseProject keeps multi-use expensive aliases projected)
@@ -92,8 +95,9 @@ object Dedup {
 
     // no forced broadcast: the small-bucket list scales with corpus size
     // (≈ one row per bucket); AQE broadcasts when it fits
-    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
-      .count().filter(col("count") <= maxBucket)
+    val smallBuckets = CapAudit.observed(
+      banded.groupBy(col("band"), col("bucket")).count(), maxBucket, capAudit)
+      .filter(col("count") <= maxBucket)
       .select(col("band"), col("bucket"))
     val capped = banded.join(smallBuckets, Seq("band", "bucket"))
 
@@ -181,7 +185,8 @@ object Dedup {
     transform(toks, t => hash16(concat(t, lit(s"@shq$q"))))
 
   def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 100,
+      capAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding over 4 quadrants is exact only for maxHamming ≤ 3: $maxHamming")
     // two-step projection (CollapseProject keeps the multi-use tokenize
@@ -203,7 +208,8 @@ object Dedup {
       posexplode(array(shCols: _*)).as(Seq("band", "bkey")): _*)
       .filter(col("bkey").isNotNull)
       .repartition(col("band"), col("bkey"))
-    val small = banded.groupBy(col("band"), col("bkey")).count()
+    val small = CapAudit.observed(
+      banded.groupBy(col("band"), col("bkey")).count(), maxBucket, capAudit)
       .filter(col("count") <= maxBucket).select(col("band"), col("bkey"))
     val capped = banded.join(small, Seq("band", "bkey"))
 
@@ -225,7 +231,8 @@ object Dedup {
     * docs would cost m² comparisons.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxBucket: Int = 100): DataFrame = {
+      threshold: Double, maxBucket: Int = 100,
+      capAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // Jaccard runs over HASHED shingle sets: integer intersections are an
     // order of magnitude cheaper than ~100-char string compares per
     // element, and 32-bit collisions are negligible at shingle-set sizes.
@@ -260,7 +267,8 @@ object Dedup {
     val bucketed = sh.withColumn("bucket",
       graft.functions.EvalOnce(array_min(col("sh"))))
       .repartition(col("bucket"))
-    val small = bucketed.groupBy(col("bucket")).count()
+    val small = CapAudit.observed(
+      bucketed.groupBy(col("bucket")).count(), maxBucket, capAudit)
       .filter(col("count") <= maxBucket).select(col("bucket"))
     val capped = bucketed.join(small, Seq("bucket"))
     val l = capped.select(col("bucket"), col("id").as("id_a"),

@@ -66,7 +66,14 @@ object Skew {
       "input already has a _salt column — rename it first")
   }
 
-  /** Equi-join `big ⋈ small` on `key`, salted `factor` ways. */
+  /** Equi-join `big ⋈ small` on `key`, salted `factor` ways.
+    *
+    * REQUIREMENT: the big side must carry at least one column that varies
+    * within a hot key — the salt is a whole-row content hash, so rows that
+    * are fully identical (or projected down to key-only / low-cardinality
+    * columns) all land on ONE salt and the mitigation silently no-ops.
+    * Project AFTER salting if you must narrow the row.
+    */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
     validate(factor, big, small)
@@ -81,6 +88,9 @@ object Skew {
     * aggregates this is exactly what map-side partial aggregation already
     * does; the explicit form matters for high-cardinality intermediate
     * state (e.g. collect_set) where one reducer would OOM.
+    *
+    * Same row-salt caveat as [[saltedJoin]]: a hot key whose rows are
+    * fully identical after projection gets no spread.
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
       factor: Int): DataFrame = {

@@ -354,7 +354,8 @@ object VectorOps {
     * the d06 oracle applies the identical cap.
     */
   def embeddingNearDups(corpus: DataFrame, nPlanes: Int,
-      minDot: Long, maxBucket: Int = 200): DataFrame = {
+      minDot: Long, maxBucket: Int = 200,
+      capAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // EvalOnce on the join key: the self-join infers isnotnull(bucket),
     // which would otherwise be pushed to the scan with all nPlanes
     // hyperplane dot products inlined into the filter
@@ -364,7 +365,8 @@ object VectorOps {
           .as("bucket"))
     // no forced broadcast: the small-bucket list is ≤ 2^nPlanes rows,
     // AQE broadcasts it on its own
-    val small = v.groupBy(col("bucket")).count()
+    val small = graft.ops.CapAudit.observed(
+      v.groupBy(col("bucket")).count(), maxBucket, capAudit)
       .filter(col("count") <= maxBucket).select(col("bucket"))
     val capped = v.join(small, Seq("bucket"))
     val l = capped.select(col("bucket"), col("id").as("id_a"), col("qv").as("qa"))

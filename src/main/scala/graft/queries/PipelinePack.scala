@@ -1,0 +1,395 @@
+package graft.queries
+
+import graft.etl.{Entities, EntitySpec, Etl}
+import graft.ingest.Ingest
+import graft.mart.{Mart, MartStaging}
+import graft.storage.Lakehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** q49/q50 — the reference's FULL 3-day protocol as driver queries.
+  *
+  * Each run replays, from scratch, exactly what a reference operator does
+  * over the three daily feeds (README.md:20-59): load the day's feed into
+  * the landing table (insert_from_excel.py), `fn_normalize_transactions()`
+  * (ETL.sql:1-450), `fn_add_report_data(scd_type)` (Data_mart.sql:109-299)
+  * — and returns the final cumulative `report` table under a fixed clock.
+  *
+  * The DuckDB oracle is a SINGLE SELECT that re-derives the same report
+  * declaratively from the raw fixture parquet: SCD evolution as a 3-step
+  * CTE chain (day-over-day NOT-EXISTS/UPDATE semantics as left joins), the
+  * F1/F2/F3 set logic inline, and the F4 per-client cursor
+  * (fn_find_summ_frauds, Data_mart.sql:1-107) as a linear RECURSIVE CTE
+  * stepping the state machine one transaction at a time. This makes the
+  * end-to-end pipeline claim driver-falsifiable — previously it was only
+  * covered by builder-authored replay tooling (tools/replay_duckdb.py).
+  *
+  * Scale note: the fixtures are the reference's own 3-day feed (~2.5k
+  * rows) — the point of q49/q50 is protocol CORRECTNESS, not throughput.
+  * The underlying operators (Scd1/Scd2/MartStaging/FraudRules/
+  * AmountGuessing) carry their own scale story: day-partitioned fact with
+  * partition-pruned lookback, broadcast-sized dim stagings, and a
+  * per-client (not global) sort for F4.
+  */
+object PipelinePack {
+
+  /** Same fixed clock as ReplayDump — report_dt must be deterministic. */
+  private val FixedClock = java.sql.Timestamp.valueOf("2020-05-09 12:00:00")
+
+  /** Absolute so both Spark (any cwd) and the driver's DuckDB see the same
+    * fixture bytes.
+    */
+  private val FixDir = "/root/repo/src/test/resources/fixtures"
+
+  private val Days = 3
+
+  private def pipelineReport(scd: MartStaging.ScdType)(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeline")
+    val lake = new Lakehouse(spark, dir.resolve("lake").toString)
+    (1 to Days).foreach { day =>
+      Ingest.loadDayFromParquet(lake, s"$FixDir/day$day.parquet")
+      Etl.normalizeTransactions(lake)
+      Mart.addReportData(lake, scd, FixedClock)
+    }
+    lake.read("report")
+  }
+
+  /** q51/q52 — time travel + change feed as driver-falsifiable queries.
+    *
+    * A versioned lakehouse table is materialized from `orders` in three
+    * deterministic slices (o_orderkey % 3 → commits v1, v2, v3), mapped
+    * onto the registered fact schema. q51 reads AS OF v2 (slices 0+1),
+    * q52 consumes the change feed (v1, v3] (slices 1+2); both aggregate
+    * by order month so the oracle can recompute the same content from the
+    * raw `orders` parquet without any knowledge of the version machinery —
+    * exactly what makes the versioning claim falsifiable: readAt /
+    * changesBetween must reconstruct precisely those physical slices.
+    *
+    * Scale note: version resolution is an O(#versions) driver-side
+    * manifest walk; the data path stays distributed (each version is read
+    * as a normal parquet root and unioned — no collect, no repartition).
+    */
+  private def versionedFact(spark: SparkSession, sfDir: String): Lakehouse = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-versions")
+    val lake = new Lakehouse(spark, dir.resolve("lake").toString)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val asFact = orders.select(
+      col("o_orderkey").cast("string").as("trans_id"),
+      col("o_orderdate").as("trans_date"),
+      col("o_custkey").cast("string").as("card_num"),
+      col("o_orderpriority").as("oper_type"),
+      col("o_totalprice").cast("decimal(18,2)").as("amt"),
+      col("o_orderstatus").as("oper_result"),
+      pmod(col("o_orderkey"), lit(3)).cast("string").as("terminal"),
+      col("o_orderkey").as("_slice"))
+    (0 to 2).foreach { s =>
+      lake.append("fact_transactions",
+        asFact.filter(pmod(col("_slice"), lit(3)) === s).drop("_slice"))
+    }
+    lake
+  }
+
+  private def sliceAgg(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(month(col("trans_date")).cast("bigint").as("order_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("trans_id").cast("bigint")).as("key_sum"),
+        sum(col("amt")).cast("double").as("amt_sum"))
+  }
+
+  private def sliceOracle(slicePred: String): String =
+    s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE $slicePred GROUP BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_pipeline_scd2" -> pipelineReport(MartStaging.Scd2Dims) _,
+    "q50_pipeline_scd1" -> pipelineReport(MartStaging.Scd1Dims) _,
+    "q51_time_travel" -> ((s, d) =>
+      sliceAgg(versionedFact(s, d).readAt("fact_transactions", 2L))),
+    "q52_change_feed" -> ((s, d) =>
+      sliceAgg(versionedFact(s, d).changesBetween("fact_transactions", 1L, 3L)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q49_pipeline_scd2" -> PipelineOracle.sql(scd2 = true),
+    "q50_pipeline_scd1" -> PipelineOracle.sql(scd2 = false),
+    "q51_time_travel" -> sliceOracle("o_orderkey % 3 IN (0, 1)"),
+    "q52_change_feed" -> sliceOracle("o_orderkey % 3 IN (1, 2)")
+  )
+}
+
+/** Generator for the q49/q50 DuckDB oracle — one SELECT, CTEs only.
+  *
+  * The per-day/per-entity expansion is templated from [[Entities]] (the
+  * same specs the Spark side is built from) so the two sides share the
+  * column mapping but NOT the evaluation strategy: the oracle re-derives
+  * every day's dimension state declaratively in DuckDB while the engine
+  * runs its incremental Scd1/Scd2 appliers against lakehouse state.
+  *
+  * DuckDB specifics: `AS MATERIALIZED` pins each day-state CTE — without
+  * it DuckDB inlines the whole upstream chain into every recursive-CTE
+  * iteration and the F4 machine goes from ~4 s to unbounded.
+  */
+private[queries] object PipelineOracle {
+
+  private val Fix = "/root/repo/src/test/resources/fixtures"
+  private val Clock = "TIMESTAMP '2020-05-09 12:00:00'"
+  private val Rej = "Отказ"
+  private val Succ = "Успешно"
+  private val FPassport = "Совершение операции при просроченном паспорте"
+  private val FContract = "Совершение операции при недействующем договоре"
+  private val FCity = "Совершение операции в разных городах в течение 1 часа"
+  private val FSumm = "Попытка подбора сумм"
+  private val Days = 3
+
+  /** `landing AS dim` select list for a staging (ETL.sql:11-84). */
+  private def sel(e: EntitySpec): String =
+    e.attrs.map { case (src, dst) =>
+      if (src == dst) src else s"$src AS $dst"
+    }.mkString(", ")
+
+  private def grp(e: EntitySpec): String = e.attrs.map(_._1).mkString(", ")
+
+  private def dimCols(e: EntitySpec): Seq[String] = e.attrs.map(_._2)
+
+  def sql(scd2: Boolean): String = {
+    val ctes = Seq.newBuilder[String]
+
+    // conformed per-day feeds: keep only the file's newest day
+    // (insert_from_excel.py:27 / Ingest.lastDayOnly)
+    for (d <- 1 to Days) {
+      val p = s"$Fix/day$d.parquet"
+      ctes += s"""f$d AS MATERIALIZED (
+  SELECT * FROM read_parquet('$p')
+  WHERE CAST(trans_date AS DATE) =
+    (SELECT max(CAST(trans_date AS DATE)) FROM read_parquet('$p')))"""
+    }
+    // cumulative fact after each day (ETL.sql:121-130)
+    for (d <- 1 to Days) {
+      val feeds = (1 to d).map(k =>
+        s"SELECT trans_id, trans_date, card_num, oper_type, amount AS amt, oper_result, terminal FROM f$k")
+        .mkString(" UNION ALL ")
+      ctes += s"fact_$d AS MATERIALIZED ($feeds)"
+    }
+
+    // dimension-state chain, one CTE per (entity, day)
+    for (e <- Entities.all) {
+      if (scd2) ctes ++= scd2Chain(e) else ctes ++= scd1Chain(e)
+    }
+    def dimRef(e: EntitySpec, d: Int): String =
+      if (scd2) s"(SELECT * FROM h_${e.name}_$d WHERE end_dt IS NULL)"
+      else s"dm_${e.name}_$d"
+
+    // per-day mart staging + the four fraud rules (Data_mart.sql:113-299)
+    for (d <- 1 to Days) {
+      ctes += s"""den_$d AS MATERIALIZED (
+  SELECT te.terminal_city, tr.trans_id, tr.trans_date, tr.card_num,
+         tr.amt AS amount, tr.oper_result, ac.valid_to, ac.client,
+         ucl.fio, ucl.phone, ucl.passport_valid_to, ucl.passport_num
+  FROM (SELECT terminal_id, terminal_city FROM ${dimRef(Entities.terminals, d)}) te
+  JOIN (SELECT trans_id, trans_date, card_num, amt, oper_result, terminal
+        FROM fact_$d
+        WHERE trans_date >= (SELECT date_trunc('day', max(trans_date))
+                             - INTERVAL 1 HOUR FROM fact_$d)) tr
+    ON te.terminal_id = tr.terminal
+  JOIN (SELECT card_num, account_num FROM ${dimRef(Entities.cards, d)}) cc
+    ON cc.card_num = tr.card_num
+  JOIN (SELECT account_num, valid_to, client FROM ${dimRef(Entities.accounts, d)}) ac
+    ON ac.account_num = cc.account_num
+  JOIN (SELECT client_id,
+               last_name || ' ' || first_name || ' ' || patrinymic AS fio,
+               phone, passport_valid_to, passport_num FROM ${dimRef(Entities.clients, d)}) ucl
+    ON ucl.client_id = ac.client)"""
+      // F1 expired passport / F2 expired contract (Data_mart.sql:260-275)
+      ctes += s"""f12_$d AS (
+  SELECT trans_date AS fraud_dt, passport_num AS passport, fio, phone,
+         CASE WHEN trans_date > passport_valid_to THEN '$FPassport'
+              WHEN trans_date > valid_to THEN '$FContract' END AS fraud_type,
+         $Clock AS report_dt
+  FROM den_$d
+  WHERE (trans_date > passport_valid_to OR trans_date > valid_to)
+    AND trans_date >= (SELECT date_trunc('day', max(trans_date)) FROM den_$d))"""
+      // F3 city hop within the hour (Data_mart.sql:277-293); Postgres
+      // interval hour field = (Δsec // 3600) % 24
+      ctes += s"""f3_$d AS (
+  SELECT fraud_dt, passport, fio, phone, '$FCity' AS fraud_type, report_dt FROM (
+    SELECT trans_date AS fraud_dt, passport_num AS passport, fio, phone,
+           $Clock AS report_dt, terminal_city,
+           lag(terminal_city) OVER (PARTITION BY client ORDER BY trans_date) AS prev_city,
+           (date_diff('second',
+              lag(trans_date) OVER (PARTITION BY client ORDER BY trans_date),
+              trans_date) // 3600) % 24 AS hour_diff
+    FROM den_$d) x
+  WHERE terminal_city != prev_city AND hour_diff = 0)"""
+      // F4 (fn_find_summ_frauds, Data_mart.sql:1-107): the cursor's
+      // global ordered walk, one recursive step per transaction
+      ctes += s"""tad_$d AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY client, trans_date) AS rn,
+         client, trans_date AS fraud_dt, passport_num AS passport, fio, phone,
+         oper_result,
+         coalesce(amount - lag(amount) OVER (PARTITION BY client ORDER BY trans_date), -1) AS amount_diff,
+         coalesce(date_diff('second',
+            lag(trans_date) OVER (PARTITION BY client ORDER BY trans_date),
+            trans_date) % 86400, 0) AS sec_diff
+  FROM den_$d
+  WHERE trans_date >= (SELECT date_trunc('day', max(trans_date))
+                       - INTERVAL 20 MINUTE FROM den_$d))"""
+      ctes += machine(d)
+      ctes += s"""f4_$d AS (
+  SELECT fraud_dt, passport, fio, phone, '$FSumm' AS fraud_type,
+         $Clock AS report_dt
+  FROM m_$d WHERE hit)"""
+    }
+
+    val unions = (1 to Days).map(d =>
+      s"SELECT * FROM f12_$d UNION ALL SELECT * FROM f3_$d UNION ALL SELECT * FROM f4_$d")
+      .mkString(" UNION ALL ")
+    "WITH RECURSIVE " + ctes.result().mkString(",\n") +
+      "\nSELECT fraud_dt, passport, fio, phone, fraud_type, report_dt FROM (" +
+      unions + ")"
+  }
+
+  /** SCD2 day-over-day evolution (ETL.sql:86-235): staging with lead()
+    * end-dating inside the batch; NOT-EXISTS full-tuple change test
+    * (null-rejecting `=`, so NULL-attr tuples re-insert daily — reference
+    * quirk preserved); the UPDATE that end-dates the open row becomes a
+    * left join against the batch's open-version row (at most one per key,
+    * because lead() leaves only the last version NULL-ended).
+    */
+  private def scd2Chain(e: EntitySpec): Seq[String] = {
+    val attrs = dimCols(e)
+    val eq = attrs.map(a => s"c.$a = stg.$a").mkString(" AND ")
+    val cols = attrs.mkString(", ")
+    val cCols = attrs.map("c." + _).mkString(", ")
+    (1 to Days).flatMap { d =>
+      val stg = s"""s2_${e.name}_$d AS MATERIALIZED (
+  SELECT f.*, lead(start_dt) OVER (PARTITION BY ${e.key} ORDER BY start_dt) AS end_dt
+  FROM (SELECT ${sel(e)}, min(trans_date) AS start_dt FROM f$d GROUP BY ${grp(e)}) f)"""
+      if (d == 1)
+        Seq(stg, s"h_${e.name}_1 AS MATERIALIZED (SELECT * FROM s2_${e.name}_1)")
+      else {
+        val prev = s"h_${e.name}_${d - 1}"
+        Seq(
+          stg,
+          s"""nw_${e.name}_$d AS MATERIALIZED (
+  SELECT * FROM s2_${e.name}_$d stg
+  WHERE NOT EXISTS (SELECT 1 FROM $prev c WHERE $eq))""",
+          s"""h_${e.name}_$d AS MATERIALIZED (
+  SELECT $cCols, c.start_dt,
+         CASE WHEN c.end_dt IS NULL THEN u.start_dt ELSE c.end_dt END AS end_dt
+  FROM $prev c
+  LEFT JOIN (SELECT ${e.key}, start_dt FROM nw_${e.name}_$d WHERE end_dt IS NULL) u
+    ON u.${e.key} = c.${e.key}
+  UNION ALL
+  SELECT $cols, start_dt, end_dt FROM nw_${e.name}_$d)""")
+      }
+    }
+  }
+
+  /** SCD1 day-over-day evolution (ETL.sql:237-446): last-value staging
+    * collapse per key; UPDATE-on-change (null-rejecting `!=` OR) as a
+    * left join; INSERT of unseen keys via NOT EXISTS.
+    */
+  private def scd1Chain(e: EntitySpec): Seq[String] = {
+    val attrs = dimCols(e)
+    val key = e.key
+    val nonKey = attrs.filterNot(_ == key)
+    val lastVals = nonKey.map(a =>
+      s"last_value($a) OVER (PARTITION BY $key ORDER BY create_dt " +
+        s"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS $a")
+      .mkString(", ")
+    val distinct = if (e.scd1Distinct) "DISTINCT " else ""
+    val cols = attrs.mkString(", ")
+    (1 to Days).flatMap { d =>
+      val stg = s"""s1_${e.name}_$d AS MATERIALIZED (
+  SELECT $distinct$key, $lastVals,
+         min(create_dt) OVER (PARTITION BY $key) AS create_dt,
+         CASE WHEN max(create_dt) OVER (PARTITION BY $key)
+                = min(create_dt) OVER (PARTITION BY $key) THEN NULL
+              ELSE max(create_dt) OVER (PARTITION BY $key) END AS update_dt
+  FROM (SELECT ${sel(e)}, min(trans_date) AS create_dt FROM f$d GROUP BY ${grp(e)}) f)"""
+      if (d == 1)
+        Seq(stg,
+          s"dm_${e.name}_1 AS MATERIALIZED (SELECT $cols, create_dt, update_dt FROM s1_${e.name}_1)")
+      else {
+        val prev = s"dm_${e.name}_${d - 1}"
+        val chg = e.scd1Updatable.map(a => s"u.$a != c.$a").mkString(" OR ")
+        val updCols = attrs.map { a =>
+          if (a == key) s"c.$key"
+          else if (e.scd1Updatable.contains(a))
+            s"CASE WHEN u.$key IS NOT NULL AND ($chg) THEN u.$a ELSE c.$a END AS $a"
+          else s"c.$a"
+        }.mkString(", ")
+        Seq(
+          stg,
+          s"""dm_${e.name}_$d AS MATERIALIZED (
+  SELECT $updCols, c.create_dt,
+         CASE WHEN u.$key IS NOT NULL AND ($chg)
+              THEN coalesce(u.update_dt, u.create_dt) ELSE c.update_dt END AS update_dt
+  FROM $prev c
+  LEFT JOIN (SELECT DISTINCT * FROM s1_${e.name}_$d) u ON c.$key = u.$key
+  UNION ALL
+  SELECT $cols, create_dt, update_dt FROM s1_${e.name}_$d stg
+  WHERE NOT EXISTS (SELECT 1 FROM $prev c WHERE c.$key = stg.$key))""")
+      }
+    }
+  }
+
+  /** The F4 cursor state machine (counter, sec_count, zero_on_prev,
+    * cur_client) as a recursive CTE: one row per step, CASE arms in the
+    * reference's exact branch order. State deliberately leaks across
+    * client boundaries exactly as the PL/pgSQL cursor does (the
+    * zero_on_prev branches fire before the client-change test).
+    */
+  private def machine(d: Int): String =
+    s"""m_$d AS (
+  SELECT CAST(0 AS BIGINT) AS rn, 0 AS counter, CAST(0 AS BIGINT) AS sec_count,
+         false AS zero_on_prev,
+         (SELECT min(client) FROM den_$d) AS cur_client, false AS hit,
+         CAST(NULL AS TIMESTAMP) AS fraud_dt, CAST(NULL AS VARCHAR) AS passport,
+         CAST(NULL AS VARCHAR) AS fio, CAST(NULL AS VARCHAR) AS phone
+  UNION ALL
+  SELECT r.rn,
+    CASE WHEN m.zero_on_prev AND r.oper_result = '$Rej' THEN 1
+         WHEN m.zero_on_prev AND r.oper_result = '$Succ' THEN 0
+         WHEN m.zero_on_prev THEN m.counter
+         WHEN r.client IS DISTINCT FROM m.cur_client THEN
+           CASE WHEN r.oper_result = '$Rej' THEN 1
+                WHEN r.oper_result = '$Succ' THEN 0 ELSE m.counter END
+         WHEN m.counter >= 3 AND r.oper_result = '$Succ'
+              AND m.sec_count + r.sec_diff < 1200 THEN 0
+         WHEN r.oper_result = '$Succ' THEN 0
+         WHEN r.amount_diff >= 0 OR m.sec_count + r.sec_diff >= 1200 THEN 1
+         WHEN r.amount_diff < 0 AND m.sec_count + r.sec_diff < 1200
+              AND r.oper_result = '$Rej' THEN m.counter + 1
+         ELSE m.counter END AS counter,
+    CASE WHEN m.zero_on_prev AND r.oper_result = '$Succ' THEN 0
+         WHEN m.zero_on_prev THEN m.sec_count
+         WHEN r.client IS DISTINCT FROM m.cur_client THEN 0
+         WHEN m.counter >= 3 AND r.oper_result = '$Succ'
+              AND m.sec_count + r.sec_diff < 1200 THEN 0
+         WHEN r.oper_result = '$Succ' THEN 0
+         WHEN r.amount_diff >= 0 OR m.sec_count + r.sec_diff >= 1200 THEN 0
+         ELSE m.sec_count + r.sec_diff END AS sec_count,
+    CASE WHEN m.zero_on_prev AND r.oper_result = '$Rej' THEN false
+         WHEN m.zero_on_prev AND r.oper_result = '$Succ' THEN true
+         WHEN m.zero_on_prev THEN true
+         WHEN r.client IS DISTINCT FROM m.cur_client THEN r.oper_result = '$Succ'
+         WHEN m.counter >= 3 AND r.oper_result = '$Succ'
+              AND m.sec_count + r.sec_diff < 1200 THEN true
+         WHEN r.oper_result = '$Succ' THEN true
+         ELSE false END AS zero_on_prev,
+    CASE WHEN m.zero_on_prev AND r.oper_result IN ('$Rej', '$Succ') THEN r.client
+         WHEN m.zero_on_prev THEN m.cur_client
+         WHEN r.client IS DISTINCT FROM m.cur_client THEN r.client
+         ELSE m.cur_client END AS cur_client,
+    (NOT m.zero_on_prev AND r.client IS NOT DISTINCT FROM m.cur_client
+     AND m.counter >= 3 AND r.oper_result = '$Succ'
+     AND m.sec_count + r.sec_diff < 1200) AS hit,
+    r.fraud_dt, r.passport, r.fio, r.phone
+  FROM m_$d m JOIN tad_$d r ON r.rn = m.rn + 1)"""
+}

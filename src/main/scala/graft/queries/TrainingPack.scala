@@ -183,12 +183,15 @@ object TrainingPack {
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val n = docs(s, d).count()
+      // corpus size as a lazy cross-joined 1-row agg (d22 pattern) — no
+      // driver-side count() action at plan-construction time
+      val n = docs(s, d).agg(count(lit(1)).as("_n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("token"))
       tf.join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(n))
         .withColumn("score", col("tf").cast("double") *
-          ((lit(n).cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
+          ((col("_n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk").cast("bigint").as("rk"),

@@ -174,6 +174,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // poison every later feed range), while a MISSING number means GC
     // folded that delta into a snapshot and the row-level feed is gone
     val present = all.map(_._1).toSet
+    // a toVersion past the newest commit is a caller error, not GC — keep
+    // the two failure modes distinguishable in the message
+    val latest = if (all.isEmpty) -1L else all.map(_._1).max
+    require(toVersion <= latest,
+      s"$name toVersion $toVersion exceeds latest version $latest")
     ((fromVersion + 1) to toVersion).foreach(v => require(present(v),
       s"$name version $v is not on disk (GC'd) — " +
         "the change feed would be incomplete"))

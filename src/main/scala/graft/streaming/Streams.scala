@@ -100,9 +100,13 @@ object Streams {
           } else {
             var s = state.getOption.getOrElse(CardState(0))
             val out = Seq.newBuilder[RejectAlert]
-            // microsecond-exact (getTime is millis; see StreamingPack s06)
+            // microsecond-exact (getTime is millis; see StreamingPack
+            // s06); the result string tie-breaks same-microsecond events
+            // so iterator order can't leak through on task retries —
+            // same-(ts,result) rows are interchangeable for a
+            // consecutive-rejects count
             rows.toSeq.sortBy(r =>
-              (r._2.getTime / 1000) * 1000000L + r._2.getNanos / 1000)
+              ((r._2.getTime / 1000) * 1000000L + r._2.getNanos / 1000, r._3))
               .foreach { case (_, ts, res) =>
               s =
                 if (res == graft.model.Strings.Rejected)

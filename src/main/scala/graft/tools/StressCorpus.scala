@@ -39,11 +39,18 @@ object StressCorpus {
     val n = scaled.count()
     val tExact = timed(drain(
       Dedup.exactGroups(scaled, "doc_id", "text").filter(col("n_dups") > 1)))
+    // cap audit at the stress point (no-silent-caps): dropped megabucket
+    // mass is part of the printed result, so the recall trade the caps
+    // make at scale is a number, not a guess
+    val mhObs = org.apache.spark.sql.Observation()
     val tMinhash = timed(drain(
       Dedup.minhashNearDups(scaled.withColumnRenamed("doc_id", "id"),
-        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8)))
+        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
+        capAudit = Some(mhObs))))
+    val shObs = org.apache.spark.sql.Observation()
     val tSimhash = timed(drain(
-      Dedup.simhashHammingPairs(scaled, "doc_id", "text")))
+      Dedup.simhashHammingPairs(scaled, "doc_id", "text",
+        capAudit = Some(shObs))))
     val tGrams = timed(drain {
       val grams = scaled
         .filter(TextOps.tokenCount(col("text")) >= 8)
@@ -54,7 +61,23 @@ object StressCorpus {
             g => Dedup.hash32(g, 0)))).as("g"))
       grams.groupBy(col("g")).count().filter(col("count") >= 2)
     })
-    println(f"""{"docs":$n,"exact_sec":$tExact%.1f,"minhash_sec":$tMinhash%.1f,"simhash_sec":$tSimhash%.1f,"grams_sec":$tGrams%.1f}""")
+    def dropped(o: org.apache.spark.sql.Observation): String = {
+      val m = o.get
+      s"""{"dropped_buckets":${m("dropped_buckets")},"dropped_rows":${m("dropped_rows")},"total_rows":${m("total_rows")}}"""
+    }
+    // recall cost of the cap, measured: pairs found under the default cap
+    // vs effectively-uncapped (the e06 pattern applied to dedup). On a
+    // corpus without degenerate megabuckets these match exactly; when
+    // they diverge, dropped_rows above says which buckets paid for it
+    val idDocs = scaled.withColumnRenamed("doc_id", "id")
+    val pairsCapped = Dedup.minhashNearDups(idDocs, "id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.8).count()
+    val pairsUncapped = Dedup.minhashNearDups(idDocs, "id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.8,
+      maxBucket = Int.MaxValue).count()
+    val recall =
+      if (pairsUncapped == 0) 1.0 else pairsCapped.toDouble / pairsUncapped
+    println(f"""{"docs":$n,"exact_sec":$tExact%.1f,"minhash_sec":$tMinhash%.1f,"simhash_sec":$tSimhash%.1f,"grams_sec":$tGrams%.1f,"minhash_cap":${dropped(mhObs)},"simhash_cap":${dropped(shObs)},"cap_pair_recall":$recall%.4f,"pairs_capped":$pairsCapped,"pairs_uncapped":$pairsUncapped}""")
     spark.stop()
   }
 }

@@ -76,4 +76,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashHammingPairs(df, "doc_id", "text",
       maxBucket = 100).count() === 0L)
   }
+
+  test("cap audit: the skipped megabucket mass is observable, not silent") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 120 identical docs (one megabucket per quadrant band) + 2 distinct
+    val df = ((1L to 120L).map(i => (i, "same text every time")) ++
+      Seq((200L, "some other words"), (201L, "another doc entirely")))
+      .toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation()
+    Dedup.simhashHammingPairs(df, "doc_id", "text",
+      maxBucket = 100, capAudit = Some(obs)).count()
+    val m = obs.get
+    // the 120-dup bucket appears in each of the 4 quadrant bands:
+    // 4 dropped bucket entries of 120 rows each
+    assert(m("dropped_buckets") === 4L, m)
+    assert(m("dropped_rows") === 480L, m)
+    assert(m("total_rows") === 488L, m) // + 2 distinct docs × 4 bands
+
+    // and with no cap hit, the audit reports zero dropped mass
+    val obs2 = org.apache.spark.sql.Observation()
+    Dedup.simhashHammingPairs(df, "doc_id", "text",
+      maxBucket = 1000, capAudit = Some(obs2)).count()
+    assert(obs2.get("dropped_rows") === 0L)
+
+    // minhash + embedding variants share the helper; smoke one of each
+    val obs3 = org.apache.spark.sql.Observation()
+    Dedup.minhashNearDups(df, "doc_id", "text", bands = 4, rowsPerBand = 2,
+      threshold = 0.8, maxBucket = 100, capAudit = Some(obs3)).count()
+    assert(obs3.get("dropped_rows").asInstanceOf[Long] >= 480L, obs3.get)
+  }
 }

@@ -308,6 +308,11 @@ class LakehouseSpec extends SparkSpec {
       lake.changesBetween("dim_cards", 3L, 5L))
     assert(lake.changesBetween("dim_cards", 4L, 5L)
       .select("card_num").as[String].collect().toSeq === Seq("c4"))
+    // a toVersion past the newest commit is a caller error, and the
+    // message must say so (not misdiagnose it as GC)
+    val beyond = intercept[IllegalArgumentException](
+      lake.changesBetween("dim_cards", 4L, 99L))
+    assert(beyond.getMessage.contains("exceeds latest version"))
   }
 
   test("changesBetween skips crash-debris versions instead of failing forever") {
