@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   * Metrics (all over (bucket-key) groups, so "rows" are bucket ENTRIES —
   * for banded schemes a document contributes one entry per band):
   * `total_buckets`, `total_rows`, `dropped_buckets`, `dropped_rows`.
+  * "dropped" means OVER-CAP: with `megabucketStar = true` those buckets
+  * are star-connected (O(m) hub pairs) rather than skipped, and the
+  * metric then quantifies the clique→star downgrade instead of a loss.
   *
   * Usage: pass a fresh `Observation` per operator call (`Observation` is
   * single-use by Spark contract); `obs.get` is available as soon as the
@@ -31,11 +34,13 @@ object CapAudit {
     * observed subtree into both branches — AQE then broadcasts one copy
     * and the CollectMetrics node never reports on the main query (the
     * Observation resolves to an empty row). The checkpoint runs the
-    * observed aggregate exactly once, up front; the join then reads the
-    * materialized counts instead of re-deriving the signature pipeline —
-    * which the un-audited plan also pays for via the reused exchange, so
-    * the extra cost is bounded by one pass over the (bucket, count)
-    * frame, not the corpus.
+    * observed aggregate exactly once, up front, in its own job.
+    *
+    * COST: that separate job re-derives the upstream signature pipeline
+    * (exchange reuse does not span jobs), so an audited run pays roughly
+    * one extra pass over the corpus — measured ~2× on StressCorpus ×30.
+    * Audit on sampled/periodic runs, not in the steady-state hot path;
+    * the un-audited operators are unchanged.
     */
   def observed(bucketCounts: DataFrame, maxBucket: Int,
       audit: Option[Observation]): DataFrame =

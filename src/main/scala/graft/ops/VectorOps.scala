@@ -240,6 +240,13 @@ object VectorOps {
     * joined to a broadcast (query × label × subspace) distance table,
     * ranked through the bounded top-k aggregator — never a window over
     * the scored set.
+    *
+    * CONSTRAINT the caller owns: codebook cardinality = label
+    * cardinality, and the assignment pass is O(|corpus|·|labels|·dims) —
+    * a label column that grows LINEARLY with the corpus makes encoding
+    * quadratic (StressAnn hit exactly this wall before switching to √n
+    * cell growth). Production PQ fixes the codebook size (FAISS: 256
+    * codes per subspace); here, keep |labels| bounded — O(√n) at most.
     */
   /** Per-label exact floor-mean centroids of the quantized corpus —
     * shared coarse quantizer / codebook of the IVF and PQ families.
@@ -355,7 +362,8 @@ object VectorOps {
     */
   def embeddingNearDups(corpus: DataFrame, nPlanes: Int,
       minDot: Long, maxBucket: Int = 200,
-      capAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      capAudit: Option[org.apache.spark.sql.Observation] = None,
+      megabucketStar: Boolean = false): DataFrame = {
     // EvalOnce on the join key: the self-join infers isnotnull(bucket),
     // which would otherwise be pushed to the scan with all nPlanes
     // hyperplane dot products inlined into the filter
@@ -365,13 +373,32 @@ object VectorOps {
           .as("bucket"))
     // no forced broadcast: the small-bucket list is ≤ 2^nPlanes rows,
     // AQE broadcasts it on its own
-    val small = graft.ops.CapAudit.observed(
+    val bucketCounts = graft.ops.CapAudit.observed(
       v.groupBy(col("bucket")).count(), maxBucket, capAudit)
+    val small = bucketCounts
       .filter(col("count") <= maxBucket).select(col("bucket"))
     val capped = v.join(small, Seq("bucket"))
     val l = capped.select(col("bucket"), col("id").as("id_a"), col("qv").as("qa"))
     val r = capped.select(col("bucket"), col("id").as("id_b"), col("qv").as("qb"))
-    l.join(r, "bucket").filter(col("id_a") < col("id_b"))
+    val allPairs = l.join(r, "bucket").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("qa"), col("id_b"), col("qb"))
+    // star fallback — the O(m) hub↔member upgrade of
+    // [[graft.ops.Dedup.minhashNearDups]], for sign-bucket megaclusters.
+    // Disjoint from allPairs (mega vs small buckets), so no dedup needed.
+    val candidates = if (!megabucketStar) allPairs else {
+      val megaRows = v.join(
+        bucketCounts.filter(col("count") > maxBucket).select(col("bucket")),
+        Seq("bucket"))
+      val hubs = megaRows.groupBy(col("bucket"))
+        .agg(min_by(struct(col("id"), col("qv")), col("id")).as("h"))
+        .select(col("bucket"), col("h.id").as("id_a"), col("h.qv").as("qa"))
+      val starPairs = megaRows.join(hubs, Seq("bucket"))
+        .filter(col("id") > col("id_a"))
+        .select(col("id_a"), col("qa"),
+          col("id").as("id_b"), col("qv").as("qb"))
+      allPairs.unionByName(starPairs)
+    }
+    candidates
       // EvalOnce: the minDot filter would otherwise be pushed through this
       // projection, inlining the 64-dim dot product into the predicate and
       // evaluating it twice per candidate pair

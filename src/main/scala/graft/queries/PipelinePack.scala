@@ -3,6 +3,7 @@ package graft.queries
 import graft.etl.{Entities, EntitySpec, Etl}
 import graft.ingest.Ingest
 import graft.mart.{Mart, MartStaging}
+import graft.sources.Jdbc
 import graft.storage.Lakehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -105,20 +106,58 @@ object PipelinePack {
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
 FROM orders WHERE $slicePred GROUP BY 1"""
 
+  /** q53 — external-DB round trip (the reference's ODBC surface,
+    * insert_from_excel.py:42-47 / plot_report.py:8-13): a deterministic
+    * `orders` slice is written into an embedded Derby database over JDBC,
+    * read back as a range-partitioned parallel scan with a pushdown
+    * predicate, and aggregated. The oracle recomputes the same aggregate
+    * straight from the parquet — green only if the DB round trip is
+    * lossless (types, dates, decimals) AND the remote filter matches the
+    * declarative one.
+    */
+  private def jdbcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc")
+    val url = s"jdbc:derby:${dir.resolve("db")};create=true"
+    val slice = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+        col("o_orderstatus"))
+    Jdbc.write(slice, url, "orders_ext",
+      columnTypes = Some("o_orderstatus VARCHAR(1)"))
+    val Array(lo, hi) = slice
+      .agg(min("o_orderkey"), max("o_orderkey")).head().toSeq.toArray
+    Jdbc.readPartitioned(spark, url, "orders_ext", "o_orderkey",
+        lo.asInstanceOf[Long], hi.asInstanceOf[Long], numPartitions = 8)
+      .filter(col("o_orderstatus") =!= "P") // compiles into the remote WHERE
+      .groupBy(month(col("o_orderdate")).cast("bigint").as("order_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice")).cast("double").as("amt_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_pipeline_scd2" -> pipelineReport(MartStaging.Scd2Dims) _,
     "q50_pipeline_scd1" -> pipelineReport(MartStaging.Scd1Dims) _,
     "q51_time_travel" -> ((s, d) =>
       sliceAgg(versionedFact(s, d).readAt("fact_transactions", 2L))),
     "q52_change_feed" -> ((s, d) =>
-      sliceAgg(versionedFact(s, d).changesBetween("fact_transactions", 1L, 3L)))
+      sliceAgg(versionedFact(s, d).changesBetween("fact_transactions", 1L, 3L))),
+    "q53_jdbc_roundtrip" -> jdbcRoundtrip _
   )
 
   val oracles: Map[String, String] = Map(
     "q49_pipeline_scd2" -> PipelineOracle.sql(scd2 = true),
     "q50_pipeline_scd1" -> PipelineOracle.sql(scd2 = false),
     "q51_time_travel" -> sliceOracle("o_orderkey % 3 IN (0, 1)"),
-    "q52_change_feed" -> sliceOracle("o_orderkey % 3 IN (1, 2)")
+    "q52_change_feed" -> sliceOracle("o_orderkey % 3 IN (1, 2)"),
+    "q53_jdbc_roundtrip" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus <> 'P' GROUP BY 1"""
   )
 }
 

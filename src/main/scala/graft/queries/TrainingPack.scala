@@ -20,6 +20,23 @@ object TrainingPack {
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
 
+  /** d23/d24 skew injection: every 100th doc replicated 150× under fresh
+    * ids — guaranteed megabuckets under the default LSH cap of 100. The
+    * corpus max-id offset is a lazy 1-row broadcast agg (d22 pattern),
+    * not a driver action.
+    */
+  private def skewInjected(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val mx = base.agg(max(col("doc_id")).as("mx"))
+    val hot = base.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      .crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("text"), col("mx"),
+        explode(sequence(lit(1L), lit(150L))).as("r"))
+      .select(((col("mx") + 1L) * col("r") + col("doc_id")).as("id"),
+        col("text"))
+    base.select(col("doc_id").as("id"), col("text")).unionByName(hot)
+  }
+
   /** Top-`size` tokenizer vocabulary: (token, cnt, vocab_id), ranked by
     * count desc then token asc (deterministic). Shared by t10/t11.
     */
@@ -289,6 +306,22 @@ object TrainingPack {
         "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
         maxBucket = 100)),
 
+    // d04's cap upgraded from drop to star (megabucketStar): a skew
+    // injection replicates every 100th doc 150× (guaranteed megabuckets
+    // under the cap of 100), and the guard emits O(m) hub↔member pairs
+    // instead of silently dropping the bucket — every replica still joins
+    // its duplicate component. The corpus max-id offset is a lazy 1-row
+    // broadcast agg (d22 pattern), not a driver action.
+    "d23_minhash_star_pairs" -> ((s, d) =>
+      Dedup.minhashNearDups(skewInjected(s, d), "id", "text", bands = 4,
+        rowsPerBand = 2, threshold = 0.8, maxBucket = 100,
+        megabucketStar = true)),
+
+    // the simhash family member of the star upgrade, same skew injection
+    "d24_simhash_star_pairs" -> ((s, d) =>
+      Dedup.simhashHammingPairs(skewInjected(s, d), "id", "text",
+        maxBucket = 100, megabucketStar = true)),
+
     // near-dup pairs → dedup groups: connected components over the d04
     // edge list; component = min doc_id, singletons keep their own id
     "d10_dedup_components" -> ((s, d) => {
@@ -308,6 +341,22 @@ object TrainingPack {
     "d06_embedding_neardups" -> ((s, d) =>
       VectorOps.embeddingNearDups(embIdVec(s, d), nPlanes = 4,
         minDot = 200000L, maxBucket = 200)),
+
+    // the embedding-cosine member of the star upgrade (d23/d24 pattern):
+    // every 100th vector replicated 250× (sign-bucket megacluster under
+    // the cap of 200); star emits hub↔member pairs instead of dropping
+    "d25_embedding_star_pairs" -> ((s, d) => {
+      val base = embIdVec(s, d)
+      val mx = base.agg(max(col("id")).as("mx"))
+      val hot = base.filter(pmod(col("id"), lit(100L)) === 0L)
+        .crossJoin(broadcast(mx))
+        .select(col("id"), col("vec"), col("mx"),
+          explode(sequence(lit(1L), lit(250L))).as("r"))
+        .select(((col("mx") + 1L) * col("r") + col("id")).as("id"),
+          col("vec"))
+      VectorOps.embeddingNearDups(base.unionByName(hot), nPlanes = 4,
+        minDot = 200000L, maxBucket = 200, megabucketStar = true)
+    }),
 
     // embedding near-dup pairs → clusters: the same connected-components
     // step as d10, over the cosine edge list — semantic dedup emits one
@@ -679,8 +728,11 @@ object TrainingPack {
     * shared by d06 and d13.
     */
   private lazy val embeddingPairsCtes: String =
+    embeddingChainCtes("embeddings")
+
+  private def embeddingChainCtes(source: String): String =
     s"""v AS (SELECT vec_id AS id, $qv AS q,
-       | ${planeBitsSql(qv)} AS bucket FROM embeddings),
+       | ${planeBitsSql(qv)} AS bucket FROM $source),
        |small AS (SELECT bucket FROM v GROUP BY bucket HAVING count(*) <= 200),
        |c AS (SELECT v.* FROM v JOIN small USING (bucket)),
        |epairs AS (
@@ -691,7 +743,44 @@ object TrainingPack {
   /** The d04 banded-minhash candidate-pair CTE chain (t → sig → banded →
     * small → capped → pairs), shared by d04 and d10.
     */
-  private lazy val minhashPairsCtes: String = {
+  private lazy val minhashPairsCtes: String = minhashChainCtes("documents")
+
+  /** The d18 banded-simhash chain (base → banded → small → capped →
+    * pairs) over `tSource` — per-quadrant 16-bit simhash with a salted
+    * token hash, mirroring Dedup.simhashHammingPairs' construction.
+    * Shared by d18 and d24.
+    */
+  private def simhashChainCtes(tSource: String): String = {
+    def quadSql(salt: String): String = {
+      val hashes = s"list_transform($dtoks, t -> CAST(concat('0x', " +
+        s"substr(md5(concat(t, '$salt')), 1, 4)) AS BIGINT))"
+      val bits = (0 until 16).map { j =>
+        s"(CASE WHEN coalesce(list_sum(list_transform($hashes, " +
+          s"h -> CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($bits AS BIGINT)"
+    }
+    val quads = (0 until 4).map(q => s"${quadSql(s"@shq$q")} AS sh$q")
+      .mkString(", ")
+    val bands = (0 until 4).map(q =>
+      s"SELECT doc_id, sh0, sh1, sh2, sh3, $q AS band, sh$q AS bkey FROM base")
+      .mkString(" UNION ALL ")
+    s"""base AS (SELECT doc_id, $quads FROM $tSource),
+       |banded AS ($bands),
+       |small AS (SELECT band, bkey FROM banded
+       |          GROUP BY band, bkey HAVING count(*) <= 100),
+       |capped AS (SELECT b.* FROM banded b JOIN small USING (band, bkey)),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) +
+       |       bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3))
+       |    AS BIGINT) AS hamming
+       | FROM capped a JOIN capped b USING (band, bkey)
+       | WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def minhashChainCtes(tSource: String): String = {
     val mhs = (0 until 8).map(i =>
       s"list_min(list_transform(toks, t -> CAST(concat('0x', substr(md5(concat(t, '#$i')), 1, 8)) AS BIGINT))) AS mh$i")
       .mkString(", ")
@@ -701,7 +790,7 @@ object TrainingPack {
     val bandRows = bucketExprs.zipWithIndex.map { case (e, b) =>
       s"SELECT id, toks, $b AS band, md5($e) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    s"""t AS (SELECT doc_id AS id, $dtoks AS toks FROM documents),
+    s"""t AS (SELECT doc_id AS id, $dtoks AS toks FROM $tSource),
        |sig AS (SELECT id, toks, $mhs FROM t),
        |banded AS ($bandRows),
        |small AS (SELECT band, bucket FROM banded GROUP BY band, bucket
@@ -809,6 +898,34 @@ object TrainingPack {
     "d04_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    "d23_minhash_star_pairs" ->
+      s"""WITH tall AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT ((SELECT max(doc_id) + 1 FROM documents) * r) + doc_id
+         |    AS doc_id, text
+         | FROM documents, range(1, 151) rr(r) WHERE doc_id % 100 = 0),
+         |${minhashChainCtes("tall")},
+         |mega AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+         |         HAVING count(*) > 100),
+         |megarows AS (SELECT b.* FROM banded b JOIN mega m
+         |             ON b.band = m.band AND b.bucket = m.bucket),
+         |hubs AS (SELECT band, bucket, min(id) AS hub_id FROM megarows
+         |         GROUP BY band, bucket),
+         |hubrows AS (SELECT h.band, h.bucket, h.hub_id, b.toks AS hub_toks
+         |            FROM hubs h JOIN megarows b ON b.band = h.band
+         |             AND b.bucket = h.bucket AND b.id = h.hub_id),
+         |starpairs AS (
+         | SELECT DISTINCT h.hub_id AS id_a, r.id AS id_b,
+         |  CAST(len(list_intersect(h.hub_toks, r.toks)) AS DOUBLE) /
+         |  (CAST(len(h.hub_toks) + len(r.toks) AS DOUBLE)
+         |    - CAST(len(list_intersect(h.hub_toks, r.toks)) AS DOUBLE))
+         |    AS jaccard
+         | FROM hubrows h JOIN megarows r ON r.band = h.band
+         |   AND r.bucket = h.bucket AND r.id > h.hub_id)
+         |SELECT DISTINCT id_a, id_b, jaccard FROM
+         | (SELECT * FROM pairs UNION ALL SELECT * FROM starpairs) u
+         |WHERE jaccard >= 0.8""".stripMargin,
     "d11_hash_split" ->
       """SELECT doc_id,
         | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
@@ -976,41 +1093,63 @@ object TrainingPack {
       }.mkString(" + ")
       s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM documents"
     },
-    "d18_simhash_pairs" -> {
-      // per-quadrant 16-bit simhash with a salted token hash — mirrors
-      // Dedup.simhashHammingPairs' signature construction
-      def quadSql(salt: String): String = {
-        val hashes = s"list_transform($dtoks, t -> CAST(concat('0x', " +
-          s"substr(md5(concat(t, '$salt')), 1, 4)) AS BIGINT))"
-        val bits = (0 until 16).map { j =>
-          s"(CASE WHEN coalesce(list_sum(list_transform($hashes, " +
-            s"h -> CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 " +
-            s"THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-        s"CAST($bits AS BIGINT)"
-      }
-      val quads = (0 until 4).map(q => s"${quadSql(s"@shq$q")} AS sh$q")
-        .mkString(", ")
-      val bands = (0 until 4).map(q =>
-        s"SELECT doc_id, sh0, sh1, sh2, sh3, $q AS band, sh$q AS bkey FROM base")
-        .mkString(" UNION ALL ")
-      s"""WITH base AS (SELECT doc_id, $quads FROM documents),
-         |banded AS ($bands),
-         |small AS (SELECT band, bkey FROM banded
-         |          GROUP BY band, bkey HAVING count(*) <= 100),
-         |capped AS (SELECT b.* FROM banded b JOIN small USING (band, bkey)),
-         |pairs AS (
-         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) +
-         |       bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3))
+    "d18_simhash_pairs" ->
+      s"""WITH ${simhashChainCtes("documents")}
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    "d24_simhash_star_pairs" ->
+      s"""WITH tall AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT ((SELECT max(doc_id) + 1 FROM documents) * r) + doc_id
+         |    AS doc_id, text
+         | FROM documents, range(1, 151) rr(r) WHERE doc_id % 100 = 0),
+         |${simhashChainCtes("tall")},
+         |mega AS (SELECT band, bkey FROM banded GROUP BY band, bkey
+         |         HAVING count(*) > 100),
+         |megarows AS (SELECT b.* FROM banded b JOIN mega USING (band, bkey)),
+         |hubs AS (SELECT band, bkey, min(doc_id) AS hub_id FROM megarows
+         |         GROUP BY band, bkey),
+         |hubrows AS (SELECT h.band, h.bkey, h.hub_id,
+         |             b.sh0 AS h0, b.sh1 AS h1, b.sh2 AS h2, b.sh3 AS h3
+         |            FROM hubs h JOIN megarows b ON b.band = h.band
+         |             AND b.bkey = h.bkey AND b.doc_id = h.hub_id),
+         |starpairs AS (
+         | SELECT DISTINCT h.hub_id AS id_a, r.doc_id AS id_b,
+         |  CAST(bit_count(xor(h.h0, r.sh0)) + bit_count(xor(h.h1, r.sh1)) +
+         |       bit_count(xor(h.h2, r.sh2)) + bit_count(xor(h.h3, r.sh3))
          |    AS BIGINT) AS hamming
-         | FROM capped a JOIN capped b USING (band, bkey)
-         | WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
-    },
+         | FROM hubrows h JOIN megarows r ON r.band = h.band
+         |   AND r.bkey = h.bkey AND r.doc_id > h.hub_id)
+         |SELECT DISTINCT id_a, id_b, hamming FROM
+         | (SELECT * FROM pairs UNION ALL SELECT * FROM starpairs) u
+         |WHERE hamming <= 3""".stripMargin,
     "d06_embedding_neardups" ->
       s"""WITH $embeddingPairsCtes
          |SELECT id_a, id_b, dot FROM epairs""".stripMargin,
+    "d25_embedding_star_pairs" ->
+      s"""WITH vall AS (
+         | SELECT vec_id, embedding FROM embeddings
+         | UNION ALL
+         | SELECT ((SELECT max(vec_id) + 1 FROM embeddings) * r) + vec_id
+         |    AS vec_id, embedding
+         | FROM embeddings, range(1, 251) rr(r) WHERE vec_id % 100 = 0),
+         |${embeddingChainCtes("vall")},
+         |mega AS (SELECT bucket FROM v GROUP BY bucket
+         |         HAVING count(*) > 200),
+         |megarows AS (SELECT v.* FROM v JOIN mega USING (bucket)),
+         |hubs AS (SELECT bucket, min(id) AS hub_id FROM megarows
+         |         GROUP BY bucket),
+         |hubrows AS (SELECT h.bucket, h.hub_id, b.q AS hq
+         |            FROM hubs h JOIN megarows b
+         |            ON b.bucket = h.bucket AND b.id = h.hub_id),
+         |starpairs AS (
+         | SELECT h.hub_id AS id_a, r.id AS id_b,
+         |  ${qdotSql("h.hq", "r.q")} AS dot
+         | FROM hubrows h JOIN megarows r
+         |   ON r.bucket = h.bucket AND r.id > h.hub_id
+         | WHERE ${qdotSql("h.hq", "r.q")} >= 200000)
+         |SELECT id_a, id_b, dot FROM epairs
+         |UNION ALL SELECT id_a, id_b, dot FROM starpairs""".stripMargin,
     "d13_embedding_clusters" ->
       s"""WITH RECURSIVE $embeddingPairsCtes,
          |sym AS (SELECT id_a AS src, id_b AS dst FROM epairs

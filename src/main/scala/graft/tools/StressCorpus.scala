@@ -37,20 +37,15 @@ object StressCorpus {
       df.write.format("noop").mode("overwrite").save()
 
     val n = scaled.count()
+    // timed stages run UN-audited (comparable across rounds — audit mode
+    // pays one extra corpus pass for its metrics job, see CapAudit)
     val tExact = timed(drain(
       Dedup.exactGroups(scaled, "doc_id", "text").filter(col("n_dups") > 1)))
-    // cap audit at the stress point (no-silent-caps): dropped megabucket
-    // mass is part of the printed result, so the recall trade the caps
-    // make at scale is a number, not a guess
-    val mhObs = org.apache.spark.sql.Observation()
     val tMinhash = timed(drain(
       Dedup.minhashNearDups(scaled.withColumnRenamed("doc_id", "id"),
-        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
-        capAudit = Some(mhObs))))
-    val shObs = org.apache.spark.sql.Observation()
+        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8)))
     val tSimhash = timed(drain(
-      Dedup.simhashHammingPairs(scaled, "doc_id", "text",
-        capAudit = Some(shObs))))
+      Dedup.simhashHammingPairs(scaled, "doc_id", "text")))
     val tGrams = timed(drain {
       val grams = scaled
         .filter(TextOps.tokenCount(col("text")) >= 8)
@@ -66,18 +61,58 @@ object StressCorpus {
       s"""{"dropped_buckets":${m("dropped_buckets")},"dropped_rows":${m("dropped_rows")},"total_rows":${m("total_rows")}}"""
     }
     // recall cost of the cap, measured: pairs found under the default cap
-    // vs effectively-uncapped (the e06 pattern applied to dedup). On a
-    // corpus without degenerate megabuckets these match exactly; when
-    // they diverge, dropped_rows above says which buckets paid for it
+    // vs a 100× looser one (the e06 pattern applied to dedup). A truly
+    // uncapped reference is itself quadratic in the degenerate buckets —
+    // the first version of this harness ran >13 min at ×30 before being
+    // killed, which is the cap's raison d'être measured the hard way —
+    // so the reference bounds the degenerate class at 10 000 and reports
+    // its own dropped mass alongside
     val idDocs = scaled.withColumnRenamed("doc_id", "id")
-    val pairsCapped = Dedup.minhashNearDups(idDocs, "id", "text",
-      bands = 4, rowsPerBand = 2, threshold = 0.8).count()
-    val pairsUncapped = Dedup.minhashNearDups(idDocs, "id", "text",
+    // default-cap audit rides the (un-timed) pairsCapped job; simhash
+    // gets its own un-timed audit run — dropped megabucket mass at the
+    // default caps is the no-silent-caps metric, paid outside timings
+    val mhObs = org.apache.spark.sql.Observation()
+    val cappedDf = Dedup.minhashNearDups(idDocs, "id", "text",
       bands = 4, rowsPerBand = 2, threshold = 0.8,
-      maxBucket = Int.MaxValue).count()
+      capAudit = Some(mhObs)).localCheckpoint()
+    val pairsCapped = cappedDf.count()
+    val shObs = org.apache.spark.sql.Observation()
+    drain(Dedup.simhashHammingPairs(scaled, "doc_id", "text",
+      capAudit = Some(shObs)))
+    val looseObs = org.apache.spark.sql.Observation()
+    val looseDf = Dedup.minhashNearDups(idDocs, "id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.8,
+      maxBucket = 10000, capAudit = Some(looseObs)).localCheckpoint()
+    val pairsLoose = looseDf.count()
+    // two recall views of the same cap: PAIR recall collapses on a
+    // megabucket by construction (a bucket of m near-identical docs
+    // capped at c keeps ~c²/m² of its pairs), DOC recall is the
+    // dedup-relevant one — a doc joins its duplicate component with ONE
+    // surviving pair. On real corpora exact dedup runs FIRST (the d21
+    // funnel), so identical-replica megabuckets never even reach LSH.
+    def docCov(pairs: org.apache.spark.sql.DataFrame): Long = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().count()
     val recall =
-      if (pairsUncapped == 0) 1.0 else pairsCapped.toDouble / pairsUncapped
-    println(f"""{"docs":$n,"exact_sec":$tExact%.1f,"minhash_sec":$tMinhash%.1f,"simhash_sec":$tSimhash%.1f,"grams_sec":$tGrams%.1f,"minhash_cap":${dropped(mhObs)},"simhash_cap":${dropped(shObs)},"cap_pair_recall":$recall%.4f,"pairs_capped":$pairsCapped,"pairs_uncapped":$pairsUncapped}""")
+      if (pairsLoose == 0) 1.0 else pairsCapped.toDouble / pairsLoose
+    val docsCapped = docCov(cappedDf)
+    val docsLoose = docCov(looseDf)
+    val docRecall =
+      if (docsLoose == 0) 1.0 else docsCapped.toDouble / docsLoose
+    // the star fallback under the SAME default cap: megabuckets emit
+    // O(m) hub pairs instead of being dropped — doc coverage should
+    // approach (and can exceed) the loose-cap reference at a fraction of
+    // its pair volume
+    val tStar = timed(drain(Dedup.minhashNearDups(idDocs, "id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.8, megabucketStar = true)))
+    val starDf = Dedup.minhashNearDups(idDocs, "id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.8, megabucketStar = true)
+      .localCheckpoint()
+    val pairsStar = starDf.count()
+    val docsStar = docCov(starDf)
+    val docRecallStar =
+      if (docsLoose == 0) 1.0 else docsStar.toDouble / docsLoose
+    println(f"""{"docs":$n,"exact_sec":$tExact%.1f,"minhash_sec":$tMinhash%.1f,"simhash_sec":$tSimhash%.1f,"grams_sec":$tGrams%.1f,"minhash_star_sec":$tStar%.1f,"minhash_cap":${dropped(mhObs)},"simhash_cap":${dropped(shObs)},"cap_pair_recall":$recall%.4f,"cap_doc_recall":$docRecall%.4f,"star_doc_recall":$docRecallStar%.4f,"docs_in_pairs_capped":$docsCapped,"docs_in_pairs_star":$docsStar,"docs_in_pairs_loose":$docsLoose,"pairs_capped":$pairsCapped,"pairs_star":$pairsStar,"pairs_loose_cap":$pairsLoose,"loose_cap":${dropped(looseObs)}}""")
     spark.stop()
   }
 }

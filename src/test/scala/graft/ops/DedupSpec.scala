@@ -106,4 +106,33 @@ class DedupSpec extends SparkSpec {
       threshold = 0.8, maxBucket = 100, capAudit = Some(obs3)).count()
     assert(obs3.get("dropped_rows").asInstanceOf[Long] >= 480L, obs3.get)
   }
+
+  test("megabucket star: O(m) hub pairs connect every dropped member") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 120 identical docs (megabucket) + 2 identical docs (small bucket —
+    // identical so the band collision is certain, not hash-dependent)
+    val df = ((1L to 120L).map(i => (i, "same text every time")) ++
+      Seq((200L, "alpha beta gamma delta epsilon zeta"),
+        (201L, "alpha beta gamma delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    val drop = Dedup.minhashNearDups(df, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.8, maxBucket = 100)
+    val star = Dedup.minhashNearDups(df, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.8, maxBucket = 100,
+      megabucketStar = true)
+
+    // drop mode loses the megabucket; star emits exactly hub(1)↔member —
+    // 119 pairs, not the 120·119/2 = 7140 a clique would cost
+    val smallPair = Set((200L, 201L))
+    assert(drop.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      === smallPair)
+    val starPairs = star.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(starPairs === (2L to 120L).map((1L, _)).toSet ++ smallPair)
+    // identical texts: verified jaccard stays exact
+    assert(star.filter(col("id_a") === 1L)
+      .select("jaccard").distinct().collect().map(_.getDouble(0)).toSeq
+      === Seq(1.0))
+  }
 }
