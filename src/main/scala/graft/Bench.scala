@@ -29,6 +29,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1: $runs")
     val spark: SparkSession = GraftSession.get()
 
     // warm the JVM + parquet footers once per plan shape (not timed, tiny
@@ -77,25 +78,37 @@ object Bench {
       (if (failedNames.contains(n)) -1.0 else median(times(n)))).toMap
     val total = names.map(med).filter(_ >= 0).sum
 
+    // Locale.ROOT: a comma-decimal default locale would render 0,123 and
+    // corrupt both JSON artifacts
+    def f3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     def jmap(m: Seq[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail = jmap(names.map { n =>
       val v = times(n)
       n -> jmap(Seq(
-        "runs" -> v.map(x => f"$x%.3f").mkString("[", ",", "]"),
-        "min" -> f"${if (v.exists(_ < 0)) -1.0 else v.min}%.3f",
-        "median" -> f"${med(n)}%.3f"))
+        "runs" -> v.map(f3).mkString("[", ",", "]"),
+        "min" -> f3(if (v.exists(_ < 0)) -1.0 else v.min),
+        "median" -> f3(med(n))))
     })
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    // the detail sidecar is best-effort: an unwritable cwd must not cost
+    // the headline line the driver parses
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"sf":"$sfDir","sweeps":$runs,"queries":$detail}""")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] BENCH_DETAIL.json not written: $e")
+    }
 
-    val qs = jmap(names.map(n => n -> f"${med(n)}%.3f"))
+    val qs = jmap(names.map(n => n -> f3(med(n))))
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
     // silence everything BEFORE printing so no shutdown log lands after
-    // the JSON line in a merged stdout+stderr capture
+    // the JSON line in a merged stdout+stderr capture; stop() is guarded
+    // for the same reason — the line must print even if shutdown throws
     spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    try spark.stop()
+    catch { case _: Throwable => () }
     println(line)
   }
 }

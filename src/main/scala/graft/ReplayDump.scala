@@ -15,6 +15,22 @@ object ReplayDump {
   val FixedClock: java.sql.Timestamp =
     java.sql.Timestamp.valueOf("2020-05-09 12:00:00")
 
+  /** The reference protocol itself — `days` daily fixture feeds, each
+    * load (insert_from_excel.py) → normalize (ETL.sql) → mart
+    * (Data_mart.sql). The ONE definition shared by ReplayDump,
+    * RenderReport and the q49/q50 driver queries (PipelinePack), so the
+    * protocol and its clock cannot drift between the replay tooling and
+    * the oracle-checked queries.
+    */
+  def replay(lake: Lakehouse, scdType: MartStaging.ScdType,
+      clock: java.sql.Timestamp = FixedClock, days: Int = 3,
+      fixtureDir: String = "src/test/resources/fixtures"): Unit =
+    (1 to days).foreach { day =>
+      Ingest.loadDayFromParquet(lake, s"$fixtureDir/day$day.parquet")
+      Etl.normalizeTransactions(lake)
+      Mart.addReportData(lake, scdType, clock)
+    }
+
   def main(args: Array[String]): Unit = {
     val (scd, outDir) = (args(0), args(1))
     val days = if (args.length > 2) args(2).toInt else 3
@@ -22,12 +38,7 @@ object ReplayDump {
     val lake = new Lakehouse(spark, s"$outDir/lake")
     val scdType =
       if (scd == "scd2") MartStaging.Scd2Dims else MartStaging.Scd1Dims
-    (1 to days).foreach { day =>
-      Ingest.loadDayFromParquet(lake,
-        s"src/test/resources/fixtures/day$day.parquet")
-      Etl.normalizeTransactions(lake)
-      Mart.addReportData(lake, scdType, FixedClock)
-    }
+    replay(lake, scdType, days = days)
     val dims =
       if (scd == "scd2")
         Seq("dim_terminals_hist", "dim_cards_hist", "dim_accounts_hist",

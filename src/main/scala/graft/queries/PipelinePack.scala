@@ -1,8 +1,7 @@
 package graft.queries
 
-import graft.etl.{Entities, EntitySpec, Etl}
-import graft.ingest.Ingest
-import graft.mart.{Mart, MartStaging}
+import graft.etl.{Entities, EntitySpec}
+import graft.mart.MartStaging
 import graft.sources.Jdbc
 import graft.storage.Lakehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -33,9 +32,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PipelinePack {
 
-  /** Same fixed clock as ReplayDump — report_dt must be deterministic. */
-  private val FixedClock = java.sql.Timestamp.valueOf("2020-05-09 12:00:00")
-
   /** Absolute so both Spark (any cwd) and the driver's DuckDB see the same
     * fixture bytes.
     */
@@ -47,11 +43,8 @@ object PipelinePack {
       spark: SparkSession, sfDir: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipeline")
     val lake = new Lakehouse(spark, dir.resolve("lake").toString)
-    (1 to Days).foreach { day =>
-      Ingest.loadDayFromParquet(lake, s"$FixDir/day$day.parquet")
-      Etl.normalizeTransactions(lake)
-      Mart.addReportData(lake, scd, FixedClock)
-    }
+    // the shared protocol definition — clock and loop live in ReplayDump
+    graft.ReplayDump.replay(lake, scd, days = Days, fixtureDir = FixDir)
     lake.read("report")
   }
 

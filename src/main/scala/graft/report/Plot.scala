@@ -26,6 +26,10 @@ object Plot {
 
   /** Render the pivoted fraud-count frame (first column = date, remaining
     * columns = one series per fraud type, null = no frauds that day).
+    * `height` is the chart area; the legend renders in an extra band
+    * BELOW it (full canvas width — the reference's fraud-type labels are
+    * ~50-char Russian strings that would clip or overlap bars in a
+    * corner legend).
     */
   def fraudsByDaySvg(pivot: DataFrame, width: Int = 900,
       height: Int = 600): String = {
@@ -41,6 +45,7 @@ object Plot {
     val margin = 60
     val plotW = width - 2 * margin
     val plotH = height - 2 * margin
+    val totalH = height + series.length * 18 + 8
     val yMax = math.max(1L, counts.flatten.foldLeft(0L)(math.max))
     // reference's yticks(range(0, 20, 5)) generalized: step = 5 while it
     // keeps the tick count sane, else a power-of-ten multiple
@@ -50,8 +55,8 @@ object Plot {
     def y(v: Long): Double = margin + plotH - v.toDouble / yTop * plotH
 
     val sb = new StringBuilder
-    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" font-family="sans-serif">"""
-    sb ++= s"""<rect width="$width" height="$height" fill="white"/>"""
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$totalH" font-family="sans-serif">"""
+    sb ++= s"""<rect width="$width" height="$totalH" fill="white"/>"""
     // y grid + ticks
     var v = 0L
     while (v <= yTop) {
@@ -79,12 +84,12 @@ object Plot {
       sb ++= f"""<text x="$x%.1f" y="${margin + plotH + 18}" text-anchor="middle" font-size="12">${days(di)}</text>"""
     }
     sb ++= s"""<text x="${width / 2}" y="${height - 12}" text-anchor="middle" font-size="16">fraud date</text>"""
-    // legend
+    // legend: its own band under the chart, one row per series
     for (si <- series.indices) {
-      val yy = margin + si * 18
+      val yy = height + 8 + si * 18
       val fill = Palette(si % Palette.length)
-      sb ++= s"""<rect x="${width - margin - 220}" y="${yy - 10}" width="12" height="12" fill="$fill"/>"""
-      sb ++= s"""<text x="${width - margin - 202}" y="$yy" font-size="12">${esc(series(si))}</text>"""
+      sb ++= s"""<rect x="$margin" y="${yy - 10}" width="12" height="12" fill="$fill"/>"""
+      sb ++= s"""<text x="${margin + 18}" y="$yy" font-size="12">${esc(series(si))}</text>"""
     }
     sb ++= "</svg>"
     sb.toString

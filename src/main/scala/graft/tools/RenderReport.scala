@@ -1,9 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.etl.Etl
-import graft.ingest.Ingest
-import graft.mart.{Mart, MartStaging}
+import graft.mart.MartStaging
 import graft.report.{Plot, Summary}
 import graft.storage.Lakehouse
 
@@ -24,12 +22,7 @@ object RenderReport {
     val lake = new Lakehouse(spark, dir.resolve("lake").toString)
     val scdType =
       if (scd == "scd2") MartStaging.Scd2Dims else MartStaging.Scd1Dims
-    (1 to 3).foreach { day =>
-      Ingest.loadDayFromParquet(lake,
-        s"src/test/resources/fixtures/day$day.parquet")
-      Etl.normalizeTransactions(lake)
-      Mart.addReportData(lake, scdType, graft.ReplayDump.FixedClock)
-    }
+    graft.ReplayDump.replay(lake, scdType)
     val svg = Plot.fraudsByDaySvg(Summary.fraudsByDay(lake))
     java.nio.file.Files.write(java.nio.file.Paths.get(outSvg),
       svg.getBytes("UTF-8"))

@@ -103,11 +103,14 @@ object StressCorpus {
     // O(m) hub pairs instead of being dropped — doc coverage should
     // approach (and can exceed) the loose-cap reference at a fraction of
     // its pair volume
-    val tStar = timed(drain(Dedup.minhashNearDups(idDocs, "id", "text",
-      bands = 4, rowsPerBand = 2, threshold = 0.8, megabucketStar = true)))
-    val starDf = Dedup.minhashNearDups(idDocs, "id", "text",
-      bands = 4, rowsPerBand = 2, threshold = 0.8, megabucketStar = true)
-      .localCheckpoint()
+    // the eager localCheckpoint IS the timed execution (one pass — the
+    // counts below read the materialized blocks)
+    var starDf: org.apache.spark.sql.DataFrame = null
+    val tStar = timed {
+      starDf = Dedup.minhashNearDups(idDocs, "id", "text",
+        bands = 4, rowsPerBand = 2, threshold = 0.8, megabucketStar = true)
+        .localCheckpoint()
+    }
     val pairsStar = starDf.count()
     val docsStar = docCov(starDf)
     val docRecallStar =

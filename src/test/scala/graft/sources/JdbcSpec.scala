@@ -46,10 +46,12 @@ class JdbcSpec extends SparkSpec {
       lowerBound = 1L, upperBound = 5L, numPartitions = 4)
     assert(back.rdd.getNumPartitions === 4)
     val filtered = back.filter(col("status") =!= "P")
-    // the status predicate must compile into the remote WHERE clause
+    // the status predicate must appear INSIDE the PushedFilters bracket —
+    // a bare contains("PushedFilters") would pass on 'PushedFilters: []'
+    // with Spark re-filtering locally, silently losing the remote pushdown
     val plan = filtered.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters"), plan)
-    assert(plan.contains("status"), plan)
+    assert("PushedFilters: \\[[^\\]]*status[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined, plan)
     assert(filtered.count() === 4)
     assert(filtered.agg(sum("k")).head.getLong(0) === 12L)
   }
