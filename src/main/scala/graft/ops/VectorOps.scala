@@ -351,6 +351,35 @@ object VectorOps {
     adcTopK(restricted, qd, k, Seq("query_id", "s", "label"))
   }
 
+  /** The full production retrieval shape: IVF+PQ approximate ADC
+    * shortlist (`shortlist` candidates per query) → EXACT re-rank of the
+    * shortlist by integer dot → top `k`. This is what FAISS deployments
+    * actually serve — the quantized index bounds the scan, the exact pass
+    * fixes the quantization error on a sliver of the corpus.
+    *
+    * Scale shape: the shortlist is |Q|·shortlist rows (query-batch-sized,
+    * NOT corpus-sized), broadcast into one equi-join against the corpus
+    * scan — the exact dot runs only on matched rows, the corpus never
+    * shuffles, and the final rank goes through the bounded top-k
+    * aggregator.
+    */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int, nProbe: Int, subspaces: Int = 4,
+      dims: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = ivfPqTopK(queries, corpus, shortlist, nProbe, subspaces, dims)
+      .select(col("query_id"), col("neighbor_id"))
+    val qq = queries.select(col("id").as("query_id"),
+      quantize(col("vec")).as("qq"))
+    val shortQ = cand.join(broadcast(qq), "query_id")
+    val scored = corpus
+      .select(col("id").as("neighbor_id"), quantize(col("vec")).as("nq"))
+      .join(broadcast(shortQ), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        qdot(col("qq"), col("nq")).as("dot"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above an integer-dot threshold,
     * restricted to LSH co-bucketed candidates.
     *

@@ -370,6 +370,22 @@ object TrainingPack {
         .select(col("id").as("vec_id"), col("component"))
     }),
 
+    // cluster-balanced (diversity) subsampling — the SemDeDup-style
+    // curation step after near-dup clustering: keep at most k=5
+    // representatives per d13 component, chosen by a deterministic
+    // md5-of-id rank so the oracle can replay the draw. Scale shape: one
+    // shuffle on component for the rank window; at 100 TB component
+    // sizes are bounded by the near-dup cluster sizes, not the corpus.
+    "d26_cluster_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      queries("d13_embedding_clusters")(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id")))
+          .cast("bigint"))
+        .filter(col("rk") <= 5)
+    }),
+
     // shingle-bucketed n-gram Jaccard near-dup pairs
     "d09_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d).withColumnRenamed("doc_id", "id"),
@@ -461,6 +477,16 @@ object TrainingPack {
         col("embedding").as("vec"), col("label"))
       VectorOps.ivfPqTopK(corpus.filter(col("id") < 5), corpus,
         k = 5, nProbe = 2)
+    }),
+
+    // e08 + exact re-rank — the complete production retrieval shape:
+    // quantized shortlist (20 ADC candidates/query), exact integer-dot
+    // re-rank to top 5 on that sliver only
+    "e09_ivfpq_rerank" -> ((s, d) => {
+      val corpus = embs(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      VectorOps.ivfPqRerankTopK(corpus.filter(col("id") < 5), corpus,
+        k = 5, shortlist = 20, nProbe = 2)
     }),
 
     // cross-document duplicate n-gram fraction (the Lee et al. 2022
@@ -827,6 +853,61 @@ object TrainingPack {
         s" THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** The e08 IVF+PQ ADC chain (sums -> cent -> cd -> codes -> qdists ->
+    * probes -> adc), shared by e08 (ranked directly) and e09 (ranked to a
+    * 20-candidate shortlist, then exact-dot re-ranked).
+    */
+  private lazy val ivfPqAdcCtes: String =
+    s"""sums AS (
+         | SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
+         | FROM (SELECT label, $qv AS q FROM embeddings) t),
+         |cent AS (
+         | SELECT label, dim,
+         |  CAST((CAST(sum(qc) AS BIGINT)
+         |        - ((CAST(sum(qc) AS BIGINT) % count(*)) + count(*)) % count(*))
+         |       / count(*) AS BIGINT) AS c
+         | FROM sums GROUP BY label, dim),
+         |cd AS (
+         | SELECT vec_id, label, dim // 16 AS s,
+         |  CAST(sum((qc - c) * (qc - c)) AS BIGINT) AS d2
+         | FROM (SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,
+         |        unnest(q) AS qc
+         |       FROM (SELECT vec_id, $qv AS q FROM embeddings) t) v
+         | JOIN cent USING (dim)
+         | GROUP BY vec_id, label, dim // 16),
+         |codes AS (
+         | SELECT vec_id AS neighbor_id, s, label FROM (
+         |  SELECT vec_id, s, label,
+         |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, label) AS rn
+         |  FROM cd) t WHERE rn = 1),
+         |qdists AS (SELECT vec_id AS query_id, s, label, d2 FROM cd
+         |           WHERE vec_id < 5),
+         |qfull AS (SELECT vec_id AS query_id,
+         |           generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
+         |          FROM (SELECT vec_id, $qv AS q FROM embeddings
+         |                WHERE vec_id < 5) t),
+         |assign AS (
+         | SELECT query_id, label, CAST(sum(qc * c) AS BIGINT) AS cdot
+         | FROM qfull JOIN cent USING (dim) GROUP BY query_id, label),
+         |probes AS (
+         | SELECT query_id, label AS coarse FROM (
+         |  SELECT query_id, label,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cdot DESC, label) AS pr
+         |  FROM assign) t WHERE pr <= 2),
+         |co AS (SELECT vec_id AS neighbor_id, label AS coarse
+         |       FROM embeddings),
+         |adc AS (
+         | SELECT qdists.query_id, codes.neighbor_id,
+         |  CAST(sum(qdists.d2) AS BIGINT) AS dist
+         | FROM codes
+         | JOIN co USING (neighbor_id)
+         | JOIN probes ON probes.coarse = co.coarse
+         | JOIN qdists ON qdists.query_id = probes.query_id
+         |            AND qdists.s = codes.s AND qdists.label = codes.label
+         | WHERE codes.neighbor_id <> qdists.query_id
+         | GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t01_token_stats" ->
       s"""SELECT doc_id, len($toks)::BIGINT AS n_tokens,
@@ -1160,6 +1241,22 @@ object TrainingPack {
          | SELECT s.dst AS id, r.lbl FROM reach r JOIN sym s ON s.src = r.id)
          |SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS component
          |FROM reach GROUP BY id""".stripMargin,
+    "d26_cluster_sample" ->
+      s"""WITH RECURSIVE $embeddingPairsCtes,
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM epairs
+         |        UNION ALL SELECT id_b, id_a FROM epairs),
+         |reach AS (
+         | SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+         | UNION
+         | SELECT s.dst AS id, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+         |comp AS (SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS component
+         |         FROM reach GROUP BY id)
+         |SELECT vec_id, component, rk FROM (
+         | SELECT vec_id, component,
+         |  CAST(row_number() OVER (PARTITION BY component
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+         | FROM comp) x
+         |WHERE rk <= 5""".stripMargin,
     "d09_ngram_jaccard" -> {
       val mkSh = s"list_transform(range(1, greatest(len(tk) - 2, 0) + 1), " +
         s"i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"
@@ -1251,60 +1348,31 @@ object TrainingPack {
     // restriction applied to the candidate's COARSE cell (the corpus
     // `label` column) before the ADC sum
     "e08_ivfpq_topk" ->
-      s"""WITH sums AS (
-         | SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
-         | FROM (SELECT label, $qv AS q FROM embeddings) t),
-         |cent AS (
-         | SELECT label, dim,
-         |  CAST((CAST(sum(qc) AS BIGINT)
-         |        - ((CAST(sum(qc) AS BIGINT) % count(*)) + count(*)) % count(*))
-         |       / count(*) AS BIGINT) AS c
-         | FROM sums GROUP BY label, dim),
-         |cd AS (
-         | SELECT vec_id, label, dim // 16 AS s,
-         |  CAST(sum((qc - c) * (qc - c)) AS BIGINT) AS d2
-         | FROM (SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,
-         |        unnest(q) AS qc
-         |       FROM (SELECT vec_id, $qv AS q FROM embeddings) t) v
-         | JOIN cent USING (dim)
-         | GROUP BY vec_id, label, dim // 16),
-         |codes AS (
-         | SELECT vec_id AS neighbor_id, s, label FROM (
-         |  SELECT vec_id, s, label,
-         |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, label) AS rn
-         |  FROM cd) t WHERE rn = 1),
-         |qdists AS (SELECT vec_id AS query_id, s, label, d2 FROM cd
-         |           WHERE vec_id < 5),
-         |qfull AS (SELECT vec_id AS query_id,
-         |           generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
-         |          FROM (SELECT vec_id, $qv AS q FROM embeddings
-         |                WHERE vec_id < 5) t),
-         |assign AS (
-         | SELECT query_id, label, CAST(sum(qc * c) AS BIGINT) AS cdot
-         | FROM qfull JOIN cent USING (dim) GROUP BY query_id, label),
-         |probes AS (
-         | SELECT query_id, label AS coarse FROM (
-         |  SELECT query_id, label,
-         |   row_number() OVER (PARTITION BY query_id
-         |     ORDER BY cdot DESC, label) AS pr
-         |  FROM assign) t WHERE pr <= 2),
-         |co AS (SELECT vec_id AS neighbor_id, label AS coarse
-         |       FROM embeddings),
-         |adc AS (
-         | SELECT qdists.query_id, codes.neighbor_id,
-         |  CAST(sum(qdists.d2) AS BIGINT) AS dist
-         | FROM codes
-         | JOIN co USING (neighbor_id)
-         | JOIN probes ON probes.coarse = co.coarse
-         | JOIN qdists ON qdists.query_id = probes.query_id
-         |            AND qdists.s = codes.s AND qdists.label = codes.label
-         | WHERE codes.neighbor_id <> qdists.query_id
-         | GROUP BY 1, 2)
+      s"""WITH $ivfPqAdcCtes
          |SELECT query_id, neighbor_id, dist, rk FROM (
          | SELECT query_id, neighbor_id, dist,
          |  row_number() OVER (PARTITION BY query_id
          |    ORDER BY dist, neighbor_id) AS rk
          | FROM adc) t WHERE rk <= 5""".stripMargin,
+    "e09_ivfpq_rerank" ->
+      s"""WITH $ivfPqAdcCtes,
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY dist, neighbor_id) AS rk
+         |  FROM adc) t WHERE rk <= 20),
+         |qv2 AS (SELECT vec_id AS query_id, $qv AS q FROM embeddings
+         |        WHERE vec_id < 5),
+         |nv AS (SELECT vec_id AS neighbor_id, $qv AS q FROM embeddings),
+         |exact AS (
+         | SELECT sh.query_id, sh.neighbor_id,
+         |  ${qdotSql("qv2.q", "nv.q")} AS dot
+         | FROM short sh JOIN qv2 USING (query_id) JOIN nv USING (neighbor_id))
+         |SELECT query_id, neighbor_id, dot, rk FROM (
+         | SELECT query_id, neighbor_id, dot,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rk
+         | FROM exact) t WHERE rk <= 5""".stripMargin,
     "d19_shuffle_shards" ->
       """SELECT doc_id, shard,
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1

@@ -179,6 +179,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e09 rerank: shortlist broadcast into the corpus scan, no cartesian, " +
+    "no corpus shuffle for the exact pass") {
+    val p = explain("e09_ivfpq_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // the exact re-rank joins corpus → broadcast(shortlist): no SMJ on a
+    // corpus-sized side anywhere in the rerank stage
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("t14 tf-idf: doc-frequency table broadcast, no SMJ") {
     val p = explain("t14_tfidf_terms")
     assert(p.contains("BroadcastHashJoin"), p)
@@ -191,6 +200,34 @@ class PlanSpec extends SparkSpec {
     // a second exchange (or a per-frame re-sort exchange) would double
     // the shuffle for nothing
     assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("d23/d24 star fallback: equi-join banding only, no cartesian; " +
+    "hub selection is a min_by aggregate") {
+    for (q <- Seq("d23_minhash_star_pairs", "d24_simhash_star_pairs")) {
+      val p = explain(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      // the O(m) star path: hubs come from a per-bucket min_by aggregate,
+      // not a window or a self-join over the megabucket
+      assert(p.contains("min_by"), s"$q: $p")
+    }
+  }
+
+  test("d25 embedding star: no cartesian, min_by hub aggregate") {
+    val p = explain("d25_embedding_star_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("min_by"), p)
+  }
+
+  test("q53 JDBC read: 8 range partitions, status predicate pushed to the DB") {
+    // building the frame performs the Derby write + bounds lookup (tiny at
+    // sf0.001); the assertions pin the SCALE contract — parallel range
+    // scan, remote filtering
+    val p = explain("q53_jdbc_roundtrip")
+    assert(p.contains("JDBCRelation"), p)
+    assert(p.contains("numPartitions=8"), p)
+    assert("PushedFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\]".r
+      .findFirstIn(p).isDefined, p)
   }
 
   test("F4 detect: single shuffle on client, no driver-side collect in plan") {
