@@ -70,7 +70,10 @@ object PipelinePack {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val asFact = orders.select(
       col("o_orderkey").cast("string").as("trans_id"),
-      col("o_orderdate").as("trans_date"),
+      // the registered fact schema types trans_date as TIMESTAMP; conform
+      // on write so schema-explicit readers (compact, readBetween) see
+      // exactly the contract type
+      col("o_orderdate").cast("timestamp").as("trans_date"),
       col("o_custkey").cast("string").as("card_num"),
       col("o_orderpriority").as("oper_type"),
       col("o_totalprice").cast("decimal(18,2)").as("amt"),
@@ -98,6 +101,48 @@ object PipelinePack {
   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
 FROM orders WHERE $slicePred GROUP BY 1"""
+
+  /** q54 — co-located bucketed join (the reference's `distributed by`
+    * physical design, DDL.sql:40,59, as a driver-falsifiable query —
+    * previously tier S via BucketingSpec): lineitem and orders are
+    * written bucketed+sorted on the order key into catalog tables, then
+    * joined and aggregated ON the bucket key. With both sides
+    * co-bucketed, scan → sort-merge join → per-order aggregate runs with
+    * ZERO exchanges (PlanSpec-pinned): the per-order HAVING-style filter
+    * and the year column ride the same partitioning. At 100 TB this is
+    * the difference between re-shuffling the fact on every query and
+    * never shuffling it at all — the bucket layout is paid once at write
+    * time and amortized over every subsequent join/aggregate.
+    */
+  private def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-buckets")
+    val lake = new Lakehouse(spark, dir.resolve("lake").toString)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    // pre-repartition on the bucket key so each bucket lands in ONE file
+    // (multi-file buckets would re-sort on read; one file per bucket
+    // keeps the sorted-bucket fast path)
+    lake.writeBucketed("q54_li", li.repartition(8, col("l_orderkey")),
+      "l_orderkey", buckets = 8)
+    lake.writeBucketed("q54_ord", ord.repartition(8, col("l_orderkey")),
+      "l_orderkey", buckets = 8)
+    // merge hint: the small-SF orders side would otherwise broadcast,
+    // which is fine at sf0.01 but NOT the layout under test — at 100 TB
+    // neither side broadcasts, and co-bucketing is what saves the shuffle
+    lake.readTable("q54_li").hint("merge")
+      .join(lake.readTable("q54_ord"), "l_orderkey")
+      .groupBy(col("l_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("order_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .filter(col("n_items") >= 5)
+  }
 
   /** q53 — external-DB round trip (the reference's ODBC surface,
     * insert_from_excel.py:42-47 / plot_report.py:8-13): a deterministic
@@ -137,7 +182,24 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       sliceAgg(versionedFact(s, d).readAt("fact_transactions", 2L))),
     "q52_change_feed" -> ((s, d) =>
       sliceAgg(versionedFact(s, d).changesBetween("fact_transactions", 1L, 3L))),
-    "q53_jdbc_roundtrip" -> jdbcRoundtrip _
+    "q53_jdbc_roundtrip" -> jdbcRoundtrip _,
+    "q54_bucketed_join" -> bucketedJoin _,
+    // q55 — compaction + zone-map range read as one driver-falsifiable
+    // query (previously tier S via LakehouseSpec): the 3-append version
+    // chain is folded into 4 range-clustered files sorted on trans_date,
+    // then read back through the zone-map-pruned range path. Green only
+    // if compaction preserved every row AND readBetween's file pruning +
+    // residual filter reconstruct exactly the date slice. At 100 TB
+    // compaction is the standing maintenance job and the clustered
+    // layout is what makes range scans sub-linear in table size.
+    "q55_compact_prune" -> ((s, d) => {
+      val lake = versionedFact(s, d)
+      lake.compact("fact_transactions", numFiles = 4,
+        sortCols = Seq("trans_date"))
+      sliceAgg(lake.readBetween("fact_transactions", "trans_date",
+        java.sql.Timestamp.valueOf("1994-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1995-12-31 00:00:00")))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -150,7 +212,17 @@ FROM orders WHERE $slicePred GROUP BY 1"""
   CAST(count(*) AS BIGINT) AS n,
   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
-FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus <> 'P' GROUP BY 1"""
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus <> 'P' GROUP BY 1""",
+    "q54_bucketed_join" ->
+      """SELECT l_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 HAVING count(*) >= 5""",
+    "q55_compact_prune" -> sliceOracle(
+      "o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'")
   )
 }
 

@@ -256,6 +256,31 @@ object StreamingPack {
         .start()
       q.awaitTermination()
       drained(s, sink, s.table(sink))
+    }),
+
+    // watermark-bounded streaming dedup (dropDuplicatesWithinWatermark):
+    // the production form of s04 — dedup state for an identity is
+    // DROPPED once the watermark passes it, so state is bounded by the
+    // watermark horizon instead of growing with the stream. Only the
+    // duplicate-identity triple is projected after the dedup, so the
+    // drained result is the distinct triple set regardless of which
+    // physical row won. The fixture replay drains the single events file
+    // in ONE micro-batch (the file source's batching unit is a whole
+    // file), so no identity straddles a watermark advance and the result
+    // is exactly DISTINCT — which is what the oracle checks.
+    "s08_stream_dedup_watermark" -> ((s, d) => {
+      val sink = s"s08_out_${System.nanoTime()}"
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .withColumn("minute", date_trunc("minute", col("ts")))
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+        .select(col("user_id"), col("event_type"), col("minute"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drained(s, sink, s.table(sink))
     })
   )
 
@@ -346,6 +371,10 @@ object StreamingPack {
       """SELECT DISTINCT
         | md5(array_to_string(regexp_extract_all(lower(text), '\S+'), ' '))
         |   AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "s08_stream_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type,
+        | date_trunc('minute', ts) AS minute
+        |FROM events""".stripMargin
   )
 }

@@ -221,9 +221,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .map(p => spark.read.schema(schema).option("basePath", p).parquet(p))
       .reduce(_ unionByName _)
 
-  /** Fact is written with an extra partition column; include it on read. */
+  /** Fact written via [[appendPartitionedByDay]] carries an extra
+    * partition column; include it on read. Detected from the physical
+    * layout, not assumed by table name — a versioned fact materialized
+    * through plain [[append]] (q51/q52/q55) is unpartitioned and must
+    * read (and compact, and range-prune) as such.
+    */
   private def readSchema(name: String, schema: StructType): StructType =
-    if (name == "fact_transactions")
+    if (name == "fact_transactions" && exists(name) &&
+        dataPaths(name).exists { root =>
+          fs.listStatus(new Path(root)).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("trans_dt_day="))
+        })
       schema.add("trans_dt_day", org.apache.spark.sql.types.DateType)
     else schema
 

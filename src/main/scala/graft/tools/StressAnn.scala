@@ -69,7 +69,12 @@ object StressAnn {
       val tPq = timed(drain(VectorOps.pqTopK(q, corpus, k = 5)))
       val tIvfPq = timed(drain(
         VectorOps.ivfPqTopK(q, corpus, k = 5, nProbe = 2)))
-      f"""{"x":$x,"cells":"$mode","n_cells":${cellGroups * nLabels},"vectors":$n,"ivf_sec":$tIvf%.1f,"pq_sec":$tPq%.1f,"ivfpq_sec":$tIvfPq%.1f}"""
+      // e09: the shortlist→exact-rerank composition on top of e08 — the
+      // extra cost over ivfpq must stay query-batch-sized (|Q|·shortlist
+      // exact dots), i.e. FLAT in x, not ∝ corpus
+      val tRerank = timed(drain(VectorOps.ivfPqRerankTopK(
+        q, corpus, k = 5, shortlist = 20, nProbe = 2)))
+      f"""{"x":$x,"cells":"$mode","n_cells":${cellGroups * nLabels},"vectors":$n,"ivf_sec":$tIvf%.1f,"pq_sec":$tPq%.1f,"ivfpq_sec":$tIvfPq%.1f,"rerank_sec":$tRerank%.1f}"""
     }
     out.foreach(println)
     spark.stop()

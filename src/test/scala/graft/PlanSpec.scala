@@ -230,6 +230,18 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("q54 bucketed join: ZERO exchanges — scan, SMJ, and per-order agg " +
+    "all ride the bucket partitioning") {
+    // building the frame performs the bucketed writes (tiny at sf0.001);
+    // the assertion pins the SCALE contract: co-bucketed layout means the
+    // join and the bucket-key aggregate never shuffle
+    val p = explain("q54_bucketed_join")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    // the scan actually uses the bucket metadata (not a plain file scan)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("F4 detect: single shuffle on client, no driver-side collect in plan") {
     import org.apache.spark.sql.functions._
     val lake = new graft.storage.Lakehouse(spark, tmpDir("planspec-f4"))
