@@ -199,6 +199,24 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       sliceAgg(lake.readBetween("fact_transactions", "trans_date",
         java.sql.Timestamp.valueOf("1994-01-01 00:00:00"),
         java.sql.Timestamp.valueOf("1995-12-31 00:00:00")))
+    }),
+    // q56 — Z-order compaction + zone-map prune on the NON-leading
+    // dimension (previously tier S via LakehouseSpec): the version chain
+    // is rewritten clustered along the Morton curve of
+    // (trans_date, amt), then range-read on amt alone. A linear sort on
+    // trans_date could never prune this predicate; the z-curve layout
+    // serves range scans on EITHER column — green only if the curve
+    // rewrite preserved every row and the amt zone maps + residual
+    // filter reconstruct the exact slice. The quantile sketch that
+    // drives the bucketization is one approxQuantile pass (driver-side
+    // planning cost, O(2^bits) boundaries — metadata-sized at any scale).
+    "q56_zorder_prune" -> ((s, d) => {
+      val lake = versionedFact(s, d)
+      lake.compactZOrder("fact_transactions", numFiles = 8,
+        zCols = Seq("trans_date", "amt"))
+      sliceAgg(lake.readBetween("fact_transactions", "amt",
+        new java.math.BigDecimal("50000.00"),
+        new java.math.BigDecimal("150000.00")))
     })
   )
 
@@ -222,7 +240,11 @@ FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus <> 'P' GROUP BY 1""",
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2 HAVING count(*) >= 5""",
     "q55_compact_prune" -> sliceOracle(
-      "o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'")
+      "o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'"),
+    // cast parity with the engine's decimal(18,2) amt is already pinned
+    // by q51/q52's amt_sum hashes; the predicate reuses the same cast
+    "q56_zorder_prune" -> sliceOracle(
+      "CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 50000.00 AND 150000.00")
   )
 }
 

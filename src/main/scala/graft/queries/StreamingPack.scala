@@ -281,6 +281,44 @@ object StreamingPack {
         .start()
       q.awaitTermination()
       drained(s, sink, s.table(sink))
+    }),
+
+    // exactly-once streaming sink into the lakehouse (Streams.lakeSink →
+    // foreachBatch → appendExactlyOnce): the event stream lands in a
+    // versioned fact table keyed by micro-batch id, then a FAILURE
+    // REPLAY is simulated by re-committing batch 0 with a poison row —
+    // the batch-id ledger must make it a committed no-op. The final
+    // aggregate is read back from the LAKE (not a memory sink), so the
+    // oracle is green only if every streamed row landed exactly once,
+    // types survived the lakehouse round trip, and the replayed batch
+    // changed nothing (the poison row would add an oper_type group).
+    "s09_stream_lake_sink" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s09")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val mapped = eventsStream(s, d).select(
+        col("event_id").cast("string").as("trans_id"),
+        col("ts").as("trans_date"),
+        col("user_id").cast("string").as("card_num"),
+        col("event_type").as("oper_type"),
+        col("value").cast("decimal(18,2)").as("amt"),
+        lit("ok").as("oper_result"),
+        lit("t0").as("terminal"))
+      val q = graft.streaming.Streams.lakeSink(mapped, lake, "fact_transactions")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val poison = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          "poison", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+          "c0", "POISON", new java.math.BigDecimal("1.00"), "ok", "t0")),
+        graft.model.Schemas.factTransactions)
+      lake.appendExactlyOnce("fact_transactions", poison, batchId = 0L)
+      lake.read("fact_transactions")
+        .groupBy(col("oper_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("trans_id").cast("bigint")).as("key_sum"),
+          countDistinct(col("card_num").cast("bigint")).as("users"))
     })
   )
 
@@ -375,6 +413,11 @@ object StreamingPack {
     "s08_stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type,
         | date_trunc('minute', ts) AS minute
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "s09_stream_lake_sink" ->
+      """SELECT event_type AS oper_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
