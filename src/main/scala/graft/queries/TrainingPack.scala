@@ -242,6 +242,38 @@ object TrainingPack {
     // |corpus|) and only to cut the top-V head — the count agg is the
     // distributed part; a vocab-sized single-partition sort is bounded
     // by V, not the data
+    // Gopher-style hard quality gates (the filter stage real curation
+    // runs before any dedup): each rule is an auditable boolean — doc
+    // too short, degenerate word lengths, symbol-heavy, repetitious
+    // (duplicate-trigram mass), or missing common-stopword signal —
+    // and keep = no rule fires. At 100 TB this screens trillions of
+    // tokens, so every rule is a codegen'd map-only column predicate
+    // over one scan: no UDFs, no shuffle, no second pass.
+    "t16_gopher_rules" -> ((s, d) => {
+      val tk = docs(s, d).select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("tk"))
+      tk.select(col("doc_id"),
+          size(col("tk")).cast("bigint").as("n_tokens"),
+          TextOps.meanTokenLen(col("text")).as("mean_len"),
+          TextOps.punctRatio(col("text")).as("punct"),
+          (TextOps.dupOccurrencesOfSorted(
+              array_sort(TextOps.ngramsFromTokens(col("tk"), 3)))
+              .cast("double")
+            / greatest(size(col("tk")) - 2, lit(1)).cast("double"))
+            .as("dup_tri_frac"),
+          size(array_intersect(
+            array_distinct(TextOps.tokens(lower(col("text")))),
+            array(TextOps.stopwords.head._2.map(lit): _*))).as("stop_hits"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") < 40).as("f_len"),
+          (col("mean_len") < 3.0 || col("mean_len") > 10.0).as("f_word_len"),
+          (col("punct") > 0.1).as("f_symbol"),
+          (col("dup_tri_frac") > 0.05).as("f_rep"),
+          (col("stop_hits") < 2).as("f_stop"))
+        .withColumn("keep", !col("f_len") && !col("f_word_len") &&
+          !col("f_symbol") && !col("f_rep") && !col("f_stop"))
+    }),
+
     "t10_vocab" -> ((s, d) => vocab(s, d, 20)),
 
     // unigram-LM proxy score per document: every token looked up in the
@@ -943,6 +975,38 @@ object TrainingPack {
     },
     "t04_fingerprint" ->
       s"SELECT doc_id, md5(array_to_string($ltoks, ' ')) AS fp FROM documents",
+    "t16_gopher_rules" -> {
+      val en = TextOps.stopwords.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tk AS (SELECT doc_id, text, $toks AS t FROM documents),
+         |tgs AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg FROM tk),
+         |dup AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS d
+         |  FROM (SELECT doc_id, tg, count(*) AS cnt FROM tgs GROUP BY 1, 2) c
+         |  GROUP BY 1),
+         |b AS (SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+         |  COALESCE(CAST(list_sum(list_transform(k.t, x -> length(x)))
+         |      AS DOUBLE), 0.0)
+         |    / CAST(greatest(len(k.t), 1) AS DOUBLE) AS mean_len,
+         |  CAST(len(regexp_extract_all(k.text, '[[:punct:]]')) AS DOUBLE)
+         |    / CAST(greatest(length(k.text), 1) AS DOUBLE) AS punct,
+         |  CAST(COALESCE(d.d, 0) AS DOUBLE)
+         |    / CAST(greatest(len(k.t) - 2, 1) AS DOUBLE) AS dup_tri_frac,
+         |  len(list_intersect(
+         |    list_distinct(regexp_extract_all(lower(k.text), '\\S+')),
+         |    $en)) AS stop_hits
+         |  FROM tk k LEFT JOIN dup d ON k.doc_id = d.doc_id)
+         |SELECT doc_id, n_tokens,
+         |  n_tokens < 40 AS f_len,
+         |  (mean_len < 3.0 OR mean_len > 10.0) AS f_word_len,
+         |  punct > 0.1 AS f_symbol,
+         |  dup_tri_frac > 0.05 AS f_rep,
+         |  stop_hits < 2 AS f_stop,
+         |  NOT (n_tokens < 40 OR mean_len < 3.0 OR mean_len > 10.0
+         |    OR punct > 0.1 OR dup_tri_frac > 0.05 OR stop_hits < 2) AS keep
+         |FROM b""".stripMargin
+    },
     "t05_shingle_stats" -> {
       def sh(src: String) =
         s"list_transform(range(1, greatest(len($src) - 2, 0) + 1), " +

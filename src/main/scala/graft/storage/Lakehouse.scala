@@ -449,8 +449,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     require(readSchema(name, schema) == schema,
       s"compactZOrder does not support partitioned table $name")
     val raw = read(name)
-    val clustered = raw
-      .withColumn("_zkey", ZOrder.zkey(raw, zCols, bits))
+    val clustered = ZOrder.withZkey(raw, zCols, "_zkey", bits)
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")
