@@ -162,11 +162,17 @@ object TextOps {
       greatest(length(text), lit(1)).cast("double")
 
   /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column = {
-    val t = tokens(text)
+  def meanTokenLen(text: Column): Column =
+    meanTokenLenFromTokens(tokens(text))
+
+  /** Mean token length from a pre-projected token array — use this form
+    * when the tokens are already materialized in the plan (the tokenizer
+    * regex inside a HOF lambda is NOT common-subexpression-eliminated,
+    * so `meanTokenLen(text)` re-tokenizes twice).
+    */
+  def meanTokenLenFromTokens(t: Column): Column =
     aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
       greatest(size(t), lit(1)).cast("double")
-  }
 
   /** Per-language stopword hit counts — the n-gram-heuristic language ID.
     * Deterministic: argmax over fixed language order (first wins ties).

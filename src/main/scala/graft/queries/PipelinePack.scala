@@ -196,9 +196,14 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val lake = versionedFact(s, d)
       lake.compact("fact_transactions", numFiles = 4,
         sortCols = Seq("trans_date"))
+      // Instant bounds, not java.sql.Timestamp.valueOf: the stored
+      // trans_date instants are UTC midnights (the date cast runs under
+      // the UTC-pinned session TZ), while Timestamp.valueOf parses in
+      // the JVM-default zone — on a non-UTC host that would shift the
+      // range by the host's offset and silently drop the boundary day
       sliceAgg(lake.readBetween("fact_transactions", "trans_date",
-        java.sql.Timestamp.valueOf("1994-01-01 00:00:00"),
-        java.sql.Timestamp.valueOf("1995-12-31 00:00:00")))
+        java.time.Instant.parse("1994-01-01T00:00:00Z"),
+        java.time.Instant.parse("1995-12-31T00:00:00Z")))
     }),
     // q56 — Z-order compaction + zone-map prune on the NON-leading
     // dimension (previously tier S via LakehouseSpec): the version chain

@@ -237,24 +237,21 @@ object TrainingPack {
         .filter(col("rk") <= 20)
     }),
 
-    // tokenizer-vocabulary build: global token counts, ranked. The rank
-    // window runs over the AGGREGATED vocabulary (|distinct tokens|, not
-    // |corpus|) and only to cut the top-V head — the count agg is the
-    // distributed part; a vocab-sized single-partition sort is bounded
-    // by V, not the data
     // Gopher-style hard quality gates (the filter stage real curation
     // runs before any dedup): each rule is an auditable boolean — doc
     // too short, degenerate word lengths, symbol-heavy, repetitious
     // (duplicate-trigram mass), or missing common-stopword signal —
     // and keep = no rule fires. At 100 TB this screens trillions of
     // tokens, so every rule is a codegen'd map-only column predicate
-    // over one scan: no UDFs, no shuffle, no second pass.
+    // over one scan: no UDFs, no shuffle, no second pass — and the
+    // tokenizer regex runs ONCE (everything downstream derives from the
+    // projected `tk` array; HOF lambdas are not CSE'd, see TextOps)
     "t16_gopher_rules" -> ((s, d) => {
       val tk = docs(s, d).select(col("doc_id"), col("text"),
         TextOps.tokens(col("text")).as("tk"))
       tk.select(col("doc_id"),
           size(col("tk")).cast("bigint").as("n_tokens"),
-          TextOps.meanTokenLen(col("text")).as("mean_len"),
+          TextOps.meanTokenLenFromTokens(col("tk")).as("mean_len"),
           TextOps.punctRatio(col("text")).as("punct"),
           (TextOps.dupOccurrencesOfSorted(
               array_sort(TextOps.ngramsFromTokens(col("tk"), 3)))
@@ -262,7 +259,7 @@ object TrainingPack {
             / greatest(size(col("tk")) - 2, lit(1)).cast("double"))
             .as("dup_tri_frac"),
           size(array_intersect(
-            array_distinct(TextOps.tokens(lower(col("text")))),
+            array_distinct(transform(col("tk"), x => lower(x))),
             array(TextOps.stopwords.head._2.map(lit): _*))).as("stop_hits"))
         .select(col("doc_id"), col("n_tokens"),
           (col("n_tokens") < 40).as("f_len"),
@@ -274,6 +271,11 @@ object TrainingPack {
           !col("f_symbol") && !col("f_rep") && !col("f_stop"))
     }),
 
+    // tokenizer-vocabulary build: global token counts, ranked. The rank
+    // window runs over the AGGREGATED vocabulary (|distinct tokens|, not
+    // |corpus|) and only to cut the top-V head — the count agg is the
+    // distributed part; a vocab-sized single-partition sort is bounded
+    // by V, not the data
     "t10_vocab" -> ((s, d) => vocab(s, d, 20)),
 
     // unigram-LM proxy score per document: every token looked up in the

@@ -224,17 +224,25 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   /** Fact written via [[appendPartitionedByDay]] carries an extra
     * partition column; include it on read. Detected from the physical
     * layout, not assumed by table name — a versioned fact materialized
-    * through plain [[append]] (q51/q52/q55) is unpartitioned and must
-    * read (and compact, and range-prune) as such.
+    * through plain [[append]] (q51/q52/q55/q56) is unpartitioned and
+    * must read (and compact, and range-prune) as such. The partitioned
+    * layout is the DEFAULT (the canonical ETL shape): a missing, empty,
+    * or truncated fact keeps `trans_dt_day` so first-run mart builds
+    * filter an empty frame instead of hitting an unresolved column;
+    * only data files sitting DIRECTLY in the newest live root (the
+    * layout plain append produces, and what any compaction of it
+    * preserves) mark the table flat. One listStatus on one root — not a
+    * per-root walk; at object-store scale this is a single LIST call.
     */
-  private def readSchema(name: String, schema: StructType): StructType =
-    if (name == "fact_transactions" && exists(name) &&
-        dataPaths(name).exists { root =>
-          fs.listStatus(new Path(root)).exists(st =>
-            st.isDirectory && st.getPath.getName.startsWith("trans_dt_day="))
-        })
-      schema.add("trans_dt_day", org.apache.spark.sql.types.DateType)
-    else schema
+  private def readSchema(name: String, schema: StructType): StructType = {
+    if (name != "fact_transactions") return schema
+    val flat = exists(name) && dataPaths(name).lastOption.exists { root =>
+      fs.listStatus(new Path(root)).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    if (flat) schema
+    else schema.add("trans_dt_day", org.apache.spark.sql.types.DateType)
+  }
 
   /** Like [[read]] but keeps physical partition columns (e.g. the fact's
     * `trans_dt_day`) so callers can write partition-pruning predicates.

@@ -60,18 +60,32 @@ object ZOrder {
     pos(0, bounds.length)
   }
 
-  /** The interleaved key: bit i of column j lands at position i*n + j. */
-  def zkey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+  /** One full pass computes every column's quantile boundary sketch
+    * (shared by [[zkey]] and [[withZkey]] — tuning the epsilon or the
+    * bits cap happens here, once). Heavy ties collapse boundaries:
+    * fewer buckets, same order.
+    */
+  private def boundsFor(df: DataFrame, cols: Seq[String],
+      bits: Int): Array[Array[Double]] = {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(bits >= 1 && bits * cols.length <= 62,
       s"bits=$bits over ${cols.length} columns overflows a long")
     val k = 1 << bits
     val probs = (1 until k).map(_.toDouble / k).toArray
-    // one full pass computes every column's quantile sketch
-    val allBounds = df.select(cols.map(c => norm(df, c).as(c)): _*)
+    df.select(cols.map(c => norm(df, c).as(c)): _*)
       .stat.approxQuantile(cols.toArray, probs, 0.001)
-      // heavy ties collapse boundaries; fewer buckets, same order
       .map(_.distinct)
+  }
+
+  /** The interleaved key: bit i of column j lands at position i*n + j.
+    * Self-contained Column form — the per-column search tree is BUILT
+    * once per bit (O(bits·2^bits) expression nodes; each row still
+    * evaluates one path per occurrence). Fine at small `bits`; for the
+    * compaction path use [[withZkey]], which materializes each bucket id
+    * once.
+    */
+  def zkey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    val allBounds = boundsFor(df, cols, bits)
     val n = cols.length
     val terms = for {
       ((c, bounds), j) <- cols.zip(allBounds).zipWithIndex
@@ -92,14 +106,7 @@ object ZOrder {
     */
   def withZkey(df: DataFrame, cols: Seq[String], out: String,
       bits: Int = 8): DataFrame = {
-    require(cols.nonEmpty, "z-order needs at least one column")
-    require(bits >= 1 && bits * cols.length <= 62,
-      s"bits=$bits over ${cols.length} columns overflows a long")
-    val k = 1 << bits
-    val probs = (1 until k).map(_.toDouble / k).toArray
-    val allBounds = df.select(cols.map(c => norm(df, c).as(c)): _*)
-      .stat.approxQuantile(cols.toArray, probs, 0.001)
-      .map(_.distinct)
+    val allBounds = boundsFor(df, cols, bits)
     val n = cols.length
     val tmp = cols.indices.map(j => s"__zb_$j")
     val bucketed = df.withColumns(

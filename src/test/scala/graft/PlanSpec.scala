@@ -181,11 +181,15 @@ class PlanSpec extends SparkSpec {
 
   test("e09 rerank: shortlist broadcast into the corpus scan, no cartesian, " +
     "no corpus shuffle for the exact pass") {
+    val base = explain("e08_ivfpq_topk")
     val p = explain("e09_ivfpq_rerank")
     assert(!p.contains("CartesianProduct"), p)
-    // the exact re-rank joins corpus → broadcast(shortlist): no SMJ on a
-    // corpus-sized side anywhere in the rerank stage
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the rerank stage must add ONLY broadcast joins on top of e08's
+    // inner ADC chain — a dropped broadcast() hint would surface as a
+    // NEW SortMergeJoin on a corpus-sized side (a bare contains-BHJ
+    // check can't see that: the inner chain already has broadcasts)
+    assert(count(p, "SortMergeJoin") === count(base, "SortMergeJoin"), p)
+    assert(count(p, "BroadcastHashJoin") > count(base, "BroadcastHashJoin"), p)
   }
 
   test("t14 tf-idf: doc-frequency table broadcast, no SMJ") {
