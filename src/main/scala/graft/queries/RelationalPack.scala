@@ -335,6 +335,46 @@ object RelationalPack {
     // distinct-then-count is the same two-phase shape the rewrite
     // produces, minus the row expansion; the sketch and percentile
     // aggregates are all non-distinct and share one scan.
+    // ANALYZE-style table profile (the statistics pass every engine
+    // runs before CBO / data-quality checks): per column — null count,
+    // exact distinct count, an HLL estimate pinned within 5 % of exact,
+    // and native-ordered min/max rendered as strings; stacked to
+    // per-column rows by exploding a struct array (map-side only).
+    // Scale note: the exact multi-column count(DISTINCT) rides
+    // Catalyst's Expand (k+1 branches = (k+1)× the scan in one shuffle)
+    // — affordable as a maintenance job, and the HLL column
+    // demonstrates the sketch-only path a 100-TB ANALYZE would keep
+    // (mergeable, no Expand); the exact pass here is what FALSIFIES the
+    // sketch, q24-style.
+    "q57_table_profile" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val orders = Tables.orders(s, d)
+      // TWO aggregates, joined 1-row × 1-row — never one: the multi-
+      // column count(DISTINCT) rewrites to an Expand, and an Expand that
+      // also carries buffering aggregates (HLL) falls off hash
+      // aggregation (the q24 cliff — measured here too: one combined
+      // agg was ~90 s at sf0.1, the split is sub-second)
+      val sketchAggs = cols.flatMap(n => Seq(
+        sum(when(c(n).isNull, 1L).otherwise(0L)).as(s"nulls__$n"),
+        approx_count_distinct(c(n), 0.02).as(s"and__$n"),
+        min(c(n)).cast("string").as(s"min__$n"),
+        max(c(n)).cast("string").as(s"max__$n")))
+      val sketch = orders.agg(count(lit(1)).as("n_rows"), sketchAggs: _*)
+      val exact = orders.agg(
+        countDistinct(c(cols.head)).as(s"nd__${cols.head}"),
+        cols.tail.map(n => countDistinct(c(n)).as(s"nd__$n")): _*)
+      val prof = sketch.crossJoin(broadcast(exact))
+      val stacked = cols.map(n => struct(lit(n).as("col_name"),
+        c(s"nulls__$n").as("n_nulls"), c(s"nd__$n").as("n_distinct"),
+        (abs(c(s"and__$n") - c(s"nd__$n")) <= c(s"nd__$n") * 0.05)
+          .as("hll_ok"),
+        c(s"min__$n").as("min_s"), c(s"max__$n").as("max_s")))
+      prof.select(c("n_rows"), explode(array(stacked: _*)).as("p"))
+        .select(c("p.col_name"), c("n_rows"), c("p.n_nulls"),
+          c("p.n_distinct"), c("p.hll_ok"), c("p.min_s"), c("p.max_s"))
+    }),
+
     "q24_approx_stats" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val dis = li.select(c("l_returnflag"), c("l_orderkey")).distinct()
@@ -840,6 +880,19 @@ object RelationalPack {
     // exact stats verified for real; the *_ok literals fail if Spark's
     // sketch estimates drift outside the 5% band (deterministic data →
     // deterministic estimates → stable booleans)
+    "q57_table_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { n =>
+        s"""SELECT '$n' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($n) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $n) AS BIGINT) AS n_distinct,
+           | true AS hll_ok,
+           | CAST(min($n) AS VARCHAR) AS min_s,
+           | CAST(max($n) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
     "q24_approx_stats" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_orderkey) AS exact_orders,

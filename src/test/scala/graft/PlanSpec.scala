@@ -234,6 +234,20 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("q57 profile: exact-distinct Expand stays separate from the HLL " +
+    "aggregate (the q24 cliff)") {
+    val p = explain("q57_table_profile")
+    // one Expand (the multi-column distinct rewrite), and the buffering
+    // HLL aggregate must never share an aggregate node with the rewrite
+    // (whose FILTER (gid=...) markers tag its functions) — the merged
+    // form evaluates every buffer on (k+1)× expanded rows off hash
+    // aggregation (~90 s at sf0.1; the split is sub-second). The keyless
+    // SortAggregate the sketch side picks is fine: no keys, no sort.
+    assert(count(p, "Expand") === 1, p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("approx_count_distinct") && l.contains("gid#")), p)
+  }
+
   test("q54 bucketed join: ZERO exchanges — scan, SMJ, and per-order agg " +
     "all ride the bucket partitioning") {
     // building the frame performs the bucketed writes (tiny at sf0.001);
