@@ -612,6 +612,23 @@ object RelationalPack {
           |GROUP BY n_name""".stripMargin)
     }),
 
+    // WITH RECURSIVE on the SQL surface (Spark 4's UnionLoop): the
+    // ancestor walk over an implicit binary tree on customer keys
+    // (parent(k) = k/2) — the workload class (hierarchies, BOM
+    // explosion, org charts) that previously required hand-built
+    // iteration. The SAME query text runs on both engines (one template,
+    // only the table name substituted). Scale note: each recursion step
+    // is one distributed self-join round and all roots advance in
+    // parallel, so rounds = max DEPTH (~log2 of the key space), not
+    // row count — the right tool for bounded-depth hierarchies;
+    // unbounded-depth reachability (near-dup components) stays on d10's
+    // pointer doubling, which halves remaining depth per round.
+    "q58_recursive_cte" -> ((s, d) => {
+      s.conf.set("spark.sql.cteRecursionEnabled", "true")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql(recursiveWalkSql("v_customer"))
+    }),
+
     // Correlated scalar subqueries — Catalyst's
     // RewriteCorrelatedScalarSubquery decorrelation path (left-outer join +
     // aggregate), incl. the COUNT-on-empty-group case (0, not NULL).
@@ -729,6 +746,27 @@ object RelationalPack {
       |        THEN 1 ELSE 0 END AS brk
       |  FROM events) f) g
       |GROUP BY user_id, sid""".stripMargin
+
+  /** q58's dialect-neutral recursive ancestor walk — ONE template for
+    * both engines; only the table name differs (registered temp view on
+    * the Spark side, raw parquet relation on the DuckDB side). Integer
+    * division is spelled CAST(floor(x / 2)) because `/` is float
+    * division in both dialects while their int-div operators differ
+    * (`div` vs `//`); every aggregate is BIGINT-cast on both sides (the
+    * comparator's dtype rule; DuckDB sums to HUGEINT otherwise).
+    */
+  private def recursiveWalkSql(table: String): String =
+    s"""WITH RECURSIVE walk AS (
+       |  SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
+       |  FROM $table WHERE c_custkey <= 1000
+       |  UNION ALL
+       |  SELECT root, CAST(floor(node / 2) AS BIGINT) AS node, depth + 1
+       |  FROM walk WHERE node > 1
+       |)
+       |SELECT root, CAST(count(*) AS BIGINT) AS chain_len,
+       |  CAST(max(depth) AS BIGINT) AS max_depth,
+       |  CAST(sum(node) AS BIGINT) AS node_sum
+       |FROM walk GROUP BY root""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q44_session_window" -> sessionWindowSql,
@@ -1027,6 +1065,7 @@ object RelationalPack {
          | list_contains(qv, 0) AS has_zero
          |FROM (SELECT vec_id, $qv AS qv FROM embeddings) t""".stripMargin
     },
+    "q58_recursive_cte" -> recursiveWalkSql("customer"),
     "q32_sql_surface" ->
       """SELECT n_name, count(*) AS n_custs,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal

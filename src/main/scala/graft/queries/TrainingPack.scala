@@ -439,6 +439,24 @@ object TrainingPack {
             .when(col("bucket") < 90, "val")
             .otherwise("test").as("split"))),
 
+    // quality-weighted resampling (the CCNet-style curation step after
+    // scoring): per-tier Bernoulli keep rates — head kept whole, middle
+    // at 50 %, tail at 10 % — through the same deterministic md5 draw as
+    // d11/d17, so the oracle replays the draw exactly. Map-only: score,
+    // tier, draw and keep decision are one projection over one scan.
+    "d27_quality_resample" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          pmod(graft.functions.Md5Prefix64(
+            concat(lit("qr-"), col("doc_id").cast("string"))), lit(100L))
+            .as("draw"))
+        .withColumn("tier",
+          when(col("quality") >= 0.5, "head")
+            .when(col("quality") >= 0.25, "middle").otherwise("tail"))
+        .filter(col("draw") < when(col("tier") === "head", 100L)
+          .when(col("tier") === "middle", 50L).otherwise(10L))
+        .select(col("doc_id"), col("tier"), col("draw"))),
+
     // domain-mixture sampling: per-source Bernoulli keep rates (the
     // data-mixing step that up/down-weights domains before training),
     // applied through a deterministic md5 bucket per doc — reproducible
@@ -1080,6 +1098,25 @@ object TrainingPack {
         |FROM (SELECT doc_id,
         |  CAST(concat('0x', substr(md5(concat('split-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
         | FROM documents) t""".stripMargin,
+    "d27_quality_resample" ->
+      s"""SELECT doc_id, tier, draw FROM (
+         | SELECT doc_id,
+         |  CASE WHEN q >= 0.5 THEN 'head' WHEN q >= 0.25 THEN 'middle'
+         |       ELSE 'tail' END AS tier,
+         |  CAST(concat('0x', substr(md5(concat('qr-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS draw
+         | FROM (
+         |  SELECT doc_id, (least(CAST(n_tok AS DOUBLE)/100.0, 1.0) * ttr)
+         |    * greatest(0.0, 1.0 - punct*5.0) AS q
+         |  FROM (
+         |   SELECT doc_id,
+         |    CAST(len($dtoks) AS DOUBLE)/CAST(greatest(len($ltoks),1) AS DOUBLE) AS ttr,
+         |    len($toks) AS n_tok,
+         |    CAST(len(regexp_extract_all(text,'[[:punct:]]')) AS DOUBLE)
+         |      / CAST(greatest(length(text),1) AS DOUBLE) AS punct
+         |   FROM documents) b) s) t
+         |WHERE (tier = 'head' AND draw < 100)
+         |   OR (tier = 'middle' AND draw < 50)
+         |   OR (tier = 'tail' AND draw < 10)""".stripMargin,
     "d17_mixture_sample" ->
       """SELECT doc_id, source, b AS bucket FROM (
         | SELECT doc_id, source,
