@@ -356,7 +356,10 @@ object RelationalPack {
       // aggregation (the q24 cliff — measured here too: one combined
       // agg was ~90 s at sf0.1, the split is sub-second)
       val sketchAggs = cols.flatMap(n => Seq(
-        sum(when(c(n).isNull, 1L).otherwise(0L)).as(s"nulls__$n"),
+        // count-minus-count, not sum(when(isNull)): on an EMPTY table the
+        // sum form yields NULL where the oracle (and a sane profile)
+        // reports 0
+        (count(lit(1)) - count(c(n))).as(s"nulls__$n"),
         approx_count_distinct(c(n), 0.02).as(s"and__$n"),
         min(c(n)).cast("string").as(s"min__$n"),
         max(c(n)).cast("string").as(s"max__$n")))
@@ -623,8 +626,10 @@ object RelationalPack {
     // row count — the right tool for bounded-depth hierarchies;
     // unbounded-depth reachability (near-dup components) stays on d10's
     // pointer doubling, which halves remaining depth per round.
+    // (recursion is enabled unconditionally in this Spark build — the
+    // only cteRecursion* confs are the level/row limits, defaults ample
+    // for the ~log2(keyspace) depth here)
     "q58_recursive_cte" -> ((s, d) => {
-      s.conf.set("spark.sql.cteRecursionEnabled", "true")
       Tables.customer(s, d).createOrReplaceTempView("v_customer")
       s.sql(recursiveWalkSql("v_customer"))
     }),

@@ -444,9 +444,14 @@ object TrainingPack {
     // at 50 %, tail at 10 % — through the same deterministic md5 draw as
     // d11/d17, so the oracle replays the draw exactly. Map-only: score,
     // tier, draw and keep decision are one projection over one scan.
+    // EvalOnce on the score: the keep filter derives from it, and
+    // pushing the predicate through the projection would inline the
+    // 3-regex score into the filter AND re-evaluate it in the output
+    // (the d08 lesson).
     "d27_quality_resample" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"),
+          graft.functions.EvalOnce(
+            TextOps.qualityScore(col("text"))).as("quality"),
           pmod(graft.functions.Md5Prefix64(
             concat(lit("qr-"), col("doc_id").cast("string"))), lit(100L))
             .as("draw"))
