@@ -380,6 +380,54 @@ object VectorOps {
     topKPerQuery(scored, k)
   }
 
+  /** Scalar-quantized (SQ8) top-k: each dimension linearly mapped to an
+    * 8-bit code against the CORPUS's per-dimension [min, max] band (the
+    * FAISS SQ8 family — a different compression/recall trade than PQ's
+    * subspace codebooks: one byte per dimension, no codebook training),
+    * then symmetric integer dot over the code arrays. Exact integer
+    * arithmetic end-to-end so the oracle replays the codes bit-for-bit:
+    * code = (v−min)·255 floor-div span via the subtract-mod spelling
+    * (both engines' integer division agrees on non-negative operands —
+    * same trick as the e08 centroid oracle).
+    *
+    * Scale shape: per-dim stats are one narrow aggregate (dims rows)
+    * packed into two array literals broadcast to every task; coding is
+    * map-side zip_with; queries broadcast; the only shuffle is the
+    * bounded top-k aggregator. The corpus never shuffles.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val dimStats = corpus
+      .select(posexplode(quantize(col("vec"))).as(Seq("dim", "qv")))
+      .groupBy(col("dim"))
+      .agg(min(col("qv")).as("mn"), max(col("qv")).as("mx"))
+    // dims rows → one row of two dim-ordered arrays (struct sort orders
+    // by the leading `dim` field)
+    val packed = dimStats.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+        s => s("mn")).as("mins"),
+      transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+        s => s("mx")).as("maxs"))
+    def codes(vec: Column, mins: Column, maxs: Column): Column =
+      zip_with(
+        zip_with(quantize(vec), mins, (v, mn) => v - mn),
+        zip_with(maxs, mins, (mx, mn) => greatest(mx - mn, lit(1L))),
+        (diff, sp) => {
+          val num = diff * lit(255L)
+          ((num - pmod(num, sp)) / sp).cast("long")
+        })
+    val q = queries.crossJoin(broadcast(packed))
+      .select(col("id").as("query_id"),
+        codes(col("vec"), col("mins"), col("maxs")).as("qc"))
+    val c = corpus.crossJoin(broadcast(packed))
+      .select(col("id").as("neighbor_id"),
+        codes(col("vec"), col("mins"), col("maxs")).as("cc"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        qdot(col("qc"), col("cc")).as("dot"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above an integer-dot threshold,
     * restricted to LSH co-bucketed candidates.
     *

@@ -340,6 +340,25 @@ object TrainingPack {
         "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
         maxBucket = 100)),
 
+    // cross-split leakage audit (the post-split guard every lab runs):
+    // near-dup pairs (d04's verified minhash pairs) that STRADDLE d11's
+    // train/val/test assignment — any row here is test-set contamination
+    // by a training near-duplicate. Scale shape: the pair set is
+    // LSH-bucket-bounded (small side), the split map is corpus-sized —
+    // two equi-joins shuffling the pair side only at pair cardinality;
+    // at 100 TB both joins hash on doc id, the natural co-partitioning.
+    "d28_split_leakage" -> ((s, d) => {
+      val pairs = queries("d04_minhash_pairs")(s, d)
+      val splits = queries("d11_hash_split")(s, d)
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+    }),
+
     // d04's cap upgraded from drop to star (megabucketStar): a skew
     // injection replicates every 100th doc 150× (guaranteed megabuckets
     // under the cap of 100), and the guard emits O(m) hub↔member pairs
@@ -730,6 +749,13 @@ object TrainingPack {
         embs(s, d).select(col("label"), col("embedding").as("vec")),
         "label")),
 
+    // scalar quantization (SQ8): per-dimension 8-bit codes against the
+    // corpus's [min,max] band — the third quantization family next to
+    // PQ (e07/e08) and LSH (e03/e04); no training, one byte/dim
+    "e10_sq8_topk" -> ((s, d) =>
+      VectorOps.sq8TopK(
+        embIdVec(s, d).filter(col("id") < 5), embIdVec(s, d), k = 5)),
+
     "e03_lsh_topk" -> ((s, d) =>
       VectorOps.lshTopK(
         embIdVec(s, d).filter(col("id") < 5), embIdVec(s, d), k = 5,
@@ -1068,6 +1094,20 @@ object TrainingPack {
     "d04_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    "d28_split_leakage" ->
+      s"""WITH $minhashPairsCtes,
+         |lp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(concat('split-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
+         |  FROM documents) t)
+         |SELECT lp.id_a, lp.id_b, sa.split AS split_a, sb.split AS split_b
+         |FROM lp
+         |JOIN sp sa ON sa.doc_id = lp.id_a
+         |JOIN sp sb ON sb.doc_id = lp.id_b
+         |WHERE sa.split <> sb.split""".stripMargin,
     "d23_minhash_star_pairs" ->
       s"""WITH tall AS (
          | SELECT doc_id, text FROM documents
@@ -1392,6 +1432,26 @@ object TrainingPack {
          | FROM documents) t WHERE rn = 1""".stripMargin,
     "d08_corpus_select" -> d08Sql,
     "e01_knn_brute" -> e01Sql,
+    "e10_sq8_topk" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |dm AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,
+         |        unnest(q) AS qv FROM v),
+         |st AS (SELECT dim, min(qv) AS mn, max(qv) AS mx FROM dm
+         |       GROUP BY dim),
+         |co AS (SELECT vec_id, dim,
+         |        ((qv - mn) * 255) // greatest(mx - mn, 1) AS code
+         |       FROM dm JOIN st USING (dim)),
+         |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        CAST(sum(a.code * b.code) AS BIGINT) AS dot
+         |       FROM co a JOIN co b ON a.dim = b.dim
+         |         AND b.vec_id <> a.vec_id
+         |       WHERE a.vec_id < 5
+         |       GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, dot, rk FROM (
+         | SELECT query_id, neighbor_id, dot,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rk
+         | FROM sc) t WHERE rk <= 5""".stripMargin,
     "e06_lsh_recall" ->
       s"""WITH ex AS ($e01Sql),
          |ap AS ($e03Sql)
