@@ -400,27 +400,39 @@ object VectorOps {
       .select(posexplode(quantize(col("vec"))).as(Seq("dim", "qv")))
       .groupBy(col("dim"))
       .agg(min(col("qv")).as("mn"), max(col("qv")).as("mx"))
-    // dims rows → one row of two dim-ordered arrays (struct sort orders
-    // by the leading `dim` field)
+    // dims rows → ONE sorted collect (struct sort orders by the leading
+    // `dim` field) → per-dim min and span arrays. Spans are precomputed
+    // here — computing them per row would re-run a dims-element
+    // interpreted HOF over constant inputs for every vector.
+    val sorted = array_sort(
+      collect_list(struct(col("dim"), col("mn"), col("mx"))))
     val packed = dimStats.agg(
-      transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
-        s => s("mn")).as("mins"),
-      transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-        s => s("mx")).as("maxs"))
-    def codes(vec: Column, mins: Column, maxs: Column): Column =
+      transform(sorted, s => s("mn")).as("mins"),
+      transform(sorted, s => greatest(s("mx") - s("mn"), lit(1L)))
+        .as("spans"))
+    // stat arrays are SLICED to each vector's own length: one malformed
+    // over-length corpus vector widens the stats, and an unsliced
+    // zip_with would null-pad EVERY well-formed vector's codes (QDot
+    // nulls the pair → the whole result empties). Sliced, a bad row only
+    // drops its own pairs — same contract as bruteForceTopK. Codes are
+    // clamped to [0,255] so out-of-band queries still produce legal
+    // bytes (oracle clamps identically).
+    def codes(vec: Column): Column = {
+      val qv = quantize(vec)
       zip_with(
-        zip_with(quantize(vec), mins, (v, mn) => v - mn),
-        zip_with(maxs, mins, (mx, mn) => greatest(mx - mn, lit(1L))),
+        zip_with(qv, slice(col("mins"), lit(1), size(qv)),
+          (v, mn) => v - mn),
+        slice(col("spans"), lit(1), size(qv)),
         (diff, sp) => {
           val num = diff * lit(255L)
-          ((num - pmod(num, sp)) / sp).cast("long")
+          greatest(least(((num - pmod(num, sp)) / sp).cast("long"),
+            lit(255L)), lit(0L))
         })
+    }
     val q = queries.crossJoin(broadcast(packed))
-      .select(col("id").as("query_id"),
-        codes(col("vec"), col("mins"), col("maxs")).as("qc"))
+      .select(col("id").as("query_id"), codes(col("vec")).as("qc"))
     val c = corpus.crossJoin(broadcast(packed))
-      .select(col("id").as("neighbor_id"),
-        codes(col("vec"), col("mins"), col("maxs")).as("cc"))
+      .select(col("id").as("neighbor_id"), codes(col("vec")).as("cc"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -833,6 +833,18 @@ object TrainingPack {
   private val ltoks = "regexp_extract_all(lower(text), '\\S+')"
   private val dtoks = s"list_distinct($ltoks)"
 
+  /** d11's deterministic split assignment as one shared CTE body — the
+    * d11 oracle and every composer (d28) must read the SAME spelling, or
+    * a threshold/prefix tune would silently drift them apart.
+    */
+  private val splitAssignSql: String =
+    """SELECT doc_id,
+      | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |      ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(concat('split-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
+      | FROM documents) t""".stripMargin
+
   /** d06's bucketed embedding-pair CTE chain (v → small → c → epairs),
     * shared by d06 and d13.
     */
@@ -1097,12 +1109,7 @@ object TrainingPack {
     "d28_split_leakage" ->
       s"""WITH $minhashPairsCtes,
          |lp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
-         |sp AS (SELECT doc_id,
-         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         | FROM (SELECT doc_id,
-         |  CAST(concat('0x', substr(md5(concat('split-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
-         |  FROM documents) t)
+         |sp AS ($splitAssignSql)
          |SELECT lp.id_a, lp.id_b, sa.split AS split_a, sb.split AS split_b
          |FROM lp
          |JOIN sp sa ON sa.doc_id = lp.id_a
@@ -1136,13 +1143,7 @@ object TrainingPack {
          |SELECT DISTINCT id_a, id_b, jaccard FROM
          | (SELECT * FROM pairs UNION ALL SELECT * FROM starpairs) u
          |WHERE jaccard >= 0.8""".stripMargin,
-    "d11_hash_split" ->
-      """SELECT doc_id,
-        | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-        |      ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |  CAST(concat('0x', substr(md5(concat('split-', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
-        | FROM documents) t""".stripMargin,
+    "d11_hash_split" -> splitAssignSql,
     "d27_quality_resample" ->
       s"""SELECT doc_id, tier, draw FROM (
          | SELECT doc_id,
@@ -1439,7 +1440,8 @@ object TrainingPack {
          |st AS (SELECT dim, min(qv) AS mn, max(qv) AS mx FROM dm
          |       GROUP BY dim),
          |co AS (SELECT vec_id, dim,
-         |        ((qv - mn) * 255) // greatest(mx - mn, 1) AS code
+         |        greatest(least(
+         |          ((qv - mn) * 255) // greatest(mx - mn, 1), 255), 0) AS code
          |       FROM dm JOIN st USING (dim)),
          |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |        CAST(sum(a.code * b.code) AS BIGINT) AS dot

@@ -42,12 +42,7 @@ object StressAnn {
     val n0 = base.count()
     val nLabels = base.select(col("label")).distinct().count()
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      (System.nanoTime() - t0) / 1e9
-    }
-    def drain(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    import StressUtil.{timed, drain}
 
     val out = for (x <- xs; mode <- Seq("fixed", "sqrt")) yield {
       val cellGroups =

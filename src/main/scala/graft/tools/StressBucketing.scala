@@ -37,12 +37,7 @@ object StressBucketing {
       .select(col("o_orderkey"), col("o_orderdate"))
     val keySpan = or0.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      (System.nanoTime() - t0) / 1e9
-    }
-    def drain(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    import StressUtil.{timed, drain}
     def query(a: DataFrame, b: DataFrame): DataFrame =
       a.hint("merge").join(b, "l_orderkey")
         .groupBy(col("l_orderkey"))

@@ -29,12 +29,7 @@ object StressCorpus {
           .otherwise(concat(col("text"), lit(" rep"), col("_rep"))).as("text"),
         col("lang"), col("source"))
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      (System.nanoTime() - t0) / 1e9
-    }
-    def drain(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    import StressUtil.{timed, drain}
 
     val n = scaled.count()
     // timed stages run UN-audited (comparable across rounds — audit mode

@@ -33,10 +33,7 @@ object StressGraph {
     val xs = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 30)
     val spark = graft.GraftSession.get()
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
+    import StressUtil.{timedValue => timed}
 
     val out = xs.map { x =>
       val n = 5000L * x

@@ -35,10 +35,7 @@ object StressPipeline {
       .withColumn("amount", col("amount") + col("_rep"))
       .drop("_rep")
 
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val a = f
-      (a, (System.nanoTime() - t0) / 1e9)
-    }
+    import StressUtil.{timedValue => timed}
     val (n, tLoad) = timed(Ingest.loadDay(lake, scaled))
     val (_, tNorm) = timed(Etl.normalizeTransactions(lake))
     val (_, tMart) = timed(Mart.addReportData(lake, MartStaging.Scd2Dims,

@@ -25,12 +25,7 @@ object StressSketches {
       .select((col("user_id") + col("_rep") * lit(1000000L)).as("user_id"),
         col("ts"), col("event_type"))
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f
-      (System.nanoTime() - t0) / 1e9
-    }
-    def drain(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    import StressUtil.{timed, drain}
 
     val n = scaled.count()
     // eps sizing: overestimate ≤ eps·N must stay well under minCount —
