@@ -110,7 +110,24 @@ object StressCorpus {
     val docsStar = docCov(starDf)
     val docRecallStar =
       if (docsLoose == 0) 1.0 else docsStar.toDouble / docsLoose
-    println(f"""{"docs":$n,"exact_sec":$tExact%.1f,"minhash_sec":$tMinhash%.1f,"simhash_sec":$tSimhash%.1f,"grams_sec":$tGrams%.1f,"minhash_star_sec":$tStar%.1f,"minhash_cap":${dropped(mhObs)},"simhash_cap":${dropped(shObs)},"cap_pair_recall":$recall%.4f,"cap_doc_recall":$docRecall%.4f,"star_doc_recall":$docRecallStar%.4f,"docs_in_pairs_capped":$docsCapped,"docs_in_pairs_star":$docsStar,"docs_in_pairs_loose":$docsLoose,"pairs_capped":$pairsCapped,"pairs_star":$pairsStar,"pairs_loose_cap":$pairsLoose,"loose_cap":${dropped(looseObs)}}""")
+
+    // the full downstream curation composition on the star pairs: CC
+    // (pointer doubling) → d26-style per-cluster ≤5 deterministic
+    // representatives — the d10+d26 shape at stress scale; rides the
+    // already-materialized star pair set, so cluster_sec isolates the
+    // iterative + window cost, not pair generation
+    val tCluster = timed(drain {
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Components.connectedComponents(
+        scaled.select(col("doc_id").as("id")),
+        starDf.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(md5(col("id").cast("string")), col("id")))
+          .cast("bigint"))
+        .filter(col("rk") <= 5)
+    })
+    println(f"""{"docs":$n,"exact_sec":$tExact%.1f,"minhash_sec":$tMinhash%.1f,"simhash_sec":$tSimhash%.1f,"grams_sec":$tGrams%.1f,"minhash_star_sec":$tStar%.1f,"cluster_sample_sec":$tCluster%.1f,"minhash_cap":${dropped(mhObs)},"simhash_cap":${dropped(shObs)},"cap_pair_recall":$recall%.4f,"cap_doc_recall":$docRecall%.4f,"star_doc_recall":$docRecallStar%.4f,"docs_in_pairs_capped":$docsCapped,"docs_in_pairs_star":$docsStar,"docs_in_pairs_loose":$docsLoose,"pairs_capped":$pairsCapped,"pairs_star":$pairsStar,"pairs_loose_cap":$pairsLoose,"loose_cap":${dropped(looseObs)}}""")
     spark.stop()
   }
 }
