@@ -319,6 +319,44 @@ object StreamingPack {
         .agg(count(lit(1)).as("n"),
           sum(col("trans_id").cast("bigint")).as("key_sum"),
           countDistinct(col("card_num").cast("bigint")).as("users"))
+    }),
+
+    // streaming CDC apply (Streams.upsertSink → foreachBatch MERGE): the
+    // events table is staged into THREE slice files (event_id mod 3, so
+    // every user's history is scattered across slices), streamed with
+    // maxFilesPerTrigger=1 — three genuine micro-batches, arriving out of
+    // event-time order — and merged newer-wins on (ts, event_id) into a
+    // keyed current-state table. The oracle recomputes per-user latest
+    // rows from the raw events: green only if every batch's merge kept
+    // exactly the newest row per user regardless of batch arrival order —
+    // the invariant a CDC upsert must hold under out-of-order delivery.
+    "s10_stream_cdc_upsert" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s10")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val stage = dir.resolve("stream").toString
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      // three append writes → three part files in one source dir (the ts
+      // rewrite also normalizes NANOS → µs, so the stream needs no
+      // nanosAsLong special-casing)
+      (0 to 2).foreach { sl =>
+        ev.filter(pmod(col("event_id"), lit(3)) === sl)
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      val schema = s.read.parquet(stage).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = graft.streaming.Streams.upsertSink(src, lake,
+          "events_current", keyCols = Seq("user_id"),
+          versionCols = Seq("ts", "event_id"))
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lake.read("events_current", schema)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
     })
   )
 
@@ -418,6 +456,12 @@ object StreamingPack {
       """SELECT event_type AS oper_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(event_id) AS BIGINT) AS key_sum,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS users
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "s10_stream_cdc_upsert" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        | SELECT user_id, event_id, ts, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin
   )
 }

@@ -601,6 +601,60 @@ object TrainingPack {
           (nShared.cast("double") / col("n_grams")).as("dup_frac"))
     }),
 
+    // exact-substring duplicate SPAN coverage (the Lee-et-al. measure —
+    // what substring-level dedup would actually REMOVE): fraction of each
+    // doc's tokens covered by at least one 8-gram whose hash occurs ≥ 2
+    // times corpus-wide (cross-doc or within-doc). d20 counts duplicated
+    // grams; overlapping grams over-count the same text 8×, so d29 merges
+    // the position intervals [pos, pos+7] per doc (gaps-and-islands) and
+    // sums disjoint island lengths. Scale shape: the global occurrence
+    // count is `count(*) over (partition by g)` — it rides the ONE gram
+    // exchange with no join back (a count-agg + join would re-derive the
+    // tokenize+gram+md5 pipeline on the probe side; Catalyst won't reuse
+    // an exchange across a join AQE turns into a broadcast). The interval
+    // merge is one doc_id window whose per-doc row count is bounded by
+    // the doc's gram count — never a global sort. A megagram costs one
+    // sorted partition run, bounded by the docs that contain it.
+    "d29_dup_span_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = docs(s, d)
+        .filter(TextOps.tokenCount(col("text")) >= 8)
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("tk"))
+        // projection barrier: see d20/ngramJaccardPairs
+        .repartition(col("doc_id"))
+      val grams = tk
+        .select(col("doc_id"), posexplode(
+          transform(TextOps.ngramsFromTokens(col("tk"), 8),
+            g => Dedup.hash32(g, 0))))
+        // 1-based gram start so [pos, pos+7] ⊆ [1, n_tokens]
+        .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
+          col("col").as("g"))
+        .repartition(col("g"))
+      val dupPos = grams
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("n") >= 2)
+        .select(col("doc_id"), col("pos"))
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val cov = dupPos
+        .withColumn("brk",
+          when(col("pos") > coalesce(max(col("pos") + 7L).over(wPrev),
+            lit(0L)), 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(wRun))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) + 7L - min(col("pos")) + 1L).as("covered"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("covered")).as("covered_tokens"))
+      val nTok = tk.select(col("doc_id"),
+        size(col("tk")).cast("bigint").as("n_tokens"))
+      val covered = coalesce(col("covered_tokens"), lit(0L))
+      nTok.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          covered.as("covered_tokens"),
+          (covered.cast("double") / col("n_tokens")).as("span_frac"))
+    }),
+
     // contrastive negative sampling: UP TO k deterministic pseudo-random
     // negatives per anchor (md5-hash draw over the id space — seeded,
     // reproducible across engines and retries, like d11/d17's buckets).
@@ -1477,6 +1531,33 @@ object TrainingPack {
          |  CAST(count(sh.gh) AS DOUBLE) / count(*) AS dup_frac
          |FROM g LEFT JOIN sh ON g.gh = sh.gh
          |GROUP BY doc_id""".stripMargin
+    },
+    "d29_dup_span_coverage" -> {
+      val gram8 = (0 until 8).map(k => s"tk[i+$k]").mkString(", ' ', ")
+      s"""WITH tk AS (SELECT doc_id, $ltoks AS tk FROM documents
+         |           WHERE len($ltoks) >= 8),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |        ${h32(s"concat($gram8)", 0)} AS gh
+         |      FROM (SELECT doc_id, tk,
+         |              unnest(range(1, len(tk) - 7 + 1)) AS i FROM tk)),
+         |dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |dp AS (SELECT doc_id, pos FROM g JOIN dupg USING (gh)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN pos > coalesce(max(pos + 7) OVER (
+         |         PARTITION BY doc_id ORDER BY pos
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |       THEN 1 ELSE 0 END AS brk FROM dp),
+         |cov AS (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS covered_tokens
+         |  FROM (SELECT doc_id, island, max(pos) + 7 - min(pos) + 1 AS covered
+         |        FROM (SELECT doc_id, pos, sum(brk) OVER (
+         |                PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+         |        GROUP BY doc_id, island)
+         |  GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk)
+         |SELECT nt.doc_id, n_tokens,
+         |  CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |  CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens AS span_frac
+         |FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id""".stripMargin
     },
     "e07_pq_topk" ->
       s"""WITH sums AS (

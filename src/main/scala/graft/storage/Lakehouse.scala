@@ -212,6 +212,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
+  /** [[read]] with a caller-supplied contract schema, for versioned
+    * tables outside the registered DWH model (e.g. a CDC current-state
+    * table, [[graft.streaming.Streams.applyCdcBatch]]). Same live-chain
+    * resolution; the explicit schema plays the registry's role.
+    */
+  def read(name: String, schema: StructType): DataFrame =
+    if (exists(name))
+      readRoots(name, schema)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
   /** One scan per live root, each its own partition-discovery base (a
     * multi-path read would try to find one common base and trip over the
     * version dirs), unioned. Filters and pruning push into every branch.

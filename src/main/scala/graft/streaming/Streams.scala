@@ -64,6 +64,46 @@ object Streams {
     stream.writeStream.foreachBatch(
       (batch: DataFrame, id: Long) => lake.appendExactlyOnce(table, batch, id))
 
+  /** Streaming CDC apply / MERGE sink: each micro-batch is reduced to its
+    * newest row per `keyCols` (ordered by `versionCols`, which must
+    * totally order rows within a key — include a unique id as the final
+    * tiebreaker) and merged newer-wins into the lakehouse table. The
+    * merge is order-independent across batches AND idempotent under
+    * foreachBatch's at-least-once replay — a replayed batch can never win
+    * against rows it already produced or newer ones — so no batch-id
+    * ledger is needed, unlike the append-only [[lakeSink]].
+    *
+    * Scale note: this rewrites the whole table per batch, which is the
+    * correct shape only while the keyed table is compaction-sized. At
+    * 100 TB the same foreachBatch body narrows to the touched partitions
+    * (join the batch's key-partition set, rewrite only those via
+    * [[Lakehouse.overwritePartitioned]]); the per-batch MERGE semantics —
+    * within-batch reduce, then newer-wins against the base — are
+    * identical. Versioned overwrite makes each merge crash-safe: the new
+    * generation computes FROM the old files and lands atomically.
+    */
+  def upsertSink(stream: DataFrame, lake: Lakehouse, table: String,
+      keyCols: Seq[String], versionCols: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      applyCdcBatch(lake, table, batch, keyCols, versionCols)
+    }
+
+  /** One CDC merge step (the foreachBatch body of [[upsertSink]], also
+    * usable for batch backfills): newest row per key wins across
+    * base ∪ batch.
+    */
+  def applyCdcBatch(lake: Lakehouse, table: String, batch: DataFrame,
+      keyCols: Seq[String], versionCols: Seq[String]): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    val base = lake.read(table, batch.schema)
+    val merged = base.unionByName(batch)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    lake.overwrite(table, merged)
+  }
+
   /** Per-card running state for streaming fraud screening: consecutive
     * rejected-operation count, emitting a row whenever a card crosses
     * `threshold` consecutive rejections (the streaming cousin of F4's

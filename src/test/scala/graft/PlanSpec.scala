@@ -110,6 +110,23 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Generate explode") === 1, p)
   }
 
+  test("d29 span coverage: one gram pipeline, no global-sort window") {
+    val df = SparkEntry.queries("d29_dup_span_coverage")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+      .split("== Initial Plan ==").head
+    assert(p.contains("isFinalPlan=true"), p)
+    // the tokenize + 8-gram + md5 posexplode pipeline is planned ONCE:
+    // the global occurrence count is a window over the single gram
+    // exchange, not a count-agg joined back (which would re-derive the
+    // pipeline on the probe side)
+    assert(count(p, "Generate posexplode") === 1, p)
+    // every window partitions on g or doc_id — never a single-partition
+    // global sort
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("d18 simhash pairs: equi-join banding only, no cartesian product") {
     val p = explain("d18_simhash_pairs")
     assert(!p.contains("CartesianProduct"), p)

@@ -51,6 +51,40 @@ class StreamsSpec extends SparkSpec {
     assert(lake.read("denormalized").count() === 808)
   }
 
+  test("applyCdcBatch: newer-wins merge, out-of-order batches, replay no-op") {
+    import spark.implicits._
+    val lake = new graft.storage.Lakehouse(spark, tmpDir("cdc-lake"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def apply(rows: (Long, java.sql.Timestamp, String)*): Unit =
+      Streams.applyCdcBatch(lake, "cur",
+        rows.toSeq.toDF("k", "ts", "v"),
+        keyCols = Seq("k"), versionCols = Seq("ts"))
+    def state(): Map[Long, String] = {
+      val schema = Seq((1L, ts("2020-01-01 00:00:00"), "x"))
+        .toDF("k", "ts", "v").schema
+      lake.read("cur", schema).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    }
+    // batch 2 (later data) arrives FIRST
+    val b2 = Seq((1L, ts("2020-01-01 02:00:00"), "new1"),
+      (3L, ts("2020-01-01 02:00:00"), "new3"))
+    val b1 = Seq((1L, ts("2020-01-01 01:00:00"), "old1"),
+      (2L, ts("2020-01-01 01:00:00"), "old2"))
+    apply(b2: _*)
+    assert(state() === Map(1L -> "new1", 3L -> "new3"))
+    // the earlier batch must NOT overwrite key 1 (newer-wins), only add 2
+    apply(b1: _*)
+    assert(state() === Map(1L -> "new1", 2L -> "old2", 3L -> "new3"))
+    // at-least-once replay of either batch is a committed no-op
+    apply(b2: _*)
+    apply(b1: _*)
+    assert(state() === Map(1L -> "new1", 2L -> "old2", 3L -> "new3"))
+    // within-batch reduce: two versions of one key in a single batch
+    apply((2L, ts("2020-01-01 03:00:00"), "v1"),
+      (2L, ts("2020-01-01 04:00:00"), "v2"))
+    assert(state() === Map(1L -> "new1", 2L -> "v2", 3L -> "new3"))
+  }
+
   test("streaming dedup by fingerprint drops in-watermark duplicates") {
     import spark.implicits._
     val dir = tmpDir("dedup-stream")
