@@ -3,33 +3,51 @@ package graft.etl
 import graft.storage.Lakehouse
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
 /** `fn_normalize_transactions()` (ETL.sql:1-450) as Spark orchestration.
   *
-  * Stage order follows the reference exactly: SCD2 terminals → fact load →
-  * SCD2 accounts → cards → clients → SCD1 all four → truncate landing.
-  * (The SCD2 stagings are all derived before any apply in the reference —
-  * irrelevant here because each staging is a pure function of the landing
-  * DataFrame, which we cache once.)
+  * The reference runs the loads serially (SCD2 terminals → fact → SCD2
+  * accounts → cards → clients → SCD1 all four, ETL.sql:86-446) because
+  * PL/pgSQL is single-threaded. Each load writes a distinct table and is a
+  * pure function of the landing snapshot (cached once) plus its own dim, so
+  * the nine are order-independent; we submit them concurrently from the
+  * driver. Locally that overlaps the fixed per-job overhead (planning +
+  * commit) that dominates at fixture scale; on a cluster it keeps executor
+  * slots busy that a serial driver would idle between small dim jobs —
+  * Spark's scheduler interleaves tasks of independent jobs either way.
   */
 object Etl {
+
+  // daemon pool sized to the 9 independent loads; driver-side threads that
+  // only submit jobs and block on them, so the count is not a CPU concern
+  private lazy val loadPool: ExecutionContext =
+    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(9, r => {
+      val t = new Thread(r, "graft-etl-load")
+      t.setDaemon(true)
+      t
+    }))
 
   def normalizeTransactions(lake: Lakehouse): Unit = {
     val landing = lake.read("denormalized").cache()
     try {
-      if (landing.isEmpty) return // truncate semantics make rerun a no-op
+      // one count materializes the cache before the fan-out (isEmpty would
+      // scan only one partition, leaving nine concurrent loads to contend
+      // on the remaining cache-fill locks) and doubles as the empty check
+      if (landing.count() == 0L) return // truncate makes rerun a no-op
 
-      // SCD2 family (ETL.sql:86-235), fact interleaved after terminals
-      // (:121-130) as in the reference.
-      Scd2(lake, landing, Entities.terminals)
-      loadFact(lake, landing)
-      Scd2(lake, landing, Entities.accounts)
-      Scd2(lake, landing, Entities.cards)
-      Scd2(lake, landing, Entities.clients)
+      // SCD2 family (ETL.sql:86-235), fact (:121-130), SCD1 family
+      // (ETL.sql:237-446) — all nine concurrently (doc comment above).
+      implicit val ec: ExecutionContext = loadPool
+      val loads =
+        Entities.all.map(spec => Future(Scd2(lake, landing, spec))) ++
+          Seq(Future(loadFact(lake, landing))) ++
+          Entities.all.map(spec => Future(Scd1(lake, landing, spec)))
+      Await.result(Future.sequence(loads), Duration.Inf)
 
-      // SCD1 family (ETL.sql:237-446).
-      Entities.all.foreach(spec => Scd1(lake, landing, spec))
-
-      // TRUNCATE landing (ETL.sql:447).
+      // TRUNCATE landing (ETL.sql:447) — only after every load committed.
       lake.truncate("denormalized")
     } finally landing.unpersist()
   }
