@@ -17,6 +17,22 @@ object TrainingPack {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+
+  /** d10's near-dup clustering (banded MinHash pairs → connected
+    * components), factored so d31's canonical selection composes the
+    * SAME labeling by construction — a parameter drift between the two
+    * would silently pick canonicals from different clusters.
+    */
+  private def minhashComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(
+      docs(s, d).withColumnRenamed("doc_id", "id"),
+      "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
+      maxBucket = 100)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.ops.Components.connectedComponents(
+      docs(s, d).select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("component"))
+  }
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
 
@@ -377,16 +393,7 @@ object TrainingPack {
 
     // near-dup pairs → dedup groups: connected components over the d04
     // edge list; component = min doc_id, singletons keep their own id
-    "d10_dedup_components" -> ((s, d) => {
-      val pairs = Dedup.minhashNearDups(
-        docs(s, d).withColumnRenamed("doc_id", "id"),
-        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
-        maxBucket = 100)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      graft.ops.Components.connectedComponents(
-        docs(s, d).select(col("doc_id").as("id")), pairs)
-        .select(col("id").as("doc_id"), col("component"))
-    }),
+    "d10_dedup_components" -> ((s, d) => minhashComponents(s, d)),
 
     "d05_simhash" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), Dedup.simhash16(col("text")))),
@@ -653,6 +660,52 @@ object TrainingPack {
         .select(col("doc_id"), col("n_tokens"),
           covered.as("covered_tokens"),
           (covered.cast("double") / col("n_tokens")).as("span_frac"))
+    }),
+
+    // intra-document repeated-chunk removal (the within-doc cousin of
+    // d29's corpus-wide span measure): split the token stream into fixed
+    // 2-token chunks (the widest width at which this corpus repeats
+    // within a doc — real web text would use sentence/paragraph chunks;
+    // the mechanics are width-independent), drop repeats keeping the
+    // FIRST occurrence
+    // (array_distinct preserves first-occurrence order), reassemble.
+    // Map-only — one projection, zero exchanges, whole-stage codegen; at
+    // 100 TB it costs exactly one corpus scan, no state.
+    "d30_chunk_dedup" -> ((s, d) => {
+      val tk = TextOps.tokens(col("text"))
+      val chunks = when(size(tk) === 0,
+        array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(tk) - 1) / 2).cast("int")),
+          i => array_join(slice(tk, i * 2 + 1, lit(2)), " ")))
+      docs(s, d)
+        .select(col("doc_id"), chunks.as("ch"))
+        .select(col("doc_id"),
+          array_join(array_distinct(col("ch")), " ").as("dedup_text"),
+          size(col("ch")).cast("bigint").as("n_chunks"),
+          size(array_distinct(col("ch"))).cast("bigint")
+            .as("n_distinct_chunks"))
+    }),
+
+    // canonical-document selection: after near-dup clustering (d10), a
+    // dedup pipeline keeps ONE representative per cluster — longest doc
+    // wins, doc_id breaks ties deterministically. The rank and the
+    // member count ride one component-key window partitioning (a count
+    // agg + join back would add a second exchange for nothing).
+    "d31_cluster_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val labeled = minhashComponents(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+      val byQuality = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      labeled
+        .withColumn("rn", row_number().over(byQuality))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("component"))))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("canon_id"),
+          col("n_chars"), col("n_members"))
     }),
 
     // contrastive negative sampling: UP TO k deterministic pseudo-random
@@ -1367,6 +1420,48 @@ object TrainingPack {
          | SELECT s.dst AS id, r.lbl FROM reach r JOIN sym s ON s.src = r.id)
          |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
          |FROM reach GROUP BY id""".stripMargin,
+    "d30_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |ids AS (SELECT doc_id, t,
+         |         unnest(range(0, CAST(ceil(len(t) / 2.0) AS BIGINT)))
+         |           AS i FROM tk),
+         |chunks AS (SELECT doc_id, i,
+         |            array_to_string(t[i*2+1 : i*2+2], ' ') AS chunk
+         |           FROM ids),
+         |firsts AS (SELECT doc_id, chunk, min(i) AS pos FROM chunks
+         |           GROUP BY doc_id, chunk),
+         |agg AS (SELECT doc_id,
+         |         string_agg(chunk, ' ' ORDER BY pos) AS dedup_text,
+         |         count(*) AS nd FROM firsts GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS nc FROM chunks
+         |        GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.dedup_text, '') AS dedup_text,
+         | CAST(coalesce(t.nc, 0) AS BIGINT) AS n_chunks,
+         | CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct_chunks
+         |FROM documents d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |LEFT JOIN tot t ON d.doc_id = t.doc_id""".stripMargin,
+    "d31_cluster_canonical" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM good
+         |        UNION ALL SELECT id_b, id_a FROM good),
+         |reach AS (
+         | SELECT doc_id AS id, doc_id AS lbl FROM documents
+         | UNION
+         | SELECT s.dst AS id, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+         |comp AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+         |         FROM reach GROUP BY id),
+         |j AS (SELECT c.component, c.doc_id, d.n_chars
+         |      FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         |rk AS (SELECT component, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY component
+         |          ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |        count(*) OVER (PARTITION BY component) AS n_members
+         |       FROM j)
+         |SELECT component, doc_id AS canon_id, n_chars,
+         | CAST(n_members AS BIGINT) AS n_members
+         |FROM rk WHERE rn = 1""".stripMargin,
     "d05_simhash" -> {
       val hashes =
         s"list_transform($dtoks, t -> CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT))"
