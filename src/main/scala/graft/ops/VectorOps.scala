@@ -196,7 +196,26 @@ object VectorOps {
     * neighbors living in unprobed cells — the standard IVF trade.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int): DataFrame =
+    ivfTopKFiltered(queries, corpus, k, nProbe, lit(true))
+
+  /** Metadata-filtered IVF search. The index — centroids and inverted
+    * lists — is built on the FULL corpus; `candidateFilter` restricts
+    * CANDIDATES at list-scan time (the production filtered-vector-search
+    * shape: a stored index serves every predicate, the filter is
+    * evaluated against list entries' metadata during the probe — FAISS
+    * IDSelector / Milvus scalar filtering). Rebuilding the index per
+    * predicate would both cost a full corpus pass per query batch and
+    * CHANGE the centroids, silently shifting which cells get probed.
+    *
+    * Probe selection stays unfiltered, so per-query recall against the
+    * filtered ground truth degrades as the predicate's survivors thin
+    * out inside the probed cells — the documented filtered-ANN trade
+    * (highly selective filters want more probes or a post-filter brute
+    * pass; that knob is `nProbe` here).
+    */
+  def ivfTopKFiltered(queries: DataFrame, corpus: DataFrame, k: Int,
+      nProbe: Int, candidateFilter: Column): DataFrame = {
     // floor(qsum / n) via the nonneg remainder, exact in integer math
     // (plain `/` would detour through double with engine-specific rounding)
     val cent = centroidSums(corpus.select(col("label"), col("vec")), "label")
@@ -214,8 +233,9 @@ object VectorOps {
       .withColumn("pr", row_number().over(pr))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("label"))
-    val lists = corpus.select(col("id").as("neighbor_id"), col("label"),
-      quantize(col("vec")).as("cv"))
+    val lists = corpus.filter(candidateFilter)
+      .select(col("id").as("neighbor_id"), col("label"),
+        quantize(col("vec")).as("cv"))
     val scored = broadcast(q.join(probes, "query_id")).join(lists, "label")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

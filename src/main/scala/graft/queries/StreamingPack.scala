@@ -357,6 +357,28 @@ object StreamingPack {
       lake.read("events_current", schema)
         .select(col("user_id"), col("event_id"), col("ts"),
           col("event_type"), col("value"))
+    }),
+
+    // hopping (sliding) event-time windows: 1-hour windows every 15
+    // minutes — each event lands in exactly 4 overlapping windows, the
+    // state/update-amplification shape tumbling (s01) doesn't exercise.
+    // Spark expands the 4 window assignments map-side; state is keyed on
+    // (window, type) so the overlap costs 4× state entries, not 4×
+    // shuffles.
+    "s11_stream_hopping_counts" -> ((s, d) => {
+      val sink = s"s11_out_${System.nanoTime()}"
+      val q = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drained(s, sink,
+        s.table(sink).select(col("window.start").as("w_start"),
+          col("event_type"), col("n")))
     })
   )
 
@@ -437,6 +459,15 @@ object StreamingPack {
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""".stripMargin,
     "s05_stream_sessions" -> RelationalPack.sessionWindowSql,
+    // each event belongs to the 4 hour-long windows whose 15-min-aligned
+    // starts cover it: time_bucket(ts) − k·15min, k ∈ 0..3
+    "s11_stream_hopping_counts" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |  - k * INTERVAL '15 minutes' AS w_start,
+        | event_type, count(*) AS n
+        |FROM events
+        |CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) hop
+        |GROUP BY 1, 2""".stripMargin,
     // the 3rd event of every consecutive-error run, per user: runs are
     // islands of (global rownum − per-type rownum), position within the
     // island = the state machine's counter value; shared by both

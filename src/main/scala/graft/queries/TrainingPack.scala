@@ -708,6 +708,62 @@ object TrainingPack {
           col("n_chars"), col("n_members"))
     }),
 
+    // per-source quota curation (sublinear source balancing): each
+    // source keeps its ceil(sqrt(n)) longest docs — the web-corpus
+    // defense against one domain flooding the mixture (a domain 100×
+    // bigger contributes only 10× the docs). Rank and source size ride
+    // ONE source-partitioned window exchange; a count-agg + join back
+    // would pay a second shuffle for nothing.
+    "d32_source_quota" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+      val byLen = w.orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(byLen).cast("bigint"))
+        .withColumn("budget",
+          ceil(sqrt(count(lit(1)).over(w))).cast("bigint"))
+        .filter(col("rk") <= col("budget"))
+    }),
+
+    // corpus-WIDE repeated-chunk removal (MassiveText-style paragraph
+    // dedup, chunk-granular here like d30): a chunk survives only at its
+    // globally first occurrence ordered by (doc_id, pos); every doc is
+    // reassembled from its surviving chunks in position order. Two
+    // shuffles by necessity — one on chunk text (the global dedup), one
+    // on doc_id (the reassembly) — both map-side-combinable; at 100 TB
+    // the chunk shuffle IS the operator, same key layout a suffix-array
+    // pipeline would store.
+    "d33_crossdoc_chunk_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = TextOps.tokens(col("text"))
+      val chunks = when(size(tk) === 0,
+        array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(tk) - 1) / 2).cast("int")),
+          i => array_join(slice(tk, i * 2 + 1, lit(2)), " ")))
+      val exploded = docs(s, d)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      val w = Window.partitionBy(col("chunk"))
+        .orderBy(col("doc_id").asc, col("pos").asc)
+      val kept = exploded
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val re = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("chunk")))),
+              x => x.getField("chunk")), " ").as("kept_text"))
+      docs(s, d)
+        .select(col("doc_id"), size(chunks).cast("bigint").as("n_chunks"))
+        .join(re, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("kept_text"), lit("")).as("dedup_text"),
+          col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
     // contrastive negative sampling: UP TO k deterministic pseudo-random
     // negatives per anchor (md5-hash draw over the id space — seeded,
     // reproducible across engines and retries, like d11/d17's buckets).
@@ -879,6 +935,17 @@ object TrainingPack {
         embs(s, d).select(col("vec_id").as("id"),
           col("embedding").as("vec"), col("label")),
         k = 5, nProbe = 2)),
+
+    // metadata-filtered vector search: e05's index (full-corpus
+    // centroids + lists) serving a label predicate evaluated at
+    // list-scan time — candidates thin out inside the probed cells,
+    // the index is NOT rebuilt per predicate
+    "e11_filtered_ivf" -> ((s, d) =>
+      VectorOps.ivfTopKFiltered(
+        embIdVec(s, d).filter(col("id") < 5),
+        embs(s, d).select(col("vec_id").as("id"),
+          col("embedding").as("vec"), col("label")),
+        k = 5, nProbe = 2, candidateFilter = col("label") % 2 === 0)),
 
     // typed multimodal pipeline (mapPartitions over binary payloads with a
     // stubbed decoder). Oracle-checkable through the stub's byte
@@ -1462,6 +1529,38 @@ object TrainingPack {
          |SELECT component, doc_id AS canon_id, n_chars,
          | CAST(n_members AS BIGINT) AS n_members
          |FROM rk WHERE rn = 1""".stripMargin,
+    "d32_source_quota" ->
+      """SELECT source, doc_id, n_chars, rk, budget FROM (
+        | SELECT source, doc_id, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+        |  CAST(ceil(sqrt(count(*) OVER (PARTITION BY source))) AS BIGINT)
+        |    AS budget
+        | FROM documents) t
+        |WHERE rk <= budget""".stripMargin,
+    "d33_crossdoc_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |ids AS (SELECT doc_id, t,
+         |         unnest(range(0, CAST(ceil(len(t) / 2.0) AS BIGINT)))
+         |           AS i FROM tk),
+         |chunks AS (SELECT doc_id, i,
+         |            array_to_string(t[i*2+1 : i*2+2], ' ') AS chunk
+         |           FROM ids),
+         |kept AS (SELECT doc_id, i, chunk FROM (
+         |  SELECT doc_id, i, chunk, row_number() OVER (
+         |    PARTITION BY chunk ORDER BY doc_id, i) AS rn
+         |  FROM chunks) x WHERE rn = 1),
+         |agg AS (SELECT doc_id,
+         |         string_agg(chunk, ' ' ORDER BY i) AS dedup_text,
+         |         count(*) AS nk FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS nc FROM chunks
+         |        GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.dedup_text, '') AS dedup_text,
+         | CAST(coalesce(t.nc, 0) AS BIGINT) AS n_chunks,
+         | CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept
+         |FROM documents d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |LEFT JOIN tot t ON d.doc_id = t.doc_id""".stripMargin,
     "d05_simhash" -> {
       val hashes =
         s"list_transform($dtoks, t -> CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT))"
@@ -1754,40 +1853,8 @@ object TrainingPack {
          | FROM cand) t
          |WHERE rk <= 5""".stripMargin
     },
-    "e05_ivf_topk" ->
-      s"""WITH sums AS (
-         | SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
-         | FROM (SELECT label, $qv AS q FROM embeddings) t),
-         |cent AS (
-         | SELECT label, dim,
-         |  CAST((CAST(sum(qc) AS BIGINT)
-         |        - ((CAST(sum(qc) AS BIGINT) % count(*)) + count(*)) % count(*))
-         |       / count(*) AS BIGINT) AS c
-         | FROM sums GROUP BY label, dim),
-         |q AS (SELECT vec_id AS query_id, $qv AS q
-         |      FROM embeddings WHERE vec_id < 5),
-         |qd AS (SELECT query_id, generate_subscripts(q, 1) - 1 AS dim,
-         |        unnest(q) AS qc FROM q),
-         |assign AS (
-         | SELECT query_id, label, CAST(sum(qc * c) AS BIGINT) AS cdot
-         | FROM qd JOIN cent USING (dim) GROUP BY query_id, label),
-         |probes AS (
-         | SELECT query_id, label FROM (
-         |  SELECT query_id, label,
-         |   row_number() OVER (PARTITION BY query_id
-         |     ORDER BY cdot DESC, label) AS pr
-         |  FROM assign) t WHERE pr <= 2),
-         |lists AS (SELECT vec_id AS neighbor_id, label, $qv AS q
-         |          FROM embeddings)
-         |SELECT query_id, neighbor_id, dot, rk FROM (
-         | SELECT q.query_id, lists.neighbor_id,
-         |  ${qdotSql("q.q", "lists.q")} AS dot,
-         |  row_number() OVER (PARTITION BY q.query_id
-         |    ORDER BY ${qdotSql("q.q", "lists.q")} DESC, lists.neighbor_id) AS rk
-         | FROM probes JOIN q USING (query_id)
-         | JOIN lists ON lists.label = probes.label
-         |           AND lists.neighbor_id <> q.query_id) t
-         |WHERE rk <= 5""".stripMargin,
+    "e05_ivf_topk" -> ivfSql(""),
+    "e11_filtered_ivf" -> ivfSql("WHERE label % 2 = 0"),
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         | md5(text) AS digest FROM documents""".stripMargin,
@@ -1924,6 +1991,47 @@ object TrainingPack {
       |FROM (SELECT doc_id, sh FROM shx WHERE source <> 'src0') c
       |JOIN bs USING (sh)
       |GROUP BY 1""".stripMargin
+
+  /** The IVF probe chain (e05), parameterized by the inverted-list
+    * candidate filter (e11). ONE spelling for both: the filtered search
+    * must read the identical index — a drift here would let e11's
+    * oracle rebuild centroids over the filtered corpus, which is
+    * exactly the bug the engine-side contract rules out.
+    */
+  private def ivfSql(listsWhere: String): String =
+    s"""WITH sums AS (
+       | SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
+       | FROM (SELECT label, $qv AS q FROM embeddings) t),
+       |cent AS (
+       | SELECT label, dim,
+       |  CAST((CAST(sum(qc) AS BIGINT)
+       |        - ((CAST(sum(qc) AS BIGINT) % count(*)) + count(*)) % count(*))
+       |       / count(*) AS BIGINT) AS c
+       | FROM sums GROUP BY label, dim),
+       |q AS (SELECT vec_id AS query_id, $qv AS q
+       |      FROM embeddings WHERE vec_id < 5),
+       |qd AS (SELECT query_id, generate_subscripts(q, 1) - 1 AS dim,
+       |        unnest(q) AS qc FROM q),
+       |assign AS (
+       | SELECT query_id, label, CAST(sum(qc * c) AS BIGINT) AS cdot
+       | FROM qd JOIN cent USING (dim) GROUP BY query_id, label),
+       |probes AS (
+       | SELECT query_id, label FROM (
+       |  SELECT query_id, label,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY cdot DESC, label) AS pr
+       |  FROM assign) t WHERE pr <= 2),
+       |lists AS (SELECT vec_id AS neighbor_id, label, $qv AS q
+       |          FROM embeddings $listsWhere)
+       |SELECT query_id, neighbor_id, dot, rk FROM (
+       | SELECT q.query_id, lists.neighbor_id,
+       |  ${qdotSql("q.q", "lists.q")} AS dot,
+       |  row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY ${qdotSql("q.q", "lists.q")} DESC, lists.neighbor_id) AS rk
+       | FROM probes JOIN q USING (query_id)
+       | JOIN lists ON lists.label = probes.label
+       |           AND lists.neighbor_id <> q.query_id) t
+       |WHERE rk <= 5""".stripMargin
 
   /** e01/e03 as standalone SELECTs — shared with e06's recall CTEs. */
   private lazy val e01Sql: String =

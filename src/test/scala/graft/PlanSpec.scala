@@ -294,4 +294,31 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.execution.SimpleMode)
     assert(p.contains("MapGroups"), p)
   }
+
+  test("d32 source quota: rank and partition count share ONE exchange") {
+    val p = explain("d32_source_quota")
+    // two Window nodes (row_number + count) both partitioned on source —
+    // a count-agg + join-back spelling would cost a second shuffle
+    assert(count(p, "(?m)^\\s*\\+?-? ?Window ") === 2, p)
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("d33 cross-doc dedup: two shuffles (chunk, doc) and rank-limit pushdown") {
+    val p = explain("d33_crossdoc_chunk_dedup")
+    // chunk-keyed first-occurrence window + doc-keyed reassembly agg;
+    // the rn=1 filter must push into the shuffle as WindowGroupLimit
+    // (partial mode drops per-chunk non-firsts BEFORE the exchange)
+    assert(count(p, "Exchange hashpartitioning") === 2, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("e11 filtered IVF: candidate filter at list-scan, bounded top-k, no cartesian") {
+    val p = explain("e11_filtered_ivf")
+    // the predicate evaluates against the stored lists (scan-side
+    // Filter), never by rebuilding the index; ranking stays in the
+    // bounded aggregator, not a window over the scored set
+    assert(p.contains("% 2) = 0"), p)
+    assert(p.contains("topkpairs"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
