@@ -29,6 +29,47 @@ object Dedup {
   def hash32(c: Column, seed: Int): Column =
     graft.functions.Md5Prefix64(concat(c, lit(s"#$seed")))
 
+  /** Corpus-wide chunk-granular dedup (MassiveText-style paragraph
+    * dedup, fixed-width chunks here): a chunk survives only at its
+    * globally FIRST occurrence ordered by (id, position); every doc is
+    * reassembled from its surviving chunks in position order. Returns
+    * (idCol, dedup_text, n_chunks, n_kept) for every input doc —
+    * fully-duplicated docs come back with empty text, not dropped.
+    *
+    * Scale shape: two shuffles by necessity — one keyed on chunk text
+    * (the global dedup; rank-limit pushdown a.k.a. WindowGroupLimit
+    * drops per-chunk non-firsts map-side, so the exchange carries
+    * ~distinct-chunk mass, not corpus mass), one keyed on id (the
+    * reassembly aggregate). The doc-side rejoin broadcasts when small
+    * and degrades to a shuffle join at scale — either way no state
+    * beyond the two exchanges.
+    */
+  def crossDocChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = TextOps.fixedChunks(col(textCol), width)
+    val exploded = docs
+      .select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol).asc, col("pos").asc)
+    val kept = exploded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val re = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("kept_text"))
+    docs
+      .select(col(idCol), size(chunks).cast("bigint").as("n_chunks"))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("kept_text"), lit("")).as("dedup_text"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Exact duplicate groups: fingerprint → (keep = min id, n). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))

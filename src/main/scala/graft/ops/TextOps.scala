@@ -95,6 +95,21 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Fixed-width token chunks, each space-joined: the token stream cut
+    * into consecutive `width`-token groups — the dedup unit of d30
+    * (within-doc) and d33 (corpus-wide). Real web text would cut on
+    * sentence/paragraph boundaries; the mechanics are width-independent.
+    * Map-only; empty token streams chunk to an empty array, not [""].
+    */
+  def fixedChunks(text: Column, width: Int): Column = {
+    require(width >= 1, s"chunk width < 1: $width")
+    val tk = tokens(text)
+    when(size(tk) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(tk) - 1) / width).cast("int")),
+        i => array_join(slice(tk, i * width + 1, lit(width)), " ")))
+  }
+
   /** Dominant element of a SORTED string array as struct
     * (best, best_cnt, n_distinct), via one linear fold: the longest run
     * wins; ties keep the FIRST run, which in an ascending array is the

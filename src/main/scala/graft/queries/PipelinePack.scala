@@ -222,6 +222,34 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       sliceAgg(lake.readBetween("fact_transactions", "amt",
         new java.math.BigDecimal("50000.00"),
         new java.math.BigDecimal("150000.00")))
+    }),
+    // q59 — schema evolution on read: generation 1 lands under the OLD
+    // column set, generation 2 under the widened one; ONE schema-explicit
+    // read serves both, null-filling the old files' missing columns (the
+    // parquet missing-column contract readRoots relies on). Old files are
+    // never rewritten — at 100 TB adding a column must cost zero data IO,
+    // which is exactly what this query falsifies: a reader that dropped
+    // v1 rows, or refused the narrow files, or backfilled anything but
+    // null, hash-mismatches the CASE oracle.
+    "q59_schema_evolution" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft-evolve")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      // v1 writers know only (event_id, user_id)
+      lake.append("events_evolved",
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(col("event_id"), col("user_id")))
+      // v2 widens the contract with type and value
+      lake.append("events_evolved",
+        ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      lake.read("events_evolved", StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
     })
   )
 
@@ -249,7 +277,13 @@ GROUP BY 1, 2 HAVING count(*) >= 5""",
     // cast parity with the engine's decimal(18,2) amt is already pinned
     // by q51/q52's amt_sum hashes; the predicate reuses the same cast
     "q56_zorder_prune" -> sliceOracle(
-      "CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 50000.00 AND 150000.00")
+      "CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 50000.00 AND 150000.00"),
+    // v1 rows (even event_id) predate the widened columns → NULL
+    "q59_schema_evolution" ->
+      """SELECT event_id, user_id,
+        | CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+        | CASE WHEN event_id % 2 = 1 THEN value END AS value
+        |FROM events""".stripMargin
   )
 }
 

@@ -672,12 +672,7 @@ object TrainingPack {
     // Map-only — one projection, zero exchanges, whole-stage codegen; at
     // 100 TB it costs exactly one corpus scan, no state.
     "d30_chunk_dedup" -> ((s, d) => {
-      val tk = TextOps.tokens(col("text"))
-      val chunks = when(size(tk) === 0,
-        array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0), floor((size(tk) - 1) / 2).cast("int")),
-          i => array_join(slice(tk, i * 2 + 1, lit(2)), " ")))
+      val chunks = TextOps.fixedChunks(col("text"), 2)
       docs(s, d)
         .select(col("doc_id"), chunks.as("ch"))
         .select(col("doc_id"),
@@ -734,35 +729,8 @@ object TrainingPack {
     // on doc_id (the reassembly) — both map-side-combinable; at 100 TB
     // the chunk shuffle IS the operator, same key layout a suffix-array
     // pipeline would store.
-    "d33_crossdoc_chunk_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val tk = TextOps.tokens(col("text"))
-      val chunks = when(size(tk) === 0,
-        array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0), floor((size(tk) - 1) / 2).cast("int")),
-          i => array_join(slice(tk, i * 2 + 1, lit(2)), " ")))
-      val exploded = docs(s, d)
-        .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
-      val w = Window.partitionBy(col("chunk"))
-        .orderBy(col("doc_id").asc, col("pos").asc)
-      val kept = exploded
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-      val re = kept.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(
-            transform(
-              array_sort(collect_list(struct(col("pos"), col("chunk")))),
-              x => x.getField("chunk")), " ").as("kept_text"))
-      docs(s, d)
-        .select(col("doc_id"), size(chunks).cast("bigint").as("n_chunks"))
-        .join(re, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("kept_text"), lit("")).as("dedup_text"),
-          col("n_chunks"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-    }),
+    "d33_crossdoc_chunk_dedup" -> ((s, d) =>
+      Dedup.crossDocChunkDedup(docs(s, d), "doc_id", "text", width = 2)),
 
     // contrastive negative sampling: UP TO k deterministic pseudo-random
     // negatives per anchor (md5-hash draw over the id space — seeded,

@@ -51,6 +51,13 @@ object StressCorpus {
             g => Dedup.hash32(g, 0)))).as("g"))
       grams.groupBy(col("g")).count().filter(col("count") >= 2)
     })
+    // d33's corpus-wide chunk dedup: the chunk-keyed first-occurrence
+    // shuffle IS the operator — WindowGroupLimit drops per-chunk
+    // non-firsts before the exchange, so shuffled bytes track DISTINCT
+    // chunk mass (which saturates as replicas repeat chunks), not corpus
+    // size; the reassembly rides one id-keyed agg
+    val tChunkDedup = timed(drain(
+      Dedup.crossDocChunkDedup(scaled, "doc_id", "text")))
     def dropped(o: org.apache.spark.sql.Observation): String = {
       val m = o.get
       s"""{"dropped_buckets":${m("dropped_buckets")},"dropped_rows":${m("dropped_rows")},"total_rows":${m("total_rows")}}"""
@@ -127,7 +134,7 @@ object StressCorpus {
           .cast("bigint"))
         .filter(col("rk") <= 5)
     })
-    println(f"""{"docs":$n,"exact_sec":$tExact%.1f,"minhash_sec":$tMinhash%.1f,"simhash_sec":$tSimhash%.1f,"grams_sec":$tGrams%.1f,"minhash_star_sec":$tStar%.1f,"cluster_sample_sec":$tCluster%.1f,"minhash_cap":${dropped(mhObs)},"simhash_cap":${dropped(shObs)},"cap_pair_recall":$recall%.4f,"cap_doc_recall":$docRecall%.4f,"star_doc_recall":$docRecallStar%.4f,"docs_in_pairs_capped":$docsCapped,"docs_in_pairs_star":$docsStar,"docs_in_pairs_loose":$docsLoose,"pairs_capped":$pairsCapped,"pairs_star":$pairsStar,"pairs_loose_cap":$pairsLoose,"loose_cap":${dropped(looseObs)}}""")
+    println(f"""{"docs":$n,"exact_sec":$tExact%.1f,"minhash_sec":$tMinhash%.1f,"simhash_sec":$tSimhash%.1f,"grams_sec":$tGrams%.1f,"chunk_dedup_sec":$tChunkDedup%.1f,"minhash_star_sec":$tStar%.1f,"cluster_sample_sec":$tCluster%.1f,"minhash_cap":${dropped(mhObs)},"simhash_cap":${dropped(shObs)},"cap_pair_recall":$recall%.4f,"cap_doc_recall":$docRecall%.4f,"star_doc_recall":$docRecallStar%.4f,"docs_in_pairs_capped":$docsCapped,"docs_in_pairs_star":$docsStar,"docs_in_pairs_loose":$docsLoose,"pairs_capped":$pairsCapped,"pairs_star":$pairsStar,"pairs_loose_cap":$pairsLoose,"loose_cap":${dropped(looseObs)}}""")
     spark.stop()
   }
 }
