@@ -20,11 +20,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as LongType
-    * nanoseconds, which we convert to a microsecond TimestampType (the test
-    * data is µs-grained, so the `div 1000` is lossless). Integer division —
-    * a double roundtrip would lose precision at 1e18 nanos.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations, normalized here to a session-TZ `TimestampType` so every
+    * downstream query (`unix_micros`, bigint casts, watermarks) sees one type:
+    *
+    *  - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    it surfaces as LongType nanoseconds → `timestamp_micros(ns div 1000)`
+    *    (µs-grained data, so integer division is lossless; a double roundtrip
+    *    would lose precision at 1e18 nanos).
+    *  - TIMESTAMP(MICROS) without isAdjustedToUTC: surfaces as
+    *    TIMESTAMP_NTZ → plain cast to TimestampType. The engine pins the
+    *    session TZ to UTC (GraftSession), so the cast reinterprets the same
+    *    micros value and matches the DuckDB oracle exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -34,6 +41,9 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -19,8 +19,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingPack {
 
-  /** events.ts is TIMESTAMP(NANOS) parquet — same conversion as
-    * Tables.events, on the streaming side.
+  /** events.ts ships as either TIMESTAMP(NANOS) or naive TIMESTAMP(MICROS)
+    * parquet depending on testdata generation — same normalization as
+    * Tables.events (→ session-TZ TimestampType), on the streaming side.
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -29,9 +30,13 @@ object StreamingPack {
     // the events file
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
