@@ -3,23 +3,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * `SPARK_GRAFT_SF_DIR` on local[32] and prints ONE JSON line — the very
-  * last stdout line, after logging is silenced — so the driver's tail
-  * capture gets it whole (BENCH_r01/r02 both lost the head of the JSON to
-  * post-print shutdown noise → `parsed: null`).
+  * `SPARK_GRAFT_SF_DIR` on local[32] and prints the result JSON at the
+  * very end of stdout, after logging is silenced.
+  *
+  * Capture discipline (round-3 verdict item 1): the driver keeps only the
+  * LAST ~2 KB of stdout, and the full-name per-query map alone is ~4 KB —
+  * round 3's line lost its head to the window and parsed as null. The
+  * LAST line is now a compact form whose query keys are the unique short
+  * prefixes ("q01", "d33", …) so the whole line fits the window even with
+  * sbt's trailing "[success]" line; the full-name line is printed just
+  * before it and also written to `BENCH_RESULT.json`, with per-sweep
+  * detail in `BENCH_DETAIL.json` (both best-effort files in the cwd).
   *
   * Each query is forced through the `noop` sink — a plain `count()` would
   * let Catalyst prune the projected columns (windows, hashes, dot
   * products) and time a skeleton of the real plan.
   *
-  * Variance discipline (round-2 verdict item 8): the whole suite is swept
-  * `SPARK_GRAFT_BENCH_RUNS` times (default 3); the headline per-query
-  * number is the MEDIAN, with per-run times and the min persisted to
-  * `BENCH_DETAIL.json` in the cwd. A single-run outlier (q15 in round 2:
-  * 3.6 s vs 0.48 s in round 1, never reproduced) can no longer define a
-  * query's number. The q49/q50 protocol replays run once per bench — each
-  * is a ~40-job end-to-end ETL replay, not a scan-shaped query; sweeping
-  * them would triple bench wall-clock for no variance insight.
+  * Variance discipline (round-3 verdict item 2): 134 queries × 3 sweeps in
+  * one shared JVM showed 3-24× median swings on PlanSpec-pinned, unchanged
+  * plans — GC debt and JIT recompilation from NEIGHBORING queries land on
+  * whoever runs next. Three countermeasures: the headline number is now
+  * the per-query MIN across sweeps (the statistic round 3 showed stable,
+  * within ~1.5× round-over-round, while medians swung with suite noise);
+  * each sweep visits queries in a different deterministic order (seeded
+  * shuffle — a systematic neighbor effect can't bias the same query
+  * twice); and a GC quiesce runs between sweeps so one sweep's garbage
+  * isn't the next sweep's pause. The q49/q50 protocol replays run once
+  * per bench — each is a ~40-job end-to-end ETL replay whose per-job
+  * overhead dominates; sweeping them would triple bench wall-clock for no
+  * variance insight.
   */
 object Bench {
 
@@ -53,18 +65,27 @@ object Bench {
     // not read as a speedup
     val times = scala.collection.mutable.Map(
       names.map(_ -> Vector.empty[Double]): _*)
-    for (r <- 1 to runs; name <- names
-         if r == 1 || !RunOnce.contains(name)) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val sec =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      times(name) :+= sec
+    for (r <- 1 to runs) {
+      // deterministic per-sweep order: same seed → same schedule across
+      // rounds (comparable artifacts), different order per sweep (no
+      // query inherits the same neighbor's GC/JIT debt twice)
+      val order = new scala.util.Random(42L + r).shuffle(names)
+      for (name <- order if r == 1 || !RunOnce.contains(name)) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val sec =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
+        times(name) :+= sec
+      }
+      // GC quiesce between sweeps: flush this sweep's garbage so its
+      // collection pauses don't land inside the next sweep's timings
+      System.gc()
+      Thread.sleep(200)
     }
 
     def median(v: Seq[Double]): Double = {
@@ -72,11 +93,16 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // a query failed if ANY sweep failed — partial failure must not hide
-    // behind a clean median of the surviving sweeps
+    // behind clean statistics of the surviving sweeps
     val failedNames = names.filter(n => times(n).exists(_ < 0))
-    val med = names.map(n => n ->
-      (if (failedNames.contains(n)) -1.0 else median(times(n)))).toMap
-    val total = names.map(med).filter(_ >= 0).sum
+    def stat(f: Seq[Double] => Double): Map[String, Double] =
+      names.map(n => n ->
+        (if (failedNames.contains(n)) -1.0 else f(times(n)))).toMap
+    // headline = per-query MIN across sweeps: the noise floor of a query's
+    // plan in this JVM, and the statistic stable round-over-round
+    val best = stat(_.min)
+    val med = stat(median)
+    val total = names.map(best).filter(_ >= 0).sum
 
     // Locale.ROOT: a comma-decimal default locale would render 0,123 and
     // corrupt both JSON artifacts
@@ -88,27 +114,35 @@ object Bench {
       val v = times(n)
       n -> jmap(Seq(
         "runs" -> v.map(f3).mkString("[", ",", "]"),
-        "min" -> f3(if (v.exists(_ < 0)) -1.0 else v.min),
+        "min" -> f3(best(n)),
         "median" -> f3(med(n))))
     })
-    // the detail sidecar is best-effort: an unwritable cwd must not cost
-    // the headline line the driver parses
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","sweeps":$runs,"queries":$detail}""")
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] BENCH_DETAIL.json not written: $e")
-    }
+    def writeFile(path: String, content: String): Unit =
+      // best-effort: an unwritable cwd must not cost the stdout lines
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path), content)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] $path not written: $e")
+      }
+    writeFile("BENCH_DETAIL.json",
+      s"""{"sf":"$sfDir","sweeps":$runs,"stat":"min (median in detail)","queries":$detail}""")
 
-    val qs = jmap(names.map(n => n -> f3(med(n))))
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
+        jmap(names.map(n => n -> f3(best(n))))},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
+    writeFile("BENCH_RESULT.json", fullLine)
+    // compact keys: unique short prefix before the first underscore
+    // ("q49_pipeline_scd2" → "q49") — all pack names are prefix-unique
+    val compactLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
+        jmap(names.map(n => n.takeWhile(_ != '_') -> f3(best(n))))},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
     // silence everything BEFORE printing so no shutdown log lands after
-    // the JSON line in a merged stdout+stderr capture; stop() is guarded
-    // for the same reason — the line must print even if shutdown throws
+    // the JSON in a merged stdout+stderr capture; stop() is guarded for
+    // the same reason — the lines must print even if shutdown throws
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop()
     catch { case _: Throwable => () }
-    println(line)
+    println(fullLine)
+    println(compactLine)
   }
 }

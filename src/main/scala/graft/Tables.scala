@@ -35,6 +35,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→TimestampType cast below is value-preserving ONLY under a
+    // UTC session TZ; GraftSession pins it, but a self-built session
+    // (tests, library users) must get the same defensive pin or every
+    // NTZ instant silently shifts by the session offset
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffle joins: salting.
@@ -66,18 +66,56 @@ object Skew {
       "input already has a _salt column — rename it first")
   }
 
+  /** Runtime degeneracy detection (the guard the content-hash salt
+    * needs): pins salt-spread metrics onto the salted big side via
+    * `Observation`, collected during the action itself — zero extra
+    * passes, same pattern as [[CapAudit]].
+    *
+    * Metrics: `rows`, `keys` (approx distinct join keys), `key_salts`
+    * (approx distinct (key, salt) pairs). Interpretation:
+    * `key_salts / keys` is the average salt fan-out per key, in
+    * [1, factor] — a value ≈ 1 while `rows / keys` is large means the
+    * rows within keys are identical (or projected down to constants) and
+    * the salting silently no-oped: every hot key still lands on one
+    * reducer. approx (HLL) rather than exact because `Observation`
+    * forbids DISTINCT aggregates; at the cardinalities where degeneracy
+    * matters the ±2% HLL error is noise against a factor-sized signal.
+    * [[saltSpread]] turns a collected metrics row into the fan-out ratio.
+    */
+  private def observedSalt(salted: DataFrame, key: String,
+      audit: Option[Observation]): DataFrame =
+    audit.fold(salted)(o => salted.observe(o,
+      count(lit(1)).as("rows"),
+      approx_count_distinct(col(key)).as("keys"),
+      approx_count_distinct(struct(col(key), col("_salt")))
+        .as("key_salts")))
+
+  /** Average per-key salt fan-out from the collected audit metrics
+    * (`Observation.get`): ≈ 1 (below ~1.5 at any real skew) ⇒ the salt is
+    * degenerate and the caller should widen the row before salting (or
+    * accept the skew).
+    */
+  def saltSpread(metrics: Map[String, Any]): Double = {
+    val keys = metrics("keys").asInstanceOf[Long]
+    if (keys == 0L) 1.0
+    else metrics("key_salts").asInstanceOf[Long].toDouble / keys
+  }
+
   /** Equi-join `big ⋈ small` on `key`, salted `factor` ways.
     *
     * REQUIREMENT: the big side must carry at least one column that varies
     * within a hot key — the salt is a whole-row content hash, so rows that
     * are fully identical (or projected down to key-only / low-cardinality
     * columns) all land on ONE salt and the mitigation silently no-ops.
-    * Project AFTER salting if you must narrow the row.
+    * Project AFTER salting if you must narrow the row. Pass `saltAudit`
+    * to DETECT that case at runtime ([[observedSalt]]/[[saltSpread]])
+    * instead of discovering it as a straggler task at 100× scale.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      factor: Int): DataFrame = {
+      factor: Int, saltAudit: Option[Observation] = None): DataFrame = {
     validate(factor, big, small)
-    val salted = big.withColumn("_salt", rowSalt(big, factor))
+    val salted = observedSalt(
+      big.withColumn("_salt", rowSalt(big, factor)), key, saltAudit)
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -90,12 +128,13 @@ object Skew {
     * state (e.g. collect_set) where one reducer would OOM.
     *
     * Same row-salt caveat as [[saltedJoin]]: a hot key whose rows are
-    * fully identical after projection gets no spread.
+    * fully identical after projection gets no spread — `saltAudit`
+    * detects it at runtime.
     */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
-      factor: Int): DataFrame = {
+      factor: Int, saltAudit: Option[Observation] = None): DataFrame = {
     validate(factor, df)
-    df.withColumn("_salt", rowSalt(df, factor))
+    observedSalt(df.withColumn("_salt", rowSalt(df, factor)), key, saltAudit)
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))

@@ -23,8 +23,11 @@ object StreamingPack {
     * parquet depending on testdata generation — same normalization as
     * Tables.events (→ session-TZ TimestampType), on the streaming side.
     */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same defensive UTC pin as Tables.events: the NTZ branch's cast is
+    // only an identity reinterpretation under a UTC session TZ
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the file source wants a directory: stream the sf dir, filtered to
     // the events file

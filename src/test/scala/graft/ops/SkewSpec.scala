@@ -52,6 +52,29 @@ class SkewSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("salt audit detects the degenerate identical-rows hot key") {
+    // the documented trap: a hot key whose rows are FULLY identical — the
+    // whole-row content hash assigns them all one salt, and the
+    // mitigation silently no-ops. The runtime audit must make that
+    // visible instead of leaving it to a straggler task at 100× scale.
+    val degenerate = (1 to 10000).map(_ => (0L, 1.0))
+      .toDF("k", "v").repartition(8)
+    val obs = new org.apache.spark.sql.Observation()
+    Skew.saltedJoin(degenerate, dim, key = "k", factor = 8,
+      saltAudit = Some(obs)).write.format("noop").mode("overwrite").save()
+    val spread = Skew.saltSpread(obs.get) // get blocks until the action
+    assert(spread < 1.5,
+      s"identical-rows hot key should read as degenerate, spread=$spread")
+
+    // and the healthy case reads healthy: varying payloads spread ~factor
+    val obs2 = new org.apache.spark.sql.Observation()
+    Skew.saltedJoin(bigSkewed, dim, key = "k", factor = 8,
+      saltAudit = Some(obs2)).write.format("noop").mode("overwrite").save()
+    val spread2 = Skew.saltSpread(obs2.get)
+    assert(spread2 > 2.0,
+      s"varying-payload skew should spread across salts, spread=$spread2")
+  }
+
   test("invalid inputs fail fast: non-positive factor, _salt collision") {
     import spark.implicits._
     val a = Seq((1, "x")).toDF("k", "v")
