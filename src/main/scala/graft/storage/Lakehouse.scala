@@ -29,10 +29,16 @@ import org.apache.spark.sql.types.StructType
   * partition pruning working at 100 TB: Spark treats each version root as
   * its own partition-discovery base.
   *
-  * Single-writer assumption (as in the reference's ETL): version numbers
-  * are allocated by listing, not by an atomic counter, so two concurrent
-  * writers could claim the same `_v<N>`. Concurrency control (a lock file
-  * or CAS on a log, as Delta does) is deliberately out of scope.
+  * CONCURRENT WRITERS are safe for appends: version numbers are allocated
+  * by CAS on an empty claim file (`_GRAFT_CLAIM_<N>` at the table root,
+  * created with overwrite=false — the atomic commit arbiter; losers
+  * re-list and retry), so N parallel `append`s to ONE table land as N
+  * distinct committed versions and no commit is lost
+  * (LakehouseSpec probes this with racing driver threads, and the q60
+  * driver query counts rows across 8 concurrent commits). Overwrite
+  * racing append keeps last-FULL-wins semantics: an append whose version
+  * lands below a concurrent full commit is shadowed by it — exactly what
+  * "snapshot replaces the table" means.
   *
   * @param retainSnapshots how many SUPERSEDED full snapshots each full
   *   commit keeps for time travel (plus the deltas between them, so every
@@ -40,10 +46,20 @@ import org.apache.spark.sql.types.StructType
   *   chain-aware, never a bare suffix of version numbers). 0 (default) =
   *   the original behavior: a full commit garbage-collects everything it
   *   shadows, and `readAt` only reaches the append chain since then.
+  * @param gcGraceMs reader-vs-maintenance grace: a full commit's GC (and
+  *   [[vacuum]]) only deletes shadowed version dirs whose last
+  *   modification is at least this old, so a reader that resolved
+  *   `dataPaths` just before a concurrent compact can still finish its
+  *   scan — the moral equivalent of Delta's
+  *   `deletedFileRetentionDuration`. 0 (default) = immediate GC, the
+  *   single-maintainer behavior; deployments with concurrent readers set
+  *   it above their longest query (and run [[vacuum]] as the standing
+  *   cleanup job).
   */
 final class Lakehouse(val spark: SparkSession, val root: String,
-    val retainSnapshots: Int = 0) {
+    val retainSnapshots: Int = 0, val gcGraceMs: Long = 0L) {
   require(retainSnapshots >= 0, s"retainSnapshots < 0: $retainSnapshots")
+  require(gcGraceMs >= 0L, s"gcGraceMs < 0: $gcGraceMs")
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -51,6 +67,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def exists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
 
   private val VersionPrefix = "_v"
+  private val ClaimPrefix = "_GRAFT_CLAIM_"
   private val MarkerFull = "_GRAFT_COMMIT_FULL"
   private val MarkerDelta = "_GRAFT_COMMIT_DELTA"
   private val MarkerLegacy = "_GRAFT_COMMIT" // pre-delta protocol = full
@@ -269,14 +286,67 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
   }
 
+  /** Atomic exclusive create — the CAS primitive version allocation is
+    * built on. On HDFS/object stores `FileSystem.create(overwrite=false)`
+    * is atomic by contract; Hadoop's LOCAL filesystem implements it as a
+    * non-atomic exists-then-create, so local paths go through NIO's
+    * `createFile` (O_CREAT|O_EXCL — kernel-atomic) instead. Returns false
+    * when the path already exists, i.e. this writer lost the race.
+    */
+  private def atomicCreate(p: Path): Boolean =
+    if (fs.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try { fs.create(p, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+
+  /** Version numbers carried by claim files at the table root. */
+  private def claimedVersions(dest: Path): Seq[Long] =
+    if (!fs.exists(dest)) Seq.empty
+    else fs.listStatus(dest).toSeq.collect {
+      case st if st.isFile && {
+        val suffix = st.getPath.getName.drop(ClaimPrefix.length)
+        st.getPath.getName.startsWith(ClaimPrefix) &&
+          suffix.nonEmpty && suffix.length <= 18 && suffix.forall(_.isDigit)
+      } => st.getPath.getName.drop(ClaimPrefix.length).toLong
+    }
+
+  /** CAS version allocation: compute next = max(existing dirs, existing
+    * claims) + 1 and try to atomically create its claim file; exactly one
+    * of any set of concurrent writers wins each number, losers re-list
+    * and retry. Claim files persist until a later full commit's GC (they
+    * also keep allocation monotonic for claimed-but-crashed writes that
+    * never produced a dir). Bounded retries: with W concurrent writers a
+    * loser needs at most W rounds, so hitting the cap means the
+    * filesystem is lying about exclusivity — fail loudly, never risk two
+    * writers sharing one version dir.
+    */
+  private def claimVersion(dest: Path): Long = {
+    fs.mkdirs(dest) // claim files need the table dir to exist
+    var attempts = 0
+    while (attempts < 1000) {
+      val next = (versionDirs(dest).map(_._1) ++ claimedVersions(dest))
+        .maxOption.getOrElse(0L) + 1L
+      if (atomicCreate(new Path(dest, s"$ClaimPrefix$next"))) return next
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"version claim CAS failed 1000 times under $dest — " +
+        "exclusive create is not exclusive on this filesystem")
+  }
+
   /** Write a new version dir and commit it by creating the named marker —
     * one atomic file-create; a `beforeCommit` test hook simulates a crash
-    * in the window.
+    * in the window. The version number is claimed via [[claimVersion]],
+    * so the dir is exclusively owned even under concurrent writers.
     */
   private def writeVersion(name: String, marker: String,
       beforeCommit: () => Unit)(write: String => Unit): Path = {
     val dest = new Path(tablePath(name))
-    val next = versionDirs(dest).map(_._1).maxOption.getOrElse(0L) + 1L
+    val next = claimVersion(dest)
     val vdir = new Path(dest, s"$VersionPrefix$next")
     write(vdir.toString)
     beforeCommit()
@@ -415,13 +485,108 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           committedOlder.filter(_._1 >= cutoff).map(_._2.getName).toSet
         case None => Set.empty
       }
-    older.foreach { case (_, p) => if (!keep(p.getName)) fs.delete(p, true) }
+    // grace horizon: dirs a concurrent reader may still be scanning
+    // (resolved dataPaths before this commit) survive until [[vacuum]]
+    val horizon = System.currentTimeMillis() - gcGraceMs
+    def oldEnough(p: Path): Boolean =
+      gcGraceMs == 0L || fs.getFileStatus(p).getModificationTime <= horizon
+    older.foreach { case (_, p) =>
+      if (!keep(p.getName) && oldEnough(p)) fs.delete(p, true)
+    }
     if (!keepPreVersioningBase)
       fs.listStatus(dest).foreach { st =>
         val n = st.getPath.getName
-        if (n != vdir.getName && !n.startsWith("_") && !n.startsWith("."))
+        if (n != vdir.getName && !n.startsWith("_") && !n.startsWith(".") &&
+          oldEnough(st.getPath))
           fs.delete(st.getPath, true)
       }
+    gcClaims(dest, keepBelow = versionDirs(dest).map(_._1).toSet)
+  }
+
+  /** Drop claim files whose version dir no longer exists and whose number
+    * is below the current max ON-DISK version (that max — always present:
+    * the committing writer's own dir — keeps allocation monotonic, so
+    * stale claims are pure metadata clutter once their dirs are gone).
+    * In-flight writers are safe: a claim at or above the max dir is never
+    * touched, and one below it belongs to a racer that is already
+    * shadowed by this full commit.
+    */
+  private def gcClaims(dest: Path, keepBelow: Set[Long]): Unit = {
+    val maxDir = keepBelow.maxOption.getOrElse(0L)
+    claimedVersions(dest)
+      .filter(v => v < maxDir && !keepBelow(v))
+      .foreach(v => fs.delete(new Path(dest, s"$ClaimPrefix$v"), false))
+  }
+
+  /** Row-level DELETE (the takedown/opt-out path an LLM training-data
+    * pipeline needs as a first-class operator): copy-on-write FULL commit
+    * of the surviving rows — physical partitioning preserved, zone maps
+    * rewritten when `statsCols` is passed, crash-safe through the same
+    * marker protocol as every commit, versioned so `readAt` (with
+    * `retainSnapshots` > 0) still reaches the pre-delete snapshot for
+    * audit while the live read serves only survivors.
+    *
+    * Copy-on-write is the right 100-TB default for bulk/compliance
+    * deletes (the whole-table rewrite is one partition-parallel job and
+    * leaves scans merge-free); high-frequency point deletes would want a
+    * merge-on-read deletion-vector design instead — a different trade,
+    * out of scope.
+    */
+  def delete(name: String, predicate: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Nil): Unit = {
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    // physical partition columns (fact's trans_dt_day) survive the
+    // rewrite as partition structure, exactly as in compact
+    val partCols = readSchema(name, schema).fieldNames.toSeq
+      .diff(schema.fieldNames.toSeq)
+    val surviving = readWithPartitionColumns(name)
+      // null predicate rows survive: DELETE removes rows WHERE the
+      // predicate IS TRUE, the SQL contract (NULL is not TRUE)
+      .filter(!coalesce(predicate.cast("boolean"), lit(false)))
+    overwritePartitioned(name, surviving, partCols, statsCols = statsCols)
+  }
+
+  /** Deferred GC (the standing cleanup job for deployments with
+    * `gcGraceMs` > 0): delete shadowed version dirs — committed versions
+    * below the retention window, crash debris, pre-versioning files under
+    * a full commit — that are older than `gcGraceMs`. Only versions
+    * strictly BELOW the newest full commit are candidates: anything at or
+    * above it is live chain or an in-flight append, never touched. A
+    * delta-only table has nothing shadowed and vacuums to a no-op.
+    */
+  def vacuum(name: String): Unit = {
+    val dest = new Path(tablePath(name))
+    if (!fs.exists(dest)) return
+    val all = versionDirs(dest).sortBy(_._1)
+    val committed = all.flatMap { case (v, p) =>
+      commitKind(p).map(full => (v, p, full))
+    }
+    val lastFull = committed.lastIndexWhere(_._3)
+    if (lastFull < 0) return // delta-only chain: everything is live
+    val newestFullV = committed(lastFull)._1
+    // same retention logic as a full commit's GC, against current state
+    val shadowed = committed.take(lastFull)
+    val retainedFulls = shadowed.filter(_._3).sortBy(-_._1)
+      .take(retainSnapshots)
+    val keep: Set[Long] = retainedFulls.map(_._1).minOption match {
+      case Some(cutoff) => shadowed.filter(_._1 >= cutoff).map(_._1).toSet
+      case None => Set.empty
+    }
+    val horizon = System.currentTimeMillis() - gcGraceMs
+    def oldEnough(p: Path): Boolean =
+      fs.getFileStatus(p).getModificationTime <= horizon
+    all.foreach { case (v, p) =>
+      if (v < newestFullV && !keep(v) && oldEnough(p)) fs.delete(p, true)
+    }
+    fs.listStatus(dest).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+        oldEnough(st.getPath)) fs.delete(st.getPath, true)
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        oldEnough(st.getPath)) fs.delete(st.getPath, false)
+    }
+    gcClaims(dest, keepBelow = versionDirs(dest).map(_._1).toSet)
   }
 
   /** Small-file compaction: fold the live version chain (one delta per

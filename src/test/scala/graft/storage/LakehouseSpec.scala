@@ -335,4 +335,156 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.readBetween("dim_cards", "card_num", "c0", "c9")
       .select("card_num").as[String].collect().toSeq === Seq("c1"))
   }
+
+  test("concurrent appends to ONE table: every commit survives") {
+    // the round-3 verdict's top item: version-by-listing let two racing
+    // writers claim the same _v<N> and one commit vanish. The CAS claim
+    // protocol must land N racing appends as N distinct committed
+    // versions — this probe fires them from driver threads (the Etl.scala
+    // pool shape) and asserts nothing was lost or doubled.
+    val lake = new Lakehouse(spark, tmpDir("lake-concurrent"))
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val latch = new java.util.concurrent.CountDownLatch(n)
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            // maximize overlap: every thread reaches the gate before any
+            // starts writing
+            latch.countDown(); latch.await()
+            lake.append("dim_cards", dimDf(s"c$i" -> s"a$i"))
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val vs = lake.versions("dim_cards")
+    assert(vs.size == 8 && vs.map(_._1).distinct.size == 8,
+      s"expected 8 distinct committed versions, got $vs")
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSet == (1 to n).map(i => s"c$i").toSet)
+  }
+
+  test("delete removes matching rows, keeps snapshot reachable, rewrites stats") {
+    val lake = new Lakehouse(spark, tmpDir("lake-delete"), retainSnapshots = 1)
+    import org.apache.spark.sql.functions._
+    lake.append("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2"))
+    lake.append("dim_cards", dimDf("c3" -> "a3"))
+    val preDelete = lake.versions("dim_cards").map(_._1).max
+    lake.delete("dim_cards", col("card_num") === "c2",
+      statsCols = Seq("card_num"))
+    // live read serves survivors only
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSet == Set("c1", "c3"))
+    // the pre-delete snapshot stays reachable for audit (retention)
+    assert(lake.readAt("dim_cards", preDelete).select("card_num").as[String]
+      .collect().toSet == Set("c1", "c2", "c3"))
+    // zone maps were rewritten with the surviving rows: a range read on
+    // the deleted key's band is exact
+    assert(lake.readBetween("dim_cards", "card_num", "c2", "c2").count() == 0)
+    assert(lake.readBetween("dim_cards", "card_num", "c1", "c3")
+      .select("card_num").as[String].collect().toSet == Set("c1", "c3"))
+  }
+
+  test("delete with a null-valued predicate keeps the null rows (SQL contract)") {
+    val lake = new Lakehouse(spark, tmpDir("lake-delete-null"))
+    import org.apache.spark.sql.functions._
+    val withNull = spark.createDataFrame(
+      Seq(("c1", "a1"), ("c2", null.asInstanceOf[String]))
+        .toDF("card_num", "account_num")
+        .withColumn("create_dt", lit(ts("2020-05-01 00:00:00")))
+        .withColumn("update_dt", lit(null).cast("timestamp")).rdd,
+      graft.model.Schemas.dimCards)
+    lake.append("dim_cards", withNull)
+    // predicate is NULL for c2 (null account_num): NULL is not TRUE, so
+    // c2 must survive — DELETE only removes rows where the predicate IS TRUE
+    lake.delete("dim_cards", col("account_num") === "a1")
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq == Seq("c2"))
+  }
+
+  test("delete preserves the fact table's day partitioning") {
+    val lake = new Lakehouse(spark, tmpDir("lake-delete-fact"))
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("t1", ts("2020-05-01 10:00:00")), ("t2", ts("2020-05-01 11:00:00")),
+      ("t3", ts("2020-05-02 10:00:00")))
+      .toDF("trans_id", "trans_date")
+      .withColumn("card_num", lit("c"))
+      .withColumn("oper_type", lit("o"))
+      .withColumn("amt", lit("1.00").cast("decimal(18,2)"))
+      .withColumn("oper_result", lit("ok"))
+      .withColumn("terminal", lit("t"))
+    lake.appendPartitionedByDay("fact_transactions",
+      spark.createDataFrame(rows.rdd, graft.model.Schemas.factTransactions),
+      "trans_date")
+    lake.delete("fact_transactions", col("trans_id") === "t2")
+    val left = lake.readWithPartitionColumns("fact_transactions")
+    // the partition column survived the rewrite as directory structure
+    // (an unpartitioned rewrite would read it back NULL everywhere)
+    assert(left.select("trans_dt_day").as[java.sql.Date].collect().toSet ==
+      Set(d("2020-05-01"), d("2020-05-02")))
+    assert(left.select("trans_id").as[String].collect().toSet ==
+      Set("t1", "t3"))
+  }
+
+  test("gc grace: a reader holding pre-compact paths finishes; vacuum reclaims") {
+    // the reader-vs-maintenance race (round-3 verdict item 8): a reader
+    // that resolved dataPaths just before a concurrent compact must not
+    // have its files deleted out from under it. With gcGraceMs > 0 the
+    // compact defers deletion; vacuum() reclaims once the grace passes.
+    val lake = new Lakehouse(spark, tmpDir("lake-grace"),
+      gcGraceMs = 3600L * 1000)
+    lake.append("dim_cards", dimDf("c1" -> "a1"))
+    lake.append("dim_cards", dimDf("c2" -> "a2"))
+    // reader resolves the live chain BEFORE the compact
+    val preCompactPaths = lake.dataPaths("dim_cards")
+    lake.compact("dim_cards", numFiles = 1)
+    // the shadowed delta dirs are still on disk (inside grace) — the
+    // reader's scan over its resolved paths still sees every row
+    val late = preCompactPaths
+      .map(p => spark.read.schema(graft.model.Schemas.dimCards)
+        .option("basePath", p).parquet(p))
+      .reduce(_ unionByName _)
+    assert(late.select("card_num").as[String].collect().toSet ==
+      Set("c1", "c2"))
+    // vacuum within grace: a no-op
+    lake.vacuum("dim_cards")
+    assert(late.select("card_num").as[String].collect().toSet ==
+      Set("c1", "c2"))
+    // a zero-grace handle on the same root models grace expiry (mtimes
+    // are in the past relative to a 0 horizon); vacuum now reclaims,
+    // leaving exactly the live chain
+    val expired = new Lakehouse(spark, lake.root, gcGraceMs = 0L)
+    expired.vacuum("dim_cards")
+    val fs = new Path(lake.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new Path(lake.tablePath("dim_cards")))
+      .map(_.getPath.getName).filter(_.startsWith("_v")).toSeq
+    assert(dirs == Seq("_v3"), s"vacuum should leave only the full commit: $dirs")
+    // and the table still reads correctly
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSet == Set("c1", "c2"))
+  }
+
+  test("vacuum never touches a delta-only chain or in-flight versions") {
+    val lake = new Lakehouse(spark, tmpDir("lake-vacuum-safe"))
+    lake.append("dim_cards", dimDf("c1" -> "a1"))
+    lake.append("dim_cards", dimDf("c2" -> "a2"))
+    lake.vacuum("dim_cards") // delta-only: everything is live
+    assert(lake.read("dim_cards").count() == 2)
+    // full commit, then an append ABOVE it, then crash debris above that:
+    // vacuum must keep both (live chain / possible in-flight write)
+    lake.overwrite("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2"))
+    lake.append("dim_cards", dimDf("c3" -> "a3"))
+    intercept[RuntimeException] {
+      lake.append("dim_cards", dimDf("cX" -> "aX"),
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    lake.vacuum("dim_cards")
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSet == Set("c1", "c2", "c3"))
+    assert(lake.versions("dim_cards").size == 2) // full + delta intact
+  }
 }
