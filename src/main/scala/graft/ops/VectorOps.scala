@@ -271,14 +271,14 @@ object VectorOps {
   /** Per-label exact floor-mean centroids of the quantized corpus —
     * shared coarse quantizer / codebook of the IVF and PQ families.
     */
-  private def floorCentroids(corpus: DataFrame): DataFrame =
+  private[ops] def floorCentroids(corpus: DataFrame): DataFrame =
     centroidSums(corpus.select(col("label"), col("vec")), "label")
       .select(col("label"), col("dim"),
         ((col("qsum") - pmod(col("qsum"), col("n"))) / col("n"))
           .cast("long").as("c"))
 
   /** Σ(q−c)² per (id, centroid label, subspace) — exact integers. */
-  private def subspaceDists(cent: DataFrame, width: Int)(
+  private[ops] def subspaceDists(cent: DataFrame, width: Int)(
       df: DataFrame, idName: String): DataFrame = df
     .select(col("id").as(idName),
       posexplode(quantize(col("vec"))).as(Seq("dim", "qc")))
@@ -290,7 +290,7 @@ object VectorOps {
   /** PQ encode: nearest codebook centroid per (vector, subspace), ties →
     * min label.
     */
-  private def pqCodes(cent: DataFrame, width: Int,
+  private[ops] def pqCodes(cent: DataFrame, width: Int,
       corpus: DataFrame): DataFrame =
     subspaceDists(cent, width)(corpus, "nid")
       .groupBy(col("nid"), col("s"))
@@ -302,7 +302,7 @@ object VectorOps {
     * `joinKeys` carries query_id when the candidate frame is already
     * per-query (the IVF-restricted path).
     */
-  private def adcTopK(codes: DataFrame, qd: DataFrame, k: Int,
+  private[ops] def adcTopK(codes: DataFrame, qd: DataFrame, k: Int,
       joinKeys: Seq[String] = Seq("s", "label")): DataFrame = {
     val scored = codes.join(broadcast(qd), joinKeys)
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -562,6 +562,25 @@ object TrainingPack {
         k = 5, nProbe = 2)
     }),
 
+    // e12 — e08 through a PERSISTED index (ops/AnnIndex): the build job
+    // writes centroids + PQ codes as versioned lakehouse tables, the
+    // serve path answers from the STORED tables only (the raw corpus
+    // embeddings are never rescanned). Checked against the SAME oracle
+    // as e08: green only if the index round-trips bit-exactly AND the
+    // stored-index serve reproduces the inline operator — the shape that
+    // ships at 100 TB, where the quantizer is a maintenance job, never
+    // per-query work.
+    "e12_ann_index_serve" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-annidx")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val corpus = embs(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      graft.ops.AnnIndex.buildIvfPq(lake, corpus)
+      graft.ops.AnnIndex.serveIvfPq(lake,
+        corpus.filter(col("id") < 5).select(col("id"), col("vec")),
+        k = 5, nProbe = 2)
+    }),
+
     // e08 + exact re-rank — the complete production retrieval shape:
     // quantized shortlist (20 ADC candidates/query), exact integer-dot
     // re-rank to top 5 on that sliver only
@@ -1761,6 +1780,15 @@ object TrainingPack {
     // restriction applied to the candidate's COARSE cell (the corpus
     // `label` column) before the ADC sum
     "e08_ivfpq_topk" ->
+      s"""WITH $ivfPqAdcCtes
+         |SELECT query_id, neighbor_id, dist, rk FROM (
+         | SELECT query_id, neighbor_id, dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist, neighbor_id) AS rk
+         | FROM adc) t WHERE rk <= 5""".stripMargin,
+    // e12 serves the identical (queries, k, nProbe) computation from the
+    // persisted index — the e08 oracle falsifies the round trip
+    "e12_ann_index_serve" ->
       s"""WITH $ivfPqAdcCtes
          |SELECT query_id, neighbor_id, dist, rk FROM (
          | SELECT query_id, neighbor_id, dist,
