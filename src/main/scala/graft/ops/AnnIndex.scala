@@ -76,6 +76,20 @@ object AnnIndex {
     * (query_id, neighbor_id, dist, rk).
     */
   def serveIvfPq(lake: Lakehouse, queries: DataFrame, k: Int, nProbe: Int,
+      subspaces: Int = 4, dims: Int = 64): DataFrame =
+    serveIvfPqFiltered(lake, queries, k, nProbe, lit(true), subspaces, dims)
+
+  /** Metadata-filtered serve from the stored index (the production
+    * filtered-vector-search shape on PERSISTED lists — FAISS IDSelector /
+    * Milvus scalar filtering): `candidateFilter` is evaluated against the
+    * stored code rows (their `coarse` cell and ids) at list-scan time,
+    * BEFORE the probe restriction and ADC aggregate — the one stored
+    * index serves every predicate, never rebuilt per filter. Probe
+    * selection stays unfiltered, same documented recall trade as
+    * [[VectorOps.ivfTopKFiltered]] (selective filters want more probes).
+    */
+  def serveIvfPqFiltered(lake: Lakehouse, queries: DataFrame, k: Int,
+      nProbe: Int, candidateFilter: org.apache.spark.sql.Column,
       subspaces: Int = 4, dims: Int = 64): DataFrame = {
     require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
     val width = dims / subspaces
@@ -95,9 +109,11 @@ object AnnIndex {
       .select(col("query_id"), col("label").as("coarse"))
     val qd = VectorOps.subspaceDists(cent, width)(queries, "query_id")
       .select(col("query_id"), col("s"), col("label"), col("d2"))
-    // probe restriction BEFORE the ADC aggregate: stored code rows
-    // outside the query's probed cells never reach the distance sum
-    val restricted = codes.join(broadcast(probes), Seq("coarse"))
+    // candidate filter at list-scan time, then probe restriction — both
+    // BEFORE the ADC aggregate: filtered-out or unprobed code rows never
+    // reach the distance sum
+    val restricted = codes.filter(candidateFilter)
+      .join(broadcast(probes), Seq("coarse"))
       .drop("coarse")
     VectorOps.adcTopK(restricted, qd, k, Seq("query_id", "s", "label"))
   }

@@ -581,6 +581,23 @@ object TrainingPack {
         k = 5, nProbe = 2)
     }),
 
+    // e13 — filtered serve from the STORED index (e12 + the e11 filter
+    // semantics): the one persisted index serves a metadata predicate
+    // evaluated against the stored code rows at list-scan time — FAISS
+    // IDSelector / Milvus scalar filtering, never a per-predicate
+    // rebuild. Probe selection stays unfiltered (the documented
+    // filtered-ANN recall trade).
+    "e13_ann_index_serve_filtered" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-annidxf")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val corpus = embs(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      graft.ops.AnnIndex.buildIvfPq(lake, corpus)
+      graft.ops.AnnIndex.serveIvfPqFiltered(lake,
+        corpus.filter(col("id") < 5).select(col("id"), col("vec")),
+        k = 5, nProbe = 2, candidateFilter = pmod(col("coarse"), lit(2)) === 0)
+    }),
+
     // e08 + exact re-rank — the complete production retrieval shape:
     // quantized shortlist (20 ADC candidates/query), exact integer-dot
     // re-rank to top 5 on that sliver only
@@ -1110,9 +1127,17 @@ object TrainingPack {
     }.mkString(" + ")
 
   /** The e08 IVF+PQ ADC chain (sums -> cent -> cd -> codes -> qdists ->
-    * probes -> adc), shared by e08 (ranked directly) and e09 (ranked to a
-    * 20-candidate shortlist, then exact-dot re-ranked).
+    * probes -> adc), shared by e08 (ranked directly), e09 (ranked to a
+    * 20-candidate shortlist, then exact-dot re-ranked), e12 (served from
+    * the persisted index) and e13 (`candidateCond` restricts candidates
+    * at list-scan time — the filtered-serve oracle).
     */
+  private def ivfPqAdcCtesWith(candidateCond: String): String = {
+    val anchor = "WHERE codes.neighbor_id <> qdists.query_id"
+    require(ivfPqAdcCtes.contains(anchor), "adc CTE anchor drifted")
+    ivfPqAdcCtes.replace(anchor, s"$anchor AND ($candidateCond)")
+  }
+
   private lazy val ivfPqAdcCtes: String =
     s"""sums AS (
          | SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
@@ -1790,6 +1815,15 @@ object TrainingPack {
     // persisted index — the e08 oracle falsifies the round trip
     "e12_ann_index_serve" ->
       s"""WITH $ivfPqAdcCtes
+         |SELECT query_id, neighbor_id, dist, rk FROM (
+         | SELECT query_id, neighbor_id, dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist, neighbor_id) AS rk
+         | FROM adc) t WHERE rk <= 5""".stripMargin,
+    // e13: identical chain with the candidate condition on the stored
+    // coarse cell — ((coarse % 2) + 2) % 2 = 0 is pmod parity
+    "e13_ann_index_serve_filtered" ->
+      s"""WITH ${ivfPqAdcCtesWith("((co.coarse % 2) + 2) % 2 = 0")}
          |SELECT query_id, neighbor_id, dist, rk FROM (
          | SELECT query_id, neighbor_id, dist,
          |  row_number() OVER (PARTITION BY query_id
