@@ -69,6 +69,42 @@ object AnnIndex {
     lake.overwrite(CodesTable, codes)
   }
 
+  /** Incremental index maintenance (FAISS `add()`): encode NEW vectors
+    * against the STORED centroids and append their codes as a DELTA
+    * commit — no rebuild, existing code rows untouched. Cell assignment
+    * is nearest stored centroid by integer dot (ties → smallest label),
+    * i.e. exactly the query probe rule at nProbe = 1 — appended vectors
+    * land in the cell their future queries will probe first. The coarse
+    * quantizer is intentionally FROZEN: incremental adds use the
+    * existing cells, and retraining is the scheduled full [[buildIvfPq]]
+    * (standard IVF operations practice — centroid drift under a shifted
+    * ingest distribution is a monitored quality trade, not something an
+    * append should silently re-decide).
+    */
+  def appendVectors(lake: Lakehouse, newVectors: DataFrame,
+      subspaces: Int = 4, dims: Int = 64): Unit = {
+    require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
+    val width = dims / subspaces
+    val cent = lake.read(CentroidsTable, centroidsSchema)
+    val pr = Window.partitionBy(col("id"))
+      .orderBy(col("cdot").desc, col("label"))
+    val assigned = newVectors
+      .select(col("id"), posexplode(VectorOps.quantize(col("vec")))
+        .as(Seq("dim", "qc")))
+      .join(broadcast(cent), "dim")
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("qc") * col("c")).as("cdot"))
+      .withColumn("pr", row_number().over(pr))
+      .filter(col("pr") === 1)
+      .select(col("id").as("neighbor_id"), col("label").as("coarse"))
+    val codes = VectorOps.pqCodes(cent, width,
+      newVectors.select(col("id"), col("vec")))
+      .join(assigned, "neighbor_id")
+      .select(col("neighbor_id").cast("long"), col("s").cast("int"),
+        col("label").cast("long"), col("coarse").cast("long"))
+    lake.append(CodesTable, codes)
+  }
+
   /** Serve a query batch from the stored index: coarse-probe selection
     * against the broadcast centroid table, probe restriction on the
     * stored code rows, ADC ranking through the bounded top-k aggregator.

@@ -321,4 +321,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("topkpairs"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("e12 serve: reads the stored index tables, broadcasts the probe " +
+    "structures, no SMJ/cartesian") {
+    // explain() triggers the in-query build job; the returned plan is
+    // the SERVE path only
+    val p = explain("e12_ann_index_serve")
+    // serve scans the persisted index tables — the corpus embeddings
+    // appear only as the 5-vector query batch (pushed id filter)
+    assert(p.contains("ann_centroids") && p.contains("ann_codes"), p)
+    // centroids, probe map, and query-distance table all broadcast; the
+    // stored code rows join them without a corpus-sized shuffle
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+  }
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.storage.Lakehouse
+import org.apache.spark.sql.functions._
+
+/** The persisted-index contract beyond what the e12/e13 oracles pin:
+  * incremental `appendVectors` (codes from the FROZEN stored codebook,
+  * delta commit, no rebuild) and serve-visibility of appended vectors.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+
+  test("appendVectors encodes against the frozen codebook as a delta commit") {
+    val lake = new Lakehouse(spark, tmpDir("annidx-append"))
+    AnnIndex.buildIvfPq(lake, corpus)
+    val v1 = lake.versions(AnnIndex.CodesTable).map(_._1).max
+
+    // append COPIES of two existing vectors under fresh ids: same vector
+    // + same (frozen) codebook must yield byte-identical PQ codes — an
+    // assertion independent of the cell-assignment rule
+    val maxId = corpus.agg(max(col("id"))).as[Long].head()
+    val originals = corpus.filter(col("id").isin(0L, 1L))
+    AnnIndex.appendVectors(lake,
+      originals.select((col("id") + maxId + 1L).as("id"), col("vec")))
+
+    // delta, not rewrite: the codes table gained exactly one version
+    val vs = lake.versions(AnnIndex.CodesTable)
+    assert(vs.map(_._1).max == v1 + 1 && vs.count(_._2) == 1,
+      s"append must be a single delta on top of the full build: $vs")
+
+    val codes = lake.read(AnnIndex.CodesTable, AnnIndex.codesSchema)
+    val orig = codes.filter(col("neighbor_id").isin(0L, 1L))
+      .select((col("neighbor_id") + maxId + 1L).as("neighbor_id"),
+        col("s"), col("label"))
+    val added = codes.filter(col("neighbor_id") > maxId)
+      .select(col("neighbor_id"), col("s"), col("label"))
+    assert(added.count() > 0, "appended vectors produced no code rows")
+    assert(added.except(orig).isEmpty && orig.except(added).isEmpty,
+      "appended copies must carry the originals' codes under the frozen codebook")
+
+    // and the appended vectors are servable: querying with an original
+    // vector must surface its appended twin. The twin shares the query's
+    // own per-subspace codes, so its ADC distance is the MINIMUM any
+    // candidate can achieve (the query's own quantization error) — it
+    // must appear in the result at that minimal distance (other
+    // candidates may tie by sharing the codes, hence not asserting rk=1)
+    val served = AnnIndex.serveIvfPq(lake,
+      corpus.filter(col("id") === 0L).select(col("id"), col("vec")),
+      k = 5, nProbe = 2)
+      .select(col("neighbor_id"), col("dist")).as[(Long, Long)].collect()
+    val twin = served.find(_._1 == maxId + 1L)
+    assert(twin.isDefined,
+      s"appended twin ${maxId + 1} not served: ${served.toSeq}")
+    assert(twin.get._2 == served.map(_._2).min,
+      s"twin must sit at the minimal ADC distance: ${served.toSeq}")
+  }
+
+  test("filtered serve restricts candidates but never rebuilds the index") {
+    val lake = new Lakehouse(spark, tmpDir("annidx-filter"))
+    AnnIndex.buildIvfPq(lake, corpus)
+    val builtVersions =
+      lake.versions(AnnIndex.CentroidsTable) ++
+        lake.versions(AnnIndex.CodesTable)
+    val q = corpus.filter(col("id") < 3).select(col("id"), col("vec"))
+    val all = AnnIndex.serveIvfPq(lake, q, k = 5, nProbe = 2)
+    val odd = AnnIndex.serveIvfPqFiltered(lake, q, k = 5, nProbe = 2,
+      candidateFilter = pmod(col("coarse"), lit(2)) === 1)
+    // filtered results are a subset of cells: every neighbor's coarse
+    // cell is odd
+    val codes = lake.read(AnnIndex.CodesTable, AnnIndex.codesSchema)
+      .select(col("neighbor_id"), col("coarse")).distinct()
+    val bad = odd.join(codes, "neighbor_id")
+      .filter(pmod(col("coarse"), lit(2)) =!= 1).count()
+    assert(bad == 0, "filtered serve returned a candidate outside the predicate")
+    assert(all.count() > 0 && odd.count() > 0)
+    // serving (filtered or not) wrote nothing: same index versions
+    assert(lake.versions(AnnIndex.CentroidsTable) ++
+      lake.versions(AnnIndex.CodesTable) == builtVersions,
+      "serve must be read-only on the index tables")
+  }
+}
