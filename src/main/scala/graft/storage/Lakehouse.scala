@@ -399,6 +399,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * failure (foreachBatch's at-least-once contract) is recognized as
     * already committed and skipped — net effect: exactly-once appends into
     * the lakehouse, built from the same single-file commit point.
+    *
+    * Concurrency contract: the already-committed check is check-then-act,
+    * so dedup assumes ONE writer per (table, batchId) at a time — exactly
+    * what Structured Streaming guarantees (a query's batches are
+    * sequential, and a restarted query resumes AFTER its predecessor
+    * died). Writers of DIFFERENT batch ids race safely via the CAS
+    * version claims like any other append.
     */
   def appendExactlyOnce(name: String, df: DataFrame, batchId: Long): Unit = {
     val dest = new Path(tablePath(name))
