@@ -438,4 +438,81 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Decontamination by SPAN REMOVAL (the FineWeb/Dolma refinement of
+    * [[decontaminationHits]]'s drop-the-document policy): every corpus
+    * token span matching a benchmark `n`-gram is cut out — extended by
+    * `margin` tokens on each side and merged across overlaps — and the
+    * document is kept as its surviving tokens. Dropping whole documents
+    * throws away the clean 99% of a long page for one quoted eval
+    * question; span surgery keeps it.
+    *
+    * Output per corpus doc (ALL docs, contaminated or not): `n_tokens`,
+    * `removed_tokens`, and `kept_text` — the surviving lowercased tokens
+    * space-joined (token-stream surgery, the canonical pipeline form; the
+    * original byte offsets are gone once tokenized).
+    *
+    * Scale shape: benchmark grams are eval-suite-sized → broadcast
+    * (d16's trade, same knob); corpus grams never shuffle — hits land
+    * per-doc, the interval merge is one doc-keyed window over HIT
+    * positions only (contaminated docs' match counts, not token counts),
+    * and the final token filter is a map-side HOF over the already
+    * doc-partitioned token arrays. One exchange on doc id total.
+    */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      margin: Int = 0): DataFrame = {
+    require(n >= 1 && margin >= 0, s"bad n=$n margin=$margin")
+    import org.apache.spark.sql.expressions.Window
+    // projection barrier (see ngramJaccardPairs): tokens materialized
+    // once per doc, and the doc-keyed partitioning is reused by the
+    // island window AND the spans join below
+    val tk = corpus
+      .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("tk"))
+      .repartition(col(idCol))
+    val bg = bench
+      .select(TextOps.tokens(lower(col(textCol))).as("tk"))
+      .select(explode(transform(TextOps.ngramsFromTokens(col("tk"), n),
+        g => hash32(g, 0))).as("g"))
+      .distinct()
+    // 1-based gram start positions whose n-gram occurs in the benchmark
+    val hits = tk
+      .select(col(idCol), posexplode(
+        transform(TextOps.ngramsFromTokens(col("tk"), n),
+          g => hash32(g, 0))).as(Seq("pos", "g")))
+      .select(col(idCol), (col("pos") + 1).cast("bigint").as("pos"), col("g"))
+      .join(broadcast(bg), Seq("g"))
+      .select(col(idCol), col("pos"))
+    // merge margin-extended spans [pos-margin, pos+n-1+margin] via
+    // gaps-and-islands over hit starts (d29's shape): a new island
+    // starts when this span's start clears every previous span's end
+    val reach = n - 1 + 2 * margin // prev_pos + reach < pos ⇔ disjoint
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("pos") + reach).over(wPrev),
+          lit(0L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col(idCol), col("island"))
+      .agg(greatest(min(col("pos")) - margin, lit(1L)).as("s"),
+        (max(col("pos")) + (n - 1 + margin)).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    // islands are disjoint by construction, so the per-token test is
+    // exists-over-few-spans; clean docs skip it entirely (null spans)
+    val kept = when(col("spans").isNull, col("tk")).otherwise(
+      filter(col("tk"), (t, i) =>
+        !exists(col("spans"),
+          sp => (i + 1).cast("long") >= sp("s") &&
+            (i + 1).cast("long") <= sp("e"))))
+    tk.join(spans, Seq(idCol), "left")
+      .select(col(idCol), size(col("tk")).cast("bigint").as("n_tokens"),
+        kept.as("kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("bigint")
+          .as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("kept_text"))
+  }
 }

@@ -870,6 +870,22 @@ object TrainingPack {
         "doc_id", "text")
     }),
 
+    // d34 — decontamination by SPAN REMOVAL (the FineWeb/Dolma
+    // refinement of d16's drop-the-document policy): contaminated 8-gram
+    // spans, margin-extended by 2 tokens and merged across overlaps, are
+    // cut from the token stream and the document survives as its kept
+    // tokens. Oracle re-derives the surgery with DuckDB windows +
+    // NOT EXISTS position filtering — green only if hit detection, the
+    // interval algebra (margins, clamping, overlap merge) and the
+    // reconstruction all agree token-for-token.
+    "d34_decontaminate_spans" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.decontaminateSpans(
+        all.filter(col("source") =!= "src0"),
+        all.filter(col("source") === "src0"),
+        "doc_id", "text", n = 8, margin = 2)
+    }),
+
     // keep-first dedup returning the surviving document rows
     "d07_dedup_keep_first" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1468,6 +1484,47 @@ object TrainingPack {
          |FROM cand c JOIN base nb ON c.neg_id = nb.doc_id
          |WHERE c.neg_id <> c.anchor_id AND c.fp_a <> nb.fp""".stripMargin,
     "d16_decontaminate" -> d16Sql,
+    "d34_decontaminate_spans" -> {
+      val gram8 = (0 until 8).map(k => s"tk[i+$k]").mkString(", ' ', ")
+      // reach = n-1+2*margin = 11; span = [pos-2, pos+9] clamped to 1
+      s"""WITH tkc AS (SELECT doc_id, $ltoks AS tk FROM documents
+         |             WHERE source <> 'src0'),
+         |bgr AS (SELECT DISTINCT ${h32(s"concat($gram8)", 0)} AS g
+         |        FROM (SELECT tk, unnest(range(1, len(tk) - 7 + 1)) AS i
+         |              FROM (SELECT $ltoks AS tk FROM documents
+         |                    WHERE source = 'src0') b
+         |              WHERE len(tk) >= 8)),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |        ${h32(s"concat($gram8)", 0)} AS gh
+         |      FROM (SELECT doc_id, tk,
+         |              unnest(range(1, len(tk) - 7 + 1)) AS i
+         |            FROM tkc WHERE len(tk) >= 8)),
+         |hits AS (SELECT doc_id, pos FROM g JOIN bgr ON g.gh = bgr.g),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN pos > coalesce(max(pos + 11) OVER (
+         |         PARTITION BY doc_id ORDER BY pos
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |       THEN 1 ELSE 0 END AS brk FROM hits),
+         |spans AS (SELECT doc_id, greatest(min(pos) - 2, 1) AS s,
+         |            max(pos) + 9 AS e
+         |  FROM (SELECT doc_id, pos, sum(brk) OVER (
+         |          PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+         |  GROUP BY doc_id, island),
+         |posn AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+         |         FROM tkc),
+         |keptp AS (SELECT p.doc_id, p.i, p.tk[p.i] AS tok FROM posn p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = p.doc_id AND p.i BETWEEN sp.s AND sp.e)),
+         |agg AS (SELECT doc_id,
+         |          string_agg(tok, ' ' ORDER BY i) AS kept_text,
+         |          count(*) AS n_kept
+         |        FROM keptp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT)
+         |    AS removed_tokens,
+         |  coalesce(a.kept_text, '') AS kept_text
+         |FROM tkc t LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
     "d21_curation_pipeline" ->
       s"""SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)

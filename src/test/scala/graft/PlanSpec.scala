@@ -322,6 +322,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d34 span surgery: benchmark grams and spans broadcast, corpus " +
+    "tokens never shuffle beyond the doc key") {
+    val p = explain("d34_decontaminate_spans")
+    // benchmark-gram set and the per-doc span list both broadcast into
+    // the doc-partitioned corpus stream; no sort-merge or cartesian
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // island windows ride the doc key (REPARTITION_BY_COL), never a
+    // global sort
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("e12 serve: reads the stored index tables, broadcasts the probe " +
     "structures, no SMJ/cartesian") {
     // explain() triggers the in-query build job; the returned plan is
