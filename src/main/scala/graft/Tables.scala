@@ -36,10 +36,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the NTZ→TimestampType cast below is value-preserving ONLY under a
-    // UTC session TZ; GraftSession pins it, but a self-built session
-    // (tests, library users) must get the same defensive pin or every
-    // NTZ instant silently shifts by the session offset
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // UTC session TZ; GraftSession pins it. ASSERT rather than set for a
+    // self-built session: silently mutating the global session TZ would
+    // shift every UNRELATED timestamp cast/parse in the caller's
+    // queries, and silently proceeding would shift every NTZ instant
+    // here — failing loudly is the only honest option
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC (the NTZ " +
+        "timestamp layout is reinterpreted as UTC instants); use " +
+        "GraftSession.builder() or set the conf on your session")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

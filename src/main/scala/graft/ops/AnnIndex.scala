@@ -8,19 +8,27 @@ import org.apache.spark.sql.types._
 
 /** Persisted ANN index (round-3 verdict item 4): the IVF+PQ structures
   * [[VectorOps.ivfPqTopK]] derives inline — coarse centroids, PQ codes,
-  * coarse-cell assignments — written ONCE as versioned lakehouse tables
-  * by a build job, then every probe query served from the STORED index.
+  * coarse-cell assignments — written ONCE by a build job, then every
+  * probe query served from the STORED index.
   *
   * This is the shape that actually ships: at 100 TB the quantizer train +
   * encode pass is a scheduled maintenance job (like compaction), and a
   * query batch must never re-derive it. The serve path reads only the
-  * index tables — `ann_centroids` (|cells|·dims rows, broadcast-sized)
-  * and `ann_codes` (|corpus|·subspaces compact rows, the stored inverted
-  * lists) — plus the query vectors; the raw corpus embeddings are never
-  * scanned (that is PQ's memory-bound point: candidates rank from their
-  * codes). Serve cost is the probe restriction (nProbe/|cells| of the
-  * code rows) + a broadcast-keyed ADC aggregate — measured in StressAnn
-  * as a small fraction of the build pass and sublinear in corpus size.
+  * index table — centroid rows (|cells|·dims, broadcast-sized) and code
+  * rows (|corpus|·subspaces compact rows, the stored inverted lists) —
+  * plus the query vectors; the raw corpus embeddings are never scanned
+  * (that is PQ's memory-bound point: candidates rank from their codes).
+  * Serve cost is the probe restriction (nProbe/|cells| of the code rows)
+  * + a broadcast-keyed ADC aggregate — measured in StressAnn as a small
+  * fraction of the build pass and near-flat in corpus size.
+  *
+  * BOTH structures live in ONE lakehouse table (`ann_index`, row kind
+  * 'cent' | 'code' over a unified nullable schema), so a rebuild is ONE
+  * atomic FULL commit: a crash mid-build leaves the previous generation
+  * serving, and no reader can ever see new centroids with old codes — a
+  * two-table layout had exactly that torn-index window between its two
+  * commits. The null-padded columns cost ~nothing in parquet (null runs
+  * compress away) and the kind filter pushes down to the scan.
   *
   * Exactly the e08 math (exact integer arithmetic end-to-end), so a
   * build→serve round trip is bit-identical to the inline operator — which
@@ -28,51 +36,58 @@ import org.apache.spark.sql.types._
   */
 object AnnIndex {
 
-  val CentroidsTable = "ann_centroids"
-  val CodesTable = "ann_codes"
+  val IndexTable = "ann_index"
 
-  /** (label, dim, c): exact integer floor-mean centroid components. */
-  val centroidsSchema: StructType = StructType(Seq(
-    StructField("label", LongType), StructField("dim", IntegerType),
-    StructField("c", LongType)))
-
-  /** (neighbor_id, s, label, coarse): per-subspace PQ code + the coarse
-    * inverted-list cell of each corpus vector.
+  /** Unified row schema: kind='cent' rows carry (label, dim, c); kind=
+    * 'code' rows carry (neighbor_id, s, label, coarse).
     */
-  val codesSchema: StructType = StructType(Seq(
+  val indexSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("label", LongType), StructField("dim", IntegerType),
+    StructField("c", LongType),
     StructField("neighbor_id", LongType), StructField("s", IntegerType),
-    StructField("label", LongType), StructField("coarse", LongType)))
+    StructField("coarse", LongType)))
 
-  /** Build job — one corpus pass writes the index tables as FULL commits
-    * (a rebuild atomically replaces the previous index generation; a
-    * crash mid-build leaves the old generation serving). `corpus` carries
-    * (id, vec, label) with `label` the coarse quantizer's cell — bounded
-    * cardinality (O(√n) at most), same contract as [[VectorOps.pqTopK]].
+  private def centRows(lake: Lakehouse): DataFrame =
+    lake.read(IndexTable, indexSchema).filter(col("kind") === "cent")
+      .select(col("label"), col("dim"), col("c"))
+
+  private def codeRows(lake: Lakehouse): DataFrame =
+    lake.read(IndexTable, indexSchema).filter(col("kind") === "code")
+      .select(col("neighbor_id"), col("s"), col("label"), col("coarse"))
+
+  private def asIndexRows(cent: DataFrame, codes: DataFrame): DataFrame =
+    cent.select(lit("cent").as("kind"), col("label").cast("long"),
+      col("dim").cast("int"), col("c").cast("long"),
+      lit(null).cast("long").as("neighbor_id"),
+      lit(null).cast("int").as("s"), lit(null).cast("long").as("coarse"))
+      .unionByName(codes.select(lit("code").as("kind"),
+        col("label").cast("long"), lit(null).cast("int").as("dim"),
+        lit(null).cast("long").as("c"), col("neighbor_id").cast("long"),
+        col("s").cast("int"), col("coarse").cast("long")))
+
+  /** Build job — one corpus pass writes the index as ONE atomic FULL
+    * commit (a rebuild atomically replaces the previous generation; a
+    * crash mid-build leaves the old generation serving). `corpus`
+    * carries (id, vec, label) with `label` the coarse quantizer's cell —
+    * bounded cardinality (O(√n) at most), same contract as
+    * [[VectorOps.pqTopK]].
     */
   def buildIvfPq(lake: Lakehouse, corpus: DataFrame,
       subspaces: Int = 4, dims: Int = 64): Unit = {
     require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
     val width = dims / subspaces
     val cent = VectorOps.floorCentroids(corpus)
-      .select(col("label").cast("long"), col("dim").cast("int"),
-        col("c").cast("long"))
-    lake.overwrite(CentroidsTable, cent)
-    // re-read the just-committed centroids so the encode pass and every
-    // later serve derive from the SAME stored bytes (not two evaluations
-    // of a nondeterministic-input plan)
-    val storedCent = lake.read(CentroidsTable, centroidsSchema)
-    val codes = VectorOps.pqCodes(storedCent, width, corpus)
+    val codes = VectorOps.pqCodes(cent, width, corpus)
       .join(corpus.select(col("id").as("neighbor_id"),
         col("label").as("coarse")), "neighbor_id")
-      .select(col("neighbor_id").cast("long"), col("s").cast("int"),
-        col("label").cast("long"), col("coarse").cast("long"))
-    lake.overwrite(CodesTable, codes)
+    lake.overwrite(IndexTable, asIndexRows(cent, codes))
   }
 
   /** Incremental index maintenance (FAISS `add()`): encode NEW vectors
     * against the STORED centroids and append their codes as a DELTA
-    * commit — no rebuild, existing code rows untouched. Cell assignment
-    * is nearest stored centroid by integer dot (ties → smallest label),
+    * commit — no rebuild, existing rows untouched. Cell assignment is
+    * nearest stored centroid by integer dot (ties → smallest label),
     * i.e. exactly the query probe rule at nProbe = 1 — appended vectors
     * land in the cell their future queries will probe first. The coarse
     * quantizer is intentionally FROZEN: incremental adds use the
@@ -85,7 +100,7 @@ object AnnIndex {
       subspaces: Int = 4, dims: Int = 64): Unit = {
     require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
     val width = dims / subspaces
-    val cent = lake.read(CentroidsTable, centroidsSchema)
+    val cent = centRows(lake)
     val pr = Window.partitionBy(col("id"))
       .orderBy(col("cdot").desc, col("label"))
     val assigned = newVectors
@@ -100,13 +115,12 @@ object AnnIndex {
     val codes = VectorOps.pqCodes(cent, width,
       newVectors.select(col("id"), col("vec")))
       .join(assigned, "neighbor_id")
-      .select(col("neighbor_id").cast("long"), col("s").cast("int"),
-        col("label").cast("long"), col("coarse").cast("long"))
-    lake.append(CodesTable, codes)
+    lake.append(IndexTable,
+      asIndexRows(cent.limit(0), codes)) // delta carries code rows only
   }
 
   /** Serve a query batch from the stored index: coarse-probe selection
-    * against the broadcast centroid table, probe restriction on the
+    * against the broadcast centroid rows, probe restriction on the
     * stored code rows, ADC ranking through the bounded top-k aggregator.
     * Identical output contract to [[VectorOps.ivfPqTopK]] —
     * (query_id, neighbor_id, dist, rk).
@@ -129,8 +143,8 @@ object AnnIndex {
       subspaces: Int = 4, dims: Int = 64): DataFrame = {
     require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
     val width = dims / subspaces
-    val cent = lake.read(CentroidsTable, centroidsSchema)
-    val codes = lake.read(CodesTable, codesSchema)
+    val cent = centRows(lake)
+    val codes = codeRows(lake)
     // coarse probes: nProbe closest stored cells by integer centroid dot
     val pr = Window.partitionBy(col("query_id"))
       .orderBy(col("cdot").desc, col("label"))

@@ -93,11 +93,14 @@ object Skew {
   /** Average per-key salt fan-out from the collected audit metrics
     * (`Observation.get`): ≈ 1 (below ~1.5 at any real skew) ⇒ the salt is
     * degenerate and the caller should widen the row before salting (or
-    * accept the skew).
+    * accept the skew). An EMPTY input yields NaN — "no evidence", not a
+    * degeneracy verdict (salting is vacuous on zero rows, and NaN
+    * compares false against any alert threshold, so `spread < 1.5`
+    * monitors stay quiet instead of false-alarming on an empty day).
     */
   def saltSpread(metrics: Map[String, Any]): Double = {
     val keys = metrics("keys").asInstanceOf[Long]
-    if (keys == 0L) 1.0
+    if (keys == 0L) Double.NaN
     else metrics("key_salts").asInstanceOf[Long].toDouble / keys
   }
 

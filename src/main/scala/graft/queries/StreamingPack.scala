@@ -25,9 +25,10 @@ object StreamingPack {
     */
   private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // same defensive UTC pin as Tables.events: the NTZ branch's cast is
-    // only an identity reinterpretation under a UTC session TZ
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // same UTC contract as Tables.events — assert, never mutate the
+    // caller's global session TZ (see the rationale there)
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "StreamingPack.eventsStream requires spark.sql.session.timeZone=UTC")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the file source wants a directory: stream the sf dir, filtered to
     // the events file

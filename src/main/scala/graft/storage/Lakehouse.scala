@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.StructType
   *
   * CONCURRENT WRITERS are safe for appends: version numbers are allocated
   * by CAS on an empty claim file (`_GRAFT_CLAIM_<N>` at the table root,
-  * created with overwrite=false — the atomic commit arbiter; losers
+  * created exclusively — the commit arbiter, atomic on local disk and
+  * HDFS; see [[atomicCreate]] for the object-store caveat; losers
   * re-list and retry), so N parallel `append`s to ONE table land as N
   * distinct committed versions and no commit is lost
   * (LakehouseSpec probes this with racing driver threads, and the q60
@@ -287,11 +288,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   }
 
   /** Atomic exclusive create — the CAS primitive version allocation is
-    * built on. On HDFS/object stores `FileSystem.create(overwrite=false)`
-    * is atomic by contract; Hadoop's LOCAL filesystem implements it as a
-    * non-atomic exists-then-create, so local paths go through NIO's
-    * `createFile` (O_CREAT|O_EXCL — kernel-atomic) instead. Returns false
-    * when the path already exists, i.e. this writer lost the race.
+    * built on. Atomicity is filesystem-dependent: local paths go through
+    * NIO's `createFile` (O_CREAT|O_EXCL — kernel-atomic; Hadoop's LOCAL
+    * fs implements create(overwrite=false) as a non-atomic
+    * exists-then-create), and on HDFS `create(overwrite=false)` is
+    * atomic by namenode contract. On S3-style object stores WITHOUT
+    * conditional-write support the Hadoop call is HEAD-then-PUT and NOT
+    * exclusive — there, multi-writer safety needs an external commit
+    * coordinator (the same reason Delta Lake requires one on S3) or an
+    * S3 conditional-PUT shim; single-writer deployments are unaffected.
+    * Returns false when the path already exists, i.e. this writer lost
+    * the race.
     */
   private def atomicCreate(p: Path): Boolean =
     if (fs.getScheme == "file")
@@ -572,27 +579,35 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val lastFull = committed.lastIndexWhere(_._3)
     if (lastFull < 0) return // delta-only chain: everything is live
     val newestFullV = committed(lastFull)._1
-    // same retention logic as a full commit's GC, against current state
+    // same retention logic as a full commit's GC, against current state —
+    // INCLUDING the pre-full special case: with retention on and no
+    // superseded FULL among the shadowed versions, the pre-full state
+    // (committed deltas + any pre-versioning top-level files) IS the
+    // previous snapshot and must survive whole, or readAt would lose the
+    // audit snapshot the full commit's own GC deliberately kept
     val shadowed = committed.take(lastFull)
+    val keepPreVersioningBase =
+      retainSnapshots > 0 && shadowed.forall(!_._3)
     val retainedFulls = shadowed.filter(_._3).sortBy(-_._1)
       .take(retainSnapshots)
-    val keep: Set[Long] = retainedFulls.map(_._1).minOption match {
-      case Some(cutoff) => shadowed.filter(_._1 >= cutoff).map(_._1).toSet
-      case None => Set.empty
-    }
+    val keep: Set[Long] =
+      if (keepPreVersioningBase) shadowed.map(_._1).toSet
+      else retainedFulls.map(_._1).minOption match {
+        case Some(cutoff) => shadowed.filter(_._1 >= cutoff).map(_._1).toSet
+        case None => Set.empty
+      }
     val horizon = System.currentTimeMillis() - gcGraceMs
     def oldEnough(p: Path): Boolean =
       fs.getFileStatus(p).getModificationTime <= horizon
     all.foreach { case (v, p) =>
       if (v < newestFullV && !keep(v) && oldEnough(p)) fs.delete(p, true)
     }
-    fs.listStatus(dest).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
-        oldEnough(st.getPath)) fs.delete(st.getPath, true)
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-        oldEnough(st.getPath)) fs.delete(st.getPath, false)
-    }
+    if (!keepPreVersioningBase)
+      fs.listStatus(dest).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".") && oldEnough(st.getPath))
+          fs.delete(st.getPath, st.isDirectory)
+      }
     gcClaims(dest, keepBelow = versionDirs(dest).map(_._1).toSet)
   }
 

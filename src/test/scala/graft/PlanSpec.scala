@@ -340,9 +340,11 @@ class PlanSpec extends SparkSpec {
     // explain() triggers the in-query build job; the returned plan is
     // the SERVE path only
     val p = explain("e12_ann_index_serve")
-    // serve scans the persisted index tables — the corpus embeddings
+    // serve scans the persisted index table — the corpus embeddings
     // appear only as the 5-vector query batch (pushed id filter)
-    assert(p.contains("ann_centroids") && p.contains("ann_codes"), p)
+    assert(p.contains("ann_index"), p)
+    // the kind discriminator pushes down to the index scans
+    assert(p.contains("EqualTo(kind,cent)") && p.contains("EqualTo(kind,code)"), p)
     // centroids, probe map, and query-distance table all broadcast; the
     // stored code rows join them without a corpus-sized shuffle
     assert(!p.contains("SortMergeJoin"), p)

@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
   * both Tables.events and StreamingPack.eventsStream as session-TZ
   * TimestampType with the SAME unix_micros values — the cast is an
   * identity reinterpretation only under the UTC session TZ both readers
-  * now pin defensively. Until this spec, the branch was exercised only by
-  * one testdata generation: simplifying the match back to the LongType
-  * if/else would have passed sbt test and broken that layout silently.
+  * now REQUIRE (assert, never mutate the caller's global TZ). Until this
+  * spec, the branch was exercised only by one testdata generation:
+  * simplifying the match back to the LongType if/else would have passed
+  * sbt test and broken that layout silently.
   */
 class NtzEventsSpec extends SparkSpec {
 

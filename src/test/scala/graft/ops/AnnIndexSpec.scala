@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** The persisted-index contract beyond what the e12/e13 oracles pin:
   * incremental `appendVectors` (codes from the FROZEN stored codebook,
-  * delta commit, no rebuild) and serve-visibility of appended vectors.
+  * delta commit, no rebuild), serve-visibility of appended vectors, and
+  * the one-atomic-commit generation model (centroids + codes land
+  * together — no torn-index window).
   */
 class AnnIndexSpec extends SparkSpec {
   import spark.implicits._
@@ -16,25 +18,35 @@ class AnnIndexSpec extends SparkSpec {
   private def corpus = spark.read.parquet(s"$sf/embeddings.parquet")
     .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
 
+  private def codesOf(lake: Lakehouse) =
+    lake.read(AnnIndex.IndexTable, AnnIndex.indexSchema)
+      .filter(col("kind") === "code")
+
   test("appendVectors encodes against the frozen codebook as a delta commit") {
     val lake = new Lakehouse(spark, tmpDir("annidx-append"))
     AnnIndex.buildIvfPq(lake, corpus)
-    val v1 = lake.versions(AnnIndex.CodesTable).map(_._1).max
+    val built = lake.versions(AnnIndex.IndexTable)
+    // one generation = ONE full commit carrying BOTH structures
+    assert(built.size == 1 && built.head._2,
+      s"a build must be one atomic full commit: $built")
+    val v1 = built.map(_._1).max
 
     // append COPIES of two existing vectors under fresh ids: same vector
     // + same (frozen) codebook must yield byte-identical PQ codes — an
     // assertion independent of the cell-assignment rule
     val maxId = corpus.agg(max(col("id"))).as[Long].head()
+    val centBefore = lake.read(AnnIndex.IndexTable, AnnIndex.indexSchema)
+      .filter(col("kind") === "cent").count()
     val originals = corpus.filter(col("id").isin(0L, 1L))
     AnnIndex.appendVectors(lake,
       originals.select((col("id") + maxId + 1L).as("id"), col("vec")))
 
-    // delta, not rewrite: the codes table gained exactly one version
-    val vs = lake.versions(AnnIndex.CodesTable)
+    // delta, not rewrite: the index gained exactly one delta version
+    val vs = lake.versions(AnnIndex.IndexTable)
     assert(vs.map(_._1).max == v1 + 1 && vs.count(_._2) == 1,
       s"append must be a single delta on top of the full build: $vs")
 
-    val codes = lake.read(AnnIndex.CodesTable, AnnIndex.codesSchema)
+    val codes = codesOf(lake)
     val orig = codes.filter(col("neighbor_id").isin(0L, 1L))
       .select((col("neighbor_id") + maxId + 1L).as("neighbor_id"),
         col("s"), col("label"))
@@ -43,6 +55,9 @@ class AnnIndexSpec extends SparkSpec {
     assert(added.count() > 0, "appended vectors produced no code rows")
     assert(added.except(orig).isEmpty && orig.except(added).isEmpty,
       "appended copies must carry the originals' codes under the frozen codebook")
+    // the delta carries no centroid rows — the codebook is frozen
+    assert(lake.read(AnnIndex.IndexTable, AnnIndex.indexSchema)
+      .filter(col("kind") === "cent").count() == centBefore)
 
     // and the appended vectors are servable: querying with an original
     // vector must surface its appended twin. The twin shares the query's
@@ -64,24 +79,21 @@ class AnnIndexSpec extends SparkSpec {
   test("filtered serve restricts candidates but never rebuilds the index") {
     val lake = new Lakehouse(spark, tmpDir("annidx-filter"))
     AnnIndex.buildIvfPq(lake, corpus)
-    val builtVersions =
-      lake.versions(AnnIndex.CentroidsTable) ++
-        lake.versions(AnnIndex.CodesTable)
+    val builtVersions = lake.versions(AnnIndex.IndexTable)
     val q = corpus.filter(col("id") < 3).select(col("id"), col("vec"))
     val all = AnnIndex.serveIvfPq(lake, q, k = 5, nProbe = 2)
     val odd = AnnIndex.serveIvfPqFiltered(lake, q, k = 5, nProbe = 2,
       candidateFilter = pmod(col("coarse"), lit(2)) === 1)
     // filtered results are a subset of cells: every neighbor's coarse
     // cell is odd
-    val codes = lake.read(AnnIndex.CodesTable, AnnIndex.codesSchema)
+    val cells = codesOf(lake)
       .select(col("neighbor_id"), col("coarse")).distinct()
-    val bad = odd.join(codes, "neighbor_id")
+    val bad = odd.join(cells, "neighbor_id")
       .filter(pmod(col("coarse"), lit(2)) =!= 1).count()
     assert(bad == 0, "filtered serve returned a candidate outside the predicate")
     assert(all.count() > 0 && odd.count() > 0)
     // serving (filtered or not) wrote nothing: same index versions
-    assert(lake.versions(AnnIndex.CentroidsTable) ++
-      lake.versions(AnnIndex.CodesTable) == builtVersions,
-      "serve must be read-only on the index tables")
+    assert(lake.versions(AnnIndex.IndexTable) == builtVersions,
+      "serve must be read-only on the index table")
   }
 }

@@ -468,6 +468,27 @@ class LakehouseSpec extends SparkSpec {
       .collect().toSet == Set("c1", "c2"))
   }
 
+  test("vacuum honors pre-full retention: the audit snapshot survives") {
+    // the q61 shape: retention on, a delta-only chain snapshotted by the
+    // delete's FULL commit. The full commit's GC keeps the pre-full
+    // delta chain as the previous snapshot (keepPreVersioningBase);
+    // vacuum must apply the SAME rule — deleting those deltas would
+    // destroy the readAt audit snapshot retention promised
+    val lake = new Lakehouse(spark, tmpDir("lake-vacuum-retain"),
+      retainSnapshots = 1)
+    lake.append("dim_cards", dimDf("c1" -> "a1"))
+    lake.append("dim_cards", dimDf("c2" -> "a2"))
+    val preDelete = lake.versions("dim_cards").map(_._1).max
+    lake.delete("dim_cards", org.apache.spark.sql.functions
+      .col("card_num") === "c2")
+    lake.vacuum("dim_cards")
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq == Seq("c1"))
+    // the pre-delete snapshot is still reachable AFTER the vacuum
+    assert(lake.readAt("dim_cards", preDelete).select("card_num").as[String]
+      .collect().toSet == Set("c1", "c2"))
+  }
+
   test("vacuum never touches a delta-only chain or in-flight versions") {
     val lake = new Lakehouse(spark, tmpDir("lake-vacuum-safe"))
     lake.append("dim_cards", dimDf("c1" -> "a1"))
