@@ -307,6 +307,70 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         .unionByName(
           sliceAgg(lake.readAt("fact_transactions", preDelete))
             .withColumn("gen", lit("before")))
+    }),
+    // q62 — FULL-commit vs append conflict (round-4 verdict item 1): a
+    // row DELETE races an in-flight append. Slices 0+1 are committed;
+    // the slice-2 append claims its version and writes its files, and
+    // INSIDE its pre-commit window the delete runs end-to-end — its
+    // copy-on-write snapshot (computed at a read basis that cannot see
+    // the uncommitted append) removes the orderkey%7 rows and commits as
+    // a FULL. Under round-4's protocol the append was silently shadowed
+    // (last-FULL-wins) and its rows vanished; now the appender detects
+    // the full commit above its fresh delta and atomically renames
+    // itself above it. The oracle counts BOTH writers' effects: the
+    // deterministic hook sequencing means slice 2 must survive IN FULL
+    // (the delete never saw it — even its orderkey%7 rows stay), while
+    // slices 0+1 lost exactly the predicate rows. Either lost-append or
+    // mistakenly-filtered-late-rows hash-mismatches.
+    "q62_conflict_rebase" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-conflict")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val asFact = ordersAsFact(s, d)
+      def slice(k: Int) =
+        asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice")
+      lake.append("fact_transactions", slice(0))
+      lake.append("fact_transactions", slice(1))
+      lake.append("fact_transactions", slice(2),
+        beforeCommit = () => lake.delete("fact_transactions",
+          pmod(col("trans_id").cast("bigint"), lit(7)) === 0))
+      sliceAgg(lake.read("fact_transactions"))
+    }),
+    // q63 — schema evolution on WRITE (round-4 verdict item 6): q59
+    // proved the read side; this proves the write side end-to-end.
+    // Generation 1 lands under the narrow column set, generation 2 under
+    // the widened one (a plain delta append — adding a column costs zero
+    // data IO), then COMPACTION CROSSES THE BOUNDARY: the schema-explicit
+    // compact folds both generations into ONE uniformly-wide full
+    // snapshot, null-filling the narrow files' missing columns during
+    // the rewrite. The result is read back from the compacted table —
+    // green only if the widened write path, the mixed-generation read
+    // AND the cross-boundary rewrite all preserve every row and null-fill
+    // exactly the pre-widening columns (same CASE oracle as q59).
+    "q63_schema_evolution_write" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft-evolve-w")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val wide = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      lake.append("events_evolved",
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(col("event_id"), col("user_id")))
+      lake.append("events_evolved",
+        ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      lake.compact("events_evolved", wide, numFiles = 2,
+        sortCols = Seq("event_id"))
+      // assert the rewrite actually happened: one live root, a full commit
+      val vs = lake.versions("events_evolved")
+      require(vs.nonEmpty && vs.last._2 && lake.dataPaths("events_evolved")
+        .sizeIs == 1, s"compaction did not fold the chain: $vs")
+      lake.read("events_evolved", wide)
     })
   )
 
@@ -345,6 +409,17 @@ GROUP BY 1, 2 HAVING count(*) >= 5""",
   '$gen' AS gen
 FROM orders WHERE $pred GROUP BY 1"""
     }.mkString("\nUNION ALL\n"),
+    // both writers' rows: slices 0+1 minus the delete predicate, slice 2
+    // whole (the racing delete's snapshot never saw it)
+    "q62_conflict_rebase" -> sliceOracle(
+      "(o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0) OR o_orderkey % 3 = 2"),
+    // write-side evolution compacts to the same logical content q59
+    // reads: narrow-generation rows null-fill the widened columns
+    "q63_schema_evolution_write" ->
+      """SELECT event_id, user_id,
+        | CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+        | CASE WHEN event_id % 2 = 1 THEN value END AS value
+        |FROM events""".stripMargin,
     // v1 rows (even event_id) predate the widened columns → NULL
     "q59_schema_evolution" ->
       """SELECT event_id, user_id,

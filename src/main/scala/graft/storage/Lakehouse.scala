@@ -36,10 +36,26 @@ import org.apache.spark.sql.types.StructType
   * re-list and retry), so N parallel `append`s to ONE table land as N
   * distinct committed versions and no commit is lost
   * (LakehouseSpec probes this with racing driver threads, and the q60
-  * driver query counts rows across 8 concurrent commits). Overwrite
-  * racing append keeps last-FULL-wins semantics: an append whose version
-  * lands below a concurrent full commit is shadowed by it — exactly what
-  * "snapshot replaces the table" means.
+  * driver query counts rows across 8 concurrent commits).
+  *
+  * FULL-vs-append races are ALSO lossless (optimistic concurrency, the
+  * moral equivalent of Delta's commit-conflict check): every full commit
+  * records the READ BASIS its snapshot derives from (the max committed
+  * version at snapshot-read time) and, after committing, REBASES any
+  * delta that committed in (basis, fullVersion) — the dir is atomically
+  * RENAMED above the full commit, markers / batch-id ledger / zone maps
+  * moving wholesale, zero data IO — so a `delete`/`compact`/`overwrite`
+  * racing an `append` keeps BOTH effects (q62; LakehouseSpec race
+  * probes). The rebase-check window (a delta committing after the full
+  * committer's final re-list) is closed from the OTHER side: an appender
+  * that finds a full commit above its fresh delta renames itself above
+  * it ([[ensureAboveFulls]]) — both renames are atomic and idempotent,
+  * so no waiting, no timeouts, no lost commit. Two RACING FULL commits
+  * are detected and fail loudly (IllegalStateException) — maintenance
+  * jobs must serialize, the same single-maintainer contract as Delta's
+  * OPTIMIZE. One consequence: in-flight (claimed-but-uncommitted)
+  * version dirs are never garbage-collected inline — [[vacuum]] reclaims
+  * genuine crash debris under the `gcGraceMs` horizon instead.
   *
   * @param retainSnapshots how many SUPERSEDED full snapshots each full
   *   commit keeps for time travel (plus the deltas between them, so every
@@ -103,27 +119,38 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       _.getPath.getName.startsWith(MarkerDelta))) Some(false)
     else None
 
+  /** One version-dir listing → (live data roots oldest-first, max
+    * committed version). Maintenance ops resolve BOTH from the same
+    * listing — the read basis and the snapshot's roots must agree, or a
+    * delta committing between two separate listings would either double
+    * (in the snapshot AND rebased above it) or vanish (in neither).
+    */
+  private def liveRootsAndBasis(name: String): (Seq[String], Long) = {
+    val dest = new Path(tablePath(name))
+    val committed = versionDirs(dest).sortBy(_._1).flatMap {
+      case (v, p) => commitKind(p).map(full => (v, p, full))
+    }
+    val basis = committed.map(_._1).maxOption.getOrElse(0L)
+    val lastFull = committed.lastIndexWhere(_._3)
+    val roots =
+      if (lastFull >= 0) committed.drop(lastFull).map(_._2.toString)
+      else {
+        val plain = fs.exists(dest) && fs.listStatus(dest).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        val deltas = committed.map(_._2.toString)
+        if (plain || deltas.isEmpty) dest.toString +: deltas else deltas
+      }
+    (roots, basis)
+  }
+
   /** The live data roots, oldest first: the latest committed full version
     * and every committed delta after it; with no full version, any
     * pre-versioning top-level files (underscore version dirs are invisible
     * to Spark's listing there) plus all committed deltas.
     */
-  def dataPaths(name: String): Seq[String] = {
-    val dest = new Path(tablePath(name))
-    val committed = versionDirs(dest).sortBy(_._1).flatMap {
-      case (v, p) => commitKind(p).map(full => (v, p, full))
-    }
-    val lastFull = committed.lastIndexWhere(_._3)
-    if (lastFull >= 0) committed.drop(lastFull).map(_._2.toString)
-    else {
-      val plain = fs.exists(dest) && fs.listStatus(dest).exists { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      val deltas = committed.map(_._2.toString)
-      if (plain || deltas.isEmpty) dest.toString +: deltas else deltas
-    }
-  }
+  def dataPaths(name: String): Seq[String] = liveRootsAndBasis(name)._1
 
   /** Newest live root (the compaction/inspection target). */
   def dataPath(name: String): String = dataPaths(name).last
@@ -247,9 +274,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * version dirs), unioned. Filters and pruning push into every branch.
     */
   private def readRoots(name: String, schema: StructType): DataFrame =
-    dataPaths(name)
+    readRootsWithBasis(name, schema)._1
+
+  /** [[readRoots]] plus the read basis from the SAME listing — the
+    * maintenance-op entry point (see [[liveRootsAndBasis]]).
+    */
+  private def readRootsWithBasis(name: String,
+      schema: StructType): (DataFrame, Long) = {
+    val (roots, basis) = liveRootsAndBasis(name)
+    (roots
       .map(p => spark.read.schema(schema).option("basePath", p).parquet(p))
-      .reduce(_ unionByName _)
+      .reduce(_ unionByName _), basis)
+  }
 
   /** Fact written via [[appendPartitionedByDay]] carries an extra
     * partition column; include it on read. Detected from the physical
@@ -361,6 +397,66 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     vdir
   }
 
+  /** Appender-side half of the optimistic-concurrency protocol: if a FULL
+    * commit landed ABOVE this fresh delta's version (a maintenance job
+    * whose snapshot predates us — our rows would be shadowed), atomically
+    * rename the delta above it. Loops because another full can land while
+    * we rename; terminates because fulls are rare and each round strictly
+    * raises our version. A failed rename means the full committer's own
+    * [[rebaseLateDeltas]] already moved us — equally live, stop.
+    */
+  private def ensureAboveFulls(dest: Path, vdir0: Path): Unit = {
+    var vdir = vdir0
+    var v = vdir.getName.drop(VersionPrefix.length).toLong
+    var moved = true
+    while (moved) {
+      val fullAbove = versionDirs(dest).exists { case (fv, p) =>
+        fv > v && commitKind(p).contains(true)
+      }
+      moved = false
+      if (fullAbove) {
+        val m = claimVersion(dest)
+        val target = new Path(dest, s"$VersionPrefix$m")
+        if (fs.rename(vdir, target)) { vdir = target; v = m; moved = true }
+      }
+    }
+  }
+
+  /** Full-committer-side half: after committing a FULL at `fullV` whose
+    * snapshot was resolved at `basis`, any delta that COMMITTED in
+    * (basis, fullV) raced the rewrite and its rows are not in the
+    * snapshot — rename each above the full (marker, batch-id ledger and
+    * zone maps move with the dir; zero data IO). Re-lists until a pass
+    * finds nothing: a delta committing after our last look self-rebases
+    * via [[ensureAboveFulls]], so the two sides together leave no lost
+    * commit. A committed FULL in the window means two racing maintenance
+    * jobs — one snapshot's changes WOULD be silently discarded, so fail
+    * loudly instead (serialize maintenance; this is Delta's
+    * concurrent-OPTIMIZE conflict, not a data race we can merge).
+    */
+  private def rebaseLateDeltas(dest: Path, basis: Long, fullV: Long): Unit = {
+    var again = true
+    while (again) {
+      val late = versionDirs(dest)
+        .filter { case (v, _) => v > basis && v < fullV }
+        .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
+      late.find(_._3).foreach { case (v, _, _) =>
+        throw new IllegalStateException(
+          s"full commit _v$fullV raced concurrent full commit _v$v " +
+            s"(read basis $basis) under $dest — one rewrite's changes " +
+            "would be lost; serialize maintenance jobs and re-run")
+      }
+      again = late.nonEmpty
+      late.foreach { case (_, p, _) =>
+        val m = claimVersion(dest)
+        // losing the rename race (source gone) is fine: the appender's
+        // own ensureAboveFulls moved it — already live above some full
+        fs.rename(p, new Path(dest, s"$VersionPrefix$m"))
+        ()
+      }
+    }
+  }
+
   /** Zone maps: one row per data file with min/max of `statsCols`,
     * written INSIDE the version dir before its commit marker (stats are
     * part of the version payload — a crash between data and stats leaves
@@ -394,11 +490,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def append(name: String, df: DataFrame,
       beforeCommit: () => Unit = () => (),
       statsCols: Seq[String] = Nil): Unit = {
-    writeVersion(name, MarkerDelta, beforeCommit) { p =>
+    val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
       df.write.mode("overwrite").parquet(p)
       writeStats(p, statsCols)
     }
-    ()
+    ensureAboveFulls(new Path(tablePath(name)), vdir)
   }
 
   /** Idempotent crash-safe append for streaming foreachBatch sinks: the
@@ -422,18 +518,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         fs.exists(new Path(p, s"$SeenPrefix$batchId"))
     }
     if (!already) {
-      writeVersion(name, marker, () => ())(p =>
+      val vdir = writeVersion(name, marker, () => ())(p =>
         df.write.mode("overwrite").parquet(p))
-      ()
+      ensureAboveFulls(dest, vdir)
     }
   }
 
   /** Crash-safe append with day partitioning (fact table). */
   def appendPartitionedByDay(name: String, df: DataFrame, tsCol: String): Unit = {
-    writeVersion(name, MarkerDelta, () => ())(p =>
+    val vdir = writeVersion(name, MarkerDelta, () => ())(p =>
       df.withColumn("trans_dt_day", to_date(col(tsCol)))
         .write.mode("overwrite").partitionBy("trans_dt_day").parquet(p))
-    ()
+    ensureAboveFulls(new Path(tablePath(name)), vdir)
   }
 
   /** Crash-safe snapshot replace: a committed FULL version shadows every
@@ -452,25 +548,47 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * partition column exists only as directory structure, so an
     * unpartitioned rewrite would read it back as NULL everywhere and
     * break every lookback filter).
+    *
+    * @param readBasis the max committed version the snapshot `df` was
+    *   resolved against (maintenance ops — delete/compact — capture it
+    *   BEFORE reading the table). Deltas committing above it during the
+    *   rewrite are rebased post-commit (see [[rebaseLateDeltas]] and the
+    *   class doc's concurrency contract). None = a blind snapshot
+    *   replace: the basis defaults to the committed max at entry, so
+    *   appends racing even a plain overwrite land on top of the new
+    *   snapshot instead of vanishing — Delta's append-vs-overwrite
+    *   serialization order.
     */
   def overwritePartitioned(name: String, df: DataFrame,
       partitionCols: Seq[String],
       beforeCommit: () => Unit = () => (),
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      readBasis: Option[Long] = None): Unit = {
     val dest = new Path(tablePath(name))
     val older = versionDirs(dest)
+    // commit kinds resolved AT ENTRY: rebaseLateDeltas below renames
+    // late dirs away, so a post-rebase commitKind on `older` would hit
+    // missing paths
+    val committedOlder = older.flatMap { case (v, p) =>
+      commitKind(p).map(full => (v, p, full))
+    }
+    val basis = readBasis.getOrElse(
+      committedOlder.map(_._1).maxOption.getOrElse(0L))
     val vdir = writeVersion(name, MarkerFull, beforeCommit) { p =>
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(p)
       writeStats(p, statsCols)
     }
+    val fullV = vdir.getName.drop(VersionPrefix.length).toLong
     // carry exactly-once batch markers out of the dirs we are about to
     // delete (a streaming batch replayed after compaction must still be
     // recognized); a crash before this completes is safe — the old dirs
-    // and their markers still exist until the deletes below
+    // and their markers still exist until the deletes below. A dir
+    // already renamed away by a racing self-rebase keeps its own marker.
     val seen = older.flatMap { case (_, p) =>
-      fs.listStatus(p).map(_.getPath.getName).collect {
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.getName).collect {
         case n if n.startsWith(s"${MarkerDelta}_b") =>
           n.stripPrefix(s"${MarkerDelta}_b")
         case n if n.startsWith(SeenPrefix) => n.stripPrefix(SeenPrefix)
@@ -478,16 +596,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }.distinct
     seen.foreach(id =>
       fs.create(new Path(vdir, s"$SeenPrefix$id"), false).close())
+    // conflict resolution BEFORE GC: late-committed deltas move above the
+    // full (their dirs must still exist when we look)
+    rebaseLateDeltas(dest, basis, fullV)
     // GC with retention: keep the newest `retainSnapshots` superseded FULL
     // commits plus every committed version at-or-after the oldest retained
-    // full (the deltas those snapshots' readAt chains need). Uncommitted
-    // dirs are crash debris and always go. With no superseded full yet but
+    // full (the deltas those snapshots' readAt chains need). Only
+    // COMMITTED dirs at-or-below the read basis are candidates: anything
+    // above the basis is a concurrent writer (rebased or in flight), and
+    // uncommitted dirs below it may be a slow in-flight append that will
+    // self-rebase on commit — genuine crash debris is [[vacuum]]'s job,
+    // under its modification-time grace. With no superseded full yet but
     // retention on, the pre-full state (committed deltas + any
     // pre-versioning top-level files) IS the previous snapshot — keep it
     // whole or readAt would silently resolve a delta-only chain.
-    val committedOlder = older.flatMap { case (v, p) =>
-      commitKind(p).map(full => (v, p, full))
-    }
     val retainedFulls = committedOlder.filter(_._3).sortBy(-_._1)
       .take(retainSnapshots)
     val keepPreVersioningBase =
@@ -503,32 +625,35 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // (resolved dataPaths before this commit) survive until [[vacuum]]
     val horizon = System.currentTimeMillis() - gcGraceMs
     def oldEnough(p: Path): Boolean =
-      gcGraceMs == 0L || fs.getFileStatus(p).getModificationTime <= horizon
-    older.foreach { case (_, p) =>
-      if (!keep(p.getName) && oldEnough(p)) fs.delete(p, true)
+      fs.exists(p) &&
+        (gcGraceMs == 0L || fs.getFileStatus(p).getModificationTime <= horizon)
+    committedOlder.foreach { case (v, p, _) =>
+      if (v <= basis && !keep(p.getName) && oldEnough(p)) fs.delete(p, true)
     }
     if (!keepPreVersioningBase)
       fs.listStatus(dest).foreach { st =>
         val n = st.getPath.getName
         if (n != vdir.getName && !n.startsWith("_") && !n.startsWith(".") &&
-          oldEnough(st.getPath))
+          !n.startsWith(VersionPrefix) && oldEnough(st.getPath))
           fs.delete(st.getPath, true)
       }
     gcClaims(dest, keepBelow = versionDirs(dest).map(_._1).toSet)
   }
 
-  /** Drop claim files whose version dir no longer exists and whose number
-    * is below the current max ON-DISK version (that max — always present:
-    * the committing writer's own dir — keeps allocation monotonic, so
-    * stale claims are pure metadata clutter once their dirs are gone).
-    * In-flight writers are safe: a claim at or above the max dir is never
-    * touched, and one below it belongs to a racer that is already
-    * shadowed by this full commit.
+  /** Drop claim files numbered below the current max ON-DISK version dir.
+    * A claim's only job is arbitration at allocation time; once a HIGHER
+    * version dir exists, allocation monotonicity is carried by that dir
+    * (next = max(dirs, claims) + 1), so every lower claim — dir present
+    * or not — is pure metadata clutter and safe to drop even under an
+    * in-flight writer (its number can never be re-issued while a higher
+    * dir exists). Dropping claims whose dirs still exist is what keeps an
+    * append-only table from accumulating one claim file per append
+    * forever, growing every listStatus.
     */
   private def gcClaims(dest: Path, keepBelow: Set[Long]): Unit = {
     val maxDir = keepBelow.maxOption.getOrElse(0L)
     claimedVersions(dest)
-      .filter(v => v < maxDir && !keepBelow(v))
+      .filter(_ < maxDir)
       .foreach(v => fs.delete(new Path(dest, s"$ClaimPrefix$v"), false))
   }
 
@@ -547,18 +672,25 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * out of scope.
     */
   def delete(name: String, predicate: org.apache.spark.sql.Column,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      beforeCommit: () => Unit = () => ()): Unit = {
     val schema = Schemas.byName.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table: $name"))
     // physical partition columns (fact's trans_dt_day) survive the
     // rewrite as partition structure, exactly as in compact
-    val partCols = readSchema(name, schema).fieldNames.toSeq
-      .diff(schema.fieldNames.toSeq)
-    val surviving = readWithPartitionColumns(name)
+    val full = readSchema(name, schema)
+    val partCols = full.fieldNames.toSeq.diff(schema.fieldNames.toSeq)
+    // snapshot + read basis from ONE listing: deltas committing past this
+    // point are not in `surviving` and get rebased post-commit
+    val (raw, basis) =
+      if (exists(name)) readRootsWithBasis(name, full)
+      else (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full), 0L)
+    val surviving = raw
       // null predicate rows survive: DELETE removes rows WHERE the
       // predicate IS TRUE, the SQL contract (NULL is not TRUE)
       .filter(!coalesce(predicate.cast("boolean"), lit(false)))
-    overwritePartitioned(name, surviving, partCols, statsCols = statsCols)
+    overwritePartitioned(name, surviving, partCols, beforeCommit,
+      statsCols = statsCols, readBasis = Some(basis))
   }
 
   /** Deferred GC (the standing cleanup job for deployments with
@@ -567,7 +699,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * a full commit — that are older than `gcGraceMs`. Only versions
     * strictly BELOW the newest full commit are candidates: anything at or
     * above it is live chain or an in-flight append, never touched. A
-    * delta-only table has nothing shadowed and vacuums to a no-op.
+    * delta-only table has nothing shadowed and vacuums to a claim-GC
+    * no-op. Vacuum is the ONLY reclaimer of uncommitted dirs (full
+    * commits leave them alone — they may be slow in-flight appends that
+    * will self-rebase at commit), so `gcGraceMs` must exceed the longest
+    * write job as well as the longest read — the same retention-vs-
+    * in-flight-writer contract as Delta's VACUUM.
     */
   def vacuum(name: String): Unit = {
     val dest = new Path(tablePath(name))
@@ -577,7 +714,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       commitKind(p).map(full => (v, p, full))
     }
     val lastFull = committed.lastIndexWhere(_._3)
-    if (lastFull < 0) return // delta-only chain: everything is live
+    if (lastFull < 0) {
+      // delta-only chain: every version is live, but stale CLAIM files
+      // are not — an append-only table (the streaming-sink shape) would
+      // otherwise accumulate one claim per append forever, growing every
+      // listStatus in claimVersion/dataPaths
+      gcClaims(dest, keepBelow = all.map(_._1).toSet)
+      return
+    }
     val newestFullV = committed(lastFull)._1
     // same retention logic as a full commit's GC, against current state —
     // INCLUDING the pre-full special case: with retention on and no
@@ -622,9 +766,32 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       throw new IllegalArgumentException(s"unknown table: $name"))
     // physical partition columns (fact's trans_dt_day) must survive the
     // rewrite as partition structure, so read them and write them back
-    val partCols = readSchema(name, schema).fieldNames.toSeq
-      .diff(schema.fieldNames.toSeq)
-    val raw = readWithPartitionColumns(name)
+    compactImpl(name, readSchema(name, schema), schema.fieldNames.toSeq,
+      numFiles, sortCols)
+  }
+
+  /** [[compact]] for versioned tables OUTSIDE the registered DWH model
+    * (schema-evolved / CDC current-state tables): the caller-supplied
+    * contract schema plays the registry's role. Reading a
+    * mixed-generation chain through the WIDENED schema null-fills the
+    * columns older files predate (the parquet missing-column contract),
+    * so compaction ACROSS a schema-evolution boundary folds both
+    * generations into one uniformly-wide snapshot — adding a column
+    * stays a zero-IO metadata event until the next scheduled compaction
+    * pays the rewrite it was already going to pay (q63). Unpartitioned
+    * tables (partitioned layouts are registry-detected, [[readSchema]]).
+    */
+  def compact(name: String, schema: StructType, numFiles: Int,
+      sortCols: Seq[String]): Unit =
+    compactImpl(name, schema, schema.fieldNames.toSeq, numFiles, sortCols)
+
+  private def compactImpl(name: String, full: StructType,
+      contractCols: Seq[String], numFiles: Int,
+      sortCols: Seq[String]): Unit = {
+    val partCols = full.fieldNames.toSeq.diff(contractCols)
+    // snapshot + read basis from one listing (concurrency contract —
+    // see class doc and overwritePartitioned's readBasis)
+    val (raw, basis) = readRootsWithBasis(name, full)
     // clustering: RANGE-repartition on the sort key, then sort within each
     // file. Round-robin + local sort would tighten row-group stats but
     // leave every FILE spanning the whole key range — per-file zone maps
@@ -639,7 +806,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // scan reads the files just written (for unpartitioned tables; a
     // partitioned rewrite keeps partition pruning as its skipping axis)
     val stats = if (partCols.isEmpty) sortCols else Nil
-    overwritePartitioned(name, clustered, partCols, statsCols = stats)
+    overwritePartitioned(name, clustered, partCols, statsCols = stats,
+      readBasis = Some(basis))
   }
 
   /** Z-order compaction: rewrite the table clustered along the Morton
@@ -655,12 +823,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       throw new IllegalArgumentException(s"unknown table: $name"))
     require(readSchema(name, schema) == schema,
       s"compactZOrder does not support partitioned table $name")
-    val raw = read(name)
+    val (raw, basis) = readRootsWithBasis(name, schema)
     val clustered = ZOrder.withZkey(raw, zCols, "_zkey", bits)
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")
-    overwritePartitioned(name, clustered, Nil, statsCols = zCols)
+    overwritePartitioned(name, clustered, Nil, statsCols = zCols,
+      readBasis = Some(basis))
   }
 
   /** Zone-map-pruned range read: rows of `name` with `colName` in

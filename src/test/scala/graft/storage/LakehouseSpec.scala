@@ -489,6 +489,76 @@ class LakehouseSpec extends SparkSpec {
       .collect().toSet == Set("c1", "c2"))
   }
 
+  test("append racing delete: both effects survive") {
+    val lake = new Lakehouse(spark, tmpDir("lake-race-append"))
+    lake.append("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2")) // v1
+    // the append claims v2 and writes its files, then — INSIDE its
+    // pre-commit window — a delete runs to completion (FULL commit whose
+    // snapshot cannot see the uncommitted v2). The old protocol silently
+    // discarded the append (last-FULL-wins) and even GC'd its dir as
+    // crash debris; now the full commit leaves in-flight dirs alone and
+    // the append, finding a full above itself at commit time, renames
+    // its delta above it (ensureAboveFulls) — BOTH writers' effects land
+    lake.append("dim_cards", dimDf("c3" -> "a3"),
+      beforeCommit = () =>
+        lake.delete("dim_cards", org.apache.spark.sql.functions
+          .col("card_num") === "c2"))
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSet == Set("c1", "c3"))
+    // on disk: the delete's full commit with the rebased delta above it
+    val vs = lake.versions("dim_cards")
+    assert(vs.exists(_._2) && !vs.last._2,
+      s"expected a full commit with the rebased delta above it: $vs")
+  }
+
+  test("a delta committed after the maintenance read basis is rebased, not lost") {
+    val lake = new Lakehouse(spark, tmpDir("lake-race-basis"))
+    lake.append("dim_cards", dimDf("c1" -> "a1"))  // v1 — the read basis
+    val snapshot = lake.read("dim_cards")          // resolves roots at v1
+    lake.append("dim_cards", dimDf("c2" -> "a2"))  // v2 — after the read
+    // a rewrite whose snapshot derives from v1 only: the late v2 delta
+    // committed above the read basis and must be rebased above the new
+    // full (rebaseLateDeltas), its rows kept
+    lake.overwritePartitioned("dim_cards", snapshot, Nil,
+      readBasis = Some(1L))
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSet == Set("c1", "c2"))
+  }
+
+  test("two racing maintenance rewrites fail loudly instead of losing one") {
+    val lake = new Lakehouse(spark, tmpDir("lake-race-full"))
+    lake.append("dim_cards", dimDf("c1" -> "a1"))  // v1
+    lake.compact("dim_cards", numFiles = 1)        // v2 full (racing job)
+    // a second rewrite whose read basis predates the racing full: its
+    // snapshot would silently discard the compact's rewrite — the
+    // conflict is detected after commit and fails loudly (Delta's
+    // concurrent-OPTIMIZE conflict; maintenance jobs must serialize)
+    val boom = intercept[IllegalStateException] {
+      lake.overwritePartitioned("dim_cards", dimDf("c9" -> "a9"), Nil,
+        readBasis = Some(1L))
+    }
+    assert(boom.getMessage.contains("raced concurrent full commit"))
+  }
+
+  test("vacuum drops stale claim files on an append-only table") {
+    // ADVICE round-4: an append-only table (the streaming-sink shape)
+    // accumulated one _GRAFT_CLAIM_ file per append forever — vacuum now
+    // drops claims below the max on-disk version even with no full commit
+    val lake = new Lakehouse(spark, tmpDir("lake-claims"))
+    (1 to 5).foreach(i => lake.append("dim_cards", dimDf(s"c$i" -> "a")))
+    val fs = new Path(lake.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def claims = fs.listStatus(new Path(lake.tablePath("dim_cards")))
+      .map(_.getPath.getName).count(_.startsWith("_GRAFT_CLAIM_"))
+    assert(claims == 5)
+    lake.vacuum("dim_cards")
+    assert(claims == 1, "only the max claim keeps allocation monotonic")
+    assert(lake.read("dim_cards").count() == 5)
+    // allocation stays monotonic off the max on-disk dir
+    lake.append("dim_cards", dimDf("c6" -> "a"))
+    assert(lake.versions("dim_cards").map(_._1).max == 6L)
+  }
+
   test("vacuum never touches a delta-only chain or in-flight versions") {
     val lake = new Lakehouse(spark, tmpDir("lake-vacuum-safe"))
     lake.append("dim_cards", dimDf("c1" -> "a1"))
