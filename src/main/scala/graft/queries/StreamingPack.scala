@@ -428,6 +428,66 @@ object StreamingPack {
           countDistinct(col("card_num").cast("bigint")).as("users"))
     }),
 
+    // s13 — streaming incremental ANN-index maintenance (round-4 verdict
+    // item 4): the continuous-ingest retrieval pattern. An initial build
+    // trains and freezes the codebook on the vec_id%3==0 slice; the
+    // remaining vectors arrive as two single-file micro-batches through a
+    // foreachBatch sink that encodes them against the STORED centroids
+    // and commits their code rows with batch-id exactly-once
+    // (AnnIndex.appendVectorsExactlyOnce). The sink CRASHES after batch
+    // 0's commit — the at-least-once window — and a new query restarts
+    // from the checkpoint, replaying batch 0 (must no-op: a re-landed
+    // batch doubles code rows and corrupts every ADC sum through join
+    // multiplicity) before draining batch 1. Serve then answers from the
+    // stored index alone. The oracle re-derives the converged index
+    // declaratively: centroids from the initial slice only, PQ codes for
+    // ALL vectors against that frozen codebook, coarse cells from the
+    // build's label column for initial vectors and from the
+    // nearest-centroid assignment rule for streamed ones — green only if
+    // continuous ingest + crash + restart converge to exactly the
+    // batch-built index state.
+    "s13_stream_index_maintenance" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s13")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      graft.ops.AnnIndex.buildIvfPq(lake,
+        emb.filter(pmod(col("id"), lit(3)) === 0))
+      val stage = dir.resolve("stream").toString
+      (1 to 2).foreach { sl =>
+        emb.filter(pmod(col("id"), lit(3)) === sl)
+          .select(col("id"), col("vec"))
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      val schema = s.read.parquet(stage).schema
+      def source = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(): Unit = {
+        val q = source.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.ops.AnnIndex.appendVectorsExactlyOnce(lake, batch, id)
+            if (id == 0L && !crashed.getAndSet(true))
+              throw new RuntimeException("injected crash after sink commit")
+        }
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val died = try { run(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("injected crash") => true
+        }
+      require(died, "s13 harness: the injected crash did not fire")
+      run() // restart drains from the checkpoint
+      graft.ops.AnnIndex.serveIvfPq(lake,
+        emb.filter(col("id") < 5).select(col("id"), col("vec")),
+        k = 5, nProbe = 2)
+    }),
+
     // hopping (sliding) event-time windows: 1-hour windows every 15
     // minutes — each event lands in exactly 4 overlapping windows, the
     // state/update-amplification shape tumbling (s01) doesn't exercise.
@@ -511,7 +571,83 @@ object StreamingPack {
       |SELECT user_id, event_id FROM runs
       |WHERE event_type = 'error' AND pos = 3""".stripMargin
 
+  /** The converged s13 index, re-derived declaratively: centroids exact
+    * floor-means over the INITIAL (vec_id%3=0) slice only — the frozen
+    * codebook; PQ codes for every vector against it; coarse cells =
+    * build label for initial vectors, nearest-centroid by integer dot
+    * (ties → smallest label) for streamed ones — AnnIndex's assignment
+    * rule; probes/ADC exactly as the e08 oracle. A doubled (replayed)
+    * batch, a dropped one, or codes encoded against retrained centroids
+    * all hash-mismatch.
+    */
+  private lazy val s13Sql: String = {
+    val qv = TrainingPack.qv
+    s"""WITH sums AS (
+       | SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qc
+       | FROM (SELECT label, $qv AS q FROM embeddings
+       |       WHERE vec_id % 3 = 0) t),
+       |cent AS (
+       | SELECT label, dim,
+       |  CAST((CAST(sum(qc) AS BIGINT)
+       |        - ((CAST(sum(qc) AS BIGINT) % count(*)) + count(*)) % count(*))
+       |       / count(*) AS BIGINT) AS c
+       | FROM sums GROUP BY label, dim),
+       |cd AS (
+       | SELECT vec_id, label, dim // 16 AS s,
+       |  CAST(sum((qc - c) * (qc - c)) AS BIGINT) AS d2
+       | FROM (SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,
+       |        unnest(q) AS qc
+       |       FROM (SELECT vec_id, $qv AS q FROM embeddings) t) v
+       | JOIN cent USING (dim)
+       | GROUP BY vec_id, label, dim // 16),
+       |codes AS (
+       | SELECT vec_id AS neighbor_id, s, label FROM (
+       |  SELECT vec_id, s, label,
+       |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, label) AS rn
+       |  FROM cd) t WHERE rn = 1),
+       |qdists AS (SELECT vec_id AS query_id, s, label, d2 FROM cd
+       |           WHERE vec_id < 5),
+       |vfull AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,
+       |           unnest(q) AS qc
+       |          FROM (SELECT vec_id, $qv AS q FROM embeddings) t),
+       |vdot AS (SELECT vec_id, label, CAST(sum(qc * c) AS BIGINT) AS cdot
+       |         FROM vfull JOIN cent USING (dim) GROUP BY vec_id, label),
+       |assigned AS (
+       | SELECT vec_id AS neighbor_id, label AS coarse FROM (
+       |  SELECT vec_id, label,
+       |   row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY cdot DESC, label) AS pr
+       |  FROM vdot) t WHERE pr = 1),
+       |co AS (SELECT vec_id AS neighbor_id, label AS coarse
+       |       FROM embeddings WHERE vec_id % 3 = 0
+       |       UNION ALL
+       |       SELECT neighbor_id, coarse FROM assigned
+       |       WHERE neighbor_id % 3 <> 0),
+       |probes AS (
+       | SELECT query_id, label AS coarse FROM (
+       |  SELECT vec_id AS query_id, label,
+       |   row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY cdot DESC, label) AS pr
+       |  FROM vdot WHERE vec_id < 5) t WHERE pr <= 2),
+       |adc AS (
+       | SELECT qdists.query_id, codes.neighbor_id,
+       |  CAST(sum(qdists.d2) AS BIGINT) AS dist
+       | FROM codes
+       | JOIN co USING (neighbor_id)
+       | JOIN probes ON probes.coarse = co.coarse
+       | JOIN qdists ON qdists.query_id = probes.query_id
+       |            AND qdists.s = codes.s AND qdists.label = codes.label
+       | WHERE codes.neighbor_id <> qdists.query_id
+       | GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, dist, rk FROM (
+       | SELECT query_id, neighbor_id, dist,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist, neighbor_id) AS rk
+       | FROM adc) t WHERE rk <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s13_stream_index_maintenance" -> s13Sql,
     "s01_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         | count(*) AS n

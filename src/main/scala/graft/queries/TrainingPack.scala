@@ -598,6 +598,28 @@ object TrainingPack {
         k = 5, nProbe = 2, candidateFilter = pmod(col("coarse"), lit(2)) === 0)
     }),
 
+    // e14 — takedown propagation into the PERSISTED index (round-4
+    // verdict item 2): build → delete a deterministic id slice from the
+    // stored code rows (AnnIndex.deleteVectors, one atomic FULL commit,
+    // centroids frozen) → serve. The oracle is the e08 chain with the
+    // deleted ids excluded from the candidate set: green only if the
+    // delete removed exactly those neighbors from the STORED lists and
+    // the serve path never resurrects them — the q61 table-level
+    // takedown story carried through to the derived index, which is
+    // what compliance actually requires.
+    "e14_ann_index_delete" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-annidxdel")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val corpus = embs(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      graft.ops.AnnIndex.buildIvfPq(lake, corpus)
+      graft.ops.AnnIndex.deleteVectors(lake,
+        corpus.filter(pmod(col("id"), lit(5)) === 0).select(col("id")))
+      graft.ops.AnnIndex.serveIvfPq(lake,
+        corpus.filter(col("id") < 5).select(col("id"), col("vec")),
+        k = 5, nProbe = 2)
+    }),
+
     // e08 + exact re-rank — the complete production retrieval shape:
     // quantized shortlist (20 ADC candidates/query), exact integer-dot
     // re-rank to top 5 on that sliver only
@@ -1125,7 +1147,7 @@ object TrainingPack {
   private def h32(e: String, seed: Int): String =
     s"CAST(concat('0x', substr(md5(concat($e, '#$seed')), 1, 8)) AS BIGINT)"
 
-  private val qv =
+  private[queries] val qv =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
 
   // CAST: DuckDB list_sum yields HUGEINT, which pandas renders as float64
@@ -1881,6 +1903,16 @@ object TrainingPack {
     // coarse cell — ((coarse % 2) + 2) % 2 = 0 is pmod parity
     "e13_ann_index_serve_filtered" ->
       s"""WITH ${ivfPqAdcCtesWith("((co.coarse % 2) + 2) % 2 = 0")}
+         |SELECT query_id, neighbor_id, dist, rk FROM (
+         | SELECT query_id, neighbor_id, dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dist, neighbor_id) AS rk
+         | FROM adc) t WHERE rk <= 5""".stripMargin,
+    // e14: the e08 chain minus the deleted id slice — candidates whose
+    // neighbor_id is a multiple of 5 must never appear after
+    // deleteVectors ran against the stored lists
+    "e14_ann_index_delete" ->
+      s"""WITH ${ivfPqAdcCtesWith("codes.neighbor_id % 5 <> 0")}
          |SELECT query_id, neighbor_id, dist, rk FROM (
          | SELECT query_id, neighbor_id, dist,
          |  row_number() OVER (PARTITION BY query_id

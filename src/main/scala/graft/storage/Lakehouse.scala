@@ -263,11 +263,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * resolution; the explicit schema plays the registry's role.
     */
   def read(name: String, schema: StructType): DataFrame =
-    if (exists(name))
-      readRoots(name, schema)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    readWithBasis(name, schema)._1
+
+  /** [[read]] (explicit schema) plus the read basis from the SAME
+    * listing — the entry point for maintenance jobs on unregistered
+    * tables that rewrite what they read (e.g. AnnIndex.deleteVectors)
+    * and must hand [[overwritePartitioned]] an exact `readBasis` for
+    * its conflict detection (a basis captured by a separate listing
+    * could double or drop a delta committing between the two).
+    */
+  def readWithBasis(name: String, schema: StructType): (DataFrame, Long) =
+    if (exists(name)) {
+      val (df, basis) = readRootsWithBasis(name, schema)
+      (df.select(schema.fieldNames.map(col).toIndexedSeq: _*), basis)
+    } else
+      (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), 0L)
 
   /** One scan per live root, each its own partition-discovery base (a
     * multi-path read would try to find one common base and trip over the

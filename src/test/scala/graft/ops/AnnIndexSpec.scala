@@ -76,6 +76,42 @@ class AnnIndexSpec extends SparkSpec {
       s"twin must sit at the minimal ADC distance: ${served.toSeq}")
   }
 
+  test("deleteVectors forgets ids atomically; appends survive via rebase") {
+    val lake = new Lakehouse(spark, tmpDir("annidx-delete"))
+    AnnIndex.buildIvfPq(lake, corpus)
+    val preCent = lake.read(AnnIndex.IndexTable, AnnIndex.indexSchema)
+      .filter(col("kind") === "cent").collect().toSet
+    val victims = corpus.filter(pmod(col("id"), lit(5)) === 0).select(col("id"))
+    AnnIndex.deleteVectors(lake, victims)
+    // one atomic FULL commit; the deleted ids' code rows are gone, every
+    // other code row intact, centroids byte-identical (frozen geometry)
+    val vs = lake.versions(AnnIndex.IndexTable)
+    assert(vs.last._2, s"delete must commit as a full rewrite: $vs")
+    assert(codesOf(lake)
+      .filter(pmod(col("neighbor_id"), lit(5)) === 0).count() == 0)
+    assert(codesOf(lake).count() ==
+      corpus.filter(pmod(col("id"), lit(5)) =!= 0).count() * 4)
+    assert(lake.read(AnnIndex.IndexTable, AnnIndex.indexSchema)
+      .filter(col("kind") === "cent").collect().toSet == preCent)
+    // the serve path can no longer return a deleted neighbor
+    val served = AnnIndex.serveIvfPq(lake,
+      corpus.filter(col("id") < 3).select(col("id"), col("vec")),
+      k = 5, nProbe = 2)
+    assert(served.filter(pmod(col("neighbor_id"), lit(5)) === 0).count() == 0)
+    assert(served.count() > 0)
+  }
+
+  test("appendVectors without a built index fails loudly, never drops rows") {
+    val lake = new Lakehouse(spark, tmpDir("annidx-nobuild"))
+    val boom = intercept[IllegalArgumentException] {
+      AnnIndex.appendVectors(lake,
+        corpus.filter(col("id") < 2).select(col("id"), col("vec")))
+    }
+    assert(boom.getMessage.contains("buildIvfPq"))
+    // nothing half-committed
+    assert(lake.versions(AnnIndex.IndexTable).isEmpty)
+  }
+
   test("filtered serve restricts candidates but never rebuilds the index") {
     val lake = new Lakehouse(spark, tmpDir("annidx-filter"))
     AnnIndex.buildIvfPq(lake, corpus)
