@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the bench result from the TAIL of sbt's stdout,
+// which has failed four rounds running for two reasons: sbt's logger
+// prefixes every forked-process line with "[info] " (corrupting the JSON
+// line itself), and the "[success] Total time: ..." epilogue lands after
+// it. StdoutOutput passes the forked JVM's stdout through RAW (no logger,
+// no prefix) and showSuccess drops the epilogue — so the LAST stdout line
+// of a `runMain graft.Bench` run IS the bare compact result JSON.
+// (Failures still print "[error]" lines and fail the exit code.)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,15 +28,19 @@ import org.apache.spark.sql.SparkSession
   * each sweep visits queries in a different deterministic order (seeded
   * shuffle — a systematic neighbor effect can't bias the same query
   * twice); and a GC quiesce runs between sweeps so one sweep's garbage
-  * isn't the next sweep's pause. The q49/q50 protocol replays run once
-  * per bench — each is a ~40-job end-to-end ETL replay whose per-job
-  * overhead dominates; sweeping them would triple bench wall-clock for no
-  * variance insight.
+  * isn't the next sweep's pause. The q49/q50 protocol replays run twice
+  * (interleaved, sweeps 1-2 — see [[RunTwice]]).
   */
 object Bench {
 
-  /** Full pipeline replays: timed, but once per bench run (see above). */
-  private val RunOnce = Set("q49_pipeline_scd2", "q50_pipeline_scd1")
+  /** Full pipeline replays: timed in the first TWO sweeps only. Round 4
+    * ran them once and a 1.4× q50 move was unfalsifiable on n=1 (verdict
+    * item 3); two interleaved samples make a real shift distinguishable
+    * from one unlucky run, while the third sweep stays cheap (each
+    * replay is a ~40-job ETL whose per-job overhead dominates — a third
+    * sample buys little variance insight for its wall-clock).
+    */
+  private val RunTwice = Set("q49_pipeline_scd2", "q50_pipeline_scd1")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,7 +74,7 @@ object Bench {
       // rounds (comparable artifacts), different order per sweep (no
       // query inherits the same neighbor's GC/JIT debt twice)
       val order = new scala.util.Random(42L + r).shuffle(names)
-      for (name <- order if r == 1 || !RunOnce.contains(name)) {
+      for (name <- order if r <= 2 || !RunTwice.contains(name)) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val sec =
@@ -132,10 +136,16 @@ object Bench {
         jmap(names.map(n => n -> f3(best(n))))},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
     writeFile("BENCH_RESULT.json", fullLine)
     // compact keys: unique short prefix before the first underscore
-    // ("q49_pipeline_scd2" → "q49") — all pack names are prefix-unique
+    // ("q49_pipeline_scd2" → "q49"). CHECKED, not assumed: a future name
+    // collision would silently emit duplicate JSON keys and corrupt the
+    // driver-parsed artifact — fall back to full names (losing only
+    // compactness, not validity)
+    val prefixes = names.map(_.takeWhile(_ != '_'))
+    val compactKeys =
+      if (prefixes.distinct.sizeIs == names.size) prefixes else names
     val compactLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
-        jmap(names.map(n => n.takeWhile(_ != '_') -> f3(best(n))))},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
+        jmap(compactKeys.zip(names).map { case (k, n) => k -> f3(best(n)) })},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
     // silence everything BEFORE printing so no shutdown log lands after
     // the JSON in a merged stdout+stderr capture; stop() is guarded for
     // the same reason — the lines must print even if shutdown throws
