@@ -112,6 +112,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(lake.versions(AnnIndex.IndexTable).isEmpty)
   }
 
+  test("vacuum composes with an appendVectors delta chain (round-4 item 7)") {
+    // the index table under its real maintenance lifecycle: build (full)
+    // + incremental deltas is ALL live chain — vacuum must reclaim
+    // nothing; after a rebuild shadows it, grace defers reclamation
+    // until a vacuum past the horizon, and serve survives throughout
+    val lake = new Lakehouse(spark, tmpDir("annidx-vacuum"),
+      gcGraceMs = 3600L * 1000)
+    AnnIndex.buildIvfPq(lake, corpus)
+    val maxId = corpus.agg(max(col("id"))).as[Long].head()
+    AnnIndex.appendVectors(lake, corpus.filter(col("id") === 0L)
+      .select((col("id") + maxId + 1L).as("id"), col("vec")))
+    AnnIndex.appendVectors(lake, corpus.filter(col("id") === 1L)
+      .select((col("id") + maxId + 2L).as("id"), col("vec")))
+    val rows = lake.read(AnnIndex.IndexTable, AnnIndex.indexSchema).count()
+    lake.vacuum(AnnIndex.IndexTable)
+    assert(lake.versions(AnnIndex.IndexTable).sizeIs == 3 &&
+      lake.read(AnnIndex.IndexTable, AnnIndex.indexSchema).count() == rows,
+      "vacuum touched the live build+delta chain")
+    // scheduled retrain shadows the old generation; within grace the old
+    // dirs stay for in-flight readers, and vacuum past the horizon (a
+    // zero-grace handle models expiry) reclaims exactly them
+    AnnIndex.buildIvfPq(lake, corpus)
+    assert(lake.versions(AnnIndex.IndexTable).count(_._2) == 2,
+      "grace must defer the rebuild's GC")
+    new Lakehouse(spark, lake.root, gcGraceMs = 0L)
+      .vacuum(AnnIndex.IndexTable)
+    val vs = lake.versions(AnnIndex.IndexTable)
+    assert(vs.sizeIs == 1 && vs.head._2,
+      s"vacuum must leave only the new generation: $vs")
+    assert(AnnIndex.serveIvfPq(lake,
+      corpus.filter(col("id") === 0L).select(col("id"), col("vec")),
+      k = 3, nProbe = 2).count() > 0)
+  }
+
   test("filtered serve restricts candidates but never rebuilds the index") {
     val lake = new Lakehouse(spark, tmpDir("annidx-filter"))
     AnnIndex.buildIvfPq(lake, corpus)
