@@ -111,26 +111,39 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   /** None = uncommitted; Some(true) = full snapshot; Some(false) = delta
     * (incl. batchId-suffixed exactly-once markers, `_GRAFT_COMMIT_DELTA_b<id>`).
+    * A dir that vanishes between the caller's listing and this probe
+    * (GC'd or rebase-renamed by a concurrent maintainer) reads as
+    * uncommitted — invisible, exactly as if the listing had missed it.
     */
   private def commitKind(vdir: Path): Option[Boolean] =
-    if (fs.exists(new Path(vdir, MarkerFull)) ||
-      fs.exists(new Path(vdir, MarkerLegacy))) Some(true)
-    else if (fs.listStatus(vdir).exists(
-      _.getPath.getName.startsWith(MarkerDelta))) Some(false)
-    else None
+    try {
+      if (fs.exists(new Path(vdir, MarkerFull)) ||
+        fs.exists(new Path(vdir, MarkerLegacy))) Some(true)
+      else if (fs.listStatus(vdir).exists(
+        _.getPath.getName.startsWith(MarkerDelta))) Some(false)
+      else None
+    } catch { case _: java.io.FileNotFoundException => None }
 
-  /** One version-dir listing → (live data roots oldest-first, max
-    * committed version). Maintenance ops resolve BOTH from the same
-    * listing — the read basis and the snapshot's roots must agree, or a
-    * delta committing between two separate listings would either double
-    * (in the snapshot AND rebased above it) or vanish (in neither).
+  /** One version-dir listing → (live data roots oldest-first, snapshot
+    * provenance). Maintenance ops resolve BOTH from the same listing —
+    * the read basis and the snapshot's roots must agree, or a delta
+    * committing between two separate listings would either double (in
+    * the snapshot AND rebased above it) or vanish (in neither). The
+    * provenance carries the EXACT committed set, not just its max: a
+    * delta can claim a low number early and commit late, so
+    * "version ≤ max committed" does NOT imply "was in the snapshot" —
+    * GC'ing on that implication lost racing appends (StressCommit
+    * caught it; see [[overwritePartitioned]]'s GC rule).
     */
-  private def liveRootsAndBasis(name: String): (Seq[String], Long) = {
+  private def liveRootsAndBasis(
+      name: String): (Seq[String], Lakehouse.ReadBasis) = {
     val dest = new Path(tablePath(name))
     val committed = versionDirs(dest).sortBy(_._1).flatMap {
       case (v, p) => commitKind(p).map(full => (v, p, full))
     }
-    val basis = committed.map(_._1).maxOption.getOrElse(0L)
+    val basis = Lakehouse.ReadBasis(
+      committed.map(_._1).maxOption.getOrElse(0L),
+      committed.map(_._1).toSet)
     val lastFull = committed.lastIndexWhere(_._3)
     val roots =
       if (lastFull >= 0) committed.drop(lastFull).map(_._2.toString)
@@ -272,12 +285,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * its conflict detection (a basis captured by a separate listing
     * could double or drop a delta committing between the two).
     */
-  def readWithBasis(name: String, schema: StructType): (DataFrame, Long) =
+  def readWithBasis(name: String,
+      schema: StructType): (DataFrame, Lakehouse.ReadBasis) =
     if (exists(name)) {
       val (df, basis) = readRootsWithBasis(name, schema)
       (df.select(schema.fieldNames.map(col).toIndexedSeq: _*), basis)
     } else
-      (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), 0L)
+      (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        Lakehouse.ReadBasis(0L, Set.empty))
 
   /** One scan per live root, each its own partition-discovery base (a
     * multi-path read would try to find one common base and trip over the
@@ -290,7 +305,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * maintenance-op entry point (see [[liveRootsAndBasis]]).
     */
   private def readRootsWithBasis(name: String,
-      schema: StructType): (DataFrame, Long) = {
+      schema: StructType): (DataFrame, Lakehouse.ReadBasis) = {
     val (roots, basis) = liveRootsAndBasis(name)
     (roots
       .map(p => spark.read.schema(schema).option("basePath", p).parquet(p))
@@ -407,6 +422,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     vdir
   }
 
+  /** Atomic dir rename where a vanished source means "the other mover
+    * won the race" (false) — the protocol's idempotent-mover contract.
+    * Hadoop's local ChecksumFileSystem throws FileNotFoundException from
+    * rename(missing, _) instead of returning false.
+    */
+  private def tryRename(src: Path, dst: Path): Boolean =
+    try fs.rename(src, dst)
+    catch { case _: java.io.FileNotFoundException => false }
+
   /** Appender-side half of the optimistic-concurrency protocol: if a FULL
     * commit landed ABOVE this fresh delta's version (a maintenance job
     * whose snapshot predates us — our rows would be shadowed), atomically
@@ -427,42 +451,49 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (fullAbove) {
         val m = claimVersion(dest)
         val target = new Path(dest, s"$VersionPrefix$m")
-        if (fs.rename(vdir, target)) { vdir = target; v = m; moved = true }
+        if (tryRename(vdir, target)) { vdir = target; v = m; moved = true }
       }
     }
   }
 
   /** Full-committer-side half: after committing a FULL at `fullV` whose
-    * snapshot was resolved at `basis`, any delta that COMMITTED in
-    * (basis, fullV) raced the rewrite and its rows are not in the
-    * snapshot — rename each above the full (marker, batch-id ledger and
-    * zone maps move with the dir; zero data IO). Re-lists until a pass
-    * finds nothing: a delta committing after our last look self-rebases
-    * via [[ensureAboveFulls]], so the two sides together leave no lost
-    * commit. A committed FULL in the window means two racing maintenance
-    * jobs — one snapshot's changes WOULD be silently discarded, so fail
-    * loudly instead (serialize maintenance; this is Delta's
-    * concurrent-OPTIMIZE conflict, not a data race we can merge).
+    * snapshot derives from the `basis` listing, any delta below `fullV`
+    * that is committed but NOT in the basis's committed set raced the
+    * rewrite and its rows are not in the snapshot — rename each above
+    * the full (marker, batch-id ledger and zone maps move with the dir;
+    * zero data IO), then re-ensure the target sits above any full a
+    * racing maintainer may have stacked meanwhile. Membership in the
+    * SET, not version comparison: a delta can claim a low number early
+    * and commit late, landing below max-committed without ever being
+    * readable by the snapshot. Re-lists until a pass finds nothing: a
+    * delta committing after our last look self-rebases via
+    * [[ensureAboveFulls]], so the two sides together leave no lost
+    * commit. A late-committed FULL means two racing maintenance jobs —
+    * one snapshot's changes WOULD be silently discarded, so fail loudly
+    * instead (serialize maintenance; this is Delta's concurrent-OPTIMIZE
+    * conflict, not a data race we can merge).
     */
-  private def rebaseLateDeltas(dest: Path, basis: Long, fullV: Long): Unit = {
+  private def rebaseLateDeltas(dest: Path, basis: Lakehouse.ReadBasis,
+      fullV: Long): Unit = {
     var again = true
     while (again) {
       val late = versionDirs(dest)
-        .filter { case (v, _) => v > basis && v < fullV }
+        .filter { case (v, _) => v < fullV && !basis.committed(v) }
         .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
       late.find(_._3).foreach { case (v, _, _) =>
         throw new IllegalStateException(
           s"full commit _v$fullV raced concurrent full commit _v$v " +
-            s"(read basis $basis) under $dest — one rewrite's changes " +
-            "would be lost; serialize maintenance jobs and re-run")
+            s"(read basis ${basis.maxCommitted}) under $dest — one " +
+            "rewrite's changes would be lost; serialize maintenance " +
+            "jobs and re-run")
       }
       again = late.nonEmpty
       late.foreach { case (_, p, _) =>
         val m = claimVersion(dest)
+        val target = new Path(dest, s"$VersionPrefix$m")
         // losing the rename race (source gone) is fine: the appender's
         // own ensureAboveFulls moved it — already live above some full
-        fs.rename(p, new Path(dest, s"$VersionPrefix$m"))
-        ()
+        if (tryRename(p, target)) ensureAboveFulls(dest, target)
       }
     }
   }
@@ -559,21 +590,22 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * unpartitioned rewrite would read it back as NULL everywhere and
     * break every lookback filter).
     *
-    * @param readBasis the max committed version the snapshot `df` was
-    *   resolved against (maintenance ops — delete/compact — capture it
-    *   BEFORE reading the table). Deltas committing above it during the
-    *   rewrite are rebased post-commit (see [[rebaseLateDeltas]] and the
-    *   class doc's concurrency contract). None = a blind snapshot
-    *   replace: the basis defaults to the committed max at entry, so
-    *   appends racing even a plain overwrite land on top of the new
-    *   snapshot instead of vanishing — Delta's append-vs-overwrite
-    *   serialization order.
+    * @param readBasis the snapshot provenance — the committed version
+    *   set (from the ONE listing) the snapshot `df` was resolved
+    *   against; maintenance ops (delete/compact) capture it WITH their
+    *   read ([[readWithBasis]]). Committed dirs outside the set are
+    *   rebased above the new full post-commit, never GC'd (see
+    *   [[rebaseLateDeltas]] and the class doc's concurrency contract).
+    *   None = a blind snapshot replace: the basis defaults to the
+    *   committed set at entry, so appends racing even a plain overwrite
+    *   land on top of the new snapshot instead of vanishing — Delta's
+    *   append-vs-overwrite serialization order.
     */
   def overwritePartitioned(name: String, df: DataFrame,
       partitionCols: Seq[String],
       beforeCommit: () => Unit = () => (),
       statsCols: Seq[String] = Nil,
-      readBasis: Option[Long] = None): Unit = {
+      readBasis: Option[Lakehouse.ReadBasis] = None): Unit = {
     val dest = new Path(tablePath(name))
     val older = versionDirs(dest)
     // commit kinds resolved AT ENTRY: rebaseLateDeltas below renames
@@ -582,8 +614,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val committedOlder = older.flatMap { case (v, p) =>
       commitKind(p).map(full => (v, p, full))
     }
-    val basis = readBasis.getOrElse(
-      committedOlder.map(_._1).maxOption.getOrElse(0L))
+    val basis = readBasis.getOrElse(Lakehouse.ReadBasis(
+      committedOlder.map(_._1).maxOption.getOrElse(0L),
+      committedOlder.map(_._1).toSet))
     val vdir = writeVersion(name, MarkerFull, beforeCommit) { p =>
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -611,15 +644,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     rebaseLateDeltas(dest, basis, fullV)
     // GC with retention: keep the newest `retainSnapshots` superseded FULL
     // commits plus every committed version at-or-after the oldest retained
-    // full (the deltas those snapshots' readAt chains need). Only
-    // COMMITTED dirs at-or-below the read basis are candidates: anything
-    // above the basis is a concurrent writer (rebased or in flight), and
-    // uncommitted dirs below it may be a slow in-flight append that will
-    // self-rebase on commit — genuine crash debris is [[vacuum]]'s job,
-    // under its modification-time grace. With no superseded full yet but
-    // retention on, the pre-full state (committed deltas + any
-    // pre-versioning top-level files) IS the previous snapshot — keep it
-    // whole or readAt would silently resolve a delta-only chain.
+    // full (the deltas those snapshots' readAt chains need). ONLY dirs in
+    // the read basis's committed SET are candidates — exactly the
+    // versions whose content the snapshot (or its retention history)
+    // accounts for. Anything else is a concurrent writer: committed
+    // outside the set → rebased, uncommitted → possibly a slow in-flight
+    // append that will self-rebase on commit; genuine crash debris is
+    // [[vacuum]]'s job, under its modification-time grace. (Set
+    // membership, not `v <= maxCommitted`: a delta claiming a low number
+    // early and committing late sits below the max without ever being
+    // readable by the snapshot — GC'ing it lost racing appends until
+    // StressCommit caught it.) With no superseded full yet but retention
+    // on, the pre-full state (committed deltas + any pre-versioning
+    // top-level files) IS the previous snapshot — keep it whole or
+    // readAt would silently resolve a delta-only chain.
     val retainedFulls = committedOlder.filter(_._3).sortBy(-_._1)
       .take(retainSnapshots)
     val keepPreVersioningBase =
@@ -638,7 +676,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       fs.exists(p) &&
         (gcGraceMs == 0L || fs.getFileStatus(p).getModificationTime <= horizon)
     committedOlder.foreach { case (v, p, _) =>
-      if (v <= basis && !keep(p.getName) && oldEnough(p)) fs.delete(p, true)
+      if (basis.committed(v) && !keep(p.getName) && oldEnough(p))
+        fs.delete(p, true)
     }
     if (!keepPreVersioningBase)
       fs.listStatus(dest).foreach { st =>
@@ -694,7 +733,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // point are not in `surviving` and get rebased post-commit
     val (raw, basis) =
       if (exists(name)) readRootsWithBasis(name, full)
-      else (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full), 0L)
+      else (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full),
+        Lakehouse.ReadBasis(0L, Set.empty))
     val surviving = raw
       // null predicate rows survive: DELETE removes rows WHERE the
       // predicate IS TRUE, the SQL contract (NULL is not TRUE)
@@ -798,6 +838,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private def compactImpl(name: String, full: StructType,
       contractCols: Seq[String], numFiles: Int,
       sortCols: Seq[String]): Unit = {
+    // a standing maintenance job may tick before the table's first
+    // append — nothing to fold is a no-op, not an error
+    if (!exists(name)) return
     val partCols = full.fieldNames.toSeq.diff(contractCols)
     // snapshot + read basis from one listing (concurrency contract —
     // see class doc and overwritePartitioned's readBasis)
@@ -921,4 +964,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   }
 
   def drop(name: String): Unit = truncate(name)
+}
+
+object Lakehouse {
+
+  /** Snapshot provenance for a maintenance rewrite: the committed
+    * version SET (and its max) at the one listing that resolved the
+    * snapshot's roots ([[Lakehouse.readWithBasis]]). The set — not just
+    * the max — is load-bearing: a writer can claim a low version number
+    * early and commit it late, so a version below the max may still
+    * postdate the snapshot; the commit protocol GC's exactly the set
+    * members and rebases every other committed dir above the new full.
+    */
+  final case class ReadBasis(maxCommitted: Long, committed: Set[Long])
 }

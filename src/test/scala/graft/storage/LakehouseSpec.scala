@@ -520,7 +520,7 @@ class LakehouseSpec extends SparkSpec {
     // committed above the read basis and must be rebased above the new
     // full (rebaseLateDeltas), its rows kept
     lake.overwritePartitioned("dim_cards", snapshot, Nil,
-      readBasis = Some(1L))
+      readBasis = Some(Lakehouse.ReadBasis(1L, Set(1L))))
     assert(lake.read("dim_cards").select("card_num").as[String]
       .collect().toSet == Set("c1", "c2"))
   }
@@ -535,7 +535,7 @@ class LakehouseSpec extends SparkSpec {
     // concurrent-OPTIMIZE conflict; maintenance jobs must serialize)
     val boom = intercept[IllegalStateException] {
       lake.overwritePartitioned("dim_cards", dimDf("c9" -> "a9"), Nil,
-        readBasis = Some(1L))
+        readBasis = Some(Lakehouse.ReadBasis(1L, Set(1L))))
     }
     assert(boom.getMessage.contains("raced concurrent full commit"))
   }

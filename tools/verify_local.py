@@ -122,6 +122,12 @@ def canon(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: write a CORRECTNESS_SF*-style JSON artifact (round >= 4)
+    json_out = None
+    for a in sys.argv[3:]:
+        if a.startswith("--json="):
+            json_out = a[len("--json="):]
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -144,14 +150,21 @@ def main():
             exp_cols = [d[0] for d in con.description]
         except Exception as e:
             print(f"  X {name}: ORACLE SQL ERROR: {e}")
+            results[name] = {"pass": False, "rows": len(got),
+                             "note": f"oracle sql error: {e}"}
             n_fail += 1
             continue
         gc, gr = canon(got, got_cols)
         ec, er = canon(exp, exp_cols)
+        results[name] = {"pass": True, "rows": len(gr), "note": None}
         if gc != ec:
             print(f"  X {name}: COLUMNS differ spark={gc} duck={ec}")
+            results[name] = {"pass": False, "rows": len(gr),
+                             "note": "columns differ"}
             n_fail += 1
         elif gr != er:
+            results[name] = {"pass": False, "rows": len(gr),
+                             "note": "rows differ"}
             n_fail += 1
             diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
             print(f"  X {name}: ROWS differ (spark={len(gr)} duck={len(er)})")
@@ -166,11 +179,20 @@ def main():
             pm = pandas_mismatch(con, qdir, oracle[name])
             if pm is not None:
                 n_fail += 1
+                results[name] = {"pass": False, "rows": len(gr),
+                                 "note": f"driver-path: {pm}"}
                 print(f"  X {name}: values ok but DRIVER-PATH fails: {pm}")
             else:
                 n_pass += 1
                 print(f"  ok {name} ({len(gr)} rows)")
     print(f"PASS {n_pass} FAIL {n_fail}")
+    if json_out:
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        Path(json_out).write_text(json.dumps({
+            "sf": sf, "round": 5,
+            "gate": "tools/verify_local.py (local replica of the driver "
+                    "DuckDB hash-compare, incl. the pandas driver-path layer)",
+            "pass": n_pass, "fail": n_fail, "queries": results}, indent=1))
     sys.exit(1 if n_fail else 0)
 
 
