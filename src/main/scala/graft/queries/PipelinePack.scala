@@ -371,6 +371,68 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       require(vs.nonEmpty && vs.last._2 && lake.dataPaths("events_evolved")
         .sizeIs == 1, s"compaction did not fold the chain: $vs")
       lake.read("events_evolved", wide)
+    }),
+    // q64 — MERGE INTO (upsert): the CDC-apply operator as one
+    // copy-on-write FULL commit. Slices 0+1 are the standing table; the
+    // source is every even-keyed order with amt shifted by +1000 —
+    // matched keys (%3∈{0,1} ∧ %2=0) must come back UPDATED, unmatched
+    // source keys (%3=2 ∧ %2=0) INSERTED, untouched rows (%2=1)
+    // byte-identical. The oracle recomputes the merged state straight
+    // from `orders` with the same CASE — a merge that dropped untouched
+    // rows, double-applied the update, or missed an insert
+    // hash-mismatches. (Scale: the key join broadcasts the CDC-batch
+    // side; the rewrite is the copy-on-write trade delete already
+    // carries.)
+    "q64_merge_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-merge")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val asFact = ordersAsFact(s, d)
+      def slice(k: Int) =
+        asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice")
+      lake.append("fact_transactions", slice(0))
+      lake.append("fact_transactions", slice(1))
+      val source = asFact.filter(pmod(col("_slice"), lit(2)) === 0)
+        .drop("_slice")
+        .withColumn("amt",
+          (col("amt") + lit(1000)).cast("decimal(18,2)"))
+      lake.merge("fact_transactions", source, Seq("trans_id"))
+      sliceAgg(lake.read("fact_transactions"))
+    }),
+    // q65 — write-time change data feed (Delta CDF): inserts stream from
+    // the delta commits, the DELETE's removed rows from the change-data
+    // files recorded INSIDE its FULL commit (cdf = true), and the
+    // trailing compaction contributes an EMPTY recorded feed — the feed
+    // crosses standing maintenance without breaking. The oracle
+    // recomputes both change sets from `orders`; a feed that missed the
+    // delete's rows, misattributed an insert, or broke on the compact
+    // hash-mismatches. gcGraceMs (the reader-vs-maintenance horizon)
+    // keeps every version dir of this run on disk — a CDF consumer IS a
+    // reader of old versions, so a deployment serving a feed runs with a
+    // grace window covering its consumers' lag (the feed's completeness
+    // contract throws on GC'd versions rather than yielding a gap).
+    "q65_change_data_feed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdf")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString,
+        retainSnapshots = 1, gcGraceMs = 3600000L)
+      val asFact = ordersAsFact(s, d)
+      def slice(k: Int) =
+        asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice")
+      lake.append("fact_transactions", slice(0))
+      lake.append("fact_transactions", slice(1))
+      lake.delete("fact_transactions",
+        pmod(col("trans_id").cast("bigint"), lit(7)) === 0, cdf = true)
+      lake.append("fact_transactions", slice(2))
+      lake.compact("fact_transactions", numFiles = 2,
+        sortCols = Seq("trans_date"))
+      val latest = lake.versions("fact_transactions").map(_._1).max
+      val feed = lake.changeFeed("fact_transactions", 0L, latest)
+      feed.groupBy(col("_change_type").as("change_type"),
+          month(col("trans_date")).cast("bigint").as("order_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("trans_id").cast("bigint")).as("key_sum"),
+          sum(col("amt")).cast("double").as("amt_sum"))
     })
   )
 
@@ -420,6 +482,34 @@ FROM orders WHERE $pred GROUP BY 1"""
         | CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
         | CASE WHEN event_id % 2 = 1 THEN value END AS value
         |FROM events""".stripMargin,
+    // merged state: slices 0+1 as the standing table, every even key
+    // upserted with amt+1000 (matched → updated, unmatched → inserted)
+    "q64_merge_upsert" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CASE WHEN o_orderkey % 2 = 0
+       THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
+FROM orders WHERE o_orderkey % 3 IN (0, 1) OR o_orderkey % 2 = 0 GROUP BY 1""",
+    // inserts = every delta commit (all three slices); deletes = the
+    // predicate's rows in the slices the delete's snapshot saw (0+1);
+    // the compact's recorded feed is empty by contract
+    "q65_change_data_feed" ->
+      """SELECT 'insert' AS change_type,
+  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'delete' AS change_type,
+  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 = 0
+GROUP BY 2""",
     // v1 rows (even event_id) predate the widened columns → NULL
     "q59_schema_evolution" ->
       """SELECT event_id, user_id,

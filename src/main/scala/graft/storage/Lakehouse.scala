@@ -83,31 +83,32 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def tablePath(name: String): String = s"$root/$name"
   def exists(name: String): Boolean = fs.exists(new Path(tablePath(name)))
 
-  private val VersionPrefix = "_v"
-  private val ClaimPrefix = "_GRAFT_CLAIM_"
-  private val MarkerFull = "_GRAFT_COMMIT_FULL"
-  private val MarkerDelta = "_GRAFT_COMMIT_DELTA"
-  private val MarkerLegacy = "_GRAFT_COMMIT" // pre-delta protocol = full
+  // layout constants + listing primitives live in the companion's
+  // [[Lakehouse.Protocol]] so the streaming source (LakehouseStream) can
+  // tail the same commit log without a Lakehouse instance
+  private val VersionPrefix = Lakehouse.Protocol.VersionPrefix
+  private val ClaimPrefix = Lakehouse.Protocol.ClaimPrefix
+  private val MarkerFull = Lakehouse.Protocol.MarkerFull
+  private val MarkerDelta = Lakehouse.Protocol.MarkerDelta
+  private val MarkerLegacy = Lakehouse.Protocol.MarkerLegacy
   // batch-id tombstones carried into full commits so exactly-once replay
   // detection survives compaction's GC of the delta dirs
-  private val SeenPrefix = "_GRAFT_SEEN_b"
+  private val SeenPrefix = Lakehouse.Protocol.SeenPrefix
   // per-file min/max zone maps (parquet, inside the version dir — the
   // underscore prefix hides it from normal table scans)
-  private val StatsDir = "_GRAFT_STATS"
+  private val StatsDir = Lakehouse.Protocol.StatsDir
+  // write-time change-data files (Delta's `_change_data` shape): the exact
+  // row-level changes a FULL commit made, written inside the version dir
+  // before its marker — part of the commit payload, so a crash can never
+  // expose a feed without its snapshot or vice versa. Underscore-hidden
+  // from normal table scans like the zone maps.
+  private val CdfDir = Lakehouse.Protocol.CdfDir
+  private val ChangeTypeCol = "_change_type"
+  private val CommitVersionCol = "_commit_version"
 
   /** (version, dir) for every `_v<N>` subdir of a table, committed or not. */
   private def versionDirs(dest: Path): Seq[(Long, Path)] =
-    if (!fs.exists(dest)) Seq.empty
-    else fs.listStatus(dest).toSeq.collect {
-      // suffix guards: nonEmpty (a stray dir named exactly "_v" must not
-      // crash ""+toLong) and bounded length (Long overflow)
-      case st if st.isDirectory && {
-        val suffix = st.getPath.getName.drop(VersionPrefix.length)
-        st.getPath.getName.startsWith(VersionPrefix) &&
-          suffix.nonEmpty && suffix.length <= 18 && suffix.forall(_.isDigit)
-      } =>
-        (st.getPath.getName.drop(VersionPrefix.length).toLong, st.getPath)
-    }
+    Lakehouse.Protocol.versionDirs(fs, dest)
 
   /** None = uncommitted; Some(true) = full snapshot; Some(false) = delta
     * (incl. batchId-suffixed exactly-once markers, `_GRAFT_COMMIT_DELTA_b<id>`).
@@ -116,13 +117,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * uncommitted — invisible, exactly as if the listing had missed it.
     */
   private def commitKind(vdir: Path): Option[Boolean] =
-    try {
-      if (fs.exists(new Path(vdir, MarkerFull)) ||
-        fs.exists(new Path(vdir, MarkerLegacy))) Some(true)
-      else if (fs.listStatus(vdir).exists(
-        _.getPath.getName.startsWith(MarkerDelta))) Some(false)
-      else None
-    } catch { case _: java.io.FileNotFoundException => None }
+    Lakehouse.Protocol.commitKind(fs, vdir)
 
   /** One version-dir listing → (live data roots oldest-first, snapshot
     * provenance). Maintenance ops resolve BOTH from the same listing —
@@ -373,14 +368,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 
   /** Version numbers carried by claim files at the table root. */
   private def claimedVersions(dest: Path): Seq[Long] =
-    if (!fs.exists(dest)) Seq.empty
-    else fs.listStatus(dest).toSeq.collect {
-      case st if st.isFile && {
-        val suffix = st.getPath.getName.drop(ClaimPrefix.length)
-        st.getPath.getName.startsWith(ClaimPrefix) &&
-          suffix.nonEmpty && suffix.length <= 18 && suffix.forall(_.isDigit)
-      } => st.getPath.getName.drop(ClaimPrefix.length).toLong
-    }
+    Lakehouse.Protocol.claimedVersions(fs, dest)
 
   /** CAS version allocation: compute next = max(existing dirs, existing
     * claims) + 1 and try to atomically create its claim file; exactly one
@@ -605,7 +593,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       partitionCols: Seq[String],
       beforeCommit: () => Unit = () => (),
       statsCols: Seq[String] = Nil,
-      readBasis: Option[Lakehouse.ReadBasis] = None): Unit = {
+      readBasis: Option[Lakehouse.ReadBasis] = None,
+      changeData: Option[DataFrame] = None): Unit = {
     val dest = new Path(tablePath(name))
     val older = versionDirs(dest)
     // commit kinds resolved AT ENTRY: rebaseLateDeltas below renames
@@ -622,6 +611,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(p)
       writeStats(p, statsCols)
+      // change-data files land INSIDE the uncommitted version dir: the
+      // feed is part of the commit payload (see [[changeFeed]]); an empty
+      // frame still writes a dir — "this rewrite changed no rows"
+      // (compaction) is a positive statement, distinct from "no feed
+      // recorded" (a blind overwrite)
+      changeData.foreach(_.write.mode("overwrite").parquet(s"$p/$CdfDir"))
     }
     val fullV = vdir.getName.drop(VersionPrefix.length).toLong
     // carry exactly-once batch markers out of the dirs we are about to
@@ -722,7 +717,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   def delete(name: String, predicate: org.apache.spark.sql.Column,
       statsCols: Seq[String] = Nil,
-      beforeCommit: () => Unit = () => ()): Unit = {
+      beforeCommit: () => Unit = () => (),
+      cdf: Boolean = false): Unit = {
     val schema = Schemas.byName.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table: $name"))
     // physical partition columns (fact's trans_dt_day) survive the
@@ -735,13 +731,199 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (exists(name)) readRootsWithBasis(name, full)
       else (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full),
         Lakehouse.ReadBasis(0L, Set.empty))
-    val surviving = raw
-      // null predicate rows survive: DELETE removes rows WHERE the
-      // predicate IS TRUE, the SQL contract (NULL is not TRUE)
-      .filter(!coalesce(predicate.cast("boolean"), lit(false)))
+    val hit = coalesce(predicate.cast("boolean"), lit(false))
+    // null predicate rows survive: DELETE removes rows WHERE the
+    // predicate IS TRUE, the SQL contract (NULL is not TRUE)
+    val surviving = raw.filter(!hit)
+    // opt-in write-time CDC (Delta's enableChangeDataFeed): the removed
+    // rows — the complement branch of the SAME snapshot read — recorded
+    // inside the commit for [[changeFeed]] consumers. Costs one extra
+    // scan restricted to the deleted subset, paid only when asked for.
+    val removed =
+      if (cdf) Some(raw.filter(hit)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn(ChangeTypeCol, lit("delete")))
+      else None
     overwritePartitioned(name, surviving, partCols, beforeCommit,
-      statsCols = statsCols, readBasis = Some(basis))
+      statsCols = statsCols, readBasis = Some(basis), changeData = removed)
   }
+
+  /** MERGE INTO (upsert): source rows REPLACE the target rows sharing
+    * their `keyCols` tuple (WHEN MATCHED THEN UPDATE SET *) and rows with
+    * no match are appended (WHEN NOT MATCHED THEN INSERT *) — the
+    * Delta/Iceberg merge shape a CDC-fed table needs as a first-class
+    * operator, executed as ONE copy-on-write FULL commit through the same
+    * crash-safe, conflict-detected protocol as [[delete]] (an append
+    * racing the merge is rebased above it, two racing merges fail
+    * loudly).
+    *
+    * Contract notes, all falsified by LakehouseSpec + the q64 oracle:
+    *  - the source must be key-unique — two source rows matching one
+    *    target row make the update order undefined, so it throws
+    *    (Delta's `multipleSourceRowMatchingTargetRow` error) at the cost
+    *    of one aggregate over the source (the small side of a merge);
+    *  - source columns are cast to the table's contract types (INSERT
+    *    coercion — a widened source decimal must not fork the physical
+    *    schema mid-chain);
+    *  - NULL keys never equal anything (SQL join semantics), so
+    *    null-keyed source rows always INSERT.
+    *
+    * Scale shape: one equi-join of target vs source on the keys (a
+    * CDC-batch-sized source broadcasts; AQE picks the strategy) plus the
+    * whole-table rewrite — the copy-on-write trade as [[delete]], right
+    * for bulk periodic upserts; high-frequency trickle updates would
+    * want merge-on-read deletion vectors instead (out of scope, same
+    * stance as delete's doc). `cdf = true` additionally records
+    * update_preimage / update_postimage / insert rows for [[changeFeed]]
+    * (Delta's CDC row types), each a key-join branch of the same
+    * snapshot read.
+    */
+  def merge(name: String, source: DataFrame, keyCols: Seq[String],
+      statsCols: Seq[String] = Nil, cdf: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    mergeImpl(name, readSchema(name, schema), schema.fieldNames.toSeq,
+      source, keyCols, statsCols, cdf, beforeCommit)
+  }
+
+  /** [[merge]] for versioned tables OUTSIDE the registered DWH model —
+    * the caller-supplied contract schema plays the registry's role
+    * (unpartitioned tables, like the schema-explicit [[compact]]).
+    */
+  def merge(name: String, schema: StructType, source: DataFrame,
+      keyCols: Seq[String]): Unit =
+    mergeImpl(name, schema, schema.fieldNames.toSeq, source, keyCols,
+      Nil, cdf = false, () => ())
+
+  private def mergeImpl(name: String, full: StructType,
+      contractCols: Seq[String], source: DataFrame, keyCols: Seq[String],
+      statsCols: Seq[String], cdf: Boolean,
+      beforeCommit: () => Unit): Unit = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    keyCols.foreach(k => require(contractCols.contains(k),
+      s"merge key $k is not a column of $name"))
+    val partCols = full.fieldNames.toSeq.diff(contractCols)
+    // the day-partitioned fact derives its partition column exactly as
+    // appendPartitionedByDay does; any other partitioned layout must
+    // carry its partition columns in the source
+    val src0 =
+      if (partCols == Seq("trans_dt_day") &&
+        !source.columns.contains("trans_dt_day"))
+        source.withColumn("trans_dt_day", to_date(col("trans_date")))
+      else source
+    partCols.foreach(c => require(src0.columns.contains(c),
+      s"merge source must carry partition column $c"))
+    // INSERT coercion: conform source columns to the contract types so a
+    // type-widened source cannot fork the physical schema
+    val src = src0.select(full.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    // key-uniqueness: one aggregate over the source (the small side)
+    val dup = src.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      s"merge source has duplicate ${keyCols.mkString(",")} tuples — " +
+        "multiple source rows would match one target row")
+    // snapshot + read basis from ONE listing (concurrency contract)
+    val (target, basis) =
+      if (exists(name)) readRootsWithBasis(name, full)
+      else (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full),
+        Lakehouse.ReadBasis(0L, Set.empty))
+    val srcKeys = src.select(keyCols.map(col).toIndexedSeq: _*)
+    val merged = target.join(srcKeys, keyCols, "left_anti")
+      .unionByName(src)
+    val changes =
+      if (!cdf) None
+      else {
+        val contract = contractCols.map(col).toIndexedSeq
+        val pre = target.join(srcKeys, keyCols, "left_semi")
+          .select(contract: _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val tgtKeys = target.select(keyCols.map(col).toIndexedSeq: _*)
+        val post = src.join(tgtKeys, keyCols, "left_semi")
+          .select(contract: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val ins = src.join(tgtKeys, keyCols, "left_anti")
+          .select(contract: _*)
+          .withColumn(ChangeTypeCol, lit("insert"))
+        Some(pre.unionByName(post).unionByName(ins))
+      }
+    overwritePartitioned(name, merged, partCols, beforeCommit,
+      statsCols = statsCols, readBasis = Some(basis),
+      changeData = changes)
+  }
+
+  /** Row-level change feed across commit kinds — the CDC read path
+    * ([[changesBetween]] is the append-only fast path; this one also
+    * crosses FULL commits). For each committed version in
+    * (fromVersion, toVersion]:
+    *
+    *  - a DELTA contributes its rows as `insert`;
+    *  - a FULL commit carrying change-data files ([[delete]] /
+    *    [[merge]] with `cdf = true`; [[compact]] / [[compactZOrder]],
+    *    whose recorded feed is empty — a rewrite with no logical change)
+    *    contributes exactly those recorded rows;
+    *  - a FULL commit WITHOUT a recorded feed (blind [[overwrite]], or a
+    *    delete/merge run with `cdf = false`) throws — the row-level
+    *    changes were never recorded and reconstructing them by diffing
+    *    snapshots would need both sides retained; never misreport.
+    *
+    * Output = contract columns + `_change_type` + `_commit_version`
+    * (Delta's CDF read schema minus the timestamp). Version presence
+    * checks mirror [[changesBetween]]: a GC'd version in the range
+    * throws rather than silently yielding a gap.
+    */
+  def changeFeed(name: String, fromVersion: Long, toVersion: Long,
+      schema: StructType): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val cdfSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(ChangeTypeCol,
+        org.apache.spark.sql.types.StringType))
+    val outCols = (schema.fieldNames.toSeq :+ ChangeTypeCol :+
+      CommitVersionCol).map(col)
+    val all = versionDirs(new Path(tablePath(name))).sortBy(_._1)
+    val present = all.map(_._1).toSet
+    val latest = if (all.isEmpty) -1L else all.map(_._1).max
+    require(toVersion <= latest,
+      s"$name toVersion $toVersion exceeds latest version $latest")
+    ((fromVersion + 1) to toVersion).foreach(v => require(present(v),
+      s"$name version $v is not on disk (GC'd) — " +
+        "the change feed would be incomplete"))
+    val range = all
+      .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
+      .filter(t => t._1 > fromVersion && t._1 <= toVersion)
+    val parts = range.map {
+      case (v, p, false) =>
+        spark.read.schema(schema).option("basePath", p.toString)
+          .parquet(p.toString)
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(v))
+          .select(outCols: _*)
+      case (v, p, true) =>
+        val cdfPath = new Path(p, CdfDir)
+        require(fs.exists(cdfPath),
+          s"$name version $v is a FULL commit without recorded change " +
+            "data (blind overwrite, or delete/merge with cdf=false) — " +
+            "no row-level feed across it")
+        spark.read.schema(cdfSchema).parquet(cdfPath.toString)
+          .withColumn(CommitVersionCol, lit(v))
+          .select(outCols: _*)
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(cdfSchema.fields :+
+          org.apache.spark.sql.types.StructField(CommitVersionCol,
+            org.apache.spark.sql.types.LongType)))
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** [[changeFeed]] for registered tables. */
+  def changeFeed(name: String, fromVersion: Long,
+      toVersion: Long): DataFrame =
+    changeFeed(name, fromVersion, toVersion,
+      Schemas.byName.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table: $name")))
 
   /** Deferred GC (the standing cleanup job for deployments with
     * `gcGraceMs` > 0): delete shadowed version dirs — committed versions
@@ -860,7 +1042,22 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // partitioned rewrite keeps partition pruning as its skipping axis)
     val stats = if (partCols.isEmpty) sortCols else Nil
     overwritePartitioned(name, clustered, partCols, statsCols = stats,
-      readBasis = Some(basis))
+      readBasis = Some(basis),
+      changeData = Some(emptyChangeData(full, contractCols)))
+  }
+
+  /** An empty recorded change feed: compaction rewrites bytes but changes
+    * no rows, and recording that (vs recording nothing) is what lets
+    * [[changeFeed]] consumers stream THROUGH standing maintenance instead
+    * of breaking on every compact.
+    */
+  private def emptyChangeData(full: StructType,
+      contractCols: Seq[String]): DataFrame = {
+    val cdfSchema = StructType(
+      full.fields.filter(f => contractCols.contains(f.name)) :+
+        org.apache.spark.sql.types.StructField(ChangeTypeCol,
+          org.apache.spark.sql.types.StringType))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cdfSchema)
   }
 
   /** Z-order compaction: rewrite the table clustered along the Morton
@@ -882,7 +1079,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")
     overwritePartitioned(name, clustered, Nil, statsCols = zCols,
-      readBasis = Some(basis))
+      readBasis = Some(basis),
+      changeData = Some(emptyChangeData(schema, schema.fieldNames.toSeq)))
   }
 
   /** Zone-map-pruned range read: rows of `name` with `colName` in
@@ -967,6 +1165,63 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 }
 
 object Lakehouse {
+
+  /** The commit-log layout constants and listing primitives, shared by
+    * the [[Lakehouse]] class and the streaming source
+    * ([[graft.sources.LakehouseStreamProvider]]) that tails a table's
+    * commit log without holding a Lakehouse instance. Pure functions of
+    * (fs, path) — no SparkSession, usable from any context.
+    */
+  private[graft] object Protocol {
+    val VersionPrefix = "_v"
+    val ClaimPrefix = "_GRAFT_CLAIM_"
+    val MarkerFull = "_GRAFT_COMMIT_FULL"
+    val MarkerDelta = "_GRAFT_COMMIT_DELTA"
+    val MarkerLegacy = "_GRAFT_COMMIT" // pre-delta protocol = full
+    val SeenPrefix = "_GRAFT_SEEN_b"
+    val StatsDir = "_GRAFT_STATS"
+    val CdfDir = "_GRAFT_CDF"
+
+    /** (version, dir) for every `_v<N>` subdir, committed or not. */
+    def versionDirs(fs: FileSystem, dest: Path): Seq[(Long, Path)] =
+      if (!fs.exists(dest)) Seq.empty
+      else fs.listStatus(dest).toSeq.collect {
+        // suffix guards: nonEmpty (a stray dir named exactly "_v" must
+        // not crash ""+toLong) and bounded length (Long overflow)
+        case st if st.isDirectory && {
+          val suffix = st.getPath.getName.drop(VersionPrefix.length)
+          st.getPath.getName.startsWith(VersionPrefix) &&
+            suffix.nonEmpty && suffix.length <= 18 &&
+            suffix.forall(_.isDigit)
+        } =>
+          (st.getPath.getName.drop(VersionPrefix.length).toLong, st.getPath)
+      }
+
+    /** None = uncommitted; Some(true) = full snapshot; Some(false) =
+      * delta. A dir vanishing between listing and probe reads as
+      * uncommitted — invisible, exactly as if the listing had missed it.
+      */
+    def commitKind(fs: FileSystem, vdir: Path): Option[Boolean] =
+      try {
+        if (fs.exists(new Path(vdir, MarkerFull)) ||
+          fs.exists(new Path(vdir, MarkerLegacy))) Some(true)
+        else if (fs.listStatus(vdir).exists(
+          _.getPath.getName.startsWith(MarkerDelta))) Some(false)
+        else None
+      } catch { case _: java.io.FileNotFoundException => None }
+
+    /** Version numbers carried by claim files at the table root. */
+    def claimedVersions(fs: FileSystem, dest: Path): Seq[Long] =
+      if (!fs.exists(dest)) Seq.empty
+      else fs.listStatus(dest).toSeq.collect {
+        case st if st.isFile && {
+          val suffix = st.getPath.getName.drop(ClaimPrefix.length)
+          st.getPath.getName.startsWith(ClaimPrefix) &&
+            suffix.nonEmpty && suffix.length <= 18 &&
+            suffix.forall(_.isDigit)
+        } => st.getPath.getName.drop(ClaimPrefix.length).toLong
+      }
+  }
 
   /** Snapshot provenance for a maintenance rewrite: the committed
     * version SET (and its max) at the one listing that resolved the

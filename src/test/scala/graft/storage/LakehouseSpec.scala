@@ -577,6 +577,107 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.versions("dim_cards").map(_._1).max == 6L)
   }
 
+  test("merge updates matched rows, inserts unmatched, keeps the rest") {
+    val lake = new Lakehouse(spark, tmpDir("lake-merge"))
+    lake.append("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2"))
+    lake.merge("dim_cards", dimDf("c2" -> "a2x", "c3" -> "a3"),
+      keyCols = Seq("card_num"))
+    val got = lake.read("dim_cards").select("card_num", "account_num")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("c1" -> "a1", "c2" -> "a2x", "c3" -> "a3"))
+    // the merge is ONE full commit
+    assert(lake.versions("dim_cards").last._2)
+  }
+
+  test("merge rejects a key-duplicated source (undefined update order)") {
+    val lake = new Lakehouse(spark, tmpDir("lake-merge-dup"))
+    lake.append("dim_cards", dimDf("c1" -> "a1"))
+    val boom = intercept[IllegalArgumentException] {
+      lake.merge("dim_cards", dimDf("c1" -> "x", "c1" -> "y"),
+        keyCols = Seq("card_num"))
+    }
+    assert(boom.getMessage.contains("duplicate"))
+    // nothing committed — the table is unchanged
+    assert(lake.read("dim_cards").select("account_num").as[String]
+      .collect().toSeq == Seq("a1"))
+  }
+
+  test("merge: NULL source keys never match — they insert (SQL join semantics)") {
+    import org.apache.spark.sql.functions._
+    val lake = new Lakehouse(spark, tmpDir("lake-merge-null"))
+    lake.append("dim_cards", dimDf("c1" -> "a1"))
+    val src = spark.createDataFrame(
+      Seq((null.asInstanceOf[String], "aN"))
+        .toDF("card_num", "account_num")
+        .withColumn("create_dt", lit(ts("2020-05-01 00:00:00")))
+        .withColumn("update_dt", lit(null).cast("timestamp")).rdd,
+      graft.model.Schemas.dimCards)
+    lake.merge("dim_cards", src, keyCols = Seq("card_num"))
+    assert(lake.read("dim_cards").select("account_num").as[String]
+      .collect().toSet == Set("a1", "aN"))
+  }
+
+  test("merge racing an append: both effects survive (same rebase protocol)") {
+    val lake = new Lakehouse(spark, tmpDir("lake-merge-race"))
+    lake.append("dim_cards", dimDf("c1" -> "a1"))  // v1
+    // the append claims its version and writes; inside its pre-commit
+    // window the merge runs end-to-end (FULL commit that cannot see the
+    // uncommitted delta) — the appender self-rebases above it
+    lake.append("dim_cards", dimDf("c9" -> "a9"),
+      beforeCommit = () => lake.merge("dim_cards",
+        dimDf("c1" -> "a1x", "c2" -> "a2"), keyCols = Seq("card_num")))
+    assert(lake.read("dim_cards").select("card_num", "account_num")
+      .as[(String, String)].collect().toMap ==
+      Map("c1" -> "a1x", "c2" -> "a2", "c9" -> "a9"))
+  }
+
+  test("changeFeed: inserts from deltas, recorded deletes, empty compact feed") {
+    import org.apache.spark.sql.functions._
+    // grace keeps every version dir on disk — a feed consumer IS a
+    // reader of old versions
+    val lake = new Lakehouse(spark, tmpDir("lake-feed"),
+      gcGraceMs = 3600L * 1000)
+    lake.append("dim_cards", dimDf("c1" -> "a1"))            // v1 delta
+    lake.append("dim_cards", dimDf("c2" -> "a2"))            // v2 delta
+    lake.delete("dim_cards", col("card_num") === "c1", cdf = true) // v3 full
+    lake.compact("dim_cards", numFiles = 1)                  // v4 full
+    val feed = lake.changeFeed("dim_cards", 0L, 4L)
+      .select("card_num", "_change_type", "_commit_version")
+      .as[(String, String, Long)].collect().toSet
+    assert(feed == Set(("c1", "insert", 1L), ("c2", "insert", 2L),
+      ("c1", "delete", 3L)))
+    // paging from mid-stream yields exactly the suffix
+    assert(lake.changeFeed("dim_cards", 2L, 4L)
+      .select("card_num").as[String].collect().toSeq == Seq("c1"))
+  }
+
+  test("changeFeed fails loudly across an unrecorded FULL commit") {
+    import org.apache.spark.sql.functions._
+    val lake = new Lakehouse(spark, tmpDir("lake-feed-blind"),
+      gcGraceMs = 3600L * 1000)
+    lake.append("dim_cards", dimDf("c1" -> "a1"))            // v1
+    lake.delete("dim_cards", col("card_num") === "c1")       // v2, cdf=false
+    val boom = intercept[IllegalArgumentException](
+      lake.changeFeed("dim_cards", 0L, 2L))
+    assert(boom.getMessage.contains("without recorded change data"))
+    // ...but a range that stops before it still serves
+    assert(lake.changeFeed("dim_cards", 0L, 1L)
+      .select("card_num").as[String].collect().toSeq == Seq("c1"))
+  }
+
+  test("merge with cdf records preimage, postimage and insert rows") {
+    val lake = new Lakehouse(spark, tmpDir("lake-merge-cdf"),
+      gcGraceMs = 3600L * 1000)
+    lake.append("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2")) // v1
+    lake.merge("dim_cards", dimDf("c2" -> "a2x", "c3" -> "a3"),
+      keyCols = Seq("card_num"), cdf = true)                    // v2 full
+    val feed = lake.changeFeed("dim_cards", 1L, 2L)
+      .select("card_num", "account_num", "_change_type")
+      .as[(String, String, String)].collect().toSet
+    assert(feed == Set(("c2", "a2", "update_preimage"),
+      ("c2", "a2x", "update_postimage"), ("c3", "a3", "insert")))
+  }
+
   test("vacuum never touches a delta-only chain or in-flight versions") {
     val lake = new Lakehouse(spark, tmpDir("lake-vacuum-safe"))
     lake.append("dim_cards", dimDf("c1" -> "a1"))
