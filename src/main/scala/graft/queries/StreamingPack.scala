@@ -488,6 +488,73 @@ object StreamingPack {
         k = 5, nProbe = 2)
     }),
 
+    // s14 — the lakehouse TABLE AS A STREAM (Delta's streaming-source
+    // pattern) through the engine's own DataSource V2 source
+    // (graft.sources.LakehouseStreamProvider): offsets are commit
+    // versions, visibility is the commit MARKER (the same Protocol the
+    // write path uses — no file-glob race), one micro-batch per
+    // committed delta under maxVersionsPerTrigger=1. The events table
+    // lands as THREE delta commits; the stream tails them through a
+    // foreachBatch sink into a second lakehouse table with batch-id
+    // exactly-once, CRASHES after batch 1's commit (the at-least-once
+    // window), and a NEW query restarts from the checkpoint — the
+    // VersionOffset round-trips through deserializeOffset, batch 1
+    // replays as a committed no-op, batch 2 drains. End-to-end: table →
+    // custom source → exactly-once sink → table, with no external queue.
+    // Same aggregate contract as s09/s12 plus max(trans_date), which
+    // pins the source's parquet timestamp decode (INT64/INT96) against
+    // the oracle's raw-parquet max(ts).
+    "s14_lakehouse_stream_source" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s14")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      (0 to 2).foreach { sl =>
+        lake.append("events_feed",
+          ev.filter(pmod(col("event_id"), lit(3)) === sl))
+      }
+      def source = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE"))
+        .format("graft.sources.LakehouseStreamProvider")
+        .option("maxVersionsPerTrigger", "1")
+        .load(lake.tablePath("events_feed"))
+        .select(col("event_id").cast("string").as("trans_id"),
+          col("ts").as("trans_date"),
+          col("user_id").cast("string").as("card_num"),
+          col("event_type").as("oper_type"),
+          col("value").cast("decimal(18,2)").as("amt"),
+          lit("ok").as("oper_result"), lit("t0").as("terminal"))
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(): Unit = {
+        val q = source.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            lake.appendExactlyOnce("fact_transactions", batch, id)
+            if (id == 1L && !crashed.getAndSet(true))
+              throw new RuntimeException("injected crash after sink commit")
+        }
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val died = try { run(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("injected crash") => true
+        }
+      require(died, "s14 harness: the injected crash did not fire")
+      run() // restart resumes from the checkpointed VersionOffset
+      lake.read("fact_transactions")
+        .groupBy(col("oper_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("trans_id").cast("bigint")).as("key_sum"),
+          countDistinct(col("card_num").cast("bigint")).as("users"),
+          max(col("trans_date")).as("last_ts"))
+    }),
+
     // hopping (sliding) event-time windows: 1-hour windows every 15
     // minutes — each event lands in exactly 4 overlapping windows, the
     // state/update-amplification shape tumbling (s01) doesn't exercise.
@@ -705,6 +772,14 @@ object StreamingPack {
         | SELECT user_id, event_id, ts, event_type, value,
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn
-        | FROM events) WHERE rn = 1""".stripMargin
+        | FROM events) WHERE rn = 1""".stripMargin,
+    // the s09/s12 exactly-once contract through the custom DSv2 source,
+    // plus max(ts) pinning the source's own timestamp decode
+    "s14_lakehouse_stream_source" ->
+      """SELECT event_type AS oper_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        | max(ts) AS last_ts
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,389 @@
+package graft.sources
+
+import graft.storage.Lakehouse.Protocol
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured-Streaming source that TAILS a lakehouse table's commit log —
+  * the "table as a stream" production pattern (Delta's streaming source):
+  * every committed DELTA version is a source increment, offsets are commit
+  * versions, and a restarted query resumes from its checkpointed version.
+  * Downstream exactly-once composes with `Lakehouse.appendExactlyOnce`
+  * (the s09/s12 machinery), giving end-to-end exactly-once from a table
+  * feed without any external queue.
+  *
+  * A full DataSource V2 implementation (`TableProvider` →
+  * `SupportsRead` → `MicroBatchStream`), not a file-glob hack: Spark's
+  * file stream source cannot see underscore-prefixed version dirs, and
+  * globbing them would race half-written files — the commit MARKER is the
+  * only correct visibility signal, which is exactly what this source
+  * keys on (the same `Protocol.commitKind` the write path uses).
+  *
+  * Usage:
+  * {{{
+  * spark.readStream
+  *   .format("graft.sources.LakehouseStreamProvider")
+  *   .schema(contract)                      // or .option("schemaDDL", …)
+  *   .option("maxVersionsPerTrigger", "1")  // admission control
+  *   .load(lake.tablePath("events_feed"))
+  * }}}
+  *
+  * Semantics and contracts (spec-pinned in LakehouseStreamSpec):
+  *
+  *  - **Offsets = commit versions.** A batch (start, end] reads the data
+  *    files of every committed delta in the range. Version resolution is
+  *    a driver-side manifest walk; file reads are one task per file —
+  *    fully distributed, no driver collect.
+  *  - **The head never jumps a pending writer.** `latestOffset` only
+  *    advances past version N when every version ≤ N is committed;
+  *    an uncommitted claim/dir younger than `inflightGraceMs` (default
+  *    10 min) HOLDS the head (a slow in-flight appender whose commit
+  *    must not be skipped — the CAS protocol means its number is already
+  *    allocated), while older ones are treated as crash debris and
+  *    stepped over, mirroring `changesBetween`'s stance.
+  *  - **Maintenance composes.** A FULL commit in the range with a
+  *    recorded EMPTY change feed (compaction / z-order) is skipped — the
+  *    stream rides through standing maintenance. A FULL commit that
+  *    changed rows (delete/merge) or recorded nothing (blind overwrite)
+  *    throws: an append-shaped stream cannot represent it, and silently
+  *    skipping would misreport the table. A version GC'd from under the
+  *    stream (compaction without a grace window while the stream lagged)
+  *    also throws — never a silent gap; deployments serving streams run
+  *    `gcGraceMs` above their consumers' lag, same as the change feed.
+  *  - **Restart-safe.** Offsets serialize as the bare version number;
+  *    `Trigger.AvailableNow` is supported natively (the end offset is
+  *    pinned at query start, so a drain terminates even under concurrent
+  *    appends).
+  *
+  * The per-file reader decodes parquet through parquet-hadoop's public
+  * `GroupReadSupport` (on every Spark classpath) into `InternalRow` —
+  * primitive types + strings/dates/timestamps (both INT64 µs/ms/ns and
+  * legacy INT96), the contract surface of the versioned tables this
+  * engine writes. Unsupported column types fail at plan time, not
+  * mid-stream. Physical partition columns (directory-encoded) are not
+  * surfaced — a streamed table carries its columns in the files, the
+  * layout `Lakehouse.append` produces. (Production note: vectorized
+  * decode would swap this reader for Spark's columnar parquet reader;
+  * the source structure — offsets, admission control, commit-marker
+  * visibility — is the load-bearing part.)
+  */
+class LakehouseStreamProvider extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ddl = options.get("schemaDDL")
+    require(ddl != null,
+      "graft lakehouse stream needs a schema: .schema(...) or " +
+        ".option(\"schemaDDL\", \"col TYPE, ...\")")
+    StructType.fromDDL(ddl)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft lakehouse stream needs the table directory: .load(<path>)")
+    LakehouseStream.validateSchema(schema)
+    new LakehouseStreamTable(path, schema)
+  }
+}
+
+private[sources] class LakehouseStreamTable(path: String, tschema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_lakehouse_stream($path)"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tschema
+      override def toMicroBatchStream(
+          checkpointLocation: String): MicroBatchStream =
+        new LakehouseMicroBatchStream(path, tschema, options)
+    }
+}
+
+/** Version-number offset; serializes as the bare number. */
+private[sources] case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] class LakehouseMicroBatchStream(tablePath: String,
+    schema: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val startVersion = options.getLong("startVersion", 0L)
+  private val maxVersions = options.getLong("maxVersionsPerTrigger", Long.MaxValue)
+  private val inflightGraceMs = options.getLong("inflightGraceMs", 600000L)
+  require(maxVersions > 0, s"maxVersionsPerTrigger must be > 0")
+
+  // driver-side only (serialized work goes through the reader factory)
+  @transient private lazy val hadoopConf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+  @transient private lazy val dest = new Path(tablePath)
+  @transient private lazy val fs: FileSystem = dest.getFileSystem(hadoopConf)
+
+  // Trigger.AvailableNow: the drain target, pinned at query start so the
+  // run terminates even while writers keep appending
+  @volatile private var availableNowCap: Option[Long] = None
+
+  /** Largest N with every version ≤ N committed — modulo stale debris.
+    * A fresh (< inflightGraceMs) uncommitted dir or bare claim below a
+    * committed version HOLDS the head: its writer allocated the number
+    * via CAS and will commit (or self-rebase); advancing past it would
+    * skip its rows forever. Stale ones are crash debris and are stepped
+    * over (changesBetween's stance — debris contributed no rows).
+    */
+  private def stableHead(): Long = {
+    val now = System.currentTimeMillis()
+    def fresh(p: Path): Boolean =
+      try now - fs.getFileStatus(p).getModificationTime < inflightGraceMs
+      catch { case _: java.io.FileNotFoundException => false }
+    val dirs = Protocol.versionDirs(fs, dest)
+    var committed = Set.empty[Long]
+    var pending = Set.empty[Long]
+    dirs.foreach { case (v, p) =>
+      Protocol.commitKind(fs, p) match {
+        case Some(_) => committed += v
+        case None => if (fresh(p)) pending += v
+      }
+    }
+    // a claim whose dir hasn't appeared yet (the window between CAS and
+    // the writer's first file) also pends while fresh
+    Protocol.claimedVersions(fs, dest).foreach { v =>
+      if (!committed(v) && !pending(v) && !dirs.exists(_._1 == v) &&
+        fresh(new Path(dest, s"${Protocol.ClaimPrefix}$v"))) pending += v
+    }
+    val maxCommitted = committed.maxOption.getOrElse(0L)
+    val minPending = pending.minOption.getOrElse(Long.MaxValue)
+    math.min(maxCommitted, minPending - 1)
+  }
+
+  override def initialOffset(): Offset = VersionOffset(startVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val head = availableNowCap match {
+      case Some(cap) => cap // pinned at prepare time; never chase writers
+      case None => stableHead()
+    }
+    val to =
+      if (maxVersions == Long.MaxValue) head
+      else math.min(head, from + maxVersions)
+    VersionOffset(math.max(from, to))
+  }
+
+  override def reportLatestOffset(): Offset = VersionOffset(stableHead())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(math.max(startVersion, stableHead()))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val to = end.asInstanceOf[VersionOffset].version
+    val dirs = Protocol.versionDirs(fs, dest).toMap.map {
+      case (v, p) => v -> p
+    }
+    val files = Seq.newBuilder[String]
+    ((from + 1) to to).foreach { v =>
+      dirs.get(v) match {
+        case None =>
+          // missing number: crash debris (claimed, never written — skip)
+          // unless a FULL commit above it exists, which means compaction
+          // GC'd a delta the stream never consumed — data loss for the
+          // feed, fail loudly (run gcGraceMs above the consumer lag)
+          val gcd = dirs.exists { case (fv, p) =>
+            fv > v && Protocol.commitKind(fs, p).contains(true)
+          }
+          if (gcd) throw new IllegalStateException(
+            s"$tablePath version $v was garbage-collected under the " +
+              "stream (compaction outran the consumer) — the feed is " +
+              "incomplete; re-seed the query or raise gcGraceMs")
+        case Some(p) => Protocol.commitKind(fs, p) match {
+          case None => // uncommitted debris inside the range: no rows
+          case Some(false) => files ++= listDataFiles(p)
+          case Some(true) =>
+            // a maintenance rewrite: ride through it ONLY if its
+            // recorded change feed says "no logical change"
+            val cdf = new Path(p, Protocol.CdfDir)
+            val emptyFeed = fs.exists(cdf) &&
+              LakehouseStream.parquetRowCount(fs, hadoopConf, cdf) == 0L
+            if (!emptyFeed) throw new IllegalStateException(
+              s"$tablePath version $v is a FULL rewrite with row-level " +
+                "changes (delete/merge/overwrite) — an append stream " +
+                "cannot represent it; re-seed the query past it")
+        }
+      }
+    }
+    files.result().map(f =>
+      LakehouseFilePartition(f): InputPartition).toArray
+  }
+
+  /** Data files of one committed version dir, recursing into partition
+    * subdirs, skipping protocol files (underscore/dot prefixes).
+    */
+  private def listDataFiles(p: Path): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) out += st.getPath.toString
+      }
+    }
+    walk(p)
+    out.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakehouseReaderFactory(schema)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = () // checkpoint carries state
+
+  override def stop(): Unit = ()
+}
+
+private[sources] case class LakehouseFilePartition(file: String)
+    extends InputPartition
+
+private[sources] class LakehouseReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new LakehouseGroupReader(
+      partition.asInstanceOf[LakehouseFilePartition].file, schema)
+}
+
+/** One-file parquet → InternalRow reader over parquet-hadoop's public
+  * Group API. Row-at-a-time (see the class doc's vectorization note);
+  * null detection via field repetition count; missing columns (schema
+  * evolution — older files predate a widened contract) read as null.
+  */
+private[sources] class LakehouseGroupReader(file: String,
+    schema: StructType) extends PartitionReader[InternalRow] {
+
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new Path(file))
+    .withConf(new Configuration())
+    .build()
+  private var current: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val gt = current.getType
+    val vals = schema.fields.map { f =>
+      if (!gt.containsField(f.name)) null
+      else {
+        val idx = gt.getFieldIndex(f.name)
+        if (current.getFieldRepetitionCount(idx) == 0) null
+        else f.dataType match {
+          case LongType => current.getLong(idx, 0)
+          case IntegerType => current.getInteger(idx, 0)
+          case DoubleType => current.getDouble(idx, 0)
+          case FloatType => current.getFloat(idx, 0)
+          case BooleanType => current.getBoolean(idx, 0)
+          case StringType =>
+            UTF8String.fromBytes(current.getBinary(idx, 0).getBytes)
+          case DateType => current.getInteger(idx, 0) // days since epoch
+          case TimestampType | TimestampNTZType =>
+            LakehouseStream.decodeTimestampMicros(
+              gt.getType(idx).asPrimitiveType(), current, idx)
+          case dt => throw new UnsupportedOperationException(
+            s"unreachable: $dt passed validateSchema")
+        }
+      }
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+private[sources] object LakehouseStream {
+
+  private val Supported: Set[DataType] = Set(LongType, IntegerType,
+    DoubleType, FloatType, BooleanType, StringType, DateType,
+    TimestampType, TimestampNTZType)
+
+  /** Fail at plan time, not mid-stream, on column types the Group reader
+    * doesn't decode.
+    */
+  def validateSchema(schema: StructType): Unit = {
+    val bad = schema.fields.filterNot(f => Supported.contains(f.dataType))
+    require(bad.isEmpty,
+      s"graft lakehouse stream supports ${Supported.mkString(", ")}; " +
+        s"unsupported: ${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")}")
+  }
+
+  /** Epoch micros from either physical parquet timestamp encoding:
+    * INT64 with a µs/ms/ns logical annotation, or legacy INT96
+    * (little-endian nanos-of-day + Julian day — what Spark writes under
+    * its default outputTimestampType on some versions).
+    */
+  def decodeTimestampMicros(pt: org.apache.parquet.schema.PrimitiveType,
+      group: org.apache.parquet.example.data.Group, idx: Int): Long = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT64 =>
+        val v = group.getLong(idx, 0)
+        pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => v
+              case LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+            }
+          case _ => v // bare INT64: assume micros
+        }
+      case INT96 =>
+        val buf = java.nio.ByteBuffer
+          .wrap(group.getInt96(idx, 0).getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+      case other => throw new UnsupportedOperationException(
+        s"timestamp stored as $other is not supported")
+    }
+  }
+
+  /** Total record count of the parquet files under `dir`, from footers
+    * only (no data pages) — how the source decides a maintenance
+    * commit's recorded feed is empty.
+    */
+  def parquetRowCount(fs: FileSystem, conf: Configuration,
+      dir: Path): Long =
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+}
