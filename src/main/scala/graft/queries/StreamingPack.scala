@@ -555,6 +555,61 @@ object StreamingPack {
           max(col("trans_date")).as("last_ts"))
     }),
 
+    // s15 — streaming CHANGE DATA FEED from the lakehouse (Delta's
+    // readChangeFeed): the same DSv2 source in CDF mode, where deltas
+    // stream as `insert` rows and a row-level DELETE's FULL commit
+    // streams its RECORDED removed rows (`_change_type = 'delete'`,
+    // written inside the commit by delete(cdf=true)) — row-level CDC
+    // from a table with no external queue, the feed a downstream
+    // index/aggregate needs to stay incremental through takedowns. The
+    // events table lands as three deltas, every event_id%7==0 row is
+    // deleted, and the typed feed drains through an exactly-once sink;
+    // the aggregate is keyed by change type so a missed delete record,
+    // a misattributed insert, or a double-served version
+    // hash-mismatches the oracle's two-branch recomputation.
+    "s15_stream_cdc_feed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s15")
+      // grace keeps consumed version dirs on disk — a feed consumer IS
+      // a reader of old versions (the q65 retention contract)
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString,
+        gcGraceMs = 3600000L)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      (0 to 2).foreach { sl =>
+        lake.append("events_feed",
+          ev.filter(pmod(col("event_id"), lit(3)) === sl))
+      }
+      val contract = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE")
+      lake.delete("events_feed", contract,
+        pmod(col("event_id"), lit(7)) === 0, cdf = true)
+      val feedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, _change_type STRING, " +
+          "_commit_version BIGINT")
+      val source = s.readStream.schema(feedSchema)
+        .format("graft.sources.LakehouseStreamProvider")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(lake.tablePath("events_feed"))
+      val q = source.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          lake.appendExactlyOnce("cdc_sunk", batch, id)
+      }
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lake.read("cdc_sunk", feedSchema)
+        .groupBy(col("_change_type").as("change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("key_sum"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("val_sum"))
+    }),
+
     // hopping (sliding) event-time windows: 1-hour windows every 15
     // minutes — each event lands in exactly 4 overlapping windows, the
     // state/update-amplification shape tumbling (s01) doesn't exercise.
@@ -780,6 +835,20 @@ object StreamingPack {
         | CAST(sum(event_id) AS BIGINT) AS key_sum,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS users,
         | max(ts) AS last_ts
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    // inserts = every event (three delta commits); deletes = exactly the
+    // rows the takedown removed, as recorded inside its commit
+    "s15_stream_cdc_feed" ->
+      """SELECT 'insert' AS change_type, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'delete' AS change_type, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events WHERE event_id % 7 = 0 GROUP BY 2""".stripMargin
   )
 }

@@ -59,6 +59,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    stream (compaction without a grace window while the stream lagged)
   *    also throws — never a silent gap; deployments serving streams run
   *    `gcGraceMs` above their consumers' lag, same as the change feed.
+  *  - **CDF mode** (`readChangeFeed=true`, Delta's streaming CDF): the
+  *    schema carries a `_change_type` string column; deltas stream as
+  *    `insert` rows and every FULL commit streams its RECORDED change
+  *    rows (`delete` / `update_preimage` / `update_postimage` from
+  *    `Lakehouse.delete`/`merge` with `cdf = true`) — row-level CDC from
+  *    the table, no external queue. A `_commit_version` bigint column,
+  *    in either mode, surfaces each row's commit lineage.
   *  - **Restart-safe.** Offsets serialize as the bare version number;
   *    `Trigger.AvailableNow` is supported natively (the end offset is
   *    pinned at query start, so a drain terminates even under concurrent
@@ -128,7 +135,16 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
   private val startVersion = options.getLong("startVersion", 0L)
   private val maxVersions = options.getLong("maxVersionsPerTrigger", Long.MaxValue)
   private val inflightGraceMs = options.getLong("inflightGraceMs", 600000L)
+  // CDF mode (Delta's readChangeFeed): deltas stream as `insert` rows
+  // and every FULL commit streams its RECORDED change rows (delete /
+  // update_preimage / update_postimage) — the schema must carry
+  // `_change_type`, filled per-partition for delta files that predate it
+  private val readChangeFeed = options.getBoolean("readChangeFeed", false)
   require(maxVersions > 0, s"maxVersionsPerTrigger must be > 0")
+  require(!readChangeFeed ||
+    schema.fieldNames.contains(LakehouseStream.ChangeTypeCol),
+    s"readChangeFeed needs a ${LakehouseStream.ChangeTypeCol} STRING " +
+      "column in the schema")
 
   // driver-side only (serialized work goes through the reader factory)
   @transient private lazy val hadoopConf: Configuration =
@@ -204,7 +220,7 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
     val dirs = Protocol.versionDirs(fs, dest).toMap.map {
       case (v, p) => v -> p
     }
-    val files = Seq.newBuilder[String]
+    val files = Seq.newBuilder[LakehouseFilePartition]
     ((from + 1) to to).foreach { v =>
       dirs.get(v) match {
         case None =>
@@ -221,22 +237,39 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
               "incomplete; re-seed the query or raise gcGraceMs")
         case Some(p) => Protocol.commitKind(fs, p) match {
           case None => // uncommitted debris inside the range: no rows
-          case Some(false) => files ++= listDataFiles(p)
+          case Some(false) =>
+            // delta files predate the change-type column: fill "insert"
+            files ++= listDataFiles(p).map(f =>
+              LakehouseFilePartition(f, v, Some("insert")))
           case Some(true) =>
-            // a maintenance rewrite: ride through it ONLY if its
-            // recorded change feed says "no logical change"
             val cdf = new Path(p, Protocol.CdfDir)
-            val emptyFeed = fs.exists(cdf) &&
-              LakehouseStream.parquetRowCount(fs, hadoopConf, cdf) == 0L
-            if (!emptyFeed) throw new IllegalStateException(
-              s"$tablePath version $v is a FULL rewrite with row-level " +
-                "changes (delete/merge/overwrite) — an append stream " +
-                "cannot represent it; re-seed the query past it")
+            if (readChangeFeed) {
+              // CDF mode serves the FULL commit's recorded change rows
+              // verbatim (they carry their own _change_type); unrecorded
+              // rewrites still fail loudly below
+              if (!fs.exists(cdf)) throw new IllegalStateException(
+                s"$tablePath version $v is a FULL commit without " +
+                  "recorded change data (blind overwrite, or delete/" +
+                  "merge with cdf=false) — no row-level feed across it")
+              files ++= fs.listStatus(cdf)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map(st => LakehouseFilePartition(
+                  st.getPath.toString, v, None))
+            } else {
+              // append mode rides through it ONLY if the recorded
+              // change feed says "no logical change"
+              val emptyFeed = fs.exists(cdf) &&
+                LakehouseStream.parquetRowCount(fs, hadoopConf, cdf) == 0L
+              if (!emptyFeed) throw new IllegalStateException(
+                s"$tablePath version $v is a FULL rewrite with row-level " +
+                  "changes (delete/merge/overwrite) — an append stream " +
+                  "cannot represent it; re-seed the query past it, or " +
+                  "stream with readChangeFeed=true")
+            }
         }
       }
     }
-    files.result().map(f =>
-      LakehouseFilePartition(f): InputPartition).toArray
+    files.result().map(p => p: InputPartition).toArray
   }
 
   /** Data files of one committed version dir, recursing into partition
@@ -266,15 +299,22 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
   override def stop(): Unit = ()
 }
 
-private[sources] case class LakehouseFilePartition(file: String)
+/** One data file plus its commit lineage: `commitVersion` backs the
+  * `_commit_version` metadata column, `fillChangeType` the constant
+  * `_change_type` for files that predate the column (delta commits in
+  * CDF mode; recorded change files carry their own).
+  */
+private[sources] case class LakehouseFilePartition(file: String,
+    commitVersion: Long, fillChangeType: Option[String])
     extends InputPartition
 
 private[sources] class LakehouseReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new LakehouseGroupReader(
-      partition.asInstanceOf[LakehouseFilePartition].file, schema)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LakehouseFilePartition]
+    new LakehouseGroupReader(p, schema)
+  }
 }
 
 /** One-file parquet → InternalRow reader over parquet-hadoop's public
@@ -282,12 +322,13 @@ private[sources] class LakehouseReaderFactory(schema: StructType)
   * null detection via field repetition count; missing columns (schema
   * evolution — older files predate a widened contract) read as null.
   */
-private[sources] class LakehouseGroupReader(file: String,
+private[sources] class LakehouseGroupReader(
+    partition: LakehouseFilePartition,
     schema: StructType) extends PartitionReader[InternalRow] {
 
   private val reader = org.apache.parquet.hadoop.ParquetReader
     .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-      new Path(file))
+      new Path(partition.file))
     .withConf(new Configuration())
     .build()
   private var current: org.apache.parquet.example.data.Group = _
@@ -297,7 +338,14 @@ private[sources] class LakehouseGroupReader(file: String,
   override def get(): InternalRow = {
     val gt = current.getType
     val vals = schema.fields.map { f =>
-      if (!gt.containsField(f.name)) null
+      if (!gt.containsField(f.name)) f.name match {
+        // commit-lineage metadata columns, filled from the partition
+        // when the file predates them
+        case LakehouseStream.ChangeTypeCol =>
+          partition.fillChangeType.map(UTF8String.fromString).orNull
+        case LakehouseStream.CommitVersionCol => partition.commitVersion
+        case _ => null
+      }
       else {
         val idx = gt.getFieldIndex(f.name)
         if (current.getFieldRepetitionCount(idx) == 0) null
@@ -325,6 +373,9 @@ private[sources] class LakehouseGroupReader(file: String,
 }
 
 private[sources] object LakehouseStream {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
 
   private val Supported: Set[DataType] = Set(LongType, IntegerType,
     DoubleType, FloatType, BooleanType, StringType, DateType,

@@ -723,8 +723,25 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       throw new IllegalArgumentException(s"unknown table: $name"))
     // physical partition columns (fact's trans_dt_day) survive the
     // rewrite as partition structure, exactly as in compact
-    val full = readSchema(name, schema)
-    val partCols = full.fieldNames.toSeq.diff(schema.fieldNames.toSeq)
+    deleteImpl(name, readSchema(name, schema), schema.fieldNames.toSeq,
+      predicate, statsCols, beforeCommit, cdf)
+  }
+
+  /** [[delete]] for versioned tables OUTSIDE the registered DWH model —
+    * the caller-supplied contract schema plays the registry's role
+    * (unpartitioned tables, like the schema-explicit [[compact]] and
+    * [[merge]]).
+    */
+  def delete(name: String, schema: StructType,
+      predicate: org.apache.spark.sql.Column, cdf: Boolean): Unit =
+    deleteImpl(name, schema, schema.fieldNames.toSeq, predicate, Nil,
+      () => (), cdf)
+
+  private def deleteImpl(name: String, full: StructType,
+      contractCols: Seq[String], predicate: org.apache.spark.sql.Column,
+      statsCols: Seq[String], beforeCommit: () => Unit,
+      cdf: Boolean): Unit = {
+    val partCols = full.fieldNames.toSeq.diff(contractCols)
     // snapshot + read basis from ONE listing: deltas committing past this
     // point are not in `surviving` and get rebased post-commit
     val (raw, basis) =
@@ -741,7 +758,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // scan restricted to the deleted subset, paid only when asked for.
     val removed =
       if (cdf) Some(raw.filter(hit)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .select(contractCols.map(col).toIndexedSeq: _*)
         .withColumn(ChangeTypeCol, lit("delete")))
       else None
     overwritePartitioned(name, surviving, partCols, beforeCommit,
@@ -793,8 +810,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   def merge(name: String, schema: StructType, source: DataFrame,
       keyCols: Seq[String]): Unit =
+    merge(name, schema, source, keyCols, cdf = false)
+
+  def merge(name: String, schema: StructType, source: DataFrame,
+      keyCols: Seq[String], cdf: Boolean): Unit =
     mergeImpl(name, schema, schema.fieldNames.toSeq, source, keyCols,
-      Nil, cdf = false, () => ())
+      Nil, cdf, () => ())
 
   private def mergeImpl(name: String, full: StructType,
       contractCols: Seq[String], source: DataFrame, keyCols: Seq[String],

@@ -150,6 +150,53 @@ class LakehouseStreamSpec extends SparkSpec {
       .flatMap(_._2).map(_._1).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("CDF mode streams typed change rows with commit lineage") {
+    val lake = new Lakehouse(spark, tmpDir("lhs-cdf"),
+      gcGraceMs = 3600L * 1000)
+    lake.append("t", batchDf((1L, "a", 1.0, "2020-05-01 10:00:00"),
+      (2L, "b", 2.0, "2020-05-01 11:00:00")))                   // v1
+    lake.merge("t", schema,
+      batchDf((2L, "b2", 2.0, "2020-05-01 11:00:00"),
+        (3L, "c", 3.0, "2020-05-01 12:00:00")),
+      keyCols = Seq("k"), cdf = true)                           // v2 full
+    lake.delete("t", schema, $"k" === 1L, cdf = true)           // v3 full
+    val feedSchema = StructType.fromDDL(
+      schemaDDL + ", _change_type STRING, _commit_version BIGINT")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, String, String, Long)]]()
+    val q = spark.readStream.schema(feedSchema)
+      .format("graft.sources.LakehouseStreamProvider")
+      .option("readChangeFeed", "true")
+      .load(lake.tablePath("t"))
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        got.add(b.select($"k", $"name", $"_change_type", $"_commit_version")
+          .as[(Long, String, String, Long)].collect().toSeq)
+        ()
+      }
+      .option("checkpointLocation", tmpDir("lhs-cdf-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = got.toArray(Array.empty[Seq[(Long, String, String, Long)]])
+      .flatten.toSet
+    assert(rows == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (2L, "b", "update_preimage", 2L), (2L, "b2", "update_postimage", 2L),
+      (3L, "c", "insert", 2L),
+      (1L, "a", "delete", 3L)))
+  }
+
+  test("CDF mode requires the _change_type column in the schema") {
+    val lake = new Lakehouse(spark, tmpDir("lhs-cdf-schema"))
+    lake.append("t", batchDf((1L, "a", 1.0, "2020-05-01 10:00:00")))
+    val boom = intercept[Exception] {
+      val q = source(lake, "t", Map("readChangeFeed" -> "true"))
+        .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }
+        .option("checkpointLocation", tmpDir("lhs-cdf-schema-ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(boom.getMessage.contains("_change_type"))
+  }
+
   test("unsupported column types fail at plan time") {
     val lake = new Lakehouse(spark, tmpDir("lhs-types-bad"))
     val boom = intercept[Exception] {
