@@ -433,6 +433,27 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         .agg(count(lit(1)).as("n"),
           sum(col("trans_id").cast("bigint")).as("key_sum"),
           sum(col("amt")).cast("double").as("amt_sum"))
+    }),
+    // q66 — RESTORE (rollback): the mistake-recovery path. The 3-slice
+    // table suffers a wrong bulk delete; restore re-commits the
+    // pre-delete content as a NEW full commit (history keeps moving
+    // forward — the bad delete stays audit-visible under its version),
+    // through the same conflict-detected rewrite protocol as every
+    // maintenance op. The oracle is the WHOLE orders table: a restore
+    // that resolved the wrong version, dropped the deleted rows, or
+    // silently no-op'd hash-mismatches. The in-query require pins the
+    // mechanism (a second FULL commit), not just the content.
+    "q66_restore" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val lake = versionedFact(s, d, retainSnapshots = 1)
+      val preDelete = lake.versions("fact_transactions").map(_._1).max
+      lake.delete("fact_transactions",
+        pmod(col("trans_id").cast("bigint"), lit(7)) === 0)
+      lake.restore("fact_transactions", preDelete)
+      val vs = lake.versions("fact_transactions")
+      require(vs.last._2 && vs.count(_._2) == 2,
+        s"restore must land as a second full commit: $vs")
+      sliceAgg(lake.read("fact_transactions"))
     })
   )
 
@@ -510,6 +531,8 @@ SELECT 'delete' AS change_type,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
 FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 = 0
 GROUP BY 2""",
+    // rollback restores the full pre-delete content
+    "q66_restore" -> sliceOracle("TRUE"),
     // v1 rows (even event_id) predate the widened columns → NULL
     "q59_schema_evolution" ->
       """SELECT event_id, user_id,

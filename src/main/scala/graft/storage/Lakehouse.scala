@@ -169,6 +169,71 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       case (v, p) => commitKind(p).map(v -> _)
     }
 
+  /** Commit history, oldest first: (version, isFullSnapshot, commit
+    * time). The commit instant IS the marker file's creation — its
+    * modification time survives even a rebase rename (renames move the
+    * file, not its mtime), so a rebased delta keeps its original commit
+    * time under its new version number. Same caveat as any
+    * mtime-derived clock: it is the filesystem's, not the writer's.
+    */
+  def history(name: String): Seq[(Long, Boolean, Long)] =
+    versionDirs(new Path(tablePath(name))).sortBy(_._1).flatMap {
+      case (v, p) =>
+        commitKind(p).map { full =>
+          val mt = fs.listStatus(p).collect {
+            case st if st.getPath.getName == MarkerFull ||
+              st.getPath.getName == MarkerLegacy ||
+              st.getPath.getName.startsWith(MarkerDelta) =>
+              st.getModificationTime
+          }
+          (v, full, mt.min)
+        }
+    }
+
+  /** Timestamp time travel (`AS OF <timestamp>`): the table as of the
+    * newest commit at or before `asOfMs` — resolved through [[history]]
+    * then served by [[readAt]], inheriting its retention contract
+    * (a timestamp older than the retained window throws, never silently
+    * mis-resolves).
+    */
+  def readAsOf(name: String, asOfMs: Long): DataFrame = {
+    val h = history(name).filter(_._3 <= asOfMs)
+    require(h.nonEmpty, s"$name has no commit at or before $asOfMs")
+    readAt(name, h.map(_._1).max)
+  }
+
+  /** RESTORE (rollback): re-commit the content of an earlier `version`
+    * as a NEW full commit — the mistake-recovery path (bad batch, wrong
+    * delete) that rolls the LIVE table back while the history keeps
+    * moving forward (Delta's RESTORE semantics: a restore is itself a
+    * commit, so it is audit-visible and itself restorable). Runs through
+    * the same conflict-detected overwrite protocol: an append racing the
+    * restore is rebased above it, two racing rewrites fail loudly. The
+    * source version must still be inside the retained window (readAt's
+    * contract — restoring from GC'd history throws). Records no change
+    * feed: a rollback's row-level diff is against content the caller
+    * chose to abandon; feed consumers re-seed past it (the same stance
+    * Delta takes — RESTORE breaks CDF continuity).
+    */
+  def restore(name: String, version: Long): Unit = {
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    val full = readSchema(name, schema)
+    val partCols = full.fieldNames.toSeq.diff(schema.fieldNames.toSeq)
+    // basis from the current listing; the snapshot itself is the OLD
+    // version's chain (still on disk — readAt throws otherwise), so a
+    // delta committing during the rewrite rebases above the restore
+    val (_, basis) = liveRootsAndBasis(name)
+    val snap0 = readAt(name, version)
+    // the day-partitioned fact re-derives its partition column exactly
+    // as appendPartitionedByDay (readAt serves contract columns only)
+    val snap =
+      if (partCols == Seq("trans_dt_day"))
+        snap0.withColumn("trans_dt_day", to_date(col("trans_date")))
+      else snap0
+    overwritePartitioned(name, snap, partCols, readBasis = Some(basis))
+  }
+
   /** Time travel: the table as of commit `maxVersion` (inclusive) — the
     * latest full snapshot at or before it plus the deltas between. Only
     * reaches versions still on disk: the window is the append chain since

@@ -678,6 +678,70 @@ class LakehouseSpec extends SparkSpec {
       ("c2", "a2x", "update_postimage"), ("c3", "a3", "insert")))
   }
 
+  test("restore rolls the live table back as a new audit-visible commit") {
+    import org.apache.spark.sql.functions._
+    val lake = new Lakehouse(spark, tmpDir("lake-restore"),
+      retainSnapshots = 1)
+    lake.append("dim_cards", dimDf("c1" -> "a1"))            // v1
+    lake.append("dim_cards", dimDf("c2" -> "a2"))            // v2
+    lake.delete("dim_cards", col("card_num") === "c2")       // v3 full (bad)
+    assert(lake.read("dim_cards").count() == 1)
+    lake.restore("dim_cards", 2L)                            // v4 full
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSet == Set("c1", "c2"))
+    // history moved FORWARD: the bad delete is still a committed version
+    assert(lake.versions("dim_cards").count(_._2) == 2)
+    // a restore is itself restorable (roll forward to the deleted state)
+    lake.restore("dim_cards", 3L)
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq == Seq("c1"))
+    // restoring from outside the retained window fails loudly
+    intercept[IllegalArgumentException](lake.restore("dim_cards", 1L))
+  }
+
+  test("restore preserves the fact table's day partitioning") {
+    import org.apache.spark.sql.functions._
+    val lake = new Lakehouse(spark, tmpDir("lake-restore-fact"),
+      retainSnapshots = 1)
+    val rows = Seq(
+      ("t1", ts("2020-05-01 10:00:00")), ("t2", ts("2020-05-02 10:00:00")))
+      .toDF("trans_id", "trans_date")
+      .withColumn("card_num", lit("c"))
+      .withColumn("oper_type", lit("o"))
+      .withColumn("amt", lit("1.00").cast("decimal(18,2)"))
+      .withColumn("oper_result", lit("ok"))
+      .withColumn("terminal", lit("t"))
+    lake.appendPartitionedByDay("fact_transactions",
+      spark.createDataFrame(rows.rdd, graft.model.Schemas.factTransactions),
+      "trans_date")
+    lake.delete("fact_transactions", col("trans_id") === "t2")
+    lake.restore("fact_transactions", 1L)
+    val out = lake.readWithPartitionColumns("fact_transactions")
+    assert(out.select("trans_id").as[String].collect().toSet ==
+      Set("t1", "t2"))
+    assert(out.select("trans_dt_day").as[java.sql.Date].collect().toSet ==
+      Set(d("2020-05-01"), d("2020-05-02")))
+  }
+
+  test("history carries commit times; readAsOf resolves by timestamp") {
+    val lake = new Lakehouse(spark, tmpDir("lake-asof"))
+    lake.append("dim_cards", dimDf("c1" -> "a1"))
+    val between = System.currentTimeMillis()
+    Thread.sleep(20) // local-fs mtime granularity
+    lake.append("dim_cards", dimDf("c2" -> "a2"))
+    val h = lake.history("dim_cards")
+    assert(h.map(t => (t._1, t._2)) == Seq(1L -> false, 2L -> false))
+    assert(h.map(_._3).sorted == h.map(_._3), "commit times monotone here")
+    // a timestamp between the two commits serves exactly the first
+    assert(lake.readAsOf("dim_cards", between).select("card_num")
+      .as[String].collect().toSeq == Seq("c1"))
+    assert(lake.readAsOf("dim_cards", System.currentTimeMillis())
+      .count() == 2)
+    // before the first commit: loud, never silently empty
+    intercept[IllegalArgumentException](
+      lake.readAsOf("dim_cards", h.map(_._3).min - 1))
+  }
+
   test("vacuum never touches a delta-only chain or in-flight versions") {
     val lake = new Lakehouse(spark, tmpDir("lake-vacuum-safe"))
     lake.append("dim_cards", dimDf("c1" -> "a1"))
