@@ -454,6 +454,49 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       require(vs.last._2 && vs.count(_._2) == 2,
         s"restore must land as a second full commit: $vs")
       sliceAgg(lake.read("fact_transactions"))
+    }),
+    // q67 — merge-on-read POINT DELETE (Iceberg-v2 equality deletes):
+    // the high-frequency takedown path. Slices 0+1 are committed; every
+    // orderkey%5==0 key lands as ONE tombstone delta (O(keys) write, no
+    // table rewrite); slice 2 appends AFTER it. Reads must mask the
+    // %5 rows of the EARLIER slices while slice 2's %5 rows — inserted
+    // after the delete — survive (the sequence-number rule that makes
+    // equality deletes composable with continuous ingest). Then the
+    // standing compaction MATERIALIZES the masks: the in-query require
+    // pins that the tombstones are retired by the rewrite, and the
+    // post-compact read must hash to the same oracle — a mask dropped,
+    // applied to the wrong generation, or resurrected by compaction all
+    // mismatch.
+    "q67_point_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-eqdel")
+      // grace: the pre-compact ("mor") branch materializes lazily AFTER
+      // the compact — its roots must survive the rewrite's GC, exactly
+      // the concurrent-reader contract gcGraceMs exists for
+      val lake = new Lakehouse(s, dir.resolve("lake").toString,
+        gcGraceMs = 3600000L)
+      val asFact = ordersAsFact(s, d)
+      def slice(k: Int) =
+        asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice")
+      lake.append("fact_transactions", slice(0))
+      lake.append("fact_transactions", slice(1))
+      lake.deleteByKeys("fact_transactions",
+        asFact.filter(pmod(col("_slice"), lit(5)) === 0)
+          .select(col("trans_id")))
+      lake.append("fact_transactions", slice(2))
+      val before = sliceAgg(lake.read("fact_transactions"))
+        .withColumn("gen", lit("mor"))
+      lake.compact("fact_transactions", numFiles = 2,
+        sortCols = Seq("trans_date"))
+      val fs = new org.apache.hadoop.fs.Path(lake.root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val live = lake.dataPaths("fact_transactions")
+      require(live.sizeIs == 1 && !fs.exists(new org.apache.hadoop.fs.Path(
+        live.head, "_GRAFT_EQDEL")),
+        "compaction must materialize the masks and retire the tombstones")
+      before.unionByName(
+        sliceAgg(lake.read("fact_transactions"))
+          .withColumn("gen", lit("compacted")))
     })
   )
 
@@ -533,6 +576,18 @@ FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 = 0
 GROUP BY 2""",
     // rollback restores the full pre-delete content
     "q66_restore" -> sliceOracle("TRUE"),
+    // both generations serve the same logical content: earlier slices
+    // minus the tombstoned keys, the post-tombstone slice whole
+    "q67_point_delete" -> Seq("mor", "compacted").map { gen =>
+      s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum,
+  '$gen' AS gen
+FROM orders
+WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0)
+   OR o_orderkey % 3 = 2 GROUP BY 1"""
+    }.mkString("\nUNION ALL\n"),
     // v1 rows (even event_id) predate the widened columns → NULL
     "q59_schema_evolution" ->
       """SELECT event_id, user_id,

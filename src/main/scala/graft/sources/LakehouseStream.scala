@@ -238,6 +238,19 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
         case Some(p) => Protocol.commitKind(fs, p) match {
           case None => // uncommitted debris inside the range: no rows
           case Some(false) =>
+            val eqDel = new Path(p, Protocol.EqDelDir)
+            if (fs.exists(eqDel)) {
+              // equality-delete tombstones: key-only delete records in
+              // CDF mode; an append stream cannot represent them
+              if (!readChangeFeed) throw new IllegalStateException(
+                s"$tablePath version $v is an equality-delete commit — " +
+                  "an append stream cannot represent it; stream with " +
+                  "readChangeFeed=true")
+              files ++= fs.listStatus(eqDel)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map(st => LakehouseFilePartition(
+                  st.getPath.toString, v, Some("delete")))
+            }
             // delta files predate the change-type column: fill "insert"
             files ++= listDataFiles(p).map(f =>
               LakehouseFilePartition(f, v, Some("insert")))

@@ -103,6 +103,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   // expose a feed without its snapshot or vice versa. Underscore-hidden
   // from normal table scans like the zone maps.
   private val CdfDir = Lakehouse.Protocol.CdfDir
+  // merge-on-read equality-delete tombstones (Iceberg v2's shape):
+  // key rows inside a DELTA commit that MASK matching rows of every
+  // EARLIER version at read time — see [[deleteByKeys]]
+  private val EqDelDir = Lakehouse.Protocol.EqDelDir
   private val ChangeTypeCol = "_change_type"
   private val CommitVersionCol = "_commit_version"
 
@@ -262,10 +266,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         !n.startsWith("_") && !n.startsWith(".")
       }) dest.toString +: versioned
       else versioned
-    roots
-      .map(p => spark.read.schema(readSchema(name, schema))
-        .option("basePath", p).parquet(p))
-      .reduce(_ unionByName _)
+    // equality-delete masking applies WITHIN the selected chain: a
+    // tombstone committed at v ≤ maxVersion masks earlier rows, one
+    // committed after the as-of point doesn't exist yet
+    maskedUnion(roots, readSchema(name, schema))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
@@ -305,6 +309,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       throw new IllegalArgumentException(
         s"$name version $v is a FULL rewrite — no row-level change feed " +
           "across snapshots")
+    }
+    // an equality-delete tombstone delta REMOVES rows — serving it as an
+    // append would misreport; the typed feed (changeFeed) carries it
+    range.find(t => fs.exists(new Path(t._2, EqDelDir))).foreach {
+      case (v, _, _) =>
+        throw new IllegalArgumentException(
+          s"$name version $v is an equality-delete commit — not an " +
+            "append; consume it through changeFeed")
     }
     if (range.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -367,9 +379,43 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private def readRootsWithBasis(name: String,
       schema: StructType): (DataFrame, Lakehouse.ReadBasis) = {
     val (roots, basis) = liveRootsAndBasis(name)
-    (roots
-      .map(p => spark.read.schema(schema).option("basePath", p).parquet(p))
-      .reduce(_ unionByName _), basis)
+    (maskedUnion(roots, schema), basis)
+  }
+
+  /** Version number a live root's tombstones/sequencing key on (the
+    * pre-versioning base root reads as 0 — everything masks it).
+    */
+  private def rootVersion(root: String): Long = {
+    val n = new Path(root).getName
+    if (n.startsWith(VersionPrefix)) n.drop(VersionPrefix.length).toLong
+    else 0L
+  }
+
+  /** Equality-delete key set recorded in a root, if any. */
+  private def eqDelKeys(root: String): Option[DataFrame] = {
+    val p = new Path(root, EqDelDir)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Union the live roots with merge-on-read equality-delete semantics:
+    * a tombstone key set committed at version v masks matching rows of
+    * every root with a LOWER version (Iceberg's sequence-number rule), so
+    * a key re-inserted AFTER its delete survives. Each mask is a
+    * broadcast anti-join (tombstones are point-delete-sized by contract);
+    * scans stay partition-parallel, nothing shuffles the data side.
+    * Tables with no tombstones take the plain union — zero plan overhead.
+    */
+  private def maskedUnion(roots: Seq[String],
+      schema: StructType): DataFrame = {
+    val tombs: Seq[(Long, DataFrame)] =
+      roots.flatMap(r => eqDelKeys(r).map(k => (rootVersion(r), k)))
+    roots.map { r =>
+      val base = spark.read.schema(schema).option("basePath", r).parquet(r)
+      val rv = rootVersion(r)
+      tombs.filter(_._1 > rv).foldLeft(base) { case (df, (_, keys)) =>
+        df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
+      }
+    }.reduce(_ unionByName _)
   }
 
   /** Fact written via [[appendPartitionedByDay]] carries an extra
@@ -830,6 +876,59 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       statsCols = statsCols, readBasis = Some(basis), changeData = removed)
   }
 
+  /** Merge-on-read POINT DELETE (Iceberg v2's equality deletes): the key
+    * rows land as a tombstone set inside one committed DELTA — an O(keys)
+    * metadata-sized write, no table rewrite — and every read masks
+    * matching rows of EARLIER versions via a broadcast anti-join, while a
+    * key re-inserted after its delete survives (the sequence-number
+    * rule; a tombstone rebased above a racing FULL commit likewise masks
+    * the snapshot that couldn't see it — both writers' effects compose).
+    * The standing [[compact]] materializes the masks and retires the
+    * tombstones, bounding read-time join depth.
+    *
+    * This is the high-frequency complement to [[delete]]'s copy-on-write:
+    * per-takedown cost drops from O(table) to O(keys), read cost gains
+    * one broadcast anti-join per outstanding tombstone set until the next
+    * compaction — exactly Delta/Iceberg's deletion-vector trade, keyed on
+    * values instead of row positions (position vectors need a stable
+    * row-id scheme; equality deletes don't, and the takedown workload is
+    * naturally keyed).
+    *
+    * Key columns = the tombstone frame's columns (must be a subset of the
+    * contract; values are coerced to contract types and deduplicated).
+    * Feed semantics: [[changesBetween]] refuses a tombstone delta (it is
+    * not an append); [[changeFeed]] and the streaming source's CDF mode
+    * serve the keys as `delete` records with non-key columns null — the
+    * standard delete-by-key CDC shape.
+    */
+  def deleteByKeys(name: String, keys: DataFrame,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    deleteByKeys(name, schema, keys, beforeCommit)
+  }
+
+  /** [[deleteByKeys]] with an explicit contract schema (unregistered
+    * tables).
+    */
+  def deleteByKeys(name: String, schema: StructType, keys: DataFrame,
+      beforeCommit: () => Unit): Unit = {
+    require(keys.columns.nonEmpty, "deleteByKeys needs key columns")
+    keys.columns.foreach(c => require(schema.fieldNames.contains(c),
+      s"tombstone key $c is not a column of $name"))
+    val conformed = keys
+      .select(keys.columns.toIndexedSeq.map(c =>
+        col(c).cast(schema(c).dataType).as(c)): _*)
+      .distinct()
+    val dest = new Path(tablePath(name))
+    val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
+      // a data-less delta: the tombstones are the whole payload, hidden
+      // under the underscore dir so plain scans of the version see no rows
+      conformed.write.mode("overwrite").parquet(s"$p/$EqDelDir")
+    }
+    ensureAboveFulls(dest, vdir)
+  }
+
   /** MERGE INTO (upsert): source rows REPLACE the target rows sharing
     * their `keyCols` tuple (WHEN MATCHED THEN UPDATE SET *) and rows with
     * no match are appended (WHEN NOT MATCHED THEN INSERT *) — the
@@ -980,6 +1079,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
       .filter(t => t._1 > fromVersion && t._1 <= toVersion)
     val parts = range.map {
+      case (v, p, false) if fs.exists(new Path(p, EqDelDir)) =>
+        // equality-delete tombstones: the standard delete-by-key CDC
+        // record — key columns carry the values, the rest null
+        val keys = spark.read.parquet(new Path(p, EqDelDir).toString)
+        keys.select(schema.fields.toIndexedSeq.map(f =>
+            (if (keys.columns.contains(f.name)) col(f.name)
+             else lit(null).cast(f.dataType)).as(f.name)): _*)
+          .withColumn(ChangeTypeCol, lit("delete"))
+          .withColumn(CommitVersionCol, lit(v))
+          .select(outCols: _*)
       case (v, p, false) =>
         spark.read.schema(schema).option("basePath", p.toString)
           .parquet(p.toString)
@@ -1189,7 +1298,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (!exists(name))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .filter(pred)
-    val parts = dataPaths(name).map { root =>
+    val roots = dataPaths(name)
+    // equality-delete masks compose with file pruning: the anti-join
+    // applies AFTER the manifest cut (a masked row inside a surviving
+    // file must still not serve)
+    val tombs = roots.flatMap(r => eqDelKeys(r).map(k => (rootVersion(r), k)))
+    val parts = roots.map { root =>
+      val rootDf: DataFrame = {
       val statsPath = new Path(root, StatsDir)
       // the manifest dir itself is underscore-hidden, so it must be read
       // by its explicit part files (Spark's hidden-path filter only
@@ -1215,6 +1330,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           spark.read.schema(schema).parquet(files: _*)
         case None =>
           spark.read.schema(schema).option("basePath", root).parquet(root)
+      }
+      }
+      val rv = rootVersion(root)
+      tombs.filter(_._1 > rv).foldLeft(rootDf) { case (df, (_, keys)) =>
+        df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
       }
     }
     parts.reduce(_ unionByName _).filter(pred)
@@ -1267,6 +1387,7 @@ object Lakehouse {
     val SeenPrefix = "_GRAFT_SEEN_b"
     val StatsDir = "_GRAFT_STATS"
     val CdfDir = "_GRAFT_CDF"
+    val EqDelDir = "_GRAFT_EQDEL"
 
     /** (version, dir) for every `_v<N>` subdir, committed or not. */
     def versionDirs(fs: FileSystem, dest: Path): Seq[(Long, Path)] =

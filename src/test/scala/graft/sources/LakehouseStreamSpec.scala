@@ -197,6 +197,44 @@ class LakehouseStreamSpec extends SparkSpec {
     assert(boom.getMessage.contains("_change_type"))
   }
 
+  test("equality-delete tombstones: CDF mode types them, append mode refuses") {
+    val lake = new Lakehouse(spark, tmpDir("lhs-eqdel"))
+    lake.append("t", batchDf((1L, "a", 1.0, "2020-05-01 10:00:00"),
+      (2L, "b", 2.0, "2020-05-01 11:00:00")))                     // v1
+    lake.deleteByKeys("t", schema,
+      spark.createDataFrame(Seq(Tuple1(2L)).toDF("k").rdd,
+        StructType.fromDDL("k BIGINT")), () => ())                // v2
+    val feedSchema = StructType.fromDDL(
+      schemaDDL + ", _change_type STRING, _commit_version BIGINT")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Option[String], String, Long)]]()
+    val q = spark.readStream.schema(feedSchema)
+      .format("graft.sources.LakehouseStreamProvider")
+      .option("readChangeFeed", "true")
+      .load(lake.tablePath("t"))
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        got.add(b.select($"k", $"name", $"_change_type", $"_commit_version")
+          .as[(Long, Option[String], String, Long)].collect().toSeq)
+        ()
+      }
+      .option("checkpointLocation", tmpDir("lhs-eqdel-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got.toArray(Array.empty[Seq[(Long, Option[String], String, Long)]])
+      .flatten.toSet == Set(
+      (1L, Some("a"), "insert", 1L), (2L, Some("b"), "insert", 1L),
+      (2L, None, "delete", 2L)))
+    // the append-shaped stream cannot represent a row delete
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = source(lake, "t").writeStream.foreachBatch {
+        (_: DataFrame, _: Long) => ()
+      }
+        .option("checkpointLocation", tmpDir("lhs-eqdel-ckpt2"))
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    assert(boom.getMessage.contains("equality-delete"))
+  }
+
   test("unsupported column types fail at plan time") {
     val lake = new Lakehouse(spark, tmpDir("lhs-types-bad"))
     val boom = intercept[Exception] {

@@ -742,6 +742,67 @@ class LakehouseSpec extends SparkSpec {
       lake.readAsOf("dim_cards", h.map(_._3).min - 1))
   }
 
+  test("equality delete masks earlier rows; a later re-insert survives") {
+    val lake = new Lakehouse(spark, tmpDir("lake-eqdel"))
+    lake.append("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2"))   // v1
+    lake.deleteByKeys("dim_cards",
+      Seq("c2", "c9").toDF("card_num"))                           // v2
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq == Seq("c1"))
+    // the SAME key re-inserted after the tombstone must serve (sequence
+    // rule) — a version-blind mask would erase it forever
+    lake.append("dim_cards", dimDf("c2" -> "a2x"))                // v3
+    assert(lake.read("dim_cards").select("card_num", "account_num")
+      .as[(String, String)].collect().toMap ==
+      Map("c1" -> "a1", "c2" -> "a2x"))
+    // zone-map range reads apply the same masks
+    lake.append("dim_cards", dimDf("c3" -> "a3"),
+      statsCols = Seq("card_num"))
+    lake.deleteByKeys("dim_cards", Seq("c3").toDF("card_num"))
+    assert(lake.readBetween("dim_cards", "card_num", "c0", "c9")
+      .select("card_num").as[String].collect().sorted.toSeq ==
+      Seq("c1", "c2"))
+    // compaction materializes: same content, tombstones retired
+    lake.compact("dim_cards", numFiles = 1)
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().sorted.toSeq == Seq("c1", "c2"))
+    val fs = new Path(lake.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(lake.dataPath("dim_cards"), "_GRAFT_EQDEL")))
+    // post-compact: a replayed read is mask-free (single full commit)
+    assert(lake.versions("dim_cards").count(_._2) == 1)
+  }
+
+  test("a tombstone racing a compact rebases above it and still masks") {
+    val lake = new Lakehouse(spark, tmpDir("lake-eqdel-race"))
+    lake.append("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2"))   // v1
+    // the tombstone claims its version and writes its keys; INSIDE its
+    // pre-commit window a compact rewrites the table (FULL commit whose
+    // snapshot cannot see the uncommitted tombstone). The tombstone
+    // self-rebases above the full — and, sitting above it, masks the
+    // snapshot's rows: both writers' effects compose
+    lake.deleteByKeys("dim_cards", Seq("c2").toDF("card_num"),
+      beforeCommit = () => lake.compact("dim_cards", numFiles = 1))
+    assert(lake.read("dim_cards").select("card_num").as[String]
+      .collect().toSeq == Seq("c1"))
+  }
+
+  test("feeds: changesBetween refuses a tombstone delta, changeFeed types it") {
+    val lake = new Lakehouse(spark, tmpDir("lake-eqdel-feed"))
+    lake.append("dim_cards", dimDf("c1" -> "a1"))                 // v1
+    lake.deleteByKeys("dim_cards", Seq("c1").toDF("card_num"))    // v2
+    val boom = intercept[IllegalArgumentException](
+      lake.changesBetween("dim_cards", 0L, 2L))
+    assert(boom.getMessage.contains("equality-delete"))
+    val feed = lake.changeFeed("dim_cards", 0L, 2L)
+      .select("card_num", "account_num", "_change_type", "_commit_version")
+      .as[(String, Option[String], String, Long)].collect().toSet
+    // the delete record carries the key, null elsewhere — the standard
+    // delete-by-key CDC shape
+    assert(feed == Set(("c1", Some("a1"), "insert", 1L),
+      ("c1", None, "delete", 2L)))
+  }
+
   test("vacuum never touches a delta-only chain or in-flight versions") {
     val lake = new Lakehouse(spark, tmpDir("lake-vacuum-safe"))
     lake.append("dim_cards", dimDf("c1" -> "a1"))
