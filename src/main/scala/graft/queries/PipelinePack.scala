@@ -497,6 +497,70 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       before.unionByName(
         sliceAgg(lake.read("fact_transactions"))
           .withColumn("gen", lit("compacted")))
+    }),
+    // q68 — INCREMENTAL materialized-view maintenance (classic IVM over
+    // the write-time change feed): the monthly rollup is seeded from
+    // slices 0+1, then the base absorbs an append, a predicate DELETE
+    // and a MERGE upsert — and the MV is refreshed from the RECORDED
+    // change rows alone (signed fold: insert/update_post add,
+    // delete/update_pre subtract), never re-scanning the base snapshot.
+    // At 100 TB that is the difference between a full-fact scan per
+    // refresh and IO proportional to the day's changes. The oracle
+    // recomputes the final rollup straight from `orders` — a refresh
+    // that under-subtracted a delete, double-counted an upsert's pre/post
+    // pair, or missed the append hash-mismatches. The in-query requires
+    // pin the MECHANISM: the seed basis predates the changes, the
+    // refresh lands the MV exactly at the base's latest version, and a
+    // second refresh is a no-op (no new MV commit).
+    "q68_incremental_mv" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.ops.MaterializedView
+      val dir = java.nio.file.Files.createTempDirectory("graft-mv")
+      // the refresh is a change-feed CONSUMER — retention must cover its
+      // lag past standing maintenance (the delete/merge FULL commits
+      // would otherwise GC the un-consumed append delta; q65's contract)
+      val lake = new Lakehouse(s, dir.resolve("lake").toString,
+        retainSnapshots = 1, gcGraceMs = 3600000L)
+      val asFact = ordersAsFact(s, d)
+      def slice(k: Int) =
+        asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice")
+      lake.append("fact_transactions", slice(0))
+      lake.append("fact_transactions", slice(1))
+      // amt stays DECIMAL through the maintenance algebra: the signed
+      // fold is exact in decimal, so the incremental result is
+      // bit-identical to a from-scratch sum — maintaining a double sum
+      // incrementally would drift by FP non-associativity and the driver
+      // hashes floats exactly. Cast to double once, at serve time.
+      val spec = MaterializedView.Spec(
+        groupCols = Seq(
+          "order_month" -> month(col("trans_date")).cast("bigint")),
+        sumCols = Seq(
+          "key_sum" -> col("trans_id").cast("bigint"),
+          "amt_sum" -> col("amt")))
+      val fact = graft.model.Schemas.byName("fact_transactions")
+      val basis = MaterializedView.seed(lake, "mv_monthly",
+        "fact_transactions", fact, spec)
+      lake.append("fact_transactions", slice(2))
+      lake.delete("fact_transactions",
+        pmod(col("trans_id").cast("bigint"), lit(7)) === 0, cdf = true)
+      lake.merge("fact_transactions",
+        asFact.filter(pmod(col("_slice"), lit(2)) === 0).drop("_slice")
+          .withColumn("amt",
+            (col("amt") + lit(1000)).cast("decimal(18,2)")),
+        Seq("trans_id"), cdf = true)
+      val latest = lake.versions("fact_transactions").map(_._1).max
+      require(basis < latest, s"changes must advance the base: $basis")
+      val after = MaterializedView.refresh(lake, "mv_monthly",
+        "fact_transactions", fact, spec)
+      require(after == latest,
+        s"refresh must land at the base head: $after != $latest")
+      val commits = lake.versions("mv_monthly").size
+      require(MaterializedView.refresh(lake, "mv_monthly",
+        "fact_transactions", fact, spec) == latest &&
+        lake.versions("mv_monthly").sizeIs == commits,
+        "an up-to-date refresh must be a commitless no-op")
+      MaterializedView.read(lake, "mv_monthly", fact, spec)
+        .withColumn("amt_sum", col("amt_sum").cast("double"))
     })
   )
 
@@ -588,6 +652,18 @@ FROM orders
 WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0)
    OR o_orderkey % 3 = 2 GROUP BY 1"""
     }.mkString("\nUNION ALL\n"),
+    // final base state after append + delete + merge: even keys all
+    // present at amt+1000 (the merge re-inserts even %7 keys the delete
+    // removed), odd keys survive iff %7 <> 0 at original amt — the MV
+    // maintained from the change feed must equal the direct recompute
+    "q68_incremental_mv" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CASE WHEN o_orderkey % 2 = 0
+       THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
+FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 7 <> 0 GROUP BY 1""",
     // v1 rows (even event_id) predate the widened columns → NULL
     "q59_schema_evolution" ->
       """SELECT event_id, user_id,

@@ -173,6 +173,26 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       case (v, p) => commitKind(p).map(v -> _)
     }
 
+  /** Committed DELTA versions in `(fromVersion, toVersion]` that carry
+    * merge-on-read equality-delete tombstones ([[deleteByKeys]]). Their
+    * change-feed records are KEY-ONLY (non-key columns null) — consumers
+    * that need full-row deletes (e.g. incremental aggregate maintenance,
+    * [[graft.ops.MaterializedView]]) probe this to fail loudly instead
+    * of silently under-subtracting. One listing, O(#versions) exists
+    * checks — metadata-sized.
+    */
+  def equalityDeleteVersions(name: String, fromVersion: Long,
+      toVersion: Long): Seq[Long] =
+    versionDirs(new Path(tablePath(name)))
+      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+      .sortBy(_._1)
+      .flatMap { case (v, p) =>
+        commitKind(p) match {
+          case Some(false) if fs.exists(new Path(p, EqDelDir)) => Some(v)
+          case _ => None
+        }
+      }
+
   /** Commit history, oldest first: (version, isFullSnapshot, commit
     * time). The commit instant IS the marker file's creation — its
     * modification time survives even a rebase rename (renames move the
