@@ -561,6 +561,74 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "an up-to-date refresh must be a commitless no-op")
       MaterializedView.read(lake, "mv_monthly", fact, spec)
         .withColumn("amt_sum", col("amt_sum").cast("double"))
+    }),
+    // q69 — COMPLETE aggregate pushdown through the batch DataSource V2
+    // scan: ungrouped count/min/max over a versioned table answer from
+    // COMMIT METADATA alone — count from parquet footers, min/max from
+    // the zone-map manifests — no data page is ever read. At 100 TB
+    // `SELECT count(*), min(ts), max(ts)` becomes a driver-side manifest
+    // walk instead of a full scan; the in-query require pins that the
+    // pushdown actually fired (a silent fallback to a real scan would
+    // still be correct — and would still pass the oracle — so the plan
+    // assertion is the load-bearing check here).
+    "q69_dsv2_agg_pushdown" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-dsv2agg")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val asFact = ordersAsFact(s, d)
+      (0 to 2).foreach { sl =>
+        lake.append("fact_transactions",
+          asFact.filter(pmod(col("_slice"), lit(3)) === sl).drop("_slice"),
+          statsCols = Seq("trans_date", "amt"))
+      }
+      val fact = graft.model.Schemas.byName("fact_transactions")
+      val q = s.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(fact).load(lake.tablePath("fact_transactions"))
+        .agg(count(lit(1)).as("n"),
+          min(col("trans_date")).as("first_day"),
+          max(col("trans_date")).as("last_day"),
+          min(col("amt")).as("amt_min"), max(col("amt")).as("amt_max"))
+      require(q.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"),
+        "count/min/max must answer from metadata (pushed aggregate)")
+      q.withColumn("amt_min", col("amt_min").cast("double"))
+        .withColumn("amt_max", col("amt_max").cast("double"))
+    }),
+    // q70 — zone-map FILE SKIPPING through the V2 scan's filter
+    // pushdown: three year-ranged commits, a date-range query, and the
+    // plan must cut the non-overlapping files before any task launches
+    // (the automatic form of q55's hand-driven readBetween prune — here
+    // it falls out of a plain `.filter` on a plain `spark.read`). The
+    // require pins the cut ("files: 1/3"); the oracle pins row-level
+    // exactness — zone maps are file-granular, so the surviving file's
+    // rows must still filter precisely.
+    "q70_dsv2_file_skip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-dsv2skip")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val asFact = ordersAsFact(s, d).drop("_slice")
+      // the testdata's orders span 1995..2001 at every scale factor —
+      // three populated year-range commits, one file each
+      Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach {
+        case (lo, hi) =>
+          lake.append("fact_transactions",
+            asFact.filter(year(col("trans_date")).between(lo, hi))
+              .repartition(1),
+            statsCols = Seq("trans_date"))
+      }
+      val fact = graft.model.Schemas.byName("fact_transactions")
+      val q = s.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(fact).load(lake.tablePath("fact_transactions"))
+        .filter(col("trans_date") >=
+          lit(java.time.Instant.parse("1997-01-01T00:00:00Z")) &&
+          col("trans_date") <=
+          lit(java.time.Instant.parse("1998-12-31T00:00:00Z")))
+      val planStr = q.queryExecution.executedPlan.toString
+      require(planStr.contains("files: 1/3"),
+        "the 1997-98 range must plan exactly the middle commit's file: " +
+          planStr.linesIterator.filter(_.contains("graft_lakehouse"))
+            .mkString(" | "))
+      sliceAgg(q)
     })
   )
 
@@ -664,6 +732,17 @@ WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0)
        THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1000
        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
 FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 7 <> 0 GROUP BY 1""",
+    // metadata-only aggregates must equal the direct scan's
+    "q69_dsv2_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(min(o_orderdate) AS TIMESTAMP) AS first_day,
+  CAST(max(o_orderdate) AS TIMESTAMP) AS last_day,
+  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_min,
+  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_max
+FROM orders""",
+    // the file cut must not change the rows the range query serves
+    "q70_dsv2_file_skip" -> sliceOracle(
+      "o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'"),
     // v1 rows (even event_id) predate the widened columns → NULL
     "q59_schema_evolution" ->
       """SELECT event_id, user_id,

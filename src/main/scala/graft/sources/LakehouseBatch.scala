@@ -1,0 +1,451 @@
+package graft.sources
+
+import graft.storage.Lakehouse.Protocol
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownAggregates, SupportsReportStatistics}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util.OptionalLong
+
+/** Batch DataSource V2 over a lakehouse table — the planning-layer
+  * integration that makes the commit log a first-class Spark source:
+  *
+  * {{{
+  * spark.read.format("graft.sources.LakehouseBatchProvider")
+  *   .schema(contract).load(lake.tablePath("fact"))
+  * }}}
+  *
+  * What the V2 surface buys (each visible in `.explain` and pinned in
+  * LakehouseBatchSpec):
+  *
+  *  - **Snapshot isolation at plan time.** The live set (latest committed
+  *    FULL + later committed DELTAs) is resolved ONCE, from commit
+  *    markers — concurrent writers never tear a scan.
+  *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the scan
+  *    schema narrows to what the query touches.
+  *  - **Filter pushdown + zone-map file skipping**
+  *    ([[SupportsPushDownFilters]]): comparison/equality/IN predicates on
+  *    columns covered by the table's `_GRAFT_STATS` manifests prune WHOLE
+  *    FILES at plan time (the manifest read is metadata-sized, the same
+  *    file-cut `Lakehouse.readBetween` does by hand — here it falls out
+  *    of every `WHERE` clause automatically). Pushed filters are also
+  *    kept as post-scan filters: zone maps are file-granular, so rows
+  *    still filter exactly.
+  *  - **Complete aggregate pushdown** ([[SupportsPushDownAggregates]]):
+  *    ungrouped COUNT(*) / MIN(col) / MAX(col) are answered WITHOUT
+  *    reading any data — COUNT from parquet footers, MIN/MAX from the
+  *    zone-map manifests (only when every live file is manifest-covered;
+  *    otherwise the pushdown is declined and Spark aggregates normally).
+  *    `SELECT count(*), min(ts), max(ts)` on a 100 TB table becomes a
+  *    driver-side metadata walk.
+  *  - **Statistics** ([[SupportsReportStatistics]]): sizeInBytes + row
+  *    count from the live manifest/footers feed the optimizer's join
+  *    planning — a lakehouse dim below the broadcast threshold
+  *    auto-broadcasts, no hint needed.
+  *
+  * Contracts: merge-on-read equality-delete tombstones are REJECTED at
+  * plan time (this scan path has no anti-join stage — compact first;
+  * `Lakehouse.read` serves them), matching the fail-loudly stance of the
+  * streaming source. Directory-encoded partition columns are not
+  * surfaced (same as the streaming source — columns live in the files
+  * for every `Lakehouse.append` layout). The per-file reader is the
+  * shared row-at-a-time Group decoder — the planning layer (skipping,
+  * pushdown, stats) is the load-bearing part; a production deployment
+  * swaps in the vectorized columnar reader behind the same
+  * PartitionReaderFactory seam.
+  */
+class LakehouseBatchProvider extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ddl = options.get("schemaDDL")
+    require(ddl != null,
+      "graft lakehouse batch needs a schema: .schema(...) or " +
+        ".option(\"schemaDDL\", \"col TYPE, ...\")")
+    StructType.fromDDL(ddl)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft lakehouse batch needs the table directory: .load(<path>)")
+    LakehouseStream.validateSchema(schema)
+    new LakehouseBatchTable(path, schema)
+  }
+}
+
+private[sources] class LakehouseBatchTable(path: String, tschema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_lakehouse($path)"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakehouseScanBuilder(path, tschema)
+}
+
+private[sources] class LakehouseScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  // complete aggregate pushdown: (output schema, precomputed row)
+  private var aggResult: Option[(StructType, Seq[Any])] = None
+
+  private lazy val meta = LakehouseBatch.resolve(path)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands back a subset of the table schema (possibly empty for
+    // bare count paths that weren't pushed as aggregates)
+    required = requiredSchema
+
+  /** Accept every filter as post-scan (zone maps are file-granular — the
+    * row-level predicate must still run); record the manifest-usable
+    * subset as pushed so skipping happens and explain shows it.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(LakehouseBatch.usableForSkipping(_, meta.statsCols))
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggResult.isDefined || tryPushAgg(aggregation, probeOnly = true)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    tryPushAgg(aggregation, probeOnly = false)
+
+  /** Ungrouped COUNT(*) / MIN / MAX over fully manifest-covered columns
+    * → answer from metadata. Declined (false) in every other case,
+    * including when row-level filters are present (Spark then plans its
+    * own aggregate over the normal scan — correctness never depends on
+    * the pushdown firing).
+    */
+  private def tryPushAgg(agg: Aggregation, probeOnly: Boolean): Boolean = {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
+    def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val wanted: Seq[Option[(StructField, String)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false), "count"))
+        case m: Min => columnOf(m.column).collect {
+          case c if meta.statsCols.contains(c) =>
+            (StructField(s"min($c)", full(c).dataType), s"min:$c")
+        }
+        case m: Max => columnOf(m.column).collect {
+          case c if meta.statsCols.contains(c) =>
+            (StructField(s"max($c)", full(c).dataType), s"max:$c")
+        }
+        case _ => None
+      }
+    if (wanted.exists(_.isEmpty) || wanted.isEmpty) return false
+    // min/max soundness needs every live data file manifest-covered
+    val needsStats = wanted.flatten.exists(_._2 != "count")
+    if (needsStats && !meta.fullyCovered) return false
+    if (probeOnly) return true
+    val vals = LakehouseBatch.computeAgg(meta, wanted.flatten.map(_._2), full)
+    aggResult = Some((StructType(wanted.flatten.map(_._1)), vals))
+    true
+  }
+
+  override def build(): Scan =
+    new LakehouseBatchScan(meta, required, pushed, aggResult)
+}
+
+private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
+    required: StructType, pushed: Array[Filter],
+    aggResult: Option[(StructType, Seq[Any])])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType =
+    aggResult.map(_._1).getOrElse(required)
+
+  override def toBatch: Batch = this
+
+  override def description(): String = aggResult match {
+    case Some((schema, _)) =>
+      s"graft_lakehouse(${meta.path}) PushedAggregation: " +
+        schema.fieldNames.mkString("[", ", ", "]")
+    case None =>
+      val files = plannedFiles
+      s"graft_lakehouse(${meta.path}) files: ${files.length}/" +
+        s"${meta.dataFiles.length}"
+  }
+
+  /** Zone-map cut: a file survives unless some pushed filter proves no
+    * row in it can match. Evaluated ONCE per scan (driver, metadata).
+    */
+  private lazy val plannedFiles: Seq[LakehouseBatch.FileMeta] =
+    LakehouseBatch.skipFiles(meta, pushed)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    aggResult match {
+      case Some((_, vals)) => Array(PrecomputedAggPartition(vals))
+      case None => plannedFiles
+        .map(f => LakehouseFilePartition(f.path, f.version, None)
+          : InputPartition).toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    aggResult match {
+      case Some((schema, _)) => new PrecomputedAggReaderFactory(schema)
+      case None => new LakehouseReaderFactory(required)
+    }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(1L, plannedFiles.map(_.sizeBytes).sum))
+    override def numRows(): OptionalLong =
+      OptionalLong.of(plannedFiles.map(_.rowCount).sum)
+  }
+}
+
+/** One-row partition for completely-pushed aggregates: the values were
+  * computed from metadata at plan time; the reader just emits them.
+  */
+private[sources] case class PrecomputedAggPartition(values: Seq[Any])
+    extends InputPartition
+
+private[sources] class PrecomputedAggReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = partition.asInstanceOf[PrecomputedAggPartition].values
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(vals)
+      override def close(): Unit = ()
+    }
+}
+
+private[graft] object LakehouseBatch {
+
+  /** One live data file + the metadata the planner needs. `rowCount`
+    * from the parquet footer (no data pages); `stats` = zone-map row
+    * (min_/max_ per covered column) when the file is manifest-covered.
+    */
+  final case class FileMeta(path: String, version: Long, sizeBytes: Long,
+      rowCount: Long, stats: Option[org.apache.spark.sql.Row])
+
+  final case class TableMeta(path: String, dataFiles: Seq[FileMeta],
+      statsCols: Set[String], fullyCovered: Boolean)
+
+  /** Resolve the live set from commit markers (the same walk as
+    * `Lakehouse.liveRootsAndBasis`), list its data files with footers +
+    * zone maps. Driver-side, metadata-sized: one listing per root, one
+    * footer open per file, one manifest read per root that has one.
+    * Equality-delete tombstones reject at plan time (class doc).
+    */
+  def resolve(path: String): TableMeta = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(conf)
+    require(fs.exists(dest), s"no such lakehouse table: $path")
+    val committed = Protocol.versionDirs(fs, dest).sortBy(_._1).flatMap {
+      case (v, p) => Protocol.commitKind(fs, p).map(full => (v, p, full))
+    }
+    val lastFull = committed.lastIndexWhere(_._3)
+    val roots: Seq[(Long, Path)] =
+      if (lastFull >= 0) committed.drop(lastFull).map(t => (t._1, t._2))
+      else {
+        val deltas = committed.map(t => (t._1, t._2))
+        val plain = fs.listStatus(dest).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (plain || deltas.isEmpty) (0L, dest) +: deltas else deltas
+      }
+    roots.foreach { case (v, p) =>
+      require(!fs.exists(new Path(p, Protocol.EqDelDir)),
+        s"$path version $v carries merge-on-read equality-delete " +
+          "tombstones — the V2 batch scan has no anti-join stage; " +
+          "compact the table first (Lakehouse.read serves them directly)")
+    }
+    var statsCols = Set.empty[String]
+    var covered = true
+    val files = Seq.newBuilder[FileMeta]
+    roots.foreach { case (v, root) =>
+      val dataPaths = listDataFiles(fs, root)
+      val manifest = new Path(root, Protocol.StatsDir)
+      val statRows: Map[String, org.apache.spark.sql.Row] =
+        if (!fs.exists(manifest)) Map.empty
+        else {
+          val parts = fs.listStatus(manifest).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).map(_.toString)
+          if (parts.isEmpty) Map.empty
+          else {
+            val df = spark.read.parquet(parts.toIndexedSeq: _*)
+            statsCols ++= df.columns.collect {
+              case c if c.startsWith("min_") => c.drop(4)
+            }
+            df.collect().map(r =>
+              r.getString(r.fieldIndex("file")) -> r).toMap
+          }
+        }
+      dataPaths.foreach { st =>
+        val rows = footerRowCount(fs, conf, st.getPath)
+        // a 0-row file (empty input to an append) plans no task, carries
+        // no stats row, and must not defeat min/max coverage
+        if (rows > 0L) {
+          val stat = statRows.get(st.getPath.toString)
+            .orElse(statRows.get(st.getPath.toUri.toString))
+          if (stat.isEmpty) covered = false
+          files += FileMeta(st.getPath.toString, v, st.getLen, rows, stat)
+        }
+      }
+    }
+    val all = files.result()
+    TableMeta(path, all, statsCols, covered && all.nonEmpty)
+  }
+
+  private def listDataFiles(fs: FileSystem,
+      root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) out += st
+      }
+    }
+    walk(root)
+    out.result()
+  }
+
+  private def footerRowCount(fs: FileSystem, conf: Configuration,
+      p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Is this filter usable for zone-map skipping (stats-covered simple
+    * comparison)? Unusable filters still run post-scan — they just
+    * don't cut files.
+    */
+  def usableForSkipping(f: Filter, statsCols: Set[String]): Boolean =
+    f match {
+      case EqualTo(c, _) => statsCols.contains(c)
+      case GreaterThan(c, _) => statsCols.contains(c)
+      case GreaterThanOrEqual(c, _) => statsCols.contains(c)
+      case LessThan(c, _) => statsCols.contains(c)
+      case LessThanOrEqual(c, _) => statsCols.contains(c)
+      case In(c, vs) => statsCols.contains(c) && vs.nonEmpty
+      case And(l, r) =>
+        usableForSkipping(l, statsCols) || usableForSkipping(r, statsCols)
+      case _ => false
+    }
+
+  /** A file SURVIVES unless a pushed filter proves it empty of matches.
+    * Semantics mirror parquet row-group pruning: min/max are over
+    * non-null values, and comparisons against a null min/max (all-null
+    * file) correctly prove non-match for every comparison predicate.
+    * Files without stats rows always survive.
+    */
+  def skipFiles(meta: TableMeta, pushed: Array[Filter]): Seq[FileMeta] = {
+    if (pushed.isEmpty || meta.statsCols.isEmpty) return meta.dataFiles
+    def mightMatch(stats: org.apache.spark.sql.Row, f: Filter): Boolean = {
+      def mn(c: String): Option[Any] = get(stats, s"min_$c")
+      def mx(c: String): Option[Any] = get(stats, s"max_$c")
+      def cmp(a: Any, b: Any): Int = compareValues(a, b)
+      f match {
+        case EqualTo(c, v) if meta.statsCols(c) =>
+          (mn(c), mx(c)) match {
+            case (Some(lo), Some(hi)) => cmp(lo, v) <= 0 && cmp(hi, v) >= 0
+            case _ => false // all-null file: c = v is never true
+          }
+        case GreaterThan(c, v) if meta.statsCols(c) =>
+          mx(c).exists(hi => cmp(hi, v) > 0)
+        case GreaterThanOrEqual(c, v) if meta.statsCols(c) =>
+          mx(c).exists(hi => cmp(hi, v) >= 0)
+        case LessThan(c, v) if meta.statsCols(c) =>
+          mn(c).exists(lo => cmp(lo, v) < 0)
+        case LessThanOrEqual(c, v) if meta.statsCols(c) =>
+          mn(c).exists(lo => cmp(lo, v) <= 0)
+        case In(c, vs) if meta.statsCols(c) =>
+          vs.exists(v => mightMatch(stats, EqualTo(c, v)))
+        case And(l, r) => mightMatch(stats, l) && mightMatch(stats, r)
+        case _ => true // not provable from stats — keep
+      }
+    }
+    meta.dataFiles.filter { fm =>
+      fm.stats.forall(stats => pushed.forall(f => mightMatch(stats, f)))
+    }
+  }
+
+  private def get(r: org.apache.spark.sql.Row, name: String): Option[Any] = {
+    val i = r.schema.fieldNames.indexOf(name)
+    if (i < 0 || r.isNullAt(i)) None else Some(r.get(i))
+  }
+
+  /** Total order across the value representations that meet here: the
+    * manifest's JVM-typed min/max vs the pushed filter's literal.
+    * Temporal types normalize through epoch millis; numerics through
+    * BigDecimal — mirrors Catalyst's binary-comparison coercions for
+    * the type combinations a same-column compare can produce.
+    */
+  private def compareValues(a: Any, b: Any): Int = {
+    def millis(x: Any): Option[Long] = x match {
+      case t: java.sql.Timestamp => Some(t.getTime)
+      case d: java.sql.Date => Some(d.getTime)
+      case t: java.time.Instant => Some(t.toEpochMilli)
+      case d: java.time.LocalDate =>
+        Some(d.toEpochDay * 86400000L)
+      case t: java.time.LocalDateTime =>
+        Some(t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      case _ => None
+    }
+    (millis(a), millis(b)) match {
+      case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+      case _ => (a, b) match {
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: Number, y: Number) => // incl. BigDecimal — exact compare
+          new java.math.BigDecimal(x.toString)
+            .compareTo(new java.math.BigDecimal(y.toString))
+        case _ => throw new IllegalArgumentException(
+          s"incomparable zone-map values: ${a.getClass} vs ${b.getClass}")
+      }
+    }
+  }
+
+  /** Evaluate the pushed aggregate from metadata: count from footers,
+    * min/max by folding the per-file zone-map rows (already collected in
+    * `meta`). Results convert to Catalyst internal values once here.
+    */
+  def computeAgg(meta: TableMeta, specs: Seq[String],
+      full: StructType): Seq[Any] = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    specs.map {
+      case "count" => meta.dataFiles.map(_.rowCount).sum
+      case s =>
+        val Array(kind, c) = s.split(":", 2)
+        val vals = meta.dataFiles.flatMap(_.stats).flatMap(r =>
+          get(r, s"${kind}_$c"))
+        val folded =
+          if (vals.isEmpty) null
+          else if (kind == "min") vals.reduce((a, b) =>
+            if (compareValues(a, b) <= 0) a else b)
+          else vals.reduce((a, b) => if (compareValues(a, b) >= 0) a else b)
+        conv.createToCatalystConverter(full(c).dataType)(folded)
+    }
+  }
+}

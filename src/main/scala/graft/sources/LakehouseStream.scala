@@ -374,6 +374,9 @@ private[sources] class LakehouseGroupReader(
           case TimestampType | TimestampNTZType =>
             LakehouseStream.decodeTimestampMicros(
               gt.getType(idx).asPrimitiveType(), current, idx)
+          case dt: DecimalType =>
+            LakehouseStream.decodeDecimal(
+              gt.getType(idx).asPrimitiveType(), current, idx, dt)
           case dt => throw new UnsupportedOperationException(
             s"unreachable: $dt passed validateSchema")
         }
@@ -398,10 +401,42 @@ private[sources] object LakehouseStream {
     * doesn't decode.
     */
   def validateSchema(schema: StructType): Unit = {
-    val bad = schema.fields.filterNot(f => Supported.contains(f.dataType))
+    val bad = schema.fields.filterNot(f =>
+      Supported.contains(f.dataType) || f.dataType.isInstanceOf[DecimalType])
     require(bad.isEmpty,
       s"graft lakehouse stream supports ${Supported.mkString(", ")}; " +
         s"unsupported: ${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")}")
+  }
+
+  /** Catalyst Decimal from any physical parquet decimal encoding Spark
+    * writes: INT32/INT64 unscaled (precision ≤ 18) or
+    * BINARY / FIXED_LEN_BYTE_ARRAY big-endian unscaled bytes (wider,
+    * or legacy writer mode). The logical annotation's scale wins over
+    * the requested type's, then the value is rescaled to the contract.
+    */
+  def decodeDecimal(pt: org.apache.parquet.schema.PrimitiveType,
+      group: org.apache.parquet.example.data.Group, idx: Int,
+      dt: DecimalType): org.apache.spark.sql.types.Decimal = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val scale = pt.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        d.getScale
+      case _ => dt.scale
+    }
+    val unscaled: java.math.BigDecimal = pt.getPrimitiveTypeName match {
+      case INT32 =>
+        java.math.BigDecimal.valueOf(group.getInteger(idx, 0).toLong, scale)
+      case INT64 =>
+        java.math.BigDecimal.valueOf(group.getLong(idx, 0), scale)
+      case BINARY | FIXED_LEN_BYTE_ARRAY =>
+        new java.math.BigDecimal(
+          new java.math.BigInteger(group.getBinary(idx, 0).getBytes), scale)
+      case other => throw new UnsupportedOperationException(
+        s"decimal stored as $other is not supported")
+    }
+    org.apache.spark.sql.types.Decimal(
+      unscaled.setScale(dt.scale), dt.precision, dt.scale)
   }
 
   /** Epoch micros from either physical parquet timestamp encoding:

@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.Lakehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The V2 batch source's planning contracts: snapshot round-trip across
+  * commit kinds, zone-map file skipping driven by pushed filters,
+  * complete aggregate pushdown from metadata, statistics-driven
+  * auto-broadcast, and the equality-delete rejection.
+  */
+class LakehouseBatchSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("grp", StringType),
+    StructField("ts", TimestampType),
+    StructField("amt", DecimalType(18, 2))))
+
+  private def rows(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map { i =>
+      (i.toLong, s"g${i % 3}",
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 27 + 1}%02d 10:00:00"),
+        new java.math.BigDecimal(s"$i.25"))
+    }.toDF("k", "grp", "ts", "amt")
+      .select(col("k"), col("grp"), col("ts"),
+        col("amt").cast("decimal(18,2)"))
+  }
+
+  private def v2(path: String): DataFrame =
+    spark.read.format("graft.sources.LakehouseBatchProvider")
+      .schema(schema).load(path)
+
+  private def mkLake(prefix: String): (Lakehouse, String) = {
+    val lake = new Lakehouse(spark, tmpDir(prefix))
+    (lake, lake.tablePath("t"))
+  }
+
+  test("round-trips the live snapshot across full + delta commits") {
+    val (lake, path) = mkLake("v2-roundtrip")
+    lake.append("t", rows(0, 40), statsCols = Seq("k"))
+    lake.append("t", rows(40, 70), statsCols = Seq("k"))
+    lake.compact("t", schema, numFiles = 2, sortCols = Seq("k"))
+    lake.append("t", rows(70, 90), statsCols = Seq("k"))
+    val got = v2(path).orderBy("k").collect().toSeq
+    val want = lake.read("t", schema).orderBy("k").collect().toSeq
+    assert(got == want) // incl. decimal + timestamp decode fidelity
+  }
+
+  test("pushed range filter skips non-overlapping files (zone maps)") {
+    val (lake, path) = mkLake("v2-skip")
+    // three disjoint key ranges → three manifest-covered deltas
+    lake.append("t", rows(0, 100).repartition(1), statsCols = Seq("k"))
+    lake.append("t", rows(100, 200).repartition(1), statsCols = Seq("k"))
+    lake.append("t", rows(200, 300).repartition(1), statsCols = Seq("k"))
+    val q = v2(path).filter(col("k") >= 120L && col("k") < 180L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("files: 1/3"), s"no file cut in:\n$plan")
+    assert(plan.contains("PushedFilters") || plan.contains("graft_lakehouse"))
+    assert(q.count() == 60L)
+    // row-level exactness: the surviving file still filters its rows
+    assert(q.agg(min("k"), max("k")).head() ==
+      org.apache.spark.sql.Row(120L, 179L))
+    // unfiltered scan keeps everything
+    assert(v2(path).count() == 300L)
+  }
+
+  test("IN and equality filters prune through the manifest too") {
+    val (lake, path) = mkLake("v2-skip-eq")
+    lake.append("t", rows(0, 50).repartition(1), statsCols = Seq("k"))
+    lake.append("t", rows(50, 100).repartition(1), statsCols = Seq("k"))
+    val eq = v2(path).filter(col("k") === 75L)
+    assert(eq.queryExecution.executedPlan.toString.contains("files: 1/2"))
+    assert(eq.count() == 1L)
+    val in = v2(path).filter(col("k").isin(10L, 20L))
+    assert(in.queryExecution.executedPlan.toString.contains("files: 1/2"))
+    assert(in.count() == 2L)
+  }
+
+  test("ungrouped count/min/max push down to metadata (no data read)") {
+    val (lake, path) = mkLake("v2-agg")
+    lake.append("t", rows(0, 80), statsCols = Seq("k", "ts"))
+    lake.append("t", rows(80, 130), statsCols = Seq("k", "ts"))
+    val q = v2(path).agg(count(lit(1)).as("n"), min(col("ts")).as("lo"),
+      max(col("k")).as("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), s"not pushed:\n$plan")
+    val r = q.head()
+    assert(r.getLong(0) == 130L)
+    assert(r.getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(r.getLong(2) == 129L)
+  }
+
+  test("aggregate pushdown declines when a column lacks stats coverage") {
+    val (lake, path) = mkLake("v2-agg-decline")
+    lake.append("t", rows(0, 50), statsCols = Seq("k")) // no ts stats
+    val q = v2(path).agg(min(col("ts")).as("lo"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"))
+    // falls back to a correct normal scan + aggregate
+    assert(q.head().getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+  }
+
+  test("reported statistics let a small dim auto-broadcast (no hint)") {
+    val (lake, path) = mkLake("v2-stats")
+    lake.append("t", rows(0, 20), statsCols = Seq("k"))
+    import spark.implicits._
+    val big = spark.range(0, 5000).select(
+      (col("id") % 20).as("k"), col("id").as("payload"))
+    val joined = big.join(v2(path).select(col("k"), col("grp")), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+    assert(joined.count() == 5000L)
+  }
+
+  test("column pruning narrows the scan schema") {
+    val (lake, path) = mkLake("v2-prune")
+    lake.append("t", rows(0, 30))
+    val q = v2(path).select(col("grp")).distinct()
+    val scans = q.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.schema.fieldNames.sameElements(Array("grp"))),
+      s"scan not pruned: ${scans.map(_.schema).mkString(";")}")
+    assert(q.count() == 3L)
+  }
+
+  test("merge-on-read equality deletes are rejected at plan time") {
+    import spark.implicits._
+    val (lake, path) = mkLake("v2-eqdel")
+    lake.append("t", rows(0, 30))
+    lake.deleteByKeys("t", schema, Seq(3L).toDF("k"), () => ())
+    val e = intercept[IllegalArgumentException] {
+      v2(path).count()
+    }
+    assert(e.getMessage.contains("equality-delete"))
+  }
+}

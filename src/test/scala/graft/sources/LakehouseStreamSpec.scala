@@ -239,7 +239,7 @@ class LakehouseStreamSpec extends SparkSpec {
     val lake = new Lakehouse(spark, tmpDir("lhs-types-bad"))
     val boom = intercept[Exception] {
       spark.readStream
-        .schema(StructType.fromDDL("k BIGINT, v DECIMAL(18,2)"))
+        .schema(StructType.fromDDL("k BIGINT, v ARRAY<INT>"))
         .format("graft.sources.LakehouseStreamProvider")
         .load(lake.tablePath("t"))
     }
