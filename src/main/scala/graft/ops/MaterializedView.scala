@@ -127,9 +127,20 @@ object MaterializedView {
         s"measures; compact $baseName and reseed $mvName, or use " +
         "predicate delete(cdf = true) on MV-maintained tables")
     val feed = lake.changeFeed(baseName, basis, latest, baseSchema)
+    foldAndCommit(lake, mvName, schema, spec, mv, feed, latest)
+    latest
+  }
+
+  /** Fold one signed change-row frame (must carry `_change_type`) into
+    * the stored groups and commit with a new stamp. Shared by the
+    * version-driven [[refresh]] and the streaming [[applyFeedBatch]].
+    */
+  private def foldAndCommit(lake: Lakehouse, mvName: String,
+      schema: StructType, spec: Spec, mv: DataFrame, changeRows: DataFrame,
+      stamp: Long): Unit = {
     val sign = when(col(ChangeTypeCol).isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    val delta = signedAggregate(feed, spec, sign)
+    val delta = signedAggregate(changeRows, spec, sign)
     val groupNames = spec.groupCols.map(_._1)
     val foldAggs = sum(col(CountCol)).as(CountCol) +:
       spec.sumCols.map { case (n, _) => sum(col(n)).as(n) }
@@ -137,14 +148,38 @@ object MaterializedView {
       .groupBy(groupNames.map(col): _*)
       .agg(foldAggs.head, foldAggs.tail: _*)
       .filter(col(CountCol) =!= 0L)
-      .withColumn(BasisCol, lit(latest))
+      .withColumn(BasisCol, lit(stamp))
     // conform the re-summed measures back to the stored schema (Spark
     // widens e.g. sum(decimal(p,s)) → decimal(p+10,s); letting that
     // drift would fork the MV's physical schema commit-over-commit)
     val conformed = folded.select(schema.fields.toIndexedSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     lake.overwrite(mvName, conformed)
-    latest
+  }
+
+  /** Streaming maintenance: fold ONE micro-batch of a change-data feed
+    * (the lakehouse CDF stream, or any frame carrying `_change_type`)
+    * into the MV, EXACTLY ONCE. The stamp column stores the last applied
+    * micro-batch id — committed atomically with the fold, so a batch
+    * replayed after a crash (foreachBatch's at-least-once contract) is
+    * recognized (`batchId <= stamp`) and skipped: the transactional-sink
+    * pattern (Delta's txnVersion), here built on the MV's own commit.
+    *
+    * A given MV is maintained EITHER by version-driven [[refresh]] OR by
+    * a streaming applier — the stamp column holds base versions for the
+    * former and batch ids for the latter; mixing drivers would misread
+    * it. Starts from an empty MV (inserts build it up); batch ids are a
+    * single query lineage (Structured Streaming's contract).
+    */
+  def applyFeedBatch(lake: Lakehouse, mvName: String,
+      baseSchema: StructType, spec: Spec, batch: DataFrame,
+      batchId: Long): Unit = {
+    val schema = mvSchema(lake.spark, baseSchema, spec)
+    val mv = lake.read(mvName, schema)
+    val lastRow = mv.agg(max(col(BasisCol))).head()
+    val last = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
+    if (batchId <= last) return // already applied — replay after crash
+    foldAndCommit(lake, mvName, schema, spec, mv, batch, batchId)
   }
 
   /** The served view — MV content without the lineage column. */

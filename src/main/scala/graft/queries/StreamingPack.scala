@@ -610,6 +610,77 @@ object StreamingPack {
             .as("val_sum"))
     }),
 
+    // s16 — CONTINUOUSLY-MAINTAINED materialized view: the lakehouse CDF
+    // stream drives MaterializedView.applyFeedBatch, folding each
+    // micro-batch's signed change rows (insert +, delete −) into a
+    // persisted aggregate EXACTLY ONCE — the batch-id stamp commits
+    // atomically with the fold, and the injected crash AFTER batch 1's
+    // commit proves the replayed batch is recognized and skipped on
+    // restart (a double-fold would double val_sum and hash-mismatch).
+    // This is the production composition the batch pieces build toward:
+    // continuous ingest + takedowns → an always-fresh rollup, refresh IO
+    // proportional to the day's changes, never a base re-scan. The
+    // oracle recomputes the final rollup from `events` minus the deleted
+    // slice.
+    "s16_stream_mv_maintenance" -> ((s, d) => {
+      import graft.ops.MaterializedView
+      val dir = java.nio.file.Files.createTempDirectory("graft-s16")
+      // feed consumers read old versions: q65's retention contract
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString,
+        gcGraceMs = 3600000L)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      (0 to 2).foreach { sl =>
+        lake.append("events_feed",
+          ev.filter(pmod(col("event_id"), lit(3)) === sl))
+      }
+      val contract = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE")
+      lake.delete("events_feed", contract,
+        pmod(col("event_id"), lit(7)) === 0, cdf = true)
+      val feedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, _change_type STRING, " +
+          "_commit_version BIGINT")
+      // exact decimal algebra through the fold (double sums would drift
+      // vs the oracle under incremental ordering); double at serve time
+      val spec = MaterializedView.Spec(
+        groupCols = Seq("event_type" -> col("event_type")),
+        sumCols = Seq(
+          "key_sum" -> col("event_id"),
+          "val_sum" -> col("value").cast("decimal(18,2)")))
+      def source = s.readStream.schema(feedSchema)
+        .format("graft.sources.LakehouseStreamProvider")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(lake.tablePath("events_feed"))
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(): Unit = {
+        val q = source.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            MaterializedView.applyFeedBatch(lake, "mv_event_type",
+              contract, spec, batch, id)
+            if (id == 1L && !crashed.getAndSet(true))
+              throw new RuntimeException("injected crash after MV commit")
+        }
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val died = try { run(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("injected crash") => true
+        }
+      require(died, "s16 harness: the injected crash did not fire")
+      run() // restart: batch 1 replays into the stamp check, then 2..n
+      MaterializedView.read(lake, "mv_event_type", contract, spec)
+        .withColumn("val_sum", col("val_sum").cast("double"))
+    }),
+
     // hopping (sliding) event-time windows: 1-hour windows every 15
     // minutes — each event lands in exactly 4 overlapping windows, the
     // state/update-amplification shape tumbling (s01) doesn't exercise.
@@ -849,6 +920,14 @@ object StreamingPack {
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(event_id) AS BIGINT) AS key_sum,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
-        |FROM events WHERE event_id % 7 = 0 GROUP BY 2""".stripMargin
+        |FROM events WHERE event_id % 7 = 0 GROUP BY 2""".stripMargin,
+    // the streamed MV converges to the post-takedown rollup: all events
+    // minus the deleted slice — a double-applied batch (crash replay) or
+    // a missed delete record breaks n/key_sum/val_sum
+    "s16_stream_mv_maintenance" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events WHERE event_id % 7 <> 0 GROUP BY 1""".stripMargin
   )
 }

@@ -103,6 +103,26 @@ class MaterializedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("equality-delete"))
   }
 
+  test("applyFeedBatch is exactly-once under batch replay") {
+    val lake = lakeIn(tmpDir("mv-batch"))
+    lake.append("base", rows(20))
+    val feed0 = rows(20).withColumn("_change_type", lit("insert"))
+    val feed1 = rows(10).withColumn("_change_type", lit("delete"))
+    MaterializedView.applyFeedBatch(lake, "mv", schema, spec, feed0, 0L)
+    MaterializedView.applyFeedBatch(lake, "mv", schema, spec, feed1, 1L)
+    val after = served(lake).orderBy("grp").collect().toSeq
+    // at-least-once replays of both batches must all no-op
+    MaterializedView.applyFeedBatch(lake, "mv", schema, spec, feed1, 1L)
+    MaterializedView.applyFeedBatch(lake, "mv", schema, spec, feed0, 0L)
+    assert(served(lake).orderBy("grp").collect().toSeq == after)
+    // rows 10..19 survive: inserts minus the deleted prefix
+    val want = lake.read("base", schema).filter(col("k") >= 10L)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("amt") * lit(1L)).as("amt_sum"))
+      .orderBy("grp").collect().toSeq
+    assert(after == want)
+  }
+
   test("maintained decimal sums are exact (bit-equal to recompute)") {
     val lake = lakeIn(tmpDir("mv-exact"))
     lake.append("base", rows(50))
