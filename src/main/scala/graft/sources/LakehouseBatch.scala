@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownAggregates, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownAggregates, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -90,12 +91,18 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakehouseScanBuilder(path, tschema)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // snapshot time travel: pin the live-set resolution at a committed
+    // version (`readAt`'s semantics — throws past retention, never
+    // silently mis-resolves)
+    val asOf = Option(options.get("versionAsOf")).map(_.toLong)
+    new LakehouseScanBuilder(path, tschema, asOf)
+  }
 }
 
-private[sources] class LakehouseScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns
+private[sources] class LakehouseScanBuilder(path: String, full: StructType,
+    asOf: Option[Long]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = full
@@ -103,7 +110,7 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType)
   // complete aggregate pushdown: (output schema, precomputed row)
   private var aggResult: Option[(StructType, Seq[Any])] = None
 
-  private lazy val meta = LakehouseBatch.resolve(path)
+  private lazy val meta = LakehouseBatch.resolve(path, asOf)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of the table schema (possibly empty for
@@ -172,7 +179,20 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType)
 private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     required: StructType, pushed: Array[Filter],
     aggResult: Option[(StructType, Seq[Any])])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // join-driven runtime filters (dynamic file pruning): delivered by
+  // the engine AFTER planning, before execution — typically the IN-set
+  // of build-side join keys. Same zone-map cut as static pushdown.
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    meta.statsCols.map(c => Expressions.column(c): NamedReference).toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(
+      LakehouseBatch.usableForSkipping(_, meta.statsCols))
 
   override def readSchema(): StructType =
     aggResult.map(_._1).getOrElse(required)
@@ -189,11 +209,13 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
         s"${meta.dataFiles.length}"
   }
 
-  /** Zone-map cut: a file survives unless some pushed filter proves no
-    * row in it can match. Evaluated ONCE per scan (driver, metadata).
+  /** Zone-map cut: a file survives unless some pushed (or runtime)
+    * filter proves no row in it can match. Driver-side over the
+    * already-collected metadata — recomputing after a late runtime
+    * filter costs no IO.
     */
-  private lazy val plannedFiles: Seq[LakehouseBatch.FileMeta] =
-    LakehouseBatch.skipFiles(meta, pushed)
+  private def plannedFiles: Seq[LakehouseBatch.FileMeta] =
+    LakehouseBatch.skipFiles(meta, pushed ++ runtime)
 
   override def planInputPartitions(): Array[InputPartition] =
     aggResult match {
@@ -254,14 +276,25 @@ private[graft] object LakehouseBatch {
     * footer open per file, one manifest read per root that has one.
     * Equality-delete tombstones reject at plan time (class doc).
     */
-  def resolve(path: String): TableMeta = {
+  def resolve(path: String, asOf: Option[Long] = None): TableMeta = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dest = new Path(path)
     val fs = dest.getFileSystem(conf)
     require(fs.exists(dest), s"no such lakehouse table: $path")
-    val committed = Protocol.versionDirs(fs, dest).sortBy(_._1).flatMap {
+    val committedAll = Protocol.versionDirs(fs, dest).sortBy(_._1).flatMap {
       case (v, p) => Protocol.commitKind(fs, p).map(full => (v, p, full))
+    }
+    // versionAsOf: truncate the commit log at the as-of point (readAt's
+    // rule — a version older than the retained chain throws, never
+    // silently resolves against a GC'd base)
+    val committed = asOf match {
+      case None => committedAll
+      case Some(v) =>
+        val upTo = committedAll.takeWhile(_._1 <= v)
+        require(upTo.nonEmpty,
+          s"$path has no committed version <= $v (past retention?)")
+        upTo
     }
     val lastFull = committed.lastIndexWhere(_._3)
     val roots: Seq[(Long, Path)] =

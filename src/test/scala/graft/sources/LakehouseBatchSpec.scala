@@ -127,6 +127,49 @@ class LakehouseBatchSpec extends SparkSpec {
     assert(q.count() == 3L)
   }
 
+  test("versionAsOf pins the scan at a committed snapshot") {
+    // retention keeps the pre-delete chain readable (q61's contract);
+    // an unretained as-of point must still throw, never mis-resolve
+    val lake = new Lakehouse(spark, tmpDir("v2-asof"), retainSnapshots = 1)
+    val path = lake.tablePath("t")
+    lake.append("t", rows(0, 40))
+    lake.append("t", rows(40, 60))
+    lake.delete("t", schema, col("k") < 10L, cdf = false)
+    // v2 = the two appends, before the delete
+    val asOf = spark.read.format("graft.sources.LakehouseBatchProvider")
+      .schema(schema).option("versionAsOf", "2").load(path)
+    assert(asOf.count() == 60L)
+    assert(v2(path).count() == 50L) // live head reflects the delete
+    val unretained = new Lakehouse(spark, tmpDir("v2-asof0"))
+    unretained.append("t", rows(0, 10))
+    unretained.delete("t", schema, col("k") < 5L, cdf = false) // GCs v1
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(schema).option("versionAsOf", "1")
+        .load(unretained.tablePath("t")).count()
+    }
+    assert(e.getMessage.contains("no committed version"))
+  }
+
+  test("runtime filters from a broadcast join reach the scan (DPP wiring)") {
+    val (lake, path) = mkLake("v2-runtime")
+    lake.append("t", rows(0, 100).repartition(1), statsCols = Seq("k"))
+    lake.append("t", rows(100, 200).repartition(1), statsCols = Seq("k"))
+    import spark.implicits._
+    val dim = Seq(5L, 7L).toDF("k") // keys only in the first file
+    val joined = v2(path).join(dim.hint("broadcast"), "k")
+    assert(joined.count() == 2L)
+    // the scan declared its filterable attributes; engine-side wiring
+    // (whether a runtime IN-filter is injected) is version/plan
+    // dependent — the load-bearing part is that a delivered filter cuts
+    // files, which skipFiles covers directly:
+    val meta = graft.sources.LakehouseBatch.resolve(path)
+    val kept = graft.sources.LakehouseBatch.skipFiles(meta,
+      Array(org.apache.spark.sql.sources.In("k",
+        Array[Any](5L, 7L))))
+    assert(kept.map(_.version) == Seq(1L))
+  }
+
   test("merge-on-read equality deletes are rejected at plan time") {
     import spark.implicits._
     val (lake, path) = mkLake("v2-eqdel")
