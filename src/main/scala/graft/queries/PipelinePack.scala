@@ -629,6 +629,46 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           planStr.linesIterator.filter(_.contains("graft_lakehouse"))
             .mkString(" | "))
       sliceAgg(q)
+    }),
+    // q71 — WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern): a batch lands
+    // STAGED (branch marker instead of commit marker — invisible to
+    // every reader by the protocol's own commit-bit rule), an audit
+    // queries base+branch, and only a passing audit publishes (one
+    // marker-file create per staged dir — zero data movement). The
+    // poisoned batch (nulled keys) fails its audit and is discarded;
+    // the clean slice publishes. The oracle is the whole orders table:
+    // staged-leaked-early, published-lost, or discarded-retained all
+    // hash-mismatch; the in-query requires pin the visibility sequence.
+    "q71_wap_publish" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-wap")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val asFact = ordersAsFact(s, d)
+      def slice(k: Int) =
+        asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice")
+      lake.append("fact_transactions", slice(0))
+      lake.append("fact_transactions", slice(1))
+      val fact = graft.model.Schemas.byName("fact_transactions")
+      val before = lake.read("fact_transactions").count()
+      // stage the real slice and a poisoned one on separate branches
+      lake.stageBranch("fact_transactions", "etl-day3", slice(2))
+      lake.stageBranch("fact_transactions", "bad-feed",
+        slice(2).withColumn("trans_id", lit(null).cast("string")))
+      require(lake.read("fact_transactions").count() == before,
+        "staged rows must be invisible to readers")
+      // audit = the declarative quality gate, against base + branch
+      def nullKeys(branch: String): Long =
+        lake.readBranch("fact_transactions", branch, fact)
+          .filter(col("trans_id").isNull).count()
+      require(nullKeys("etl-day3") == 0L, "clean branch must pass audit")
+      require(nullKeys("bad-feed") > 0L, "poisoned branch must fail audit")
+      lake.publishBranch("fact_transactions", "etl-day3")
+      lake.discardBranch("fact_transactions", "bad-feed")
+      require(
+        lake.branchVersions("fact_transactions", "etl-day3").isEmpty &&
+        lake.branchVersions("fact_transactions", "bad-feed").isEmpty,
+        "publish/discard must retire the stages")
+      sliceAgg(lake.read("fact_transactions"))
     })
   )
 
@@ -743,6 +783,8 @@ FROM orders""",
     // the file cut must not change the rows the range query serves
     "q70_dsv2_file_skip" -> sliceOracle(
       "o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'"),
+    // published branch lands whole, discarded branch leaves no trace
+    "q71_wap_publish" -> sliceOracle("TRUE"),
     // v1 rows (even event_id) predate the widened columns → NULL
     "q59_schema_evolution" ->
       """SELECT event_id, user_id,

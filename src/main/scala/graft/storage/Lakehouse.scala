@@ -1190,8 +1190,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val horizon = System.currentTimeMillis() - gcGraceMs
     def oldEnough(p: Path): Boolean =
       fs.getFileStatus(p).getModificationTime <= horizon
+    // write-audit-publish stages are deliberate, not crash debris —
+    // only discardBranch reclaims them (class section above)
+    def isStaged(p: Path): Boolean =
+      try fs.listStatus(p).exists(
+        _.getPath.getName.startsWith(BranchPrefix))
+      catch { case _: java.io.FileNotFoundException => false }
     all.foreach { case (v, p) =>
-      if (v < newestFullV && !keep(v) && oldEnough(p)) fs.delete(p, true)
+      if (v < newestFullV && !keep(v) && oldEnough(p) && !isStaged(p))
+        fs.delete(p, true)
     }
     if (!keepPreVersioningBase)
       fs.listStatus(dest).foreach { st =>
@@ -1200,6 +1207,100 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           fs.delete(st.getPath, st.isDirectory)
       }
     gcClaims(dest, keepBelow = versionDirs(dest).map(_._1).toSet)
+  }
+
+  // ——— Write-audit-publish branches (Iceberg's WAP pattern) ———
+  //
+  // A STAGED version dir carries a `_GRAFT_BRANCH_<name>` marker instead
+  // of a commit marker, so every reader's live-set resolution skips it
+  // (uncommitted by commitKind's rule — the feature reuses the commit
+  // bit, no new reader logic). Audit queries read base + branch
+  // explicitly; publish atomically creates the REAL delta marker (the
+  // same one-file commit point as any append, then the appender-side
+  // above-fulls rebase — a maintenance rewrite racing the audit window
+  // cannot shadow the published rows); discard deletes the staged dirs.
+  // Vacuum leaves branch-marked dirs alone (they are deliberate stages,
+  // not crash debris) — abandoned branches are reclaimed by an explicit
+  // [[discardBranch]], the same lifecycle contract as Iceberg's WAP
+  // branches. Zero data movement anywhere: stage writes once, publish
+  // and discard touch only marker files.
+
+  private val BranchPrefix = Lakehouse.Protocol.BranchPrefix
+
+  private def branchMarker(branch: String): String = {
+    require(branch.nonEmpty && branch.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"branch names are [A-Za-z0-9_-]+: '$branch'")
+    s"$BranchPrefix$branch"
+  }
+
+  /** Stage `df` on `branch`: a version dir with data (+ optional zone
+    * maps) and the branch marker — invisible to readers until
+    * [[publishBranch]]. Returns the staged version number.
+    */
+  def stageBranch(name: String, branch: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Long = {
+    val vdir = writeVersion(name, branchMarker(branch), () => ()) { p =>
+      df.write.mode("overwrite").parquet(p)
+      writeStats(p, statsCols)
+    }
+    vdir.getName.drop(VersionPrefix.length).toLong
+  }
+
+  /** Versions currently staged (marker present, not yet committed) on
+    * `branch`, oldest first.
+    */
+  def branchVersions(name: String, branch: String): Seq[Long] = {
+    val m = branchMarker(branch)
+    versionDirs(new Path(tablePath(name))).sortBy(_._1).collect {
+      case (v, p) if fs.exists(new Path(p, m)) && commitKind(p).isEmpty => v
+    }
+  }
+
+  /** The audit view: the live table plus `branch`'s staged rows — what
+    * the table WILL serve after publish. The staged dirs union in as
+    * extra roots; equality-delete masks of the live chain still apply.
+    */
+  def readBranch(name: String, branch: String,
+      schema: StructType): DataFrame = {
+    val m = branchMarker(branch)
+    val staged = versionDirs(new Path(tablePath(name))).sortBy(_._1)
+      .collect {
+        case (_, p) if fs.exists(new Path(p, m)) && commitKind(p).isEmpty =>
+          p.toString
+      }
+    val (live, _) = liveRootsAndBasis(name)
+    maskedUnion(live ++ staged, schema)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Atomically publish `branch`: each staged dir gets the real DELTA
+    * commit marker (one file create — the commit point), sheds its
+    * branch marker, and rebases above any FULL commit that landed during
+    * the audit window. Idempotent: a crash mid-publish re-runs to
+    * completion (a dir already committed just sheds its marker).
+    */
+  def publishBranch(name: String, branch: String): Unit = {
+    val dest = new Path(tablePath(name))
+    val m = branchMarker(branch)
+    versionDirs(dest).sortBy(_._1).foreach { case (_, p) =>
+      val marker = new Path(p, m)
+      if (fs.exists(marker)) {
+        if (commitKind(p).isEmpty)
+          fs.create(new Path(p, MarkerDelta), false).close()
+        fs.delete(marker, false)
+        ensureAboveFulls(dest, p)
+      }
+    }
+  }
+
+  /** Drop `branch`'s staged dirs (audit failed / branch abandoned). */
+  def discardBranch(name: String, branch: String): Unit = {
+    val m = branchMarker(branch)
+    versionDirs(new Path(tablePath(name))).foreach { case (_, p) =>
+      if (fs.exists(new Path(p, m)) && commitKind(p).isEmpty)
+        fs.delete(p, true)
+    }
   }
 
   /** Small-file compaction: fold the live version chain (one delta per
@@ -1408,6 +1509,7 @@ object Lakehouse {
     val StatsDir = "_GRAFT_STATS"
     val CdfDir = "_GRAFT_CDF"
     val EqDelDir = "_GRAFT_EQDEL"
+    val BranchPrefix = "_GRAFT_BRANCH_" // staged (write-audit-publish) dirs
 
     /** (version, dir) for every `_v<N>` subdir, committed or not. */
     def versionDirs(fs: FileSystem, dest: Path): Seq[(Long, Path)] =
