@@ -669,6 +669,37 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         lake.branchVersions("fact_transactions", "bad-feed").isEmpty,
         "publish/discard must retire the stages")
       sliceAgg(lake.read("fact_transactions"))
+    }),
+    // q72 — the SQL surface end-to-end through the catalog plugin:
+    // CREATE TABLE / three INSERT INTO commits (each a CAS-claimed
+    // crash-safe delta through the commit protocol — Spark resolves and
+    // coerces the insert, the lakehouse owns the commit) / aggregate
+    // SELECT served by the V2 scan. This is the reference's actual user
+    // interface (its whole pipeline is SQL DDL+DML, DDL.sql/ETL.sql) —
+    // here every statement lands on the versioned lakehouse instead of a
+    // catalog-less path API. DROP+CREATE makes same-session reruns
+    // deterministic (the catalog instance, and so its root, is cached
+    // per session by name).
+    "q72_sql_catalog" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlcat")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root",
+        dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q72_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q72")
+      s.sql("DROP TABLE IF EXISTS graft.q72.fact")
+      s.sql("""CREATE TABLE graft.q72.fact (
+        trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))""")
+      (0 to 2).foreach { sl =>
+        s.sql(s"""INSERT INTO graft.q72.fact
+          SELECT trans_id, trans_date, amt FROM q72_src
+          WHERE pmod(_slice, 3) = $sl""")
+      }
+      s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graft.q72.fact GROUP BY 1""")
     })
   )
 
@@ -785,6 +816,8 @@ FROM orders""",
       "o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1998-12-31'"),
     // published branch lands whole, discarded branch leaves no trace
     "q71_wap_publish" -> sliceOracle("TRUE"),
+    // three SQL INSERT commits reassemble the whole table
+    "q72_sql_catalog" -> sliceOracle("TRUE"),
     // v1 rows (even event_id) predate the widened columns → NULL
     "q59_schema_evolution" ->
       """SELECT event_id, user_id,

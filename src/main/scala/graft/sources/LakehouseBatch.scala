@@ -68,10 +68,20 @@ class LakehouseBatchProvider extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val ddl = options.get("schemaDDL")
-    require(ddl != null,
-      "graft lakehouse batch needs a schema: .schema(...) or " +
-        ".option(\"schemaDDL\", \"col TYPE, ...\")")
-    StructType.fromDDL(ddl)
+    if (ddl != null) return StructType.fromDDL(ddl)
+    // catalog-managed tables persist their contract (_GRAFT_SCHEMA) —
+    // path-based reads of those need no explicit schema
+    val path = options.get("path")
+    if (path != null && path.nonEmpty) {
+      val p = new Path(path, GraftCatalog.SchemaFile)
+      val fs = p.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) return GraftCatalog.readSchema(fs, p)
+    }
+    throw new IllegalArgumentException(
+      "graft lakehouse batch needs a schema: .schema(...), " +
+        ".option(\"schemaDDL\", ...), or a catalog table with a " +
+        "persisted _GRAFT_SCHEMA")
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

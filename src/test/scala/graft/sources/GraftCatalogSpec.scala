@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQL surface over the lakehouse: DDL/DML through the catalog plugin,
+  * reads through the V2 scan (pushdown intact), commit-protocol writes.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val root = tmpDir("graft-catalog")
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+  }
+
+  test("CREATE / INSERT INTO / SELECT / DROP round-trip") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql(
+      "CREATE TABLE graft.mart.t1 (k BIGINT, grp STRING, amt DECIMAL(18,2))")
+    spark.sql(
+      """INSERT INTO graft.mart.t1
+        |SELECT id AS k, concat('g', id % 3) AS grp,
+        |  CAST(id * 1.5 AS DECIMAL(18,2)) AS amt
+        |FROM range(0, 100)""".stripMargin)
+    spark.sql( // second insert = second delta commit
+      """INSERT INTO graft.mart.t1
+        |SELECT id, concat('g', id % 3), CAST(id * 1.5 AS DECIMAL(18,2))
+        |FROM range(100, 150)""".stripMargin)
+    val got = spark.sql(
+      """SELECT grp, count(*) AS n, sum(amt) AS amt_sum
+        |FROM graft.mart.t1 GROUP BY grp ORDER BY grp""".stripMargin)
+      .collect()
+    assert(got.length == 3)
+    assert(got.map(_.getLong(1)).sum == 150L)
+    assert(spark.sql("SHOW TABLES IN graft.mart").collect()
+      .exists(_.getString(1) == "t1"))
+    spark.sql("DROP TABLE graft.mart.t1")
+    assert(spark.sql("SHOW TABLES IN graft.mart").collect().isEmpty)
+  }
+
+  test("INSERT OVERWRITE lands as a full snapshot commit") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t2 (k BIGINT)")
+    spark.sql("INSERT INTO graft.mart.t2 SELECT id FROM range(0, 50)")
+    spark.sql("INSERT OVERWRITE graft.mart.t2 SELECT id FROM range(0, 7)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.mart.t2")
+      .head().getLong(0) == 7L)
+    val lake = new graft.storage.Lakehouse(spark, s"$root/mart")
+    val vs = lake.versions("t2")
+    assert(vs.last._2, s"overwrite must be a FULL commit: $vs")
+    spark.sql("DROP TABLE graft.mart.t2")
+  }
+
+  test("SQL count(*) answers from metadata through the catalog table") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t3 (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.mart.t3 SELECT id, concat('v', id) FROM range(0, 42)")
+    val q = spark.sql("SELECT count(*) FROM graft.mart.t3")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(q.head().getLong(0) == 42L)
+    spark.sql("DROP TABLE graft.mart.t3")
+  }
+
+  test("CTAS creates and fills in one statement") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql(
+      """CREATE TABLE graft.mart.t4 AS
+        |SELECT id AS k, CAST(id AS DOUBLE) AS x FROM range(0, 25)""".stripMargin)
+    assert(spark.sql("SELECT sum(k) FROM graft.mart.t4")
+      .head().getLong(0) == 300L)
+    spark.sql("DROP TABLE graft.mart.t4")
+  }
+
+  test("path-based V2 read infers the persisted catalog schema") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t5 (k BIGINT, grp STRING)")
+    spark.sql(
+      "INSERT INTO graft.mart.t5 SELECT id, concat('g', id % 2) FROM range(0, 10)")
+    val df = spark.read.format("graft.sources.LakehouseBatchProvider")
+      .load(s"$root/mart/t5") // no .schema(...)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "grp"))
+    assert(df.count() == 10L)
+    spark.sql("DROP TABLE graft.mart.t5")
+  }
+
+  test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t6 (k BIGINT)")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      (0 until 4).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = spark.sql(
+            s"INSERT INTO graft.mart.t6 SELECT id FROM range(${i * 10}, ${i * 10 + 10})")
+        })
+      }.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t6")
+      .head().getLong(0) == 40L)
+    spark.sql("DROP TABLE graft.mart.t6")
+  }
+}
