@@ -695,6 +695,18 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           SELECT trans_id, trans_date, amt FROM q72_src
           WHERE pmod(_slice, 3) = $sl""")
       }
+      // SQL time travel + SQL maintenance, all driver-falsified: the
+      // final SELECT runs over the compacted snapshot, so a CALL that
+      // dropped or doubled rows hash-mismatches; the version pin proves
+      // AS OF resolves physical commits, not the live head
+      require(s.sql("SELECT count(*) FROM graft.q72.fact VERSION AS OF 1")
+        .head().getLong(0) <
+        s.sql("SELECT count(*) FROM graft.q72.fact").head().getLong(0),
+        "VERSION AS OF 1 must serve only the first INSERT's rows")
+      s.sql("CALL graft.system.compact('q72', 'fact', 2, 'trans_date')")
+      require(s.sql("CALL graft.system.history('q72', 'fact')").collect()
+        .exists(_.getBoolean(1)),
+        "CALL compact must land a FULL commit")
       s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
           count(*) AS n,
           sum(CAST(trans_id AS BIGINT)) AS key_sum,

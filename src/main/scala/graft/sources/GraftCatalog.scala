@@ -4,11 +4,14 @@ import graft.storage.Lakehouse
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Catalog plugin that makes lakehouse tables first-class SQL objects:
@@ -43,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rejected loudly — partitioned layouts come from the Lakehouse API's
   * writers today.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -135,12 +139,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     fs.exists(new Path(tablePath(ident), GraftCatalog.SchemaFile))
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadTableAsOf(ident, None)
+
+  /** SQL `VERSION AS OF <n>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.forall(_.isDigit),
+      s"graft versions are commit numbers: '$version'")
+    loadTableAsOf(ident, Some(version.toLong))
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch): the newest commit
+    * at or before the instant, by marker mtime — [[Lakehouse.readAsOf]]'s
+    * resolution rule.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tablePath(ident)
+    val lake = new Lakehouse(spark, dir.getParent.toString)
+    val ms = timestampMicros / 1000L
+    val v = lake.history(ident.name).filter(_._3 <= ms).map(_._1)
+      .maxOption.getOrElse(throw new NoSuchTableException(ident))
+    loadTableAsOf(ident, Some(v))
+  }
+
+  private def loadTableAsOf(ident: Identifier, asOf: Option[Long]): Table = {
     val dir = tablePath(ident)
     val schemaFile = new Path(dir, GraftCatalog.SchemaFile)
     if (!fs.exists(schemaFile)) throw new NoSuchTableException(ident)
     val schema = GraftCatalog.readSchema(fs, schemaFile)
-    new GraftTable(dir.toString, ident.name, schema)
+    new GraftTable(dir.toString, ident.name, schema, asOf)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -170,10 +197,97 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(old: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE")
+
+  // ——— maintenance as SQL procedures: CALL graft.system.compact(...) ———
+  //
+  // The standing jobs every lakehouse runs (small-file compaction,
+  // z-order clustering, vacuum) plus the commit-history inspection,
+  // surfaced to SQL operators — the moral equivalent of Iceberg's CALL
+  // procedures. Each runs the SAME Lakehouse code path the Scala API
+  // uses (conflict detection and retention contracts included); the SQL
+  // layer only parses arguments.
+
+  private def lakeFor(ns: String): (Lakehouse, String => String) = {
+    val lake = new Lakehouse(spark, nsPath(Array(check(ns))).toString)
+    (lake, (t: String) => check(t))
+  }
+
+  private def tableSchema(ns: String, t: String): StructType = {
+    val p = new Path(nsPath(Array(ns)), new Path(t, GraftCatalog.SchemaFile))
+    require(fs.exists(p), s"no such catalog table: $ns.$t")
+    GraftCatalog.readSchema(fs, p)
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    GraftCatalog.ProcedureNames
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val n = ident.name.toLowerCase(java.util.Locale.ROOT)
+    require(GraftCatalog.ProcedureNames.contains(n),
+      s"unknown graft procedure: ${ident.name} " +
+        s"(have: ${GraftCatalog.ProcedureNames.mkString(", ")})")
+    new UnboundProcedure {
+      override def name(): String = n
+      override def description(): String = s"graft lakehouse $n"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = n
+          override def description(): String = s"graft lakehouse $n"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] = n match {
+            case "compact" => Array(
+              ProcedureParameter.in("namespace", StringType).build(),
+              ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("num_files", IntegerType).build(),
+              ProcedureParameter.in("sort_cols", StringType)
+                .defaultValue("''").build())
+            case "zorder" => Array(
+              ProcedureParameter.in("namespace", StringType).build(),
+              ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("num_files", IntegerType).build(),
+              ProcedureParameter.in("z_cols", StringType).build())
+            case "vacuum" | "history" => Array(
+              ProcedureParameter.in("namespace", StringType).build(),
+              ProcedureParameter.in("table", StringType).build())
+          }
+          override def call(args: InternalRow):
+              java.util.Iterator[Scan] = {
+            val ns = args.getUTF8String(0).toString
+            val (lake, ck) = lakeFor(ns)
+            val t = ck(args.getUTF8String(1).toString)
+            n match {
+              case "compact" =>
+                val cols = args.getUTF8String(3).toString
+                lake.compact(t, tableSchema(ns, t), args.getInt(2),
+                  if (cols.isEmpty) Nil else cols.split(",").toSeq)
+              case "zorder" =>
+                lake.compactZOrder(t, args.getInt(2),
+                  args.getUTF8String(3).toString.split(",").toSeq)
+              case "vacuum" => lake.vacuum(t)
+              case "history" => // result-set procedure, no side effect
+            }
+            val result: Scan = new LocalScan {
+              private val hist = lake.history(t)
+              override def rows(): Array[InternalRow] = hist.map {
+                case (v, full, ms) => InternalRow(v, full, ms)
+              }.toArray
+              override def readSchema(): StructType = StructType(Seq(
+                StructField("version", LongType),
+                StructField("is_full", BooleanType),
+                StructField("commit_ms", LongType)))
+            }
+            java.util.Collections.singletonList(result).iterator()
+          }
+        }
+    }
+  }
 }
 
 private[graft] object GraftCatalog {
   val SchemaFile = "_GRAFT_SCHEMA"
+  val ProcedureNames: Set[String] =
+    Set("compact", "zorder", "vacuum", "history")
 
   /** Atomic schema persist: temp + rename, so a reader never sees a
     * half-written contract.
@@ -204,10 +318,12 @@ private[graft] object GraftCatalog {
   }
 }
 
-/** A catalog table: the V2 read path plus commit-protocol writes. */
+/** A catalog table: the V2 read path plus commit-protocol writes.
+  * `asOf` pins SQL time travel (`VERSION AS OF` / `TIMESTAMP AS OF`).
+  */
 private[sources] class GraftTable(path: String, tableName: String,
-    tschema: StructType)
-    extends LakehouseBatchTable(path, tschema) with SupportsWrite {
+    tschema: StructType, asOf: Option[Long] = None)
+    extends LakehouseBatchTable(path, tschema, asOf) with SupportsWrite {
 
   override def name(): String = s"graft.$tableName"
 

@@ -94,7 +94,8 @@ class LakehouseBatchProvider extends TableProvider {
   }
 }
 
-private[sources] class LakehouseBatchTable(path: String, tschema: StructType)
+private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
+    tableAsOf: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_lakehouse($path)"
   override def schema(): StructType = tschema
@@ -104,8 +105,11 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType)
       options: CaseInsensitiveStringMap): ScanBuilder = {
     // snapshot time travel: pin the live-set resolution at a committed
     // version (`readAt`'s semantics — throws past retention, never
-    // silently mis-resolves)
+    // silently mis-resolves). The option serves path-based reads, the
+    // constructor pin serves SQL `VERSION/TIMESTAMP AS OF` via the
+    // catalog's loadTable overloads.
     val asOf = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(tableAsOf)
     new LakehouseScanBuilder(path, tschema, asOf)
   }
 }

@@ -92,6 +92,49 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t5")
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t7 (k BIGINT)")
+    spark.sql("INSERT INTO graft.mart.t7 SELECT id FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.mart.t7 SELECT id FROM range(10, 30)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.mart.t7 VERSION AS OF 1")
+      .head().getLong(0) == 10L)
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t7")
+      .head().getLong(0) == 30L)
+    // timestamp after the last commit resolves to the head
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.now().plusSeconds(60))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.mart.t7 TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 30L)
+    spark.sql("DROP TABLE graft.mart.t7")
+  }
+
+  test("CALL procedures: compact, history, vacuum through SQL") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t8 (k BIGINT, v STRING)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.mart.t8 " +
+        s"SELECT id, concat('v', id) FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val hist = spark.sql(
+      "CALL graft.system.history('mart', 't8')").collect()
+    assert(hist.length == 3 && hist.forall(!_.getBoolean(1)))
+    spark.sql("CALL graft.system.compact('mart', 't8', 2, 'k')")
+    val hist2 = spark.sql(
+      "CALL graft.system.history('mart', 't8')").collect()
+    assert(hist2.exists(_.getBoolean(1)), "compact must land a FULL commit")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t8")
+      .head().getLong(0) == 30L)
+    spark.sql("CALL graft.system.vacuum('mart', 't8')")
+    assert(spark.sql("SELECT sum(k) FROM graft.mart.t8")
+      .head().getLong(0) == (0L until 30L).sum)
+    spark.sql("DROP TABLE graft.mart.t8")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
