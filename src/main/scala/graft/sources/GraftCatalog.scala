@@ -318,18 +318,52 @@ private[graft] object GraftCatalog {
   }
 }
 
-/** A catalog table: the V2 read path plus commit-protocol writes.
-  * `asOf` pins SQL time travel (`VERSION AS OF` / `TIMESTAMP AS OF`).
+/** A catalog table: the V2 read path plus commit-protocol writes,
+  * SQL `DELETE FROM` (a copy-on-write FULL commit through
+  * `Lakehouse.delete` — predicate translated from the pushed filters,
+  * rejected loudly if any filter is untranslatable) and `TRUNCATE
+  * TABLE` (a FULL commit of zero rows — schema and history survive,
+  * unlike a dir drop). `asOf` pins SQL time travel
+  * (`VERSION AS OF` / `TIMESTAMP AS OF`).
   */
 private[sources] class GraftTable(path: String, tableName: String,
     tschema: StructType, asOf: Option[Long] = None)
-    extends LakehouseBatchTable(path, tschema, asOf) with SupportsWrite {
+    extends LakehouseBatchTable(path, tschema, asOf)
+    with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.$tableName"
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  private def lake: (Lakehouse, String) = {
+    val dir = new Path(path)
+    (new Lakehouse(SparkSession.active, dir.getParent.toString),
+      dir.getName)
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftTable.toColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pred = filters.toSeq.flatMap(GraftTable.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val (l, t) = lake
+    l.delete(t, tschema, pred, cdf = false)
+  }
+
+  override def truncateTable(): Boolean = {
+    val (l, t) = lake
+    val empty = SparkSession.active.createDataFrame(
+      SparkSession.active.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], tschema)
+    l.overwrite(t, empty)
+    true
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -349,4 +383,35 @@ private[sources] class GraftTable(path: String, tableName: String,
           }
       }
     }
+}
+
+private[sources] object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  /** Pushed-filter → Column translation for the DELETE predicate.
+    * None = untranslatable (canDeleteWhere rejects the statement rather
+    * than deleting the wrong rows).
+    */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case StringContains(c, v) => Some(col(c).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(x) => toColumn(x).map(not)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }

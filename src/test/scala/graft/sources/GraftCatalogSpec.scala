@@ -135,6 +135,29 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t8")
   }
 
+  test("DELETE FROM and TRUNCATE TABLE through SQL") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t9 (k BIGINT, grp STRING)")
+    spark.sql(
+      "INSERT INTO graft.mart.t9 SELECT id, concat('g', id % 3) FROM range(0, 30)")
+    spark.sql("DELETE FROM graft.mart.t9 WHERE grp = 'g1' OR k >= 27")
+    val left = spark.sql("SELECT k FROM graft.mart.t9").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(left == (0L until 27L).filter(_ % 3 != 1L))
+    // the delete landed as a FULL commit through the commit protocol
+    val lake = new graft.storage.Lakehouse(spark, s"$root/mart")
+    assert(lake.versions("t9").last._2)
+    spark.sql("TRUNCATE TABLE graft.mart.t9")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t9")
+      .head().getLong(0) == 0L)
+    // schema survives truncation — the table is empty, not gone
+    spark.sql("INSERT INTO graft.mart.t9 VALUES (1, 'g0')")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t9")
+      .head().getLong(0) == 1L)
+    spark.sql("DROP TABLE graft.mart.t9")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
