@@ -610,6 +610,55 @@ object StreamingPack {
             .as("val_sum"))
     }),
 
+    // s17 — lakehouse → lakehouse streaming with ZERO user sink code:
+    // the DSv2 source tails the feed table's commit log and the
+    // first-class sink lands every micro-batch through
+    // appendExactlyOnce. The exactly-once probe is brutal: after the
+    // first drain completes, the CHECKPOINT IS DESTROYED and the whole
+    // query re-runs from scratch — every batch replays with its
+    // original id, the sink recognizes each as already committed, and
+    // the table must hash as if the stream ran once. (This is the
+    // operational story for checkpoint loss — the sink's batch-id
+    // ledger, not the checkpoint, is the dedup authority.)
+    "s17_stream_lakehouse_sink" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s17")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      (0 to 2).foreach { sl =>
+        lake.append("events_feed",
+          ev.filter(pmod(col("event_id"), lit(3)) === sl))
+      }
+      def run(ckpt: String): Unit = {
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE"))
+          .format("graft.sources.LakehouseStreamProvider")
+          .option("maxVersionsPerTrigger", "1")
+          .load(lake.tablePath("events_feed"))
+          .filter(col("event_id") % 2 === 0)
+          .writeStream
+          .format("graft.sources.LakehouseSinkProvider")
+          .option("path", lake.tablePath("events_sunk"))
+          .option("checkpointLocation", dir.resolve(ckpt).toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run("ckpt1")
+      run("ckpt2") // fresh checkpoint: full replay, sink must dedup all
+      lake.read("events_sunk",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("key_sum"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("val_sum"))
+    }),
+
     // s16 — CONTINUOUSLY-MAINTAINED materialized view: the lakehouse CDF
     // stream drives MaterializedView.applyFeedBatch, folding each
     // micro-batch's signed change rows (insert +, delete −) into a
@@ -921,6 +970,12 @@ object StreamingPack {
         | CAST(sum(event_id) AS BIGINT) AS key_sum,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events WHERE event_id % 7 = 0 GROUP BY 2""".stripMargin,
+    // one pass of the even-keyed filter, despite the double run
+    "s17_stream_lakehouse_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events WHERE event_id % 2 = 0 GROUP BY 1""".stripMargin,
     // the streamed MV converges to the post-takedown rollup: all events
     // minus the deleted slice — a double-applied batch (crash replay) or
     // a missed delete record breaks n/key_sum/val_sum
