@@ -83,5 +83,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "char_ngram_profile(text, n) requires a literal INT width")
         }))
+    // SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE on graft
+    // catalog tables (see GraftDmlRule's scaladoc)
+    e.injectPostHocResolutionRule(session =>
+      new graft.sources.GraftDmlRule(session))
   }
 }

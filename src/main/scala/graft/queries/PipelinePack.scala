@@ -712,6 +712,100 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graft.q72.fact GROUP BY 1""")
+    }),
+
+    // q73 — schema evolution as SQL DDL: q63 proved widened-append +
+    // cross-boundary compaction at the API level; this drives the SAME
+    // protocol purely through the catalog — `ALTER TABLE ADD COLUMN`
+    // rewrites only the persisted contract (zero data IO; the narrow
+    // generation's files stay live), the next INSERT lands wide, and
+    // `CALL compact` folds both generations into one uniformly-wide
+    // snapshot. Green only if DDL, the widened SQL write path, the
+    // null-filling V2 read and the cross-boundary rewrite agree — the
+    // oracle is q63's CASE expression over the source events.
+    "q73_sql_alter_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q73")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      graft.Tables.events(s, d).createOrReplaceTempView("q73_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q73")
+      s.sql("DROP TABLE IF EXISTS graft.q73.ev")
+      s.sql("CREATE TABLE graft.q73.ev (event_id BIGINT, user_id BIGINT)")
+      s.sql("""INSERT INTO graft.q73.ev
+        SELECT event_id, user_id FROM q73_src WHERE event_id % 2 = 0""")
+      s.sql("ALTER TABLE graft.q73.ev ADD COLUMNS " +
+        "(event_type STRING, value DOUBLE)")
+      s.sql("""INSERT INTO graft.q73.ev
+        SELECT event_id, user_id, event_type, value
+        FROM q73_src WHERE event_id % 2 = 1""")
+      // fold narrow + wide generations across the ALTER boundary
+      s.sql("CALL graft.system.compact('q73', 'ev', 2, 'event_id')")
+      require(s.sql("CALL graft.system.history('q73', 'ev')").collect()
+        .exists(_.getBoolean(1)), "CALL compact must land a FULL commit")
+      s.sql("SELECT event_id, user_id, event_type, value FROM graft.q73.ev")
+    }),
+
+    // q74 — SQL UPDATE + arbitrary-predicate DELETE (GraftDmlRule):
+    // UPDATE's CASE-WHEN rewrite, assignment coercion to the contract
+    // decimal, and a DELETE whose predicate (CAST + modulo) can't ride
+    // the pushed-Filter bridge — both land as basis-tracked
+    // copy-on-write FULL commits. The oracle re-derives both effects
+    // declaratively over the source orders.
+    "q74_sql_update" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q74")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q74_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q74")
+      s.sql("DROP TABLE IF EXISTS graft.q74.fact")
+      s.sql("""CREATE TABLE graft.q74.fact (
+        trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))""")
+      s.sql("""INSERT INTO graft.q74.fact
+        SELECT trans_id, trans_date, amt FROM q74_src""")
+      s.sql("""UPDATE graft.q74.fact SET amt = amt + 500
+        WHERE CAST(trans_id AS BIGINT) % 2 = 0 AND amt < 100000""")
+      s.sql("""DELETE FROM graft.q74.fact
+        WHERE CAST(trans_id AS BIGINT) % 7 = 3""")
+      s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graft.q74.fact GROUP BY 1""")
+    }),
+
+    // q75 — SQL MERGE INTO, full clause set in ONE statement: ordered
+    // WHEN MATCHED [AND …] UPDATE / DELETE, conditional NOT MATCHED
+    // INSERT, and NOT MATCHED BY SOURCE DELETE — executed as one
+    // full-outer join + copy-on-write commit (GraftMergeCommand). The
+    // oracle re-derives the final state per key-slice: matched rows
+    // (slice 1) update to amt+1000 when that clears 5000 else delete;
+    // source-only rows (slice 2) insert at amt+1000; target-only rows
+    // (slice 0) survive only at amt >= 1000.
+    "q75_sql_merge" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q75")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q75_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q75")
+      s.sql("DROP TABLE IF EXISTS graft.q75.fact")
+      s.sql("""CREATE TABLE graft.q75.fact (
+        trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))""")
+      s.sql("""INSERT INTO graft.q75.fact
+        SELECT trans_id, trans_date, amt FROM q75_src WHERE _slice % 3 IN (0, 1)""")
+      s.sql("""MERGE INTO graft.q75.fact t
+        USING (SELECT trans_id, trans_date, amt + 1000 AS amt
+               FROM q75_src WHERE _slice % 3 IN (1, 2)) s
+        ON t.trans_id = s.trans_id
+        WHEN MATCHED AND s.amt > 5000 THEN UPDATE SET amt = s.amt
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (trans_id, trans_date, amt)
+          VALUES (s.trans_id, s.trans_date, s.amt)
+        WHEN NOT MATCHED BY SOURCE AND t.amt < 1000 THEN DELETE""")
+      s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graft.q75.fact GROUP BY 1""")
     })
   )
 
@@ -761,6 +855,40 @@ FROM orders WHERE $pred GROUP BY 1"""
         | CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
         | CASE WHEN event_id % 2 = 1 THEN value END AS value
         |FROM events""".stripMargin,
+    // same logical content through SQL DDL (ALTER ADD COLUMN + INSERT +
+    // CALL compact): pre-ALTER rows null-fill the added columns
+    "q73_sql_alter_evolution" ->
+      """SELECT event_id, user_id,
+        | CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+        | CASE WHEN event_id % 2 = 1 THEN value END AS value
+        |FROM events""".stripMargin,
+    // UPDATE adds 500 to even keys under 100k, the DELETE then removes
+    // keys ≡ 3 (mod 7) — both re-derived declaratively
+    "q74_sql_update" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CASE WHEN o_orderkey % 2 = 0
+         AND CAST(o_totalprice AS DECIMAL(18,2)) < 100000
+       THEN CAST(o_totalprice AS DECIMAL(18,2)) + 500
+       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
+FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
+    // final merged state per key-slice (see the query comment)
+    "q75_sql_merge" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CASE WHEN o_orderkey % 3 = 0
+       THEN CAST(o_totalprice AS DECIMAL(18,2))
+       ELSE CAST(o_totalprice AS DECIMAL(18,2)) + 1000 END) AS DOUBLE)
+    AS amt_sum
+FROM orders
+WHERE (o_orderkey % 3 = 1
+         AND CAST(o_totalprice AS DECIMAL(18,2)) + 1000 > 5000)
+   OR o_orderkey % 3 = 2
+   OR (o_orderkey % 3 = 0
+         AND CAST(o_totalprice AS DECIMAL(18,2)) >= 1000)
+GROUP BY 1""",
     // merged state: slices 0+1 as the standing table, every even key
     // upserted with amt+1000 (matched → updated, unmatched → inserted)
     "q64_merge_upsert" ->

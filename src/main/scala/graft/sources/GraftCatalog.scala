@@ -42,9 +42,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * decision is driver-side, as in every lakehouse.
   *
   * CTAS works (create-then-insert; non-atomic without a staging catalog,
-  * Spark's documented default). Partition transforms and ALTER are
-  * rejected loudly — partitioned layouts come from the Lakehouse API's
-  * writers today.
+  * Spark's documented default). `ALTER TABLE ADD COLUMN` and
+  * `SET/UNSET TBLPROPERTIES` are supported (see [[alterTable]]);
+  * partition transforms are rejected loudly — partitioned layouts come
+  * from the Lakehouse API's writers today.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
@@ -167,7 +168,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schemaFile = new Path(dir, GraftCatalog.SchemaFile)
     if (!fs.exists(schemaFile)) throw new NoSuchTableException(ident)
     val schema = GraftCatalog.readSchema(fs, schemaFile)
-    new GraftTable(dir.toString, ident.name, schema, asOf)
+    val propsFile = new Path(dir, GraftCatalog.PropsFile)
+    val props =
+      if (fs.exists(propsFile)) GraftCatalog.readProps(fs, propsFile)
+      else Map.empty[String, String]
+    new GraftTable(dir.toString, ident.name, schema, asOf, props)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -182,12 +187,86 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs.mkdirs(dir)
     GraftCatalog.writeSchema(fs, new Path(dir, GraftCatalog.SchemaFile),
       schema)
-    new GraftTable(dir.toString, ident.name, schema)
+    val props = GraftCatalog.userProps(properties)
+    if (props.nonEmpty)
+      GraftCatalog.writeProps(fs, new Path(dir, GraftCatalog.PropsFile),
+        props)
+    new GraftTable(dir.toString, ident.name, schema, props = props)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE (schema evolution goes through the widened-append path)")
+  /** ALTER TABLE: the subset whose semantics survive the lakehouse's
+    * name-addressed data files.
+    *
+    *  - `ADD COLUMN` (top-level, nullable, appended): a pure CONTRACT
+    *    widening — zero data IO; every committed file stays live and
+    *    old rows null-fill on read, exactly the q59/q63 evolution path.
+    *    Zone-map soundness holds for free: an old file has no stats row
+    *    for the new column AND no values for it, so a pushed filter on
+    *    the new column correctly proves it empty (all-null).
+    *  - `SET/UNSET TBLPROPERTIES`: persisted in `_GRAFT_PROPS`.
+    *  - `COMMENT ON COLUMN`: metadata-only contract edit.
+    *
+    * RENAME/DROP/ALTER TYPE are rejected loudly: committed parquet
+    * files address columns BY NAME, so a rename would silently null the
+    * old generations (Iceberg solves this with field-id mapping — out
+    * of scope, and the failure mode is data-losing, so refuse).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tablePath(ident)
+    val schemaFile = new Path(dir, GraftCatalog.SchemaFile)
+    if (!fs.exists(schemaFile)) throw new NoSuchTableException(ident)
+    var schema = GraftCatalog.readSchema(fs, schemaFile)
+    val propsFile = new Path(dir, GraftCatalog.PropsFile)
+    var props: Map[String, String] =
+      if (fs.exists(propsFile)) GraftCatalog.readProps(fs, propsFile)
+      else Map.empty
+    var schemaDirty = false
+    var propsDirty = false
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft ALTER TABLE adds top-level columns only " +
+            s"(got ${add.fieldNames.mkString(".")})")
+        val cname = add.fieldNames()(0)
+        require(add.isNullable,
+          s"added column $cname must be nullable — committed files " +
+            "predate it and null-fill on read")
+        require(add.position() == null,
+          "graft ALTER TABLE appends columns at the end (FIRST/AFTER " +
+            "would reorder the persisted contract for no gain)")
+        require(add.defaultValue() == null,
+          "graft ALTER TABLE does not support column DEFAULTs — old " +
+            "rows read as NULL (a default would need to be versioned " +
+            "with the data to stay consistent across generations)")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(cname)),
+          s"column $cname already exists")
+        var f = StructField(cname, add.dataType, nullable = true)
+        if (add.comment != null) f = f.withComment(add.comment)
+        schema = StructType(schema.fields :+ f)
+        schemaDirty = true
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1, "top-level columns only")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(c.fieldNames()(0)))
+            f.withComment(c.newComment) else f))
+        schemaDirty = true
+      case p: TableChange.SetProperty =>
+        props += (p.property -> p.value); propsDirty = true
+      case p: TableChange.RemoveProperty =>
+        props -= p.property; propsDirty = true
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName}: the lakehouse " +
+          "addresses parquet columns by name — renames/drops/retypes " +
+          "would silently lose committed generations, so they are " +
+          "refused (add a column + backfill instead)")
+    }
+    if (schemaDirty) {
+      LakehouseStream.validateSchema(schema)
+      GraftCatalog.writeSchema(fs, schemaFile, schema)
+    }
+    if (propsDirty) GraftCatalog.writeProps(fs, propsFile, props)
+    new GraftTable(dir.toString, ident.name, schema, props = props)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tablePath(ident)
@@ -286,20 +365,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 private[graft] object GraftCatalog {
   val SchemaFile = "_GRAFT_SCHEMA"
+  val PropsFile = "_GRAFT_PROPS"
+  /** Table property that opts DML (DELETE/UPDATE/MERGE) into recording a
+    * write-time change data feed — Delta's `enableChangeDataFeed`.
+    */
+  val CdfProp = "graft.cdf"
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history")
+
+  /** Engine-managed keys Spark injects at CREATE; everything else the
+    * user asked for persists.
+    */
+  private val ReservedProps = Set(TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_IS_MANAGED_LOCATION,
+    TableCatalog.PROP_TABLE_TYPE)
+
+  def userProps(properties: java.util.Map[String, String])
+      : Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap.filter { case (k, _) =>
+      !ReservedProps.contains(k) && !k.startsWith(TableCatalog.OPTION_PREFIX)
+    }
+  }
+
+  /** Properties persist in java.util.Properties text format (stable
+    * escaping, zero deps), atomically via temp+rename like the schema.
+    */
+  def writeProps(fs: FileSystem, dest: Path,
+      props: Map[String, String]): Unit = {
+    val jp = new java.util.Properties()
+    props.foreach { case (k, v) => jp.setProperty(k, v) }
+    val buf = new java.io.ByteArrayOutputStream()
+    jp.store(buf, null)
+    atomicWrite(fs, dest, buf.toByteArray)
+  }
+
+  def readProps(fs: FileSystem, src: Path): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val in = fs.open(src)
+    val jp = new java.util.Properties()
+    try jp.load(in) finally in.close()
+    jp.stringPropertyNames().asScala.map(k => k -> jp.getProperty(k)).toMap
+  }
 
   /** Atomic schema persist: temp + rename, so a reader never sees a
     * half-written contract.
     */
-  def writeSchema(fs: FileSystem, dest: Path, schema: StructType): Unit = {
+  def writeSchema(fs: FileSystem, dest: Path, schema: StructType): Unit =
+    atomicWrite(fs, dest, schema.json.getBytes("UTF-8"))
+
+  /** Temp + rename with REPLACE semantics: a plain `FileSystem.rename`
+    * refuses an existing destination (so an ALTER would silently keep
+    * the old contract) — `FileContext.rename(OVERWRITE)` is the
+    * atomic-replace primitive on both local FS and HDFS.
+    */
+  private def atomicWrite(fs: FileSystem, dest: Path,
+      bytes: Array[Byte]): Unit = {
     val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, dest)) {
+    try out.write(bytes) finally out.close()
+    if (!fs.exists(dest)) {
+      if (fs.rename(tmp, dest)) return
+      // lost a create race — fall through to atomic replace
+    }
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dest.toUri, fs.getConf)
+    try fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: java.io.IOException =>
       fs.delete(tmp, false)
-      require(fs.exists(dest), s"schema persist lost the rename race " +
-        s"and no winner exists: $dest")
+      require(fs.exists(dest), s"metadata persist failed and no " +
+        s"previous version exists: $dest (${e.getMessage})")
+      throw e
     }
   }
 
@@ -327,11 +465,25 @@ private[graft] object GraftCatalog {
   * (`VERSION AS OF` / `TIMESTAMP AS OF`).
   */
 private[sources] class GraftTable(path: String, tableName: String,
-    tschema: StructType, asOf: Option[Long] = None)
+    tschema: StructType, asOf: Option[Long] = None,
+    props: Map[String, String] = Map.empty)
     extends LakehouseBatchTable(path, tschema, asOf)
     with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.$tableName"
+
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.asJava
+  }
+
+  /** Does DML on this table record a write-time change data feed? */
+  private[sources] def cdfEnabled: Boolean =
+    props.get(GraftCatalog.CdfProp).exists(_.equalsIgnoreCase("true"))
+
+  private[sources] def contractSchema: StructType = tschema
+  private[sources] def tableDir: String = path
+  private[sources] def pinnedAsOf: Option[Long] = asOf
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -353,7 +505,7 @@ private[sources] class GraftTable(path: String, tableName: String,
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val (l, t) = lake
-    l.delete(t, tschema, pred, cdf = false)
+    l.delete(t, tschema, pred, cdf = cdfEnabled)
   }
 
   override def truncateTable(): Boolean = {

@@ -1,0 +1,407 @@
+package graft.sources
+
+import graft.storage.Lakehouse
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** SQL row-level DML on catalog tables — `UPDATE`, `MERGE INTO`, and
+  * arbitrary-predicate `DELETE` — via an analyzer extension
+  * (injected by [[graft.functions.GraftExtensions]]).
+  *
+  * Spark's built-in paths cover only part of the DML surface for a V2
+  * table: `DELETE FROM` works when every predicate translates to a
+  * pushed [[org.apache.spark.sql.sources.Filter]] (the `SupportsDelete`
+  * contract), and `UPDATE`/`MERGE` require the full
+  * `SupportsRowLevelOperations` write machinery. This rule takes the
+  * road Delta Lake shipped on for years (DeltaAnalysis → RunnableCommand):
+  * a post-hoc resolution rule matches the RESOLVED logical command over a
+  * [[GraftTable]] and replaces it with a command that re-expresses the
+  * operation through the lakehouse's own copy-on-write protocol —
+  * [[Lakehouse.update]] / [[Lakehouse.overwritePartitioned]] with an
+  * exact read basis, so every SQL DML statement inherits the SAME
+  * crash-safety and conflict-detection contract as the Scala API
+  * (appends racing a SQL UPDATE are rebased above it; two racing
+  * rewrites fail loudly).
+  *
+  * Expressions captured from the analyzed statement are DETACHED —
+  * attribute references become name-addressed unresolved attributes
+  * (qualified `__t`/`__s` for MERGE's two sides) — and re-resolve
+  * against the command's own snapshot read at execution time. That
+  * re-resolution is what lets the command read the table through the
+  * basis-tracked [[Lakehouse.readWithBasis]] instead of the statement's
+  * planned scan: the snapshot and the conflict basis come from ONE
+  * listing, the concurrency contract's requirement.
+  *
+  * Scope contract (all rejected loudly, never silently mis-executed):
+  * subquery predicates, nested-field assignments, and time-travel
+  * targets. CDF recording follows the table's `graft.cdf` property,
+  * same as SQL DELETE.
+  */
+class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UpdateTable(table, assignments, condition)
+          if u.resolved && graftTable(table).isDefined =>
+        val (rel, tbl) = graftTable(table).get
+        checkWritable(tbl, "UPDATE")
+        checkNoSubquery(condition.toSeq ++ assignments, "UPDATE")
+        val detach = detacher(Map(rel.outputSet -> Nil))
+        GraftUpdateCommand(tbl.tableDir, tbl.contractSchema,
+          condition.map(detach).getOrElse(lit(true)),
+          assignments.map(a =>
+            topLevelName(a.key, "UPDATE SET") -> detach(a.value)),
+          tbl.cdfEnabled)
+
+      case d @ DeleteFromTable(table, condition)
+          if d.resolved && graftTable(table).isDefined &&
+            !translatesToFilters(table, condition) &&
+            !hasSubquery(Seq(condition)) =>
+        // arbitrary row-level predicates (expressions the pushed-Filter
+        // bridge can't carry — functions, arithmetic, CASE …); the
+        // simple-predicate path stays on SupportsDelete.deleteWhere
+        val (rel, tbl) = graftTable(table).get
+        checkWritable(tbl, "DELETE")
+        val detach = detacher(Map(rel.outputSet -> Nil))
+        GraftDeleteCommand(tbl.tableDir, tbl.contractSchema,
+          detach(condition), tbl.cdfEnabled)
+
+      case m @ MergeIntoTable(target, source, mergeCond, matched,
+          notMatched, notMatchedBySource, withSchemaEvolution)
+          if m.resolved && graftTable(target).isDefined =>
+        val (rel, tbl) = graftTable(target).get
+        checkWritable(tbl, "MERGE INTO")
+        require(!withSchemaEvolution, "MERGE … WITH SCHEMA EVOLUTION is " +
+          "not supported — ALTER TABLE ADD COLUMN first")
+        val exprs = mergeCond +: (matched ++ notMatched ++
+          notMatchedBySource).flatMap(actionExprs)
+        checkNoSubquery(exprs, "MERGE INTO")
+        val detach = detacher(Map(
+          rel.outputSet -> Seq(TargetAlias),
+          source.outputSet -> Seq(SourceAlias)))
+        GraftMergeCommand(tbl.tableDir, tbl.contractSchema, source,
+          detach(mergeCond),
+          (matched ++ notMatchedBySource).map(toAct(_, detach)).toIndexedSeq,
+          matched.length,
+          notMatched.map(toAct(_, detach)).toIndexedSeq,
+          tbl.cdfEnabled)
+    }
+
+  /** The GraftTable under the statement's target (aliases stripped). */
+  private def graftTable(plan: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftTable)] = plan match {
+    case SubqueryAlias(_, child) => graftTable(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable => Some((r, t))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def checkWritable(tbl: GraftTable, op: String): Unit =
+    require(tbl.pinnedAsOf.isEmpty,
+      s"$op on a VERSION/TIMESTAMP AS OF snapshot is not allowed")
+
+  private def actionExprs(a: MergeAction): Seq[Expression] = a match {
+    case UpdateAction(cond, assigns, _) => cond.toSeq ++ assigns
+    case DeleteAction(cond) => cond.toSeq
+    case InsertAction(cond, assigns) => cond.toSeq ++ assigns
+    case other => throw new UnsupportedOperationException(
+      s"MERGE action ${other.getClass.getSimpleName}")
+  }
+
+  private def toAct(a: MergeAction,
+      detach: Expression => Column): GraftDml.Act = a match {
+    case UpdateAction(cond, assigns, _) =>
+      GraftDml.UpdateAct(cond.map(detach), assigns.map(as =>
+        topLevelName(as.key, "MERGE UPDATE SET") -> detach(as.value)))
+    case DeleteAction(cond) => GraftDml.DeleteAct(cond.map(detach))
+    case InsertAction(cond, assigns) =>
+      GraftDml.InsertAct(cond.map(detach), assigns.map(as =>
+        topLevelName(as.key, "MERGE INSERT") -> detach(as.value)))
+    case other => throw new UnsupportedOperationException(
+      s"MERGE action ${other.getClass.getSimpleName}")
+  }
+
+  private def topLevelName(key: Expression, ctx: String): String = key match {
+    case a: Attribute => a.name
+    case other => throw new UnsupportedOperationException(
+      s"$ctx supports top-level columns only (got $other)")
+  }
+
+  /** Expression → Column with attribute references re-addressed by name
+    * (optionally qualified), so they re-resolve against the command's
+    * own snapshot read.
+    */
+  private def detacher(sides: Map[AttributeSet, Seq[String]])
+      : Expression => Column = { e =>
+    GraftColumnBridge.toColumn(e.transform {
+      case a: AttributeReference =>
+        sides.collectFirst {
+          case (set, qual) if set.contains(a) =>
+            UnresolvedAttribute(qual :+ a.name)
+        }.getOrElse(throw new IllegalStateException(
+          s"reference $a escapes the statement's relations"))
+    })
+  }
+
+  private def hasSubquery(exprs: Seq[Expression]): Boolean =
+    exprs.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+
+  private def checkNoSubquery(exprs: Seq[Expression], op: String): Unit =
+    require(!hasSubquery(exprs),
+      s"graft $op does not support subquery predicates — materialize " +
+        "the subquery into a source table and MERGE on it")
+
+  /** Would Spark's own SupportsDelete path take this DELETE? Mirrors the
+    * pushed-Filter translation: every conjunct must map to a V1 Filter
+    * that [[GraftTable.toColumn]] accepts.
+    */
+  private def translatesToFilters(table: LogicalPlan,
+      condition: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // the shape DataSourceStrategy.translateFilter accepts AND
+    // GraftTable.toColumn carries: boolean combinations of
+    // attribute-vs-literal comparisons (+ IN / IS NULL / LIKE-prefixes)
+    def lit(e: Expression): Boolean = e match {
+      case Literal(_, _) => true
+      case _ => false
+    }
+    def attr(e: Expression): Boolean = e.isInstanceOf[Attribute]
+    def ok(e: Expression): Boolean = e match {
+      case And(l, r) => ok(l) && ok(r)
+      case Or(l, r) => ok(l) && ok(r)
+      case Not(x) => ok(x)
+      case b: BinaryComparison =>
+        (attr(b.left) && lit(b.right)) || (lit(b.left) && attr(b.right))
+      case In(a, vs) => attr(a) && vs.forall(lit)
+      case InSet(a, _) => attr(a)
+      case IsNull(a) => attr(a)
+      case IsNotNull(a) => attr(a)
+      case StartsWith(a, v) => attr(a) && lit(v)
+      case EndsWith(a, v) => attr(a) && lit(v)
+      case Contains(a, v) => attr(a) && lit(v)
+      case Literal(_, org.apache.spark.sql.types.BooleanType) => true
+      case _ => false
+    }
+    ok(condition)
+  }
+}
+
+private[sources] object GraftDml {
+  val TargetAlias = "__t"
+  val SourceAlias = "__s"
+
+  sealed trait Act
+  final case class UpdateAct(cond: Option[Column],
+      assigns: Seq[(String, Column)]) extends Act
+  final case class DeleteAct(cond: Option[Column]) extends Act
+  final case class InsertAct(cond: Option[Column],
+      assigns: Seq[(String, Column)]) extends Act
+
+  def lakeOf(spark: SparkSession, tableDir: String): (Lakehouse, String) = {
+    val dir = new Path(tableDir)
+    (new Lakehouse(spark, dir.getParent.toString), dir.getName)
+  }
+}
+
+/** `UPDATE t SET … WHERE …` → [[Lakehouse.update]] (copy-on-write FULL
+  * commit, basis-tracked).
+  */
+case class GraftUpdateCommand(tableDir: String, contract: StructType,
+    condition: Column, assignments: Seq[(String, Column)],
+    cdf: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, t) = GraftDml.lakeOf(spark, tableDir)
+    lake.update(t, contract, condition, assignments, cdf)
+    Nil
+  }
+}
+
+/** `DELETE FROM t WHERE <arbitrary row-level predicate>` →
+  * [[Lakehouse.delete]] (the same call `SupportsDelete.deleteWhere`
+  * makes — this command just carries predicates the pushed-Filter
+  * bridge can't).
+  */
+case class GraftDeleteCommand(tableDir: String, contract: StructType,
+    condition: Column, cdf: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, t) = GraftDml.lakeOf(spark, tableDir)
+    lake.delete(t, contract, condition, cdf)
+    Nil
+  }
+}
+
+/** Full SQL `MERGE INTO` semantics as ONE copy-on-write commit:
+  * arbitrary join condition, ordered `WHEN MATCHED [AND …] THEN
+  * UPDATE/DELETE`, `WHEN NOT MATCHED [AND …] THEN INSERT`, and `WHEN NOT
+  * MATCHED BY SOURCE THEN UPDATE/DELETE` clauses — the first applicable
+  * clause wins, rows no clause touches pass through, exactly the SQL
+  * standard's rule.
+  *
+  * Scale shape: ONE full-outer join of the basis-tracked target snapshot
+  * against the source (AQE broadcasts a CDC-sized source), a
+  * WHEN-chained projection (codegen'd — no per-action passes), plus one
+  * aggregate over the matched subset for the multi-match guard
+  * (Delta's `multipleSourceRowMatchingTargetRow` error) and the rewrite
+  * commit. The `notMatchedBySource` branch costs nothing extra — it is
+  * the same joined frame's target-only rows.
+  */
+case class GraftMergeCommand(tableDir: String, contract: StructType,
+    source: LogicalPlan, mergeCond: Column,
+    targetActs: IndexedSeq[GraftDml.Act], numMatchedActs: Int,
+    insertActs: IndexedSeq[GraftDml.Act], cdf: Boolean)
+    extends LeafRunnableCommand {
+
+  import GraftDml._
+
+  // the captured source plan must survive into run(); it is NOT a child
+  // (children would re-plan it as part of this command's query plan)
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (lake, t) = GraftDml.lakeOf(spark, tableDir)
+    val (matchedActs, nmbsActs) = targetActs.splitAt(numMatchedActs)
+
+    val (tgt0, basis) = lake.readWithBasis(t, contract)
+    val srcDf = GraftColumnBridge.ofRows(spark, source)
+    val rid = "__graft_t_rid"
+    val mark = "__graft_s_mark"
+    require(!srcDf.columns.contains(mark) && !tgt0.columns.contains(rid),
+      s"reserved column name collision: $rid/$mark")
+    val tgt = tgt0.withColumn(rid, monotonically_increasing_id())
+      .alias(TargetAlias)
+    val src = srcDf.withColumn(mark, lit(true)).alias(SourceAlias)
+
+    val j = (targetActs.nonEmpty, insertActs.nonEmpty) match {
+      // an INSERT-only merge needs no target-only rows from the join
+      // side and vice versa — join type narrows accordingly so the
+      // common upsert doesn't pay a full-outer shuffle of both sides
+      case (true, true) => tgt.join(src, mergeCond, "full_outer")
+      case (true, false) => tgt.join(src, mergeCond, "left_outer")
+      case (false, true) => tgt.join(src, mergeCond, "right_outer")
+      case (false, false) => return Nil // no actions: a no-op statement
+    }
+    val targetExists = col(rid).isNotNull
+    val sourceExists = col(mark).isNotNull
+    val matchedPred = targetExists && sourceExists
+
+    // SQL contract: a target row matched by >1 source row has no
+    // deterministic action order — refuse (one aggregate, matched only)
+    if (matchedActs.nonEmpty) {
+      val dup = j.filter(matchedPred).groupBy(col(rid)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0L, "MERGE: a target row matches multiple source " +
+        "rows — deduplicate the source on the merge keys")
+    }
+
+    def condOf(c: Option[Column]): Column =
+      coalesce(c.getOrElse(lit(true)).cast("boolean"), lit(false))
+
+    // first-applicable-action fold (right fold: earlier clauses win)
+    def chainValue(acts: Seq[Act], f: org.apache.spark.sql.types.StructField,
+        default: Column): Column =
+      acts.foldRight(default) {
+        case (UpdateAct(c, assigns), rest) =>
+          val v = assigns.collectFirst {
+            case (n, col) if n.equalsIgnoreCase(f.name) => col }
+            .map(_.cast(f.dataType)).getOrElse(default)
+          when(condOf(c), v).otherwise(rest)
+        case (DeleteAct(c), rest) =>
+          when(condOf(c), default).otherwise(rest) // value unused: !keep
+        case (InsertAct(c, assigns), rest) =>
+          val v = assigns.collectFirst {
+            case (n, col) if n.equalsIgnoreCase(f.name) => col }
+            .map(_.cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType))
+          when(condOf(c), v).otherwise(rest)
+      }
+    def chainFlag(acts: Seq[Act], pick: Act => Option[Column],
+        default: Column): Column =
+      acts.foldRight(default) { (a, rest) =>
+        val c = a match {
+          case UpdateAct(cc, _) => cc
+          case DeleteAct(cc) => cc
+          case InsertAct(cc, _) => cc
+        }
+        when(condOf(c), pick(a).getOrElse(lit(false))).otherwise(rest)
+      }
+    def keepOf(a: Act) = a match {
+      case _: DeleteAct => Some(lit(false))
+      case _ => Some(lit(true))
+    }
+    def updatedOf(a: Act) = a match {
+      case _: UpdateAct => Some(lit(true))
+      case _ => Some(lit(false))
+    }
+    def deletedOf(a: Act) = a match {
+      case _: DeleteAct => Some(lit(true))
+      case _ => Some(lit(false))
+    }
+
+    val keep = "__graft_keep"
+    val upd = "__graft_upd"
+    val del = "__graft_del"
+
+    val tRows = j.filter(targetExists)
+    val tCols = contract.fields.toIndexedSeq.map { f =>
+      val default = col(s"$TargetAlias.${f.name}")
+      when(matchedPred, chainValue(matchedActs, f, default))
+        .otherwise(chainValue(nmbsActs, f, default)).as(f.name)
+    }
+    val tFlags = Seq(
+      when(matchedPred, chainFlag(matchedActs, keepOf, lit(true)))
+        .otherwise(chainFlag(nmbsActs, keepOf, lit(true))).as(keep),
+      when(matchedPred, chainFlag(matchedActs, updatedOf, lit(false)))
+        .otherwise(chainFlag(nmbsActs, updatedOf, lit(false))).as(upd),
+      when(matchedPred, chainFlag(matchedActs, deletedOf, lit(false)))
+        .otherwise(chainFlag(nmbsActs, deletedOf, lit(false))).as(del))
+    val tOut = tRows.select(tCols ++ tFlags: _*)
+
+    val sRows = j.filter(!targetExists)
+    val sCols = contract.fields.toIndexedSeq.map(f =>
+      chainValue(insertActs, f, lit(null).cast(f.dataType)).as(f.name))
+    val sOut = sRows.select(sCols :+
+      chainFlag(insertActs, keepOf, lit(false)).as(keep): _*)
+
+    val outCols = contract.fieldNames.toIndexedSeq.map(col)
+    val result = tOut.filter(col(keep)).select(outCols: _*)
+      .unionByName(sOut.filter(col(keep)).select(outCols: _*))
+
+    val changes =
+      if (!cdf) None
+      else {
+        val pre = tRows.filter(
+          when(matchedPred, chainFlag(matchedActs, updatedOf, lit(false)))
+            .otherwise(chainFlag(nmbsActs, updatedOf, lit(false))))
+          .select(contract.fieldNames.toIndexedSeq
+            .map(n => col(s"$TargetAlias.$n").as(n)): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = tOut.filter(col(upd)).select(outCols: _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        val dels = tRows.filter(
+          when(matchedPred, chainFlag(matchedActs, deletedOf, lit(false)))
+            .otherwise(chainFlag(nmbsActs, deletedOf, lit(false))))
+          .select(contract.fieldNames.toIndexedSeq
+            .map(n => col(s"$TargetAlias.$n").as(n)): _*)
+          .withColumn("_change_type", lit("delete"))
+        val ins = sOut.filter(col(keep)).select(outCols: _*)
+          .withColumn("_change_type", lit("insert"))
+        Some(pre.unionByName(post).unionByName(dels).unionByName(ins))
+      }
+
+    lake.overwritePartitioned(t, result, Nil, readBasis = Some(basis),
+      changeData = changes)
+    Nil
+  }
+}

@@ -896,6 +896,64 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       statsCols = statsCols, readBasis = Some(basis), changeData = removed)
   }
 
+  /** Copy-on-write UPDATE — SQL `UPDATE t SET c = expr WHERE pred` as
+    * ONE crash-safe FULL commit through the same conflict-detected
+    * protocol as [[delete]] (an append racing the update is rebased
+    * above it; two racing rewrites fail loudly). Rows where `predicate`
+    * IS TRUE get each assignment applied (assignments may reference
+    * other columns — all RHS evaluate against the PRE-update row, the
+    * SQL standard's simultaneous-assignment rule, which falls out of a
+    * single `select` over the snapshot); NULL/false-predicate rows pass
+    * through byte-identical. Assignment values are cast to the contract
+    * column types (INSERT coercion — an UPDATE must not fork the
+    * physical schema mid-chain).
+    *
+    * Scale shape: one full scan + rewrite, no shuffle (the CASE WHEN
+    * projection is codegen'd into the scan), plus one extra scan
+    * restricted to the hit subset when `cdf = true` records
+    * update_preimage/update_postimage rows for [[changeFeed]]. Right
+    * for bulk backfills; high-frequency point updates want
+    * [[deleteByKeys]]-style merge-on-read instead (same trade as
+    * delete's doc).
+    */
+  def update(name: String, schema: StructType,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      cdf: Boolean = false): Unit = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    assignments.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"assigned column $c is not a column of $name") }
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "duplicate assignment targets")
+    val (raw, basis) =
+      if (exists(name)) readRootsWithBasis(name, schema)
+      else (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        Lakehouse.ReadBasis(0L, Set.empty))
+    val hit = coalesce(predicate.cast("boolean"), lit(false))
+    val assignMap = assignments.toMap
+    def applied(df: DataFrame, cond: org.apache.spark.sql.Column) =
+      df.select(schema.fields.toIndexedSeq.map { f =>
+        assignMap.get(f.name) match {
+          case Some(v) =>
+            when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val out = applied(raw, hit)
+    val changes =
+      if (!cdf) None
+      else {
+        val pre = raw.filter(hit)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = applied(raw.filter(hit), lit(true))
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        Some(pre.unionByName(post))
+      }
+    overwritePartitioned(name, out, Nil, readBasis = Some(basis),
+      changeData = changes)
+  }
+
   /** Merge-on-read POINT DELETE (Iceberg v2's equality deletes): the key
     * rows land as a tombstone set inside one committed DELTA — an O(keys)
     * metadata-sized write, no table rewrite — and every read masks

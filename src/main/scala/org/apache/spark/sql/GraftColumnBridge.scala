@@ -13,4 +13,11 @@ object GraftColumnBridge {
     classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+  /** A DataFrame over an already-analyzed logical plan (the captured
+    * MERGE source) — `classic.Dataset.ofRows`, bridged.
+    */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
 }

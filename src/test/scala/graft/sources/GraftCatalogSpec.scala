@@ -158,6 +158,68 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t9")
   }
 
+  test("ALTER TABLE ADD COLUMN widens the contract; old rows null-fill") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t10 (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.mart.t10 SELECT id, concat('v', id) FROM range(0, 10)")
+    spark.sql("ALTER TABLE graft.mart.t10 ADD COLUMN score DOUBLE")
+    // the widened contract is immediately visible and writable
+    spark.sql("""INSERT INTO graft.mart.t10
+      SELECT id, concat('v', id), CAST(id AS DOUBLE) / 2
+      FROM range(10, 20)""")
+    val rows = spark.sql(
+      "SELECT k, score FROM graft.mart.t10 ORDER BY k").collect()
+    assert(rows.length == 20)
+    assert(rows.take(10).forall(_.isNullAt(1)),
+      "pre-ALTER rows must null-fill the added column")
+    assert(rows.drop(10).forall(r => r.getDouble(1) == r.getLong(0) / 2.0))
+    // a filter on the NEW column is sound against old (column-less) files
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.mart.t10 WHERE score >= 7.0")
+      .head().getLong(0) == 6L)
+    // data-losing ALTERs are refused, not mangled
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.mart.t10 RENAME COLUMN v TO w"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.mart.t10 DROP COLUMN v"))
+    spark.sql("DROP TABLE graft.mart.t10")
+  }
+
+  test("TBLPROPERTIES persist; graft.cdf opts SQL DELETE into the feed") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("""CREATE TABLE graft.mart.t11 (k BIGINT, grp STRING)
+      TBLPROPERTIES ('graft.cdf' = 'true', 'team' = 'ingest')""")
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.mart.t11").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.cdf").contains("true"))
+    assert(shown.get("team").contains("ingest"))
+    spark.sql("ALTER TABLE graft.mart.t11 SET TBLPROPERTIES " +
+      "('retention' = '7d')")
+    spark.sql("ALTER TABLE graft.mart.t11 UNSET TBLPROPERTIES ('team')")
+    val shown2 = spark.sql("SHOW TBLPROPERTIES graft.mart.t11").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown2.get("retention").contains("7d") && !shown2.contains("team"))
+    spark.sql(
+      "INSERT INTO graft.mart.t11 SELECT id, concat('g', id % 2) FROM range(0, 10)")
+    spark.sql("DELETE FROM graft.mart.t11 WHERE grp = 'g1'")
+    // cdf=true → the copy-on-write delete RECORDED its removed rows
+    val lake = new graft.storage.Lakehouse(spark, s"$root/mart")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType)))
+    val v = lake.versions("t11").map(_._1).max
+    val feed = lake.changeFeed("t11", v - 1, v, schema)
+    val deleted = feed.filter(col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(deleted == (0L until 10L).filter(_ % 2 == 1L))
+    spark.sql("DROP TABLE graft.mart.t11")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
