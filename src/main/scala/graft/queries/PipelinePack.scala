@@ -806,6 +806,42 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graft.q75.fact GROUP BY 1""")
+    }),
+
+    // q76 — PARTITIONED BY on a catalog table: every INSERT
+    // range-clusters the batch on the partition column and records its
+    // zone maps, so a partition-keyed WHERE prunes whole files at plan
+    // time — partition pruning as pure metadata skipping, no
+    // value-encoding directories (Iceberg's metadata-pruning shape). At
+    // 100 TB this is the difference between scanning the table and
+    // scanning one month of it. The require pins the physical cut; the
+    // oracle pins row-level exactness over the surviving files.
+    "q76_partitioned_prune" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q76")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q76_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q76")
+      s.sql("DROP TABLE IF EXISTS graft.q76.fact")
+      s.sql("""CREATE TABLE graft.q76.fact (
+          trans_id STRING, trans_date TIMESTAMP,
+          order_month INT, amt DECIMAL(18,2))
+        PARTITIONED BY (order_month)""")
+      // hidden partitioning, Iceberg-style: the partition key is derived
+      // in the INSERT (month(ts)), queries filter on the derived column
+      s.sql("""INSERT INTO graft.q76.fact
+        SELECT trans_id, trans_date, CAST(month(trans_date) AS INT), amt
+        FROM q76_src""")
+      val out = s.sql("""SELECT CAST(order_month AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graft.q76.fact WHERE order_month IN (3, 7, 11) GROUP BY 1""")
+      val plan = out.queryExecution.executedPlan.toString
+      val m = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      require(m.exists(g => g.group(1).toInt < g.group(2).toInt),
+        s"partition filter must prune files, plan:\n$plan")
+      out
     })
   )
 
@@ -873,6 +909,13 @@ FROM orders WHERE $pred GROUP BY 1"""
        THEN CAST(o_totalprice AS DECIMAL(18,2)) + 500
        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
 FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
+    // the three partition-pruned months, re-derived row-exactly
+    "q76_partitioned_prune" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE month(o_orderdate) IN (3, 7, 11) GROUP BY 1""",
     // final merged state per key-slice (see the query comment)
     "q75_sql_merge" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,

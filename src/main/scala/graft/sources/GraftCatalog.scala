@@ -178,16 +178,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables are unpartitioned (partitioned layouts come " +
-        "from the Lakehouse API writers)")
+    // PARTITIONED BY (c1, c2) — identity transforms only (hidden
+    // partitioning by an expression: derive the column in the INSERT).
+    // The layout is CLUSTERING, not directories: every INSERT
+    // range-repartitions on the partition columns and records their
+    // zone maps, so the V2 scan's file skipping prunes partitions
+    // exactly — Iceberg's metadata-pruning shape without encoding
+    // values into paths (see GraftTable.newWriteBuilder).
+    val partCols = partitions.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"graft supports identity partition transforms only, got $t " +
+          "(for bucket/days/months: derive the column at INSERT time)")
+      t.references()(0).fieldNames()(0)
+    }.toSeq
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
     LakehouseStream.validateSchema(schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tablePath(ident)
     fs.mkdirs(dir)
     GraftCatalog.writeSchema(fs, new Path(dir, GraftCatalog.SchemaFile),
       schema)
-    val props = GraftCatalog.userProps(properties)
+    val props = GraftCatalog.userProps(properties) ++
+      (if (partCols.isEmpty) Map.empty
+       else Map(GraftCatalog.PartitionProp -> partCols.mkString(",")))
     if (props.nonEmpty)
       GraftCatalog.writeProps(fs, new Path(dir, GraftCatalog.PropsFile),
         props)
@@ -370,6 +385,8 @@ private[graft] object GraftCatalog {
     * write-time change data feed — Delta's `enableChangeDataFeed`.
     */
   val CdfProp = "graft.cdf"
+  /** Comma-separated partition (clustering) columns — see createTable. */
+  val PartitionProp = "graft.partition"
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history")
 
@@ -481,6 +498,15 @@ private[sources] class GraftTable(path: String, tableName: String,
   private[sources] def cdfEnabled: Boolean =
     props.get(GraftCatalog.CdfProp).exists(_.equalsIgnoreCase("true"))
 
+  /** Partition (clustering) columns from `PARTITIONED BY`. */
+  private[sources] def partCols: Seq[String] =
+    props.get(GraftCatalog.PartitionProp)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
+
   private[sources] def contractSchema: StructType = tschema
   private[sources] def tableDir: String = path
   private[sources] def pinnedAsOf: Option[Long] = asOf
@@ -530,8 +556,28 @@ private[sources] class GraftTable(path: String, tableName: String,
             val lake = new Lakehouse(SparkSession.active,
               dir.getParent.toString)
             val t = dir.getName
-            if (overwrite || over) lake.overwrite(t, data)
-            else lake.append(t, data)
+            // partitioned table: RANGE-cluster the batch on the
+            // partition columns so each committed file covers a tight,
+            // disjoint key range, and record those columns' zone maps —
+            // a WHERE on a partition column then prunes whole files at
+            // plan time (partition pruning as metadata skipping; range
+            // beats hash here because min/max over a hashed mixture of
+            // values spans the whole domain and prunes nothing)
+            val parts = partCols
+            // explicit partition count: an AQE-coalesced range shuffle
+            // would fold a small batch into ONE file spanning every key
+            // range, pruning nothing; empty range slices cost nothing
+            // (0-row files never plan a task)
+            val clustered =
+              if (parts.isEmpty) data
+              else data.repartitionByRange(
+                SparkSession.active.conf
+                  .get("spark.sql.shuffle.partitions").toInt,
+                parts.map(org.apache.spark.sql.functions.col): _*)
+            if (overwrite || over)
+              lake.overwritePartitioned(t, clustered, Nil,
+                statsCols = parts)
+            else lake.append(t, clustered, statsCols = parts)
           }
       }
     }

@@ -220,6 +220,32 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t11")
   }
 
+  test("PARTITIONED BY clusters inserts; partition filters prune files") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("""CREATE TABLE graft.mart.t12 (k BIGINT, day INT, v STRING)
+      PARTITIONED BY (day)""")
+    // the declared partitioning round-trips through the catalog
+    assert(spark.sql("DESCRIBE TABLE graft.mart.t12").collect()
+      .exists(_.getString(0).contains("Part")), "partitioning not surfaced")
+    spark.sql("""INSERT INTO graft.mart.t12
+      SELECT id, CAST(id % 8 AS INT), concat('v', id) FROM range(0, 4000)""")
+    val q = spark.sql("SELECT count(*) AS n, sum(k) AS s " +
+      "FROM graft.mart.t12 WHERE day = 3")
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      .getOrElse(fail(s"no file-count marker in plan:\n$plan"))
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"partition filter pruned nothing: ${m.matched}")
+    val r = q.head()
+    assert(r.getLong(0) == 500L)
+    assert(r.getLong(1) == (0L until 4000L).filter(_ % 8 == 3).sum)
+    // non-identity transforms are refused at CREATE
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.mart.t13 (k BIGINT, d DATE) PARTITIONED BY (days(d))"))
+    spark.sql("DROP TABLE graft.mart.t12")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
