@@ -659,6 +659,79 @@ object StreamingPack {
             .as("val_sum"))
     }),
 
+    // s18 — the MEDALLION pipeline: bronze → silver → gold as TWO
+    // chained streaming hops, each tailing the previous table's commit
+    // log through the DSv2 source and landing through the exactly-once
+    // sink — the standard lakehouse architecture (raw ingest → cleaned/
+    // conformed → business-level) with zero user sink code. The probe
+    // is INCREMENTAL PROPAGATION: both hops drain slices 0+1, then a
+    // late slice lands in bronze and both hops re-run on their KEPT
+    // checkpoints — each must process exactly the new commits (the
+    // checkpoint's resolved offset, not a rescan) and the gold table
+    // must hash as if the pipeline saw all three slices once. At 100 TB
+    // this chain is the whole point of the commit log: hop N+1 reads
+    // only hop N's new deltas, never the accumulated table.
+    "s18_stream_medallion" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s18")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val silverDDL = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value2x DOUBLE"
+      val goldDDL = "event_id BIGINT, event_type STRING, value2x DOUBLE"
+      def hop(src: String, srcDDL: String, dst: String, ckpt: String)(
+          xform: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): Unit = {
+        val q = s.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(srcDDL))
+          .format("graft.sources.LakehouseStreamProvider")
+          .option("maxVersionsPerTrigger", "1")
+          .load(lake.tablePath(src))
+          .transform(xform)
+          .writeStream
+          .format("graft.sources.LakehouseSinkProvider")
+          .option("path", lake.tablePath(dst))
+          .option("checkpointLocation", dir.resolve(ckpt).toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def drainAll(): Unit = {
+        // bronze → silver: conform (even keys only, derived value2x)
+        hop("bronze", "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE", "silver", "ckpt_silver")(
+          _.filter(col("event_id") % 2 === 0)
+            .withColumn("value2x", col("value") * 2).drop("value"))
+        // silver → gold: business slice (high-value rows, narrow shape)
+        hop("silver", silverDDL, "gold", "ckpt_gold")(
+          _.filter(col("value2x") > 50)
+            .select(col("event_id"), col("event_type"), col("value2x")))
+      }
+      (0 to 1).foreach { sl =>
+        lake.append("bronze", ev.filter(pmod(col("event_id"), lit(3)) === sl))
+      }
+      drainAll()
+      // late-arriving slice: the chain must propagate INCREMENTALLY
+      lake.append("bronze", ev.filter(pmod(col("event_id"), lit(3)) === 2))
+      drainAll()
+      // incrementality pinned structurally: one sink commit per source
+      // delta per hop (3 bronze slices → 3 silver commits → 3 gold
+      // commits); a rescan would change the commit counts, not just
+      // rely on dedup to fix the rows
+      require(lake.versions("silver").length == 3 &&
+        lake.versions("gold").length == 3,
+        s"medallion hops must process each upstream delta exactly once: " +
+          s"silver=${lake.versions("silver").length} " +
+          s"gold=${lake.versions("gold").length}")
+      lake.read("gold",
+        org.apache.spark.sql.types.StructType.fromDDL(goldDDL))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("key_sum"),
+          sum(col("value2x").cast("decimal(18,2)")).cast("double")
+            .as("val_sum"))
+    }),
+
     // s16 — CONTINUOUSLY-MAINTAINED materialized view: the lakehouse CDF
     // stream drives MaterializedView.applyFeedBatch, folding each
     // micro-batch's signed change rows (insert +, delete −) into a
@@ -976,6 +1049,13 @@ object StreamingPack {
         | CAST(sum(event_id) AS BIGINT) AS key_sum,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events WHERE event_id % 2 = 0 GROUP BY 1""".stripMargin,
+    // gold = both hops' predicates over the source events, seen once
+    "s18_stream_medallion" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events WHERE event_id % 2 = 0 AND value * 2 > 50
+        |GROUP BY 1""".stripMargin,
     // the streamed MV converges to the post-takedown rollup: all events
     // minus the deleted slice — a double-applied batch (crash replay) or
     // a missed delete record breaks n/key_sum/val_sum
