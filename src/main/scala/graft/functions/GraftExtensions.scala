@@ -87,5 +87,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // catalog tables (see GraftDmlRule's scaladoc)
     e.injectPostHocResolutionRule(session =>
       new graft.sources.GraftDmlRule(session))
+    // SQL views on graft catalogs: DDL intercepted at parse time (the
+    // analyzer rejects V2 view DDL before extension rules run), reads
+    // expanded by a resolution rule (see GraftViews' scaladoc)
+    e.injectParser((session, delegate) =>
+      new graft.sources.GraftViewParser(session, delegate))
+    e.injectResolutionRule(session =>
+      new graft.sources.GraftViewReadRule(session))
   }
 }

@@ -842,6 +842,39 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       require(m.exists(g => g.group(1).toInt < g.group(2).toInt),
         s"partition filter must prune files, plan:\n$plan")
       out
+    }),
+
+    // q77 — SQL VIEWS on the catalog (GraftViewParser + read rule: the
+    // V2 ViewCatalog SPI executed end-to-end, which stock Spark 4.1
+    // does not do): a conformed view over the fact table, an aggregate
+    // view OVER that view (composition), read through plain SELECTs.
+    // The aggregate pushes through both expansions — the final plan is
+    // the same scan→agg Catalyst would build over the raw table.
+    "q77_sql_view" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q77")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q77_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q77")
+      s.sql("DROP VIEW IF EXISTS graft.q77.monthly")
+      s.sql("DROP VIEW IF EXISTS graft.q77.big")
+      s.sql("DROP TABLE IF EXISTS graft.q77.fact")
+      s.sql("""CREATE TABLE graft.q77.fact (
+        trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))""")
+      s.sql("""INSERT INTO graft.q77.fact
+        SELECT trans_id, trans_date, amt FROM q77_src""")
+      // conformed view: a filtered, derived-column slice of the fact
+      s.sql("""CREATE VIEW graft.q77.big AS
+        SELECT CAST(trans_id AS BIGINT) AS trans_key,
+               month(trans_date) AS order_month, amt
+        FROM graft.q77.fact WHERE amt >= 1000""")
+      // aggregate view over the view — composition through the expander
+      s.sql("""CREATE VIEW graft.q77.monthly AS
+        SELECT CAST(order_month AS BIGINT) AS order_month,
+               count(*) AS n, sum(trans_key) AS key_sum,
+               CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graft.q77.big GROUP BY 1""")
+      s.sql("SELECT order_month, n, key_sum, amt_sum FROM graft.q77.monthly")
     })
   )
 
@@ -909,6 +942,13 @@ FROM orders WHERE $pred GROUP BY 1"""
        THEN CAST(o_totalprice AS DECIMAL(18,2)) + 500
        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
 FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
+    // the composed views' aggregate, re-derived directly
+    "q77_sql_view" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= 1000 GROUP BY 1""",
     // the three partition-pruned months, re-derived row-exactly
     "q76_partitioned_prune" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,

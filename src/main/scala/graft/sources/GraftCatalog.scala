@@ -48,7 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * from the Lakehouse API's writers today.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -292,6 +292,91 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(old: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE")
 
+  // ——— SQL views: CREATE/DROP/ALTER/RENAME VIEW, SHOW VIEWS ———
+  //
+  // A view is a persisted SQL text + the resolution context it was
+  // authored in (current catalog/namespace) + the schema it produced at
+  // CREATE — Spark re-parses the text against that context on every
+  // read, so views compose freely over catalog tables AND other views.
+  // Storage mirrors tables: `<root>/<ns>/<view>/_GRAFT_VIEW`, one
+  // atomically-replaced Properties file; a dir is a table iff it has
+  // `_GRAFT_SCHEMA`, a view iff `_GRAFT_VIEW` (listTables/listViews
+  // never confuse the two).
+
+  override def listViews(ns: String*): Array[Identifier] = {
+    val nsArr = ns.toArray
+    if (!namespaceExists(nsArr)) throw new NoSuchNamespaceException(nsArr)
+    val p = nsPath(nsArr)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).collect {
+      case st if st.isDirectory &&
+        fs.exists(new Path(st.getPath, GraftCatalog.ViewFile)) =>
+        Identifier.of(nsArr, st.getPath.getName)
+    }
+  }
+
+  private def viewFile(ident: Identifier): Path =
+    new Path(tablePath(ident), GraftCatalog.ViewFile)
+
+  override def viewExists(ident: Identifier): Boolean =
+    fs.exists(viewFile(ident))
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    GraftCatalog.decodeView(ident.name,
+      GraftCatalog.readProps(fs, viewFile(ident)))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    require(ident.namespace.length == 1 &&
+      namespaceExists(ident.namespace),
+      s"namespace ${ident.namespace.mkString(".")} does not exist")
+    check(ident.name)
+    if (viewExists(ident) || tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    fs.mkdirs(tablePath(ident))
+    GraftCatalog.writeProps(fs, viewFile(ident),
+      GraftCatalog.encodeView(info))
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    var props = GraftCatalog.readProps(fs, viewFile(ident))
+    changes.foreach {
+      case s: ViewChange.SetProperty =>
+        props += (s"p.${s.property}" -> s.value)
+      case r: ViewChange.RemoveProperty =>
+        props -= s"p.${r.property}"
+    }
+    GraftCatalog.writeProps(fs, viewFile(ident), props)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    if (!viewExists(ident)) return false
+    fs.delete(tablePath(ident), true)
+  }
+
+  override def renameView(old: Identifier, to: Identifier): Unit = {
+    if (!viewExists(old))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(old)
+    if (viewExists(to) || tableExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    require(namespaceExists(to.namespace), "target namespace must exist")
+    check(to.name)
+    require(fs.rename(tablePath(old), tablePath(to)),
+      s"rename ${old.name} -> ${to.name} failed")
+  }
+
   // ——— maintenance as SQL procedures: CALL graft.system.compact(...) ———
   //
   // The standing jobs every lakehouse runs (small-file compaction,
@@ -424,6 +509,57 @@ private[graft] object GraftCatalog {
     val jp = new java.util.Properties()
     try jp.load(in) finally in.close()
     jp.stringPropertyNames().asScala.map(k => k -> jp.getProperty(k)).toMap
+  }
+
+  val ViewFile = "_GRAFT_VIEW"
+  // array cells join on the ASCII unit separator (Properties escapes
+  // anything, but view SQL/comments never contain control chars anyway);
+  // a null comment encodes as absence via a presence prefix
+  private val Sep = "\u001f"
+
+  def encodeView(info: ViewInfo): Map[String, String] = {
+    def arr(a: Array[String]): String =
+      a.map(v => if (v == null) "0" else s"1$v").mkString(Sep)
+    import scala.jdk.CollectionConverters._
+    Map(
+      "sql" -> info.sql,
+      "catalog" -> info.currentCatalog,
+      "namespace" -> info.currentNamespace.mkString(Sep),
+      "schema" -> info.schema.json,
+      "queryColumnNames" -> arr(info.queryColumnNames),
+      "columnAliases" -> arr(info.columnAliases),
+      "columnComments" -> arr(info.columnComments)) ++
+      info.properties.asScala.map { case (k, v) => s"p.$k" -> v }
+  }
+
+  def decodeView(viewName: String, props: Map[String, String]): View = {
+    def arr(key: String): Array[String] = props.getOrElse(key, "") match {
+      case "" => Array.empty
+      case s => s.split(Sep, -1).map(c =>
+        if (c.startsWith("1")) c.drop(1) else null)
+    }
+    new View {
+      override def name(): String = viewName
+      override def query(): String = props("sql")
+      override def currentCatalog(): String = props("catalog")
+      override def currentNamespace(): Array[String] =
+        props.getOrElse("namespace", "") match {
+          case "" => Array.empty
+          case s => s.split(Sep, -1)
+        }
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(props("schema"))
+          .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] =
+        arr("queryColumnNames")
+      override def columnAliases(): Array[String] = arr("columnAliases")
+      override def columnComments(): Array[String] = arr("columnComments")
+      override def properties(): java.util.Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        props.collect { case (k, v) if k.startsWith("p.") =>
+          k.drop(2) -> v }.asJava
+      }
+    }
   }
 
   /** Atomic schema persist: temp + rename, so a reader never sees a

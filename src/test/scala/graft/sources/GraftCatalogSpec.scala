@@ -246,6 +246,41 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t12")
   }
 
+  test("SQL views: create, compose, rename, drop") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.vt (k BIGINT, grp STRING, amt DOUBLE)")
+    spark.sql("""INSERT INTO graft.mart.vt
+      SELECT id, concat('g', id % 3), CAST(id AS DOUBLE) FROM range(0, 30)""")
+    spark.sql("""CREATE VIEW graft.mart.v1 AS
+      SELECT grp, sum(amt) AS amt_sum, count(*) AS n
+      FROM graft.mart.vt GROUP BY grp""")
+    val got = spark.sql(
+      "SELECT grp, amt_sum, n FROM graft.mart.v1 ORDER BY grp").collect()
+    assert(got.length == 3 && got.map(_.getLong(2)).sum == 30L)
+    // views compose: a view over a view
+    spark.sql("""CREATE VIEW graft.mart.v2 AS
+      SELECT sum(amt_sum) AS total FROM graft.mart.v1""")
+    assert(spark.sql("SELECT total FROM graft.mart.v2").head().getDouble(0)
+      == (0 until 30).sum.toDouble)
+    // the view tracks the TABLE's current data, not a snapshot
+    spark.sql("INSERT INTO graft.mart.vt VALUES (100, 'g0', 1000.0)")
+    assert(spark.sql("SELECT total FROM graft.mart.v2").head().getDouble(0)
+      == (0 until 30).sum.toDouble + 1000.0)
+    assert(spark.sql("SHOW VIEWS IN graft.mart").collect()
+      .map(_.getString(1)).toSet == Set("v1", "v2"))
+    // tables and views stay distinct listings
+    assert(spark.sql("SHOW TABLES IN graft.mart").collect()
+      .map(_.getString(1)).contains("vt"))
+    spark.sql("ALTER VIEW graft.mart.v2 RENAME TO graft.mart.v2r")
+    assert(spark.sql("SELECT total FROM graft.mart.v2r").head().getDouble(0)
+      > 0)
+    spark.sql("DROP VIEW graft.mart.v2r")
+    spark.sql("DROP VIEW graft.mart.v1")
+    assert(spark.sql("SHOW VIEWS IN graft.mart").collect().isEmpty)
+    spark.sql("DROP TABLE graft.mart.vt")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
