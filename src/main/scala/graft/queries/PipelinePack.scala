@@ -875,6 +875,51 @@ FROM orders WHERE $slicePred GROUP BY 1"""
                CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graft.q77.big GROUP BY 1""")
       s.sql("SELECT order_month, n, key_sum, amt_sum FROM graft.q77.monthly")
+    }),
+
+    // q78 — ANALYZE + cost-based optimization: `CALL analyze` persists
+    // table-level column statistics (approx NDV, null counts, numeric
+    // min/max, string lengths) that the V2 scan serves through
+    // `estimateStatistics().columnStats()`; with CBO on, Spark's join
+    // estimation runs on real per-attribute numbers instead of
+    // defaults. The require pins the full pipeline (both join leaves
+    // carry attribute stats in the optimized plan); the oracle pins the
+    // join's row-level result.
+    "q78_analyze_cbo" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q78")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q78_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q78")
+      s.sql("DROP TABLE IF EXISTS graft.q78.fact")
+      s.sql("DROP TABLE IF EXISTS graft.q78.dim")
+      s.sql("""CREATE TABLE graft.q78.fact (
+        trans_id STRING, order_month INT, amt DECIMAL(18,2))""")
+      s.sql("""INSERT INTO graft.q78.fact
+        SELECT trans_id, CAST(month(trans_date) AS INT), amt FROM q78_src""")
+      s.sql("CREATE TABLE graft.q78.dim (month_id INT, quarter BIGINT)")
+      s.sql("""INSERT INTO graft.q78.dim
+        SELECT CAST(id + 1 AS INT), id DIV 3 + 1 FROM range(0, 12)""")
+      s.sql("CALL graft.system.analyze('q78', 'fact')")
+      s.sql("CALL graft.system.analyze('q78', 'dim')")
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val out = s.sql("""SELECT d.quarter,
+            count(*) AS n,
+            sum(CAST(f.trans_id AS BIGINT)) AS key_sum,
+            CAST(sum(f.amt) AS DOUBLE) AS amt_sum
+          FROM graft.q78.fact f JOIN graft.q78.dim d
+            ON f.order_month = d.month_id
+          GROUP BY d.quarter""")
+        val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+        require(leaves.length == 2 &&
+          leaves.forall(_.stats.attributeStats.nonEmpty),
+          "ANALYZE column stats must reach both join leaves under CBO")
+        out.persist()
+        out.count() // materialize under CBO before the conf restores
+        out
+      } finally s.conf.set("spark.sql.cbo.enabled", prevCbo)
     })
   )
 
@@ -942,6 +987,13 @@ FROM orders WHERE $pred GROUP BY 1"""
        THEN CAST(o_totalprice AS DECIMAL(18,2)) + 500
        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
 FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
+    // quarter join re-derived arithmetically (dim is month→quarter)
+    "q78_analyze_cbo" ->
+      """SELECT CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS quarter,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders GROUP BY 1""",
     // the composed views' aggregate, re-derived directly
     "q77_sql_view" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,

@@ -426,7 +426,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("num_files", IntegerType).build(),
               ProcedureParameter.in("z_cols", StringType).build())
-            case "vacuum" | "history" => Array(
+            case "vacuum" | "history" | "analyze" => Array(
               ProcedureParameter.in("namespace", StringType).build(),
               ProcedureParameter.in("table", StringType).build())
           }
@@ -444,6 +444,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 lake.compactZOrder(t, args.getInt(2),
                   args.getUTF8String(3).toString.split(",").toSeq)
               case "vacuum" => lake.vacuum(t)
+              case "analyze" => GraftCatalog.analyzeTable(spark,
+                new Path(nsPath(Array(ns)), t), tableSchema(ns, t))
               case "history" => // result-set procedure, no side effect
             }
             val result: Scan = new LocalScan {
@@ -473,7 +475,59 @@ private[graft] object GraftCatalog {
   /** Comma-separated partition (clustering) columns — see createTable. */
   val PartitionProp = "graft.partition"
   val ProcedureNames: Set[String] =
-    Set("compact", "zorder", "vacuum", "history")
+    Set("compact", "zorder", "vacuum", "history", "analyze")
+
+  val ColStatsFile = "_GRAFT_COLSTATS"
+
+  /** `CALL graft.system.analyze(ns, t)` — one pass over the current
+    * snapshot computing table-level optimizer statistics: row count,
+    * per-column approx NDV (HLL — exact distinct at 100 TB is the wrong
+    * trade for an ADVISORY number), null count, numeric min/max, string
+    * avg/max length. Persisted as one atomically-replaced Properties
+    * file at the TABLE level (stats are advisory planner input, not
+    * part of any commit); [[LakehouseBatchScan.estimateStatistics]]
+    * serves them to Spark as V2 column statistics, which
+    * `transformV2Stats` folds into the CBO's per-attribute ColumnStat —
+    * join reordering and selectivity estimation then run on real
+    * numbers instead of defaults.
+    */
+  def analyzeTable(spark: SparkSession, tableDir: Path,
+      schema: StructType): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val lake = new Lakehouse(spark, tableDir.getParent.toString)
+    val df = lake.read(tableDir.getName, schema)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("rows__")) ++ schema.fields.toSeq.flatMap { f =>
+        val c = col(f.name)
+        Seq(approx_count_distinct(c).as(s"ndv__${f.name}"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls__${f.name}")) ++
+          (f.dataType match {
+            case _: NumericType => Seq(
+              min(c).cast("string").as(s"min__${f.name}"),
+              max(c).cast("string").as(s"max__${f.name}"))
+            case StringType => Seq(
+              avg(length(c)).cast("long").as(s"avglen__${f.name}"),
+              max(length(c)).cast("long").as(s"maxlen__${f.name}"))
+            case _ => Nil
+          })
+      }
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val kv = row.schema.fieldNames.zipWithIndex.collect {
+      case (n, i) if !row.isNullAt(i) => n -> row.get(i).toString
+    }.toMap
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeProps(fs, new Path(tableDir, ColStatsFile), kv)
+  }
+
+  /** Stored column stats for the scan's `estimateStatistics` — None
+    * until `analyze` has run.
+    */
+  def readColStats(fs: FileSystem, tableDir: Path)
+      : Option[Map[String, String]] = {
+    val p = new Path(tableDir, ColStatsFile)
+    if (fs.exists(p)) Some(readProps(fs, p)) else None
+  }
 
   /** Engine-managed keys Spark injects at CREATE; everything else the
     * user asked for persists.

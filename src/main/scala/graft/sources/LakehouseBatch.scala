@@ -245,11 +245,69 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
       case None => new LakehouseReaderFactory(required)
     }
 
+  /** ANALYZE-computed column stats (`_GRAFT_COLSTATS`) for the CBO —
+    * loaded once per scan; empty until `CALL graft.system.analyze`.
+    */
+  private lazy val colStats: java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    val dir = new Path(meta.path)
+    val fs = dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    GraftCatalog.readColStats(fs, dir).foreach { kv =>
+      required.fields.foreach { f =>
+        def get(k: String): Option[String] = kv.get(s"${k}__${f.name}")
+        if (get("ndv").isDefined) {
+          // numeric min/max re-typed to the CATALYST value class of the
+          // column (ColumnStat holds internal values — a Long where an
+          // Integer belongs would poison the estimation math); other
+          // types stay NDV/null-count only
+          import org.apache.spark.sql.types._
+          def typed(s: String): Option[Object] = f.dataType match {
+            case LongType => Some(java.lang.Long.valueOf(s))
+            case IntegerType => Some(java.lang.Integer.valueOf(s))
+            case ShortType => Some(java.lang.Short.valueOf(s))
+            case ByteType => Some(java.lang.Byte.valueOf(s))
+            case DoubleType => Some(java.lang.Double.valueOf(s))
+            case FloatType => Some(java.lang.Float.valueOf(s))
+            case _: DecimalType =>
+              Some(Decimal(new java.math.BigDecimal(s)))
+            case _ => None
+          }
+          out.put(Expressions.column(f.name), new ColumnStatistics {
+            override def distinctCount(): OptionalLong =
+              OptionalLong.of(get("ndv").get.toLong)
+            override def nullCount(): OptionalLong =
+              get("nulls").map(v => OptionalLong.of(v.toLong))
+                .getOrElse(OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              get("min").flatMap(typed).map(java.util.Optional.of[Object])
+                .getOrElse(java.util.Optional.empty())
+            override def max(): java.util.Optional[Object] =
+              get("max").flatMap(typed).map(java.util.Optional.of[Object])
+                .getOrElse(java.util.Optional.empty())
+            override def avgLen(): OptionalLong =
+              get("avglen").map(v => OptionalLong.of(v.toLong))
+                .getOrElse(OptionalLong.empty())
+            override def maxLen(): OptionalLong =
+              get("maxlen").map(v => OptionalLong.of(v.toLong))
+                .getOrElse(OptionalLong.empty())
+          })
+        }
+      }
+    }
+    out
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(1L, plannedFiles.map(_.sizeBytes).sum))
     override def numRows(): OptionalLong =
       OptionalLong.of(plannedFiles.map(_.rowCount).sum)
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      colStats
   }
 }
 

@@ -281,6 +281,34 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.vt")
   }
 
+  test("CALL analyze persists column stats; the CBO sees them") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t14 (k BIGINT, grp STRING, amt DOUBLE)")
+    spark.sql("""INSERT INTO graft.mart.t14
+      SELECT id, concat('g', id % 7), CAST(id AS DOUBLE) / 3
+      FROM range(0, 5000)""")
+    spark.sql("CALL graft.system.analyze('mart', 't14')")
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.sql(
+        "SELECT grp, sum(amt) FROM graft.mart.t14 WHERE k < 100 GROUP BY grp")
+      val stats = df.queryExecution.optimizedPlan.collectLeaves()
+        .head.stats
+      assert(stats.attributeStats.nonEmpty,
+        "analyze stats must reach the optimizer as attribute stats")
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      // HLL NDV lands near the exact counts; min/max exact
+      assert(byName("k").distinctCount.exists(n =>
+        n.toLong > 4000 && n.toLong < 6000), byName("k").toString)
+      assert(byName("grp").distinctCount.exists(_.toLong == 7L),
+        byName("grp").toString)
+      assert(byName("k").min.contains(0L) &&
+        byName("k").max.contains(4999L), byName("k").toString)
+      assert(byName("k").nullCount.exists(_ == 0), byName("k").toString)
+    }
+    spark.sql("DROP TABLE graft.mart.t14")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
