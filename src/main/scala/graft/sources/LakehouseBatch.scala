@@ -242,7 +242,7 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
   override def createReaderFactory(): PartitionReaderFactory =
     aggResult match {
       case Some((schema, _)) => new PrecomputedAggReaderFactory(schema)
-      case None => new LakehouseReaderFactory(required)
+      case None => new LakehouseReaderFactory(required, pushed ++ runtime)
     }
 
   /** ANALYZE-computed column stats (`_GRAFT_COLSTATS`) for the CBO —

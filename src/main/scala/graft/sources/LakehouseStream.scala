@@ -321,12 +321,13 @@ private[sources] case class LakehouseFilePartition(file: String,
     commitVersion: Long, fillChangeType: Option[String])
     extends InputPartition
 
-private[sources] class LakehouseReaderFactory(schema: StructType)
+private[sources] class LakehouseReaderFactory(schema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LakehouseFilePartition]
-    new LakehouseGroupReader(p, schema)
+    new LakehouseGroupReader(p, schema, filters)
   }
 }
 
@@ -337,13 +338,51 @@ private[sources] class LakehouseReaderFactory(schema: StructType)
   */
 private[sources] class LakehouseGroupReader(
     partition: LakehouseFilePartition,
-    schema: StructType) extends PartitionReader[InternalRow] {
+    schema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
-  private val reader = org.apache.parquet.hadoop.ParquetReader
-    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-      new Path(partition.file))
-    .withConf(new Configuration())
-    .build()
+  // column projection + predicate pushdown INTO parquet: the requested
+  // read schema narrows to the columns the scan needs (parquet then
+  // never decodes the others — the column-pruning IO win), and the
+  // translatable pushed filters become a parquet FilterPredicate
+  // (row-group statistics skipping + record-level filtering inside the
+  // file — the within-file analogue of the scan's zone-map file cut).
+  // Both are computed per file against ITS footer schema: older files
+  // may predate widened columns (schema evolution), and a predicate or
+  // projection naming an absent column would make parquet throw rather
+  // than null-fill.
+  private val conf = new Configuration()
+  private val fileSchema: org.apache.parquet.schema.MessageType = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(partition.file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFileMetaData.getSchema finally r.close()
+  }
+  private val reader = {
+    import scala.jdk.CollectionConverters._
+    val present = schema.fields.filter(f => fileSchema.containsField(f.name))
+    // empty projection (count-only scans) still needs ONE column to
+    // drive row iteration — pick the file's first (cheapest to decode
+    // would be nicer; first is deterministic)
+    val types =
+      if (present.nonEmpty) present.toSeq.map(f =>
+        fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+      else Seq(fileSchema.getFields.get(0))
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      new org.apache.parquet.schema.MessageType(fileSchema.getName,
+        types.asJava).toString)
+    val presentNames = present.map(_.name).toSet
+    val b = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new Path(partition.file))
+      .withConf(conf)
+    LakehouseStream.toParquetPredicate(filters, schema, presentNames) match {
+      case Some(p) => b.withFilter(
+        org.apache.parquet.filter2.compat.FilterCompat.get(p)).build()
+      case None => b.build()
+    }
+  }
   private var current: org.apache.parquet.example.data.Group = _
 
   override def next(): Boolean = { current = reader.read(); current != null }
@@ -389,6 +428,125 @@ private[sources] class LakehouseGroupReader(
 }
 
 private[sources] object LakehouseStream {
+
+  /** Pushed V1 Filters → parquet FilterPredicate, restricted to the
+    * conjuncts that translate soundly: comparisons/IN/IS-(NOT-)NULL on
+    * long/int/double/float/boolean/string columns PRESENT in the file.
+    * Decimal/timestamp/date stay post-scan (their parquet value
+    * encodings vary by writer). Untranslatable conjuncts drop — safe,
+    * because the scan keeps every pushed filter as a post-scan residual
+    * (a parquet-level filter can only over-cut matching exactly, never
+    * under-report: AND of a subset).
+    */
+  def toParquetPredicate(
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      schema: StructType, presentCols: Set[String])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.parquet.io.api.Binary
+    import org.apache.spark.sql.sources._
+
+    def colType(c: String): Option[DataType] =
+      if (!presentCols.contains(c)) None
+      else schema.fields.find(_.name == c).map(_.dataType)
+
+    // comparison builder per supported physical type; None = untranslatable
+    def cmp(c: String, v: Any,
+        op: String): Option[FilterPredicate] = colType(c).flatMap { dt =>
+      (dt, v) match {
+        case (LongType, x: java.lang.Long) =>
+          val col = FilterApi.longColumn(c)
+          Some(op match {
+            case "eq" => FilterApi.eq(col, x)
+            case "gt" => FilterApi.gt(col, x)
+            case "ge" => FilterApi.gtEq(col, x)
+            case "lt" => FilterApi.lt(col, x)
+            case "le" => FilterApi.ltEq(col, x)
+          })
+        case (IntegerType, x: java.lang.Integer) =>
+          val col = FilterApi.intColumn(c)
+          Some(op match {
+            case "eq" => FilterApi.eq(col, x)
+            case "gt" => FilterApi.gt(col, x)
+            case "ge" => FilterApi.gtEq(col, x)
+            case "lt" => FilterApi.lt(col, x)
+            case "le" => FilterApi.ltEq(col, x)
+          })
+        case (DoubleType, x: java.lang.Double) =>
+          val col = FilterApi.doubleColumn(c)
+          Some(op match {
+            case "eq" => FilterApi.eq(col, x)
+            case "gt" => FilterApi.gt(col, x)
+            case "ge" => FilterApi.gtEq(col, x)
+            case "lt" => FilterApi.lt(col, x)
+            case "le" => FilterApi.ltEq(col, x)
+          })
+        case (FloatType, x: java.lang.Float) =>
+          val col = FilterApi.floatColumn(c)
+          Some(op match {
+            case "eq" => FilterApi.eq(col, x)
+            case "gt" => FilterApi.gt(col, x)
+            case "ge" => FilterApi.gtEq(col, x)
+            case "lt" => FilterApi.lt(col, x)
+            case "le" => FilterApi.ltEq(col, x)
+          })
+        case (StringType, x: String) =>
+          val col = FilterApi.binaryColumn(c)
+          val b = Binary.fromString(x)
+          Some(op match {
+            case "eq" => FilterApi.eq(col, b)
+            case "gt" => FilterApi.gt(col, b)
+            case "ge" => FilterApi.gtEq(col, b)
+            case "lt" => FilterApi.lt(col, b)
+            case "le" => FilterApi.ltEq(col, b)
+          })
+        case (BooleanType, x: java.lang.Boolean) if op == "eq" =>
+          Some(FilterApi.eq(FilterApi.booleanColumn(c), x))
+        case _ => None
+      }
+    }
+
+    def nullTest(c: String, isNull: Boolean): Option[FilterPredicate] =
+      colType(c).flatMap {
+        case LongType => Some(if (isNull)
+          FilterApi.eq(FilterApi.longColumn(c), null.asInstanceOf[java.lang.Long])
+          else FilterApi.notEq(FilterApi.longColumn(c), null.asInstanceOf[java.lang.Long]))
+        case IntegerType => Some(if (isNull)
+          FilterApi.eq(FilterApi.intColumn(c), null.asInstanceOf[java.lang.Integer])
+          else FilterApi.notEq(FilterApi.intColumn(c), null.asInstanceOf[java.lang.Integer]))
+        case DoubleType => Some(if (isNull)
+          FilterApi.eq(FilterApi.doubleColumn(c), null.asInstanceOf[java.lang.Double])
+          else FilterApi.notEq(FilterApi.doubleColumn(c), null.asInstanceOf[java.lang.Double]))
+        case StringType => Some(if (isNull)
+          FilterApi.eq(FilterApi.binaryColumn(c), null.asInstanceOf[Binary])
+          else FilterApi.notEq(FilterApi.binaryColumn(c), null.asInstanceOf[Binary]))
+        case _ => None
+      }
+
+    def tr(f: Filter): Option[FilterPredicate] = f match {
+      case EqualTo(c, v) => cmp(c, v, "eq")
+      case GreaterThan(c, v) => cmp(c, v, "gt")
+      case GreaterThanOrEqual(c, v) => cmp(c, v, "ge")
+      case LessThan(c, v) => cmp(c, v, "lt")
+      case LessThanOrEqual(c, v) => cmp(c, v, "le")
+      case In(c, vs) =>
+        val parts = vs.toSeq.filter(_ != null).map(v => cmp(c, v, "eq"))
+        if (parts.isEmpty || parts.exists(_.isEmpty)) None
+        else Some(parts.flatten.reduce(FilterApi.or))
+      case IsNull(c) => nullTest(c, isNull = true)
+      case IsNotNull(c) => nullTest(c, isNull = false)
+      case And(l, r) => (tr(l), tr(r)) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b) // AND may drop a side soundly
+      }
+      case Or(l, r) => for (a <- tr(l); b <- tr(r))
+        yield FilterApi.or(a, b) // OR must translate whole or not at all
+      case _ => None
+    }
+
+    val parts = filters.toSeq.flatMap(f => tr(f))
+    parts.reduceOption(FilterApi.and)
+  }
 
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"

@@ -170,6 +170,53 @@ class LakehouseBatchSpec extends SparkSpec {
     assert(kept.map(_.version) == Seq(1L))
   }
 
+  test("reader pushes filters into parquet and prunes columns per file") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("v2-reader-push")
+    // many small row groups so the statistics skip has something to cut
+    spark.range(0, 10000).toDF("k")
+      .withColumn("v", concat(lit("s"), col("k")))
+      .withColumn("extra", col("k").cast("double"))
+      .orderBy("k").coalesce(1)
+      .write.mode("overwrite").option("parquet.block.size", "4096")
+      .parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val want = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    def readAll(filters: Array[org.apache.spark.sql.sources.Filter])
+        : Seq[org.apache.spark.sql.catalyst.InternalRow] = {
+      val r = new LakehouseGroupReader(
+        LakehouseFilePartition(file, 0L, None), want, filters)
+      val out = Seq.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+      try while (r.next()) out += r.get().copy() finally r.close()
+      out.result()
+    }
+    // record-level filtering happens INSIDE parquet — no Spark post-filter
+    val hit = readAll(Array(
+      org.apache.spark.sql.sources.LessThan("k", 100L)))
+    assert(hit.size == 100, s"parquet-level filter returned ${hit.size}")
+    assert(hit.forall(_.getLong(0) < 100))
+    // conjunct on a string column composes
+    val both = readAll(Array(
+      org.apache.spark.sql.sources.LessThan("k", 100L),
+      org.apache.spark.sql.sources.EqualTo("v", "s42")))
+    assert(both.size == 1 && both.head.getLong(0) == 42L)
+    // a filter on a column ABSENT from this file (schema evolution)
+    // drops soundly instead of making parquet throw
+    val widened = StructType(want.fields :+ StructField("later", LongType))
+    val r2 = new LakehouseGroupReader(
+      LakehouseFilePartition(file, 0L, None), widened, Array(
+        org.apache.spark.sql.sources.EqualTo("later", 1L),
+        org.apache.spark.sql.sources.LessThan("k", 10L)))
+    var n2 = 0
+    try while (r2.next()) {
+      assert(r2.get().isNullAt(2)); n2 += 1
+    } finally r2.close()
+    assert(n2 == 10, s"dropped-filter read returned $n2")
+  }
+
   test("merge-on-read equality deletes are rejected at plan time") {
     import spark.implicits._
     val (lake, path) = mkLake("v2-eqdel")
