@@ -474,6 +474,10 @@ private[graft] object GraftCatalog {
   val CdfProp = "graft.cdf"
   /** Comma-separated partition (clustering) columns — see createTable. */
   val PartitionProp = "graft.partition"
+  /** Delta-chain length that triggers inline compaction after INSERT. */
+  val AutoCompactProp = "graft.autoCompact"
+  /** Target file count for auto-compaction (default: shuffle partitions). */
+  val AutoCompactFilesProp = "graft.autoCompact.numFiles"
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze")
 
@@ -767,9 +771,36 @@ private[sources] class GraftTable(path: String, tableName: String,
             if (overwrite || over)
               lake.overwritePartitioned(t, clustered, Nil,
                 statsCols = parts)
-            else lake.append(t, clustered, statsCols = parts)
+            else {
+              lake.append(t, clustered, statsCols = parts)
+              maybeAutoCompact(lake, t)
+            }
           }
       }
+
+  /** `graft.autoCompact = N`: after an INSERT, fold the delta chain into
+    * one snapshot once N deltas have accumulated since the last FULL
+    * commit — the standing small-file maintenance job, inlined into the
+    * write path (Delta's autoOptimize shape). Clustering follows the
+    * table's partition columns, so the rewrite RE-ESTABLISHES the
+    * partition layout and its zone maps instead of flattening them; a
+    * concurrent append racing the fold is rebased above it by the
+    * commit protocol, so the trigger being check-then-act is safe (the
+    * worst case is one extra or one deferred compaction, never loss).
+    */
+  private def maybeAutoCompact(lake: Lakehouse, t: String): Unit =
+    props.get(GraftCatalog.AutoCompactProp).foreach { thr =>
+      val n = thr.toInt
+      require(n >= 1, s"${GraftCatalog.AutoCompactProp} must be >= 1")
+      val vs = lake.versions(t)
+      val deltasSinceFull = vs.reverse.takeWhile(!_._2).size
+      if (deltasSinceFull >= n) {
+        val files = props.get(GraftCatalog.AutoCompactFilesProp)
+          .map(_.toInt).getOrElse(SparkSession.active.conf
+            .get("spark.sql.shuffle.partitions").toInt)
+        lake.compact(t, tschema, files, partCols)
+      }
+    }
     }
 }
 

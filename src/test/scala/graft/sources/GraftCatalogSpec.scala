@@ -309,6 +309,35 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t14")
   }
 
+  test("graft.autoCompact folds the delta chain inline after INSERT") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("""CREATE TABLE graft.mart.t15 (k BIGINT, day INT)
+      PARTITIONED BY (day)
+      TBLPROPERTIES ('graft.autoCompact' = '3',
+                     'graft.autoCompact.numFiles' = '2')""")
+    val lake = new graft.storage.Lakehouse(spark, s"$root/mart")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.mart.t15 " +
+        s"SELECT id, CAST(id % 4 AS INT) FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    // third insert crossed the threshold → one FULL commit that
+    // shadowed (and reclaimed) the three-delta chain
+    val vs = lake.versions("t15")
+    assert(vs == Seq((4L, true)),
+      s"auto-compact must fold the chain into one FULL commit: $vs")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t15")
+      .head().getLong(0) == 300L)
+    // the rewrite re-established partition clustering: day filter prunes
+    val q = spark.sql("SELECT sum(k) FROM graft.mart.t15 WHERE day = 2")
+    val m = "files: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString).get
+    assert(m.group(1).toInt < m.group(2).toInt, m.matched)
+    assert(q.head().getLong(0) ==
+      (0L until 300L).filter(_ % 4 == 2).sum)
+    spark.sql("DROP TABLE graft.mart.t15")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
