@@ -920,6 +920,45 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         out.count() // materialize under CBO before the conf restores
         out
       } finally s.conf.set("spark.sql.cbo.enabled", prevCbo)
+    }),
+
+    // q79 — WRITE-AUDIT-PUBLISH as pure SQL (q71's protocol through the
+    // catalog): a batch stages on a branch via CALL stage_branch
+    // (invisible to readers), the audit queries it through
+    // `VERSION AS OF 'branch:…'` (the live∪staged view — requires pin
+    // both invisibility and the audit union), and CALL publish_branch
+    // atomically promotes the staged dirs to committed deltas. A bad
+    // batch on a second branch is discarded without a trace.
+    "q79_sql_wap" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q79")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q79_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q79")
+      s.sql("DROP TABLE IF EXISTS graft.q79.fact")
+      s.sql("""CREATE TABLE graft.q79.fact (
+        trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))""")
+      s.sql("""INSERT INTO graft.q79.fact
+        SELECT trans_id, trans_date, amt FROM q79_src WHERE _slice % 3 IN (0, 1)""")
+      val live = s.sql("SELECT count(*) FROM graft.q79.fact").head().getLong(0)
+      s.sql("""CALL graft.system.stage_branch('q79', 'fact', 'audit',
+        'SELECT trans_id, trans_date, amt FROM q79_src WHERE _slice % 3 = 2')""")
+      require(s.sql("SELECT count(*) FROM graft.q79.fact").head().getLong(0)
+        == live, "staged rows must be invisible before publish")
+      val audited = s.sql(
+        "SELECT count(*) FROM graft.q79.fact VERSION AS OF 'branch:audit'")
+        .head().getLong(0)
+      require(audited > live, "the audit view must serve live + staged")
+      s.sql("CALL graft.system.publish_branch('q79', 'fact', 'audit')")
+      // a failed audit: staged then discarded, leaving no trace
+      s.sql("""CALL graft.system.stage_branch('q79', 'fact', 'bad',
+        'SELECT trans_id, trans_date, amt * 0 AS amt FROM q79_src')""")
+      s.sql("CALL graft.system.discard_branch('q79', 'fact', 'bad')")
+      s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graft.q79.fact GROUP BY 1""")
     })
   )
 
@@ -987,6 +1026,8 @@ FROM orders WHERE $pred GROUP BY 1"""
        THEN CAST(o_totalprice AS DECIMAL(18,2)) + 500
        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
 FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
+    // published = all three slices; the discarded branch leaves nothing
+    "q79_sql_wap" -> sliceOracle("TRUE"),
     // quarter join re-derived arithmetically (dim is month→quarter)
     "q78_analyze_cbo" ->
       """SELECT CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS quarter,

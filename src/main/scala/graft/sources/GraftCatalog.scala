@@ -143,10 +143,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     loadTableAsOf(ident, None)
 
-  /** SQL `VERSION AS OF <n>`. */
+  /** SQL `VERSION AS OF <n>` — plus the WAP audit view:
+    * `VERSION AS OF 'branch:<name>'` serves the live table UNION the
+    * branch's staged (not yet published) rows, exactly what the table
+    * will serve after `CALL publish_branch`.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
+    if (version.startsWith("branch:")) {
+      val b = version.drop("branch:".length)
+      require(b.nonEmpty, "VERSION AS OF 'branch:<name>' needs a name")
+      return loadTableAsOf(ident, None, branch = Some(b))
+    }
     require(version.forall(_.isDigit),
-      s"graft versions are commit numbers: '$version'")
+      s"graft versions are commit numbers (or 'branch:<name>'): '$version'")
     loadTableAsOf(ident, Some(version.toLong))
   }
 
@@ -163,7 +172,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTableAsOf(ident, Some(v))
   }
 
-  private def loadTableAsOf(ident: Identifier, asOf: Option[Long]): Table = {
+  private def loadTableAsOf(ident: Identifier, asOf: Option[Long],
+      branch: Option[String] = None): Table = {
     val dir = tablePath(ident)
     val schemaFile = new Path(dir, GraftCatalog.SchemaFile)
     if (!fs.exists(schemaFile)) throw new NoSuchTableException(ident)
@@ -172,7 +182,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props =
       if (fs.exists(propsFile)) GraftCatalog.readProps(fs, propsFile)
       else Map.empty[String, String]
-    new GraftTable(dir.toString, ident.name, schema, asOf, props)
+    new GraftTable(dir.toString, ident.name, schema, asOf, props, branch)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -429,6 +439,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             case "vacuum" | "history" | "analyze" => Array(
               ProcedureParameter.in("namespace", StringType).build(),
               ProcedureParameter.in("table", StringType).build())
+            case "stage_branch" => Array(
+              ProcedureParameter.in("namespace", StringType).build(),
+              ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("branch", StringType).build(),
+              ProcedureParameter.in("query", StringType).build())
+            case "publish_branch" | "discard_branch" => Array(
+              ProcedureParameter.in("namespace", StringType).build(),
+              ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("branch", StringType).build())
           }
           override def call(args: InternalRow):
               java.util.Iterator[Scan] = {
@@ -446,6 +465,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               case "vacuum" => lake.vacuum(t)
               case "analyze" => GraftCatalog.analyzeTable(spark,
                 new Path(nsPath(Array(ns)), t), tableSchema(ns, t))
+              // write-audit-publish as SQL: stage a query's result on a
+              // branch (invisible to readers), audit it via
+              // `VERSION AS OF 'branch:<b>'`, then publish or discard.
+              // The staged frame is conformed to the contract types —
+              // the same INSERT coercion the live write path gets.
+              case "stage_branch" =>
+                val b = args.getUTF8String(2).toString
+                val schema = tableSchema(ns, t)
+                val src = spark.sql(args.getUTF8String(3).toString)
+                val conformed = src.select(schema.fields.toIndexedSeq.map(
+                  f => org.apache.spark.sql.functions.col(f.name)
+                    .cast(f.dataType).as(f.name)): _*)
+                lake.stageBranch(t, b, conformed,
+                  statsCols = Nil)
+              case "publish_branch" =>
+                lake.publishBranch(t, args.getUTF8String(2).toString)
+              case "discard_branch" =>
+                lake.discardBranch(t, args.getUTF8String(2).toString)
               case "history" => // result-set procedure, no side effect
             }
             val result: Scan = new LocalScan {
@@ -479,7 +516,8 @@ private[graft] object GraftCatalog {
   /** Target file count for auto-compaction (default: shuffle partitions). */
   val AutoCompactFilesProp = "graft.autoCompact.numFiles"
   val ProcedureNames: Set[String] =
-    Set("compact", "zorder", "vacuum", "history", "analyze")
+    Set("compact", "zorder", "vacuum", "history", "analyze",
+      "stage_branch", "publish_branch", "discard_branch")
 
   val ColStatsFile = "_GRAFT_COLSTATS"
 
@@ -677,8 +715,9 @@ private[graft] object GraftCatalog {
   */
 private[sources] class GraftTable(path: String, tableName: String,
     tschema: StructType, asOf: Option[Long] = None,
-    props: Map[String, String] = Map.empty)
-    extends LakehouseBatchTable(path, tschema, asOf)
+    props: Map[String, String] = Map.empty,
+    branch: Option[String] = None)
+    extends LakehouseBatchTable(path, tschema, asOf, branch)
     with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.$tableName"
@@ -704,6 +743,7 @@ private[sources] class GraftTable(path: String, tableName: String,
   private[sources] def contractSchema: StructType = tschema
   private[sources] def tableDir: String = path
   private[sources] def pinnedAsOf: Option[Long] = asOf
+  private[sources] def pinnedBranch: Option[String] = branch
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,

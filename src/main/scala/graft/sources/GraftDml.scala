@@ -109,8 +109,9 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def checkWritable(tbl: GraftTable, op: String): Unit =
-    require(tbl.pinnedAsOf.isEmpty,
-      s"$op on a VERSION/TIMESTAMP AS OF snapshot is not allowed")
+    require(tbl.pinnedAsOf.isEmpty && tbl.pinnedBranch.isEmpty,
+      s"$op on a VERSION/TIMESTAMP AS OF snapshot or branch audit " +
+        "view is not allowed")
 
   private def actionExprs(a: MergeAction): Seq[Expression] = a match {
     case UpdateAction(cond, assigns, _) => cond.toSeq ++ assigns

@@ -95,7 +95,7 @@ class LakehouseBatchProvider extends TableProvider {
 }
 
 private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
-    tableAsOf: Option[Long] = None)
+    tableAsOf: Option[Long] = None, branch: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_lakehouse($path)"
   override def schema(): StructType = tschema
@@ -110,12 +110,15 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     // catalog's loadTable overloads.
     val asOf = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(tableAsOf)
-    new LakehouseScanBuilder(path, tschema, asOf)
+    // write-audit-publish: `branch` widens the live set with the
+    // branch's staged (uncommitted) dirs — the SQL audit view
+    val br = Option(options.get("branch")).orElse(branch)
+    new LakehouseScanBuilder(path, tschema, asOf, br)
   }
 }
 
 private[sources] class LakehouseScanBuilder(path: String, full: StructType,
-    asOf: Option[Long]) extends ScanBuilder
+    asOf: Option[Long], branch: Option[String] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -124,7 +127,7 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
   // complete aggregate pushdown: (output schema, precomputed row)
   private var aggResult: Option[(StructType, Seq[Any])] = None
 
-  private lazy val meta = LakehouseBatch.resolve(path, asOf)
+  private lazy val meta = LakehouseBatch.resolve(path, asOf, branch)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of the table schema (possibly empty for
@@ -348,7 +351,8 @@ private[graft] object LakehouseBatch {
     * footer open per file, one manifest read per root that has one.
     * Equality-delete tombstones reject at plan time (class doc).
     */
-  def resolve(path: String, asOf: Option[Long] = None): TableMeta = {
+  def resolve(path: String, asOf: Option[Long] = None,
+      branch: Option[String] = None): TableMeta = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val dest = new Path(path)
@@ -369,7 +373,7 @@ private[graft] object LakehouseBatch {
         upTo
     }
     val lastFull = committed.lastIndexWhere(_._3)
-    val roots: Seq[(Long, Path)] =
+    val liveRoots: Seq[(Long, Path)] =
       if (lastFull >= 0) committed.drop(lastFull).map(t => (t._1, t._2))
       else {
         val deltas = committed.map(t => (t._1, t._2))
@@ -379,6 +383,19 @@ private[graft] object LakehouseBatch {
         }
         if (plain || deltas.isEmpty) (0L, dest) +: deltas else deltas
       }
+    // the WAP audit view: the branch's staged dirs (branch marker, no
+    // commit marker yet) union in as extra roots — exactly what the
+    // table WILL serve after publish
+    val staged: Seq[(Long, Path)] = branch match {
+      case None => Nil
+      case Some(b) =>
+        val m = s"${Protocol.BranchPrefix}$b"
+        Protocol.versionDirs(fs, dest).sortBy(_._1).collect {
+          case (v, p) if fs.exists(new Path(p, m)) &&
+            Protocol.commitKind(fs, p).isEmpty => (v, p)
+        }
+    }
+    val roots = liveRoots ++ staged
     roots.foreach { case (v, p) =>
       require(!fs.exists(new Path(p, Protocol.EqDelDir)),
         s"$path version $v carries merge-on-read equality-delete " +

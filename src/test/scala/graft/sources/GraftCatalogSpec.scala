@@ -338,6 +338,36 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t15")
   }
 
+  test("write-audit-publish via SQL: stage, audit view, publish/discard") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t16 (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.mart.t16 SELECT id, concat('v', id) FROM range(0, 10)")
+    spark.sql("""CALL graft.system.stage_branch('mart', 't16', 'audit1',
+      'SELECT id AS k, concat(''s'', id) AS v FROM range(100, 110)')""")
+    // staged rows are invisible to plain readers…
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t16")
+      .head().getLong(0) == 10L)
+    // …but the audit view serves live + staged
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.mart.t16 VERSION AS OF 'branch:audit1'")
+      .head().getLong(0) == 20L)
+    // the audit view is read-only
+    intercept[Exception](spark.sql(
+      "UPDATE graft.mart.t16 VERSION AS OF 'branch:audit1' SET k = 0"))
+    spark.sql("CALL graft.system.publish_branch('mart', 't16', 'audit1')")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t16")
+      .head().getLong(0) == 20L)
+    // a second branch, discarded: nothing changes
+    spark.sql("""CALL graft.system.stage_branch('mart', 't16', 'bad',
+      'SELECT id AS k, ''x'' AS v FROM range(0, 5)')""")
+    spark.sql("CALL graft.system.discard_branch('mart', 't16', 'bad')")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t16")
+      .head().getLong(0) == 20L)
+    spark.sql("DROP TABLE graft.mart.t16")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
