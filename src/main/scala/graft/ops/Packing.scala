@@ -88,4 +88,66 @@ object Packing {
       StructField("chunk_id", LongType, nullable = false))))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Quality-greedy TOKEN-BUDGET SELECTION — "take the best documents
+    * until the budget is spent", the data-selection step between scoring
+    * and training (DsDm/DataComp-style): documents ordered by
+    * (score DESC, tie-break ASC), kept while the running token total
+    * stays within `budget`.
+    *
+    * The naive spelling is a GLOBAL ordered running sum — a
+    * single-partition window the whole corpus funnels through, the
+    * 100 TB anti-pattern (same trap as [[packOffsets]]). Selection
+    * doesn't need the prefix sum, only the CUT POINT, so this runs as:
+    *
+    *   1. one map-side-combinable aggregate: total tokens per DISTINCT
+    *      SCORE (integer scores — the histogram is bounded by the score
+    *      domain, metadata-sized, NOT corpus-sized);
+    *   2. a driver walk of the sorted histogram finds the threshold
+    *      score τ: every doc scoring above τ fits entirely, the budget
+    *      remainder falls inside τ's bucket;
+    *   3. `score > τ` rows pass with a bare filter (no shuffle, no
+    *      order); only the ONE tie bucket pays an ordered running sum,
+    *      and a bucket is vanishingly small next to the corpus.
+    *
+    * Greedy-equivalence to the sorted take-while holds because the
+    * running total is monotone: a doc's inclusive prefix sum exceeds
+    * the budget iff every later doc's does too.
+    *
+    * @param budget   max total of `tokensCol` over the selection
+    * @param scoreCol integral quality score (higher = better); integral
+    *                 because the histogram groups by exact score values
+    * @param tieCol   total order within equal scores (determinism)
+    */
+  def tokenBudgetSelect(df: DataFrame, scoreCol: String, tokensCol: String,
+      tieCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"negative budget: $budget")
+    val hist = df.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(tokensCol)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L
+    var tau = Option.empty[Long]
+    var remaining = 0L
+    hist.foreach { case (s, t) =>
+      if (tau.isEmpty) {
+        if (cum + t <= budget) cum += t
+        else { tau = Some(s); remaining = budget - cum }
+      }
+    }
+    tau match {
+      case None => df // the whole corpus fits
+      case Some(ts) =>
+        val fullIn = df.filter(col(scoreCol) > ts)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col(tieCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        val ties = df.filter(col(scoreCol) === ts)
+          .withColumn("__cum", sum(col(tokensCol)).over(w))
+          .filter(col("__cum") <= remaining)
+          .drop("__cum")
+        fullIn.unionByName(ties)
+    }
+  }
 }

@@ -908,6 +908,27 @@ object TrainingPack {
         "doc_id", "text", n = 8, margin = 2)
     }),
 
+    // d35 — quality-greedy TOKEN-BUDGET SELECTION (DsDm/DataComp's
+    // "train on the best 20%"): integer quality score = distinct-token
+    // ratio in parts-per-million, corpus ordered by (score DESC,
+    // doc_id), kept while the running token total fits the budget
+    // (total/5). Runs as a score HISTOGRAM + driver threshold walk +
+    // one bare filter — only the single threshold bucket pays an
+    // ordered window (see Packing.tokenBudgetSelect's scaladoc for why
+    // the global-running-sum spelling cannot survive 100 TB). Oracle =
+    // the take-while spelled directly with a DuckDB window.
+    "d35_token_budget_select" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextOps.tokens(lower(col("text")))))
+          .cast("bigint").as("n_distinct"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("score", expr("n_distinct * 1000000 div n_tokens"))
+        .select("doc_id", "n_tokens", "score")
+      val budget = base.agg(sum("n_tokens")).head().getLong(0) / 5
+      Packing.tokenBudgetSelect(base, "score", "n_tokens", "doc_id", budget)
+    }),
+
     // keep-first dedup returning the surviving document rows
     "d07_dedup_keep_first" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1506,6 +1527,22 @@ object TrainingPack {
          |FROM cand c JOIN base nb ON c.neg_id = nb.doc_id
          |WHERE c.neg_id <> c.anchor_id AND c.fp_a <> nb.fp""".stripMargin,
     "d16_decontaminate" -> d16Sql,
+    // the take-while spelled directly: global (score DESC, doc_id)
+    // order, inclusive running token sum, keep while within budget
+    "d35_token_budget_select" ->
+      s"""WITH scored AS (
+         | SELECT doc_id, len($toks)::BIGINT AS n_tokens,
+         |   (len($dtoks)::BIGINT * 1000000) // len($toks)::BIGINT AS score
+         | FROM documents WHERE len($toks) > 0),
+         |b AS (SELECT CAST(sum(n_tokens) // 5 AS BIGINT) AS budget
+         |      FROM scored),
+         |ordered AS (
+         | SELECT doc_id, n_tokens, score,
+         |   sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM scored)
+         |SELECT doc_id, n_tokens, score FROM ordered, b
+         |WHERE cum <= budget""".stripMargin,
     "d34_decontaminate_spans" -> {
       val gram8 = (0 until 8).map(k => s"tk[i+$k]").mkString(", ' ', ")
       // reach = n-1+2*margin = 11; span = [pos-2, pos+9] clamped to 1
