@@ -919,7 +919,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def update(name: String, schema: StructType,
       predicate: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
-      cdf: Boolean = false): Unit = {
+      cdf: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Unit = {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     assignments.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c),
@@ -950,8 +951,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           .withColumn(ChangeTypeCol, lit("update_postimage"))
         Some(pre.unionByName(post))
       }
-    overwritePartitioned(name, out, Nil, readBasis = Some(basis),
-      changeData = changes)
+    overwritePartitioned(name, out, Nil, beforeCommit,
+      readBasis = Some(basis), changeData = changes)
   }
 
   /** Merge-on-read POINT DELETE (Iceberg v2's equality deletes): the key

@@ -631,6 +631,30 @@ class LakehouseSpec extends SparkSpec {
       Map("c1" -> "a1x", "c2" -> "a2", "c9" -> "a9"))
   }
 
+  test("update racing an append: both effects survive (same rebase protocol)") {
+    import org.apache.spark.sql.functions._
+    val lake = new Lakehouse(spark, tmpDir("lake-upd-race"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    def df(rows: (Long, String)*) = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    }
+    lake.append("t", df(1L -> "a", 2L -> "b"))
+    // the append claims its version and writes; inside its pre-commit
+    // window the UPDATE runs end-to-end (a FULL commit that cannot see
+    // the uncommitted delta) — the appender self-rebases above it, so
+    // neither the update nor the racing append's rows are lost
+    lake.append("t", df(9L -> "z"), beforeCommit = () =>
+      lake.update("t", schema, col("k") === 1L, Seq("v" -> lit("a2"))))
+    assert(lake.read("t", schema).as[(Long, String)].collect().toMap ==
+      Map(1L -> "a2", 2L -> "b", 9L -> "z"))
+  }
+
   test("changeFeed: inserts from deltas, recorded deletes, empty compact feed") {
     import org.apache.spark.sql.functions._
     // grace keeps every version dir on disk — a feed consumer IS a
