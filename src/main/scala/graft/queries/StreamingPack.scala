@@ -732,6 +732,52 @@ object StreamingPack {
             .as("val_sum"))
     }),
 
+    // s19 — streaming a CATALOG TABLE BY NAME: `readStream.table(
+    // "graft.ns.t")` tails the same commit log as the path-based source
+    // (admission control riding the read options), with the table
+    // CREATED and FED purely through SQL — the full-circle proof that
+    // the catalog, the SQL write path and the streaming source share
+    // one commit protocol. Events land via INSERT…SELECT in three
+    // slices; the stream drains them through the exactly-once sink.
+    "s19_stream_table_by_name" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s19")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("cat").toString)
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView("s19_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.s19")
+      s.sql("DROP TABLE IF EXISTS graft.s19.feed")
+      s.sql("""CREATE TABLE graft.s19.feed (
+        event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)""")
+      (0 to 2).foreach { sl =>
+        s.sql(s"""INSERT INTO graft.s19.feed
+          SELECT event_id, user_id, event_type, value
+          FROM s19_src WHERE event_id % 3 = $sl""")
+      }
+      val q = s.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table("graft.s19.feed")
+        .filter(col("event_id") % 2 === 1)
+        .writeStream
+        .format("graft.sources.LakehouseSinkProvider")
+        .option("path", lake.tablePath("odd_events"))
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lake.read("odd_events",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+            "value DOUBLE"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("key_sum"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("val_sum"))
+    }),
+
     // s16 — CONTINUOUSLY-MAINTAINED materialized view: the lakehouse CDF
     // stream drives MaterializedView.applyFeedBatch, folding each
     // micro-batch's signed change rows (insert +, delete −) into a
@@ -1049,6 +1095,12 @@ object StreamingPack {
         | CAST(sum(event_id) AS BIGINT) AS key_sum,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events WHERE event_id % 2 = 0 GROUP BY 1""".stripMargin,
+    // odd-keyed events, streamed once off the SQL-fed catalog table
+    "s19_stream_table_by_name" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events WHERE event_id % 2 = 1 GROUP BY 1""".stripMargin,
     // gold = both hops' predicates over the source events, seen once
     "s18_stream_medallion" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

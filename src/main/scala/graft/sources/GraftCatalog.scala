@@ -747,6 +747,7 @@ private[sources] class GraftTable(path: String, tableName: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   private def lake: (Lakehouse, String) = {

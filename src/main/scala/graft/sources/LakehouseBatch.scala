@@ -113,12 +113,14 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     // write-audit-publish: `branch` widens the live set with the
     // branch's staged (uncommitted) dirs — the SQL audit view
     val br = Option(options.get("branch")).orElse(branch)
-    new LakehouseScanBuilder(path, tschema, asOf, br)
+    new LakehouseScanBuilder(path, tschema, asOf, br, options)
   }
 }
 
 private[sources] class LakehouseScanBuilder(path: String, full: StructType,
-    asOf: Option[Long], branch: Option[String] = None) extends ScanBuilder
+    asOf: Option[Long], branch: Option[String] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -190,14 +192,31 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
   }
 
   override def build(): Scan =
-    new LakehouseBatchScan(meta, required, pushed, aggResult)
+    new LakehouseBatchScan(meta, required, pushed, aggResult,
+      if (asOf.isEmpty && branch.isEmpty) Some((path, full, options))
+      else None)
 }
 
 private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     required: StructType, pushed: Array[Filter],
-    aggResult: Option[(StructType, Seq[Any])])
+    aggResult: Option[(StructType, Seq[Any])],
+    streamable: Option[(String, StructType, CaseInsensitiveStringMap)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  /** `spark.readStream.table("graft.ns.t")` — the SAME commit-log
+    * tailing as the path-based LakehouseStreamProvider, reached by
+    * catalog name (read options like maxVersionsPerTrigger /
+    * readChangeFeed pass through). Refused for time-travel/branch
+    * pins (a frozen snapshot has no stream).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val (path, full, options) = streamable.getOrElse(throw new
+      UnsupportedOperationException("streaming a VERSION/TIMESTAMP AS " +
+        "OF snapshot or branch audit view is not allowed"))
+    new LakehouseMicroBatchStream(path, full, options)
+  }
 
   // join-driven runtime filters (dynamic file pruning): delivered by
   // the engine AFTER planning, before execution — typically the IN-set

@@ -368,6 +368,41 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t16")
   }
 
+  test("readStream.table streams a catalog table's commit log by name") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t17 (k BIGINT, v STRING)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.mart.t17 " +
+        s"SELECT id, concat('v', id) FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val ckpt = tmpDir("t17-ckpt")
+    val out = tmpDir("t17-out")
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table("graft.mart.t17")
+      .filter(col("k") % 2 === 0)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 30L).filter(_ % 2 == 0))
+    // a frozen snapshot has no stream
+    intercept[Exception] {
+      spark.readStream.option("versionAsOf", "1").table("graft.mart.t17")
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("t17-ckpt2"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    spark.sql("DROP TABLE graft.mart.t17")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
