@@ -778,6 +778,56 @@ object StreamingPack {
             .as("val_sum"))
     }),
 
+    // s20 — catalog-to-catalog streaming BY NAME with the V2 streaming
+    // write: `readStream.table` tails the source's commit log,
+    // `writeStream.toTable` stages parquet executor-side and commits
+    // each epoch as one exactly-once delta (a REAL V2 write — tasks
+    // encode with Spark's parquet encoder, the driver commit only
+    // renames; metadata-sized regardless of volume). The probe is
+    // s17's brutal one: after the first drain the CHECKPOINT IS
+    // DESTROYED and the whole query re-runs — every epoch re-stages,
+    // the commit recognizes its batch marker, and the destination
+    // must hash as if the stream ran once.
+    "s20_stream_to_table" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s20")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("cat").toString)
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView("s20_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.s20")
+      s.sql("DROP TABLE IF EXISTS graft.s20.feed")
+      s.sql("DROP TABLE IF EXISTS graft.s20.sunk")
+      s.sql("""CREATE TABLE graft.s20.feed (
+        event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)""")
+      s.sql("""CREATE TABLE graft.s20.sunk (
+        event_id BIGINT, event_type STRING, value DOUBLE)""")
+      (0 to 2).foreach { sl =>
+        s.sql(s"""INSERT INTO graft.s20.feed
+          SELECT event_id, user_id, event_type, value
+          FROM s20_src WHERE event_id % 3 = $sl""")
+      }
+      def run(ckpt: String): Unit = {
+        val q = s.readStream
+          .option("maxVersionsPerTrigger", "1")
+          .table("graft.s20.feed")
+          .filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream
+          .option("checkpointLocation", dir.resolve(ckpt).toString)
+          .trigger(Trigger.AvailableNow())
+          .toTable("graft.s20.sunk")
+        q.awaitTermination()
+      }
+      run("ckpt1")
+      run("ckpt2") // fresh checkpoint: full replay, commit must dedup all
+      s.sql("""SELECT event_type, count(*) AS n,
+          sum(event_id) AS key_sum,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        FROM graft.s20.sunk GROUP BY 1""")
+    }),
+
     // s16 — CONTINUOUSLY-MAINTAINED materialized view: the lakehouse CDF
     // stream drives MaterializedView.applyFeedBatch, folding each
     // micro-batch's signed change rows (insert +, delete −) into a
@@ -1091,6 +1141,12 @@ object StreamingPack {
         |FROM events WHERE event_id % 7 = 0 GROUP BY 2""".stripMargin,
     // one pass of the even-keyed filter, despite the double run
     "s17_stream_lakehouse_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events WHERE event_id % 2 = 0 GROUP BY 1""".stripMargin,
+    // even-keyed events, V2-written exactly once despite the replay
+    "s20_stream_to_table" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(event_id) AS BIGINT) AS key_sum,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum

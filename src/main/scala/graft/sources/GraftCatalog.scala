@@ -748,7 +748,8 @@ private[sources] class GraftTable(path: String, tableName: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   private def lake: (Lakehouse, String) = {
     val dir = new Path(path)
@@ -783,6 +784,18 @@ private[sources] class GraftTable(path: String, tableName: String,
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
+        // `writeStream.toTable("graft.ns.t")` — a REAL V2 streaming
+        // write: tasks stage parquet under _staging/ with Spark's own
+        // encoder, the epoch commit renames them into one exactly-once
+        // delta (see LakehouseStreamingWrite). Append output mode only:
+        // complete/update would need truncate-per-epoch semantics the
+        // commit log deliberately doesn't have.
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(!overwrite, s"graft.$tableName supports streaming " +
+            "APPEND output only")
+          new LakehouseStreamingWrite(path, info.schema(), info.queryId())
+        }
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, over: Boolean) => {
             // Spark has already resolved + coerced `data` to the table

@@ -76,3 +76,93 @@ private[sources] class LakehouseSink(path: String) extends Sink {
 
   override def toString: String = s"GraftLakehouseSink($path)"
 }
+
+/** The V2 streaming write behind `writeStream.toTable("graft.ns.t")` —
+  * unlike the V1 sink above (driver re-plans the batch through the
+  * DataFrame append path), this is the full executor-side shape: each
+  * task encodes its partition straight to a staged parquet file with
+  * Spark's own parquet encoder (GraftParquetWriterBridge — byte-level
+  * parity with the batch writer's layout), and the epoch commit on the
+  * driver RENAMES the staged files into one exactly-once delta
+  * ([[Lakehouse.commitStagedFilesExactlyOnce]]) — the commit is
+  * metadata-sized regardless of data volume, the property that matters
+  * at cluster scale. A replayed epoch discards its restaged files; an
+  * aborted epoch cleans up after itself.
+  */
+private[sources] class LakehouseStreamingWrite(tableDir: String,
+    schema: org.apache.spark.sql.types.StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def lake: (Lakehouse, String) = {
+    val dir = new Path(tableDir)
+    (new Lakehouse(org.apache.spark.sql.SparkSession.active,
+      dir.getParent.toString), dir.getName)
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    LakehouseStreamingWriterFactory(tableDir, schema, queryId)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case StagedFiles(fs) => fs }
+      .flatten.toSeq
+    val (l, t) = lake
+    l.commitStagedFilesExactlyOnce(t, files, epochId)
+    // drop the (now empty) per-epoch staging dir; best-effort
+    val fs = new Path(tableDir).getFileSystem(org.apache.spark.sql
+      .SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$tableDir/_staging/$queryId/$epochId"), true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(tableDir).getFileSystem(org.apache.spark.sql
+      .SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$tableDir/_staging/$queryId/$epochId"), true)
+  }
+}
+
+private[sources] case class StagedFiles(files: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] case class LakehouseStreamingWriterFactory(
+    tableDir: String, schema: org.apache.spark.sql.types.StructType,
+    queryId: String) extends org.apache.spark.sql.connector.write
+      .streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): org.apache.spark.sql.connector.write
+        .DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.write
+        .DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      // unique per (epoch, partition, task attempt): retries of the
+      // same partition write DIFFERENT files; only the files of the
+      // WINNING attempts reach the commit message set
+      private val file = s"$tableDir/_staging/$queryId/$epochId/" +
+        s"part-$partitionId-$taskId.parquet"
+      private val writer = org.apache.spark.sql.execution.datasources
+        .parquet.GraftParquetWriterBridge.create(file, schema)
+
+      override def write(row: org.apache.spark.sql.catalyst
+          .InternalRow): Unit = writer.write(row)
+
+      override def commit(): org.apache.spark.sql.connector.write
+          .WriterCommitMessage = {
+        writer.close()
+        StagedFiles(Seq(file))
+      }
+
+      override def abort(): Unit = {
+        writer.close()
+        val p = new Path(file)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(p, false)
+      }
+
+      override def close(): Unit = ()
+    }
+}

@@ -684,6 +684,38 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Commit PRE-WRITTEN data files (executor-side staged parquet, the
+    * V2 streaming write's task outputs) as one exactly-once DELTA: the
+    * same batch-id marker dedup as [[appendExactlyOnce]], but the data
+    * was already written by the tasks — the commit only RENAMES the
+    * staged files into the claimed version dir (metadata-sized, no
+    * data IO on the driver). A replayed epoch (at-least-once upstream)
+    * is recognized as committed and its staged files are discarded.
+    */
+  def commitStagedFilesExactlyOnce(name: String, files: Seq[String],
+      batchId: Long): Unit = {
+    val dest = new Path(tablePath(name))
+    val marker = s"${MarkerDelta}_b$batchId"
+    val already = versionDirs(dest).exists { case (_, p) =>
+      fs.exists(new Path(p, marker)) ||
+        fs.exists(new Path(p, s"$SeenPrefix$batchId"))
+    }
+    if (already) {
+      files.foreach(f => fs.delete(new Path(f), false))
+      return
+    }
+    val vdir = writeVersion(name, marker, () => ()) { p =>
+      val vpath = new Path(p)
+      fs.mkdirs(vpath)
+      files.foreach { f =>
+        val src = new Path(f)
+        require(fs.rename(src, new Path(vpath, src.getName)),
+          s"staged-file move failed: $f")
+      }
+    }
+    ensureAboveFulls(dest, vdir)
+  }
+
   /** Crash-safe append with day partitioning (fact table). */
   def appendPartitionedByDay(name: String, df: DataFrame, tsCol: String): Unit = {
     val vdir = writeVersion(name, MarkerDelta, () => ())(p =>

