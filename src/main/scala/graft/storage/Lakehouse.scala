@@ -1247,6 +1247,25 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   def vacuum(name: String): Unit = {
     val dest = new Path(tablePath(name))
     if (!fs.exists(dest)) return
+    // V2 streaming-write staging debris: a crashed query's task files
+    // under _staging/<queryId>/ are never committed and never cleaned
+    // by an epoch commit/abort that didn't run — reclaim any staging
+    // subtree idle past the grace (an ACTIVE query touches its epoch
+    // dirs far more often than gcGraceMs)
+    val staging = new Path(dest, "_staging")
+    if (fs.exists(staging)) {
+      val horizon0 = System.currentTimeMillis() - gcGraceMs
+      def newest(p: Path): Long = {
+        val status = fs.getFileStatus(p)
+        if (!status.isDirectory) status.getModificationTime
+        else (status.getModificationTime +: fs.listStatus(p).toSeq.map(c =>
+          if (c.isDirectory) newest(c.getPath)
+          else c.getModificationTime)).max
+      }
+      fs.listStatus(staging).foreach { st =>
+        if (newest(st.getPath) <= horizon0) fs.delete(st.getPath, true)
+      }
+    }
     val all = versionDirs(dest).sortBy(_._1)
     val committed = all.flatMap { case (v, p) =>
       commitKind(p).map(full => (v, p, full))

@@ -540,6 +540,32 @@ class LakehouseSpec extends SparkSpec {
     assert(boom.getMessage.contains("raced concurrent full commit"))
   }
 
+  test("vacuum reclaims stale V2-write staging debris, keeps active") {
+    val lake = new Lakehouse(spark, tmpDir("lake-staging-gc"),
+      gcGraceMs = 60_000L)
+    lake.append("dim_cards", dimDf("c1" -> "a1"))
+    val dest = new org.apache.hadoop.fs.Path(lake.tablePath("dim_cards"))
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(dest, "_staging/dead-query/0")
+    fs.mkdirs(stale)
+    fs.create(new org.apache.hadoop.fs.Path(stale, "part-0-0.parquet"),
+      true).close()
+    // age the whole subtree past the grace
+    def age(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.setTimes(p, System.currentTimeMillis() - 120_000L, -1)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).foreach(c => age(c.getPath))
+    }
+    age(new org.apache.hadoop.fs.Path(dest, "_staging/dead-query"))
+    val active = new org.apache.hadoop.fs.Path(dest, "_staging/live-query/3")
+    fs.mkdirs(active) // fresh mtime — an in-flight epoch
+    lake.vacuum("dim_cards")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      dest, "_staging/dead-query")), "stale staging must be reclaimed")
+    assert(fs.exists(active), "active staging must survive the grace")
+    assert(lake.read("dim_cards").count() == 1L)
+  }
+
   test("vacuum preserves a streaming sink's exactly-once tombstones") {
     // round-4 verdict item 7: the batch-id ledger (delta markers +
     // SeenPrefix carries in the full commit) must survive vacuum, or a
