@@ -94,7 +94,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           (matched ++ notMatchedBySource).map(toAct(_, detach)).toIndexedSeq,
           matched.length,
           notMatched.map(toAct(_, detach)).toIndexedSeq,
-          tbl.cdfEnabled)
+          tbl.cdfEnabled, tbl.partCols)
     }
 
   /** The GraftTable under the statement's target (aliases stripped). */
@@ -261,7 +261,8 @@ case class GraftDeleteCommand(tableDir: String, contract: StructType,
 case class GraftMergeCommand(tableDir: String, contract: StructType,
     source: LogicalPlan, mergeCond: Column,
     targetActs: IndexedSeq[GraftDml.Act], numMatchedActs: Int,
-    insertActs: IndexedSeq[GraftDml.Act], cdf: Boolean)
+    insertActs: IndexedSeq[GraftDml.Act], cdf: Boolean,
+    partCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   import GraftDml._
@@ -401,8 +402,18 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
         Some(pre.unionByName(post).unionByName(dels).unionByName(ins))
       }
 
-    lake.overwritePartitioned(t, result, Nil, readBasis = Some(basis),
-      changeData = changes)
+    // a PARTITIONED BY table's rewrite re-establishes the range
+    // clustering and zone maps the INSERT path maintains — a merge must
+    // not silently degrade q76-style partition pruning (UPDATE/DELETE
+    // rewrites go through Lakehouse.update/delete, whose snapshots a
+    // standing `CALL compact` or graft.autoCompact re-cluster)
+    val (clustered, stats) =
+      if (partCols.isEmpty) (result, Nil)
+      else (result.repartitionByRange(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        partCols.map(col): _*), partCols)
+    lake.overwritePartitioned(t, clustered, Nil, readBasis = Some(basis),
+      statsCols = stats, changeData = changes)
     Nil
   }
 }
