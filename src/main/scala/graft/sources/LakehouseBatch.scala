@@ -56,11 +56,11 @@ import java.util.OptionalLong
   * `Lakehouse.read` serves them), matching the fail-loudly stance of the
   * streaming source. Directory-encoded partition columns are not
   * surfaced (same as the streaming source — columns live in the files
-  * for every `Lakehouse.append` layout). The per-file reader is the
-  * shared row-at-a-time Group decoder — the planning layer (skipping,
-  * pushdown, stats) is the load-bearing part; a production deployment
-  * swaps in the vectorized columnar reader behind the same
-  * PartitionReaderFactory seam.
+  * for every `Lakehouse.append` layout). The per-file reader is
+  * VECTORIZED (Spark's columnar decoder → ColumnarBatch → whole-stage
+  * codegen; see [[LakehouseColumnarReaderFactory]]), with the shared
+  * row-at-a-time Group decoder as the zero-column fallback — that row
+  * path also carries the within-file parquet FilterPredicate cut.
   */
 class LakehouseBatchProvider extends TableProvider {
 
