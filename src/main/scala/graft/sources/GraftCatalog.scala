@@ -767,7 +767,7 @@ private[sources] class GraftTable(path: String, tableName: String,
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val (l, t) = lake
-    l.delete(t, tschema, pred, cdf = cdfEnabled)
+    l.delete(t, tschema, pred, cdf = cdfEnabled, clusterCols = partCols)
   }
 
   override def truncateTable(): Boolean = {

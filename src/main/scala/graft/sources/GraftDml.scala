@@ -61,7 +61,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           condition.map(detach).getOrElse(lit(true)),
           assignments.map(a =>
             topLevelName(a.key, "UPDATE SET") -> detach(a.value)),
-          tbl.cdfEnabled)
+          tbl.cdfEnabled, tbl.partCols)
 
       case d @ DeleteFromTable(table, condition)
           if d.resolved && graftTable(table).isDefined &&
@@ -74,7 +74,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         checkWritable(tbl, "DELETE")
         val detach = detacher(Map(rel.outputSet -> Nil))
         GraftDeleteCommand(tbl.tableDir, tbl.contractSchema,
-          detach(condition), tbl.cdfEnabled)
+          detach(condition), tbl.cdfEnabled, tbl.partCols)
 
       case m @ MergeIntoTable(target, source, mergeCond, matched,
           notMatched, notMatchedBySource, withSchemaEvolution)
@@ -221,10 +221,12 @@ private[sources] object GraftDml {
   */
 case class GraftUpdateCommand(tableDir: String, contract: StructType,
     condition: Column, assignments: Seq[(String, Column)],
-    cdf: Boolean) extends LeafRunnableCommand {
+    cdf: Boolean, partCols: Seq[String] = Nil)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, t) = GraftDml.lakeOf(spark, tableDir)
-    lake.update(t, contract, condition, assignments, cdf)
+    lake.update(t, contract, condition, assignments, cdf,
+      clusterCols = partCols)
     Nil
   }
 }
@@ -235,10 +237,11 @@ case class GraftUpdateCommand(tableDir: String, contract: StructType,
   * bridge can't).
   */
 case class GraftDeleteCommand(tableDir: String, contract: StructType,
-    condition: Column, cdf: Boolean) extends LeafRunnableCommand {
+    condition: Column, cdf: Boolean, partCols: Seq[String] = Nil)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, t) = GraftDml.lakeOf(spark, tableDir)
-    lake.delete(t, contract, condition, cdf)
+    lake.delete(t, contract, condition, cdf, clusterCols = partCols)
     Nil
   }
 }

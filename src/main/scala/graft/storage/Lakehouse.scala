@@ -897,13 +897,23 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   def delete(name: String, schema: StructType,
       predicate: org.apache.spark.sql.Column, cdf: Boolean): Unit =
-    deleteImpl(name, schema, schema.fieldNames.toSeq, predicate, Nil,
-      () => (), cdf)
+    delete(name, schema, predicate, cdf, Nil)
+
+  /** [[delete]] (schema-explicit) that re-establishes a range-clustered
+    * layout: the surviving rows re-cluster on `clusterCols` with their
+    * zone maps rewritten, so partitioned catalog tables keep their
+    * pruning through row-level DML.
+    */
+  def delete(name: String, schema: StructType,
+      predicate: org.apache.spark.sql.Column, cdf: Boolean,
+      clusterCols: Seq[String]): Unit =
+    deleteImpl(name, schema, schema.fieldNames.toSeq, predicate,
+      clusterCols, () => (), cdf, clusterCols)
 
   private def deleteImpl(name: String, full: StructType,
       contractCols: Seq[String], predicate: org.apache.spark.sql.Column,
       statsCols: Seq[String], beforeCommit: () => Unit,
-      cdf: Boolean): Unit = {
+      cdf: Boolean, clusterCols: Seq[String] = Nil): Unit = {
     val partCols = full.fieldNames.toSeq.diff(contractCols)
     // snapshot + read basis from ONE listing: deltas committing past this
     // point are not in `surviving` and get rebased post-commit
@@ -924,7 +934,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         .select(contractCols.map(col).toIndexedSeq: _*)
         .withColumn(ChangeTypeCol, lit("delete")))
       else None
-    overwritePartitioned(name, surviving, partCols, beforeCommit,
+    // a range-clustered table's rewrite re-establishes the layout its
+    // INSERT path maintains (zone-map partition pruning must survive
+    // row-level DML, not decay until the next compact)
+    val out =
+      if (clusterCols.isEmpty) surviving
+      else surviving.repartitionByRange(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        clusterCols.map(col): _*)
+    overwritePartitioned(name, out, partCols, beforeCommit,
       statsCols = statsCols, readBasis = Some(basis), changeData = removed)
   }
 
@@ -952,7 +970,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       cdf: Boolean = false,
-      beforeCommit: () => Unit = () => ()): Unit = {
+      beforeCommit: () => Unit = () => (),
+      clusterCols: Seq[String] = Nil): Unit = {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     assignments.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c),
@@ -983,8 +1002,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           .withColumn(ChangeTypeCol, lit("update_postimage"))
         Some(pre.unionByName(post))
       }
-    overwritePartitioned(name, out, Nil, beforeCommit,
-      readBasis = Some(basis), changeData = changes)
+    // same clustering contract as deleteImpl (see there)
+    val clustered =
+      if (clusterCols.isEmpty) out
+      else out.repartitionByRange(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        clusterCols.map(col): _*)
+    overwritePartitioned(name, clustered, Nil, beforeCommit,
+      statsCols = clusterCols, readBasis = Some(basis),
+      changeData = changes)
   }
 
   /** Merge-on-read POINT DELETE (Iceberg v2's equality deletes): the key

@@ -240,6 +240,20 @@ class GraftCatalogSpec extends SparkSpec {
     val r = q.head()
     assert(r.getLong(0) == 500L)
     assert(r.getLong(1) == (0L until 4000L).filter(_ % 8 == 3).sum)
+    // partition pruning SURVIVES row-level DML: the UPDATE and DELETE
+    // rewrites re-cluster on the partition columns and rewrite their
+    // zone maps (not just stay correct until the next compact)
+    spark.sql("UPDATE graft.mart.t12 SET v = concat(v, '!') WHERE day = 5")
+    spark.sql("DELETE FROM graft.mart.t12 WHERE k % 100 = 7")
+    val q2 = spark.sql(
+      "SELECT count(*) AS n FROM graft.mart.t12 WHERE day = 3")
+    val m2 = "files: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(q2.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no file-count marker post-DML"))
+    assert(m2.group(1).toInt < m2.group(2).toInt,
+      s"pruning lost after DML: ${m2.matched}")
+    assert(q2.head().getLong(0) ==
+      (0L until 4000L).count(k => k % 8 == 3 && k % 100 != 7))
     // non-identity transforms are refused at CREATE
     intercept[Exception](spark.sql(
       "CREATE TABLE graft.mart.t13 (k BIGINT, d DATE) PARTITIONED BY (days(d))"))
