@@ -959,6 +959,39 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graft.q79.fact GROUP BY 1""")
+    }),
+
+    // q80 — DYNAMIC partition overwrite (Spark's standard
+    // partitionOverwriteMode=dynamic conf on a PARTITIONED BY table):
+    // `INSERT OVERWRITE` replaces EXACTLY the partitions the incoming
+    // batch carries (months 3 and 7 re-landed at amt+1000), untouched
+    // partitions pass through the basis-tracked copy-on-write commit —
+    // Delta's replaceWhere semantics, served by the staged-parquet V2
+    // batch write (OverwritePartitionsDynamic has no V1 fallback).
+    "q80_dynamic_overwrite" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q80")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q80_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q80")
+      s.sql("DROP TABLE IF EXISTS graft.q80.fact")
+      s.sql("""CREATE TABLE graft.q80.fact (
+          trans_id STRING, order_month INT, amt DECIMAL(18,2))
+        PARTITIONED BY (order_month)""")
+      s.sql("""INSERT INTO graft.q80.fact
+        SELECT trans_id, CAST(month(trans_date) AS INT), amt FROM q80_src""")
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode",
+        "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql("""INSERT OVERWRITE graft.q80.fact
+        SELECT trans_id, CAST(month(trans_date) AS INT), amt + 1000
+        FROM q80_src WHERE month(trans_date) IN (3, 7)""")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.sql("""SELECT CAST(order_month AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graft.q80.fact GROUP BY 1""")
     })
   )
 
@@ -1028,6 +1061,15 @@ FROM orders WHERE $pred GROUP BY 1"""
 FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
     // published = all three slices; the discarded branch leaves nothing
     "q79_sql_wap" -> sliceOracle("TRUE"),
+    // months 3/7 replaced at amt+1000; every other month untouched
+    "q80_dynamic_overwrite" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CASE WHEN month(o_orderdate) IN (3, 7)
+       THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
+FROM orders GROUP BY 1""",
     // quarter join re-derived arithmetically (dim is month→quarter)
     "q78_analyze_cbo" ->
       """SELECT CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS quarter,

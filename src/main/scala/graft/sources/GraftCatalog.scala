@@ -748,8 +748,14 @@ private[sources] class GraftTable(path: String, tableName: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      // V1_BATCH_WRITE routes append/static-overwrite through the
+      // V1Write bridge; BATCH_WRITE is required by the analyzer's
+      // capability check for OverwritePartitionsDynamic (physical
+      // routing still follows the Write object's type, so V1 paths
+      // keep their exec)
+      TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_DYNAMIC)
 
   private def lake: (Lakehouse, String) = {
     val dir = new Path(path)
@@ -780,10 +786,23 @@ private[sources] class GraftTable(path: String, tableName: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var overwrite = false
+      private var dynamic = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
+      }
+      override def build(): Write = {
+        if (dynamic)
+          // INSERT OVERWRITE under partitionOverwriteMode=dynamic:
+          // Spark plans OverwritePartitionsDynamic, which has NO V1
+          // fallback — served by the staged-parquet V2 batch write
+          // (see LakehouseDynamicOverwrite)
+          return new LakehouseDynamicOverwrite(path, tschema, partCols,
+            info.queryId())
+        new V1Write {
         // `writeStream.toTable("graft.ns.t")` — a REAL V2 streaming
         // write: tasks stage parquet under _staging/ with Spark's own
         // encoder, the epoch commit renames them into one exactly-once
@@ -830,7 +849,9 @@ private[sources] class GraftTable(path: String, tableName: String,
               maybeAutoCompact(lake, t)
             }
           }
+        }
       }
+    }
 
   /** `graft.autoCompact = N`: after an INSERT, fold the delta chain into
     * one snapshot once N deltas have accumulated since the last FULL
@@ -854,7 +875,6 @@ private[sources] class GraftTable(path: String, tableName: String,
             .get("spark.sql.shuffle.partitions").toInt)
         lake.compact(t, tschema, files, partCols)
       }
-    }
     }
 }
 

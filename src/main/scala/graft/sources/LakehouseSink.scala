@@ -166,3 +166,111 @@ private[sources] case class LakehouseStreamingWriterFactory(
       override def close(): Unit = ()
     }
 }
+
+/** Dynamic partition overwrite (`INSERT OVERWRITE` under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic`) — Spark plans
+  * `OverwritePartitionsDynamic`, which has no V1 fallback, so this is
+  * the staged-parquet V2 BATCH write: tasks encode their partitions to
+  * `_staging/` files (same encoder as the streaming write), and the
+  * driver commit replaces EXACTLY the partitions the incoming batch
+  * carries — old rows of untouched partitions pass through the
+  * basis-tracked copy-on-write rewrite, an append racing the commit is
+  * rebased above it (Delta's replaceWhere semantics on the engine's
+  * own commit protocol).
+  */
+private[sources] class LakehouseDynamicOverwrite(tableDir: String,
+    contract: org.apache.spark.sql.types.StructType,
+    partCols: Seq[String], queryId: String)
+    extends org.apache.spark.sql.connector.write.Write {
+
+  import org.apache.spark.sql.connector.write._
+
+  require(partCols.nonEmpty,
+    "dynamic overwrite needs a PARTITIONED BY table")
+
+  private val stagingTag = s"dynover-$queryId"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      // standalone case class: an anonymous factory would close over
+      // the (non-serializable) Write and fail task serialization
+      LakehouseBatchStagedFactory(
+        s"$tableDir/_staging/$stagingTag", contract)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      import org.apache.spark.sql.functions.col
+      val spark = org.apache.spark.sql.SparkSession.active
+      val files = messages.collect { case StagedFiles(fs) => fs }
+        .flatten.toSeq
+      val dir = new Path(tableDir)
+      val lake = new Lakehouse(spark, dir.getParent.toString)
+      val t = dir.getName
+      val incoming =
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            contract)
+        else spark.read.schema(contract).parquet(files: _*)
+      val (old, basis) = lake.readWithBasis(t, contract)
+      val keys = incoming.select(partCols.map(col).toIndexedSeq: _*)
+        .distinct()
+      val kept = old.join(keys, partCols, "left_anti")
+      val snap = kept.unionByName(incoming).repartitionByRange(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        partCols.map(col): _*)
+      lake.overwritePartitioned(t, snap, Nil, statsCols = partCols,
+        readBasis = Some(basis))
+      cleanup()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      cleanup()
+
+    private def cleanup(): Unit = {
+      val p = new Path(s"$tableDir/_staging/$stagingTag")
+      p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+}
+
+private[sources] case class LakehouseBatchStagedFactory(stagingDir: String,
+    schema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write
+        .DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    LakehouseStagedWriter(
+      s"$stagingDir/part-$partitionId-$taskId.parquet", schema)
+}
+
+/** One staged parquet file per task — shared by the streaming and
+  * dynamic-overwrite V2 writers.
+  */
+private[sources] case class LakehouseStagedWriter(file: String,
+    schema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.write
+      .DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val writer = org.apache.spark.sql.execution.datasources
+    .parquet.GraftParquetWriterBridge.create(file, schema)
+
+  override def write(row: org.apache.spark.sql.catalyst.InternalRow)
+      : Unit = writer.write(row)
+
+  override def commit(): org.apache.spark.sql.connector.write
+      .WriterCommitMessage = {
+    writer.close()
+    StagedFiles(Seq(file))
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val p = new Path(file)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(p, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -453,6 +453,31 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t18dst")
   }
 
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("""CREATE TABLE graft.mart.t19 (k BIGINT, day INT)
+      PARTITIONED BY (day)""")
+    spark.sql("""INSERT INTO graft.mart.t19
+      SELECT id, CAST(id % 4 AS INT) FROM range(0, 400)""")
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      // incoming batch carries days 1 and 3 only
+      spark.sql("""INSERT OVERWRITE graft.mart.t19
+        SELECT id + 1000, CAST(1 + 2 * (id % 2) AS INT) FROM range(0, 20)""")
+    }
+    val byDay = spark.sql(
+      "SELECT day, count(*) AS n FROM graft.mart.t19 GROUP BY day")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // days 0/2 untouched (100 rows each); days 1/3 replaced (10 each)
+    assert(byDay == Map(0 -> 100L, 2 -> 100L, 1 -> 10L, 3 -> 10L), byDay)
+    // STATIC (default) overwrite still replaces the whole table
+    spark.sql("""INSERT OVERWRITE graft.mart.t19
+      SELECT id, CAST(0 AS INT) FROM range(0, 7)""")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t19")
+      .head().getLong(0) == 7L)
+    spark.sql("DROP TABLE graft.mart.t19")
+  }
+
   test("commit-protocol safety holds for SQL writers (concurrent inserts)") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
