@@ -992,6 +992,108 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graft.q80.fact GROUP BY 1""")
+    }),
+
+    // q81 — STORAGE-PARTITIONED JOIN: both sides are catalog tables
+    // PARTITIONED BY the join key, the V2 scan reports
+    // KeyGroupedPartitioning (every live file proven single-key by its
+    // zone maps: min == max, zero nulls), and with
+    // `spark.sql.sources.v2.bucketing.enabled` Spark co-schedules
+    // matching key groups instead of exchanging either side — the plan
+    // is required to carry ZERO exchanges end-to-end (the final
+    // aggregate is keyed on the same column, so even it consumes the
+    // storage layout). pushPartValues covers the keys present on one
+    // side only (sparse supplier nations at small SF). This is the
+    // Iceberg SPJ shape: at 100 TB the dominant cost of a fact-fact
+    // join — shuffling both sides — is deleted outright.
+    "q81_spj_join" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q81")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("q81_cust")
+      s.read.parquet(s"$d/supplier.parquet").createOrReplaceTempView("q81_supp")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q81")
+      s.sql("DROP TABLE IF EXISTS graft.q81.cust")
+      s.sql("DROP TABLE IF EXISTS graft.q81.supp")
+      s.sql("""CREATE TABLE graft.q81.cust (
+          c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)
+        PARTITIONED BY (c_nationkey)""")
+      s.sql("""INSERT INTO graft.q81.cust
+        SELECT c_custkey, c_nationkey, c_acctbal FROM q81_cust""")
+      s.sql("""CREATE TABLE graft.q81.supp (
+          s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)
+        PARTITIONED BY (s_nationkey)""")
+      s.sql("""INSERT INTO graft.q81.supp
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM q81_supp""")
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> s.conf.get(k))
+      keys.zip(Seq("true", "true", "-1")).foreach {
+        case (k, v) => s.conf.set(k, v) }
+      try {
+        // group on the RAW partition column (the aggregate then also
+        // consumes the key-grouped layout — casting inside the GROUP BY
+        // would hide the clustering and re-introduce an exchange)
+        val out = s.sql(
+          """SELECT CAST(k AS BIGINT) AS nation, n, bal_sum FROM (
+              SELECT c.c_nationkey AS k, count(*) AS n,
+                CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)) +
+                         CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS bal_sum
+              FROM graft.q81.cust c JOIN graft.q81.supp s
+                ON c.c_nationkey = s.s_nationkey
+              GROUP BY c.c_nationkey)""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"storage-partitioned join must plan zero exchanges:\n$plan")
+        out.persist(); out.count() // materialize under the pinned confs
+        out
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    }),
+
+    // q82 — ATOMIC CTAS / RTAS (StagingTableCatalog): CREATE TABLE AS
+    // SELECT writes into a hidden staged generation and publishes by
+    // rename; REPLACE TABLE AS SELECT is a journaled two-rename swap
+    // (crash at any point heals on the next load — CtasSpec probes the
+    // widest window). The query CTASes a monthly rollup of the fact,
+    // REPLACEs it with a corrected generation (amt + 1000 for months
+    // 3/7 — the schema also gains a column), and serves the final
+    // table; the require pins that no staged/backup/journal debris
+    // outlives the publishes.
+    "q82_atomic_ctas" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q82")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q82_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q82")
+      s.sql("DROP TABLE IF EXISTS graft.q82.fact")
+      s.sql("DROP TABLE IF EXISTS graft.q82.monthly")
+      s.sql("""CREATE TABLE graft.q82.fact AS
+        SELECT trans_id, trans_date, amt FROM q82_src""")
+      s.sql("""CREATE TABLE graft.q82.monthly AS
+        SELECT CAST(month(trans_date) AS INT) AS order_month,
+               trans_id, amt
+        FROM graft.q82.fact""")
+      s.sql("""REPLACE TABLE graft.q82.monthly AS
+        SELECT CAST(month(trans_date) AS INT) AS order_month, trans_id,
+               CASE WHEN month(trans_date) IN (3, 7) THEN amt + 1000
+                    ELSE amt END AS amt,
+               amt AS amt_orig
+        FROM graft.q82.fact""")
+      val fs = new org.apache.hadoop.fs.Path(dir.toString).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val debris = fs.listStatus(new org.apache.hadoop.fs.Path(
+          dir.resolve("lake/q82").toString))
+        .map(_.getPath.getName).filter(_.startsWith("_"))
+      require(debris.isEmpty,
+        s"staged publishes must leave no debris: ${debris.mkString(",")}")
+      s.sql("""SELECT CAST(order_month AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum,
+          CAST(sum(amt_orig) AS DOUBLE) AS orig_sum
+        FROM graft.q82.monthly GROUP BY 1""")
     })
   )
 
@@ -1062,6 +1164,26 @@ FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
     // published = all three slices; the discarded branch leaves nothing
     "q79_sql_wap" -> sliceOracle("TRUE"),
     // months 3/7 replaced at amt+1000; every other month untouched
+    // the replaced generation re-derived directly: corrected amt for
+    // months 3/7 plus the original in the added column
+    "q82_atomic_ctas" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CASE WHEN month(o_orderdate) IN (3, 7)
+       THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS orig_sum
+FROM orders GROUP BY 1""",
+    // the co-partitioned join re-derived as a plain join over the raw
+    // parquet — the oracle knows nothing of the key-grouped layout
+    "q81_spj_join" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) +
+           CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+GROUP BY 1""",
     "q80_dynamic_overwrite" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
   CAST(count(*) AS BIGINT) AS n,

@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * from the Lakehouse API's writers today.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with ViewCatalog {
+    with ProcedureCatalog with ViewCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -131,7 +132,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = nsPath(ns)
     if (!fs.exists(p)) Array.empty
     else fs.listStatus(p).collect {
-      case st if st.isDirectory &&
+      // `_`-prefixed dirs are catalog machinery (staged CTAS/RTAS
+      // generations, swap backups) — never user tables
+      case st if st.isDirectory && !st.getPath.getName.startsWith("_") &&
         fs.exists(new Path(st.getPath, GraftCatalog.SchemaFile)) =>
         Identifier.of(ns, st.getPath.getName)
     }
@@ -174,6 +177,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def loadTableAsOf(ident: Identifier, asOf: Option[Long],
       branch: Option[String] = None): Table = {
+    healSwap(ident) // finish any crashed RTAS swap before resolving
     val dir = tablePath(ident)
     val schemaFile = new Path(dir, GraftCatalog.SchemaFile)
     if (!fs.exists(schemaFile)) throw new NoSuchTableException(ident)
@@ -185,13 +189,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(dir.toString, ident.name, schema, asOf, props, branch)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  /** Shared DDL body: validate the schema + `PARTITIONED BY` transforms
+    * and write the table metadata (`_GRAFT_SCHEMA` / `_GRAFT_PROPS`)
+    * into `dir` — used by both the direct CREATE and the staged
+    * (CTAS/RTAS) paths. Returns the persisted props.
+    */
+  private def writeTableMeta(dir: Path, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
+      properties: java.util.Map[String, String]): Map[String, String] = {
     // PARTITIONED BY (c1, c2) — identity transforms only (hidden
     // partitioning by an expression: derive the column in the INSERT).
     // The layout is CLUSTERING, not directories: every INSERT
-    // range-repartitions on the partition columns and records their
+    // key-clusters on the partition columns and records their
     // zone maps, so the V2 scan's file skipping prunes partitions
     // exactly — Iceberg's metadata-pruning shape without encoding
     // values into paths (see GraftTable.newWriteBuilder).
@@ -205,8 +214,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the table schema"))
     LakehouseStream.validateSchema(schema)
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val dir = tablePath(ident)
     fs.mkdirs(dir)
     GraftCatalog.writeSchema(fs, new Path(dir, GraftCatalog.SchemaFile),
       schema)
@@ -216,7 +223,92 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (props.nonEmpty)
       GraftCatalog.writeProps(fs, new Path(dir, GraftCatalog.PropsFile),
         props)
+    props
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = tablePath(ident)
+    val props = writeTableMeta(dir, schema, partitions, properties)
     new GraftTable(dir.toString, ident.name, schema, props = props)
+  }
+
+  // ——— atomic CTAS / RTAS (StagingTableCatalog) ———
+  //
+  // CREATE/REPLACE TABLE … AS SELECT runs against a STAGED generation:
+  // the query writes into a hidden `_stage_<table>_<uuid>` dir (its own
+  // schema, props and commit chain), and only commitStagedChanges
+  // publishes it — a failed or killed query never leaves a half-written
+  // table, and readers of a replaced table see the OLD generation until
+  // the publish instant. Publication is by directory rename
+  // (metadata-sized at any data volume); REPLACE is a journaled
+  // two-rename swap healed on next load, so a crash between the renames
+  // loses nothing (see healSwap).
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, info, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, info, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stage(ident, info, replace = true)
+
+  private def stage(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      replace: Boolean): StagedTable = {
+    healSwap(ident)
+    val ns = ident.namespace
+    require(namespaceExists(ns),
+      s"no such namespace: ${ns.mkString(".")}")
+    val name = check(ident.name)
+    val schema = StructType(info.columns.map { c =>
+      require(c.defaultValue() == null,
+        s"column ${c.name} has a DEFAULT — unsupported (see alterTable)")
+      val f = StructField(c.name, c.dataType, c.nullable)
+      if (c.comment != null) f.withComment(c.comment) else f
+    })
+    val stagedDir = new Path(nsPath(ns),
+      s"_stage_${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val props = writeTableMeta(stagedDir, schema, info.partitions,
+      info.properties)
+    new GraftStagedTable(fs, nsPath(ns), ident, stagedDir, schema, props,
+      replace)
+  }
+
+  /** Crash recovery for the RTAS swap: a `_GRAFT_SWAP_<table>` journal
+    * outliving its commit means the process died mid-swap. The journal
+    * names the staged dir; roll the swap FORWARD if the staged
+    * generation is still present (rename it in if the table dir is
+    * missing), else roll BACK the backup. Idempotent; called from
+    * loadTable and stage.
+    */
+  private def healSwap(ident: Identifier): Unit = {
+    val nsDir = nsPath(ident.namespace)
+    val journal = new Path(nsDir, s"_GRAFT_SWAP_${ident.name}")
+    if (!fs.exists(journal)) return
+    val stagedName = GraftCatalog.readProps(fs, journal)("staged")
+    val backupName = GraftCatalog.readProps(fs, journal)("backup")
+    val finalDir = new Path(nsDir, ident.name)
+    val staged = new Path(nsDir, stagedName)
+    val backup = new Path(nsDir, backupName)
+    if (!fs.exists(finalDir)) {
+      if (fs.exists(staged)) fs.rename(staged, finalDir) // roll forward
+      else if (fs.exists(backup)) fs.rename(backup, finalDir) // roll back
+    }
+    // final exists (possibly just restored): everything else is debris
+    if (fs.exists(staged)) fs.delete(staged, true)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    fs.delete(journal, false)
   }
 
   /** ALTER TABLE: the subset whose semantics survive the lakehouse's
@@ -407,6 +499,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftCatalog.readSchema(fs, p)
   }
 
+  private def tablePartCols(ns: String, t: String): Seq[String] = {
+    val p = new Path(nsPath(Array(ns)), new Path(t, GraftCatalog.PropsFile))
+    if (!fs.exists(p)) Nil
+    else GraftCatalog.readProps(fs, p).get(GraftCatalog.PartitionProp)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+  }
+
   override def listProcedures(ns: Array[String]): Array[Identifier] =
     GraftCatalog.ProcedureNames
       .map(n => Identifier.of(Array("system"), n)).toArray
@@ -457,8 +556,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             n match {
               case "compact" =>
                 val cols = args.getUTF8String(3).toString
+                val colSeq =
+                  if (cols.isEmpty) Nil else cols.split(",").toSeq
+                // compacting on the table's PARTITIONED BY columns
+                // re-establishes the exact one-file-per-key layout
+                // (keyed mode) rather than a sampled range split
                 lake.compact(t, tableSchema(ns, t), args.getInt(2),
-                  if (cols.isEmpty) Nil else cols.split(",").toSeq)
+                  colSeq, keyedCols =
+                    colSeq.nonEmpty && colSeq == tablePartCols(ns, t))
               case "zorder" =>
                 lake.compactZOrder(t, args.getInt(2),
                   args.getUTF8String(3).toString.split(",").toSeq)
@@ -515,6 +620,10 @@ private[graft] object GraftCatalog {
   val AutoCompactProp = "graft.autoCompact"
   /** Target file count for auto-compaction (default: shuffle partitions). */
   val AutoCompactFilesProp = "graft.autoCompact.numFiles"
+  /** Key-cardinality cap for the exact one-file-per-key partition
+    * layout (storage-partitioned joins); above it, writes range-cluster.
+    */
+  val SpjMaxKeysProp = "graft.spjMaxKeys"
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch")
@@ -736,6 +845,20 @@ private[sources] class GraftTable(path: String, tableName: String,
     props.get(GraftCatalog.PartitionProp)
       .map(_.split(",").toSeq).getOrElse(Nil)
 
+  /** Partitioned catalog tables report their key layout to the scan so
+    * co-partitioned joins skip the exchange (storage-partitioned join;
+    * see the scan's `keyedFiles`).
+    */
+  override protected def scanPartitionCols: Seq[String] = partCols
+
+  /** Key-cardinality cap for the exact one-file-per-key layout
+    * (`graft.spjMaxKeys` table property; see
+    * [[graft.storage.Clustering]]).
+    */
+  private[sources] def spjMaxKeys: Int =
+    props.get(GraftCatalog.SpjMaxKeysProp).map(_.toInt)
+      .getOrElse(graft.storage.Clustering.DefaultMaxKeys)
+
   override def partitioning(): Array[Transform] =
     partCols.map(c => org.apache.spark.sql.connector.expressions
       .Expressions.identity(c)).toArray
@@ -823,24 +946,20 @@ private[sources] class GraftTable(path: String, tableName: String,
             val lake = new Lakehouse(SparkSession.active,
               dir.getParent.toString)
             val t = dir.getName
-            // partitioned table: RANGE-cluster the batch on the
-            // partition columns so each committed file covers a tight,
-            // disjoint key range, and record those columns' zone maps —
-            // a WHERE on a partition column then prunes whole files at
-            // plan time (partition pruning as metadata skipping; range
-            // beats hash here because min/max over a hashed mixture of
-            // values spans the whole domain and prunes nothing)
+            // partitioned table: EXACT one-file-per-key clustering on
+            // the partition columns (graft.storage.Clustering) — each
+            // committed file holds one partition-key value with its
+            // zone maps recorded, so a WHERE on a partition column
+            // prunes whole files at plan time AND the V2 scan can
+            // report the key-grouped layout for storage-partitioned
+            // joins. Past the key-cardinality cap it falls back to
+            // range clustering (pruning survives, the SPJ report is
+            // declined).
             val parts = partCols
-            // explicit partition count: an AQE-coalesced range shuffle
-            // would fold a small batch into ONE file spanning every key
-            // range, pruning nothing; empty range slices cost nothing
-            // (0-row files never plan a task)
             val clustered =
               if (parts.isEmpty) data
-              else data.repartitionByRange(
-                SparkSession.active.conf
-                  .get("spark.sql.shuffle.partitions").toInt,
-                parts.map(org.apache.spark.sql.functions.col): _*)
+              else graft.storage.Clustering.byPartitionKeys(
+                SparkSession.active, data, parts, spjMaxKeys)
             if (overwrite || over)
               lake.overwritePartitioned(t, clustered, Nil,
                 statsCols = parts)
@@ -873,9 +992,55 @@ private[sources] class GraftTable(path: String, tableName: String,
         val files = props.get(GraftCatalog.AutoCompactFilesProp)
           .map(_.toInt).getOrElse(SparkSession.active.conf
             .get("spark.sql.shuffle.partitions").toInt)
-        lake.compact(t, tschema, files, partCols)
+        lake.compact(t, tschema, files, partCols,
+          keyedCols = partCols.nonEmpty)
       }
     }
+}
+
+/** A staged CTAS/RTAS generation (see GraftCatalog's staging section):
+  * a full GraftTable living in a hidden `_stage_…` dir — the AS-SELECT
+  * write runs through the normal commit protocol against it —
+  * published atomically by rename on commitStagedChanges.
+  */
+private[sources] class GraftStagedTable(fs: FileSystem, nsDir: Path,
+    ident: Identifier, stagedDir: Path, tschema: StructType,
+    props: Map[String, String], replace: Boolean)
+    extends GraftTable(stagedDir.toString, ident.name, tschema,
+      props = props)
+    with StagedTable {
+
+  override def commitStagedChanges(): Unit = {
+    val finalDir = new Path(nsDir, ident.name)
+    if (!replace) {
+      // CREATE: one rename is the whole publish; losing a concurrent
+      // create race surfaces as already-exists and the staged
+      // generation is discarded — never a half table
+      if (fs.exists(finalDir) || !fs.rename(stagedDir, finalDir)) {
+        fs.delete(stagedDir, true)
+        throw new TableAlreadyExistsException(ident)
+      }
+    } else {
+      // REPLACE: journaled two-rename swap. The journal (written
+      // first) names both sides; a crash at ANY point heals on the
+      // next load — forward if the staged generation survived the
+      // first rename, backward to the backup otherwise (healSwap).
+      val tag = stagedDir.getName.split('_').last
+      val backup = new Path(nsDir, s"_old_${ident.name}_$tag")
+      val journal = new Path(nsDir, s"_GRAFT_SWAP_${ident.name}")
+      GraftCatalog.writeProps(fs, journal,
+        Map("staged" -> stagedDir.getName, "backup" -> backup.getName))
+      if (fs.exists(finalDir))
+        require(fs.rename(finalDir, backup),
+          s"RTAS swap: cannot back up $finalDir")
+      require(fs.rename(stagedDir, finalDir),
+        s"RTAS swap: cannot publish $stagedDir")
+      if (fs.exists(backup)) fs.delete(backup, true)
+      fs.delete(journal, false)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = fs.delete(stagedDir, true)
 }
 
 private[sources] object GraftTable {

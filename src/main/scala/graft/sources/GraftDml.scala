@@ -405,16 +405,16 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
         Some(pre.unionByName(post).unionByName(dels).unionByName(ins))
       }
 
-    // a PARTITIONED BY table's rewrite re-establishes the range
-    // clustering and zone maps the INSERT path maintains — a merge must
-    // not silently degrade q76-style partition pruning (UPDATE/DELETE
-    // rewrites go through Lakehouse.update/delete, whose snapshots a
-    // standing `CALL compact` or graft.autoCompact re-cluster)
+    // a PARTITIONED BY table's rewrite re-establishes the exact
+    // one-file-per-key clustering and zone maps the INSERT path
+    // maintains — a merge must not silently degrade q76-style partition
+    // pruning or the q81 key-grouped report (UPDATE/DELETE rewrites go
+    // through Lakehouse.update/delete, whose snapshots a standing
+    // `CALL compact` or graft.autoCompact re-cluster)
     val (clustered, stats) =
       if (partCols.isEmpty) (result, Nil)
-      else (result.repartitionByRange(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        partCols.map(col): _*), partCols)
+      else (graft.storage.Clustering.byPartitionKeys(
+        spark, result, partCols), partCols)
     lake.overwritePartitioned(t, clustered, Nil, readBasis = Some(basis),
       statsCols = stats, changeData = changes)
     Nil

@@ -99,6 +99,12 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     extends Table with SupportsRead {
   override def name(): String = s"graft_lakehouse($path)"
   override def schema(): StructType = tschema
+  /** Partition (clustering) columns the scan may report as a
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * for storage-partitioned joins — overridden by the catalog table
+    * with its `PARTITIONED BY` columns; path-based reads have none.
+    */
+  protected def scanPartitionCols: Seq[String] = Nil
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
@@ -113,13 +119,15 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     // write-audit-publish: `branch` widens the live set with the
     // branch's staged (uncommitted) dirs — the SQL audit view
     val br = Option(options.get("branch")).orElse(branch)
-    new LakehouseScanBuilder(path, tschema, asOf, br, options)
+    new LakehouseScanBuilder(path, tschema, asOf, br, options,
+      scanPartitionCols)
   }
 }
 
 private[sources] class LakehouseScanBuilder(path: String, full: StructType,
     asOf: Option[Long], branch: Option[String] = None,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    partitionCols: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
@@ -194,15 +202,87 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
   override def build(): Scan =
     new LakehouseBatchScan(meta, required, pushed, aggResult,
       if (asOf.isEmpty && branch.isEmpty) Some((path, full, options))
-      else None)
+      else None, partitionCols, full)
 }
 
 private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     required: StructType, pushed: Array[Filter],
     aggResult: Option[(StructType, Seq[Any])],
-    streamable: Option[(String, StructType, CaseInsensitiveStringMap)] = None)
+    streamable: Option[(String, StructType, CaseInsensitiveStringMap)] = None,
+    partitionCols: Seq[String] = Nil,
+    tableSchema: StructType = new StructType())
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+
+  /** Storage-partitioned joins: per live file, the single partition-key
+    * tuple every row in it provably carries — (external values for
+    * distinctness, catalyst row for `HasPartitionKey`). Defined only
+    * when EVERY live file is keyed: the zone-map manifest must cover
+    * every `PARTITIONED BY` column with `min == max` and ZERO nulls
+    * (`nulls_<c>`; manifests written before null counts existed
+    * decline — correctness never depends on the report).
+    *
+    * The catalog INSERT path range-clusters batches on the partition
+    * columns, and for partition-grade (low-cardinality) keys Spark's
+    * range partitioner places one distinct value per output slice — so
+    * committed files are naturally keyed. Two tables partitioned on
+    * compatible keys then join with NO shuffle on either side
+    * (`spark.sql.sources.v2.bucketing.enabled`): Spark groups the
+    * splits by key and co-schedules matching groups — at 100 TB this
+    * removes the single largest cost of a fact-fact join. Declining
+    * (returning None → UnknownPartitioning) merely reverts to the
+    * normal exchange plan.
+    */
+  private lazy val keyedFiles
+      : Option[Map[String, (Seq[Any], InternalRow)]] = {
+    if (partitionCols.isEmpty || meta.dataFiles.isEmpty ||
+        !partitionCols.forall(meta.statsCols.contains)) None
+    else {
+      val convs = partitionCols.map(c => org.apache.spark.sql.catalyst
+        .CatalystTypeConverters.createToCatalystConverter(
+          tableSchema(c).dataType))
+      val out = Map.newBuilder[String, (Seq[Any], InternalRow)]
+      val allKeyed = meta.dataFiles.forall { fm =>
+        fm.stats.exists { st =>
+          def v(n: String): Option[Any] = {
+            val i = st.schema.fieldNames.indexOf(n)
+            if (i < 0 || st.isNullAt(i)) None else Some(st.get(i))
+          }
+          val key: Seq[Option[Any]] = partitionCols.map { c =>
+            (v(s"min_$c"), v(s"max_$c"), v(s"nulls_$c")) match {
+              case (Some(lo), Some(hi), Some(z))
+                if lo == hi && z == 0L => Some(lo)
+              // the write path gives NULL partition keys a dedicated
+              // slice: an all-null file is keyed by the null tuple
+              case (None, None, Some(z)) if z == fm.rowCount =>
+                Some(null)
+              case _ => None
+            }
+          }
+          val ok = key.forall(_.isDefined)
+          if (ok) {
+            val ext = key.map(_.get)
+            out += fm.path -> (ext, InternalRow.fromSeq(
+              convs.zip(ext).map { case (cv, x) => cv(x) }))
+          }
+          ok
+        }
+      }
+      if (allKeyed) Some(out.result()) else None
+    }
+  }
+
+  override def outputPartitioning(): Partitioning = keyedFiles match {
+    case Some(keys) if aggResult.isEmpty =>
+      new KeyGroupedPartitioning(
+        partitionCols.map(c => Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        keys.values.map(_._1).toSet.size)
+    case _ => new UnknownPartitioning(0)
+  }
 
   /** `spark.readStream.table("graft.ns.t")` — the SAME commit-log
     * tailing as the path-based LakehouseStreamProvider, reached by
@@ -257,7 +337,8 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     aggResult match {
       case Some((_, vals)) => Array(PrecomputedAggPartition(vals))
       case None => plannedFiles
-        .map(f => LakehouseFilePartition(f.path, f.version, None)
+        .map(f => LakehouseFilePartition(f.path, f.version, None,
+          keyedFiles.flatMap(_.get(f.path)).map(_._2))
           : InputPartition).toArray
     }
 
@@ -577,7 +658,11 @@ private[graft] object LakehouseBatch {
         // a 0-row file (empty input to an append) plans no task, carries
         // no stats row, and must not defeat min/max coverage
         if (rows > 0L) {
-          val stat = statRows.get(st.getPath.toString)
+          // current manifests key by file NAME (dir-relocatable — a
+          // staged CTAS/RTAS generation publishes by rename); the
+          // path-keyed lookups serve legacy manifests
+          val stat = statRows.get(st.getPath.getName)
+            .orElse(statRows.get(st.getPath.toString))
             .orElse(statRows.get(st.getPath.toUri.toString))
           if (stat.isEmpty) covered = false
           files += FileMeta(st.getPath.toString, v, st.getLen, rows, stat)

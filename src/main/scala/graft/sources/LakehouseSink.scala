@@ -216,9 +216,8 @@ private[sources] class LakehouseDynamicOverwrite(tableDir: String,
       val keys = incoming.select(partCols.map(col).toIndexedSeq: _*)
         .distinct()
       val kept = old.join(keys, partCols, "left_anti")
-      val snap = kept.unionByName(incoming).repartitionByRange(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        partCols.map(col): _*)
+      val snap = graft.storage.Clustering.byPartitionKeys(
+        spark, kept.unionByName(incoming), partCols)
       lake.overwritePartitioned(t, snap, Nil, statsCols = partCols,
         readBasis = Some(basis))
       cleanup()

@@ -316,10 +316,24 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
   * `_commit_version` metadata column, `fillChangeType` the constant
   * `_change_type` for files that predate the column (delta commits in
   * CDF mode; recorded change files carry their own).
+  *
+  * `partKey` (batch scans of partitioned catalog tables only) is the
+  * file's single partition-key tuple as catalyst values — the
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] contract
+  * behind storage-partitioned joins. It is only ever non-None when the
+  * scan verified (from the zone-map manifest) that EVERY row in the
+  * file carries exactly this key; Spark consults `partitionKey()` only
+  * for scans that reported
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]],
+  * which the batch scan does iff every planned file is keyed.
   */
 private[sources] case class LakehouseFilePartition(file: String,
-    commitVersion: Long, fillChangeType: Option[String])
+    commitVersion: Long, fillChangeType: Option[String],
+    partKey: Option[InternalRow] = None)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = partKey.orNull
+}
 
 private[sources] class LakehouseReaderFactory(schema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)

@@ -628,15 +628,24 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   private def writeStats(vdir: String, statsCols: Seq[String]): Unit =
     if (statsCols.nonEmpty) {
+      // nulls_<c> backs the V2 scan's storage-partitioned-join proof
+      // (a file is only "keyed" when min == max AND no row is null —
+      // min/max alone are silent about nulls); costs nothing extra on
+      // the same pruned pass
       val aggs = statsCols.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")))
       // the extra pass reads ONLY the stats columns (column pruning on
       // the just-written, page-cache-warm parquet) — not a full re-read.
       // Extracting the same ranges from the parquet footers would avoid
       // even that, at the cost of hand-decoding typed statistics; the
       // pruned scan is the simpler trade at these column counts.
+      // Keyed by file NAME (unique within a version dir), not absolute
+      // path: the dir must stay relocatable — a staged CTAS/RTAS
+      // generation is published by RENAME, and path-keyed rows would
+      // silently orphan every zone map at publish.
       spark.read.parquet(vdir)
-        .groupBy(input_file_name().as("file"))
+        .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
         .agg(aggs.head, aggs.tail: _*)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$vdir/$StatsDir")
@@ -934,14 +943,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         .select(contractCols.map(col).toIndexedSeq: _*)
         .withColumn(ChangeTypeCol, lit("delete")))
       else None
-    // a range-clustered table's rewrite re-establishes the layout its
-    // INSERT path maintains (zone-map partition pruning must survive
-    // row-level DML, not decay until the next compact)
+    // a key-clustered table's rewrite re-establishes the layout its
+    // INSERT path maintains (zone-map partition pruning AND the
+    // storage-partitioned-join key report must survive row-level DML,
+    // not decay until the next compact)
     val out =
       if (clusterCols.isEmpty) surviving
-      else surviving.repartitionByRange(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        clusterCols.map(col): _*)
+      else Clustering.byPartitionKeys(spark, surviving, clusterCols)
     overwritePartitioned(name, out, partCols, beforeCommit,
       statsCols = statsCols, readBasis = Some(basis), changeData = removed)
   }
@@ -1005,9 +1013,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // same clustering contract as deleteImpl (see there)
     val clustered =
       if (clusterCols.isEmpty) out
-      else out.repartitionByRange(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        clusterCols.map(col): _*)
+      else Clustering.byPartitionKeys(spark, out, clusterCols)
     overwritePartitioned(name, clustered, Nil, beforeCommit,
       statsCols = clusterCols, readBasis = Some(basis),
       changeData = changes)
@@ -1469,9 +1475,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       sortCols: Seq[String]): Unit =
     compactImpl(name, schema, schema.fieldNames.toSeq, numFiles, sortCols)
 
+  /** [[compact]] (schema-explicit) with `keyedCols` selecting the exact
+    * one-file-per-key layout for `PARTITIONED BY` columns (see
+    * [[Clustering.byPartitionKeys]]) instead of a sampled range split.
+    */
+  def compact(name: String, schema: StructType, numFiles: Int,
+      sortCols: Seq[String], keyedCols: Boolean): Unit =
+    compactImpl(name, schema, schema.fieldNames.toSeq, numFiles, sortCols,
+      keyedCols)
+
   private def compactImpl(name: String, full: StructType,
       contractCols: Seq[String], numFiles: Int,
-      sortCols: Seq[String]): Unit = {
+      sortCols: Seq[String], keyedCols: Boolean = false): Unit = {
     // a standing maintenance job may tick before the table's first
     // append — nothing to fold is a no-op, not an error
     if (!exists(name)) return
@@ -1487,6 +1502,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // skipping) prune maximally — the linear form of OPTIMIZE ZORDER.
     val clustered =
       if (sortCols.isEmpty) raw.repartition(numFiles)
+      // keyedCols: `sortCols` are a catalog table's PARTITIONED BY
+      // columns — re-establish the exact one-file-per-key layout (the
+      // storage-partitioned-join report survives compaction) instead of
+      // a sampled range split
+      else if (keyedCols) Clustering.byPartitionKeys(spark, raw, sortCols)
       else raw.repartitionByRange(numFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
     // sorted compaction gets a zone-map manifest for free — the stats
@@ -1578,7 +1598,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           else Some(st
             .filter(col(s"max_$colName") >= lit(lo) &&
               col(s"min_$colName") <= lit(hi))
-            .select(col("file")).collect().map(_.getString(0)).toSeq)
+            .select(col("file")).collect().map(_.getString(0))
+            // current manifests key by file NAME (dir-relocatable);
+            // absolute-path rows are legacy manifests
+            .map(f => if (f.contains("/")) f
+              else new Path(root, f).toString).toSeq)
         }
       pruned match {
         case Some(Nil) =>

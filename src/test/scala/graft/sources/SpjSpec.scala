@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Storage-partitioned joins: the V2 scan of a `PARTITIONED BY` catalog
+  * table reports `KeyGroupedPartitioning` when every live file provably
+  * holds exactly one partition-key value (zone-map min == max, zero
+  * nulls), and Spark then plans a co-partitioned join with NO shuffle
+  * on either side — the Iceberg/Delta SPJ shape, the largest single
+  * cost removed from a 100 TB fact-fact join.
+  */
+class SpjSpec extends SparkSpec {
+
+  private lazy val root = tmpDir("graft-spj")
+
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.graftspj", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftspj.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftspj.spj")
+  }
+
+  private def mkTables(): Unit = {
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.a
+      (k BIGINT, av BIGINT) PARTITIONED BY (k)""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.b
+      (k BIGINT, bv BIGINT) PARTITIONED BY (k)""")
+    if (spark.table("graftspj.spj.a").isEmpty) {
+      // the exact key-slicing INSERT (Clustering.byPartitionKeys) gives
+      // each of the 5 keys its own file regardless of session shuffle
+      // partitions — no sampling, no merged-key files
+      spark.sql("""INSERT INTO graftspj.spj.a
+        SELECT id % 5 AS k, id AS av FROM range(0, 1000)""")
+      spark.sql("""INSERT INTO graftspj.spj.b
+        SELECT id % 5 AS k, id * 10 AS bv FROM range(0, 400)""")
+    }
+  }
+
+  private def joinSql =
+    """SELECT a.k, count(*) AS n, sum(a.av + b.bv) AS s
+      |FROM graftspj.spj.a a JOIN graftspj.spj.b b ON a.k = b.k
+      |GROUP BY a.k""".stripMargin
+
+  test("co-partitioned catalog tables join with zero shuffles") {
+    init(); mkTables()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(joinSql)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      // the join itself must consume both scans key-grouped: the ONLY
+      // acceptable exchange is none at all before the join (the final
+      // aggregate is already clustered on k too — key-grouped output
+      // satisfies the group-by distribution, so the whole plan is
+      // exchange-free)
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin"), p)
+      // and the answer is the answer
+      val got = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val exp = spark.sql(
+        """SELECT ak AS k, count(*) AS n, sum(av + bv) AS s FROM
+          |(SELECT id % 5 AS ak, id AS av FROM range(0, 1000)) x JOIN
+          |(SELECT id % 5 AS bk, id * 10 AS bv FROM range(0, 400)) y
+          |ON ak = bk GROUP BY ak""".stripMargin)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(got.toSeq == exp.toSeq)
+    }
+  }
+
+  test("without v2 bucketing the same join plans its shuffles (control)") {
+    init(); mkTables()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = spark.sql(joinSql).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("Exchange"), p)
+    }
+  }
+
+  test("a table with multi-key files declines the report (falls back)") {
+    init()
+    // high-cardinality partition column: 1000 distinct keys exceed the
+    // spjMaxKeys cap, so the INSERT falls back to range clustering —
+    // files span key ranges, min != max → no key report, plain
+    // exchange plan, correct results
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.wide
+      (k BIGINT, v BIGINT) PARTITIONED BY (k)""")
+    if (spark.table("graftspj.spj.wide").isEmpty)
+      spark.sql("""INSERT INTO graftspj.spj.wide
+        SELECT id AS k, id AS v FROM range(0, 1000)""")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        """SELECT w.k, w.v, b.bv FROM graftspj.spj.wide w
+          |JOIN graftspj.spj.b b ON w.k = b.k""".stripMargin)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("Exchange"), p)
+      assert(df.count() == 400L)
+    }
+  }
+}
