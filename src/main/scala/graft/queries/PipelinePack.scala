@@ -1094,6 +1094,50 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           CAST(sum(amt) AS DOUBLE) AS amt_sum,
           CAST(sum(amt_orig) AS DOUBLE) AS orig_sum
         FROM graft.q82.monthly GROUP BY 1""")
+    }),
+
+    // q83 — BLOOM-FILTER FILE SKIPPING (`graft.bloomColumns`): point
+    // lookups on a column the table is NOT clustered by. The fact lands
+    // as two parity-interleaved inserts, so every file's trans_id
+    // min/max spans ~the whole key domain and zone maps cannot prune;
+    // the per-file blooms (xxhash64-keyed, the same pair Spark's
+    // runtime-filter machinery uses, probed driver-side at plan time)
+    // cut every file that provably lacks the key — the require pins the
+    // physical cut, the oracle pins row-level exactness. At 100 TB this
+    // is the id-lookup path: O(files-holding-the-key) reads instead of
+    // a table scan, on a second axis independent of the cluster key.
+    "q83_bloom_skip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q83")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q83_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q83")
+      s.sql("DROP TABLE IF EXISTS graft.q83.fact")
+      s.sql("""CREATE TABLE graft.q83.fact (
+          trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))
+        TBLPROPERTIES ('graft.bloomColumns' = 'trans_id')""")
+      s.sql("""INSERT INTO graft.q83.fact
+        SELECT trans_id, trans_date, amt FROM q83_src
+        WHERE CAST(trans_id AS BIGINT) % 2 = 0""")
+      s.sql("""INSERT INTO graft.q83.fact
+        SELECT trans_id, trans_date, amt FROM q83_src
+        WHERE CAST(trans_id AS BIGINT) % 2 = 1""")
+      // two existing keys, resolved from the data so the query is
+      // scale-factor-independent (the oracle mirrors via subqueries) —
+      // both from the EVEN slice, so the odd file(s) are prunable
+      val r = s.sql("""SELECT CAST(min(CAST(trans_id AS BIGINT)) AS STRING),
+          CAST(max(CAST(trans_id AS BIGINT)) AS STRING)
+        FROM q83_src WHERE CAST(trans_id AS BIGINT) % 2 = 0""").head()
+      val (k1, k2) = (r.getString(0), r.getString(1))
+      val out = s.sql(s"""SELECT trans_id,
+          CAST(month(trans_date) AS BIGINT) AS order_month,
+          CAST(amt AS DOUBLE) AS amt
+        FROM graft.q83.fact WHERE trans_id IN ('$k1', '$k2')""")
+      val plan = out.queryExecution.executedPlan.toString
+      val m = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      require(m.exists(g => g.group(1).toInt < g.group(2).toInt),
+        s"bloom manifest must prune files, plan:\n$plan")
+      out
     })
   )
 
@@ -1164,6 +1208,17 @@ FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
     // published = all three slices; the discarded branch leaves nothing
     "q79_sql_wap" -> sliceOracle("TRUE"),
     // months 3/7 replaced at amt+1000; every other month untouched
+    // the two looked-up rows re-derived by the same min/max subqueries —
+    // the oracle knows nothing of the bloom manifests
+    "q83_bloom_skip" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS trans_id,
+  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amt
+FROM orders
+WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders
+                    WHERE o_orderkey % 2 = 0)
+   OR o_orderkey = (SELECT max(o_orderkey) FROM orders
+                    WHERE o_orderkey % 2 = 0)""",
     // the replaced generation re-derived directly: corrected amt for
     // months 3/7 plus the original in the added column
     "q82_atomic_ctas" ->

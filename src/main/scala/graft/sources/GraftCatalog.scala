@@ -624,6 +624,10 @@ private[graft] object GraftCatalog {
     * layout (storage-partitioned joins); above it, writes range-cluster.
     */
   val SpjMaxKeysProp = "graft.spjMaxKeys"
+  /** Comma-separated columns to cover with per-file bloom filters —
+    * point-lookup file skipping on non-clustered columns.
+    */
+  val BloomColumnsProp = "graft.bloomColumns"
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch")
@@ -859,6 +863,14 @@ private[sources] class GraftTable(path: String, tableName: String,
     props.get(GraftCatalog.SpjMaxKeysProp).map(_.toInt)
       .getOrElse(graft.storage.Clustering.DefaultMaxKeys)
 
+  /** Columns carrying per-file bloom filters for point-lookup file
+    * skipping (`graft.bloomColumns`, comma-separated).
+    */
+  private[sources] def bloomCols: Seq[String] =
+    props.get(GraftCatalog.BloomColumnsProp)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+
   override def partitioning(): Array[Transform] =
     partCols.map(c => org.apache.spark.sql.connector.expressions
       .Expressions.identity(c)).toArray
@@ -962,9 +974,10 @@ private[sources] class GraftTable(path: String, tableName: String,
                 SparkSession.active, data, parts, spjMaxKeys)
             if (overwrite || over)
               lake.overwritePartitioned(t, clustered, Nil,
-                statsCols = parts)
+                statsCols = parts, bloomCols = bloomCols)
             else {
-              lake.append(t, clustered, statsCols = parts)
+              lake.append(t, clustered, statsCols = parts,
+                bloomCols = bloomCols)
               maybeAutoCompact(lake, t)
             }
           }

@@ -149,7 +149,8 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
     * subset as pushed so skipping happens and explain shows it.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(LakehouseBatch.usableForSkipping(_, meta.statsCols))
+    pushed = filters.filter(
+      LakehouseBatch.usableForSkipping(_, meta.statsCols, meta.bloomCols))
     filters
   }
 
@@ -308,7 +309,7 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
 
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(
-      LakehouseBatch.usableForSkipping(_, meta.statsCols))
+      LakehouseBatch.usableForSkipping(_, meta.statsCols, meta.bloomCols))
 
   override def readSchema(): StructType =
     aggResult.map(_._1).getOrElse(required)
@@ -573,7 +574,8 @@ private[graft] object LakehouseBatch {
       rowCount: Long, stats: Option[org.apache.spark.sql.Row])
 
   final case class TableMeta(path: String, dataFiles: Seq[FileMeta],
-      statsCols: Set[String], fullyCovered: Boolean)
+      statsCols: Set[String], fullyCovered: Boolean,
+      bloomCols: Set[String] = Set.empty)
 
   /** Resolve the live set from commit markers (the same walk as
     * `Lakehouse.liveRootsAndBasis`), list its data files with footers +
@@ -633,6 +635,7 @@ private[graft] object LakehouseBatch {
           "compact the table first (Lakehouse.read serves them directly)")
     }
     var statsCols = Set.empty[String]
+    var bloomCols = Set.empty[String]
     var covered = true
     val files = Seq.newBuilder[FileMeta]
     roots.foreach { case (v, root) =>
@@ -648,6 +651,9 @@ private[graft] object LakehouseBatch {
             val df = spark.read.parquet(parts.toIndexedSeq: _*)
             statsCols ++= df.columns.collect {
               case c if c.startsWith("min_") => c.drop(4)
+            }
+            bloomCols ++= df.columns.collect {
+              case c if c.startsWith("bloom_") => c.drop(6)
             }
             df.collect().map(r =>
               r.getString(r.fieldIndex("file")) -> r).toMap
@@ -670,7 +676,7 @@ private[graft] object LakehouseBatch {
       }
     }
     val all = files.result()
-    TableMeta(path, all, statsCols, covered && all.nonEmpty)
+    TableMeta(path, all, statsCols, covered && all.nonEmpty, bloomCols)
   }
 
   private def listDataFiles(fs: FileSystem,
@@ -694,20 +700,23 @@ private[graft] object LakehouseBatch {
     try r.getRecordCount finally r.close()
   }
 
-  /** Is this filter usable for zone-map skipping (stats-covered simple
-    * comparison)? Unusable filters still run post-scan — they just
-    * don't cut files.
+  /** Is this filter usable for file skipping (zone-map-covered simple
+    * comparison, or a bloom-covered point lookup)? Unusable filters
+    * still run post-scan — they just don't cut files.
     */
-  def usableForSkipping(f: Filter, statsCols: Set[String]): Boolean =
+  def usableForSkipping(f: Filter, statsCols: Set[String],
+      bloomCols: Set[String] = Set.empty): Boolean =
     f match {
-      case EqualTo(c, _) => statsCols.contains(c)
+      case EqualTo(c, _) => statsCols.contains(c) || bloomCols.contains(c)
       case GreaterThan(c, _) => statsCols.contains(c)
       case GreaterThanOrEqual(c, _) => statsCols.contains(c)
       case LessThan(c, _) => statsCols.contains(c)
       case LessThanOrEqual(c, _) => statsCols.contains(c)
-      case In(c, vs) => statsCols.contains(c) && vs.nonEmpty
+      case In(c, vs) =>
+        (statsCols.contains(c) || bloomCols.contains(c)) && vs.nonEmpty
       case And(l, r) =>
-        usableForSkipping(l, statsCols) || usableForSkipping(r, statsCols)
+        usableForSkipping(l, statsCols, bloomCols) ||
+          usableForSkipping(r, statsCols, bloomCols)
       case _ => false
     }
 
@@ -718,17 +727,61 @@ private[graft] object LakehouseBatch {
     * Files without stats rows always survive.
     */
   def skipFiles(meta: TableMeta, pushed: Array[Filter]): Seq[FileMeta] = {
-    if (pushed.isEmpty || meta.statsCols.isEmpty) return meta.dataFiles
+    if (pushed.isEmpty ||
+      (meta.statsCols.isEmpty && meta.bloomCols.isEmpty))
+      return meta.dataFiles
+    // per-(file,column) bloom parse cache for this planning pass — an
+    // IN-list probes the same 50 KB sketch once per value otherwise
+    val bloomCache = new java.util.IdentityHashMap[
+      org.apache.spark.sql.Row,
+      scala.collection.mutable.Map[String,
+        Option[org.apache.spark.util.sketch.BloomFilter]]]()
+    def bloomOf(stats: org.apache.spark.sql.Row, c: String)
+        : Option[org.apache.spark.util.sketch.BloomFilter] = {
+      var m = bloomCache.get(stats)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        bloomCache.put(stats, m)
+      }
+      m.getOrElseUpdate(c, get(stats, s"bloom_$c").map(b =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b.asInstanceOf[Array[Byte]]))))
+    }
+    // the bloom stores xxhash64 of the column value (the exact pair the
+    // write side aggregates); probe with the same expression over the
+    // filter literal. Restricted to types whose Literal inference is
+    // bit-identical to the column representation — a fractional type
+    // whose inferred scale differed would hash differently and skip a
+    // matching file (false negative = wrong results), so those probe as
+    // "might match".
+    def bloomSafe(v: Any): Boolean = v match {
+      case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+        _: java.lang.Byte | _: java.lang.Boolean | _: String |
+        _: java.sql.Date | _: java.sql.Timestamp | _: java.time.Instant |
+        _: java.time.LocalDate => true
+      case _ => false
+    }
+    def bloomMightContain(stats: org.apache.spark.sql.Row, c: String,
+        v: Any): Boolean =
+      !meta.bloomCols(c) || v == null || !bloomSafe(v) ||
+        bloomOf(stats, c).forall { bf =>
+          import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+          val h = new XxHash64(Seq(Literal(v)))
+            .eval(null).asInstanceOf[Long]
+          bf.mightContainLong(h)
+        }
     def mightMatch(stats: org.apache.spark.sql.Row, f: Filter): Boolean = {
       def mn(c: String): Option[Any] = get(stats, s"min_$c")
       def mx(c: String): Option[Any] = get(stats, s"max_$c")
       def cmp(a: Any, b: Any): Int = compareValues(a, b)
       f match {
-        case EqualTo(c, v) if meta.statsCols(c) =>
-          (mn(c), mx(c)) match {
+        case EqualTo(c, v)
+          if meta.statsCols(c) || meta.bloomCols(c) =>
+          val range = !meta.statsCols(c) || ((mn(c), mx(c)) match {
             case (Some(lo), Some(hi)) => cmp(lo, v) <= 0 && cmp(hi, v) >= 0
             case _ => false // all-null file: c = v is never true
-          }
+          })
+          range && bloomMightContain(stats, c, v)
         case GreaterThan(c, v) if meta.statsCols(c) =>
           mx(c).exists(hi => cmp(hi, v) > 0)
         case GreaterThanOrEqual(c, v) if meta.statsCols(c) =>
@@ -737,7 +790,7 @@ private[graft] object LakehouseBatch {
           mn(c).exists(lo => cmp(lo, v) < 0)
         case LessThanOrEqual(c, v) if meta.statsCols(c) =>
           mn(c).exists(lo => cmp(lo, v) <= 0)
-        case In(c, vs) if meta.statsCols(c) =>
+        case In(c, vs) if meta.statsCols(c) || meta.bloomCols(c) =>
           vs.exists(v => mightMatch(stats, EqualTo(c, v)))
         case And(l, r) => mightMatch(stats, l) && mightMatch(stats, r)
         case _ => true // not provable from stats — keep

@@ -626,15 +626,35 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * that's the difference between listing a manifest and scheduling a
     * task per file.
     */
-  private def writeStats(vdir: String, statsCols: Seq[String]): Unit =
-    if (statsCols.nonEmpty) {
+  private def writeStats(vdir: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Unit =
+    if (statsCols.nonEmpty || bloomCols.nonEmpty) {
       // nulls_<c> backs the V2 scan's storage-partitioned-join proof
       // (a file is only "keyed" when min == max AND no row is null —
       // min/max alone are silent about nulls); costs nothing extra on
       // the same pruned pass
       val aggs = statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")))
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
+        // per-file bloom filters (`graft.bloomColumns`): point-lookup
+        // file skipping on columns the table is NOT clustered by —
+        // min/max over an unsorted high-cardinality column spans the
+        // domain and prunes nothing; a 50 KB bloom per file answers
+        // `col = v` with no false negatives. Built with Spark's own
+        // BloomFilterAggregate over xxhash64(col) — the exact pair the
+        // runtime-filter machinery uses, probed driver-side at plan
+        // time (LakehouseBatch.skipFiles).
+        bloomCols.map { c =>
+          import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+          import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+          org.apache.spark.sql.GraftColumnBridge.toColumn(
+            new BloomFilterAggregate(
+              new XxHash64(Seq(
+                org.apache.spark.sql.GraftColumnBridge.toExpr(col(c)))),
+              Literal(Lakehouse.BloomItems),
+              Literal(Lakehouse.BloomBits)).toAggregateExpression())
+            .as(s"bloom_$c")
+        }
       // the extra pass reads ONLY the stats columns (column pruning on
       // the just-written, page-cache-warm parquet) — not a full re-read.
       // Extracting the same ranges from the parquet footers would avoid
@@ -658,10 +678,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   def append(name: String, df: DataFrame,
       beforeCommit: () => Unit = () => (),
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
     val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
       df.write.mode("overwrite").parquet(p)
-      writeStats(p, statsCols)
+      writeStats(p, statsCols, bloomCols)
     }
     ensureAboveFulls(new Path(tablePath(name)), vdir)
   }
@@ -766,7 +787,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       beforeCommit: () => Unit = () => (),
       statsCols: Seq[String] = Nil,
       readBasis: Option[Lakehouse.ReadBasis] = None,
-      changeData: Option[DataFrame] = None): Unit = {
+      changeData: Option[DataFrame] = None,
+      bloomCols: Seq[String] = Nil): Unit = {
     val dest = new Path(tablePath(name))
     val older = versionDirs(dest)
     // commit kinds resolved AT ENTRY: rebaseLateDeltas below renames
@@ -782,7 +804,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(p)
-      writeStats(p, statsCols)
+      writeStats(p, statsCols, bloomCols)
       // change-data files land INSIDE the uncommitted version dir: the
       // feed is part of the commit payload (see [[changeFeed]]); an empty
       // frame still writes a dir — "this rewrite changed no rows"
@@ -1652,6 +1674,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 }
 
 object Lakehouse {
+
+  /** Per-file bloom sizing (`graft.bloomColumns` manifests): 50k items
+    * at 400k bits ≈ 3% fpp, 50 KB per (file, column) — a false positive
+    * only costs reading one extra file, so modest sizing wins.
+    */
+  val BloomItems = 50000L
+  val BloomBits = 400000L
 
   /** The commit-log layout constants and listing primitives, shared by
     * the [[Lakehouse]] class and the streaming source
