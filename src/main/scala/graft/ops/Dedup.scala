@@ -207,6 +207,99 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** One row per (doc, band) with its LSH bucket — the PERSISTABLE
+    * signature-store layout (`id BIGINT, band INT, bucket STRING`)
+    * behind [[incrementalMinhashNearDups]]. Same tokenization,
+    * signature pass and band hashing as [[minhashNearDups]], minus the
+    * token payload: the store carries only what banding needs; the
+    * verification step re-fetches token sets BY ID from the document
+    * store (bounded by candidate count, never corpus-sized).
+    */
+  def minhashBandedRows(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextOps.tokens(lower(col(textCol)))).as("toks"))
+      .select(col("id"), minhashSigArray(col("toks"), k).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          md5(concat_ws("_",
+            (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+        }: _*)).as(Seq("band", "bucket")))
+      .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
+  }
+
+  /** INCREMENTAL near-dup detection of a new batch against a persisted
+    * signature store — the production shape of continuous corpus
+    * ingestion: signatures are computed ONLY for the new docs; the
+    * historical corpus participates through its stored band rows
+    * ([[minhashBandedRows]]), never re-tokenized or re-signed.
+    *
+    * Scale contract, in order:
+    *  1. `hot` = the distinct (band, bucket) keys the BATCH touches —
+    *     batch-sized metadata;
+    *  2. the store is SEMI-JOIN PRUNED to hot buckets before anything
+    *     heavy (on a 100 TB corpus this is the difference between
+    *     reading the store and reading the few buckets the batch can
+    *     possibly collide with — with the store range-clustered on
+    *     `bucket`, the scan itself zone-map-prunes);
+    *  3. the megabucket cap counts FULL membership per hot bucket
+    *     (store + batch — identical to what a from-scratch run over the
+    *     whole corpus would count, so incremental output ≡ batch-involved
+    *     slice of the full run, which is exactly what the d36 oracle
+    *     checks);
+    *  4. candidate pairs need ≥ one NEW side; they dedup BEFORE
+    *     verification;
+    *  5. token sets for verification are fetched from `allDocs` by
+    *     candidate id — two id-keyed joins whose small side is the
+    *     candidate set.
+    *
+    * Returns pairs (id_a < id_b, ≥ one side new) with exact Jaccard ≥
+    * `threshold` — the caller then appends the batch's band rows to the
+    * store (a delta commit), converging the store to the full corpus.
+    */
+  def incrementalMinhashNearDups(allDocs: DataFrame, newDocs: DataFrame,
+      storedBands: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 100): DataFrame = {
+    val newBands = minhashBandedRows(newDocs, idCol, textCol, bands,
+      rowsPerBand).repartition(col("band"), col("bucket"))
+    val hot = newBands.select(col("band"), col("bucket")).distinct()
+    val storedHot = storedBands.select(col("id"), col("band"), col("bucket"))
+      .join(hot, Seq("band", "bucket"), "left_semi")
+    val union = storedHot.withColumn("is_new", lit(false))
+      .unionByName(newBands.withColumn("is_new", lit(true)))
+    val counts = union.groupBy(col("band"), col("bucket")).count()
+    val small = counts.filter(col("count") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = union.join(small, Seq("band", "bucket"))
+    val l = capped.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("is_new").as("new_a"))
+    val r = capped.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("is_new").as("new_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") && (col("new_a") || col("new_b")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val toks = allDocs.select(col(idCol).as("id"),
+      array_distinct(TextOps.tokens(lower(col(textCol)))).as("toks"))
+    val fetched = candidates
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")),
+        Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")),
+        Seq("id_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+      .cast("double")
+    val union2 = (size(col("toks_a")) + size(col("toks_b"))).cast("double") -
+      inter
+    fetched
+      .select(col("id_a"), col("id_b"),
+        graft.functions.EvalOnce(inter / union2).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 16-bit token hash = top half of the 32-bit md5 prefix (first 4 hex
     * chars ≡ first 2 digest bytes).
     */

@@ -208,6 +208,25 @@ object TrainingPack {
     // cross-engine bit guarantee). Scale: df is an agg over (doc,token)
     // pairs, broadcast back onto the tf rows (vocabulary-sized); the
     // rank window is per-document, bounded by doc vocabulary.
+    // t17 — BM25 top-k retrieval from a PERSISTED inverted index
+    // (ops/Bm25): postings/df/doclen tables built once into the
+    // lakehouse (term-range-clustered with zone maps), then a 3-query
+    // batch served from the STORED index only — the raw documents are
+    // never rescanned at query time. Rational idf (no libm) and a
+    // term-sorted score fold keep every double bit-exact vs the DuckDB
+    // oracle; see the Bm25 scaladoc for why both matter.
+    "t17_bm25_topk" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      graft.ops.Bm25.buildIndex(lake, docs(s, d), "doc_id", "text")
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark join window"),
+        (2L, "slow query filter"),
+        (3L, "merge stream batch data")).toDF("query_id", "qtext")
+      graft.ops.Bm25.serve(lake, queries, k = 5)
+    }),
+
     "t14_tfidf_terms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val tf = docs(s, d)
@@ -929,6 +948,47 @@ object TrainingPack {
       Packing.tokenBudgetSelect(base, "score", "n_tokens", "doc_id", budget)
     }),
 
+    // d36 — INCREMENTAL dedup against a PERSISTED signature store, the
+    // continuous-ingestion shape: the historical corpus (90% of docs)
+    // is signed ONCE into a lakehouse `sig_store` table range-clustered
+    // on bucket; the new batch (doc_id % 10 == 0) computes signatures
+    // for ITSELF only, semi-join-prunes the store to the buckets it
+    // touches, applies the same megabucket cap a from-scratch run would
+    // (full membership per hot bucket), verifies exact Jaccard on
+    // id-fetched token sets, and appends its band rows as a delta — the
+    // require pins that the store converged to the full corpus. The
+    // oracle is the FULL-corpus d04 pair run restricted to
+    // batch-involved pairs: incremental ≡ from-scratch, which is the
+    // whole correctness claim of a signature store.
+    "d36_incremental_dedup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sigstore")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, band INT, bucket STRING")
+      val all = docs(s, d).withColumnRenamed("doc_id", "id")
+      val hist = all.filter(col("id") % 10 =!= 0)
+      val batch = all.filter(col("id") % 10 === 0)
+      // day 0: sign the standing corpus once; bucket zone maps make the
+      // incremental semi-join a pruned scan
+      lake.append("sig_store",
+        Dedup.minhashBandedRows(hist, "id", "text", 4, 2)
+          .repartitionByRange(8, col("bucket")),
+        statsCols = Seq("bucket"))
+      val stored = lake.read("sig_store", storeSchema)
+      val pairs = Dedup.incrementalMinhashNearDups(all, batch, stored,
+        "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
+        maxBucket = 100)
+      // the batch's bands land as a delta: the store now equals what a
+      // from-scratch signing of the full corpus would hold
+      lake.append("sig_store",
+        Dedup.minhashBandedRows(batch, "id", "text", 4, 2),
+        statsCols = Seq("bucket"))
+      require(lake.read("sig_store", storeSchema).count() ==
+        Dedup.minhashBandedRows(all, "id", "text", 4, 2).count(),
+        "sig_store must converge to the full corpus after the append")
+      pairs
+    }),
+
     // keep-first dedup returning the surviving document rows
     "d07_dedup_keep_first" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1351,6 +1411,14 @@ object TrainingPack {
     "d04_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    // the full-corpus run restricted to batch-involved pairs — the
+    // oracle never sees the signature store, only the invariant
+    // incremental ≡ from-scratch
+    "d36_incremental_dedup" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.8
+         |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin,
     "d28_split_leakage" ->
       s"""WITH $minhashPairsCtes,
          |lp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.8),
@@ -1488,6 +1556,40 @@ object TrainingPack {
          | CAST(least(len(tk) - s, 32) AS BIGINT) AS n_tokens
          |FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS s
          |      FROM (SELECT doc_id, $toks AS tk FROM documents) b) t""".stripMargin,
+    // the full BM25 pipeline re-derived from the raw documents — the
+    // oracle never sees the index tables. The score tree and the
+    // term-ordered left fold are spelled IDENTICALLY to ops/Bm25 (IEEE
+    // ops only), so scores hash-compare bit-exact.
+    "t17_bm25_topk" ->
+      s"""WITH dt AS (SELECT doc_id, $ltoks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM dt),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM dt),
+         |corp AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         |q(query_id, qtext) AS (VALUES
+         |  (1, 'spark join window'),
+         |  (2, 'slow query filter'),
+         |  (3, 'merge stream batch data')),
+         |qt AS (SELECT query_id,
+         |  unnest(list_distinct(regexp_extract_all(lower(qtext), '\\S+')))
+         |    AS term FROM q),
+         |sc AS (SELECT qt.query_id, tf.doc_id, tf.term,
+         |  ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+         |  ((CAST(tf AS DOUBLE) * 2.2) /
+         |   (CAST(tf AS DOUBLE) +
+         |    1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+         |      (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS s
+         | FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+         |   JOIN dl USING (doc_id) CROSS JOIN corp),
+         |ag AS (SELECT query_id, doc_id,
+         |  list_reduce(list(s ORDER BY term), (x, y) -> x + y) AS score
+         | FROM sc GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         | CAST(row_number() OVER w AS BIGINT) AS rk, doc_id, score
+         |FROM ag
+         |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |QUALIFY rk <= 5""".stripMargin,
     "t14_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($ltoks) AS token
          |             FROM documents),

@@ -135,4 +135,32 @@ class DedupSpec extends SparkSpec {
       .select("jaccard").distinct().collect().map(_.getDouble(0)).toSeq
       === Seq(1.0))
   }
+
+  test("incremental dedup ≡ the batch-involved slice of a full run") {
+    import spark.implicits._
+    // 40 docs in 8 duplicate families of 5; ids ≡ 0 (mod 10) form the
+    // "new batch" (4 docs), the rest are the standing corpus
+    val texts = (0 until 8).map(f =>
+      s"family $f alpha beta gamma delta epsilon zeta eta theta")
+    val docs = (0L until 40L).map(i => (i, texts((i % 8).toInt)))
+      .toDF("id", "text")
+    val hist = docs.filter(col("id") % 10 =!= 0)
+    val batch = docs.filter(col("id") % 10 === 0)
+
+    val full = Dedup.minhashNearDups(docs, "id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.8, maxBucket = 100)
+      .filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val stored = Dedup.minhashBandedRows(hist, "id", "text", 4, 2)
+    val inc = Dedup.incrementalMinhashNearDups(docs, batch, stored,
+      "id", "text", bands = 4, rowsPerBand = 2, threshold = 0.8,
+      maxBucket = 100).as[(Long, Long, Double)].collect().toSet
+
+    assert(inc === full)
+    assert(inc.nonEmpty) // the families guarantee batch-involved pairs
+    // every emitted pair involves the batch, ordered a < b
+    assert(inc.forall { case (a, b, _) =>
+      a < b && (a % 10 == 0 || b % 10 == 0) })
+  }
 }
