@@ -1138,6 +1138,40 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       require(m.exists(g => g.group(1).toInt < g.group(2).toInt),
         s"bloom manifest must prune files, plan:\n$plan")
       out
+    }),
+
+    // q84 — SQL METADATA TABLES (`t$history` / `t$files` /
+    // `t$partitions`, Iceberg's metadata-table shape served as
+    // LocalScans over commit markers + parquet footers + zone-map
+    // manifests — no data IO). The output is the PARTITION LAYOUT
+    // relation of a month-partitioned fact after one INSERT; the DuckDB
+    // oracle re-derives per-month row counts from the raw data and
+    // expects files = 1 per month — which makes the exact
+    // one-file-per-key clustering invariant (the storage-partitioned
+    // join's foundation) a HASH-CHECKED fact, not just a spec assert.
+    "q84_metadata_tables" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q84")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q84_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q84")
+      s.sql("DROP TABLE IF EXISTS graft.q84.fact")
+      s.sql("""CREATE TABLE graft.q84.fact (
+          trans_id STRING, order_month INT, amt DECIMAL(18,2))
+        PARTITIONED BY (order_month)""")
+      s.sql("""INSERT INTO graft.q84.fact
+        SELECT trans_id, CAST(month(trans_date) AS INT), amt FROM q84_src""")
+      // $history and $files sanity, pinned engine-side (the oracle can't
+      // see the commit log)
+      require(s.sql("SELECT count(*) FROM graft.q84.`fact$history`")
+        .head().getLong(0) == 1L, "one delta commit expected")
+      val total = s.sql("SELECT sum(rows) FROM graft.q84.`fact$files`")
+        .head().getLong(0)
+      require(total == s.table("graft.q84.fact").count(),
+        "$files row counts must sum to the table count")
+      s.sql("""SELECT CAST(order_month AS BIGINT) AS order_month,
+          files, row_count
+        FROM graft.q84.`fact$partitions`""")
     })
   )
 
@@ -1208,6 +1242,13 @@ FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
     // published = all three slices; the discarded branch leaves nothing
     "q79_sql_wap" -> sliceOracle("TRUE"),
     // months 3/7 replaced at amt+1000; every other month untouched
+    // per-month layout re-derived from the raw data; files = 1 per
+    // month IS the exact-clustering invariant, hash-checked
+    "q84_metadata_tables" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(1 AS BIGINT) AS files,
+  CAST(count(*) AS BIGINT) AS row_count
+FROM orders GROUP BY 1""",
     // the two looked-up rows re-derived by the same min/max subqueries —
     // the oracle knows nothing of the bloom manifests
     "q83_bloom_skip" ->

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
@@ -144,7 +144,103 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs.exists(new Path(tablePath(ident), GraftCatalog.SchemaFile))
 
   override def loadTable(ident: Identifier): Table =
-    loadTableAsOf(ident, None)
+    if (ident.name.contains("$")) metadataTable(ident)
+    else loadTableAsOf(ident, None)
+
+  // ——— metadata tables: `t$history` / `t$files` / `t$partitions` ———
+  //
+  // The commit log, the live file set and the partition layout as
+  // first-class SQL relations (Iceberg's metadata-table shape):
+  //
+  //   SELECT * FROM graft.ns.`fact$history`
+  //   SELECT * FROM graft.ns.`fact$files` ORDER BY rows DESC
+  //   SELECT * FROM graft.ns.`fact$partitions`
+  //
+  // Served as LocalScans — the rows ARE driver-side metadata (commit
+  // markers, parquet footers, zone-map manifests); building them costs
+  // exactly what planning a scan of the table costs, no data IO.
+
+  private def metadataTable(ident: Identifier): Table = {
+    val parts = ident.name.split("\\$", 2)
+    require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+      s"metadata table names are <table>$$<kind>: '${ident.name}'")
+    val (base, kind) = (parts(0), parts(1))
+    val baseIdent = Identifier.of(ident.namespace, base)
+    healSwap(baseIdent)
+    val dir = tablePath(baseIdent)
+    if (!fs.exists(new Path(dir, GraftCatalog.SchemaFile)))
+      throw new NoSuchTableException(baseIdent)
+    val lake = new Lakehouse(spark, dir.getParent.toString)
+    kind match {
+      case "history" =>
+        localTable(ident, StructType(Seq(
+          StructField("version", LongType),
+          StructField("is_full", BooleanType),
+          StructField("commit_ms", LongType))),
+          () => lake.history(base).map { case (v, full, ms) =>
+            InternalRow(v, full, ms)
+          }.toArray)
+      case "files" =>
+        localTable(ident, StructType(Seq(
+          StructField("file", StringType),
+          StructField("version", LongType),
+          StructField("rows", LongType),
+          StructField("bytes", LongType))),
+          () => LakehouseBatch.resolve(dir.toString).dataFiles.map(f =>
+            InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(f.path),
+              f.version, f.rowCount, f.sizeBytes)).toArray)
+      case "partitions" =>
+        val pcols = tablePartCols(ident.namespace.mkString("/"), base)
+        require(pcols.nonEmpty,
+          s"$base is not partitioned — $$partitions needs PARTITIONED BY")
+        val tschema = tableSchema(ident.namespace.mkString("/"), base)
+        val convs = pcols.map(c => org.apache.spark.sql.catalyst
+          .CatalystTypeConverters.createToCatalystConverter(
+            tschema(c).dataType))
+        localTable(ident, StructType(
+          pcols.map(c => StructField(c, tschema(c).dataType)) ++ Seq(
+            StructField("files", LongType),
+            StructField("row_count", LongType))),
+          () => {
+            val meta = LakehouseBatch.resolve(dir.toString)
+            meta.dataFiles.groupBy { f =>
+              pcols.map { c =>
+                f.stats.flatMap { st =>
+                  val i = st.schema.fieldNames.indexOf(s"min_$c")
+                  val j = st.schema.fieldNames.indexOf(s"max_$c")
+                  if (i < 0 || j < 0 || st.isNullAt(i) || st.isNullAt(j))
+                    None
+                  else if (st.get(i) == st.get(j)) Some(st.get(i))
+                  else None // multi-key file: reported as the null bucket
+                }
+              }
+            }.map { case (key, fs0) =>
+              InternalRow.fromSeq(
+                key.zip(convs).map { case (v, cv) => cv(v.orNull) } ++
+                  Seq(fs0.size.toLong, fs0.map(_.rowCount).sum))
+            }.toArray
+          })
+      case _ => throw new NoSuchTableException(ident)
+    }
+  }
+
+  private def localTable(ident: Identifier, tschema: StructType,
+      mkRows: () => Array[InternalRow]): Table =
+    new Table with SupportsRead {
+      override def name(): String = s"graft.${ident.name}"
+      override def schema(): StructType = tschema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = mkRows()
+            override def readSchema(): StructType = tschema
+          }
+        }
+    }
 
   /** SQL `VERSION AS OF <n>` — plus the WAP audit view:
     * `VERSION AS OF 'branch:<name>'` serves the live table UNION the

@@ -1306,18 +1306,35 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // by an epoch commit/abort that didn't run — reclaim any staging
     // subtree idle past the grace (an ACTIVE query touches its epoch
     // dirs far more often than gcGraceMs)
+    val horizon0 = System.currentTimeMillis() - gcGraceMs
+    def newest(p: Path): Long = {
+      val status = fs.getFileStatus(p)
+      if (!status.isDirectory) status.getModificationTime
+      else (status.getModificationTime +: fs.listStatus(p).toSeq.map(c =>
+        if (c.isDirectory) newest(c.getPath)
+        else c.getModificationTime)).max
+    }
     val staging = new Path(dest, "_staging")
     if (fs.exists(staging)) {
-      val horizon0 = System.currentTimeMillis() - gcGraceMs
-      def newest(p: Path): Long = {
-        val status = fs.getFileStatus(p)
-        if (!status.isDirectory) status.getModificationTime
-        else (status.getModificationTime +: fs.listStatus(p).toSeq.map(c =>
-          if (c.isDirectory) newest(c.getPath)
-          else c.getModificationTime)).max
-      }
       fs.listStatus(staging).foreach { st =>
         if (newest(st.getPath) <= horizon0) fs.delete(st.getPath, true)
+      }
+    }
+    // crashed-CTAS debris: a `_stage_<name>_*` generation whose query
+    // died before commit (no journal — commitStagedChanges never ran)
+    // and a `_old_<name>_*` backup whose swap finished are siblings of
+    // the table dir. Reclaim them once idle past the grace — an ACTIVE
+    // CTAS is writing its staged dir far more often than gcGraceMs.
+    // When a swap journal is present the state belongs to healSwap
+    // (roll forward/back on next load) — vacuum keeps its hands off.
+    val nsDir = dest.getParent
+    if (!fs.exists(new Path(nsDir, s"_GRAFT_SWAP_$name"))) {
+      fs.listStatus(nsDir).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.startsWith(s"_stage_${name}_") ||
+          n.startsWith(s"_old_${name}_")) && st.isDirectory &&
+          newest(st.getPath) <= horizon0)
+          fs.delete(st.getPath, true)
       }
     }
     val all = versionDirs(dest).sortBy(_._1)

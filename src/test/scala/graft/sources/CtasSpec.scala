@@ -104,6 +104,20 @@ class CtasSpec extends SparkSpec {
     assert(!nsLs.exists(n => n.startsWith("_GRAFT_SWAP_")), nsLs)
   }
 
+  test("vacuum reclaims crashed-CTAS staged debris, not healable swaps") {
+    init()
+    spark.sql("""CREATE TABLE graftctas.ct.t7 AS
+      SELECT id AS k FROM range(0, 10)""")
+    val ns = new Path(root, "ct")
+    // a CTAS that died before commit: staged dir, no journal
+    spark.sql("""CREATE TABLE graftctas.ct.t7crash AS
+      SELECT id AS k FROM range(0, 3)""")
+    assert(fs.rename(new Path(ns, "t7crash"), new Path(ns, "_stage_t7_zz")))
+    spark.sql("CALL graftctas.system.vacuum('ct', 't7')")
+    assert(!nsLs.exists(_.startsWith("_stage_t7_")), nsLs)
+    assert(spark.table("graftctas.ct.t7").count() == 10L) // untouched
+  }
+
   test("staged tables never appear in SHOW TABLES") {
     init()
     spark.sql("""CREATE TABLE graftctas.ct.t6 AS
