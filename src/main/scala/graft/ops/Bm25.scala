@@ -10,13 +10,20 @@ import org.apache.spark.sql.types.StructType
   * versioned lakehouse tables, serve query batches from the STORED
   * index only (raw documents never rescanned at query time).
   *
-  * Index layout (three tables, all commit-protocol versioned):
+  * Index layout (two tables, all commit-protocol versioned):
   *  - `bm25_postings` (term, doc_id, tf) — range-clustered on `term`
   *    with zone maps, so a query batch's term IN-filter prunes whole
   *    postings files at plan time (the inverted-index seek, expressed
   *    as metadata skipping);
-  *  - `bm25_terms` (term, df) — same clustering;
   *  - `bm25_docs` (doc_id, dl) — document lengths.
+  *
+  * The index is APPEND-ONLY by design: df and corpus stats are DERIVED
+  * at serve time (df = a count over the query-term-pruned postings —
+  * exact, because pruning keeps every row of the probed terms; N and
+  * Σdl from the docs table), so incremental maintenance
+  * ([[appendDocs]]) is two exactly-once delta commits per batch with
+  * nothing global to rewrite — the same reason Lucene segments carry
+  * postings, not global df.
   *
   * Scoring is the BM25 shape with t14's RATIONAL idf,
   * `(N - df + 0.5) / (df + 0.5)` (no log — monotone in the classic
@@ -37,39 +44,59 @@ import org.apache.spark.sql.types.StructType
 object Bm25 {
 
   val PostingsTable = "bm25_postings"
-  val TermsTable = "bm25_terms"
   val DocsTable = "bm25_docs"
 
   val postingsSchema: StructType =
     StructType.fromDDL("term STRING, doc_id BIGINT, tf BIGINT")
-  val termsSchema: StructType =
-    StructType.fromDDL("term STRING, df BIGINT")
   val docsSchema: StructType =
     StructType.fromDDL("doc_id BIGINT, dl BIGINT")
 
-  /** Build (or rebuild) the index from the document store: one
-    * tokenize+explode pass feeds postings; df and dl derive from it.
-    * Each table lands as ONE full commit — a crash mid-build leaves the
-    * previous generation serving.
-    */
-  def buildIndex(lake: Lakehouse, docs: DataFrame, idCol: String,
-      textCol: String, clusterFiles: Int = 8): Unit = {
-    val postings = docs
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+
+  private def doclenOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextOps.tokenCount(col(textCol)).as("dl"))
+
+  /** Build (or rebuild) the index from the document store: one
+    * tokenize+explode pass feeds postings; dl derives from it. Each
+    * table lands as ONE full commit — a crash mid-build leaves the
+    * previous generation serving.
+    */
+  def buildIndex(lake: Lakehouse, docs: DataFrame, idCol: String,
+      textCol: String, clusterFiles: Int = 8): Unit = {
     lake.overwritePartitioned(PostingsTable,
-      postings.repartitionByRange(clusterFiles, col("term")), Nil,
+      postingsOf(docs, idCol, textCol)
+        .repartitionByRange(clusterFiles, col("term")), Nil,
       statsCols = Seq("term"))
-    lake.overwritePartitioned(TermsTable,
-      lake.read(PostingsTable, postingsSchema)
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .repartitionByRange(math.max(1, clusterFiles / 4), col("term")),
-      Nil, statsCols = Seq("term"))
     lake.overwritePartitioned(DocsTable,
-      docs.select(col(idCol).as("doc_id"),
-        TextOps.tokenCount(col(textCol)).as("dl")), Nil)
+      doclenOf(docs, idCol, textCol), Nil)
+  }
+
+  /** Incremental maintenance for a streaming/batch ingest path: a NEW
+    * doc batch's postings and doc-length rows land as exactly-once
+    * DELTA commits keyed by `batchId` — nothing global is rewritten
+    * (see the class doc's append-only design). A crash BETWEEN the two
+    * commits (`midCrash` injects it in tests) heals on the replay:
+    * each table dedups independently by batch id, so the retry
+    * completes exactly the commit that is missing. Appended delta files
+    * span the term range (no per-batch clustering); the standing
+    * rebuild/compact re-establishes the pruned layout.
+    */
+  def appendDocs(lake: Lakehouse, newDocs: DataFrame, idCol: String,
+      textCol: String, batchId: Long,
+      midCrash: () => Unit = () => ()): Unit = {
+    lake.appendExactlyOnce(PostingsTable,
+      postingsOf(newDocs, idCol, textCol), batchId)
+    midCrash()
+    lake.appendExactlyOnce(DocsTable,
+      doclenOf(newDocs, idCol, textCol), batchId)
   }
 
   /** Top-k BM25 serve for a batch of queries `(query_id BIGINT,
@@ -87,8 +114,10 @@ object Bm25 {
       .collect().map(_.getString(0)).toSeq
     val postings = lake.read(PostingsTable, postingsSchema)
       .filter(col("term").isin(termList: _*))
-    val dfreq = lake.read(TermsTable, termsSchema)
-      .filter(col("term").isin(termList: _*))
+    // df derived from the SAME pruned scan (exact: pruning keeps every
+    // row of the probed terms) — the append-only design's serve side
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val dl = lake.read(DocsTable, docsSchema)
     val corp = lake.read(DocsTable, docsSchema)
       .agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sumdl"))

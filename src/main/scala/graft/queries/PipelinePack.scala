@@ -1065,6 +1065,11 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q82")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // unlike its siblings, this query asserts against PATHS under its
+      // own tmp root (the no-debris require) — force the re-pointed
+      // root to take effect now; a long-lived session (the bench) must
+      // not depend on conf-change instance invalidation
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q82_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q82")
       s.sql("DROP TABLE IF EXISTS graft.q82.fact")

@@ -488,6 +488,61 @@ object StreamingPack {
         k = 5, nProbe = 2)
     }),
 
+    // s21 — streaming incremental BM25 index maintenance (the text-side
+    // s13): the index is built on a third of the corpus, the rest
+    // streams in as two batches whose postings + doc-length rows land
+    // as exactly-once deltas (Bm25.appendDocs). The injected crash
+    // fires BETWEEN batch 0's two table commits — the widest torn
+    // window the two-table layout has — and the restarted query's
+    // replay heals it (each table dedups independently by batch id, so
+    // the retry completes exactly the missing commit). Because the
+    // index is append-only with df/corpus stats DERIVED at serve time,
+    // the converged index is IDENTICAL to a from-scratch build: the
+    // oracle is t17's full-corpus BM25, bit-exact scores included.
+    "s21_stream_bm25_maintenance" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s21")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      graft.ops.Bm25.buildIndex(lake,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text")
+      val stage = dir.resolve("stream").toString
+      (1 to 2).foreach { sl =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === sl)
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      val schema = s.read.parquet(stage).schema
+      def source = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(): Unit = {
+        val q = source.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.ops.Bm25.appendDocs(lake, batch, "doc_id", "text", id,
+              midCrash = () =>
+                if (id == 0L && !crashed.getAndSet(true))
+                  throw new RuntimeException(
+                    "injected crash between index commits"))
+        }
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val died = try { run(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("injected crash") => true
+        }
+      require(died, "s21 harness: the injected crash did not fire")
+      run() // restart heals the torn batch and drains the rest
+      import s.implicits._
+      graft.ops.Bm25.serve(lake, Seq(
+        (1L, "spark join window"),
+        (2L, "slow query filter"),
+        (3L, "merge stream batch data")).toDF("query_id", "qtext"), k = 5)
+    }),
+
     // s14 — the lakehouse TABLE AS A STREAM (Delta's streaming-source
     // pattern) through the engine's own DataSource V2 source
     // (graft.sources.LakehouseStreamProvider): offsets are commit
@@ -1059,6 +1114,15 @@ object StreamingPack {
 
   val oracles: Map[String, String] = Map(
     "s13_stream_index_maintenance" -> s13Sql,
+    // the converged incremental index == a from-scratch build, so the
+    // oracle IS t17's full-corpus BM25 (shared CTEs — zero drift)
+    "s21_stream_bm25_maintenance" ->
+      s"""WITH ${TrainingPack.bm25Ctes}
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         | CAST(row_number() OVER w AS BIGINT) AS rk, doc_id, score
+         |FROM ag
+         |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |QUALIFY rk <= 5""".stripMargin,
     "s01_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         | count(*) AS n

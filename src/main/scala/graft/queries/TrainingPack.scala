@@ -227,6 +227,46 @@ object TrainingPack {
       graft.ops.Bm25.serve(lake, queries, k = 5)
     }),
 
+    // e15 — HYBRID RETRIEVAL, the production RAG shape: the BM25 index
+    // bounds the candidate set (top-20 lexical shortlist per query from
+    // the STORED t17 index), then the exact quantized-integer dot
+    // against the query's anchor embedding re-ranks it — lexical recall
+    // + semantic precision in one plan. Scale contract: stage 2 touches
+    // |Q|·20 rows only (the anchor frame is |Q| rows, broadcast), so
+    // the semantic pass is query-batch-sized, never corpus-sized — the
+    // same bound e09 proves for the ANN side.
+    "e15_hybrid_retrieval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = java.nio.file.Files.createTempDirectory("graft-hybrid")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      graft.ops.Bm25.buildIndex(lake, docs(s, d), "doc_id", "text")
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark join window"),
+        (2L, "slow query filter"),
+        (3L, "merge stream batch data")).toDF("query_id", "qtext")
+      val shortlist = graft.ops.Bm25.serve(lake, queries, k = 20)
+        .select(col("query_id"), col("doc_id"))
+      val qe = embs(s, d).select(col("vec_id"),
+        VectorOps.quantize(col("embedding")).as("q"))
+      // each query's anchor embedding (vec of doc 7·query_id): |Q| rows
+      val anchors = queries.select(col("query_id"),
+        (col("query_id") * 7).as("aid"))
+        .join(qe, col("vec_id") === col("aid"))
+        .select(col("query_id").as("aqid"), col("q").as("aq"))
+      val rerank = shortlist
+        .join(qe, col("vec_id") === col("doc_id"))
+        .join(broadcast(anchors), col("aqid") === col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          VectorOps.qdot(col("q"), col("aq")).as("dot"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("doc_id"))
+      rerank.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk").cast("bigint").as("rk"),
+          col("doc_id"), col("dot"))
+    }),
+
     "t14_tfidf_terms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val tf = docs(s, d)
@@ -1130,6 +1170,38 @@ object TrainingPack {
   private val ltoks = "regexp_extract_all(lower(text), '\\S+')"
   private val dtoks = s"list_distinct($ltoks)"
 
+  /** The BM25 oracle chain (t17) through the per-(query, doc) score
+    * aggregate `ag` — shared with e15's hybrid re-rank so the shortlist
+    * semantics can never drift between the two oracles. The score tree
+    * and term-ordered left fold mirror ops/Bm25 exactly (IEEE ops only,
+    * no libm) — that is what makes the DOUBLE scores hash-comparable.
+    */
+  private[queries] lazy val bm25Ctes: String =
+    s"""dt AS (SELECT doc_id, $ltoks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM dt),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM dt),
+       |corp AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       |q(query_id, qtext) AS (VALUES
+       |  (1, 'spark join window'),
+       |  (2, 'slow query filter'),
+       |  (3, 'merge stream batch data')),
+       |qt AS (SELECT query_id,
+       |  unnest(list_distinct(regexp_extract_all(lower(qtext), '\\S+')))
+       |    AS term FROM q),
+       |sc AS (SELECT qt.query_id, tf.doc_id, tf.term,
+       |  ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+       |  ((CAST(tf AS DOUBLE) * 2.2) /
+       |   (CAST(tf AS DOUBLE) +
+       |    1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+       |      (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS s
+       | FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+       |   JOIN dl USING (doc_id) CROSS JOIN corp),
+       |ag AS (SELECT query_id, doc_id,
+       |  list_reduce(list(s ORDER BY term), (x, y) -> x + y) AS score
+       | FROM sc GROUP BY 1, 2)""".stripMargin
+
   /** d11's deterministic split assignment as one shared CTE body — the
     * d11 oracle and every composer (d28) must read the SAME spelling, or
     * a threshold/prefix tune would silently drift them apart.
@@ -1561,34 +1633,33 @@ object TrainingPack {
     // term-ordered left fold are spelled IDENTICALLY to ops/Bm25 (IEEE
     // ops only), so scores hash-compare bit-exact.
     "t17_bm25_topk" ->
-      s"""WITH dt AS (SELECT doc_id, $ltoks AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(toks) AS term FROM dt),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, len(toks) AS dl FROM dt),
-         |corp AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
-         |q(query_id, qtext) AS (VALUES
-         |  (1, 'spark join window'),
-         |  (2, 'slow query filter'),
-         |  (3, 'merge stream batch data')),
-         |qt AS (SELECT query_id,
-         |  unnest(list_distinct(regexp_extract_all(lower(qtext), '\\S+')))
-         |    AS term FROM q),
-         |sc AS (SELECT qt.query_id, tf.doc_id, tf.term,
-         |  ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-         |  ((CAST(tf AS DOUBLE) * 2.2) /
-         |   (CAST(tf AS DOUBLE) +
-         |    1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
-         |      (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS s
-         | FROM qt JOIN tf USING (term) JOIN dfq USING (term)
-         |   JOIN dl USING (doc_id) CROSS JOIN corp),
-         |ag AS (SELECT query_id, doc_id,
-         |  list_reduce(list(s ORDER BY term), (x, y) -> x + y) AS score
-         | FROM sc GROUP BY 1, 2)
+      s"""WITH $bm25Ctes
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          | CAST(row_number() OVER w AS BIGINT) AS rk, doc_id, score
          |FROM ag
          |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |QUALIFY rk <= 5""".stripMargin,
+    // the hybrid RAG shape: the BM25 shortlist (top-20, same CTEs as
+    // t17) re-ranked by the EXACT quantized-integer dot against each
+    // query's anchor embedding — integer output, engine-exact
+    "e15_hybrid_retrieval" ->
+      s"""WITH $bm25Ctes,
+         |ranked AS (SELECT query_id, doc_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS brk FROM ag),
+         |short AS (SELECT query_id, doc_id FROM ranked WHERE brk <= 20),
+         |qe AS (SELECT vec_id, $qv AS q FROM embeddings),
+         |anchors AS (SELECT query_id, query_id * 7 AS aid FROM q),
+         |sc2 AS (SELECT s.query_id, s.doc_id,
+         |  ${qdotSql("dq.q", "aq.q")} AS dot
+         | FROM short s
+         | JOIN qe dq ON dq.vec_id = s.doc_id
+         | JOIN anchors a ON a.query_id = s.query_id
+         | JOIN qe aq ON aq.vec_id = a.aid)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         | CAST(row_number() OVER w AS BIGINT) AS rk, doc_id, dot
+         |FROM sc2
+         |WINDOW w AS (PARTITION BY query_id ORDER BY dot DESC, doc_id)
          |QUALIFY rk <= 5""".stripMargin,
     "t14_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($ltoks) AS token

@@ -20,4 +20,12 @@ object GraftColumnBridge {
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+  /** Drop the session's cached V2 catalog instances so a re-pointed
+    * `spark.sql.catalog.<name>.root` deterministically takes effect —
+    * instance invalidation on conf change is otherwise an engine
+    * implementation detail a long-lived session must not rely on.
+    */
+  def resetCatalogs(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager.reset()
 }

@@ -70,6 +70,37 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("multiple files per key (delta chain) still joins exchange-free") {
+    init(); mkTables()
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.a2
+      (k BIGINT, av BIGINT) PARTITIONED BY (k)""")
+    if (spark.table("graftspj.spj.a2").isEmpty) {
+      // two delta commits → two keyed files per key; Spark groups the
+      // splits by key (HasPartitionKey) before co-scheduling
+      spark.sql("""INSERT INTO graftspj.spj.a2
+        SELECT id % 5 AS k, id AS av FROM range(0, 500)""")
+      spark.sql("""INSERT INTO graftspj.spj.a2
+        SELECT id % 5 AS k, id AS av FROM range(500, 1000)""")
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // a static filter drops keys on one side; pushPartValues still
+      // aligns the remaining groups without an exchange
+      val df = spark.sql(
+        """SELECT a.k, count(*) AS n
+          |FROM graftspj.spj.a2 a JOIN graftspj.spj.b b ON a.k = b.k
+          |WHERE a.k < 3 GROUP BY a.k""".stripMargin)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("Exchange"), p)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val exp = (0L until 3L).map(k => (k, 200L * 80L))
+      assert(got.toSeq == exp)
+    }
+  }
+
   test("without v2 bucketing the same join plans its shuffles (control)") {
     init(); mkTables()
     withSQLConf(
