@@ -1177,6 +1177,48 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       s.sql("""SELECT CAST(order_month AS BIGINT) AS order_month,
           files, row_count
         FROM graft.q84.`fact$partitions`""")
+    }),
+
+    // q85 — RUNTIME FILE PRUNING (dynamic partition pruning through the
+    // V2 scan's SupportsRuntimeFiltering): the dim side's filter
+    // (quarter = 1) is not knowable at plan time on the fact; Spark
+    // injects a dynamicpruning IN-subquery of the dim's surviving join
+    // keys, delivered to the scan AFTER planning — the same zone-map
+    // cut as static pushdown, now driven by the JOIN. The require pins
+    // both the injected filter and the physical cut (months 1-3 of 12
+    // files read); the oracle pins row-level exactness. At 100 TB this
+    // is star-schema pruning: the fact scan reads the quarter, not the
+    // year, with no literal in the query.
+    "q85_runtime_file_pruning" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q85")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q85_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q85")
+      s.sql("DROP TABLE IF EXISTS graft.q85.fact")
+      s.sql("DROP TABLE IF EXISTS graft.q85.dim")
+      s.sql("""CREATE TABLE graft.q85.fact (
+          trans_id STRING, order_month INT, amt DECIMAL(18,2))
+        PARTITIONED BY (order_month)""")
+      s.sql("""INSERT INTO graft.q85.fact
+        SELECT trans_id, CAST(month(trans_date) AS INT), amt FROM q85_src""")
+      s.sql("CREATE TABLE graft.q85.dim (month_id INT, quarter BIGINT)")
+      s.sql("""INSERT INTO graft.q85.dim
+        SELECT CAST(id + 1 AS INT), id DIV 3 + 1 FROM range(0, 12)""")
+      val out = s.sql("""SELECT d.quarter, count(*) AS n,
+          sum(CAST(f.trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(f.amt) AS DOUBLE) AS amt_sum
+        FROM graft.q85.fact f JOIN graft.q85.dim d
+          ON f.order_month = d.month_id
+        WHERE d.quarter = 1 GROUP BY d.quarter""")
+      out.persist(); out.count() // deliver the runtime filter
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruningexpression"),
+        s"a runtime filter must reach the fact scan, plan:\n$plan")
+      val cuts = "files: (\\d+)/(\\d+)".r.findAllMatchIn(plan).toSeq
+      require(cuts.exists(g => g.group(1).toInt < g.group(2).toInt),
+        s"the runtime filter must prune fact files, plan:\n$plan")
+      out
     })
   )
 
@@ -1247,6 +1289,13 @@ FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
     // published = all three slices; the discarded branch leaves nothing
     "q79_sql_wap" -> sliceOracle("TRUE"),
     // months 3/7 replaced at amt+1000; every other month untouched
+    // quarter 1 = months 1-3, re-derived arithmetically (q78's dim)
+    "q85_runtime_file_pruning" ->
+      """SELECT CAST(1 AS BIGINT) AS quarter,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE month(o_orderdate) <= 3""",
     // per-month layout re-derived from the raw data; files = 1 per
     // month IS the exact-clustering invariant, hash-checked
     "q84_metadata_tables" ->

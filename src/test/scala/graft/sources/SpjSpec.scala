@@ -101,6 +101,40 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("join keys ⊃ partition keys: shard co-partitioning suffices") {
+    init(); mkTables()
+    // the production sharded-entity shape (StressSpj): both facts
+    // partitioned by shard, joined ON shard AND a fine-grained key —
+    // co-scheduling by shard alone is sound, and with
+    // requireAllClusterKeysForCoPartition=false Spark consumes it
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.fa
+      (shard BIGINT, u BIGINT, v BIGINT) PARTITIONED BY (shard)""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.fb
+      (shard BIGINT, u BIGINT, w BIGINT) PARTITIONED BY (shard)""")
+    if (spark.table("graftspj.spj.fa").isEmpty) {
+      spark.sql("""INSERT INTO graftspj.spj.fa
+        SELECT id % 4, id, id * 3 FROM range(0, 1000)""")
+      spark.sql("""INSERT INTO graftspj.spj.fb
+        SELECT id % 4, id, id * 7 FROM range(0, 600)""")
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        """SELECT count(*) AS n, sum(a.v + b.w) AS s
+          |FROM graftspj.spj.fa a JOIN graftspj.spj.fb b
+          |  ON a.shard = b.shard AND a.u = b.u""".stripMargin)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      val r = df.head()
+      assert(r.getLong(0) == 600L)
+      assert(r.getLong(1) == (0L until 600L).map(i => i * 3 + i * 7).sum)
+    }
+  }
+
   test("without v2 bucketing the same join plans its shuffles (control)") {
     init(); mkTables()
     withSQLConf(
