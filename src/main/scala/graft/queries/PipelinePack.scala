@@ -1219,6 +1219,50 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       require(cuts.exists(g => g.group(1).toInt < g.group(2).toInt),
         s"the runtime filter must prune fact files, plan:\n$plan")
       out
+    }),
+
+    // q86 — DELETION VECTORS (merge-on-read positional deletes,
+    // Lakehouse.deleteRowsMoR): a predicate delete lands as a
+    // data-less delta naming (file, row-index) tombstones — no data
+    // file is rewritten (the require pins it); the V2 scan masks them
+    // natively on the row path, and rows RE-APPENDED after the delete
+    // are never masked (the sequence rule — the re-inserted keys ride
+    // at amt+1000 and must survive). At 100 TB this turns a predicate
+    // delete from a table rewrite into a metadata-sized commit whose
+    // cost the next scheduled compaction absorbs.
+    "q86_deletion_vectors" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q86")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2)")
+      val src = ordersAsFact(s, d)
+      val fact = src.select(col("trans_id"), col("trans_date"), col("amt"))
+      lake.append("fact_dv", fact.filter(col("_slice") % 3 < 2))
+      lake.append("fact_dv", fact.filter(col("_slice") % 3 === 2))
+      val countFiles = () => lake.dataPaths("fact_dv").map(r =>
+        new org.apache.hadoop.fs.Path(r)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .listStatus(new org.apache.hadoop.fs.Path(r))
+          .count(_.getPath.getName.endsWith(".parquet"))).sum
+      val before = countFiles()
+      lake.deleteRowsMoR("fact_dv", schema,
+        col("trans_id").cast("bigint") % 5 === 0)
+      require(countFiles() == before,
+        "a MoR delete must not rewrite or add data files")
+      // sequence rule: re-insert a slice of the deleted keys at +1000
+      lake.append("fact_dv", src
+        .filter(col("_slice") % 5 === 0 && col("_slice") % 3 === 0)
+        .select(col("trans_id"), col("trans_date"),
+          (col("amt") + 1000).cast("decimal(18,2)").as("amt")))
+      s.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(schema).load(lake.tablePath("fact_dv"))
+        .createOrReplaceTempView("q86_live")
+      s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM q86_live GROUP BY 1""")
     })
   )
 
@@ -1289,6 +1333,22 @@ FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
     // published = all three slices; the discarded branch leaves nothing
     "q79_sql_wap" -> sliceOracle("TRUE"),
     // months 3/7 replaced at amt+1000; every other month untouched
+    // survivors of the positional delete plus the re-appended slice at
+    // +1000 — the oracle never sees files or row indexes
+    "q86_deletion_vectors" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(amt) AS DOUBLE) AS amt_sum
+FROM (
+  SELECT o_orderkey, o_orderdate,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders WHERE o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_orderdate,
+    CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0
+) GROUP BY 1""",
     // quarter 1 = months 1-3, re-derived arithmetically (q78's dim)
     "q85_runtime_file_pruning" ->
       """SELECT CAST(1 AS BIGINT) AS quarter,

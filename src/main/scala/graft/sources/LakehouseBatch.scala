@@ -170,6 +170,10 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
     */
   private def tryPushAgg(agg: Aggregation, probeOnly: Boolean): Boolean = {
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
+    // deletion vectors make footer counts and zone-map min/max
+    // over-reports (a masked row could be the extreme) — decline and
+    // let Spark aggregate over the masked scan
+    if (meta.dataFiles.exists(_.dv.isDefined)) return false
     def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -339,7 +343,7 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
       case Some((_, vals)) => Array(PrecomputedAggPartition(vals))
       case None => plannedFiles
         .map(f => LakehouseFilePartition(f.path, f.version, None,
-          keyedFiles.flatMap(_.get(f.path)).map(_._2))
+          keyedFiles.flatMap(_.get(f.path)).map(_._2), f.dv)
           : InputPartition).toArray
     }
 
@@ -347,7 +351,11 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     aggResult match {
       case Some((schema, _)) => new PrecomputedAggReaderFactory(schema)
       case None =>
-        new LakehouseColumnarReaderFactory(required, pushed ++ runtime)
+        new LakehouseColumnarReaderFactory(required, pushed ++ runtime,
+          // Spark requires ONE columnar-vs-row decision per scan
+          // ("cannot mix"): any deletion-vector file forces the whole
+          // scan onto the row path until the next compact materializes
+          anyDv = plannedFiles.exists(_.dv.isDefined))
     }
 
   /** ANALYZE-computed column stats (`_GRAFT_COLSTATS`) for the CBO —
@@ -409,7 +417,8 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(1L, plannedFiles.map(_.sizeBytes).sum))
     override def numRows(): OptionalLong =
-      OptionalLong.of(plannedFiles.map(_.rowCount).sum)
+      OptionalLong.of(plannedFiles.map(f =>
+        f.rowCount - f.dv.map(_.length.toLong).getOrElse(0L)).sum)
     override def columnStats(): java.util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
       colStats
@@ -443,15 +452,26 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
   * parquet source makes with filter pushdown off.
   */
 private[sources] class LakehouseColumnarReaderFactory(required: StructType,
-    filters: Array[Filter]) extends PartitionReaderFactory {
+    filters: Array[Filter], anyDv: Boolean = false)
+    extends PartitionReaderFactory {
 
+  // files under a deletion vector read through the ROW path: position
+  // skipping needs the sequential row index the vectorized entry does
+  // not expose per batch without a selection-vector API. The decision
+  // is scan-wide (Spark refuses mixed partitions) — see the caller.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    required.nonEmpty
+    required.nonEmpty && !anyDv
 
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new LakehouseGroupReader(
-      partition.asInstanceOf[LakehouseFilePartition], required, filters)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LakehouseFilePartition]
+    // a DV file must keep its physical positions aligned with
+    // `_metadata.row_index` — the within-file FilterPredicate (which
+    // silently drops rows and row groups) is disabled for it; Spark
+    // re-applies every pushed filter post-scan, so results are exact
+    new LakehouseGroupReader(p, required,
+      if (p.dv.isEmpty) filters else Array.empty)
+  }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -571,7 +591,8 @@ private[graft] object LakehouseBatch {
     * (min_/max_ per covered column) when the file is manifest-covered.
     */
   final case class FileMeta(path: String, version: Long, sizeBytes: Long,
-      rowCount: Long, stats: Option[org.apache.spark.sql.Row])
+      rowCount: Long, stats: Option[org.apache.spark.sql.Row],
+      dv: Option[Array[Long]] = None)
 
   final case class TableMeta(path: String, dataFiles: Seq[FileMeta],
       statsCols: Set[String], fullyCovered: Boolean,
@@ -634,6 +655,25 @@ private[graft] object LakehouseBatch {
           "tombstones — the V2 batch scan has no anti-join stage; " +
           "compact the table first (Lakehouse.read serves them directly)")
     }
+    // deletion vectors ARE served natively (deleteRowsMoR): positional
+    // tombstones apply per FILE at read time, no join stage needed. A
+    // DV committed at version w masks (file, pos) rows of files in
+    // LOWER versions — the eqdel sequence rule.
+    val dvByVersion: Seq[(Long, Map[String, Array[Long]])] =
+      roots.flatMap { case (v, p) =>
+        val dvDir = new Path(p, Protocol.DvDir)
+        if (!fs.exists(dvDir)) None
+        else {
+          val parts = fs.listStatus(dvDir).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).map(_.toString)
+          if (parts.isEmpty) None
+          else Some((v, spark.read.parquet(parts.toIndexedSeq: _*)
+            .collect()
+            .groupBy(_.getAs[String]("file"))
+            .map { case (f, rs) =>
+              f -> rs.map(_.getAs[Long]("pos")).distinct.sorted }))
+        }
+      }
     var statsCols = Set.empty[String]
     var bloomCols = Set.empty[String]
     var covered = true
@@ -671,7 +711,14 @@ private[graft] object LakehouseBatch {
             .orElse(statRows.get(st.getPath.toString))
             .orElse(statRows.get(st.getPath.toUri.toString))
           if (stat.isEmpty) covered = false
-          files += FileMeta(st.getPath.toString, v, st.getLen, rows, stat)
+          // every DV from a HIGHER version contributes its positions
+          val dvPos = dvByVersion.filter(_._1 > v)
+            .flatMap(_._2.get(st.getPath.getName))
+          val dv =
+            if (dvPos.isEmpty) None
+            else Some(dvPos.flatten.distinct.sorted.toArray)
+          files += FileMeta(st.getPath.toString, v, st.getLen, rows, stat,
+            dv)
         }
       }
     }

@@ -238,6 +238,15 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
         case Some(p) => Protocol.commitKind(fs, p) match {
           case None => // uncommitted debris inside the range: no rows
           case Some(false) =>
+            // a deletion-vector commit names rows by POSITION — neither
+            // an append stream nor the key-shaped CDF records can
+            // represent it; compact first (the snapshot materializes
+            // the vectors) or use the copy-on-write delete for tables a
+            // stream consumes
+            if (fs.exists(new Path(p, Protocol.DvDir)))
+              throw new IllegalStateException(
+                s"$tablePath version $v is a deletion-vector commit — " +
+                  "a stream cannot represent positional deletes")
             val eqDel = new Path(p, Protocol.EqDelDir)
             if (fs.exists(eqDel)) {
               // equality-delete tombstones: key-only delete records in
@@ -329,7 +338,8 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
   */
 private[sources] case class LakehouseFilePartition(file: String,
     commitVersion: Long, fillChangeType: Option[String],
-    partKey: Option[InternalRow] = None)
+    partKey: Option[InternalRow] = None,
+    dv: Option[Array[Long]] = None)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey.orNull
@@ -399,7 +409,26 @@ private[sources] class LakehouseGroupReader(
   }
   private var current: org.apache.parquet.example.data.Group = _
 
-  override def next(): Boolean = { current = reader.read(); current != null }
+  // deletion-vector mask: physical row position within the file (the
+  // factory disabled the FilterPredicate for DV files, so the counter
+  // tracks `_metadata.row_index` exactly); sorted positions probe as a
+  // hash set
+  private val dvSet: java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long]()
+    partition.dv.foreach(_.foreach(p => s.add(p)))
+    s
+  }
+  private var rowPos: Long = -1L
+
+  override def next(): Boolean = {
+    current = reader.read()
+    rowPos += 1
+    while (current != null && !dvSet.isEmpty && dvSet.contains(rowPos)) {
+      current = reader.read()
+      rowPos += 1
+    }
+    current != null
+  }
 
   override def get(): InternalRow = {
     val gt = current.getType

@@ -338,6 +338,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           s"$name version $v is an equality-delete commit — not an " +
             "append; consume it through changeFeed")
     }
+    // same for deletion vectors — and the typed feed refuses them too
+    // (serving delete records would need the pre-image fetched by
+    // position; compact first, or use the copy-on-write delete when a
+    // change feed consumes the table)
+    range.find(t => fs.exists(new Path(t._2, Lakehouse.Protocol.DvDir)))
+      .foreach { case (v, _, _) =>
+        throw new IllegalArgumentException(
+          s"$name version $v is a deletion-vector commit — not an append")
+      }
     if (range.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else range.map { case (_, p, _) =>
@@ -417,6 +426,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
+  /** Deletion vector recorded in a root, if any: (file STRING — the
+    * data file's NAME, pos BIGINT — its 0-based row index).
+    */
+  private def dvKeys(root: String): Option[DataFrame] = {
+    val p = new Path(root, Lakehouse.Protocol.DvDir)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Union the live roots with merge-on-read equality-delete semantics:
     * a tombstone key set committed at version v masks matching rows of
     * every root with a LOWER version (Iceberg's sequence-number rule), so
@@ -429,11 +446,34 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       schema: StructType): DataFrame = {
     val tombs: Seq[(Long, DataFrame)] =
       roots.flatMap(r => eqDelKeys(r).map(k => (rootVersion(r), k)))
+    // deletion vectors ([[deleteRowsMoR]]): positional tombstones follow
+    // the SAME sequence rule — a DV committed at version v masks its
+    // (file, pos) rows in every root with a LOWER version; data written
+    // after the DV can never be masked by it
+    val dvs: Seq[(Long, DataFrame)] =
+      roots.flatMap(r => dvKeys(r).map(k => (rootVersion(r), k)))
     roots.map { r =>
       val base = spark.read.schema(schema).option("basePath", r).parquet(r)
       val rv = rootVersion(r)
-      tombs.filter(_._1 > rv).foldLeft(base) { case (df, (_, keys)) =>
-        df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
+      val eqMasked = tombs.filter(_._1 > rv).foldLeft(base) {
+        case (df, (_, keys)) =>
+          df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
+      }
+      val applicable = dvs.filter(_._1 > rv).map(_._2)
+      if (applicable.isEmpty) eqMasked
+      else {
+        // identify rows by (file name, row index) via the parquet
+        // metadata columns, anti-join the DV, drop the identity again —
+        // the mask rides each scan branch, nothing shuffles the data
+        val dv = applicable.reduce(_ unionByName _)
+          .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
+        eqMasked
+          .select(col("*"),
+            substring_index(col("_metadata.file_path"), "/", -1)
+              .as("__dv_f"),
+            col("_metadata.row_index").as("__dv_p"))
+          .join(broadcast(dv), Seq("__dv_f", "__dv_p"), "left_anti")
+          .drop("__dv_f", "__dv_p")
       }
     }.reduce(_ unionByName _)
   }
@@ -1094,6 +1134,46 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     ensureAboveFulls(dest, vdir)
   }
 
+  /** Merge-on-read row-level DELETE via DELETION VECTORS — the
+    * Delta/Iceberg-v3 positional-tombstone shape: instead of rewriting
+    * surviving rows ([[delete]]'s copy-on-write), the matching rows'
+    * (file, row-index) identities land as a data-less DELTA commit
+    * (`_GRAFT_DV`), masked out by every reader ([[maskedUnion]] for
+    * this class's scans and compaction, the V2 batch scan natively).
+    * At 100 TB this turns a predicate delete from a table rewrite into
+    * a metadata-sized commit; the next compaction MATERIALIZES the
+    * vectors (its snapshot read is already masked) and drops them.
+    *
+    * Sequencing follows the equality-delete rule: the DV masks only
+    * files in LOWER versions — rows appended after the delete can never
+    * be masked by it. Rows with a NULL predicate survive (the SQL
+    * DELETE contract). The identity pass reads only the predicate's
+    * columns plus parquet metadata; the DV itself is
+    * deleted-row-count-sized.
+    */
+  def deleteRowsMoR(name: String, schema: StructType,
+      predicate: org.apache.spark.sql.Column,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    require(exists(name), s"no such table: $name")
+    val (roots, _) = liveRootsAndBasis(name)
+    val dv = roots.map { r =>
+      spark.read.schema(schema).option("basePath", r).parquet(r)
+        .select(col("*"),
+          substring_index(col("_metadata.file_path"), "/", -1).as("file"),
+          col("_metadata.row_index").as("pos"))
+    }.reduce(_ unionByName _)
+      .filter(predicate)
+      .select(col("file"), col("pos"))
+    val dest = new Path(tablePath(name))
+    val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
+      // data-less delta: the vector is the whole payload, hidden under
+      // the underscore dir so plain scans of the version see no rows
+      dv.write.mode("overwrite")
+        .parquet(s"$p/${Lakehouse.Protocol.DvDir}")
+    }
+    ensureAboveFulls(dest, vdir)
+  }
+
   /** MERGE INTO (upsert): source rows REPLACE the target rows sharing
     * their `keyCols` tuple (WHEN MATCHED THEN UPDATE SET *) and rows with
     * no match are appended (WHEN NOT MATCHED THEN INSERT *) — the
@@ -1244,6 +1324,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
       .filter(t => t._1 > fromVersion && t._1 <= toVersion)
     val parts = range.map {
+      case (v, p, _) if fs.exists(new Path(p, Lakehouse.Protocol.DvDir)) =>
+        // a deletion-vector commit names rows by POSITION, not value —
+        // emitting delete records would need the pre-image fetched per
+        // (file, index). Refuse loudly: compact first, or use the
+        // copy-on-write delete when a change feed consumes the table.
+        throw new IllegalArgumentException(
+          s"$name version $v is a deletion-vector commit — the typed " +
+            "change feed cannot serve positional deletes")
       case (v, p, false) if fs.exists(new Path(p, EqDelDir)) =>
         // equality-delete tombstones: the standard delete-by-key CDC
         // record — key columns carry the values, the rest null
@@ -1715,6 +1803,7 @@ object Lakehouse {
     val StatsDir = "_GRAFT_STATS"
     val CdfDir = "_GRAFT_CDF"
     val EqDelDir = "_GRAFT_EQDEL"
+    val DvDir = "_GRAFT_DV" // deletion vectors: positional tombstones
     val BranchPrefix = "_GRAFT_BRANCH_" // staged (write-audit-publish) dirs
 
     /** (version, dir) for every `_v<N>` subdir, committed or not. */
