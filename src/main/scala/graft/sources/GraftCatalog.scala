@@ -724,6 +724,10 @@ private[graft] object GraftCatalog {
     * point-lookup file skipping on non-clustered columns.
     */
   val BloomColumnsProp = "graft.bloomColumns"
+  /** `mor` routes SQL DELETE through deletion vectors (merge-on-read);
+    * default is copy-on-write.
+    */
+  val DeleteModeProp = "graft.deleteMode"
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch")
@@ -959,6 +963,12 @@ private[sources] class GraftTable(path: String, tableName: String,
     props.get(GraftCatalog.SpjMaxKeysProp).map(_.toInt)
       .getOrElse(graft.storage.Clustering.DefaultMaxKeys)
 
+  /** Does `graft.deleteMode = mor` route deletes through deletion
+    * vectors?
+    */
+  private[sources] def morDeletes: Boolean =
+    props.get(GraftCatalog.DeleteModeProp).exists(_.equalsIgnoreCase("mor"))
+
   /** Columns carrying per-file bloom filters for point-lookup file
     * skipping (`graft.bloomColumns`, comma-separated).
     */
@@ -1004,7 +1014,19 @@ private[sources] class GraftTable(path: String, tableName: String,
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val (l, t) = lake
-    l.delete(t, tschema, pred, cdf = cdfEnabled, clusterCols = partCols)
+    // `graft.deleteMode = mor`: SQL DELETE lands as a deletion-vector
+    // delta (metadata-sized, no rewrite) instead of copy-on-write —
+    // the layout is untouched so partition clustering/zone maps hold
+    // trivially; the next compact materializes. Incompatible with a
+    // recorded change feed (positional deletes have no key-shaped
+    // record), refused loudly rather than silently breaking consumers.
+    if (morDeletes) {
+      require(!cdfEnabled, s"graft.$tableName: graft.deleteMode=mor " +
+        "cannot record a change feed — use copy-on-write deletes on " +
+        "CDF tables")
+      l.deleteRowsMoR(t, tschema, pred)
+    } else
+      l.delete(t, tschema, pred, cdf = cdfEnabled, clusterCols = partCols)
   }
 
   override def truncateTable(): Boolean = {

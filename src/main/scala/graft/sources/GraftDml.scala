@@ -74,7 +74,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         checkWritable(tbl, "DELETE")
         val detach = detacher(Map(rel.outputSet -> Nil))
         GraftDeleteCommand(tbl.tableDir, tbl.contractSchema,
-          detach(condition), tbl.cdfEnabled, tbl.partCols)
+          detach(condition), tbl.cdfEnabled, tbl.partCols,
+          mor = tbl.morDeletes)
 
       case m @ MergeIntoTable(target, source, mergeCond, matched,
           notMatched, notMatchedBySource, withSchemaEvolution)
@@ -237,11 +238,20 @@ case class GraftUpdateCommand(tableDir: String, contract: StructType,
   * bridge can't).
   */
 case class GraftDeleteCommand(tableDir: String, contract: StructType,
-    condition: Column, cdf: Boolean, partCols: Seq[String] = Nil)
+    condition: Column, cdf: Boolean, partCols: Seq[String] = Nil,
+    mor: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, t) = GraftDml.lakeOf(spark, tableDir)
-    lake.delete(t, contract, condition, cdf, clusterCols = partCols)
+    // graft.deleteMode=mor: a deletion-vector delta instead of the
+    // copy-on-write rewrite (same routing as deleteWhere; the CDF
+    // refusal mirrors it)
+    if (mor) {
+      require(!cdf, "graft.deleteMode=mor cannot record a change feed " +
+        "— use copy-on-write deletes on CDF tables")
+      lake.deleteRowsMoR(t, contract, condition)
+    } else
+      lake.delete(t, contract, condition, cdf, clusterCols = partCols)
     Nil
   }
 }

@@ -99,6 +99,45 @@ class DvSpec extends SparkSpec {
     assert(df.count() == 30L)
   }
 
+  test("SQL DELETE routes through DVs under graft.deleteMode=mor") {
+    val root = tmpDir("dv-sql")
+    spark.conf.set("spark.sql.catalog.graftdv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftdv.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftdv.d")
+    spark.sql("""CREATE TABLE graftdv.d.t (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('graft.deleteMode' = 'mor')""")
+    spark.sql("INSERT INTO graftdv.d.t SELECT id, id * 10 FROM range(0, 100)")
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles: Int = {
+      var n = 0
+      def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && !nm.startsWith("_GRAFT_DV")) walk(st.getPath)
+        else if (nm.endsWith(".parquet") &&
+          !st.getPath.getParent.getName.startsWith("_GRAFT")) n += 1
+      }
+      walk(new Path(root, "d/t"))
+      n
+    }
+    val before = dataFiles
+    spark.sql("DELETE FROM graftdv.d.t WHERE k % 3 = 0")
+    assert(dataFiles == before, "MoR SQL DELETE must not rewrite files")
+    assert(spark.sql("SELECT sum(v) FROM graftdv.d.t").head().getLong(0)
+      == (0L until 100L).filterNot(_ % 3 == 0).map(_ * 10).sum)
+    // compact materializes; the table then answers from metadata again
+    spark.sql("CALL graftdv.system.compact('d', 't', 2, '')")
+    assert(spark.sql("SELECT count(*) FROM graftdv.d.t").head().getLong(0)
+      == (0L until 100L).count(_ % 3 != 0))
+    // CDF tables refuse the mode loudly
+    spark.sql("""CREATE TABLE graftdv.d.c (k BIGINT)
+      TBLPROPERTIES ('graft.deleteMode' = 'mor', 'graft.cdf' = 'true')""")
+    spark.sql("INSERT INTO graftdv.d.c SELECT id FROM range(0, 5)")
+    intercept[Exception] {
+      spark.sql("DELETE FROM graftdv.d.c WHERE k = 1")
+    }
+  }
+
   test("streams and change feeds refuse DV commits loudly") {
     val lake = mkLake("feed")
     lake.append("t", rows(0, 20))
