@@ -154,5 +154,13 @@ object Bench {
     catch { case _: Throwable => () }
     println(fullLine)
     println(compactLine)
+    // FINAL totals-only line (<200 chars regardless of query count): the
+    // driver tail-captures ~2000 chars of stdout and json-parses the LAST
+    // line — the compact per-query map outgrew that window at ~175
+    // queries, so the line that must always parse carries no per-query
+    // data at all. Full detail stays in the two lines above and the
+    // BENCH_*.json artifacts.
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${names.size},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}""")
   }
 }

@@ -201,24 +201,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         localTable(ident, StructType(
           pcols.map(c => StructField(c, tschema(c).dataType)) ++ Seq(
             StructField("files", LongType),
-            StructField("row_count", LongType))),
+            StructField("row_count", LongType),
+            StructField("is_exact", BooleanType))),
           () => {
             val meta = LakehouseBatch.resolve(dir.toString)
-            meta.dataFiles.groupBy { f =>
-              pcols.map { c =>
-                f.stats.flatMap { st =>
-                  val i = st.schema.fieldNames.indexOf(s"min_$c")
-                  val j = st.schema.fieldNames.indexOf(s"max_$c")
-                  if (i < 0 || j < 0 || st.isNullAt(i) || st.isNullAt(j))
-                    None
-                  else if (st.get(i) == st.get(j)) Some(st.get(i))
-                  else None // multi-key file: reported as the null bucket
+            // a file proves its key when min==max (one non-null value)
+            // or when every row is null in that column (nulls_<c> ==
+            // rowCount — an all-null key is exact too). Anything else —
+            // multi-key files from degraded clustering, legacy
+            // manifests with no stats — goes to a FLAGGED
+            // is_exact=false bucket, NOT the genuine-NULL-key group:
+            // folding them together would misattribute counts exactly
+            // when the clustering invariant has broken.
+            def exactKey(f: LakehouseBatch.FileMeta,
+                c: String): Option[Option[Any]] =
+              f.stats.flatMap { st =>
+                def idx(n: String) = st.schema.fieldNames.indexOf(n)
+                val (i, j, n) = (idx(s"min_$c"), idx(s"max_$c"),
+                  idx(s"nulls_$c"))
+                if (i < 0 || j < 0) None
+                else if (st.isNullAt(i) || st.isNullAt(j)) {
+                  if (n >= 0 && !st.isNullAt(n) &&
+                    st.getLong(n) == f.rowCount && f.rowCount > 0L)
+                    Some(None) // provably the all-NULL key
+                  else None // stats-uncovered: flagged bucket
                 }
+                else if (st.get(i) == st.get(j)) Some(Some(st.get(i)))
+                else None // multi-key file: flagged bucket
               }
-            }.map { case (key, fs0) =>
+            meta.dataFiles.groupBy { f =>
+              val ks = pcols.map(c => exactKey(f, c))
+              if (ks.forall(_.isDefined)) (ks.map(_.get), true)
+              else (pcols.map(_ => None: Option[Any]), false)
+            }.map { case ((key, exact), fs0) =>
               InternalRow.fromSeq(
                 key.zip(convs).map { case (v, cv) => cv(v.orNull) } ++
-                  Seq(fs0.size.toLong, fs0.map(_.rowCount).sum))
+                  Seq(fs0.size.toLong, fs0.map(_.rowCount).sum, exact))
             }.toArray
           })
       case _ => throw new NoSuchTableException(ident)
@@ -274,7 +292,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def loadTableAsOf(ident: Identifier, asOf: Option[Long],
       branch: Option[String] = None): Table = {
     healSwap(ident) // finish any crashed RTAS swap before resolving
-    val dir = tablePath(ident)
+    var dir = tablePath(ident)
+    if (!fs.exists(new Path(dir, GraftCatalog.SchemaFile))) {
+      // final dir absent but a swap journal present: an RTAS commit is
+      // mid-swap (or crashed within the heal grace) — serve the
+      // generation the journal points at, read-only (see healSwap)
+      dir = GraftCatalog.resolveThroughJournal(fs,
+        nsPath(ident.namespace), ident.name).getOrElse(dir)
+    }
     val schemaFile = new Path(dir, GraftCatalog.SchemaFile)
     if (!fs.exists(schemaFile)) throw new NoSuchTableException(ident)
     val schema = GraftCatalog.readSchema(fs, schemaFile)
@@ -387,25 +412,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * generation is still present (rename it in if the table dir is
     * missing), else roll BACK the backup. Idempotent; called from
     * loadTable and stage.
+    *
+    * GRACE HORIZON (load-bearing for concurrency, not just crashes):
+    * the journal is written BEFORE the swap's first rename, so for a few
+    * milliseconds a LIVE commit looks exactly like a crashed one —
+    * journal present, final dir present, staged dir present. A reader
+    * healing in that window would delete the live staged dir out from
+    * under the committer and, with the journal gone, nothing could roll
+    * the half-done swap back — permanent table loss. Heal therefore
+    * fires only on journals idle past `spark.graft.swapGraceMs`
+    * (default 10 min — any real swap is two renames, done in
+    * milliseconds); younger journals are resolved READ-ONLY by
+    * [[loadTableAsOf]] instead. The committer itself force-heals
+    * (grace 0) before starting a new swap — it IS the single
+    * maintainer, so any journal it sees is its own crash debris.
     */
-  private def healSwap(ident: Identifier): Unit = {
-    val nsDir = nsPath(ident.namespace)
-    val journal = new Path(nsDir, s"_GRAFT_SWAP_${ident.name}")
-    if (!fs.exists(journal)) return
-    val stagedName = GraftCatalog.readProps(fs, journal)("staged")
-    val backupName = GraftCatalog.readProps(fs, journal)("backup")
-    val finalDir = new Path(nsDir, ident.name)
-    val staged = new Path(nsDir, stagedName)
-    val backup = new Path(nsDir, backupName)
-    if (!fs.exists(finalDir)) {
-      if (fs.exists(staged)) fs.rename(staged, finalDir) // roll forward
-      else if (fs.exists(backup)) fs.rename(backup, finalDir) // roll back
-    }
-    // final exists (possibly just restored): everything else is debris
-    if (fs.exists(staged)) fs.delete(staged, true)
-    if (fs.exists(backup)) fs.delete(backup, true)
-    fs.delete(journal, false)
-  }
+  private def healSwap(ident: Identifier): Unit =
+    GraftCatalog.healSwapAt(fs, nsPath(ident.namespace), ident.name,
+      spark.conf.getOption("spark.graft.swapGraceMs").map(_.toLong)
+        .getOrElse(GraftCatalog.DefaultSwapGraceMs))
 
   /** ALTER TABLE: the subset whose semantics survive the lakehouse's
     * name-addressed data files.
@@ -663,7 +688,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               case "zorder" =>
                 lake.compactZOrder(t, args.getInt(2),
                   args.getUTF8String(3).toString.split(",").toSeq)
-              case "vacuum" => lake.vacuum(t)
+              case "vacuum" =>
+                // NOT the zero-grace lake above: with gcGraceMs=0 the
+                // horizon is `now`, making every idle staging dir —
+                // including an ACTIVE CTAS still computing its
+                // AS-SELECT — immediately reclaimable. SQL vacuum gets
+                // a real grace by default; operators who want
+                // immediate reclaim set spark.graft.vacuumGraceMs=0.
+                val grace = spark.conf
+                  .getOption("spark.graft.vacuumGraceMs").map(_.toLong)
+                  .getOrElse(GraftCatalog.DefaultVacuumGraceMs)
+                new Lakehouse(spark, nsPath(Array(check(ns))).toString,
+                  gcGraceMs = grace).vacuum(t)
               case "analyze" => GraftCatalog.analyzeTable(spark,
                 new Path(nsPath(Array(ns)), t), tableSchema(ns, t))
               // write-audit-publish as SQL: stage a query's result on a
@@ -731,6 +767,59 @@ private[graft] object GraftCatalog {
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch")
+
+  /** Heal grace for RTAS swap journals (`spark.graft.swapGraceMs`) and
+    * default reclaim grace for `CALL graft.system.vacuum`
+    * (`spark.graft.vacuumGraceMs`). Both exist to keep a concurrent
+    * reader/maintainer from mistaking LIVE state (an in-flight swap, an
+    * active CTAS still computing its AS-SELECT) for crash debris.
+    */
+  val DefaultSwapGraceMs: Long = 10L * 60 * 1000
+  val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
+  /** The mutating half of swap recovery — see the instance method's
+    * scaladoc for the grace-horizon contract. `graceMs = 0` forces the
+    * heal (committer-only).
+    */
+  def healSwapAt(fs: FileSystem, nsDir: Path, name: String,
+      graceMs: Long): Unit = {
+    val journal = new Path(nsDir, s"_GRAFT_SWAP_$name")
+    val st = try fs.getFileStatus(journal)
+      catch { case _: java.io.FileNotFoundException => return }
+    if (graceMs > 0 &&
+      System.currentTimeMillis() - st.getModificationTime < graceMs)
+      return // young journal: a live swap may own this state
+    val props = Lakehouse.readPropsQuiet(fs, journal)
+    if (props.isEmpty) return // healed concurrently
+    val finalDir = new Path(nsDir, name)
+    val staged = new Path(nsDir, props("staged"))
+    val backup = new Path(nsDir, props("backup"))
+    if (!fs.exists(finalDir)) {
+      if (fs.exists(staged)) fs.rename(staged, finalDir) // roll forward
+      else if (fs.exists(backup)) fs.rename(backup, finalDir) // roll back
+    }
+    // final exists (possibly just restored): everything else is debris
+    if (fs.exists(staged)) fs.delete(staged, true)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    fs.delete(journal, false)
+  }
+
+  /** Read-only swap-journal resolution for loads inside the grace
+    * window: where the table's CURRENT generation lives right now.
+    * Between the swap's two renames the final dir is briefly absent;
+    * the journal names where the data is (staged if the publish rename
+    * hasn't happened, backup if it failed). Never mutates.
+    */
+  def resolveThroughJournal(fs: FileSystem, nsDir: Path,
+      name: String): Option[Path] = {
+    val journal = new Path(nsDir, s"_GRAFT_SWAP_$name")
+    if (!fs.exists(journal)) return None
+    val props = Lakehouse.readPropsQuiet(fs, journal)
+    Seq(props.get("staged"), props.get("backup")).flatten
+      .map(new Path(nsDir, _)).find(p =>
+        try fs.exists(new Path(p, SchemaFile))
+        catch { case _: java.io.IOException => false })
+  }
 
   val ColStatsFile = "_GRAFT_COLSTATS"
 
@@ -1156,6 +1245,11 @@ private[sources] class GraftStagedTable(fs: FileSystem, nsDir: Path,
       // first) names both sides; a crash at ANY point heals on the
       // next load — forward if the staged generation survived the
       // first rename, backward to the backup otherwise (healSwap).
+      // Any journal still present HERE is this table's own crash
+      // debris (maintenance is serialized by contract): force-heal it
+      // before overwriting it with this swap's journal, or the old
+      // journal's staged/backup dirs would leak unreferenced.
+      GraftCatalog.healSwapAt(fs, nsDir, ident.name, graceMs = 0L)
       val tag = stagedDir.getName.split('_').last
       val backup = new Path(nsDir, s"_old_${ident.name}_$tag")
       val journal = new Path(nsDir, s"_GRAFT_SWAP_${ident.name}")

@@ -75,8 +75,22 @@ object Clustering {
       // null-safe: NULL partition keys match their distinct row and get
       // a dedicated slice instead of colliding into hash(seed)
       val cond = cols.map(c => df(c) <=> idx(c)).reduce(_ && _)
-      df.join(broadcast(idx), cond, "inner")
-        .select(df.columns.map(df(_)) :+ idx(GxCol): _*)
+      // LEFT OUTER, not inner: df executes twice here (once for the
+      // distinct above, once under this join), so a non-deterministic
+      // key expression — or a source mutated between the two jobs — can
+      // produce keys absent from the probe index. An inner join would
+      // silently DROP those rows; instead they fall back to a
+      // hash-routed slice (worst case one mixed-key file, whose
+      // min≠max zone map makes the scan decline the SPJ key report —
+      // exactly repartitionByRange's behavior, never data loss).
+      import org.apache.spark.sql.functions.{array, coalesce, element_at,
+        hash, lit, pmod}
+      val fallback = element_at(
+        array(probes.map(lit).toIndexedSeq: _*),
+        (pmod(hash(cols.map(df(_)): _*), lit(k)) + lit(1)).cast("int"))
+      df.join(broadcast(idx), cond, "left_outer")
+        .select(df.columns.map(df(_)) :+
+          coalesce(idx(GxCol), fallback).as(GxCol): _*)
         .repartition(k, col(GxCol))
         .drop(GxCol)
     }

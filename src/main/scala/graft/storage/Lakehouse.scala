@@ -1417,10 +1417,27 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // (roll forward/back on next load) — vacuum keeps its hands off.
     val nsDir = dest.getParent
     if (!fs.exists(new Path(nsDir, s"_GRAFT_SWAP_$name"))) {
+      // table names can be prefixes of each other (`fact`, `fact_extra`),
+      // so a bare startsWith would let vacuum("fact") reclaim
+      // `_stage_fact_extra_<tag>` — a SIBLING table's live staging.
+      // The remainder after the prefix must be exactly the 8-hex-char
+      // UUID tag commitStagedChanges stamps (no further underscore).
+      def tagOf(n: String): Option[String] =
+        Seq(s"_stage_${name}_", s"_old_${name}_")
+          .collectFirst { case p if n.startsWith(p) => n.drop(p.length) }
+          .filter(t => t.length == 8 && t.forall(c =>
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      // a dir referenced by ANY swap journal in the namespace belongs to
+      // healSwap, whatever table the journal names — never vacuum it
+      val journaled: Set[String] = fs.listStatus(nsDir).toSeq
+        .filter(_.getPath.getName.startsWith("_GRAFT_SWAP_"))
+        .flatMap { j =>
+          val props = Lakehouse.readPropsQuiet(fs, j.getPath)
+          props.get("staged").toSeq ++ props.get("backup").toSeq
+        }.toSet
       fs.listStatus(nsDir).foreach { st =>
         val n = st.getPath.getName
-        if ((n.startsWith(s"_stage_${name}_") ||
-          n.startsWith(s"_old_${name}_")) && st.isDirectory &&
+        if (tagOf(n).nonEmpty && !journaled(n) && st.isDirectory &&
           newest(st.getPath) <= horizon0)
           fs.delete(st.getPath, true)
       }
@@ -1779,6 +1796,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 }
 
 object Lakehouse {
+
+  /** Best-effort java.util.Properties read (swap journals) — a journal
+    * deleted or healed mid-read is absence, not an error.
+    */
+  private[graft] def readPropsQuiet(fs: FileSystem,
+      src: Path): Map[String, String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val in = fs.open(src)
+      val jp = new java.util.Properties()
+      try jp.load(in) finally in.close()
+      jp.stringPropertyNames().asScala
+        .map(k => k -> jp.getProperty(k)).toMap
+    } catch { case _: java.io.IOException => Map.empty }
 
   /** Per-file bloom sizing (`graft.bloomColumns` manifests): 50k items
     * at 400k bits ≈ 3% fpp, 50 KB per (file, column) — a false positive

@@ -15,6 +15,10 @@ class CtasSpec extends SparkSpec {
   private def init(): Unit = {
     spark.conf.set("spark.sql.catalog.graftctas", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graftctas.root", root)
+    // crash-simulation tests need the heal/reclaim to fire immediately;
+    // the grace-window tests below restore the defaults themselves
+    spark.conf.set("spark.graft.swapGraceMs", "0")
+    spark.conf.set("spark.graft.vacuumGraceMs", "0")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftctas.ct")
   }
 
@@ -112,10 +116,77 @@ class CtasSpec extends SparkSpec {
     // a CTAS that died before commit: staged dir, no journal
     spark.sql("""CREATE TABLE graftctas.ct.t7crash AS
       SELECT id AS k FROM range(0, 3)""")
-    assert(fs.rename(new Path(ns, "t7crash"), new Path(ns, "_stage_t7_zz")))
+    assert(fs.rename(new Path(ns, "t7crash"),
+      new Path(ns, "_stage_t7_ab12cd34")))
     spark.sql("CALL graftctas.system.vacuum('ct', 't7')")
-    assert(!nsLs.exists(_.startsWith("_stage_t7_")), nsLs)
+    assert(!nsLs.exists(_.startsWith("_stage_t7_ab12cd34")), nsLs)
     assert(spark.table("graftctas.ct.t7").count() == 10L) // untouched
+  }
+
+  test("vacuum never matches a sibling table sharing the name prefix") {
+    init()
+    spark.sql("""CREATE TABLE graftctas.ct.t9 AS
+      SELECT id AS k FROM range(0, 10)""")
+    val ns = new Path(root, "ct")
+    // `_stage_t9_extra_<tag>` belongs to table `t9_extra`, not `t9`:
+    // the remainder after `_stage_t9_` contains an underscore, so the
+    // exact-8-hex-tag rule must exclude it from vacuum('t9')
+    spark.sql("""CREATE TABLE graftctas.ct.t9tmp AS
+      SELECT id AS k FROM range(0, 3)""")
+    assert(fs.rename(new Path(ns, "t9tmp"),
+      new Path(ns, "_stage_t9_extra_ab12cd34")))
+    // and a dir REFERENCED by any swap journal is healSwap's, not
+    // vacuum's — even when its tag parses
+    spark.sql("""CREATE TABLE graftctas.ct.t9tmp2 AS
+      SELECT id AS k FROM range(0, 3)""")
+    assert(fs.rename(new Path(ns, "t9tmp2"),
+      new Path(ns, "_stage_t9_deadbeef")))
+    GraftCatalog.writeProps(fs, new Path(ns, "_GRAFT_SWAP_t9other"),
+      Map("staged" -> "_stage_t9_deadbeef", "backup" -> "_old_t9_ffffffff"))
+    spark.sql("CALL graftctas.system.vacuum('ct', 't9')")
+    assert(nsLs.contains("_stage_t9_extra_ab12cd34"), nsLs)
+    assert(nsLs.contains("_stage_t9_deadbeef"), nsLs)
+    fs.delete(new Path(ns, "_GRAFT_SWAP_t9other"), false)
+    fs.delete(new Path(ns, "_stage_t9_extra_ab12cd34"), true)
+    fs.delete(new Path(ns, "_stage_t9_deadbeef"), true)
+  }
+
+  test("a fresh journal (live swap) is never healed by a concurrent load") {
+    init()
+    spark.conf.set("spark.graft.swapGraceMs",
+      GraftCatalog.DefaultSwapGraceMs.toString)
+    try {
+      spark.sql("""CREATE TABLE graftctas.ct.t10 AS
+        SELECT id AS k FROM range(0, 20)""")
+      val ns = new Path(root, "ct")
+      // the exact pre-first-rename window of a live RTAS commit:
+      // journal written, final dir still present, staged dir live
+      spark.sql("""CREATE TABLE graftctas.ct.t10stage AS
+        SELECT id AS k FROM range(0, 99)""")
+      assert(fs.rename(new Path(ns, "t10stage"),
+        new Path(ns, "_stage_t10_12345678")))
+      GraftCatalog.writeProps(fs, new Path(ns, "_GRAFT_SWAP_t10"),
+        Map("staged" -> "_stage_t10_12345678",
+          "backup" -> "_old_t10_12345678"))
+      // a concurrent SELECT in this window must serve the OLD
+      // generation and keep its hands off the committer's state
+      assert(spark.table("graftctas.ct.t10").count() == 20L)
+      assert(nsLs.contains("_stage_t10_12345678"), nsLs)
+      assert(nsLs.contains("_GRAFT_SWAP_t10"), nsLs)
+      // mid-swap read (final dir renamed away, staged not yet in):
+      // resolves through the journal, still no mutation
+      assert(fs.rename(new Path(ns, "t10"),
+        new Path(ns, "_old_t10_12345678")))
+      assert(spark.table("graftctas.ct.t10").count() == 99L)
+      assert(nsLs.contains("_stage_t10_12345678"), nsLs)
+      assert(nsLs.contains("_GRAFT_SWAP_t10"), nsLs)
+      // the "committer" finishes; journal gone, everything consistent
+      assert(fs.rename(new Path(ns, "_stage_t10_12345678"),
+        new Path(ns, "t10")))
+      fs.delete(new Path(ns, "_old_t10_12345678"), true)
+      fs.delete(new Path(ns, "_GRAFT_SWAP_t10"), false)
+      assert(spark.table("graftctas.ct.t10").count() == 99L)
+    } finally spark.conf.set("spark.graft.swapGraceMs", "0")
   }
 
   test("staged tables never appear in SHOW TABLES") {

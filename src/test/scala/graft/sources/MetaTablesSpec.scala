@@ -37,12 +37,39 @@ class MetaTablesSpec extends SparkSpec {
       "SELECT * FROM graftmeta.m.`t$partitions` ORDER BY k").collect()
     assert(parts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq == Seq((0L, 2L, 134L), (1L, 2L, 133L), (2L, 2L, 133L)))
+    assert(parts.forall(_.getBoolean(3)), "intact clustering is is_exact")
 
     // compaction folds the log: one full commit, 3 keyed files
     spark.sql("CALL graftmeta.system.compact('m', 't', 4, 'k')")
     val hist2 = spark.sql("SELECT * FROM graftmeta.m.`t$history`").collect()
     assert(hist2.exists(_.getBoolean(1)))
     assert(spark.sql("SELECT * FROM graftmeta.m.`t$files`").count() == 3L)
+  }
+
+  test("$partitions flags degraded files instead of faking a NULL key") {
+    init()
+    spark.sql("""CREATE TABLE graftmeta.m.tdeg (k BIGINT, v BIGINT)
+      PARTITIONED BY (k)""")
+    spark.sql(
+      "INSERT INTO graftmeta.m.tdeg SELECT id % 2, id FROM range(0, 100)")
+    // wreck the invariant the way a crash would: drop the stats
+    // manifest of the committed version, leaving its files uncovered
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tdir = new org.apache.hadoop.fs.Path(root, "m/tdeg")
+    fs.listStatus(tdir).filter(_.getPath.getName.startsWith("_v"))
+      .foreach { v =>
+        val m = new org.apache.hadoop.fs.Path(v.getPath, "_GRAFT_STATS")
+        if (fs.exists(m)) fs.delete(m, true)
+      }
+    val parts = spark.sql(
+      "SELECT * FROM graftmeta.m.`tdeg$partitions`").collect()
+    // everything lands in ONE flagged bucket: key NULL, is_exact=false
+    // — distinguishable from a genuine NULL partition key, which would
+    // report is_exact=true via its nulls_<c>==rowCount proof
+    assert(parts.length == 1)
+    assert(parts.head.isNullAt(0) && !parts.head.getBoolean(3), parts.toSeq)
+    assert(parts.head.getLong(2) == 100L)
   }
 
   test("$partitions refuses an unpartitioned table; unknown kinds fail") {

@@ -169,4 +169,18 @@ class SpjSpec extends SparkSpec {
       assert(df.count() == 400L)
     }
   }
+
+  test("byPartitionKeys never drops rows of a non-deterministic key") {
+    // Clustering executes its input twice (distinct key pass, then the
+    // probe join) — with rand() in the key expression the second pass
+    // produces keys the first never saw. Those rows must fall back to a
+    // hash-routed slice, not vanish through an inner join.
+    import org.apache.spark.sql.functions.{col, floor, rand}
+    val df = spark.range(0, 10000)
+      .withColumn("k", floor(rand() * 50))
+      .withColumn("v", col("id"))
+    val out = graft.storage.Clustering.byPartitionKeys(
+      spark, df.drop("id"), Seq("k"))
+    assert(out.count() == 10000L)
+  }
 }
