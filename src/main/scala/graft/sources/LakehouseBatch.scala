@@ -343,7 +343,8 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
       case Some((_, vals)) => Array(PrecomputedAggPartition(vals))
       case None => plannedFiles
         .map(f => LakehouseFilePartition(f.path, f.version, None,
-          keyedFiles.flatMap(_.get(f.path)).map(_._2), f.dv)
+          keyedFiles.flatMap(_.get(f.path)).map(_._2),
+          f.dv.map(_.sidecars).getOrElse(Nil))
           : InputPartition).toArray
     }
 
@@ -418,7 +419,7 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
       OptionalLong.of(math.max(1L, plannedFiles.map(_.sizeBytes).sum))
     override def numRows(): OptionalLong =
       OptionalLong.of(plannedFiles.map(f =>
-        f.rowCount - f.dv.map(_.length.toLong).getOrElse(0L)).sum)
+        f.rowCount - f.dv.map(_.deleted).getOrElse(0L)).sum)
     override def columnStats(): java.util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
       colStats
@@ -470,7 +471,7 @@ private[sources] class LakehouseColumnarReaderFactory(required: StructType,
     // silently drops rows and row groups) is disabled for it; Spark
     // re-applies every pushed filter post-scan, so results are exact
     new LakehouseGroupReader(p, required,
-      if (p.dv.isEmpty) filters else Array.empty)
+      if (p.dvSidecars.isEmpty) filters else Array.empty)
   }
 
   override def createColumnarReader(partition: InputPartition)
@@ -592,7 +593,13 @@ private[graft] object LakehouseBatch {
     */
   final case class FileMeta(path: String, version: Long, sizeBytes: Long,
       rowCount: Long, stats: Option[org.apache.spark.sql.Row],
-      dv: Option[Array[Long]] = None)
+      dv: Option[DvRef] = None)
+
+  /** Deletion-vector reference of one data file: the applicable sidecar
+    * PATHS (opened executor-side by the partition reader) and the exact
+    * deleted-row count (from the sidecar headers — statistics only).
+    */
+  final case class DvRef(sidecars: Seq[String], deleted: Long)
 
   final case class TableMeta(path: String, dataFiles: Seq[FileMeta],
       statsCols: Set[String], fullyCovered: Boolean,
@@ -658,21 +665,17 @@ private[graft] object LakehouseBatch {
     // deletion vectors ARE served natively (deleteRowsMoR): positional
     // tombstones apply per FILE at read time, no join stage needed. A
     // DV committed at version w masks (file, pos) rows of files in
-    // LOWER versions — the eqdel sequence rule.
-    val dvByVersion: Seq[(Long, Map[String, Array[Long]])] =
+    // LOWER versions — the eqdel sequence rule. The driver resolves
+    // only the sidecar INDEX (one names-only listing per DV commit) —
+    // positions stay in the per-file sidecars until a partition READER
+    // opens the ones for its own file, so plan-time memory carries no
+    // O(#deleted rows) term (the former `.collect()` here was exactly
+    // that ceiling).
+    val dvByVersion: Seq[(Long, Map[String, String])] =
       roots.flatMap { case (v, p) =>
-        val dvDir = new Path(p, Protocol.DvDir)
-        if (!fs.exists(dvDir)) None
-        else {
-          val parts = fs.listStatus(dvDir).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).map(_.toString)
-          if (parts.isEmpty) None
-          else Some((v, spark.read.parquet(parts.toIndexedSeq: _*)
-            .collect()
-            .groupBy(_.getAs[String]("file"))
-            .map { case (f, rs) =>
-              f -> rs.map(_.getAs[Long]("pos")).distinct.sorted }))
-        }
+        val idx = graft.storage.DvSidecar.index(fs,
+          new Path(p, Protocol.DvDir))
+        if (idx.isEmpty) None else Some((v, idx))
       }
     var statsCols = Set.empty[String]
     var bloomCols = Set.empty[String]
@@ -711,12 +714,18 @@ private[graft] object LakehouseBatch {
             .orElse(statRows.get(st.getPath.toString))
             .orElse(statRows.get(st.getPath.toUri.toString))
           if (stat.isEmpty) covered = false
-          // every DV from a HIGHER version contributes its positions
-          val dvPos = dvByVersion.filter(_._1 > v)
+          // every DV from a HIGHER version contributes its sidecar;
+          // the 16-byte header reads give the exact deleted count for
+          // scan statistics (a later DV never re-deletes an
+          // already-masked position — deleteRowsMoR's identity pass
+          // reads through the mask — so the sum is exact)
+          val sidecars = dvByVersion.filter(_._1 > v)
             .flatMap(_._2.get(st.getPath.getName))
           val dv =
-            if (dvPos.isEmpty) None
-            else Some(dvPos.flatten.distinct.sorted.toArray)
+            if (sidecars.isEmpty) None
+            else Some(DvRef(sidecars,
+              sidecars.map(s => graft.storage.DvSidecar
+                .readHeader(fs, new Path(s))._2).sum))
           files += FileMeta(st.getPath.toString, v, st.getLen, rows, stat,
             dv)
         }

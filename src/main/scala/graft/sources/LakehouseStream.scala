@@ -339,7 +339,7 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
 private[sources] case class LakehouseFilePartition(file: String,
     commitVersion: Long, fillChangeType: Option[String],
     partKey: Option[InternalRow] = None,
-    dv: Option[Array[Long]] = None)
+    dvSidecars: Seq[String] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey.orNull
@@ -411,19 +411,18 @@ private[sources] class LakehouseGroupReader(
 
   // deletion-vector mask: physical row position within the file (the
   // factory disabled the FilterPredicate for DV files, so the counter
-  // tracks `_metadata.row_index` exactly); sorted positions probe as a
-  // hash set
-  private val dvSet: java.util.HashSet[Long] = {
-    val s = new java.util.HashSet[Long]()
-    partition.dv.foreach(_.foreach(p => s.add(p)))
-    s
-  }
+  // tracks `_metadata.row_index` exactly). The sidecars are opened
+  // HERE, executor-side — the task pays O(this file's deleted runs),
+  // the driver shipped only the paths
+  private val dvRuns: graft.storage.DvSidecar.Runs =
+    if (partition.dvSidecars.isEmpty) graft.storage.DvSidecar.EmptyRuns
+    else graft.storage.DvSidecar.loadFor(conf, partition.dvSidecars)
   private var rowPos: Long = -1L
 
   override def next(): Boolean = {
     current = reader.read()
     rowPos += 1
-    while (current != null && !dvSet.isEmpty && dvSet.contains(rowPos)) {
+    while (current != null && !dvRuns.isEmpty && dvRuns.contains(rowPos)) {
       current = reader.read()
       rowPos += 1
     }

@@ -427,12 +427,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   }
 
   /** Deletion vector recorded in a root, if any: (file STRING — the
-    * data file's NAME, pos BIGINT — its 0-based row index).
+    * data file's NAME, pos BIGINT — its 0-based row index). The parquet
+    * is the audit/change-feed record; READERS use the per-file binary
+    * sidecars next to it ([[DvSidecar]]) so positions never transit the
+    * driver.
     */
   private def dvKeys(root: String): Option[DataFrame] = {
     val p = new Path(root, Lakehouse.Protocol.DvDir)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
+
+  /** Sidecar index of a root's DV commit: data-file name → sidecar
+    * path. One names-only listing; empty when the root has no DVs.
+    */
+  private def dvIndex(root: String): Map[String, String] =
+    DvSidecar.index(fs, new Path(root, Lakehouse.Protocol.DvDir))
 
   /** Union the live roots with merge-on-read equality-delete semantics:
     * a tombstone key set committed at version v masks matching rows of
@@ -449,9 +458,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // deletion vectors ([[deleteRowsMoR]]): positional tombstones follow
     // the SAME sequence rule — a DV committed at version v masks its
     // (file, pos) rows in every root with a LOWER version; data written
-    // after the DV can never be masked by it
-    val dvs: Seq[(Long, DataFrame)] =
-      roots.flatMap(r => dvKeys(r).map(k => (rootVersion(r), k)))
+    // after the DV can never be masked by it. The driver carries only
+    // each DV commit's sidecar INDEX (file name → sidecar path, one
+    // names-only listing per DV root); the positions themselves are
+    // opened executor-side by the DvSurvives filter — never collected,
+    // never broadcast, no O(#deleted rows) term anywhere on the driver.
+    val dvs: Seq[(Long, Map[String, String])] =
+      roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
     roots.map { r =>
       val base = spark.read.schema(schema).option("basePath", r).parquet(r)
       val rv = rootVersion(r)
@@ -462,18 +475,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val applicable = dvs.filter(_._1 > rv).map(_._2)
       if (applicable.isEmpty) eqMasked
       else {
-        // identify rows by (file name, row index) via the parquet
-        // metadata columns, anti-join the DV, drop the identity again —
-        // the mask rides each scan branch, nothing shuffles the data
-        val dv = applicable.reduce(_ unionByName _)
-          .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
-        eqMasked
-          .select(col("*"),
-            substring_index(col("_metadata.file_path"), "/", -1)
-              .as("__dv_f"),
-            col("_metadata.row_index").as("__dv_p"))
-          .join(broadcast(dv), Seq("__dv_f", "__dv_p"), "left_anti")
-          .drop("__dv_f", "__dv_p")
+        // rows identify as (file name, row index) via the parquet
+        // metadata columns; the filter rides each scan branch — no
+        // join, no shuffle, no broadcast
+        val idx: Map[String, Seq[String]] = applicable
+          .flatMap(_.toSeq).groupMap(_._1)(_._2)
+        eqMasked.filter(graft.functions.DvSurvives(
+          substring_index(col("_metadata.file_path"), "/", -1),
+          col("_metadata.row_index"), idx))
       }
     }.reduce(_ unionByName _)
   }
@@ -1167,9 +1176,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val dest = new Path(tablePath(name))
     val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
       // data-less delta: the vector is the whole payload, hidden under
-      // the underscore dir so plain scans of the version see no rows
-      dv.write.mode("overwrite")
-        .parquet(s"$p/${Lakehouse.Protocol.DvDir}")
+      // the underscore dir so plain scans of the version see no rows.
+      // The parquet is the audit/feed record; the per-file binary
+      // sidecars next to it are what READERS consume (executor-side —
+      // see DvSidecar). Both land before the commit marker, so a crash
+      // here leaves an invisible uncommitted dir, never a half-DV.
+      val dvDir = s"$p/${Lakehouse.Protocol.DvDir}"
+      dv.write.mode("overwrite").parquet(dvDir)
+      DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
     }
     ensureAboveFulls(dest, vdir)
   }

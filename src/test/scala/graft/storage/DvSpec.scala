@@ -138,6 +138,77 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("DV sidecar runs: encode/decode/merge/probe round-trip") {
+    import spark.implicits._
+    val dir = tmpDir("dv-runs")
+    // two commits' worth of positions for one file: scattered + a run
+    val dv1 = Seq.tabulate(50)(i => ("f1.parquet", i * 3L))
+      .toDF("file", "pos")
+    DvSidecar.writeSidecars(dv1, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val idx = DvSidecar.index(fs, new Path(dir))
+    assert(idx.keySet == Set("f1.parquet"))
+    val runs = DvSidecar.readRuns(conf, idx("f1.parquet"))
+    (0L until 160L).foreach { p =>
+      assert(runs.contains(p) == (p % 3 == 0 && p <= 147),
+        s"pos $p")
+    }
+    assert(runs.cardinality == 50L)
+    // contiguous range compresses to ONE run
+    val dir2 = tmpDir("dv-runs2")
+    DvSidecar.writeSidecars(
+      (100L until 200L).map(("f1.parquet", _)).toDF("file", "pos"), dir2)
+    val runs2 = DvSidecar.readRuns(conf,
+      DvSidecar.index(fs, new Path(dir2))("f1.parquet"))
+    assert(runs2.starts.length == 1 && runs2.cardinality == 100L)
+    // merge of overlapping sets: multiples of 3 in [100,147] overlap
+    // (102, 105, …, 147 — 16 positions)
+    val m = DvSidecar.merge(Seq(runs, runs2))
+    assert(m.cardinality == 50L + 100L - 16L)
+    assert(m.contains(99L) && m.contains(150L) && m.contains(199L))
+    assert(!m.contains(98L) && !m.contains(200L))
+    // header read matches
+    assert(DvSidecar.readHeader(fs,
+      new Path(idx("f1.parquet")))._2 == 50L)
+  }
+
+  test("DV masking is a filter, not a join — and the plan collects nothing") {
+    val lake = mkLake("plan")
+    lake.append("t", rows(0, 1000))
+    lake.deleteRowsMoR("t", schema, col("k") % 10 === 0)
+    val df = lake.read("t", schema)
+    assert(df.count() == 900L)
+    // executor-side sidecar probe: the mask is a Filter over the scan —
+    // the former broadcast anti-join (O(#deleted) driver memory) is gone
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("dvsurvives") || plan.contains("DvSurvives"),
+      plan)
+  }
+
+  test("a pre-sidecar (parquet-only) DV commit is refused, not ignored") {
+    import spark.implicits._
+    val lake = mkLake("legacy")
+    lake.append("t", rows(0, 10))
+    lake.deleteRowsMoR("t", schema, col("k") === 1)
+    // strip the sidecars + marker, leaving the legacy parquet-only shape
+    val conf = spark.sparkContext.hadoopConfiguration
+    lake.dataPaths("t").foreach { r =>
+      val dvDir = new Path(r, "_GRAFT_DV")
+      val fs = dvDir.getFileSystem(conf)
+      if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
+        if (!st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_SUCCESS"))
+          fs.delete(st.getPath, false)
+      }
+    }
+    val e = intercept[Exception] {
+      lake.read("t", schema).count()
+    }
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+  }
+
   test("streams and change feeds refuse DV commits loudly") {
     val lake = mkLake("feed")
     lake.append("t", rows(0, 20))
