@@ -1263,6 +1263,56 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM q86_live GROUP BY 1""")
+    }),
+
+    // q87 — EQUALITY DELETES THROUGH SQL (merge-on-read keyed
+    // tombstones, Lakehouse.deleteByKeys, served by the V2 catalog
+    // scan): a takedown-by-key lands as an O(keys) data-less delta and
+    // the table stays READABLE through `graft.` SQL with NO
+    // compact-first — partition readers load the key set executor-side
+    // and drop matching rows of earlier versions; keys re-inserted
+    // AFTER the tombstone survive (the sequence rule — the re-inserted
+    // slice rides at amt+1000). Until round 7 the V2 path refused
+    // pending eq-deletes outright (compact was a correctness valve);
+    // now compaction is only the optimization it should be. This is
+    // the GDPR/opt-out serving shape at 100 TB: delete cost O(keys),
+    // read cost one executor-side set probe until the next compact.
+    "q87_eqdel_sql" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q87")
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q87_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q87")
+      s.sql("DROP TABLE IF EXISTS graft.q87.fact")
+      s.sql("""CREATE TABLE graft.q87.fact (
+          trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))""")
+      s.sql("""INSERT INTO graft.q87.fact
+        SELECT trans_id, trans_date, amt FROM q87_src""")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2)")
+      val lake = new graft.storage.Lakehouse(s,
+        dir.resolve("lake/q87").toString)
+      // the takedown: keyed tombstones, point-delete-sized commit
+      lake.deleteByKeys("fact", schema,
+        s.table("q87_src").filter(col("_slice") % 5 === 0)
+          .select(col("trans_id")), () => ())
+      // sequence rule: re-insert a slice of the deleted keys at +1000
+      s.sql("""INSERT INTO graft.q87.fact
+        SELECT trans_id, trans_date, CAST(amt + 1000 AS DECIMAL(18,2))
+        FROM q87_src
+        WHERE CAST(trans_id AS BIGINT) % 5 = 0
+          AND CAST(trans_id AS BIGINT) % 3 = 0""")
+      // NO compact: the tombstone delta must still be outstanding when
+      // SQL reads the table
+      require(s.sql("SELECT * FROM graft.q87.`fact$history`").collect()
+        .forall(!_.getBoolean(1)),
+        "q87 must read through PENDING eq-deletes (no full commit)")
+      s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graft.q87.fact GROUP BY 1""")
     })
   )
 
@@ -1336,6 +1386,23 @@ FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
     // survivors of the positional delete plus the re-appended slice at
     // +1000 — the oracle never sees files or row indexes
     "q86_deletion_vectors" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(amt) AS DOUBLE) AS amt_sum
+FROM (
+  SELECT o_orderkey, o_orderdate,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders WHERE o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_orderdate,
+    CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0
+) GROUP BY 1""",
+    // same arithmetic as q86's (delete % 5, re-insert % 15 at +1000) —
+    // deliberately: the DV (positional) and eq-del (keyed) paths must
+    // converge on identical results for the same logical delete
+    "q87_eqdel_sql" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
   CAST(count(*) AS BIGINT) AS n,
   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

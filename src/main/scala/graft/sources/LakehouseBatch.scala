@@ -51,10 +51,12 @@ import java.util.OptionalLong
   *    planning — a lakehouse dim below the broadcast threshold
   *    auto-broadcasts, no hint needed.
   *
-  * Contracts: merge-on-read equality-delete tombstones are REJECTED at
-  * plan time (this scan path has no anti-join stage — compact first;
-  * `Lakehouse.read` serves them), matching the fail-loudly stance of the
-  * streaming source. Directory-encoded partition columns are not
+  * Contracts: merge-on-read equality-delete tombstones are served
+  * natively — the driver ships (dir, key schema) per tombstone commit
+  * and partition readers load the key sets executor-side (EqDelKeys),
+  * dropping matching rows of lower-version files; aggregate pushdown
+  * declines while tombstones are outstanding (footer counts would
+  * over-report). Directory-encoded partition columns are not
   * surfaced (same as the streaming source — columns live in the files
   * for every `Lakehouse.append` layout). The per-file reader is
   * VECTORIZED (Spark's columnar decoder → ColumnarBatch → whole-stage
@@ -170,10 +172,12 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
     */
   private def tryPushAgg(agg: Aggregation, probeOnly: Boolean): Boolean = {
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
-    // deletion vectors make footer counts and zone-map min/max
-    // over-reports (a masked row could be the extreme) — decline and
-    // let Spark aggregate over the masked scan
-    if (meta.dataFiles.exists(_.dv.isDefined)) return false
+    // deletion vectors and equality-delete tombstones make footer
+    // counts and zone-map min/max over-reports (a masked row could be
+    // the extreme) — decline and let Spark aggregate over the masked
+    // scan
+    if (meta.dataFiles.exists(_.dv.isDefined) || meta.eqDels.nonEmpty)
+      return false
     def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -344,7 +348,17 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
       case None => plannedFiles
         .map(f => LakehouseFilePartition(f.path, f.version, None,
           keyedFiles.flatMap(_.get(f.path)).map(_._2),
-          f.dv.map(_.sidecars).getOrElse(Nil))
+          f.dv.map(_.sidecars).getOrElse(Nil),
+          // tombstone sets from HIGHER versions mask this file (the
+          // sequence rule); key types resolve through the table
+          // contract so both probe sides decode identically
+          meta.eqDels.filter(_._1 > f.version).map { case (_, dir, ks) =>
+            EqDelRef(dir, StructType(ks.map { k =>
+              require(tableSchema.fieldNames.contains(k),
+                s"eq-del key $k not in table schema of ${meta.path}")
+              tableSchema(k)
+            }))
+          })
           : InputPartition).toArray
     }
 
@@ -356,7 +370,10 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
           // Spark requires ONE columnar-vs-row decision per scan
           // ("cannot mix"): any deletion-vector file forces the whole
           // scan onto the row path until the next compact materializes
-          anyDv = plannedFiles.exists(_.dv.isDefined))
+          // — and so do equality-delete tombstones (the value probe
+          // lives in the row reader)
+          anyDv = plannedFiles.exists(_.dv.isDefined) ||
+            meta.eqDels.nonEmpty)
     }
 
   /** ANALYZE-computed column stats (`_GRAFT_COLSTATS`) for the CBO —
@@ -603,7 +620,8 @@ private[graft] object LakehouseBatch {
 
   final case class TableMeta(path: String, dataFiles: Seq[FileMeta],
       statsCols: Set[String], fullyCovered: Boolean,
-      bloomCols: Set[String] = Set.empty)
+      bloomCols: Set[String] = Set.empty,
+      eqDels: Seq[(Long, String, Seq[String])] = Nil)
 
   /** Resolve the live set from commit markers (the same walk as
     * `Lakehouse.liveRootsAndBasis`), list its data files with footers +
@@ -656,12 +674,31 @@ private[graft] object LakehouseBatch {
         }
     }
     val roots = liveRoots ++ staged
-    roots.foreach { case (v, p) =>
-      require(!fs.exists(new Path(p, Protocol.EqDelDir)),
-        s"$path version $v carries merge-on-read equality-delete " +
-          "tombstones — the V2 batch scan has no anti-join stage; " +
-          "compact the table first (Lakehouse.read serves them directly)")
-    }
+    // equality-delete tombstones (deleteByKeys): served natively since
+    // round 7 — the driver records (version, dir, key column names)
+    // per tombstone commit (one footer open each, never the keys);
+    // partition readers load the key sets executor-side (EqDelKeys)
+    // and drop matching rows of LOWER-version files, the same
+    // sequence rule as deletion vectors. Until then this path REFUSED
+    // eq-del tables (compact-first), which made them unreadable
+    // through SQL while Lakehouse.read served them fine.
+    val eqDels: Seq[(Long, String, Seq[String])] =
+      roots.flatMap { case (v, p) =>
+        val d = new Path(p, Protocol.EqDelDir)
+        if (!fs.exists(d)) None
+        else fs.listStatus(d).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).map { f =>
+            import scala.jdk.CollectionConverters._
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val names =
+              try r.getFileMetaData.getSchema.getFields.asScala
+                .map(_.getName).toSeq
+              finally r.close()
+            (v, d.toString, names)
+          }
+      }
     // deletion vectors ARE served natively (deleteRowsMoR): positional
     // tombstones apply per FILE at read time, no join stage needed. A
     // DV committed at version w masks (file, pos) rows of files in
@@ -732,7 +769,8 @@ private[graft] object LakehouseBatch {
       }
     }
     val all = files.result()
-    TableMeta(path, all, statsCols, covered && all.nonEmpty, bloomCols)
+    TableMeta(path, all, statsCols, covered && all.nonEmpty, bloomCols,
+      eqDels)
   }
 
   private def listDataFiles(fs: FileSystem,

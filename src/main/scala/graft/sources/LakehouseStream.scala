@@ -339,10 +339,63 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
 private[sources] case class LakehouseFilePartition(file: String,
     commitVersion: Long, fillChangeType: Option[String],
     partKey: Option[InternalRow] = None,
-    dvSidecars: Seq[String] = Nil)
+    dvSidecars: Seq[String] = Nil,
+    eqDels: Seq[EqDelRef] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey.orNull
+}
+
+/** One applicable equality-delete tombstone set for a partition: the
+  * committed `_GRAFT_EQDEL` dir plus the key columns (with table
+  * contract types). The KEY VALUES never ride the descriptor — readers
+  * load them executor-side through [[EqDelKeys]].
+  */
+private[sources] case class EqDelRef(dir: String, keySchema: StructType)
+
+/** Executor-side, JVM-wide cache of equality-delete key sets: one
+  * parquet read per (executor, tombstone dir), shared by every task.
+  * Tombstone dirs are immutable once committed (compaction retires
+  * them by deleting the whole version dir), so entries never go stale;
+  * the map is bounded by the number of outstanding eq-del commits —
+  * point-delete-sized by the deleteByKeys contract.
+  *
+  * Null-key tuples are dropped at load: the DataFrame path masks via
+  * an anti-JOIN, where NULL never equals anything — a tombstone row
+  * with a null key masks nothing, and a data row with a null key is
+  * never masked (the probe side checks that).
+  */
+private[sources] object EqDelKeys {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Seq[Any]]]()
+
+  def load(dir: String, keySchema: StructType): Set[Seq[Any]] =
+    cache.computeIfAbsent(dir, d => doLoad(d, keySchema))
+
+  private def doLoad(dir: String, keySchema: StructType): Set[Seq[Any]] = {
+    val conf = new Configuration()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val out = Set.newBuilder[Seq[Any]]
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            f)
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val gt = g.getType
+            val vals: Seq[Any] = keySchema.fields.toSeq.map(fd =>
+              LakehouseStream.decodeGroupField(g, gt, fd.name, fd.dataType))
+            if (!vals.contains(null)) out += vals
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    out.result()
+  }
 }
 
 private[sources] class LakehouseReaderFactory(schema: StructType,
@@ -386,12 +439,22 @@ private[sources] class LakehouseGroupReader(
   private val reader = {
     import scala.jdk.CollectionConverters._
     val present = schema.fields.filter(f => fileSchema.containsField(f.name))
+    // equality-delete probing needs the KEY columns decoded even when
+    // the query's projection pruned them — widen the parquet read
+    // schema (emitted rows still carry only `schema`'s fields). A key
+    // column ABSENT from the file decodes null → null never matches a
+    // tombstone → the row correctly survives.
+    val keyExtra = partition.eqDels.flatMap(_.keySchema.fields)
+      .filter(f => fileSchema.containsField(f.name) &&
+        !present.exists(_.name == f.name))
+      .distinctBy(_.name)
     // empty projection (count-only scans) still needs ONE column to
     // drive row iteration — pick the file's first (cheapest to decode
     // would be nicer; first is deterministic)
     val types =
-      if (present.nonEmpty) present.toSeq.map(f =>
-        fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+      if (present.nonEmpty || keyExtra.nonEmpty)
+        (present.toSeq ++ keyExtra).map(f =>
+          fileSchema.getType(fileSchema.getFieldIndex(f.name)))
       else Seq(fileSchema.getFields.get(0))
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       new org.apache.parquet.schema.MessageType(fileSchema.getName,
@@ -419,10 +482,32 @@ private[sources] class LakehouseGroupReader(
     else graft.storage.DvSidecar.loadFor(conf, partition.dvSidecars)
   private var rowPos: Long = -1L
 
+  // equality-delete masks: per applicable tombstone set, the key
+  // columns and the loaded value set (executor-side, JVM-cached —
+  // the driver shipped only dir + key schema). A row is masked when
+  // its null-free key tuple is in any set.
+  private val eqDelSets: Seq[(Array[(String, DataType)], Set[Seq[Any]])] =
+    partition.eqDels.map { ref =>
+      (ref.keySchema.fields.map(f => (f.name, f.dataType)),
+        EqDelKeys.load(ref.dir, ref.keySchema))
+    }
+
+  private def eqDeleted(g: org.apache.parquet.example.data.Group): Boolean =
+    eqDelSets.nonEmpty && {
+      val gt = g.getType
+      eqDelSets.exists { case (cols, keys) =>
+        val vals: Seq[Any] = cols.toSeq.map { case (n, dt) =>
+          LakehouseStream.decodeGroupField(g, gt, n, dt)
+        }
+        !vals.contains(null) && keys.contains(vals)
+      }
+    }
+
   override def next(): Boolean = {
     current = reader.read()
     rowPos += 1
-    while (current != null && !dvRuns.isEmpty && dvRuns.contains(rowPos)) {
+    while (current != null &&
+      ((!dvRuns.isEmpty && dvRuns.contains(rowPos)) || eqDeleted(current))) {
       current = reader.read()
       rowPos += 1
     }
@@ -440,28 +525,7 @@ private[sources] class LakehouseGroupReader(
         case LakehouseStream.CommitVersionCol => partition.commitVersion
         case _ => null
       }
-      else {
-        val idx = gt.getFieldIndex(f.name)
-        if (current.getFieldRepetitionCount(idx) == 0) null
-        else f.dataType match {
-          case LongType => current.getLong(idx, 0)
-          case IntegerType => current.getInteger(idx, 0)
-          case DoubleType => current.getDouble(idx, 0)
-          case FloatType => current.getFloat(idx, 0)
-          case BooleanType => current.getBoolean(idx, 0)
-          case StringType =>
-            UTF8String.fromBytes(current.getBinary(idx, 0).getBytes)
-          case DateType => current.getInteger(idx, 0) // days since epoch
-          case TimestampType | TimestampNTZType =>
-            LakehouseStream.decodeTimestampMicros(
-              gt.getType(idx).asPrimitiveType(), current, idx)
-          case dt: DecimalType =>
-            LakehouseStream.decodeDecimal(
-              gt.getType(idx).asPrimitiveType(), current, idx, dt)
-          case dt => throw new UnsupportedOperationException(
-            s"unreachable: $dt passed validateSchema")
-        }
-      }
+      else LakehouseStream.decodeGroupField(current, gt, f.name, f.dataType)
     }
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
@@ -470,6 +534,38 @@ private[sources] class LakehouseGroupReader(
 }
 
 private[sources] object LakehouseStream {
+
+  /** One parquet Group field → Catalyst value, by declared Spark type.
+    * Shared by the partition reader's row materialization and the
+    * executor-side equality-delete key loader — BOTH sides of an eq-del
+    * probe must decode through the same path or value equality breaks
+    * (e.g. String vs UTF8String, decimal scale variants).
+    */
+  def decodeGroupField(g: org.apache.parquet.example.data.Group,
+      gt: org.apache.parquet.schema.GroupType, name: String,
+      dt: DataType): Any = {
+    if (!gt.containsField(name)) return null
+    val idx = gt.getFieldIndex(name)
+    if (g.getFieldRepetitionCount(idx) == 0) null
+    else dt match {
+      case LongType => g.getLong(idx, 0)
+      case IntegerType => g.getInteger(idx, 0)
+      case DoubleType => g.getDouble(idx, 0)
+      case FloatType => g.getFloat(idx, 0)
+      case BooleanType => g.getBoolean(idx, 0)
+      case StringType =>
+        UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+      case DateType => g.getInteger(idx, 0) // days since epoch
+      case TimestampType | TimestampNTZType =>
+        LakehouseStream.decodeTimestampMicros(
+          gt.getType(idx).asPrimitiveType(), g, idx)
+      case dt2: DecimalType =>
+        LakehouseStream.decodeDecimal(
+          gt.getType(idx).asPrimitiveType(), g, idx, dt2)
+      case other => throw new UnsupportedOperationException(
+        s"unreachable: $other passed validateSchema")
+    }
+  }
 
   /** Pushed V1 Filters → parquet FilterPredicate, restricted to the
     * conjuncts that translate soundly: comparisons/IN/IS-(NOT-)NULL on

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 /** The V2 batch source's planning contracts: snapshot round-trip across
   * commit kinds, zone-map file skipping driven by pushed filters,
   * complete aggregate pushdown from metadata, statistics-driven
-  * auto-broadcast, and the equality-delete rejection.
+  * auto-broadcast, and native equality-delete serving.
   */
 class LakehouseBatchSpec extends SparkSpec {
 
@@ -232,14 +232,32 @@ class LakehouseBatchSpec extends SparkSpec {
     assert(v2(path).count() == 100)
   }
 
-  test("merge-on-read equality deletes are rejected at plan time") {
+  test("merge-on-read equality deletes are served natively") {
     import spark.implicits._
     val (lake, path) = mkLake("v2-eqdel")
     lake.append("t", rows(0, 30))
-    lake.deleteByKeys("t", schema, Seq(3L).toDF("k"), () => ())
-    val e = intercept[IllegalArgumentException] {
-      v2(path).count()
-    }
-    assert(e.getMessage.contains("equality-delete"))
+    lake.deleteByKeys("t", schema, Seq(3L, 7L).toDF("k"), () => ())
+    // masked through the V2 scan — no compact-first, result identical
+    // to the Lakehouse.read anti-join path
+    assert(v2(path).count() == 28L)
+    assert(v2(path).select("k").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 30L).filterNot(Set(3L, 7L)))
+    // even when the projection PRUNES the key column, the probe decodes
+    // it from the file (widened read schema)
+    assert(v2(path).select("grp").count() == 28L)
+    // sequence rule: a key re-inserted AFTER its tombstone survives
+    lake.append("t", rows(3, 4))
+    assert(v2(path).count() == 29L)
+    assert(v2(path).filter(col("k") === 3L).count() == 1L)
+    // multi-column and string keys; null-keyed rows are never masked
+    lake.deleteByKeys("t", schema,
+      Seq((5L, "g2")).toDF("k", "grp"), () => ())
+    assert(v2(path).filter(col("k") === 5L).count() == 0L) // 5 % 3 == 2
+    // aggregate pushdown declines while tombstones are outstanding:
+    // count comes from the masked scan, not footers
+    assert(v2(path).agg(count(lit(1))).head().getLong(0) == 28L)
+    // compaction materializes the masks; the table reads the same after
+    lake.compact("t", schema, numFiles = 1, sortCols = Seq("k"))
+    assert(v2(path).count() == 28L)
   }
 }
