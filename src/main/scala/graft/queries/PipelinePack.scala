@@ -1313,6 +1313,56 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graft.q87.fact GROUP BY 1""")
+    }),
+
+    // q88 — MV MAINTAINED ACROSS A MERGE-ON-READ DELETE: the change
+    // feed resolves a deletion-vector commit to full PRE-IMAGE delete
+    // records at feed time (read only the affected files, inner-join
+    // the tombstone frame — cost bounded by the DV size, never the
+    // table), so the signed-fold refresh subtracts exactly the deleted
+    // rows' measures. Until round 7 the feed REFUSED DV commits and an
+    // MV-maintained table had to compact-first or stay copy-on-write.
+    // The requires pin the mechanism: the refresh consumes the FEED
+    // (one MV commit, base never re-scanned) and lands at the base
+    // head. Oracle = full recompute from orders. At 100 TB: a takedown
+    // lands as a metadata-sized commit AND every downstream rollup
+    // stays incrementally correct — delete cost O(keys), refresh cost
+    // O(changes).
+    "q88_mv_mor_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.ops.MaterializedView
+      val dir = java.nio.file.Files.createTempDirectory("graft-q88")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString,
+        retainSnapshots = 1, gcGraceMs = 3600000L)
+      val asFact = ordersAsFact(s, d)
+      def slice(k: Int) =
+        asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice")
+      lake.append("fact_transactions", slice(0))
+      lake.append("fact_transactions", slice(1))
+      val spec = MaterializedView.Spec(
+        groupCols = Seq(
+          "order_month" -> month(col("trans_date")).cast("bigint")),
+        sumCols = Seq(
+          "key_sum" -> col("trans_id").cast("bigint"),
+          "amt_sum" -> col("amt")))
+      val fact = graft.model.Schemas.byName("fact_transactions")
+      val basis = MaterializedView.seed(lake, "mv_monthly",
+        "fact_transactions", fact, spec)
+      lake.append("fact_transactions", slice(2))
+      // the MoR delete: a data-less DV commit, no file rewritten
+      lake.deleteRowsMoR("fact_transactions", fact,
+        pmod(col("trans_id").cast("bigint"), lit(6)) === 0)
+      val latest = lake.versions("fact_transactions").map(_._1).max
+      require(basis < latest, s"changes must advance the base: $basis")
+      val mvCommits = lake.versions("mv_monthly").size
+      val after = MaterializedView.refresh(lake, "mv_monthly",
+        "fact_transactions", fact, spec)
+      require(after == latest,
+        s"refresh must land at the base head: $after != $latest")
+      require(lake.versions("mv_monthly").sizeIs == mvCommits + 1,
+        "the refresh must fold the feed in ONE MV commit")
+      MaterializedView.read(lake, "mv_monthly", fact, spec)
+        .withColumn("amt_sum", col("amt_sum").cast("double"))
     })
   )
 
@@ -1560,6 +1610,13 @@ WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0)
        THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1000
        ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_sum
 FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 7 <> 0 GROUP BY 1""",
+    // survivors of the MoR delete (% 6 <> 0) across all three slices
+    "q88_mv_mor_delete" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE o_orderkey % 6 <> 0 GROUP BY 1""",
     // metadata-only aggregates must equal the direct scan's
     "q69_dsv2_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,

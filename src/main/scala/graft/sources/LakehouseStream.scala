@@ -238,15 +238,36 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
         case Some(p) => Protocol.commitKind(fs, p) match {
           case None => // uncommitted debris inside the range: no rows
           case Some(false) =>
-            // a deletion-vector commit names rows by POSITION — neither
-            // an append stream nor the key-shaped CDF records can
-            // represent it; compact first (the snapshot materializes
-            // the vectors) or use the copy-on-write delete for tables a
-            // stream consumes
-            if (fs.exists(new Path(p, Protocol.DvDir)))
-              throw new IllegalStateException(
+            // a deletion-vector commit names rows by POSITION. In CDF
+            // mode the feed resolves them to PRE-IMAGE delete records
+            // at plan time using only metadata: one partition per
+            // affected data file, carrying that file's sidecar path
+            // with emit-masked-only mode — the reader serves exactly
+            // the tombstoned rows, positions never touch the driver.
+            // An append stream still cannot represent a delete.
+            val dvDir = new Path(p, Protocol.DvDir)
+            if (fs.exists(dvDir)) {
+              if (!readChangeFeed) throw new IllegalStateException(
                 s"$tablePath version $v is a deletion-vector commit — " +
-                  "a stream cannot represent positional deletes")
+                  "an append stream cannot represent positional " +
+                  "deletes; stream with readChangeFeed=true")
+              val idx = graft.storage.DvSidecar.index(fs, dvDir)
+              if (idx.nonEmpty) {
+                val lower: Map[String, String] =
+                  ((dirs.filter(_._1 < v).values.toSeq :+ dest)
+                    .filter(fs.exists(_))
+                    .flatMap(listDataFiles))
+                    .map(f => new Path(f).getName -> f).toMap
+                files ++= idx.toSeq.map { case (dataName, sidecar) =>
+                  val dataPath = lower.getOrElse(dataName,
+                    throw new IllegalStateException(
+                      s"$tablePath version $v tombstones unknown file " +
+                        dataName))
+                  LakehouseFilePartition(dataPath, v, Some("delete"),
+                    dvSidecars = Seq(sidecar), dvEmitMasked = true)
+                }
+              }
+            }
             val eqDel = new Path(p, Protocol.EqDelDir)
             if (fs.exists(eqDel)) {
               // equality-delete tombstones: key-only delete records in
@@ -340,7 +361,8 @@ private[sources] case class LakehouseFilePartition(file: String,
     commitVersion: Long, fillChangeType: Option[String],
     partKey: Option[InternalRow] = None,
     dvSidecars: Seq[String] = Nil,
-    eqDels: Seq[EqDelRef] = Nil)
+    eqDels: Seq[EqDelRef] = Nil,
+    dvEmitMasked: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey.orNull
@@ -506,10 +528,20 @@ private[sources] class LakehouseGroupReader(
   override def next(): Boolean = {
     current = reader.read()
     rowPos += 1
-    while (current != null &&
-      ((!dvRuns.isEmpty && dvRuns.contains(rowPos)) || eqDeleted(current))) {
-      current = reader.read()
-      rowPos += 1
+    if (partition.dvEmitMasked) {
+      // change-feed delete emission: serve ONLY the tombstoned
+      // positions (the pre-image rows a DV commit removed)
+      while (current != null && !dvRuns.contains(rowPos)) {
+        current = reader.read()
+        rowPos += 1
+      }
+    } else {
+      while (current != null &&
+        ((!dvRuns.isEmpty && dvRuns.contains(rowPos)) ||
+          eqDeleted(current))) {
+        current = reader.read()
+        rowPos += 1
+      }
     }
     current != null
   }

@@ -1339,13 +1339,53 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .filter(t => t._1 > fromVersion && t._1 <= toVersion)
     val parts = range.map {
       case (v, p, _) if fs.exists(new Path(p, Lakehouse.Protocol.DvDir)) =>
-        // a deletion-vector commit names rows by POSITION, not value —
-        // emitting delete records would need the pre-image fetched per
-        // (file, index). Refuse loudly: compact first, or use the
-        // copy-on-write delete when a change feed consumes the table.
-        throw new IllegalArgumentException(
-          s"$name version $v is a deletion-vector commit — the typed " +
-            "change feed cannot serve positional deletes")
+        // a deletion-vector commit names rows by POSITION — the feed
+        // resolves positions → PRE-IMAGE rows at feed time: read ONLY
+        // the affected files (driver resolves their names from the DV
+        // dir listing, metadata-sized), attach the (file, row-index)
+        // identity, inner-join the tombstone frame. Cost is bounded by
+        // the DV size plus a scan of the affected files — never the
+        // table — and the emitted delete records carry full pre-image
+        // values (richer than eq-del's key-only records), which is
+        // what signed-aggregate MV folds need.
+        val dvDir = new Path(p, Lakehouse.Protocol.DvDir)
+        val affected = DvSidecar.index(fs, dvDir).keySet
+        val lowerDirs = versionDirs(new Path(tablePath(name)))
+          .filter(_._1 < v).map(_._2) :+ new Path(tablePath(name))
+        val paths = lowerDirs.flatMap { d =>
+          val out = Seq.newBuilder[String]
+          def walk(dir: Path): Unit =
+            fs.listStatus(dir).foreach { st =>
+              val n = st.getPath.getName
+              if (!n.startsWith("_") && !n.startsWith(".")) {
+                if (st.isDirectory) walk(st.getPath)
+                else if (n.endsWith(".parquet") && affected(n))
+                  out += st.getPath.toString
+              }
+            }
+          if (fs.exists(d)) walk(d)
+          out.result()
+        }.distinct
+        if (paths.isEmpty) // empty delete: no affected files, no rows
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+            .withColumn(ChangeTypeCol, lit("delete"))
+            .withColumn(CommitVersionCol, lit(v))
+            .select(outCols: _*)
+        else {
+        val dv = spark.read.parquet(dvDir.toString)
+          .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
+        spark.read.schema(schema)
+          .parquet(paths: _*)
+          .select(col("*"),
+            substring_index(col("_metadata.file_path"), "/", -1)
+              .as("__dv_f"),
+            col("_metadata.row_index").as("__dv_p"))
+          .join(dv, Seq("__dv_f", "__dv_p"), "inner")
+          .drop("__dv_f", "__dv_p")
+          .withColumn(ChangeTypeCol, lit("delete"))
+          .withColumn(CommitVersionCol, lit(v))
+          .select(outCols: _*)
+        }
       case (v, p, false) if fs.exists(new Path(p, EqDelDir)) =>
         // equality-delete tombstones: the standard delete-by-key CDC
         // record — key columns carry the values, the rest null

@@ -209,7 +209,70 @@ class DvSpec extends SparkSpec {
     assert(e.getMessage.contains("sidecar"), e.getMessage)
   }
 
-  test("streams and change feeds refuse DV commits loudly") {
+  test("the typed change feed resolves a DV commit to pre-image deletes") {
+    val lake = mkLake("cdf")
+    lake.append("t", rows(0, 40))
+    val v1 = lake.versions("t").map(_._1).max
+    lake.deleteRowsMoR("t", schema, col("k") % 4 === 0)
+    val v2 = lake.versions("t").map(_._1).max
+    val feed = lake.changeFeed("t", v1, v2, schema)
+    val dels = feed.filter(col("_change_type") === "delete")
+    assert(dels.count() == 10L)
+    assert(dels.select("k").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 40L).filter(_ % 4 == 0))
+    // full pre-image values, not key-only nulls — what signed MV folds
+    // need to subtract measures
+    assert(dels.filter(col("v") =!= col("k") * 10).count() == 0L)
+    assert(dels.select("_commit_version").distinct().head().getLong(0)
+      == v2)
+  }
+
+  test("an incremental MV survives a MoR delete (oracle = recompute)") {
+    import graft.ops.MaterializedView
+    val lake = mkLake("mv")
+    lake.append("t", rows(0, 60))
+    val spec = MaterializedView.Spec(
+      Seq("g" -> (col("k") % 5)), Seq("sv" -> col("v")))
+    MaterializedView.seed(lake, "mv", "t", schema, spec)
+    lake.append("t", rows(60, 80))
+    lake.deleteRowsMoR("t", schema, col("k") % 3 === 0)
+    MaterializedView.refresh(lake, "mv", "t", schema, spec)
+    val got = MaterializedView.read(lake, "mv", schema, spec)
+      .orderBy("g").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = lake.read("t", schema)
+      .groupBy((col("k") % 5).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .orderBy("g").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("streaming CDF serves DV commits as delete records") {
+    val lake = mkLake("sdv")
+    lake.append("t", rows(0, 30))
+    lake.deleteRowsMoR("t", schema, col("k") < 5)
+    val feedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v BIGINT, _change_type STRING, _commit_version BIGINT")
+    val q = spark.readStream.schema(feedSchema)
+      .format("graft.sources.LakehouseStreamProvider")
+      .option("readChangeFeed", "true")
+      .load(lake.tablePath("t"))
+      .writeStream.format("memory").queryName("sdv_out")
+      .option("checkpointLocation", tmpDir("sdv-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("sdv_out")
+    assert(out.filter(col("_change_type") === "insert").count() == 30L)
+    val dels = out.filter(col("_change_type") === "delete")
+    assert(dels.count() == 5L)
+    assert(dels.select("k").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 5L))
+    assert(dels.filter(col("v") =!= col("k") * 10).count() == 0L)
+  }
+
+  test("APPEND streams still refuse DV commits loudly (CDF serves them)") {
     val lake = mkLake("feed")
     lake.append("t", rows(0, 20))
     lake.deleteRowsMoR("t", schema, col("k") === 3)
