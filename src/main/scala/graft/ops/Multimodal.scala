@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, processed per-partition in batches.
   *
   * The Spark-side design is real — schema, partitioning, batch iteration,
-  * feature schema — while the actual codec calls are STUBBED with
-  * deterministic byte-level fakes (this container ships no image/audio
-  * libraries; a deployment swaps [[Codecs]] for JNI/FFI decoders without
-  * touching the pipeline).
+  * feature schema. Codecs come in two tiers: PNG/BMP/GIF/JPEG are REAL
+  * (the JDK's javax.imageio, no external jars — [[Codecs.encodePng]] /
+  * [[Codecs.decodeImage]], exercised with pixel-exact oracles by m05);
+  * formats the JDK cannot decode (video, audio, JPEG2000…) are STUBBED
+  * with deterministic byte-level fakes (a deployment swaps those for
+  * JNI/FFI decoders without touching the pipeline).
   *
   * Scale notes: payloads stay in executor memory only for the partition
   * batch being mapped (`mapPartitions` streams the iterator — no
@@ -89,6 +91,84 @@ object Multimodal {
             math.min((f + 1) * frameLen, payload.length))
         }
     }
+
+    // ——— REAL codecs (not stubs): PNG via the JDK's javax.imageio ———
+    //
+    // The stock JDK ships ImageIO readers/writers for PNG, BMP, GIF and
+    // JPEG — no external jars, works headless. These two functions are
+    // an actual pixel codec in the plan: m05 generates deterministic
+    // rasters, round-trips them through a REAL PNG encode/decode
+    // executor-side, and hash-checks per-channel pixel statistics
+    // against an oracle that computes the same stats arithmetically
+    // (PNG is lossless, so decoded == generated). Formats the JDK
+    // lacks (JPEG2000, video, audio) remain behind the stub seam
+    // above, documented in SURVEY §8.1.
+
+    /** Encode a width×height RGB raster (row-major packed 0xRRGGBB ints
+      * from `rgb(x, y)`) as a real PNG via ImageIO.
+      */
+    def encodePng(width: Int, height: Int,
+        rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", out),
+        "JDK PNG writer missing")
+      out.toByteArray
+    }
+
+    /** Decode a PNG/BMP/GIF/JPEG payload to (width, height, packed RGB
+      * pixels row-major) via ImageIO. Throws on undecodable bytes — a
+      * corrupt payload must fail loudly, not feature-extract garbage.
+      */
+    def decodeImage(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      // one bulk raster fetch, not per-pixel getRGB calls
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
+      (w, h, px)
+    }
+  }
+
+  /** Per-image RGB channel statistics through the REAL PNG decode:
+    * (media_id, n_px, r_sum, g_sum, b_sum, and per-channel min/max).
+    * Map-only, payloads dropped before any shuffle — the same scale
+    * shape as [[extractFeatures]], with an actual codec in the middle.
+    */
+  def pngChannelStats(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = Codecs.decodeImage(m.payload)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var (rmin, gmin, bmin) = (255, 255, 255)
+        var (rmax, gmax, bmax) = (0, 0, 0)
+        var i = 0
+        while (i < px.length) {
+          val r = (px(i) >> 16) & 0xff
+          val g = (px(i) >> 8) & 0xff
+          val b = px(i) & 0xff
+          rs += r; gs += g; bs += b
+          if (r < rmin) rmin = r; if (r > rmax) rmax = r
+          if (g < gmin) gmin = g; if (g > gmax) gmax = g
+          if (b < bmin) bmin = b; if (b > bmax) bmax = b
+          i += 1
+        }
+        (m.media_id, (w * h).toLong, rs, gs, bs,
+          rmin, rmax, gmin, gmax, bmin, bmax)
+      }
+    }.toDF("media_id", "n_px", "r_sum", "g_sum", "b_sum",
+      "r_min", "r_max", "g_min", "g_max", "b_min", "b_max")
   }
 
   /** Batch feature extraction: binary in, features out, per partition. */

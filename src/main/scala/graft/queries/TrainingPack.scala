@@ -1162,6 +1162,49 @@ object TrainingPack {
         octet_length(to_binary(col("text"), lit("utf-8"))).cast("bigint")
           .as("n_bytes"),
         md5(to_binary(col("text"), lit("utf-8"))).as("digest")))
+,
+    // m05 — a REAL image codec in the plan (no stub): per document, a
+    // 16×12 RGB raster whose pixel channels are a pure function of
+    // (doc_id, x, y) is encoded to an actual PNG (javax.imageio,
+    // JDK-native) and decoded back executor-side; per-channel
+    // sum/min/max over the DECODED raster feed a bucketed rollup. PNG
+    // is lossless, so the oracle computes the identical statistics
+    // arithmetically from the generator function over a DuckDB pixel
+    // grid — any encode/decode defect (channel order, stride, row
+    // padding, color profile drift) hash-mismatches. Payloads live
+    // only inside the mapPartitions batch (map-only; bytes dropped
+    // before the one rollup shuffle) — the m02 scale shape with a real
+    // codec in the middle. Formats the JDK lacks remain stubbed
+    // (SURVEY §8.1).
+    "m05_png_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val payload = Multimodal.Codecs.encodePng(16, 12, (x, y) => {
+              val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+              val g = ((id * 11 + x + y * 2) % 256).toInt
+              val b = ((id * 13 + x * 9 + y) % 256).toInt
+              (r << 16) | (g << 8) | b
+            })
+            Multimodal.MediaItem(id, "image", payload,
+              width = 16, height = 12, sample_rate = 0, n_frames = 1)
+          }
+        }
+      Multimodal.pngChannelStats(items)
+        .groupBy((col("media_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum("n_px").as("px"),
+          sum("r_sum").as("r_sum"), sum("g_sum").as("g_sum"),
+          sum("b_sum").as("b_sum"),
+          min("r_min").cast("bigint").as("r_min"),
+          max("r_max").cast("bigint").as("r_max"),
+          min("g_min").cast("bigint").as("g_min"),
+          max("g_max").cast("bigint").as("g_max"),
+          min("b_min").cast("bigint").as("b_min"),
+          max("b_max").cast("bigint").as("b_max"))
+    })
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2187,6 +2230,26 @@ object TrainingPack {
     "m01_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         | md5(text) AS digest FROM documents""".stripMargin,
+    // the decoded-PNG channel stats, recomputed arithmetically over the
+    // same (doc_id, x, y) pixel grid — lossless round-trip makes the
+    // generator the ground truth
+    "m05_png_decode" ->
+      """WITH px AS (
+        | SELECT d.doc_id AS id,
+        |  (d.doc_id * 7 + x.range * 3 + y.range * 5) % 256 AS r,
+        |  (d.doc_id * 11 + x.range + y.range * 2) % 256 AS g,
+        |  (d.doc_id * 13 + x.range * 9 + y.range) % 256 AS b
+        | FROM documents d, range(0, 16) x, range(0, 12) y)
+        |SELECT id % 8 AS bucket,
+        | CAST(count(DISTINCT id) AS BIGINT) AS n_imgs,
+        | CAST(count(*) AS BIGINT) AS px,
+        | CAST(sum(r) AS BIGINT) AS r_sum,
+        | CAST(sum(g) AS BIGINT) AS g_sum,
+        | CAST(sum(b) AS BIGINT) AS b_sum,
+        | CAST(min(r) AS BIGINT) AS r_min, CAST(max(r) AS BIGINT) AS r_max,
+        | CAST(min(g) AS BIGINT) AS g_min, CAST(max(g) AS BIGINT) AS g_max,
+        | CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
+        |FROM px GROUP BY 1""".stripMargin,
     "m02_media_features" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         | octet_length(encode(text))::BIGINT AS n_bytes,

@@ -43,4 +43,40 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Codecs.resize(Array[Byte](1), 0)
     }
   }
+
+  test("REAL PNG codec: lossless pixel round-trip, loud on garbage") {
+    val f = (x: Int, y: Int) =>
+      (((x * 37 + y) % 256) << 16) | (((y * 91 + x) % 256) << 8) |
+        ((x * y) % 256)
+    val png = Multimodal.Codecs.encodePng(23, 17, f)
+    // a real PNG container, not a fake: magic bytes
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+    val (w, h, px) = Multimodal.Codecs.decodeImage(png)
+    assert(w == 23 && h == 17)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == f(x, y), s"pixel ($x,$y)")
+    intercept[IllegalArgumentException] {
+      Multimodal.Codecs.decodeImage("not an image".getBytes)
+    }
+  }
+
+  test("pngChannelStats computes exact stats over the decoded raster") {
+    import spark.implicits._
+    val items = spark.createDataset(Seq(1L, 2L).map { id =>
+      Multimodal.MediaItem(id, "image",
+        Multimodal.Codecs.encodePng(4, 2, (x, y) =>
+          (((id.toInt * 10 + x) % 256) << 16) | (y << 8) | 7),
+        4, 2, 0, 1)
+    })
+    val got = Multimodal.pngChannelStats(items)
+      .orderBy("media_id").collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    assert(r1.getLong(1) == 8L) // n_px
+    // r channel for id=1: values 10,11,12,13 twice → sum 92
+    assert(r1.getLong(2) == 92L)
+    assert(r1.getLong(4) == 7L * 8) // b_sum: constant 7
+    assert(r1.getInt(5) == 10 && r1.getInt(6) == 13) // r min/max
+  }
 }
