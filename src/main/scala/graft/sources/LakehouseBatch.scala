@@ -714,13 +714,22 @@ private[graft] object LakehouseBatch {
           new Path(p, Protocol.DvDir))
         if (idx.isEmpty) None else Some((v, idx))
       }
-    var statsCols = Set.empty[String]
-    var bloomCols = Set.empty[String]
-    var covered = true
-    val files = Seq.newBuilder[FileMeta]
-    roots.foreach { case (v, root) =>
+    // ——— parallel metadata walk ———
+    // The walk is pure IO: one listing + one manifest read per ROOT,
+    // one footer open (+ DV header reads) per FILE. Both phases fan out
+    // over a bounded driver pool, so plan-time wall clock tracks
+    // #files / parallelism with a per-file constant of one footer open
+    // — StressMeta pins the scaling at ×1/×10/×30. Two flat phases
+    // (roots, then files), never nested futures on the shared pool.
+    final case class RootMeta(v: Long, root: Path,
+        dataPaths: Seq[org.apache.hadoop.fs.FileStatus],
+        statRows: Map[String, org.apache.spark.sql.Row],
+        mStats: Set[String], mBlooms: Set[String])
+    val rootMetas: Seq[RootMeta] = parMap(roots) { case (v, root) =>
       val dataPaths = listDataFiles(fs, root)
       val manifest = new Path(root, Protocol.StatsDir)
+      var mStats = Set.empty[String]
+      var mBlooms = Set.empty[String]
       val statRows: Map[String, org.apache.spark.sql.Row] =
         if (!fs.exists(manifest)) Map.empty
         else {
@@ -729,48 +738,70 @@ private[graft] object LakehouseBatch {
           if (parts.isEmpty) Map.empty
           else {
             val df = spark.read.parquet(parts.toIndexedSeq: _*)
-            statsCols ++= df.columns.collect {
+            mStats = df.columns.collect {
               case c if c.startsWith("min_") => c.drop(4)
-            }
-            bloomCols ++= df.columns.collect {
+            }.toSet
+            mBlooms = df.columns.collect {
               case c if c.startsWith("bloom_") => c.drop(6)
-            }
+            }.toSet
             df.collect().map(r =>
               r.getString(r.fieldIndex("file")) -> r).toMap
           }
         }
-      dataPaths.foreach { st =>
-        val rows = footerRowCount(fs, conf, st.getPath)
-        // a 0-row file (empty input to an append) plans no task, carries
-        // no stats row, and must not defeat min/max coverage
-        if (rows > 0L) {
-          // current manifests key by file NAME (dir-relocatable — a
-          // staged CTAS/RTAS generation publishes by rename); the
-          // path-keyed lookups serve legacy manifests
-          val stat = statRows.get(st.getPath.getName)
-            .orElse(statRows.get(st.getPath.toString))
-            .orElse(statRows.get(st.getPath.toUri.toString))
-          if (stat.isEmpty) covered = false
-          // every DV from a HIGHER version contributes its sidecar;
-          // the 16-byte header reads give the exact deleted count for
-          // scan statistics (a later DV never re-deletes an
-          // already-masked position — deleteRowsMoR's identity pass
-          // reads through the mask — so the sum is exact)
-          val sidecars = dvByVersion.filter(_._1 > v)
-            .flatMap(_._2.get(st.getPath.getName))
-          val dv =
-            if (sidecars.isEmpty) None
-            else Some(DvRef(sidecars,
-              sidecars.map(s => graft.storage.DvSidecar
-                .readHeader(fs, new Path(s))._2).sum))
-          files += FileMeta(st.getPath.toString, v, st.getLen, rows, stat,
-            dv)
-        }
-      }
+      RootMeta(v, root, dataPaths, statRows, mStats, mBlooms)
     }
-    val all = files.result()
+    val statsCols = rootMetas.flatMap(_.mStats).toSet
+    val bloomCols = rootMetas.flatMap(_.mBlooms).toSet
+    val fileTasks: Seq[(RootMeta, org.apache.hadoop.fs.FileStatus)] =
+      rootMetas.flatMap(rm => rm.dataPaths.map(st => (rm, st)))
+    val all: Seq[FileMeta] = parMap(fileTasks) { case (rm, st) =>
+      val rows = footerRowCount(fs, conf, st.getPath)
+      // a 0-row file (empty input to an append) plans no task, carries
+      // no stats row, and must not defeat min/max coverage
+      if (rows == 0L) None
+      else {
+        // current manifests key by file NAME (dir-relocatable — a
+        // staged CTAS/RTAS generation publishes by rename); the
+        // path-keyed lookups serve legacy manifests
+        val stat = rm.statRows.get(st.getPath.getName)
+          .orElse(rm.statRows.get(st.getPath.toString))
+          .orElse(rm.statRows.get(st.getPath.toUri.toString))
+        // every DV from a HIGHER version contributes its sidecar;
+        // the 16-byte header reads give the exact deleted count for
+        // scan statistics (a later DV never re-deletes an
+        // already-masked position — deleteRowsMoR's identity pass
+        // reads through the mask — so the sum is exact)
+        val sidecars = dvByVersion.filter(_._1 > rm.v)
+          .flatMap(_._2.get(st.getPath.getName))
+        val dv =
+          if (sidecars.isEmpty) None
+          else Some(DvRef(sidecars,
+            sidecars.map(s => graft.storage.DvSidecar
+              .readHeader(fs, new Path(s))._2).sum))
+        Some(FileMeta(st.getPath.toString, rm.v, st.getLen, rows, stat,
+          dv))
+      }
+    }.flatten
+    val covered = all.forall(_.stats.isDefined)
     TableMeta(path, all, statsCols, covered && all.nonEmpty, bloomCols,
       eqDels)
+  }
+
+  /** Order-preserving bounded-parallel map over driver-side IO tasks.
+    * A fresh pool per call (resolve is not a hot loop); failures
+    * propagate as the first exception, matching the serial behavior.
+    */
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.sizeIs <= 1) return xs.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, xs.size))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      Await.result(Future.traverse(xs)(x => Future(f(x))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 
   private def listDataFiles(fs: FileSystem,

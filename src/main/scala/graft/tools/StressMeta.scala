@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.storage.Lakehouse
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Plan-time metadata stress: the V2 scan's driver-side walk (commit
+  * listing, parquet footers, zone-map/bloom manifests, DV sidecar
+  * indexes) grows with #files and #versions — this harness measures
+  * HOW it grows, because a superlinear plan cost would cap table size
+  * long before data cost does.
+  *
+  * For each replication factor x (table = 40·x files across 4·x delta
+  * commits, stats manifests on `k`, plus one MoR delete so the DV
+  * index path is exercised):
+  *   - `resolve_ms`: LakehouseBatch.resolve — the raw metadata walk
+  *     (listings + one footer open per file + manifest reads + DV
+  *     sidecar listing/headers);
+  *   - `plan_ms`: end-to-end planning of a pushed-filter COUNT through
+  *     the V2 scan (resolve + zone-map skipping + partition planning),
+  *     min of 3;
+  *   - `files`: live file count (asserted = 40·x).
+  * Linear-in-files with a bounded constant is the acceptance bar
+  * (VERDICT r6 task 7); the per-file cost should sit in the
+  * single-digit-ms range dominated by the footer open.
+  *
+  * Usage: `sbt "runMain graft.tools.StressMeta [xFactors...]"`
+  * (default `1 10 30`). One JSON line per x.
+  */
+object StressMeta {
+  def main(args: Array[String]): Unit = {
+    val xs = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 30)
+    val spark = graft.GraftSession.get()
+    val dir = java.nio.file.Files.createTempDirectory("graft-metastress")
+    val schema = StructType.fromDDL("k BIGINT, v BIGINT")
+    import StressUtil.timed
+
+    val out = for (x <- xs) yield {
+      val lake = new Lakehouse(spark, dir.resolve(s"lake$x").toString)
+      val commits = 4 * x
+      val filesPerCommit = 10
+      (0 until commits).foreach { c =>
+        lake.append("t",
+          spark.range(c * 10000L, (c + 1) * 10000L)
+            .select(col("id").as("k"), (col("id") * 3).as("v"))
+            .repartition(filesPerCommit),
+          statsCols = Seq("k"))
+      }
+      lake.deleteRowsMoR("t", schema, col("k") % 1000 === 0)
+      val path = lake.tablePath("t")
+      val (meta, tResolve) = StressUtil.timedValue(
+        graft.sources.LakehouseBatch.resolve(path))
+      require(meta.dataFiles.length == commits * filesPerCommit,
+        s"x=$x expected ${commits * filesPerCommit} files, " +
+          s"got ${meta.dataFiles.length}")
+      // plan-only timing: build the filtered scan and force planning
+      // (executedPlan), no job submission
+      val tPlan = (1 to 3).map { _ =>
+        timed {
+          val df = spark.read
+            .format("graft.sources.LakehouseBatchProvider")
+            .schema(schema).load(path)
+            .filter(col("k") >= 5000L && col("k") < 15000L)
+            .groupBy().count()
+          df.queryExecution.executedPlan // forces full planning
+          ()
+        }
+      }.min
+      f"""{"x":$x,"files":${meta.dataFiles.length},"commits":$commits,"resolve_ms":${tResolve * 1000}%.0f,"plan_ms":${tPlan * 1000}%.0f}"""
+    }
+    out.foreach(println)
+    spark.stop()
+  }
+}
