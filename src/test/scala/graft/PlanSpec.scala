@@ -335,6 +335,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("CBO: ANALYZE column stats flip the join strategy (q78's feed)") {
+    // Three catalog tables; the middle one carries a HIGHLY selective
+    // predicate (v < 50 over v uniform in [0, 300k)) that only COLUMN
+    // stats can see: without ANALYZE the V2 scan reports file
+    // size/row count but the Filter can't be estimated, so the join
+    // keeps its sort-merge plan; with ANALYZE the min/max-driven
+    // selectivity collapses the estimated build side under the
+    // broadcast threshold and the SAME query plans broadcast joins.
+    // This is the stats-driven plan change q78 was missing evidence
+    // for (VERDICT r6 task 8).
+    spark.conf.set("spark.sql.catalog.graftcbo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftcbo.root", tmpDir("cbo-root"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcbo.c")
+    spark.sql("CREATE TABLE graftcbo.c.big (k BIGINT, p BIGINT)")
+    spark.sql(
+      "INSERT INTO graftcbo.c.big SELECT id, id % 97 FROM range(0, 300000)")
+    // incompressible pad keeps the FILE size (the no-stats estimate)
+    // well above the broadcast threshold
+    spark.sql("CREATE TABLE graftcbo.c.sel (k BIGINT, v BIGINT, pad STRING)")
+    spark.sql("""INSERT INTO graftcbo.c.sel
+      SELECT id, id, md5(CAST(id AS STRING)) FROM range(0, 300000)""")
+    spark.sql("CREATE TABLE graftcbo.c.t (p BIGINT, lbl STRING)")
+    spark.sql(
+      "INSERT INTO graftcbo.c.t SELECT id, concat('x', id) FROM range(0, 97)")
+    def plan: String = spark.sql(
+      """SELECT count(*) FROM graftcbo.c.big b
+        JOIN graftcbo.c.sel s ON b.k = s.k AND s.v < 50
+        JOIN graftcbo.c.t t ON b.p = t.p""")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    withSQLConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (1024 * 1024).toString) {
+      val before = plan
+      assert(count(before, "SortMergeJoin") >= 1, before)
+      spark.sql("CALL graftcbo.system.analyze('c', 'sel')")
+      spark.sql("CALL graftcbo.system.analyze('c', 'big')")
+      spark.sql("CALL graftcbo.system.analyze('c', 't')")
+      val after = plan
+      assert(!after.contains("SortMergeJoin"), after)
+      assert(count(after, "BroadcastHashJoin") >= 2, after)
+    }
+  }
+
   test("e12 serve: reads the stored index tables, broadcasts the probe " +
     "structures, no SMJ/cartesian") {
     // explain() triggers the in-query build job; the returned plan is
