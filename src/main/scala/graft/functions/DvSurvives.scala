@@ -3,7 +3,7 @@ package graft.functions
 import graft.storage.DvSidecar
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 
 /** Row-survives-deletion-vector predicate for the DataFrame read path
@@ -22,13 +22,15 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * over run starts.
   *
   * Deterministic (pure function of its inputs and the committed
-  * sidecars); CodegenFallback — the per-row cost is one map hit + one
-  * binary search, and only scan branches that actually HAVE deletion
-  * vectors carry the filter at all.
+  * sidecars). Codegen keeps the surrounding stage inside whole-stage
+  * codegen: the generated code makes one virtual call into this
+  * instance (shipped via `addReferenceObj`) — the per-row cost is a
+  * map hit + binary search either way, and only scan branches that
+  * actually HAVE deletion vectors carry the filter at all.
   */
 case class DvSurvives(file: Expression, pos: Expression,
     sidecars: Map[String, Seq[String]])
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(file, pos)
   override def dataType: DataType = BooleanType
@@ -39,17 +41,44 @@ case class DvSurvives(file: Expression, pos: Expression,
   @transient private lazy val cache =
     scala.collection.mutable.Map.empty[String, DvSidecar.Runs]
 
-  override def eval(input: InternalRow): Any = {
-    val f = file.eval(input)
-    val p = pos.eval(input)
-    if (f == null || p == null) return true // no identity → cannot mask
-    val name = f.toString
+  /** Row-survives probe; null identity (no metadata columns) cannot be
+    * masked. Called from both eval and the generated code.
+    */
+  def probe(fileName: Object, posIsNull: Boolean, p: Long): Boolean = {
+    if (fileName == null || posIsNull) return true
+    val name = fileName.toString
     val runs = cache.getOrElseUpdate(name,
       sidecars.get(name) match {
         case Some(paths) => DvSidecar.loadFor(conf, paths)
         case None => DvSidecar.EmptyRuns
       })
-    !runs.contains(p.asInstanceOf[Long])
+    !runs.contains(p)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val f = file.eval(input)
+    val p = pos.eval(input)
+    probe(f.asInstanceOf[Object], p == null,
+      if (p == null) 0L else p.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("dvSurvives", this,
+      classOf[DvSurvives].getName)
+    val f = file.genCode(ctx)
+    val p = pos.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${f.code}
+        ${p.code}
+        boolean ${ev.value} = $ref.probe(
+          ${f.isNull} ? null : (Object) ${f.value},
+          ${p.isNull}, ${p.isNull} ? 0L : (long) ${p.value});
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -1280,14 +1280,18 @@ FROM orders WHERE $slicePred GROUP BY 1"""
     "q87_eqdel_sql" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val dir = java.nio.file.Files.createTempDirectory("graft-q87")
-      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // dedicated catalog NAME: Spark caches catalog instances per name,
+      // so in a full Verify sweep the shared "graft" catalog keeps the
+      // FIRST query's root — and this query's direct Lakehouse handle
+      // (below) must address the SAME directory the SQL surface writes
+      s.conf.set("spark.sql.catalog.graft87", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft87.root", dir.resolve("lake").toString)
       ordersAsFact(s, d).createOrReplaceTempView("q87_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q87")
-      s.sql("DROP TABLE IF EXISTS graft.q87.fact")
-      s.sql("""CREATE TABLE graft.q87.fact (
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft87.q87")
+      s.sql("DROP TABLE IF EXISTS graft87.q87.fact")
+      s.sql("""CREATE TABLE graft87.q87.fact (
           trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))""")
-      s.sql("""INSERT INTO graft.q87.fact
+      s.sql("""INSERT INTO graft87.q87.fact
         SELECT trans_id, trans_date, amt FROM q87_src""")
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2)")
@@ -1298,21 +1302,21 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         s.table("q87_src").filter(col("_slice") % 5 === 0)
           .select(col("trans_id")), () => ())
       // sequence rule: re-insert a slice of the deleted keys at +1000
-      s.sql("""INSERT INTO graft.q87.fact
+      s.sql("""INSERT INTO graft87.q87.fact
         SELECT trans_id, trans_date, CAST(amt + 1000 AS DECIMAL(18,2))
         FROM q87_src
         WHERE CAST(trans_id AS BIGINT) % 5 = 0
           AND CAST(trans_id AS BIGINT) % 3 = 0""")
       // NO compact: the tombstone delta must still be outstanding when
       // SQL reads the table
-      require(s.sql("SELECT * FROM graft.q87.`fact$history`").collect()
+      require(s.sql("SELECT * FROM graft87.q87.`fact$history`").collect()
         .forall(!_.getBoolean(1)),
         "q87 must read through PENDING eq-deletes (no full commit)")
       s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
           count(*) AS n,
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
-        FROM graft.q87.fact GROUP BY 1""")
+        FROM graft87.q87.fact GROUP BY 1""")
     }),
 
     // q88 — MV MAINTAINED ACROSS A MERGE-ON-READ DELETE: the change
