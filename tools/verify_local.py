@@ -189,7 +189,7 @@ def main():
     if json_out:
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         Path(json_out).write_text(json.dumps({
-            "sf": sf, "round": 6,
+            "sf": sf, "round": 7,
             "gate": "tools/verify_local.py (local replica of the driver "
                     "DuckDB hash-compare, incl. the pandas driver-path layer)",
             "pass": n_pass, "fail": n_fail, "queries": results}, indent=1))
