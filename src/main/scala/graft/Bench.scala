@@ -63,7 +63,20 @@ object Bench {
         catch { case _: Throwable => () } // warm-up failures surface in the timed run
       })
 
+    // SPARK_GRAFT_BENCH_ONLY=q23_percentile,q24_approx_stats,... runs a
+    // canary subset in an otherwise-idle JVM. Purpose: separate plan cost
+    // from shared-JVM pressure — the full 182-query sweep accumulates GC /
+    // code-cache / metaspace debt that inflates individual timings, and a
+    // fresh-JVM canary of UNCHANGED queries isolates that effect from real
+    // plan regressions when comparing rounds.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown canary queries: ${unknown.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // per-query timings across sweeps; -1 is the machine-readable failure
     // sentinel (stderr drowns in Spark log noise) — a crashed query must
     // not read as a speedup
