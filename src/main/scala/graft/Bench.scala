@@ -141,13 +141,15 @@ object Bench {
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] $path not written: $e")
       }
-    writeFile("BENCH_DETAIL.json",
+    // a canary subset must not clobber the full-sweep artifacts
+    val artifactSuffix = if (only.isDefined) "_CANARY" else ""
+    writeFile(s"BENCH_DETAIL$artifactSuffix.json",
       s"""{"sf":"$sfDir","sweeps":$runs,"stat":"min (median in detail)","queries":$detail}""")
 
     val fullLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
         jmap(names.map(n => n -> f3(best(n))))},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
-    writeFile("BENCH_RESULT.json", fullLine)
+    writeFile(s"BENCH_RESULT$artifactSuffix.json", fullLine)
     // compact keys: unique short prefix before the first underscore
     // ("q49_pipeline_scd2" → "q49"). CHECKED, not assumed: a future name
     // collision would silently emit duplicate JSON keys and corrupt the
