@@ -1367,6 +1367,65 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "the refresh must fold the feed in ONE MV commit")
       MaterializedView.read(lake, "mv_monthly", fact, spec)
         .withColumn("amt_sum", col("amt_sum").cast("double"))
+    }),
+
+    // q89 — PARTIAL COMPACTION BY DELETE DENSITY (rewriteDeletes —
+    // Iceberg's rewrite_data_files with a delete-file threshold): after
+    // a heavy MoR delete, ONLY the data file whose deleted fraction
+    // crossed the threshold is rewritten (survivors + whole-file masks
+    // + a replaced-name list in ONE delta commit); lightly-deleted
+    // files keep serving through their sidecars, untouched files are
+    // never read. The requires pin the mechanism: exactly one file
+    // replaced (the 80%-deleted one), no full commit anywhere, the
+    // change feed emits NOTHING for the rewrite version (moved bytes
+    // are not row changes), and keys re-inserted after the rewrite
+    // survive. At 100 TB this is the standing maintenance loop of a
+    // merge-on-read table: clearing delete debt costs IO proportional
+    // to the DENSE files, not the table.
+    "q89_rewrite_deletes" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q89")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2)")
+      val src = ordersAsFact(s, d)
+      val fact = src.select(col("trans_id"), col("trans_date"), col("amt"))
+      val key = col("trans_id").cast("bigint")
+      // one file per commit: per-file deleted fractions are the design
+      // under test, so the layout must be deterministic
+      (0 to 2).foreach(k => lake.append("fact_rw",
+        fact.filter(pmod(key, lit(3)) === k).coalesce(1)))
+      // one DV commit: 80% of file A (k%3=0, keep only multiples of 5),
+      // 5% of file B (k%3=1 and k%20=1), file C untouched
+      lake.deleteRowsMoR("fact_rw", schema,
+        (pmod(key, lit(3)) === 0 && pmod(key, lit(5)) =!= 0) ||
+          (pmod(key, lit(3)) === 1 && pmod(key, lit(20)) === 1))
+      val rewriteFrom = lake.versions("fact_rw").map(_._1).max
+      val replaced = lake.rewriteDeletes("fact_rw", schema, 0.5)
+      require(replaced.sizeIs == 1,
+        s"exactly the dense file must be replaced, got: $replaced")
+      val latest = lake.versions("fact_rw").map(_._1).max
+      require(lake.versions("fact_rw").forall(!_._2),
+        "rewriteDeletes must commit a DELTA, never a full snapshot")
+      require(lake.changeFeed("fact_rw", rewriteFrom, latest, schema)
+        .isEmpty, "a rewrite changes no logical rows — the feed must " +
+        "emit nothing for it")
+      // sequence rule across the rewrite: re-insert deleted keys at
+      // +1000 AFTER it — the new masks must never touch them
+      lake.append("fact_rw", src
+        .filter(pmod(col("_slice"), lit(3)) === 0 &&
+          pmod(col("_slice"), lit(5)) =!= 0 &&
+          pmod(col("_slice"), lit(7)) === 0)
+        .select(col("trans_id"), col("trans_date"),
+          (col("amt") + 1000).cast("decimal(18,2)").as("amt")))
+      s.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(schema).load(lake.tablePath("fact_rw"))
+        .createOrReplaceTempView("q89_live")
+      s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM q89_live GROUP BY 1""")
     })
   )
 
@@ -1469,6 +1528,28 @@ FROM (
   SELECT o_orderkey, o_orderdate,
     CAST(o_totalprice AS DECIMAL(18,2)) + 1000
   FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0
+) GROUP BY 1""",
+    // survivors of the two-file MoR delete (80% of the k%3=0 file, 5%
+    // of the k%3=1 file) plus the post-rewrite re-insert at +1000 —
+    // the rewrite itself must be INVISIBLE to the result (it moves
+    // bytes, not rows), so the oracle has no rewrite term at all
+    "q89_rewrite_deletes" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(amt) AS DOUBLE) AS amt_sum
+FROM (
+  SELECT o_orderkey, o_orderdate,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders
+  WHERE NOT ((o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0)
+          OR (o_orderkey % 3 = 1 AND o_orderkey % 20 = 1))
+  UNION ALL
+  SELECT o_orderkey, o_orderdate,
+    CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+  FROM orders
+  WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+    AND o_orderkey % 7 = 0
 ) GROUP BY 1""",
     // quarter 1 = months 1-3, re-derived arithmetically (q78's dim)
     "q85_runtime_file_pruning" ->

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Catalog plugin that makes lakehouse tables first-class SQL objects:
@@ -659,6 +659,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             case "vacuum" | "history" | "analyze" => Array(
               ProcedureParameter.in("namespace", StringType).build(),
               ProcedureParameter.in("table", StringType).build())
+            case "rewrite_deletes" => Array(
+              ProcedureParameter.in("namespace", StringType).build(),
+              ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("threshold", DoubleType).build())
             case "stage_branch" => Array(
               ProcedureParameter.in("namespace", StringType).build(),
               ProcedureParameter.in("table", StringType).build(),
@@ -702,6 +706,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   gcGraceMs = grace).vacuum(t)
               case "analyze" => GraftCatalog.analyzeTable(spark,
                 new Path(nsPath(Array(ns)), t), tableSchema(ns, t))
+              // partial compaction: rewrite ONLY the data files whose
+              // merge-on-read deleted fraction reaches the threshold
+              // (Iceberg's rewrite_data_files + delete-threshold) —
+              // the standing maintenance job of a heavy-delete table
+              case "rewrite_deletes" =>
+                lake.rewriteDeletes(t, tableSchema(ns, t),
+                  args.getDouble(2))
               // write-audit-publish as SQL: stage a query's result on a
               // branch (invisible to readers), audit it via
               // `VERSION AS OF 'branch:<b>'`, then publish or discard.
@@ -766,7 +777,8 @@ private[graft] object GraftCatalog {
   val DeleteModeProp = "graft.deleteMode"
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
-      "stage_branch", "publish_branch", "discard_branch")
+      "stage_branch", "publish_branch", "discard_branch",
+      "rewrite_deletes")
 
   /** Heal grace for RTAS swap journals (`spark.graft.swapGraceMs`) and
     * default reclaim grace for `CALL graft.system.vacuum`

@@ -724,9 +724,23 @@ private[graft] object LakehouseBatch {
     final case class RootMeta(v: Long, root: Path,
         dataPaths: Seq[org.apache.hadoop.fs.FileStatus],
         statRows: Map[String, org.apache.spark.sql.Row],
-        mStats: Set[String], mBlooms: Set[String])
+        mStats: Set[String], mBlooms: Set[String],
+        rewritten: Set[String])
     val rootMetas: Seq[RootMeta] = parMap(roots) { case (v, root) =>
       val dataPaths = listDataFiles(fs, root)
+      // a REWRITE commit (rewriteDeletes) names the data files it
+      // replaced — lower-version occurrences are dropped from the plan
+      // below (they are fully masked; scanning them is pure waste)
+      val rewritten: Set[String] = {
+        val f = new Path(root, Protocol.RewrittenList)
+        if (!fs.exists(f)) Set.empty
+        else {
+          val in = fs.open(f)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toSet
+          finally in.close()
+        }
+      }
       val manifest = new Path(root, Protocol.StatsDir)
       var mStats = Set.empty[String]
       var mBlooms = Set.empty[String]
@@ -748,12 +762,21 @@ private[graft] object LakehouseBatch {
               r.getString(r.fieldIndex("file")) -> r).toMap
           }
         }
-      RootMeta(v, root, dataPaths, statRows, mStats, mBlooms)
+      RootMeta(v, root, dataPaths, statRows, mStats, mBlooms, rewritten)
     }
     val statsCols = rootMetas.flatMap(_.mStats).toSet
     val bloomCols = rootMetas.flatMap(_.mBlooms).toSet
+    // files a HIGHER-version rewrite replaced plan no task at all: their
+    // whole-file masks make every row dead, and the replaced-name list
+    // turns that from a scan-and-drop into a plan-time skip (the point
+    // of rewriteDeletes — post-rewrite serve cost is clean-file cost)
+    val rewrittenByVersion: Seq[(Long, Set[String])] =
+      rootMetas.filter(_.rewritten.nonEmpty).map(rm => (rm.v, rm.rewritten))
     val fileTasks: Seq[(RootMeta, org.apache.hadoop.fs.FileStatus)] =
-      rootMetas.flatMap(rm => rm.dataPaths.map(st => (rm, st)))
+      rootMetas.flatMap(rm => rm.dataPaths
+        .filterNot(st => rewrittenByVersion.exists { case (w, names) =>
+          w > rm.v && names(st.getPath.getName) })
+        .map(st => (rm, st)))
     val all: Seq[FileMeta] = parMap(fileTasks) { case (rm, st) =>
       val rows = footerRowCount(fs, conf, st.getPath)
       // a 0-row file (empty input to an append) plans no task, carries

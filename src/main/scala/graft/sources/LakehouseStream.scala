@@ -237,6 +237,13 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
               "incomplete; re-seed the query or raise gcGraceMs")
         case Some(p) => Protocol.commitKind(fs, p) match {
           case None => // uncommitted debris inside the range: no rows
+          case Some(false)
+            if fs.exists(new Path(p, Protocol.MarkerRewrite)) =>
+            // a REWRITE commit (rewriteDeletes) changes no logical rows:
+            // its whole-file masks cover rows whose deletes prior DV/
+            // eq-del commits already emitted, and its data files are
+            // moved survivors, not inserts — both stream modes emit
+            // nothing for it (the recorded-empty stance compaction takes)
           case Some(false) =>
             // a deletion-vector commit names rows by POSITION. In CDF
             // mode the feed resolves them to PRE-IMAGE delete records

@@ -183,6 +183,32 @@ object DvSidecar {
     fs.create(new Path(dir, DoneMarker), true).close()
   }
 
+  /** Whole-file masks for a REWRITE commit ([[Lakehouse]]'s
+    * `rewriteDeletes`): one sidecar per replaced data file, each a
+    * single run [0, rowCount) — 36 bytes, written driver-side (the
+    * entry count is O(#replaced files), never O(#rows); the run-length
+    * format is what makes "delete the whole file" metadata-sized).
+    * Ends with the completion marker like [[writeSidecars]].
+    */
+  def writeWholeFileSidecars(fs: FileSystem, dvDir: Path,
+      files: Seq[(String, Long)]): Unit = {
+    fs.mkdirs(dvDir)
+    files.foreach { case (name, rows) =>
+      require(rows > 0, s"whole-file mask of empty file $name")
+      val out = fs.create(new Path(dvDir, sidecarName(name)), true)
+      try {
+        val d = new java.io.DataOutputStream(out)
+        d.writeInt(Magic)
+        d.writeInt(1)
+        d.writeLong(rows)
+        d.writeLong(0L)
+        d.writeLong(rows)
+        d.flush()
+      } finally out.close()
+    }
+    fs.create(new Path(dvDir, DoneMarker), true).close()
+  }
+
   /** Header-only read: (runCount, deletedRowCount). Driver-side use is
     * limited to this 16-byte read (scan statistics).
     */

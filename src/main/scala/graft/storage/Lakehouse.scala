@@ -302,11 +302,19 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * throw (same never-misresolve stance as readAt).
     */
   def changesBetween(name: String, fromVersion: Long,
+      toVersion: Long): DataFrame =
+    changesBetween(name,
+      Schemas.byName.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table: $name")),
+      fromVersion, toVersion)
+
+  /** [[changesBetween]] with a caller-supplied contract schema
+    * (unregistered versioned tables).
+    */
+  def changesBetween(name: String, schema: StructType, fromVersion: Long,
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    val schema = Schemas.byName.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown table: $name"))
     val all = versionDirs(new Path(tablePath(name))).sortBy(_._1)
     val committed = all
       .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
@@ -325,6 +333,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"$name version $v is not on disk (GC'd) — " +
         "the change feed would be incomplete"))
     val range = committed.filter(t => t._1 > fromVersion && t._1 <= toVersion)
+      // a REWRITE commit (rewriteDeletes) appends nothing: its data
+      // files are moved survivors of already-masked files, not new rows
+      // — skip it entirely (before the DV-refusal below, which is about
+      // genuine delete commits)
+      .filterNot(t =>
+        fs.exists(new Path(t._2, Lakehouse.Protocol.MarkerRewrite)))
     range.find(_._3).foreach { case (v, _, _) =>
       throw new IllegalArgumentException(
         s"$name version $v is a FULL rewrite — no row-level change feed " +
@@ -657,11 +671,24 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       }
       again = late.nonEmpty
       late.foreach { case (_, p, _) =>
-        val m = claimVersion(dest)
-        val target = new Path(dest, s"$VersionPrefix$m")
-        // losing the rename race (source gone) is fine: the appender's
-        // own ensureAboveFulls moved it — already live above some full
-        if (tryRename(p, target)) ensureAboveFulls(dest, target)
+        val isRewrite =
+          try fs.exists(new Path(p, Lakehouse.Protocol.MarkerRewrite))
+          catch { case _: java.io.FileNotFoundException => false }
+        if (isRewrite) {
+          // a late REWRITE delta ([[rewriteDeletes]]) carries no logical
+          // rows — its survivors re-express data this full's snapshot
+          // already read through the masks. Rebasing it would DUPLICATE
+          // those rows above the full; the correct resolution is to
+          // drop it (the rewrite side reaches the same verdict when it
+          // sees our full — whoever looks first discards it).
+          fs.delete(p, true)
+        } else {
+          val m = claimVersion(dest)
+          val target = new Path(dest, s"$VersionPrefix$m")
+          // losing the rename race (source gone) is fine: the appender's
+          // own ensureAboveFulls moved it — already live above some full
+          if (tryRename(p, target)) ensureAboveFulls(dest, target)
+        }
       }
     }
   }
@@ -1188,6 +1215,169 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     ensureAboveFulls(dest, vdir)
   }
 
+  /** Data-file walk of one root (underscore dirs invisible, recursive). */
+  private def listDataFilesIn(root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) out += st
+      }
+    }
+    if (fs.exists(root)) walk(root)
+    out.result()
+  }
+
+  /** PARTIAL compaction driven by delete density — Iceberg's
+    * `rewrite_data_files` with a delete-file threshold, the maintenance
+    * shape a 100 TB merge-on-read table actually runs: rewriting the
+    * whole table to clear 1% of deletes re-pays 100 TB of IO, but a file
+    * that is 60% tombstones taxes every read with masked scanning.
+    * `rewriteDeletes` rewrites ONLY the data files whose deleted
+    * fraction reaches `threshold`, in ONE crash-safe commit:
+    *
+    *  - SURVIVORS of the selected files land as this version's data
+    *    files (read through the same mask semantics as any reader — DV
+    *    runs plus eq-del tombstones with version > the file's root, so
+    *    a rewrite also FOLDS applicable equality deletes into physical
+    *    form for the files it touches);
+    *  - the ORIGINALS get whole-file DV masks in the same commit (one
+    *    36-byte run each — [[DvSidecar.writeWholeFileSidecars]]), so
+    *    every existing reader is correct with ZERO changes: the
+    *    sequence rule (a DV at version v masks lower-version roots)
+    *    already hides them, and survivors at THIS version escape both
+    *    the new masks and any older tombstone — exactly right, because
+    *    those were applied during the rewrite;
+    *  - [[Lakehouse.Protocol.RewrittenList]] names the replaced files so
+    *    the V2 scan can skip them at PLAN time (zero tasks, zero IO)
+    *    rather than scanning fully-masked bytes.
+    *
+    * Storage is reclaimed later (replaced files stay for time travel
+    * until the next full commit's retention GC) — the rewrite buys READ
+    * cost, the same split as Iceberg's rewrite vs expire-snapshots.
+    *
+    * Selection uses sidecar HEADERS plus one footer open per candidate
+    * (metadata-sized; overlapping DV commits can overcount a file's
+    * deleted total, which at worst rewrites a file slightly below the
+    * threshold — never a correctness issue).
+    *
+    * Concurrency: a rewrite changes no logical rows, so unlike an
+    * append it must NOT self-rebase above a racing FULL commit (its
+    * survivors would duplicate rows the snapshot already carries).
+    * Both halves of the protocol agree a raced rewrite is DISCARDED:
+    * [[rebaseLateDeltas]] deletes (not renames) late rewrite deltas,
+    * and this side drops its own commit when a full landed above it.
+    *
+    * Returns the replaced file names (empty = nothing crossed the
+    * threshold; the commit is skipped entirely).
+    */
+  def rewriteDeletes(name: String, schema: StructType, threshold: Double,
+      statsCols: Seq[String] = Nil,
+      beforeCommit: () => Unit = () => ()): Seq[String] = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(exists(name), s"no such table: $name")
+    val dest = new Path(tablePath(name))
+    val (roots, _) = liveRootsAndBasis(name)
+    val dvs: Seq[(Long, Map[String, String])] =
+      roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
+    if (dvs.isEmpty) return Nil
+    val tombs: Seq[(Long, DataFrame)] =
+      roots.flatMap(r => eqDelKeys(r).map(k => (rootVersion(r), k)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    // files an EARLIER rewrite already replaced never qualify again —
+    // their whole-file masks would select them every run and produce
+    // empty re-rewrites forever
+    val alreadyRewritten: Seq[(Long, Set[String])] = roots.flatMap { r =>
+      val f = new Path(r, Lakehouse.Protocol.RewrittenList)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try Some((rootVersion(r),
+          scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toSet))
+        finally in.close()
+      }
+    }
+    // (root, rootVersion, path, rows) per selected file
+    val selected: Seq[(String, Long, Path, Long)] = for {
+      r <- roots
+      rv = rootVersion(r)
+      st <- listDataFilesIn(new Path(r))
+      if !alreadyRewritten.exists { case (w, names) =>
+        w > rv && names(st.getPath.getName) }
+      sidecars = dvs.filter(_._1 > rv).flatMap(_._2.get(st.getPath.getName))
+      if sidecars.nonEmpty
+      rows = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val pr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try pr.getRecordCount finally pr.close()
+      }
+      if rows > 0
+      deleted = math.min(rows,
+        sidecars.map(s => DvSidecar.readHeader(fs, new Path(s))._2).sum)
+      if deleted >= threshold * rows
+    } yield (r, rv, st.getPath, rows)
+    if (selected.isEmpty) return Nil
+    val survivors = selected.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (root, files) =>
+        val rv = files.head._2
+        val names = files.map(_._3.getName).toSet
+        val base = spark.read.schema(schema).option("basePath", root)
+          .parquet(files.map(_._3.toString): _*)
+        val eqMasked = tombs.filter(_._1 > rv).foldLeft(base) {
+          case (df, (_, keys)) =>
+            df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
+        }
+        val idx: Map[String, Seq[String]] = dvs.filter(_._1 > rv)
+          .flatMap(_._2.toSeq).filter(t => names(t._1))
+          .groupMap(_._1)(_._2)
+        eqMasked.filter(graft.functions.DvSurvives(
+          substring_index(col("_metadata.file_path"), "/", -1),
+          col("_metadata.row_index"), idx))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+    val replaced = selected.map(_._3.getName)
+    val vdir = writeVersion(name, Lakehouse.Protocol.MarkerRewrite,
+      beforeCommit) { p =>
+      // survivor count tracks the masked remainder — one file unless
+      // the rewrite folds many originals (then keep their count)
+      survivors.coalesce(math.max(1, selected.size / 2))
+        .write.mode("overwrite").parquet(p)
+      writeStats(p, statsCols)
+      DvSidecar.writeWholeFileSidecars(fs,
+        new Path(p, Lakehouse.Protocol.DvDir),
+        selected.map(t => (t._3.getName, t._4)))
+      val out = fs.create(
+        new Path(p, Lakehouse.Protocol.RewrittenList), true)
+      try out.write(replaced.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    // raced by a FULL commit: the snapshot read the originals through
+    // their masks, so this commit's content is redundant — drop it (the
+    // full committer's rebaseLateDeltas does the same if it sees us
+    // first; either way the rewrite simply didn't happen)
+    val fullAbove = versionDirs(dest).exists { case (fv, p) =>
+      fv > rootVersion(vdir.toString) && commitKind(p).contains(true)
+    }
+    if (fullAbove) { fs.delete(vdir, true); return Nil }
+    replaced
+  }
+
+  /** [[rewriteDeletes]] for registered tables (unpartitioned layouts —
+    * the merge-on-read DV surface; a partitioned fact compacts through
+    * [[compact]]).
+    */
+  def rewriteDeletes(name: String, threshold: Double): Seq[String] = {
+    val schema = Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name"))
+    require(readSchema(name, schema) == schema,
+      s"rewriteDeletes does not support partitioned table $name")
+    rewriteDeletes(name, schema, threshold)
+  }
+
   /** MERGE INTO (upsert): source rows REPLACE the target rows sharing
     * their `keyCols` tuple (WHEN MATCHED THEN UPDATE SET *) and rows with
     * no match are appended (WHEN NOT MATCHED THEN INSERT *) — the
@@ -1337,6 +1527,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val range = all
       .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
       .filter(t => t._1 > fromVersion && t._1 <= toVersion)
+      // a REWRITE commit (rewriteDeletes) changes no logical rows: its
+      // whole-file masks hide rows whose deletes were ALREADY emitted by
+      // the DV/eq-del commits that motivated it, and its survivors are
+      // moved bytes, not inserts — the feed emits nothing for it (the
+      // same stance as compaction's recorded-empty change data)
+      .filterNot(t =>
+        fs.exists(new Path(t._2, Lakehouse.Protocol.MarkerRewrite)))
     val parts = range.map {
       case (v, p, _) if fs.exists(new Path(p, Lakehouse.Protocol.DvDir)) =>
         // a deletion-vector commit names rows by POSITION — the feed
@@ -1890,6 +2087,20 @@ object Lakehouse {
     val EqDelDir = "_GRAFT_EQDEL"
     val DvDir = "_GRAFT_DV" // deletion vectors: positional tombstones
     val BranchPrefix = "_GRAFT_BRANCH_" // staged (write-audit-publish) dirs
+    // A REWRITE commit (rewriteDeletes): physically re-expresses files
+    // whose deleted fraction crossed a threshold — survivors land as
+    // this version's data files, the originals get whole-file DV masks
+    // in the same commit, and `RewrittenList` names them. Classified as
+    // a DELTA by commitKind (the marker extends MarkerDelta), so every
+    // reader's version sequencing applies unchanged; feed/stream
+    // consumers recognize the marker and emit NOTHING (a rewrite
+    // changes no logical rows). Distinct name required: `_b<id>`
+    // exactly-once parsing must not match it.
+    val MarkerRewrite = s"${MarkerDelta}_REWRITE"
+    // Newline-separated data-file NAMES a rewrite commit replaced: the
+    // V2 scan drops them from lower-version roots at plan time (zero
+    // tasks, zero IO) instead of scanning fully-masked files.
+    val RewrittenList = "_GRAFT_REWRITTEN"
 
     /** (version, dir) for every `_v<N>` subdir, committed or not. */
     def versionDirs(fs: FileSystem, dest: Path): Seq[(Long, Path)] =
