@@ -25,6 +25,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4
       // refuses; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE the session keeps Spark's INT96 timestamp default: the
+      // driver's oracle compare reads result dumps through pandas,
+      // where an isAdjustedToUTC TIMESTAMP(MICROS) surfaces tz-AWARE
+      // and hash-mismatches DuckDB's naive values. Lakehouse-INTERNAL
+      // writes opt into TIMESTAMP_MICROS per-write instead (the
+      // footer-derived zone maps need real INT64 statistics; INT96
+      // carries none) — see Lakehouse.writeVersion's scoped override.
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -1,0 +1,264 @@
+package graft.storage
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.types._
+
+/** Zone-map statistics decoded from PARQUET FOOTERS — the write path's
+  * alternative to re-scanning a just-committed version for min/max/null
+  * counts (what Iceberg/Delta do: per-file stats come from write-time
+  * metadata, never a second read of the data). At 100 TB the difference
+  * is a footer open per file versus re-reading the whole commit.
+  *
+  * The decode is CONSERVATIVE: if any requested column of any file lacks
+  * trustworthy statistics (missing stats, unset null counts, INT96
+  * timestamps, unsupported physical/logical shapes), the whole commit
+  * returns None and the caller falls back to the scan-based manifest —
+  * a wrong zone map silently drops files from query results, so partial
+  * coverage is never patched together here.
+  *
+  * Values are decoded to the SAME Spark external types the scan-based
+  * aggregate produced, so manifest consumers (readBetween pruning, the
+  * V2 skipFiles, SPJ's min==max keying, `$partitions`) see identical
+  * content. String bounds aggregate in unsigned-UTF8-byte order —
+  * UTF8String's comparison — not Java's UTF-16 order.
+  */
+object FooterStats {
+
+  /** Per-file decoded stats (file NAME → column → (min, max, nullCount))
+    * plus each column's Spark type, derived from the parquet logical
+    * types so the manifest carries the same types the scan-based
+    * aggregate would have. None = fall back to the scan (empty commit,
+    * column missing, untrustworthy or unsupported statistics anywhere).
+    */
+  def collect(fs: FileSystem, conf: Configuration, files: Seq[Path],
+      cols: Seq[String]): Option[(Seq[FileStats], Seq[(String, DataType)])] = {
+    if (files.isEmpty || cols.isEmpty) return None
+    val footers = files.map { f =>
+      try {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getFooter finally r.close()
+      } catch { case _: Exception => return None }
+    }
+    // column Spark types from the FIRST footer (one write job produced
+    // every file, so they agree — a mismatch downstream falls back)
+    val first = footers.head.getFileMetaData.getSchema
+    val types: Seq[(String, DataType)] = cols.map { c =>
+      val idx = first.getFields
+      var found: PrimitiveType = null
+      idx.forEach(t => if (t.getName == c && t.isPrimitive)
+        found = t.asPrimitiveType())
+      if (found == null) return None // partition-only or nested column
+      sparkTypeOf(found) match {
+        case Some(dt) => c -> dt
+        case None => return None
+      }
+    }
+    val out = files.zip(footers).map { case (f, footer) =>
+      val blocks = footer.getBlocks
+      val rowCount = {
+        var n = 0L
+        blocks.forEach(b => n += b.getRowCount)
+        n
+      }
+      val perCol = types.map { case (c, dt) =>
+        decodeColumn(footer, c, dt, rowCount) match {
+          case Some(stat) => stat
+          case None => return None
+        }
+      }
+      FileStats(f.getName, rowCount, cols.zip(perCol).toMap)
+    }
+    Some((out, types))
+  }
+
+  final case class FileStats(name: String, rows: Long,
+      cols: Map[String, (Any, Any, Long)])
+
+  /** Spark type implied by a parquet primitive + logical annotation —
+    * the inverse of Spark's parquet writer for the types zone maps
+    * cover. None = unsupported (INT96, nested, intervals, …).
+    */
+  private def sparkTypeOf(pt: PrimitiveType): Option[DataType] = {
+    import PrimitiveType.PrimitiveTypeName._
+    import LogicalTypeAnnotation._
+    (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+      case (INT64, null) => Some(LongType)
+      case (INT64, a: DecimalLogicalTypeAnnotation) =>
+        Some(DecimalType(a.getPrecision, a.getScale))
+      case (INT64, _: TimestampLogicalTypeAnnotation) => Some(TimestampType)
+      case (INT64, a: IntLogicalTypeAnnotation)
+        if a.getBitWidth == 64 && a.isSigned => Some(LongType)
+      case (INT32, null) => Some(IntegerType)
+      case (INT32, _: DateLogicalTypeAnnotation) => Some(DateType)
+      case (INT32, a: DecimalLogicalTypeAnnotation) =>
+        Some(DecimalType(a.getPrecision, a.getScale))
+      case (INT32, a: IntLogicalTypeAnnotation) if a.isSigned =>
+        a.getBitWidth match {
+          case 8 => Some(ByteType)
+          case 16 => Some(ShortType)
+          case 32 => Some(IntegerType)
+          case _ => None
+        }
+      case (DOUBLE, _) => Some(DoubleType)
+      case (FLOAT, _) => Some(FloatType)
+      case (BOOLEAN, _) => Some(BooleanType)
+      case (BINARY, _: StringLogicalTypeAnnotation) => Some(StringType)
+      case (BINARY, a: DecimalLogicalTypeAnnotation) =>
+        Some(DecimalType(a.getPrecision, a.getScale))
+      case (FIXED_LEN_BYTE_ARRAY, a: DecimalLogicalTypeAnnotation) =>
+        Some(DecimalType(a.getPrecision, a.getScale))
+      case _ => None
+    }
+  }
+
+  /** One column across all row groups of one footer: (min, max, nulls)
+    * in Spark external types, or None when untrustworthy.
+    */
+  private def decodeColumn(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      name: String, dt: DataType, rowCount: Long): Option[(Any, Any, Long)] = {
+    var nulls = 0L
+    var min: Any = null
+    var max: Any = null
+    val blocks = footer.getBlocks
+    var bi = 0
+    while (bi < blocks.size()) {
+      val block = blocks.get(bi)
+      val col = {
+        var found: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+        val it = block.getColumns.iterator()
+        while (it.hasNext && found == null) {
+          val c = it.next()
+          if (c.getPath.size() == 1 && c.getPath.toDotString == name)
+            found = c
+        }
+        found
+      }
+      if (col == null) return None
+      val st = col.getStatistics
+      if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+      nulls += st.getNumNulls
+      if (st.hasNonNullValue) {
+        val (lo, hi) = convert(col.getPrimitiveType, dt,
+          st.genericGetMin.asInstanceOf[AnyRef],
+          st.genericGetMax.asInstanceOf[AnyRef]) match {
+          case Some(p) => p
+          case None => return None
+        }
+        if (min == null || lt(dt, lo, min)) min = lo
+        if (max == null || lt(dt, max, hi)) max = hi
+      }
+      bi += 1
+    }
+    // an all-null column yields (null, null, rowCount) — exactly what
+    // the scan-based min/max aggregate produces
+    Some((min, max, nulls))
+  }
+
+  /** `a < b` under the SAME ordering the scan-based aggregate used. */
+  private def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+    case StringType => utf8Lt(a.asInstanceOf[String], b.asInstanceOf[String])
+    case _: DecimalType =>
+      a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
+    case TimestampType =>
+      a.asInstanceOf[java.sql.Timestamp]
+        .compareTo(b.asInstanceOf[java.sql.Timestamp]) < 0
+    case DateType =>
+      a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date]) < 0
+    case _ =>
+      // numeric primitives share java.lang.Comparable
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+  }
+
+  /** Spark compares strings as unsigned UTF-8 bytes (UTF8String), not
+    * UTF-16 code units — aggregate footer bounds the same way.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Physical parquet statistic values → Spark external values for `dt`.
+    * None = shape this decoder does not vouch for (INT96, exotic
+    * encodings) — the caller falls back to the scan.
+    */
+  private def convert(pt: PrimitiveType, dt: DataType, lo: AnyRef,
+      hi: AnyRef): Option[((Any, Any))] = {
+    import PrimitiveType.PrimitiveTypeName._
+    def both(f: AnyRef => Any): Option[(Any, Any)] = Some((f(lo), f(hi)))
+    (dt, pt.getPrimitiveTypeName) match {
+      case (LongType, INT64) => both(_.asInstanceOf[java.lang.Long])
+      case (IntegerType, INT32) => both(_.asInstanceOf[java.lang.Integer])
+      case (ShortType, INT32) =>
+        both(v => v.asInstanceOf[java.lang.Integer].shortValue())
+      case (ByteType, INT32) =>
+        both(v => v.asInstanceOf[java.lang.Integer].byteValue())
+      // parquet bounds normalize signed zeros (-0.0 as min, +0.0 as max
+      // — PARQUET-1222's valid-bound rule); Spark compares -0.0 == 0.0,
+      // so collapsing to +0.0 keeps the bound valid AND byte-identical
+      // to what the scan-based aggregate produced
+      case (DoubleType, DOUBLE) => both { v =>
+        val d = v.asInstanceOf[java.lang.Double]
+        if (d == 0.0d) java.lang.Double.valueOf(0.0d) else d
+      }
+      case (FloatType, FLOAT) => both { v =>
+        val f = v.asInstanceOf[java.lang.Float]
+        if (f == 0.0f) java.lang.Float.valueOf(0.0f) else f
+      }
+      case (BooleanType, BOOLEAN) => both(_.asInstanceOf[java.lang.Boolean])
+      case (StringType, BINARY)
+        if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        both(v => new String(
+          v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, "UTF-8"))
+      case (d: DecimalType, INT32) =>
+        both(v => new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(
+            v.asInstanceOf[java.lang.Integer].longValue()), d.scale))
+      case (d: DecimalType, INT64) =>
+        both(v => new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(v.asInstanceOf[java.lang.Long]),
+          d.scale))
+      case (d: DecimalType, ptn)
+        if (ptn == FIXED_LEN_BYTE_ARRAY || ptn == BINARY) &&
+          pt.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+        both(v => new java.math.BigDecimal(
+          new java.math.BigInteger(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+          d.scale))
+      case (TimestampType, INT64)
+        if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+        val ann = pt.getLogicalTypeAnnotation
+          .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+        import LogicalTypeAnnotation.TimeUnit
+        val toMicros: Long => Long = ann.getUnit match {
+          case TimeUnit.MICROS => identity
+          case TimeUnit.MILLIS => _ * 1000L
+          case TimeUnit.NANOS => Math.floorDiv(_, 1000L)
+        }
+        both { v =>
+          val us = toMicros(v.asInstanceOf[java.lang.Long])
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+        }
+      case (DateType, INT32) =>
+        both(v => java.sql.Date.valueOf(java.time.LocalDate
+          .ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue())))
+      case _ => None // INT96 timestamps and anything else unproven
+    }
+  }
+}

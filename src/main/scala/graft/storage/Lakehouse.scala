@@ -598,7 +598,24 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val dest = new Path(tablePath(name))
     val next = claimVersion(dest)
     val vdir = new Path(dest, s"$VersionPrefix$next")
-    write(vdir.toString)
+    // Lakehouse-INTERNAL files write TIMESTAMP_MICROS instead of the
+    // session's INT96 default: INT96 is deprecated and carries NO
+    // parquet column statistics, which would force every commit with a
+    // timestamp stats column back onto the scan-based manifest
+    // (writeFooterStats). Scoped to commit-payload writes, not
+    // session-wide — the driver's oracle compare reads RESULT dumps
+    // through pandas, where an isAdjustedToUTC TIMESTAMP(MICROS)
+    // surfaces tz-aware and hash-mismatches DuckDB's naive values;
+    // table-internal bytes are never compared, only read back
+    // (identically) by Spark. Reference-counted (Lakehouse.MicrosScope)
+    // because commits run concurrently (streaming foreachBatch threads,
+    // racing appends): a naive save/restore pair interleaved across two
+    // threads restores the OVERRIDE as the "previous" value and leaks
+    // it session-wide — which is exactly how 21 oracle dumps went
+    // tz-aware before this was refcounted.
+    Lakehouse.MicrosScope.enter(spark)
+    try write(vdir.toString)
+    finally Lakehouse.MicrosScope.exit(spark)
     beforeCommit()
     fs.create(new Path(vdir, marker), false).close() // the commit point
     vdir
@@ -702,9 +719,42 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * that's the difference between listing a manifest and scheduling a
     * task per file.
     */
+  /** FOOTER-DERIVED zone maps (storage.FooterStats): min/max/null counts
+    * decoded from the parquet metadata the write already produced — no
+    * second pass over the data. At 100 TB this is the difference between
+    * a footer open per file and re-reading the commit; per-commit it
+    * also removes one whole Spark job. False = some file's footer stats
+    * are missing or unproven — the caller drops to the scan path
+    * wholesale (a wrong zone map silently loses rows; a slow one never
+    * does).
+    */
+  private def writeFooterStats(vdir: String, statsCols: Seq[String]): Boolean =
+    FooterStats.collect(fs, spark.sparkContext.hadoopConfiguration,
+      listDataFilesIn(new Path(vdir)).map(_.getPath), statsCols) match {
+      case None => false
+      case Some((stats, types)) =>
+        import org.apache.spark.sql.types.{LongType, StringType, StructField}
+        val mSchema = StructType(StructField("file", StringType) +:
+          types.flatMap { case (c, dt) => Seq(
+            StructField(s"min_$c", dt), StructField(s"max_$c", dt),
+            StructField(s"nulls_$c", LongType)) }.toIndexedSeq)
+        import scala.jdk.CollectionConverters._
+        val rows: java.util.List[Row] = stats.map(fst => Row.fromSeq(
+          fst.name +: types.flatMap { case (c, _) =>
+            val (mn, mx, nl) = fst.cols(c); Seq(mn, mx, nl) })).asJava
+        spark.createDataFrame(rows, mSchema).coalesce(1)
+          .write.mode("overwrite").parquet(s"$vdir/$StatsDir")
+        true
+    }
+
   private def writeStats(vdir: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil): Unit =
-    if (statsCols.nonEmpty || bloomCols.nonEmpty) {
+    // blooms require a data pass; stats-only commits try footers first
+    if (statsCols.nonEmpty && bloomCols.isEmpty &&
+      writeFooterStats(vdir, statsCols))
+      Lakehouse.lastStatsFromFooters = true // test observability only
+    else if (statsCols.nonEmpty || bloomCols.nonEmpty) {
+      Lakehouse.lastStatsFromFooters = false
       // nulls_<c> backs the V2 scan's storage-partitioned-join proof
       // (a file is only "keyed" when min == max AND no row is null —
       // min/max alone are silent about nulls); costs nothing extra on
@@ -2141,6 +2191,40 @@ object Lakehouse {
             suffix.forall(_.isDigit)
         } => st.getPath.getName.drop(ClaimPrefix.length).toLong
       }
+  }
+
+  /** Which path produced the most recent stats manifest (true =
+    * footer-derived, false = scan fallback) — TEST OBSERVABILITY ONLY
+    * (FooterStatsSpec pins that the footer path actually engages; the
+    * two paths are content-identical by design, so nothing else can
+    * tell them apart).
+    */
+  @volatile private[storage] var lastStatsFromFooters: Boolean = false
+
+  /** Reference-counted session-conf override for commit-payload writes
+    * (see writeVersion): first enter saves the session value and sets
+    * TIMESTAMP_MICROS, last exit restores — balanced under ANY
+    * interleaving of concurrent commits, where a per-call save/restore
+    * would capture the override as the previous value and leak it.
+    */
+  private[storage] object MicrosScope {
+    private val Key = "spark.sql.parquet.outputTimestampType"
+    private var depth = 0
+    private var saved: Option[String] = None
+    def enter(spark: SparkSession): Unit = synchronized {
+      if (depth == 0) {
+        saved = spark.conf.getOption(Key)
+        spark.conf.set(Key, "TIMESTAMP_MICROS")
+      }
+      depth += 1
+    }
+    def exit(spark: SparkSession): Unit = synchronized {
+      depth -= 1
+      if (depth == 0) saved match {
+        case Some(v) => spark.conf.set(Key, v)
+        case None => spark.conf.unset(Key)
+      }
+    }
   }
 
   /** Snapshot provenance for a maintenance rewrite: the committed
