@@ -628,6 +628,25 @@ private[graft] object LakehouseBatch {
     * zone maps. Driver-side, metadata-sized: one listing per root, one
     * footer open per file, one manifest read per root that has one.
     * Equality-delete tombstones reject at plan time (class doc).
+    *
+    * SNAPSHOT-KEYED CACHE: the walk's per-file constant (a footer open,
+    * ~2 ms) and per-root manifest read (a Spark job, ~100 ms) are paid
+    * once per SNAPSHOT, not once per query — at 100 TB a table is
+    * O(100k) files and every interactive query would otherwise spend
+    * seconds re-planning metadata that didn't change. The cache key is
+    * a fingerprint of the commit log itself (every `_v*` dir's direct
+    * entries: name + mtime + length), which is sound because a commit
+    * dir is IMMUTABLE once its marker lands (writeVersion orders
+    * payload → marker; stats/DV/eqdel/rewritten all precede the
+    * marker): any new commit, vacuum, rewrite, branch stage, or a
+    * recreated table at the same path (fresh mtimes + part-file UUIDs)
+    * changes the fingerprint and misses. The fingerprint walk is one
+    * flat listing per version dir — the part of resolve that was
+    * already unavoidable — so a warm hit removes the footer/manifest
+    * terms entirely (StressMeta pins warm ≪ cold). A result is cached
+    * only if the fingerprint is UNCHANGED after the walk (a commit
+    * racing resolve can't pin a torn snapshot under the old key).
+    * `spark.graft.metaCacheEntries` sizes the LRU (0 disables).
     */
   def resolve(path: String, asOf: Option[Long] = None,
       branch: Option[String] = None): TableMeta = {
@@ -636,6 +655,75 @@ private[graft] object LakehouseBatch {
     val dest = new Path(path)
     val fs = dest.getFileSystem(conf)
     require(fs.exists(dest), s"no such lakehouse table: $path")
+    val maxEntries = spark.conf.getOption("spark.graft.metaCacheEntries")
+      .map(_.toInt).getOrElse(64)
+    if (maxEntries <= 0) return resolveUncached(spark, conf, fs, dest,
+      path, asOf, branch)
+    val key = (fs.makeQualified(dest).toString, asOf, branch)
+    val fp = snapshotFingerprint(fs, dest)
+    metaCache.synchronized {
+      metaCacheMax = maxEntries
+      Option(metaCache.get(key))
+    } match {
+      case Some((`fp`, cached)) => metaCacheHits += 1; cached
+      case _ =>
+        val meta = resolveUncached(spark, conf, fs, dest, path, asOf,
+          branch)
+        if (snapshotFingerprint(fs, dest) == fp)
+          metaCache.synchronized { metaCache.put(key, (fp, meta)) }
+        meta
+    }
+  }
+
+  /** LRU of resolved snapshots, keyed (qualified path, asOf, branch);
+    * value = (commit-log fingerprint, meta). Access-ordered; eviction
+    * bound re-read from the session conf on each resolve.
+    */
+  private val metaCache = new java.util.LinkedHashMap[
+      (String, Option[Long], Option[String]), (String, TableMeta)](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, Option[Long], Option[String]), (String, TableMeta)])
+      : Boolean = size() > metaCacheMax
+  }
+  @volatile private var metaCacheMax = 64
+  /** Test observability only (StressMeta / MetaCacheSpec). */
+  @volatile private[graft] var metaCacheHits: Long = 0L
+
+  /** Digest of the commit log: every version dir's direct entries.
+    * One flat listing per `_v*` dir; no footer opens, no Spark jobs.
+    * Claim files and staging debris at the TABLE root are excluded on
+    * purpose (they don't affect what resolve serves); everything
+    * inside a version dir — markers, data files, _GRAFT_* subdirs'
+    * top-level mtimes — is included.
+    */
+  private def snapshotFingerprint(fs: FileSystem, dest: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def put(s: String): Unit = md.update(s.getBytes("UTF-8"))
+    // pre-versioning plain files at the table root serve as version-0
+    // data on delta-only chains — they must invalidate too
+    val rootList = try fs.listStatus(dest).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    rootList.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.getName).foreach { st =>
+      put(s"~${st.getPath.getName},${st.getModificationTime}," +
+        s"${st.getLen}")
+    }
+    Protocol.versionDirs(fs, dest).sortBy(_._1).foreach { case (v, p) =>
+      put(s"|$v")
+      try fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        put(s";${st.getPath.getName},${st.getModificationTime}," +
+          s"${st.getLen}")
+      } catch { case _: java.io.FileNotFoundException => put(";gone") }
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
+  private def resolveUncached(spark: SparkSession, conf: Configuration,
+      fs: FileSystem, dest: Path, path: String, asOf: Option[Long],
+      branch: Option[String]): TableMeta = {
     val committedAll = Protocol.versionDirs(fs, dest).sortBy(_._1).flatMap {
       case (v, p) => Protocol.commitKind(fs, p).map(full => (v, p, full))
     }

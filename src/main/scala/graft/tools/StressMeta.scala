@@ -48,25 +48,35 @@ object StressMeta {
       }
       lake.deleteRowsMoR("t", schema, col("k") % 1000 === 0)
       val path = lake.tablePath("t")
-      val (meta, tResolve) = StressUtil.timedValue(
+      // cold = the raw walk (cache disabled); warm = the snapshot-keyed
+      // cache hit, whose cost is the fingerprint listing alone — the
+      // 100 TB contract is "pay the footer/manifest terms once per
+      // snapshot, not once per query"
+      spark.conf.set("spark.graft.metaCacheEntries", "0")
+      val (meta, tResolveCold) = StressUtil.timedValue(
         graft.sources.LakehouseBatch.resolve(path))
       require(meta.dataFiles.length == commits * filesPerCommit,
         s"x=$x expected ${commits * filesPerCommit} files, " +
           s"got ${meta.dataFiles.length}")
+      def planOnce(): Unit = {
+        val df = spark.read
+          .format("graft.sources.LakehouseBatchProvider")
+          .schema(schema).load(path)
+          .filter(col("k") >= 5000L && col("k") < 15000L)
+          .groupBy().count()
+        df.queryExecution.executedPlan // forces full planning
+        ()
+      }
       // plan-only timing: build the filtered scan and force planning
       // (executedPlan), no job submission
-      val tPlan = (1 to 3).map { _ =>
-        timed {
-          val df = spark.read
-            .format("graft.sources.LakehouseBatchProvider")
-            .schema(schema).load(path)
-            .filter(col("k") >= 5000L && col("k") < 15000L)
-            .groupBy().count()
-          df.queryExecution.executedPlan // forces full planning
-          ()
-        }
-      }.min
-      f"""{"x":$x,"files":${meta.dataFiles.length},"commits":$commits,"resolve_ms":${tResolve * 1000}%.0f,"plan_ms":${tPlan * 1000}%.0f}"""
+      val tPlanCold = (1 to 3).map(_ => timed(planOnce())).min
+      spark.conf.set("spark.graft.metaCacheEntries", "64")
+      graft.sources.LakehouseBatch.resolve(path) // populate
+      val tResolveWarm = (1 to 3).map(_ => timed {
+        graft.sources.LakehouseBatch.resolve(path); ()
+      }).min
+      val tPlanWarm = (1 to 3).map(_ => timed(planOnce())).min
+      f"""{"x":$x,"files":${meta.dataFiles.length},"commits":$commits,"resolve_ms":${tResolveCold * 1000}%.0f,"resolve_warm_ms":${tResolveWarm * 1000}%.0f,"plan_ms":${tPlanCold * 1000}%.0f,"plan_warm_ms":${tPlanWarm * 1000}%.0f}"""
     }
     out.foreach(println)
     spark.stop()

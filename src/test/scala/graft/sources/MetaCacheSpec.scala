@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.Lakehouse
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The V2 scan's snapshot-keyed metadata cache (LakehouseBatch.resolve).
+  * The cache must be INVISIBLE except in cost: every mutation of the
+  * commit log — a new commit, a MoR delete, a vacuum, even deleting and
+  * recreating the whole table at the same path — has to miss, because a
+  * stale TableMeta silently serves the wrong snapshot. The fingerprint
+  * is the commit log's own listing (names + mtimes + lengths per
+  * version dir), sound because commit dirs are immutable post-marker.
+  */
+class MetaCacheSpec extends SparkSpec {
+
+  private val schema = StructType.fromDDL("k BIGINT, v BIGINT")
+
+  private def freshLake(name: String): (Lakehouse, String) = {
+    val lake = new Lakehouse(spark, tmpDir(name))
+    lake.append("t", spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 3).as("v")),
+      statsCols = Seq("k"))
+    (lake, lake.tablePath("t"))
+  }
+
+  private def hits: Long = LakehouseBatch.metaCacheHits
+
+  test("warm resolve is a cache hit and returns the identical snapshot") {
+    val (_, path) = freshLake("graft-mc-warm")
+    val cold = LakehouseBatch.resolve(path)
+    val h0 = hits
+    val warm = LakehouseBatch.resolve(path)
+    assert(hits == h0 + 1, "second resolve of an unchanged table must hit")
+    assert(warm eq cold, "a hit serves the SAME immutable TableMeta")
+  }
+
+  test("a new commit invalidates — fresh resolve sees the new files") {
+    val (lake, path) = freshLake("graft-mc-commit")
+    val before = LakehouseBatch.resolve(path)
+    lake.append("t", spark.range(1000, 2000)
+      .select(col("id").as("k"), (col("id") * 3).as("v")),
+      statsCols = Seq("k"))
+    val h0 = hits
+    val after = LakehouseBatch.resolve(path)
+    assert(hits == h0, "resolve after a commit must MISS")
+    assert(after.dataFiles.map(_.rowCount).sum ==
+      before.dataFiles.map(_.rowCount).sum + 1000)
+  }
+
+  test("a MoR delete invalidates — DV refs appear without a restart") {
+    val (lake, path) = freshLake("graft-mc-dv")
+    assert(LakehouseBatch.resolve(path).dataFiles.forall(_.dv.isEmpty))
+    lake.deleteRowsMoR("t", schema, col("k") < 10)
+    val after = LakehouseBatch.resolve(path)
+    assert(after.dataFiles.exists(_.dv.nonEmpty),
+      "post-delete resolve must carry the deletion vectors")
+    assert(after.dataFiles.flatMap(_.dv).map(_.deleted).sum == 10)
+  }
+
+  test("delete + recreate at the same path never serves the old table") {
+    val dir = tmpDir("graft-mc-recreate")
+    val lake = new Lakehouse(spark, dir)
+    lake.append("t", spark.range(0, 500)
+      .select(col("id").as("k"), (col("id") * 3).as("v")))
+    val path = lake.tablePath("t")
+    LakehouseBatch.resolve(path) // populate
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val lake2 = new Lakehouse(spark, dir)
+    lake2.append("t", spark.range(0, 7)
+      .select(col("id").as("k"), (col("id") * 3).as("v")))
+    val re = LakehouseBatch.resolve(path)
+    assert(re.dataFiles.map(_.rowCount).sum == 7,
+      "recreated table must resolve to its OWN files, not the cache")
+  }
+
+  test("asOf snapshots key separately from the current snapshot") {
+    val (lake, path) = freshLake("graft-mc-asof")
+    lake.append("t", spark.range(1000, 1100)
+      .select(col("id").as("k"), (col("id") * 3).as("v")),
+      statsCols = Seq("k"))
+    val cur = LakehouseBatch.resolve(path)
+    val v1 = LakehouseBatch.resolve(path, asOf = Some(1L))
+    assert(cur.dataFiles.map(_.rowCount).sum == 1100)
+    assert(v1.dataFiles.map(_.rowCount).sum == 1000)
+    val h0 = hits
+    assert(LakehouseBatch.resolve(path, asOf = Some(1L))
+      .dataFiles.map(_.rowCount).sum == 1000)
+    assert(hits == h0 + 1, "the as-of entry hits independently")
+  }
+
+  test("spark.graft.metaCacheEntries=0 disables the cache") {
+    val (_, path) = freshLake("graft-mc-off")
+    withSQLConf("spark.graft.metaCacheEntries" -> "0") {
+      val a = LakehouseBatch.resolve(path)
+      val h0 = hits
+      val b = LakehouseBatch.resolve(path)
+      assert(hits == h0, "disabled cache must never hit")
+      assert(!(a eq b))
+    }
+  }
+}
