@@ -967,29 +967,21 @@ private[graft] object LakehouseBatch {
       (meta.statsCols.isEmpty && meta.bloomCols.isEmpty))
       return meta.dataFiles
     // per-(file,column) bloom parse cache for this planning pass — an
-    // IN-list probes the same 50 KB sketch once per value otherwise
+    // IN-list probes the same 50 KB sketch once per value otherwise.
+    // Each cell decodes to a might-contain closure: the blob is either
+    // parquet SBBFs lifted from footers (FooterBloom framing — hashed
+    // with parquet's plain-encoding xxhash64) or the scan path's
+    // Spark sketch (hashed with Spark's XxHash64 over the Catalyst
+    // literal); the magic word picks the decoder per cell, so a table
+    // can mix commits from both write paths.
     val bloomCache = new java.util.IdentityHashMap[
       org.apache.spark.sql.Row,
-      scala.collection.mutable.Map[String,
-        Option[org.apache.spark.util.sketch.BloomFilter]]]()
-    def bloomOf(stats: org.apache.spark.sql.Row, c: String)
-        : Option[org.apache.spark.util.sketch.BloomFilter] = {
-      var m = bloomCache.get(stats)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty
-        bloomCache.put(stats, m)
-      }
-      m.getOrElseUpdate(c, get(stats, s"bloom_$c").map(b =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(b.asInstanceOf[Array[Byte]]))))
-    }
-    // the bloom stores xxhash64 of the column value (the exact pair the
-    // write side aggregates); probe with the same expression over the
-    // filter literal. Restricted to types whose Literal inference is
-    // bit-identical to the column representation — a fractional type
-    // whose inferred scale differed would hash differently and skip a
-    // matching file (false negative = wrong results), so those probe as
-    // "might match".
+      scala.collection.mutable.Map[String, Option[Any => Boolean]]]()
+    // Spark-sketch probing is restricted to types whose Literal
+    // inference is bit-identical to the column representation — a
+    // fractional type whose inferred scale differed would hash
+    // differently and skip a matching file (false negative = wrong
+    // results), so those probe as "might match".
     def bloomSafe(v: Any): Boolean = v match {
       case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
         _: java.lang.Byte | _: java.lang.Boolean | _: String |
@@ -997,15 +989,34 @@ private[graft] object LakehouseBatch {
         _: java.time.LocalDate => true
       case _ => false
     }
+    def bloomOf(stats: org.apache.spark.sql.Row, c: String)
+        : Option[Any => Boolean] = {
+      var m = bloomCache.get(stats)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        bloomCache.put(stats, m)
+      }
+      m.getOrElseUpdate(c, get(stats, s"bloom_$c").map { b =>
+        val bytes = b.asInstanceOf[Array[Byte]]
+        graft.storage.FooterBloom.decode(bytes) match {
+          case Some(filters) =>
+            (v: Any) => graft.storage.FooterBloom.mightContain(filters, v)
+          case None =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            (v: Any) => !bloomSafe(v) || {
+              import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+              val h = new XxHash64(Seq(Literal(v)))
+                .eval(null).asInstanceOf[Long]
+              bf.mightContainLong(h)
+            }
+        }
+      })
+    }
     def bloomMightContain(stats: org.apache.spark.sql.Row, c: String,
         v: Any): Boolean =
-      !meta.bloomCols(c) || v == null || !bloomSafe(v) ||
-        bloomOf(stats, c).forall { bf =>
-          import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-          val h = new XxHash64(Seq(Literal(v)))
-            .eval(null).asInstanceOf[Long]
-          bf.mightContainLong(h)
-        }
+      !meta.bloomCols(c) || v == null ||
+        bloomOf(stats, c).forall(_(v))
     def mightMatch(stats: org.apache.spark.sql.Row, f: Filter): Boolean = {
       def mn(c: String): Option[Any] = get(stats, s"min_$c")
       def mx(c: String): Option[Any] = get(stats, s"max_$c")

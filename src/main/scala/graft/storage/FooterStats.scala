@@ -78,6 +78,54 @@ object FooterStats {
   final case class FileStats(name: String, rows: Long,
       cols: Map[String, (Any, Any, Long)])
 
+  /** Per-file Split-Block Bloom Filters read from the footers the write
+    * already produced (`parquet.bloom.filter.enabled#<col>` on the
+    * writer) — the bloom analogue of [[collect]]: no second data pass.
+    * Returns file NAME → column → [[FooterBloom]]-framed blob (one SBBF
+    * per row group), or None when ANY (file, row group, column) lacks a
+    * filter — partial coverage falls back to the scan-built blooms,
+    * same conservative rule as the stats decode.
+    */
+  def collectBlooms(fs: FileSystem, conf: Configuration, files: Seq[Path],
+      cols: Seq[String]): Option[Map[String, Map[String, Array[Byte]]]] = {
+    if (files.isEmpty || cols.isEmpty) return None
+    val out = files.map { f =>
+      try {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          val footer = r.getFooter
+          val blocks = footer.getBlocks
+          val perCol = cols.map { c =>
+            val bitsets = Seq.newBuilder[Array[Byte]]
+            var bi = 0
+            while (bi < blocks.size()) {
+              val block = blocks.get(bi)
+              var found: org.apache.parquet.hadoop.metadata
+                .ColumnChunkMetaData = null
+              val it = block.getColumns.iterator()
+              while (it.hasNext && found == null) {
+                val cc = it.next()
+                if (cc.getPath.size() == 1 && cc.getPath.toDotString == c)
+                  found = cc
+              }
+              if (found == null) return None
+              val bf = r.getBloomFilterDataReader(block)
+                .readBloomFilter(found)
+              if (bf == null) return None // column written without SBBF
+              val bos = new java.io.ByteArrayOutputStream()
+              bf.writeTo(bos)
+              bitsets += bos.toByteArray
+              bi += 1
+            }
+            c -> FooterBloom.encode(bitsets.result())
+          }
+          f.getName -> perCol.toMap
+        } finally r.close()
+      } catch { case _: Exception => return None }
+    }
+    Some(out.toMap)
+  }
+
   /** Spark type implied by a parquet primitive + logical annotation —
     * the inverse of Spark's parquet writer for the types zone maps
     * cover. None = unsupported (INT96, nested, intervals, …).

@@ -728,30 +728,56 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * wholesale (a wrong zone map silently loses rows; a slow one never
     * does).
     */
-  private def writeFooterStats(vdir: String, statsCols: Seq[String]): Boolean =
-    FooterStats.collect(fs, spark.sparkContext.hadoopConfiguration,
-      listDataFilesIn(new Path(vdir)).map(_.getPath), statsCols) match {
-      case None => false
-      case Some((stats, types)) =>
-        import org.apache.spark.sql.types.{LongType, StringType, StructField}
-        val mSchema = StructType(StructField("file", StringType) +:
-          types.flatMap { case (c, dt) => Seq(
-            StructField(s"min_$c", dt), StructField(s"max_$c", dt),
-            StructField(s"nulls_$c", LongType)) }.toIndexedSeq)
-        import scala.jdk.CollectionConverters._
-        val rows: java.util.List[Row] = stats.map(fst => Row.fromSeq(
-          fst.name +: types.flatMap { case (c, _) =>
-            val (mn, mx, nl) = fst.cols(c); Seq(mn, mx, nl) })).asJava
-        spark.createDataFrame(rows, mSchema).coalesce(1)
-          .write.mode("overwrite").parquet(s"$vdir/$StatsDir")
-        true
-    }
+  private def writeFooterStats(vdir: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = listDataFilesIn(new Path(vdir)).map(_.getPath)
+    if (files.isEmpty) return false
+    // blooms come from the SAME footers: parquet built its split-block
+    // filters during the write (append sets the per-column writer
+    // option), so the manifest step copies bitsets out of metadata —
+    // the second data pass the scan path needed is gone for blooms too
+    val blooms: Map[String, Map[String, Array[Byte]]] =
+      if (bloomCols.isEmpty) Map.empty
+      else FooterStats.collectBlooms(fs, conf, files, bloomCols) match {
+        case None => return false
+        case Some(b) => b
+      }
+    val (stats, types) =
+      if (statsCols.isEmpty) (Seq.empty[FooterStats.FileStats], Nil)
+      else FooterStats.collect(fs, conf, files, statsCols) match {
+        case None => return false
+        case Some(st) => st
+      }
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField}
+    val mSchema = StructType(StructField("file", StringType) +:
+      (types.flatMap { case (c, dt) => Seq(
+        StructField(s"min_$c", dt), StructField(s"max_$c", dt),
+        StructField(s"nulls_$c", LongType)) } ++
+        bloomCols.map(c => StructField(s"bloom_$c", BinaryType)))
+        .toIndexedSeq)
+    val statsByFile = stats.map(fst => fst.name -> fst).toMap
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[Row] = files.map { f =>
+      val n = f.getName
+      Row.fromSeq(n +:
+        (types.flatMap { case (c, _) =>
+          val (mn, mx, nl) = statsByFile(n).cols(c); Seq(mn, mx, nl) } ++
+          bloomCols.map(c => blooms(n)(c))))
+    }.asJava
+    spark.createDataFrame(rows, mSchema).coalesce(1)
+      .write.mode("overwrite").parquet(s"$vdir/$StatsDir")
+    true
+  }
 
   private def writeStats(vdir: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil): Unit =
-    // blooms require a data pass; stats-only commits try footers first
-    if (statsCols.nonEmpty && bloomCols.isEmpty &&
-      writeFooterStats(vdir, statsCols))
+    // footers first: stats decode from write-time metadata, blooms copy
+    // parquet's own SBBFs; ANY gap falls the whole commit back to the
+    // scan path (which builds Spark-sketch blooms — the probe
+    // distinguishes the two blob formats per cell)
+    if ((statsCols.nonEmpty || bloomCols.nonEmpty) &&
+      writeFooterStats(vdir, statsCols, bloomCols))
       Lakehouse.lastStatsFromFooters = true // test observability only
     else if (statsCols.nonEmpty || bloomCols.nonEmpty) {
       Lakehouse.lastStatsFromFooters = false
@@ -807,7 +833,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Unit = {
     val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
-      df.write.mode("overwrite").parquet(p)
+      Lakehouse.withBloomOptions(df.write.mode("overwrite"), bloomCols)
+        .parquet(p)
       writeStats(p, statsCols, bloomCols)
     }
     ensureAboveFulls(new Path(tablePath(name)), vdir)
@@ -927,7 +954,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       committedOlder.map(_._1).maxOption.getOrElse(0L),
       committedOlder.map(_._1).toSet))
     val vdir = writeVersion(name, MarkerFull, beforeCommit) { p =>
-      val w = df.write.mode("overwrite")
+      val w = Lakehouse.withBloomOptions(df.write.mode("overwrite"),
+        bloomCols)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(p)
       writeStats(p, statsCols, bloomCols)
@@ -2119,6 +2147,21 @@ object Lakehouse {
   val BloomItems = 50000L
   val BloomBits = 400000L
 
+  /** Ask the parquet WRITER to build split-block bloom filters for the
+    * commit's `bloomCols` — the footer path ([[FooterStats.collectBlooms]])
+    * then lifts them into the manifest with no second data pass. NDV
+    * matches [[BloomItems]] so sizing stays comparable to the
+    * scan-built sketches. Per-write options, never session state: a
+    * concurrent commit without blooms is unaffected.
+    */
+  private[storage] def withBloomOptions(
+      w: org.apache.spark.sql.DataFrameWriter[Row],
+      bloomCols: Seq[String]): org.apache.spark.sql.DataFrameWriter[Row] =
+    bloomCols.foldLeft(w)((w, c) => w
+      .option(s"parquet.bloom.filter.enabled#$c", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$c",
+        BloomItems.toString))
+
   /** The commit-log layout constants and listing primitives, shared by
     * the [[Lakehouse]] class and the streaming source
     * ([[graft.sources.LakehouseStreamProvider]]) that tails a table's
@@ -2199,7 +2242,7 @@ object Lakehouse {
     * two paths are content-identical by design, so nothing else can
     * tell them apart).
     */
-  @volatile private[storage] var lastStatsFromFooters: Boolean = false
+  @volatile private[graft] var lastStatsFromFooters: Boolean = false
 
   /** Reference-counted session-conf override for commit-payload writes
     * (see writeVersion): first enter saves the session value and sets

@@ -67,6 +67,55 @@ class BloomSkipSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(2121L))
   }
 
+  test("bloom manifests lift parquet's own SBBFs from the footers " +
+    "(no second data pass), and the probe prunes through them") {
+    init()
+    spark.sql("""CREATE TABLE graftbloom.b.foot (ckey BIGINT, v BIGINT)
+      TBLPROPERTIES ('graft.bloomColumns' = 'ckey')""")
+    spark.sql("""INSERT INTO graftbloom.b.foot
+      SELECT id * 2 AS ckey, id AS v FROM range(0, 5000)""")
+    assert(graft.storage.Lakehouse.lastStatsFromFooters,
+      "a bloom commit must come from the footer path now — the write " +
+        "itself built the SBBFs")
+    spark.sql("""INSERT INTO graftbloom.b.foot
+      SELECT id * 2 + 1 AS ckey, id AS v FROM range(0, 5000)""")
+    val q = spark.sql("SELECT v FROM graftbloom.b.foot WHERE ckey = 4242")
+    val (planned, total) = filesOf(q.queryExecution.executedPlan.toString)
+    assert(total >= 2 && planned < total,
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2121L))
+    assert(spark.sql(
+      "SELECT v FROM graftbloom.b.foot WHERE ckey = 999999999").count() == 0)
+  }
+
+  test("string bloom columns hash as UTF-8 binaries through the SBBF") {
+    init()
+    spark.sql("""CREATE TABLE graftbloom.b.s (skey STRING, v BIGINT)
+      TBLPROPERTIES ('graft.bloomColumns' = 'skey')""")
+    spark.sql("""INSERT INTO graftbloom.b.s
+      SELECT md5(CAST(id * 2 AS STRING)) AS skey, id AS v
+      FROM range(0, 5000)""")
+    spark.sql("""INSERT INTO graftbloom.b.s
+      SELECT md5(CAST(id * 2 + 1 AS STRING)) AS skey, id AS v
+      FROM range(0, 5000)""")
+    val probe = spark.sql("SELECT md5('4242') AS k").head().getString(0)
+    val q = spark.sql(
+      s"SELECT v FROM graftbloom.b.s WHERE skey = '$probe'")
+    val (planned, total) = filesOf(q.queryExecution.executedPlan.toString)
+    assert(total >= 2 && planned < total,
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2121L))
+  }
+
+  test("FooterBloom framing never collides with Spark-sketch blobs") {
+    val sk = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    sk.putLong(7L)
+    val bos = new java.io.ByteArrayOutputStream()
+    sk.writeTo(bos)
+    assert(graft.storage.FooterBloom.decode(bos.toByteArray).isEmpty,
+      "a Spark sketch must fall through to its own decoder")
+  }
+
   test("blooms survive the RTAS rename (name-keyed manifests)") {
     init()
     spark.sql("""CREATE TABLE graftbloom.b.r

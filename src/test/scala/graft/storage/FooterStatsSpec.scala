@@ -110,16 +110,24 @@ class FooterStatsSpec extends SparkSpec {
     assert(got.toSeq == (21 to 40).map(i => s"t$i").sorted)
   }
 
-  test("the scan fallback engages for bloom commits and stays correct") {
+  test("bloom commits ALSO come from footers (parquet SBBFs lifted " +
+    "into the manifest), stats content unchanged") {
     val lake = new Lakehouse(spark, tmpDir("fs-bloom"))
     import spark.implicits._
     lake.append("t", (0L until 50L).map(i => (i, i * 2)).toDF("k", "v")
       .coalesce(1), statsCols = Seq("k"), bloomCols = Seq("v"))
-    assert(!Lakehouse.lastStatsFromFooters,
-      "bloom columns require the data pass")
+    assert(Lakehouse.lastStatsFromFooters,
+      "the write built the SBBFs; the manifest copies them from footers")
     val vdir = lake.dataPaths("t").last
     val m = spark.read.parquet(s"$vdir/_GRAFT_STATS").collect().head
     assert(m.getLong(m.fieldIndex("min_k")) == 0L)
     assert(m.getLong(m.fieldIndex("max_k")) == 49L)
+    // the bloom cell decodes as SBBF framing and answers membership
+    val blob = m.getAs[Array[Byte]](m.fieldIndex("bloom_v"))
+    val filters = FooterBloom.decode(blob).get
+    assert(FooterBloom.mightContain(filters, java.lang.Long.valueOf(98L)))
+    assert((0L until 500L).count(x => FooterBloom.mightContain(
+      filters, java.lang.Long.valueOf(x * 2 + 1))) < 50,
+      "odd values are absent — false-positive rate must stay modest")
   }
 }
