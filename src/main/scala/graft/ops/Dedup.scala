@@ -263,6 +263,29 @@ object Dedup {
   def incrementalMinhashNearDups(allDocs: DataFrame, newDocs: DataFrame,
       storedBands: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 100): DataFrame =
+    incrementalMinhashNearDupsBanded(allDocs, newDocs, storedBands,
+      idCol, textCol, bands, rowsPerBand, threshold, maxBucket)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
+
+  /** [[incrementalMinhashNearDups]] keeping the (band, bucket) a pair
+    * was found in. This is what a MULTI-batch consumer (s22's streaming
+    * maintenance) stores: the stage-time megabucket cap sees only the
+    * members that have ARRIVED, so the converged pair set is cut
+    * against CONVERGED bucket counts at serve time instead — sound
+    * because bucket membership only grows (stage count ≤ converged
+    * count): a converged-small bucket was small at every stage, so no
+    * emission was ever suppressed; a converged-mega bucket is dropped
+    * wholesale, exactly as a from-scratch run drops it. The serve-time
+    * cut needs the bucket key on every stored pair — hence this
+    * variant. A pair found in several buckets carries one row per
+    * bucket (identical jaccard); the serve side distincts after the
+    * cut.
+    */
+  def incrementalMinhashNearDupsBanded(allDocs: DataFrame,
+      newDocs: DataFrame, storedBands: DataFrame, idCol: String,
+      textCol: String, bands: Int, rowsPerBand: Int, threshold: Double,
       maxBucket: Int = 100): DataFrame = {
     val newBands = minhashBandedRows(newDocs, idCol, textCol, bands,
       rowsPerBand).repartition(col("band"), col("bucket"))
@@ -281,7 +304,7 @@ object Dedup {
       col("id").as("id_b"), col("is_new").as("new_b"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b") && (col("new_a") || col("new_b")))
-      .select(col("id_a"), col("id_b"))
+      .select(col("band"), col("bucket"), col("id_a"), col("id_b"))
       .distinct()
     val toks = allDocs.select(col(idCol).as("id"),
       array_distinct(TextOps.tokens(lower(col(textCol)))).as("toks"))
@@ -295,9 +318,51 @@ object Dedup {
     val union2 = (size(col("toks_a")) + size(col("toks_b"))).cast("double") -
       inter
     fetched
-      .select(col("id_a"), col("id_b"),
+      .select(col("band"), col("bucket"), col("id_a"), col("id_b"),
         graft.functions.EvalOnce(inter / union2).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** One micro-batch of STREAMING dedup maintenance (s22): compute the
+    * batch's near-dup pairs against the persisted store, then land the
+    * batch as three exactly-once delta commits — pairs, band rows,
+    * corpus docs. Replay-safe by construction:
+    *
+    *  - the PAIRS commit runs FIRST, while the store and corpus are
+    *    still pre-batch — the append action materializes the plan at
+    *    that state;
+    *  - the bands/corpus payloads derive from the batch alone, so a
+    *    replay after a mid-batch crash recomputes them identically;
+    *  - a replay that re-reads a store ALREADY containing this batch's
+    *    bands would compute garbage pairs — and never commits them,
+    *    because [[Lakehouse.appendExactlyOnce]] checks the batch-id
+    *    marker before evaluating anything.
+    *
+    * `midCrash` fires between the first and second commit — the widest
+    * torn window (pairs landed, store/corpus stale) — so the s22
+    * harness can prove the restart heals it.
+    */
+  def appendBatchIncremental(lake: graft.storage.Lakehouse,
+      corpusName: String, storeName: String, pairsName: String,
+      batch: DataFrame, idCol: String, textCol: String, bands: Int,
+      rowsPerBand: Int, threshold: Double, maxBucket: Int,
+      batchId: Long, midCrash: () => Unit = () => ()): Unit = {
+    val storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, band INT, bucket STRING")
+    val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"$idCol BIGINT, $textCol STRING")
+    val stored = lake.read(storeName, storeSchema)
+    val allSoFar = lake.read(corpusName, corpusSchema)
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val pairs = incrementalMinhashNearDupsBanded(allSoFar, batch, stored,
+      idCol, textCol, bands, rowsPerBand, threshold, maxBucket)
+    lake.appendExactlyOnce(pairsName, pairs, batchId)
+    midCrash()
+    lake.appendExactlyOnce(storeName,
+      minhashBandedRows(batch, idCol, textCol, bands, rowsPerBand),
+      batchId)
+    lake.appendExactlyOnce(corpusName,
+      batch.select(col(idCol), col(textCol)), batchId)
   }
 
   /** 16-bit token hash = top half of the 32-bit md5 prefix (first 4 hex

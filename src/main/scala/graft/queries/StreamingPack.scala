@@ -543,6 +543,81 @@ object StreamingPack {
         (3L, "merge stream batch data")).toDF("query_id", "qtext"), k = 5)
     }),
 
+    // s22 — STREAMING INCREMENTAL DEDUP: the d36 signature store
+    // maintained by a stream. Seed = every doc_id % 3 == 0 (signed
+    // once, batch-style); the other two slices arrive as micro-batches
+    // that each land THREE exactly-once delta commits (near-dup pairs
+    // against the pre-batch store, the batch's band rows, the batch's
+    // corpus docs — ops/Dedup.appendBatchIncremental). The injected
+    // crash fires between batch 0's pairs and bands commits (the
+    // widest torn window); the restart replays the batch, the batch-id
+    // markers skip the committed pairs, and the chain converges. The
+    // megabucket cap is resolved at SERVE time against the CONVERGED
+    // store (monotone bucket growth makes that exactly a from-scratch
+    // run's cap — see incrementalMinhashNearDupsBanded), so the oracle
+    // is the full-corpus d04 chain restricted to pairs with ≥ one
+    // streamed side.
+    "s22_stream_incremental_dedup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s22")
+      val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
+      val storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, band INT, bucket STRING")
+      val all = graft.Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("text"))
+      val seed = all.filter(pmod(col("id"), lit(3)) === 0)
+      lake.append("corpus", seed)
+      lake.append("sig_store",
+        graft.ops.Dedup.minhashBandedRows(seed, "id", "text", 4, 2)
+          .repartitionByRange(8, col("bucket")),
+        statsCols = Seq("bucket"))
+      val stage = dir.resolve("stream").toString
+      (1 to 2).foreach { sl =>
+        all.filter(pmod(col("id"), lit(3)) === sl)
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      val schema = s.read.parquet(stage).schema
+      def source = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(): Unit = {
+        val q = source.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.ops.Dedup.appendBatchIncremental(lake, "corpus",
+              "sig_store", "pairs", batch, "id", "text", bands = 4,
+              rowsPerBand = 2, threshold = 0.8, maxBucket = 100,
+              batchId = id,
+              midCrash = () =>
+                if (id == 0L && !crashed.getAndSet(true))
+                  throw new RuntimeException(
+                    "injected crash between dedup commits"))
+        }
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val died = try { run(); false }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("injected crash") => true
+        }
+      require(died, "s22 harness: the injected crash did not fire")
+      run() // restart heals the torn batch and drains the rest
+      val store = lake.read("sig_store", storeSchema)
+      require(store.count() ==
+        graft.ops.Dedup.minhashBandedRows(all, "id", "text", 4, 2).count(),
+        "sig_store must converge to the full corpus")
+      // serve-time cut: converged bucket counts decide the cap
+      val small = store.groupBy(col("band"), col("bucket")).count()
+        .filter(col("count") <= 100).select(col("band"), col("bucket"))
+      lake.read("pairs", org.apache.spark.sql.types.StructType.fromDDL(
+        "band INT, bucket STRING, id_a BIGINT, id_b BIGINT, " +
+          "jaccard DOUBLE"))
+        .join(small, Seq("band", "bucket"), "left_semi")
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .distinct()
+    }),
+
     // s14 — the lakehouse TABLE AS A STREAM (Delta's streaming-source
     // pattern) through the engine's own DataSource V2 source
     // (graft.sources.LakehouseStreamProvider): offsets are commit
@@ -1123,6 +1198,14 @@ object StreamingPack {
          |FROM ag
          |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
          |QUALIFY rk <= 5""".stripMargin,
+    // the converged streaming dedup ≡ the from-scratch d04 chain (same
+    // shared CTEs) restricted to pairs with at least one streamed side
+    // — seed-internal pairs are the only ones no batch ever owns
+    "s22_stream_incremental_dedup" ->
+      s"""WITH ${TrainingPack.minhashPairsCtes}
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.8
+         |  AND NOT (id_a % 3 = 0 AND id_b % 3 = 0)""".stripMargin,
     "s01_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         | count(*) AS n
