@@ -227,6 +227,50 @@ object TrainingPack {
       graft.ops.Bm25.serve(lake, queries, k = 5)
     }),
 
+    // t18 — BIGRAM LM QUALITY SCORE (the reference-LM filtering shape:
+    // train a language model on a trusted slice, score the whole corpus
+    // by how predictable it looks to that model — low scores are the
+    // boilerplate/garbage cut). Model = add-one-smoothed bigram counts
+    // over the even-doc_id slice; every doc scores by its smoothed
+    // P(w2|w1) profile. ALL arithmetic is exact 64-bit integer
+    // fixed-point — p_q9 = (c12+1)·1e9 div (c1+V) — so there is no
+    // libm, no float-summation order, nothing engine-dependent: the
+    // q9-scaled sum/min/max are bit-identical vs DuckDB by
+    // construction (the same reasoning as t14/t17's rational idf,
+    // taken one step further: not even IEEE ops, just integers).
+    // Scale: the model is corpus-derived (unbounded vocabulary²), so
+    // scoring joins SHUFFLE on the bigram key with map-side partial
+    // counts — never a broadcast of the model — while V is a 1-row
+    // broadcast scalar. The window forming bigrams is per-document
+    // (bounded by doc length), one shuffle on doc_id.
+    "t18_bigram_lm_score" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d).select(col("doc_id"),
+        posexplode(TextOps.tokens(lower(col("text")))))
+        .toDF("doc_id", "pos", "token")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = toks
+        .select(col("doc_id"), col("token").as("w2"),
+          lag("token", 1).over(w).as("w1"))
+        .filter(col("w1").isNotNull)
+      val train = big.filter(col("doc_id") % 2 === 0)
+      val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val voc = toks.filter(col("doc_id") % 2 === 0)
+        .agg(countDistinct(col("token")).as("v"))
+      big.join(c12, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(voc))
+        .select(col("doc_id"),
+          expr("((coalesce(c12, 0) + 1) * 1000000000) div " +
+            "(coalesce(c1, 0) + v)").as("p_q9"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p_q9")).as("prob_q9_sum"),
+          min(col("p_q9")).as("min_p_q9"),
+          max(col("p_q9")).as("max_p_q9"))
+    }),
+
     // e15 — HYBRID RETRIEVAL, the production RAG shape: the BM25 index
     // bounds the candidate set (top-20 lexical shortlist per query from
     // the STORED t17 index), then the exact quantized-integer dot
@@ -1276,7 +1320,8 @@ object TrainingPack {
   /** The d04 banded-minhash candidate-pair CTE chain (t → sig → banded →
     * small → capped → pairs), shared by d04 and d10.
     */
-  private lazy val minhashPairsCtes: String = minhashChainCtes("documents")
+  private[queries] lazy val minhashPairsCtes: String =
+    minhashChainCtes("documents")
 
   /** The d18 banded-simhash chain (base → banded → small → capped →
     * pairs) over `tSource` — per-quadrant 16-bit simhash with a salted
@@ -1682,6 +1727,36 @@ object TrainingPack {
          |FROM ag
          |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
          |QUALIFY rk <= 5""".stripMargin,
+    // add-one-smoothed bigram LM trained on the even-doc slice; scores
+    // are q9 fixed-point INTEGERS ((c12+1)*1e9 // (c1+V)) so the sum/
+    // min/max compare engine-exact with no float anywhere
+    "t18_bigram_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS token,
+        |  generate_subscripts(
+        |    regexp_extract_all(lower(text), '\S+'), 1) AS pos
+        | FROM documents),
+        |big AS (SELECT doc_id, w1, w2 FROM (
+        |  SELECT doc_id, lag(token) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS w1, token AS w2
+        |  FROM tok) x WHERE w1 IS NOT NULL),
+        |train AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+        |cb AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT token) AS v FROM tok
+        |  WHERE doc_id % 2 = 0),
+        |p AS (SELECT b.doc_id,
+        |  ((COALESCE(cb.c12, 0) + 1) * 1000000000)
+        |    // (COALESCE(cu.c1, 0) + voc.v) AS p_q9
+        | FROM big b
+        | LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        | LEFT JOIN cu ON b.w1 = cu.w1
+        | CROSS JOIN voc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(p_q9) AS BIGINT) AS prob_q9_sum,
+        | CAST(min(p_q9) AS BIGINT) AS min_p_q9,
+        | CAST(max(p_q9) AS BIGINT) AS max_p_q9
+        |FROM p GROUP BY 1""".stripMargin,
     // the hybrid RAG shape: the BM25 shortlist (top-20, same CTEs as
     // t17) re-ranked by the EXACT quantized-integer dot against each
     // query's anchor embedding — integer output, engine-exact
