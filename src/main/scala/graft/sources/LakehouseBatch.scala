@@ -711,13 +711,16 @@ private[graft] object LakehouseBatch {
       put(s"~${st.getPath.getName},${st.getModificationTime}," +
         s"${st.getLen}")
     }
-    Protocol.versionDirs(fs, dest).sortBy(_._1).foreach { case (v, p) =>
-      put(s"|$v")
+    // one listing per version dir — RPCs, so bounded-parallel; parMap
+    // preserves order, which keeps the digest deterministic
+    parMap(Protocol.versionDirs(fs, dest).sortBy(_._1)) { case (v, p) =>
+      val sb = new StringBuilder(s"|$v")
       try fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-        put(s";${st.getPath.getName},${st.getModificationTime}," +
-          s"${st.getLen}")
-      } catch { case _: java.io.FileNotFoundException => put(";gone") }
-    }
+        sb ++= s";${st.getPath.getName},${st.getModificationTime}," +
+          s"${st.getLen}"
+      } catch { case _: java.io.FileNotFoundException => sb ++= ";gone" }
+      sb.result()
+    }.foreach(put)
     java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 
@@ -902,18 +905,8 @@ private[graft] object LakehouseBatch {
     * A fresh pool per call (resolve is not a hot loop); failures
     * propagate as the first exception, matching the serial behavior.
     */
-  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
-    if (xs.sizeIs <= 1) return xs.map(f)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, xs.size))
-    try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutor(pool)
-      Await.result(Future.traverse(xs)(x => Future(f(x))),
-        scala.concurrent.duration.Duration.Inf)
-    } finally pool.shutdown()
-  }
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    graft.storage.DriverIo.parMap(xs)(f)
 
   private def listDataFiles(fs: FileSystem,
       root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {

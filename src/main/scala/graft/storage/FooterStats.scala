@@ -37,12 +37,17 @@ object FooterStats {
   def collect(fs: FileSystem, conf: Configuration, files: Seq[Path],
       cols: Seq[String]): Option[(Seq[FileStats], Seq[(String, DataType)])] = {
     if (files.isEmpty || cols.isEmpty) return None
-    val footers = files.map { f =>
+    // footer opens are filesystem RPCs — bounded-parallel like the
+    // scan's resolve walk, so a many-file commit's manifest step is
+    // latency-of-one, not latency-times-files, on the driver
+    val opened = DriverIo.parMap(files) { f =>
       try {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-        try r.getFooter finally r.close()
-      } catch { case _: Exception => return None }
+        try Some(r.getFooter) finally r.close()
+      } catch { case _: Exception => None }
     }
+    if (opened.exists(_.isEmpty)) return None
+    val footers = opened.map(_.get)
     // column Spark types from the FIRST footer (one write job produced
     // every file, so they agree — a mismatch downstream falls back)
     val first = footers.head.getFileMetaData.getSchema
@@ -89,7 +94,10 @@ object FooterStats {
   def collectBlooms(fs: FileSystem, conf: Configuration, files: Seq[Path],
       cols: Seq[String]): Option[Map[String, Map[String, Array[Byte]]]] = {
     if (files.isEmpty || cols.isEmpty) return None
-    val out = files.map { f =>
+    // per-file closure opens the reader, lifts every column's SBBFs,
+    // closes — one parallel task per file (IO-bound: footer + bloom
+    // pages), same bounded pool as the stats decode
+    def bloomsOf(f: Path): Option[(String, Map[String, Array[Byte]])] =
       try {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
         try {
@@ -119,11 +127,12 @@ object FooterStats {
             }
             c -> FooterBloom.encode(bitsets.result())
           }
-          f.getName -> perCol.toMap
+          Some(f.getName -> perCol.toMap)
         } finally r.close()
-      } catch { case _: Exception => return None }
-    }
-    Some(out.toMap)
+      } catch { case _: Exception => None }
+    val out = DriverIo.parMap(files)(bloomsOf)
+    if (out.exists(_.isEmpty)) return None
+    Some(out.map(_.get).toMap)
   }
 
   /** Spark type implied by a parquet primitive + logical annotation —
