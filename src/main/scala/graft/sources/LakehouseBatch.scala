@@ -172,12 +172,14 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
     */
   private def tryPushAgg(agg: Aggregation, probeOnly: Boolean): Boolean = {
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
-    // deletion vectors and equality-delete tombstones make footer
-    // counts and zone-map min/max over-reports (a masked row could be
-    // the extreme) — decline and let Spark aggregate over the masked
-    // scan
-    if (meta.dataFiles.exists(_.dv.isDefined) || meta.eqDels.nonEmpty)
-      return false
+    // equality-delete tombstones make every metadata answer an
+    // over-report (matched rows are unknown until probed) — decline
+    // wholesale. Deletion vectors only poison MIN/MAX (a masked row
+    // could be the extreme); COUNT(*) stays exact because each file's
+    // sidecar headers carry its exact deleted cardinality:
+    // count = Σ(footer rows − dv deleted).
+    if (meta.eqDels.nonEmpty) return false
+    val anyDv = meta.dataFiles.exists(_.dv.isDefined)
     def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -189,11 +191,11 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
         case _: CountStar =>
           Some((StructField("count(*)", LongType, nullable = false), "count"))
         case m: Min => columnOf(m.column).collect {
-          case c if meta.statsCols.contains(c) =>
+          case c if meta.statsCols.contains(c) && !anyDv =>
             (StructField(s"min($c)", full(c).dataType), s"min:$c")
         }
         case m: Max => columnOf(m.column).collect {
-          case c if meta.statsCols.contains(c) =>
+          case c if meta.statsCols.contains(c) && !anyDv =>
             (StructField(s"max($c)", full(c).dataType), s"max:$c")
         }
         case _ => None
@@ -368,12 +370,12 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
       case None =>
         new LakehouseColumnarReaderFactory(required, pushed ++ runtime,
           // Spark requires ONE columnar-vs-row decision per scan
-          // ("cannot mix"): any deletion-vector file forces the whole
-          // scan onto the row path until the next compact materializes
-          // — and so do equality-delete tombstones (the value probe
-          // lives in the row reader)
-          anyDv = plannedFiles.exists(_.dv.isDefined) ||
-            meta.eqDels.nonEmpty)
+          // ("cannot mix"): equality-delete tombstones force the row
+          // path (the value probe lives in the row reader). Deletion
+          // vectors DON'T any more — the vectorized reader masks them
+          // with a selection remap ([[MaskedColumnVector]]), so a few
+          // MoR deletes never de-vectorize a 100 TB table.
+          rowForced = meta.eqDels.nonEmpty)
     }
 
   /** ANALYZE-computed column stats (`_GRAFT_COLSTATS`) for the CBO —
@@ -470,15 +472,17 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
   * parquet source makes with filter pushdown off.
   */
 private[sources] class LakehouseColumnarReaderFactory(required: StructType,
-    filters: Array[Filter], anyDv: Boolean = false)
+    filters: Array[Filter], rowForced: Boolean = false)
     extends PartitionReaderFactory {
 
-  // files under a deletion vector read through the ROW path: position
-  // skipping needs the sequential row index the vectorized entry does
-  // not expose per batch without a selection-vector API. The decision
-  // is scan-wide (Spark refuses mixed partitions) — see the caller.
+  // the decision is scan-wide (Spark refuses mixed partitions):
+  // columnar unless (a) a zero-column projection (the vectorized entry
+  // can't drive row iteration with no columns) or (b) equality-delete
+  // tombstones are outstanding (their value probe lives in the row
+  // reader). DV files stay COLUMNAR — the vector reader remaps
+  // surviving positions through a selection array per batch.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    required.nonEmpty && !anyDv
+    required.nonEmpty && !rowForced
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -565,10 +569,40 @@ private[sources] class LakehouseVectorReader(
   }
   private var wrapped: ColumnarBatch = _
 
-  override def next(): Boolean = reader.nextBatch()
+  // deletion-vector mask on the VECTORIZED path: the sidecar runs load
+  // executor-side (same as the row reader); per batch the surviving
+  // in-batch indices fill `sel`, and a wrapper batch of
+  // [[MaskedColumnVector]]s (built once — Spark's vectorized reader
+  // reuses its vectors across batches) presents them densely. No
+  // filter predicate reaches parquet on this path, so the running
+  // position counter tracks `_metadata.row_index` exactly.
+  private val dvRuns: graft.storage.DvSidecar.Runs =
+    if (partition.dvSidecars.isEmpty) graft.storage.DvSidecar.EmptyRuns
+    else graft.storage.DvSidecar.loadFor(new Configuration(),
+      partition.dvSidecars)
+  private var filePos = 0L
+  private val sel: Array[Int] =
+    if (dvRuns.isEmpty) null else new Array[Int](4096)
+  private var survivors = -1 // -1 = batch fully alive, no remap needed
+  private var masked: ColumnarBatch = _
 
-  override def get(): ColumnarBatch = {
-    val b = reader.resultBatch()
+  override def next(): Boolean = {
+    val has = reader.nextBatch()
+    if (has && !dvRuns.isEmpty) {
+      val n = reader.resultBatch().numRows()
+      var out = 0
+      var i = 0
+      while (i < n) {
+        if (!dvRuns.contains(filePos + i)) { sel(out) = i; out += 1 }
+        i += 1
+      }
+      filePos += n
+      survivors = if (out == n) -1 else out
+    }
+    has
+  }
+
+  private def ordered(b: ColumnarBatch): ColumnarBatch =
     if (perm.zipWithIndex.forall { case (s, i) => s == i }) b
     else {
       if (wrapped == null) {
@@ -578,9 +612,65 @@ private[sources] class LakehouseVectorReader(
       wrapped.setNumRows(b.numRows())
       wrapped
     }
+
+  override def get(): ColumnarBatch = {
+    val b = ordered(reader.resultBatch())
+    if (survivors < 0) b
+    else {
+      if (masked == null) {
+        val cols = (0 until b.numCols())
+          .map(j => new MaskedColumnVector(b.column(j), sel): ColumnVector)
+        masked = new ColumnarBatch(cols.toArray)
+      }
+      masked.setNumRows(survivors)
+      masked
+    }
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** SELECTION-VECTOR wrapper: presents the surviving subset of a base
+  * [[ColumnVector]] under dense indices, so a deletion-vector mask
+  * costs an int-array remap instead of forcing the whole scan onto the
+  * row path (VERDICT r7 task 3 — one outstanding DV used to
+  * de-vectorize a 100 TB table until compaction). `sel` is SHARED with
+  * the reader, which refills it per batch (vectors are reused across
+  * batches by Spark's vectorized parquet reader, so this wrapper is
+  * built once per scan too). Children wrap lazily with the same `sel`
+  * — `getStruct`'s final ColumnarRow probes children at the MASKED
+  * index, which remaps here. `getArray`/`getMap` delegate whole: the
+  * returned views reference the base child with base offsets, which
+  * are self-contained. hasNull/numNulls over-report (they answer for
+  * the base) — a safe direction for both.
+  */
+private[sources] class MaskedColumnVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
+  import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarMap, ColumnVector}
+  override def close(): Unit = () // base owned (and closed) by the reader
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int): ColumnarArray = base.getArray(sel(i))
+  override def getMap(i: Int): ColumnarMap = base.getMap(sel(i))
+  override def getDecimal(i: Int, p: Int, s: Int)
+      : org.apache.spark.sql.types.Decimal = base.getDecimal(sel(i), p, s)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+  private lazy val kids =
+    new java.util.concurrent.ConcurrentHashMap[Integer, MaskedColumnVector]
+  override def getChild(ordinal: Int): ColumnVector =
+    kids.computeIfAbsent(ordinal,
+      o => new MaskedColumnVector(base.getChild(o), sel))
 }
 
 /** One-row partition for completely-pushed aggregates: the values were
@@ -621,7 +711,128 @@ private[graft] object LakehouseBatch {
   final case class TableMeta(path: String, dataFiles: Seq[FileMeta],
       statsCols: Set[String], fullyCovered: Boolean,
       bloomCols: Set[String] = Set.empty,
-      eqDels: Seq[(Long, String, Seq[String])] = Nil)
+      eqDels: Seq[(Long, String, Seq[String])] = Nil,
+      bloomManifests: Map[Long, (Seq[String], Set[String])] = Map.empty) {
+    /** Per-snapshot accumulating cache of DECODED bloom probes, loaded
+      * lazily by [[skipFiles]] — rides the TableMeta so the snapshot
+      * cache keeps warm probes across queries. Never serialized.
+      */
+    @transient lazy val bloomCache = new BloomBlobCache
+  }
+
+  /** Lazily-loaded bloom blobs: the plan-time manifest collect PRUNES
+    * `bloom_<col>` columns (a 50 KB blob per (file, column) would put
+    * O(#files) driver heap behind every resolve — VERDICT r7 task 1b);
+    * this cache fetches them on demand, per PROBED column and only for
+    * files that SURVIVED the zone-map cut, through a column-pruned,
+    * file-filtered read of the same manifest (parquet's columnar layout
+    * makes each `bloom_<col>` chunk the per-column side manifest).
+    * Blobs decode to probe closures at fetch; a miss caches as None
+    * ("might contain"). Byte-bounded by `spark.graft.bloomCacheBytes`
+    * (approximate, blob length at insert): exceeding the budget resets
+    * the cache epoch rather than growing without bound.
+    */
+  final class BloomBlobCache {
+    private val fetched = scala.collection.mutable.Map.empty[
+      (Long, String),
+      scala.collection.mutable.Map[String, Option[Any => Boolean]]]
+    private var approxBytes = 0L
+    /** Test observability (StressMeta / spec): bytes currently held. */
+    def bytes: Long = synchronized(approxBytes)
+
+    /** Make sure every (file, col) pair is fetched; one column-pruned
+      * manifest read per call covering all missing files of all probed
+      * columns of this VERSION. `candidates` carries both the file NAME
+      * and full-path keys (legacy manifests were path-keyed).
+      */
+    def ensure(spark: SparkSession, version: Long, parts: Seq[String],
+        cols: Set[String], candidates: Seq[String]): Unit = synchronized {
+      val budget = spark.conf.getOption("spark.graft.bloomCacheBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      val need = cols.toSeq.sorted.map { c =>
+        val m = fetched.getOrElseUpdate((version, c),
+          scala.collection.mutable.Map.empty)
+        (c, m, candidates.filterNot(m.contains))
+      }.filter(_._3.nonEmpty)
+      if (need.isEmpty) return
+      import org.apache.spark.sql.functions.{col => fcol}
+      val missing = need.flatMap(_._3).distinct
+      val base = spark.read.parquet(parts: _*)
+        .select((fcol("file") +: need.map(n => fcol(s"bloom_${n._1}")))
+          .toIndexedSeq: _*)
+      // an IN-list that would dwarf the manifest read serves nothing —
+      // past the cap, fetch the whole column (still only PROBED columns)
+      val df = if (missing.size <= 10000) {
+        base.filter(fcol("file").isin(missing.map(x => x: Any): _*))
+      } else base
+      val got = df.collect()
+      var batch = 0L
+      got.foreach { r =>
+        val name = r.getString(0)
+        need.zipWithIndex.foreach { case ((_, m, _), i) =>
+          val blob =
+            if (r.isNullAt(i + 1)) None
+            else Some(r.get(i + 1).asInstanceOf[Array[Byte]])
+          batch += blob.map(_.length.toLong + 64L).getOrElse(16L)
+          m(name) = blob.map(decodeBloomBlob)
+        }
+      }
+      // files absent from the (possibly filtered) result: cache the
+      // miss as "no blob" so the probe answers might-contain and the
+      // fetch never repeats
+      need.foreach { case (_, m, miss) =>
+        miss.foreach(f => if (!m.contains(f)) m(f) = None)
+      }
+      approxBytes += batch
+      if (approxBytes > budget) {
+        // epoch reset: drop everything but the groups just ensured —
+        // bounded heap beats warm probes
+        val keep = need.map(n => (version, n._1)).toSet
+        fetched.filterInPlace { case (k, _) => keep(k) }
+        approxBytes = batch
+      }
+    }
+
+    def probe(version: Long, c: String, name: String,
+        path: String): Option[Any => Boolean] = synchronized {
+      fetched.get((version, c))
+        .flatMap(m => m.get(name).orElse(m.get(path))).flatten
+    }
+  }
+
+  /** One manifest blob → might-contain closure. Two formats share the
+    * table (the magic word picks the decoder): parquet SBBFs lifted
+    * from footers (FooterBloom framing — hashed with parquet's
+    * plain-encoding xxhash64) or the scan path's Spark sketch (hashed
+    * with Spark's XxHash64 over the Catalyst literal). Spark-sketch
+    * probing is restricted to types whose Literal inference is
+    * bit-identical to the column representation — a fractional type
+    * whose inferred scale differed would hash differently and skip a
+    * matching file (false negative = wrong results), so those probe as
+    * "might match".
+    */
+  private def decodeBloomBlob(bytes: Array[Byte]): Any => Boolean = {
+    def bloomSafe(v: Any): Boolean = v match {
+      case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+        _: java.lang.Byte | _: java.lang.Boolean | _: String |
+        _: java.sql.Date | _: java.sql.Timestamp | _: java.time.Instant |
+        _: java.time.LocalDate => true
+      case _ => false
+    }
+    graft.storage.FooterBloom.decode(bytes) match {
+      case Some(filters) =>
+        (v: Any) => graft.storage.FooterBloom.mightContain(filters, v)
+      case None =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        (v: Any) => !bloomSafe(v) || {
+          import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+          val h = new XxHash64(Seq(Literal(v)))
+            .eval(null).asInstanceOf[Long]
+          bf.mightContainLong(h)
+        }
+    }
+  }
 
   /** Resolve the live set from commit markers (the same walk as
     * `Lakehouse.liveRootsAndBasis`), list its data files with footers +
@@ -659,6 +870,8 @@ private[graft] object LakehouseBatch {
       .map(_.toInt).getOrElse(64)
     if (maxEntries <= 0) return resolveUncached(spark, conf, fs, dest,
       path, asOf, branch)
+    val maxBytes = spark.conf.getOption("spark.graft.metaCacheBytes")
+      .map(_.toLong).getOrElse(256L << 20)
     val key = (fs.makeQualified(dest).toString, asOf, branch)
     val fp = snapshotFingerprint(fs, dest)
     metaCache.synchronized {
@@ -669,26 +882,77 @@ private[graft] object LakehouseBatch {
       case _ =>
         val meta = resolveUncached(spark, conf, fs, dest, path, asOf,
           branch)
-        if (snapshotFingerprint(fs, dest) == fp)
-          metaCache.synchronized { metaCache.put(key, (fp, meta)) }
+        if (snapshotFingerprint(fs, dest) == fp) {
+          val sz = approxMetaBytes(meta)
+          metaCache.synchronized {
+            Option(metaCache.remove(key)).foreach { case (_, old) =>
+              metaCacheBytesHeld -= approxMetaBytes(old)
+            }
+            // a snapshot larger than the whole budget is served but
+            // never cached — it must not evict every other table
+            if (sz <= maxBytes) {
+              metaCache.put(key, (fp, meta))
+              metaCacheBytesHeld += sz
+              val it = metaCache.entrySet().iterator()
+              while ((metaCache.size() > metaCacheMax ||
+                metaCacheBytesHeld > maxBytes) && it.hasNext) {
+                val e = it.next()
+                if (e.getKey != key) {
+                  metaCacheBytesHeld -= approxMetaBytes(e.getValue._2)
+                  it.remove()
+                }
+              }
+            }
+          }
+        }
         meta
     }
   }
 
   /** LRU of resolved snapshots, keyed (qualified path, asOf, branch);
-    * value = (commit-log fingerprint, meta). Access-ordered; eviction
-    * bound re-read from the session conf on each resolve.
+    * value = (commit-log fingerprint, meta). Access-ordered; bounded
+    * BOTH by entry count and by approximate bytes (a TableMeta is
+    * O(#files × manifest width) — a thousand-file table must not evict
+    * everything else or blow the driver; `spark.graft.metaCacheBytes`).
+    * Eviction happens manually in [[resolve]]'s put (removeEldestEntry
+    * can only drop one), tracked via [[metaCacheBytesHeld]].
     */
   private val metaCache = new java.util.LinkedHashMap[
       (String, Option[Long], Option[String]), (String, TableMeta)](
-      16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (String, Option[Long], Option[String]), (String, TableMeta)])
-      : Boolean = size() > metaCacheMax
-  }
+      16, 0.75f, true)
   @volatile private var metaCacheMax = 64
   /** Test observability only (StressMeta / MetaCacheSpec). */
   @volatile private[graft] var metaCacheHits: Long = 0L
+  /** Approximate bytes currently held (guarded by metaCache's lock). */
+  private[graft] var metaCacheBytesHeld: Long = 0L
+
+  /** Approximate driver-heap footprint of one resolved snapshot: per
+    * file, path + FileMeta shell + the collected stats row (strings at
+    * 2 B/char + boxing overhead; blobs never reach these rows — they
+    * live in the byte-bounded bloomCache). Estimation, not accounting —
+    * the bound exists to keep order-of-magnitude runaways out.
+    */
+  private[graft] def approxMetaBytes(meta: TableMeta): Long = {
+    def rowBytes(r: org.apache.spark.sql.Row): Long = {
+      var b = 48L
+      var i = 0
+      while (i < r.length) {
+        b += (if (r.isNullAt(i)) 8L else r.get(i) match {
+          case s: String => 48L + 2L * s.length
+          case a: Array[Byte] => 48L + a.length
+          case _ => 32L
+        })
+        i += 1
+      }
+      b
+    }
+    meta.dataFiles.foldLeft(256L) { (acc, f) =>
+      acc + 120L + 2L * f.path.length +
+        f.stats.map(rowBytes).getOrElse(0L) +
+        f.dv.map(d => 64L + d.sidecars.map(2L * _.length + 48L).sum)
+          .getOrElse(0L)
+    }
+  }
 
   /** Digest of the commit log: every version dir's direct entries.
     * One flat listing per `_v*` dir; no footer opens, no Spark jobs.
@@ -816,7 +1080,7 @@ private[graft] object LakehouseBatch {
         dataPaths: Seq[org.apache.hadoop.fs.FileStatus],
         statRows: Map[String, org.apache.spark.sql.Row],
         mStats: Set[String], mBlooms: Set[String],
-        rewritten: Set[String])
+        rewritten: Set[String], manifestParts: Seq[String] = Nil)
     val rootMetas: Seq[RootMeta] = parMap(roots) { case (v, root) =>
       val dataPaths = listDataFiles(fs, root)
       // a REWRITE commit (rewriteDeletes) names the data files it
@@ -835,6 +1099,7 @@ private[graft] object LakehouseBatch {
       val manifest = new Path(root, Protocol.StatsDir)
       var mStats = Set.empty[String]
       var mBlooms = Set.empty[String]
+      var mParts = Seq.empty[String]
       val statRows: Map[String, org.apache.spark.sql.Row] =
         if (!fs.exists(manifest)) Map.empty
         else {
@@ -849,11 +1114,21 @@ private[graft] object LakehouseBatch {
             mBlooms = df.columns.collect {
               case c if c.startsWith("bloom_") => c.drop(6)
             }.toSet
-            df.collect().map(r =>
-              r.getString(r.fieldIndex("file")) -> r).toMap
+            mParts = parts.toIndexedSeq
+            // bloom blobs NEVER ride the plan-time collect (50 KB per
+            // (file, column) — O(#files) driver heap); skipFiles loads
+            // them lazily per probed column for zone-surviving files
+            // (TableMeta.bloomCache). Column pruning here means parquet
+            // never even reads the blob chunks.
+            val keep = df.columns.filterNot(_.startsWith("bloom_"))
+            df.select(keep.map(org.apache.spark.sql.functions.col)
+              .toIndexedSeq: _*)
+              .collect().map(r =>
+                r.getString(r.fieldIndex("file")) -> r).toMap
           }
         }
-      RootMeta(v, root, dataPaths, statRows, mStats, mBlooms, rewritten)
+      RootMeta(v, root, dataPaths, statRows, mStats, mBlooms, rewritten,
+        mParts)
     }
     val statsCols = rootMetas.flatMap(_.mStats).toSet
     val bloomCols = rootMetas.flatMap(_.mBlooms).toSet
@@ -869,17 +1144,24 @@ private[graft] object LakehouseBatch {
           w > rm.v && names(st.getPath.getName) })
         .map(st => (rm, st)))
     val all: Seq[FileMeta] = parMap(fileTasks) { case (rm, st) =>
-      val rows = footerRowCount(fs, conf, st.getPath)
+      // current manifests key by file NAME (dir-relocatable — a
+      // staged CTAS/RTAS generation publishes by rename); the
+      // path-keyed lookups serve legacy manifests
+      val stat = rm.statRows.get(st.getPath.getName)
+        .orElse(rm.statRows.get(st.getPath.toString))
+        .orElse(rm.statRows.get(st.getPath.toUri.toString))
+      // row count from the manifest's `rows` column (decoded from the
+      // footers the COMMIT already had open — writeStats) — the footer
+      // open here serves only legacy manifests and stats-less tables,
+      // so a 1M-file covered table plans with ZERO per-file RPCs
+      val rows = stat.flatMap { r =>
+        val i = r.schema.fieldNames.indexOf("rows")
+        if (i < 0 || r.isNullAt(i)) None else Some(r.getLong(i))
+      }.getOrElse(footerRowCount(fs, conf, st.getPath))
       // a 0-row file (empty input to an append) plans no task, carries
       // no stats row, and must not defeat min/max coverage
       if (rows == 0L) None
       else {
-        // current manifests key by file NAME (dir-relocatable — a
-        // staged CTAS/RTAS generation publishes by rename); the
-        // path-keyed lookups serve legacy manifests
-        val stat = rm.statRows.get(st.getPath.getName)
-          .orElse(rm.statRows.get(st.getPath.toString))
-          .orElse(rm.statRows.get(st.getPath.toUri.toString))
         // every DV from a HIGHER version contributes its sidecar;
         // the 16-byte header reads give the exact deleted count for
         // scan statistics (a later DV never re-deletes an
@@ -897,8 +1179,10 @@ private[graft] object LakehouseBatch {
       }
     }.flatten
     val covered = all.forall(_.stats.isDefined)
+    val bloomManifests = rootMetas.filter(_.mBlooms.nonEmpty)
+      .map(rm => rm.v -> ((rm.manifestParts, rm.mBlooms))).toMap
     TableMeta(path, all, statsCols, covered && all.nonEmpty, bloomCols,
-      eqDels)
+      eqDels, bloomManifests)
   }
 
   /** Order-preserving bounded-parallel map over driver-side IO tasks.
@@ -922,8 +1206,14 @@ private[graft] object LakehouseBatch {
     out.result()
   }
 
+  /** Test observability: plan-time data-file footer opens (the legacy
+    * fallback — a manifest-covered table must resolve with ZERO).
+    */
+  private[graft] val footerOpens = new java.util.concurrent.atomic.AtomicLong
+
   private def footerRowCount(fs: FileSystem, conf: Configuration,
       p: Path): Long = {
+    footerOpens.incrementAndGet()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
@@ -959,69 +1249,28 @@ private[graft] object LakehouseBatch {
     if (pushed.isEmpty ||
       (meta.statsCols.isEmpty && meta.bloomCols.isEmpty))
       return meta.dataFiles
-    // per-(file,column) bloom parse cache for this planning pass — an
-    // IN-list probes the same 50 KB sketch once per value otherwise.
-    // Each cell decodes to a might-contain closure: the blob is either
-    // parquet SBBFs lifted from footers (FooterBloom framing — hashed
-    // with parquet's plain-encoding xxhash64) or the scan path's
-    // Spark sketch (hashed with Spark's XxHash64 over the Catalyst
-    // literal); the magic word picks the decoder per cell, so a table
-    // can mix commits from both write paths.
-    val bloomCache = new java.util.IdentityHashMap[
-      org.apache.spark.sql.Row,
-      scala.collection.mutable.Map[String, Option[Any => Boolean]]]()
-    // Spark-sketch probing is restricted to types whose Literal
-    // inference is bit-identical to the column representation — a
-    // fractional type whose inferred scale differed would hash
-    // differently and skip a matching file (false negative = wrong
-    // results), so those probe as "might match".
-    def bloomSafe(v: Any): Boolean = v match {
-      case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
-        _: java.lang.Byte | _: java.lang.Boolean | _: String |
-        _: java.sql.Date | _: java.sql.Timestamp | _: java.time.Instant |
-        _: java.time.LocalDate => true
-      case _ => false
-    }
-    def bloomOf(stats: org.apache.spark.sql.Row, c: String)
-        : Option[Any => Boolean] = {
-      var m = bloomCache.get(stats)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty
-        bloomCache.put(stats, m)
-      }
-      m.getOrElseUpdate(c, get(stats, s"bloom_$c").map { b =>
-        val bytes = b.asInstanceOf[Array[Byte]]
-        graft.storage.FooterBloom.decode(bytes) match {
-          case Some(filters) =>
-            (v: Any) => graft.storage.FooterBloom.mightContain(filters, v)
-          case None =>
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(bytes))
-            (v: Any) => !bloomSafe(v) || {
-              import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-              val h = new XxHash64(Seq(Literal(v)))
-                .eval(null).asInstanceOf[Long]
-              bf.mightContainLong(h)
-            }
-        }
-      })
-    }
-    def bloomMightContain(stats: org.apache.spark.sql.Row, c: String,
-        v: Any): Boolean =
-      !meta.bloomCols(c) || v == null ||
-        bloomOf(stats, c).forall(_(v))
-    def mightMatch(stats: org.apache.spark.sql.Row, f: Filter): Boolean = {
+    // TWO passes: (1) zone maps alone cut files from the collected
+    // metadata — no IO; (2) only if a pushed filter actually PROBES a
+    // bloom column, the blobs for (probed columns × pass-1 survivors)
+    // load lazily through TableMeta.bloomCache and the full predicate
+    // re-evaluates with real probes. Pass 1 treats every bloom as
+    // "might contain", so pass 2 is exactly as precise as the old
+    // eager-blob evaluation while the driver never holds unprobed
+    // columns or cut files' blobs.
+    def mightMatch(stats: org.apache.spark.sql.Row, f: Filter,
+        bloomOf: String => Option[Any => Boolean]): Boolean = {
       def mn(c: String): Option[Any] = get(stats, s"min_$c")
       def mx(c: String): Option[Any] = get(stats, s"max_$c")
       def cmp(a: Any, b: Any): Int = compareValues(a, b)
-      f match {
+      def recur(f: Filter): Boolean = f match {
         case EqualTo(c, v)
           if meta.statsCols(c) || meta.bloomCols(c) =>
           val range = !meta.statsCols(c) || ((mn(c), mx(c)) match {
             case (Some(lo), Some(hi)) => cmp(lo, v) <= 0 && cmp(hi, v) >= 0
             case _ => false // all-null file: c = v is never true
           })
-          range && bloomMightContain(stats, c, v)
+          range && (!meta.bloomCols(c) || v == null ||
+            bloomOf(c).forall(_(v)))
         case GreaterThan(c, v) if meta.statsCols(c) =>
           mx(c).exists(hi => cmp(hi, v) > 0)
         case GreaterThanOrEqual(c, v) if meta.statsCols(c) =>
@@ -1031,13 +1280,43 @@ private[graft] object LakehouseBatch {
         case LessThanOrEqual(c, v) if meta.statsCols(c) =>
           mn(c).exists(lo => cmp(lo, v) <= 0)
         case In(c, vs) if meta.statsCols(c) || meta.bloomCols(c) =>
-          vs.exists(v => mightMatch(stats, EqualTo(c, v)))
-        case And(l, r) => mightMatch(stats, l) && mightMatch(stats, r)
+          vs.exists(v => recur(EqualTo(c, v)))
+        case And(l, r) => recur(l) && recur(r)
         case _ => true // not provable from stats — keep
       }
+      recur(f)
     }
-    meta.dataFiles.filter { fm =>
-      fm.stats.forall(stats => pushed.forall(f => mightMatch(stats, f)))
+    val noBloom = (_: String) => None: Option[Any => Boolean]
+    val zoned = meta.dataFiles.filter { fm =>
+      fm.stats.forall(st => pushed.forall(f => mightMatch(st, f, noBloom)))
+    }
+    // which bloom columns do the filters actually probe?
+    def probedCols(f: Filter): Set[String] = f match {
+      case EqualTo(c, v) if meta.bloomCols(c) && v != null => Set(c)
+      case In(c, vs) if meta.bloomCols(c) && vs.exists(_ != null) => Set(c)
+      case And(l, r) => probedCols(l) ++ probedCols(r)
+      case _ => Set.empty
+    }
+    val probed = pushed.flatMap(probedCols).toSet
+    if (probed.isEmpty || meta.bloomManifests.isEmpty) return zoned
+    val spark = SparkSession.active
+    zoned.filter(_.stats.isDefined).groupBy(_.version).foreach {
+      case (v, fms) =>
+        meta.bloomManifests.get(v).foreach { case (parts, avail) =>
+          val cols = probed intersect avail
+          if (cols.nonEmpty && parts.nonEmpty)
+            meta.bloomCache.ensure(spark, v, parts, cols,
+              // both key forms: current manifests key by NAME, legacy
+              // by absolute path
+              fms.flatMap(fm => Seq(new Path(fm.path).getName, fm.path)))
+        }
+    }
+    zoned.filter { fm =>
+      val name = new Path(fm.path).getName
+      def bloomOf(c: String): Option[Any => Boolean] =
+        meta.bloomCache.probe(fm.version, c, name, fm.path)
+      fm.stats.forall(st =>
+        pushed.forall(f => mightMatch(st, f, bloomOf)))
     }
   }
 
@@ -1084,7 +1363,8 @@ private[graft] object LakehouseBatch {
       full: StructType): Seq[Any] = {
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
     specs.map {
-      case "count" => meta.dataFiles.map(_.rowCount).sum
+      case "count" => meta.dataFiles.map(f =>
+        f.rowCount - f.dv.map(_.deleted).getOrElse(0L)).sum
       case s =>
         val Array(kind, c) = s.split(":", 2)
         val vals = meta.dataFiles.flatMap(_.stats).flatMap(r =>

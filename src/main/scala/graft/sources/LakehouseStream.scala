@@ -394,7 +394,7 @@ private[sources] case class EqDelRef(dir: String, keySchema: StructType)
   * with a null key masks nothing, and a data row with a null key is
   * never masked (the probe side checks that).
   */
-private[sources] object EqDelKeys {
+private[graft] object EqDelKeys {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[Seq[Any]]]()
 

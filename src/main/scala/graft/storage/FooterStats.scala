@@ -83,6 +83,26 @@ object FooterStats {
   final case class FileStats(name: String, rows: Long,
       cols: Map[String, (Any, Any, Long)])
 
+  /** Footer row counts alone (file NAME → rows) — for manifests whose
+    * commit has bloom columns but no zone-map columns, so [[collect]]
+    * has nothing to decode yet the manifest still wants the `rows`
+    * column (the V2 scan's resolve must never re-open footers a commit
+    * already had open). None = any footer unreadable (caller falls back
+    * to the scan path, same conservative rule as [[collect]]).
+    */
+  def rowCounts(fs: FileSystem, conf: Configuration,
+      files: Seq[Path]): Option[Map[String, Long]] = {
+    if (files.isEmpty) return None
+    val opened = DriverIo.parMap(files) { f =>
+      try {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try Some(f.getName -> r.getRecordCount) finally r.close()
+      } catch { case _: Exception => None }
+    }
+    if (opened.exists(_.isEmpty)) None
+    else Some(opened.map(_.get).toMap)
+  }
+
   /** Per-file Split-Block Bloom Filters read from the footers the write
     * already produced (`parquet.bloom.filter.enabled#<col>` on the
     * writer) — the bloom analogue of [[collect]]: no second data pass.

@@ -749,8 +749,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         case None => return false
         case Some(st) => st
       }
+    // per-file ROW COUNTS ride the manifest (`rows`): the commit side
+    // has every footer open right here, so the V2 scan's resolve never
+    // re-opens them — at 1M files that removes the last O(#files)
+    // plan-time RPC term (VERDICT r7 task 1a). Bloom-only commits get
+    // counts from a dedicated footer pass (still commit-time).
+    val rowsByFile: Map[String, Long] =
+      if (stats.nonEmpty) stats.map(fst => fst.name -> fst.rows).toMap
+      else FooterStats.rowCounts(fs, conf, files) match {
+        case None => return false
+        case Some(m) => m
+      }
     import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField}
     val mSchema = StructType(StructField("file", StringType) +:
+      StructField("rows", LongType) +:
       (types.flatMap { case (c, dt) => Seq(
         StructField(s"min_$c", dt), StructField(s"max_$c", dt),
         StructField(s"nulls_$c", LongType)) } ++
@@ -760,7 +772,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     import scala.jdk.CollectionConverters._
     val rows: java.util.List[Row] = files.map { f =>
       val n = f.getName
-      Row.fromSeq(n +:
+      Row.fromSeq(n +: rowsByFile(n) +:
         (types.flatMap { case (c, _) =>
           val (mn, mx, nl) = statsByFile(n).cols(c); Seq(mn, mx, nl) } ++
           bloomCols.map(c => blooms(n)(c))))
@@ -785,7 +797,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // (a file is only "keyed" when min == max AND no row is null —
       // min/max alone are silent about nulls); costs nothing extra on
       // the same pruned pass
-      val aggs = statsCols.flatMap(c =>
+      // `rows` first (same manifest contract as the footer path): the
+      // per-file count the scan's resolve serves instead of a footer open
+      val aggs = count(lit(1L)).as("rows") +: (statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
         // per-file bloom filters (`graft.bloomColumns`): point-lookup
@@ -806,7 +820,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               Literal(Lakehouse.BloomItems),
               Literal(Lakehouse.BloomBits)).toAggregateExpression())
             .as(s"bloom_$c")
-        }
+        })
       // the extra pass reads ONLY the stats columns (column pruning on
       // the just-written, page-cache-warm parquet) — not a full re-read.
       // Extracting the same ranges from the parquet footers would avoid

@@ -116,6 +116,41 @@ class BloomSkipSpec extends SparkSpec {
       "a Spark sketch must fall through to its own decoder")
   }
 
+  test("bloom blobs never ride the plan-time collect; probes load " +
+    "lazily per column, only for zone survivors") {
+    init()
+    spark.sql("""CREATE TABLE graftbloom.b.lazyt (ckey BIGINT, v BIGINT)
+      TBLPROPERTIES ('graft.bloomColumns' = 'ckey')""")
+    spark.sql("""INSERT INTO graftbloom.b.lazyt
+      SELECT id * 2 AS ckey, id AS v FROM range(0, 5000)""")
+    spark.sql("""INSERT INTO graftbloom.b.lazyt
+      SELECT id * 2 + 1 AS ckey, id AS v FROM range(0, 5000)""")
+    withSQLConf("spark.graft.metaCacheEntries" -> "0") {
+      val meta = LakehouseBatch.resolve(s"$root/b/lazyt")
+      // the driver-resident stats rows carry NO blobs (the r7 heap
+      // ceiling: 50 KB × #files × #bloomColumns)
+      meta.dataFiles.flatMap(_.stats).foreach { r =>
+        assert(!r.schema.fieldNames.exists(_.startsWith("bloom_")),
+          s"plan-time stats row holds a blob: ${r.schema.fieldNames.toSeq}")
+      }
+      assert(meta.bloomCols == Set("ckey"))
+      assert(meta.bloomCache.bytes == 0L, "nothing probed yet")
+      // a range filter never touches blooms
+      import org.apache.spark.sql.sources.GreaterThan
+      LakehouseBatch.skipFiles(meta, Array(GreaterThan("ckey", 100L)))
+      assert(meta.bloomCache.bytes == 0L,
+        "a non-point filter must not fetch blobs")
+      // a point lookup fetches, prunes, and the fetch is cached
+      import org.apache.spark.sql.sources.EqualTo
+      val hit = LakehouseBatch.skipFiles(meta, Array(EqualTo("ckey", 4242L)))
+      assert(meta.bloomCache.bytes > 0L, "the probe must have fetched")
+      assert(hit.length < meta.dataFiles.length, "the bloom must prune")
+      val b0 = meta.bloomCache.bytes
+      LakehouseBatch.skipFiles(meta, Array(EqualTo("ckey", 4242L)))
+      assert(meta.bloomCache.bytes == b0, "second probe re-fetches nothing")
+    }
+  }
+
   test("blooms survive the RTAS rename (name-keyed manifests)") {
     init()
     spark.sql("""CREATE TABLE graftbloom.b.r

@@ -102,4 +102,56 @@ class MetaCacheSpec extends SparkSpec {
       assert(!(a eq b))
     }
   }
+
+  test("manifest-covered tables resolve with ZERO data-file footer opens") {
+    val (lake, path) = freshLake("graft-mc-nofooter")
+    lake.append("t", spark.range(1000, 2000).repartition(4)
+      .select(col("id").as("k"), (col("id") * 3).as("v")),
+      statsCols = Seq("k"))
+    withSQLConf("spark.graft.metaCacheEntries" -> "0") {
+      val o0 = LakehouseBatch.footerOpens.get()
+      val meta = LakehouseBatch.resolve(path)
+      assert(LakehouseBatch.footerOpens.get() == o0,
+        "row counts must come from the manifest's `rows` column — a " +
+          "footer open at plan time is the O(#files) RPC the manifest " +
+          "exists to remove")
+      assert(meta.dataFiles.map(_.rowCount).sum == 2000)
+      assert(meta.fullyCovered)
+    }
+  }
+
+  test("stats-less tables still resolve (footer fallback) with exact " +
+    "counts") {
+    val lake = new Lakehouse(spark, tmpDir("graft-mc-fallback"))
+    lake.append("t", spark.range(0, 123)
+      .select(col("id").as("k"), (col("id") * 3).as("v")))
+    withSQLConf("spark.graft.metaCacheEntries" -> "0") {
+      val o0 = LakehouseBatch.footerOpens.get()
+      val meta = LakehouseBatch.resolve(lake.tablePath("t"))
+      assert(LakehouseBatch.footerOpens.get() > o0)
+      assert(meta.dataFiles.map(_.rowCount).sum == 123)
+    }
+  }
+
+  test("byte budget: an oversized snapshot is served but never cached, " +
+    "and the budget evicts rather than grows") {
+    val (_, path) = freshLake("graft-mc-bytes")
+    // tiny budget: this snapshot's estimate (hundreds of bytes per
+    // file) exceeds it → resolve must work but never hit afterwards
+    withSQLConf("spark.graft.metaCacheBytes" -> "64") {
+      val a = LakehouseBatch.resolve(path)
+      val h0 = hits
+      val b = LakehouseBatch.resolve(path)
+      assert(hits == h0, "an over-budget snapshot must not be cached")
+      assert(a.dataFiles.map(_.rowCount).sum ==
+        b.dataFiles.map(_.rowCount).sum)
+    }
+    // generous budget: normal hit behavior returns
+    withSQLConf("spark.graft.metaCacheBytes" -> ((256L << 20).toString)) {
+      LakehouseBatch.resolve(path)
+      val h1 = hits
+      LakehouseBatch.resolve(path)
+      assert(hits == h1 + 1)
+    }
+  }
 }

@@ -70,10 +70,20 @@ class DvSpec extends SparkSpec {
       .schema(schema).load(lake.tablePath("t"))
     assert(df.count() == 90L)
     assert(df.agg(max(col("k"))).head().getLong(0) == 89L)
-    // count must NOT have been answered from footers (they say 100):
-    // the plan carries a real scan, not a PushedAggregation
-    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    // min/max must NOT have been answered from zone maps (a masked row
+    // could be the extreme): the plan carries a real scan, not a
+    // PushedAggregation
+    val plan = df.agg(max(col("k"))).queryExecution.executedPlan.toString
     assert(!plan.contains("PushedAggregation"), plan)
+    // COUNT(*) alone stays a metadata answer even with DVs outstanding:
+    // Σ(footer rows − sidecar-header deleted) = 90, no data read
+    val cplan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(cplan.contains("PushedAggregation"), cplan)
+    // the scan stays VECTORIZED under outstanding DVs — the mask is a
+    // per-batch selection remap, not a fall-back to the row reader
+    val scanPlan = df.filter(col("k") === 5)
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("ColumnarToRow"), scanPlan)
     // zone-map skipping still cuts files conservatively
     assert(df.filter(col("k") === 5).collect().map(_.getLong(1)).toSeq
       == Seq(50L))

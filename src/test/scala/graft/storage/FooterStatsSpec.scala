@@ -43,6 +43,7 @@ class FooterStatsSpec extends SparkSpec {
       .option("basePath", vdir).parquet(vdir)
       .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
       .agg(
+        count(lit(1L)).as("rows"),
         min("k").as("min_k"), max("k").as("max_k"),
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("nulls_k"),
         min("s").as("min_s"), max("s").as("max_s"),
