@@ -440,6 +440,42 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
+  /** Equality-delete tombstone descriptors across roots: (version, dir,
+    * key column names). Driver cost is one schema-infer footer read per
+    * tombstone commit — never the keys themselves.
+    */
+  private def eqDelRefs(roots: Seq[String]): Seq[(Long, String, Seq[String])] =
+    roots.flatMap { r =>
+      val p = new Path(r, EqDelDir)
+      if (!fs.exists(p)) None
+      else Some((rootVersion(r), p.toString,
+        spark.read.parquet(p.toString).columns.toSeq))
+    }
+
+  /** Mask `df` by the applicable equality-delete tombstone sets with
+    * the executor-side [[graft.functions.EqDelSurvives]] filter — the
+    * SAME probe (and JVM-wide key-set cache) the V2 scan's partition
+    * readers use, unifying the two read paths' masking. The former
+    * broadcast anti-join per tombstone put O(#keys) in driver/broadcast
+    * memory and a join stage in every branch; the filter rides the scan
+    * with no join, no shuffle, no broadcast.
+    */
+  private def eqDelMask(df: DataFrame, schema: StructType,
+      applicable: Seq[(Long, String, Seq[String])]): DataFrame =
+    if (applicable.isEmpty) df
+    else {
+      val allCols = applicable.flatMap(_._3).distinct
+      val refs = applicable.map { case (_, dir, ks) =>
+        graft.functions.EqDelSurvives.Ref(dir,
+          StructType(ks.map { k =>
+            require(schema.fieldNames.contains(k),
+              s"eq-del key $k not in table schema")
+            schema(k)
+          }), ks.map(allCols.indexOf))
+      }
+      df.filter(graft.functions.EqDelSurvives(allCols.map(col), refs))
+    }
+
   /** Deletion vector recorded in a root, if any: (file STRING — the
     * data file's NAME, pos BIGINT — its 0-based row index). The parquet
     * is the audit/change-feed record; READERS use the per-file binary
@@ -467,8 +503,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   private def maskedUnion(roots: Seq[String],
       schema: StructType): DataFrame = {
-    val tombs: Seq[(Long, DataFrame)] =
-      roots.flatMap(r => eqDelKeys(r).map(k => (rootVersion(r), k)))
+    val tombs: Seq[(Long, String, Seq[String])] = eqDelRefs(roots)
     // deletion vectors ([[deleteRowsMoR]]): positional tombstones follow
     // the SAME sequence rule — a DV committed at version v masks its
     // (file, pos) rows in every root with a LOWER version; data written
@@ -482,10 +517,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     roots.map { r =>
       val base = spark.read.schema(schema).option("basePath", r).parquet(r)
       val rv = rootVersion(r)
-      val eqMasked = tombs.filter(_._1 > rv).foldLeft(base) {
-        case (df, (_, keys)) =>
-          df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
-      }
+      val eqMasked = eqDelMask(base, schema, tombs.filter(_._1 > rv))
       val applicable = dvs.filter(_._1 > rv).map(_._2)
       if (applicable.isEmpty) eqMasked
       else {
@@ -1375,8 +1407,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val dvs: Seq[(Long, Map[String, String])] =
       roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
     if (dvs.isEmpty) return Nil
-    val tombs: Seq[(Long, DataFrame)] =
-      roots.flatMap(r => eqDelKeys(r).map(k => (rootVersion(r), k)))
+    val tombs: Seq[(Long, String, Seq[String])] = eqDelRefs(roots)
     val conf = spark.sparkContext.hadoopConfiguration
     // files an EARLIER rewrite already replaced never qualify again —
     // their whole-file masks would select them every run and produce
@@ -1419,10 +1450,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         val names = files.map(_._3.getName).toSet
         val base = spark.read.schema(schema).option("basePath", root)
           .parquet(files.map(_._3.toString): _*)
-        val eqMasked = tombs.filter(_._1 > rv).foldLeft(base) {
-          case (df, (_, keys)) =>
-            df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
-        }
+        val eqMasked = eqDelMask(base, schema, tombs.filter(_._1 > rv))
         val idx: Map[String, Seq[String]] = dvs.filter(_._1 > rv)
           .flatMap(_._2.toSeq).filter(t => names(t._1))
           .groupMap(_._1)(_._2)
@@ -2063,10 +2091,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .filter(pred)
     val roots = dataPaths(name)
-    // equality-delete masks compose with file pruning: the anti-join
+    // equality-delete masks compose with file pruning: the filter
     // applies AFTER the manifest cut (a masked row inside a surviving
     // file must still not serve)
-    val tombs = roots.flatMap(r => eqDelKeys(r).map(k => (rootVersion(r), k)))
+    val tombs = eqDelRefs(roots)
     val parts = roots.map { root =>
       val rootDf: DataFrame = {
       val statsPath = new Path(root, StatsDir)
@@ -2101,9 +2129,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       }
       }
       val rv = rootVersion(root)
-      tombs.filter(_._1 > rv).foldLeft(rootDf) { case (df, (_, keys)) =>
-        df.join(broadcast(keys), keys.columns.toIndexedSeq, "left_anti")
-      }
+      eqDelMask(rootDf, schema, tombs.filter(_._1 > rv))
     }
     parts.reduce(_ unionByName _).filter(pred)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)

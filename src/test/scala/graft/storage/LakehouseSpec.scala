@@ -823,6 +823,18 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.versions("dim_cards").count(_._2) == 1)
   }
 
+  test("eq-del masking is a filter, not a join — same probe as the V2 " +
+    "scan, no broadcast") {
+    val lake = new Lakehouse(spark, tmpDir("lake-eqdel-plan"))
+    lake.append("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2"))
+    lake.deleteByKeys("dim_cards", Seq("c2", "c9").toDF("card_num"))
+    val df = lake.read("dim_cards")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.toLowerCase.contains("eqdelsurvives"), plan)
+    assert(df.select("card_num").as[String].collect().toSeq == Seq("c1"))
+  }
+
   test("a tombstone racing a compact rebases above it and still masks") {
     val lake = new Lakehouse(spark, tmpDir("lake-eqdel-race"))
     lake.append("dim_cards", dimDf("c1" -> "a1", "c2" -> "a2"))   // v1
