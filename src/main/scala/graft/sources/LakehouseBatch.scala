@@ -1107,24 +1107,37 @@ private[graft] object LakehouseBatch {
             .filter(_.getName.endsWith(".parquet")).map(_.toString)
           if (parts.isEmpty) Map.empty
           else {
-            val df = spark.read.parquet(parts.toIndexedSeq: _*)
-            mStats = df.columns.collect {
-              case c if c.startsWith("min_") => c.drop(4)
-            }.toSet
-            mBlooms = df.columns.collect {
-              case c if c.startsWith("bloom_") => c.drop(6)
-            }.toSet
             mParts = parts.toIndexedSeq
             // bloom blobs NEVER ride the plan-time collect (50 KB per
             // (file, column) — O(#files) driver heap); skipFiles loads
             // them lazily per probed column for zone-surviving files
             // (TableMeta.bloomCache). Column pruning here means parquet
-            // never even reads the blob chunks.
-            val keep = df.columns.filterNot(_.startsWith("bloom_"))
-            df.select(keep.map(org.apache.spark.sql.functions.col)
-              .toIndexedSeq: _*)
-              .collect().map(r =>
-                r.getString(r.fieldIndex("file")) -> r).toMap
+            // never even reads the blob chunks. The read itself is
+            // DRIVER-SIDE (FooterStats.readManifest): a manifest is one
+            // commit's file list, and a Spark job per root would put
+            // ~20 ms of scheduler latency behind every commit of a
+            // 1000-commit cold resolve; the job route stays as the
+            // conservative fallback for unproven shapes.
+            val (cols, rows) = graft.storage.FooterStats.readManifest(
+              conf, parts.toIndexedSeq, _.startsWith("bloom_")) match {
+              case Some((cs, rs)) =>
+                (cs, rs.map(r => r.getString(r.fieldIndex("file")) -> r))
+              case None =>
+                val df = spark.read.parquet(parts.toIndexedSeq: _*)
+                val keep = df.columns.filterNot(_.startsWith("bloom_"))
+                (df.columns.toSeq,
+                  df.select(keep.map(org.apache.spark.sql.functions.col)
+                    .toIndexedSeq: _*)
+                    .collect().toSeq.map(r =>
+                      r.getString(r.fieldIndex("file")) -> r))
+            }
+            mStats = cols.collect {
+              case c if c.startsWith("min_") => c.drop(4)
+            }.toSet
+            mBlooms = cols.collect {
+              case c if c.startsWith("bloom_") => c.drop(6)
+            }.toSet
+            rows.toMap
           }
         }
       RootMeta(v, root, dataPaths, statRows, mStats, mBlooms, rewritten,

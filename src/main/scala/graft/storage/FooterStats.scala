@@ -155,6 +155,92 @@ object FooterStats {
     Some(out.map(_.get).toMap)
   }
 
+  /** DRIVER-SIDE stats-manifest read — the plan-time replacement for a
+    * `spark.read.parquet(manifest).collect()` job per commit root. A
+    * manifest is one row per data file of ONE commit (small by
+    * construction), yet the Spark-job route costs ~15-20 ms of
+    * scheduler latency per root: on a 1000-commit table that is the
+    * dominant cold-resolve term once footer opens are gone. This reads
+    * the part files directly through parquet-hadoop's Group API,
+    * column-pruned by `drop` (bloom blobs never decode), producing the
+    * SAME externally-typed Rows a collect() would (strings, Long/Int,
+    * java.sql.Timestamp/Date, java.math.BigDecimal) so every consumer
+    * (zone-map cuts, SPJ keying, agg pushdown) sees identical values.
+    *
+    * Returns (ALL column names incl. dropped — bloom discovery needs
+    * them, rows). None = any unproven shape (schema mismatch across
+    * parts, nested/INT96/unknown types) — the caller falls back to the
+    * Spark job, same conservative rule as the stats decode.
+    */
+  def readManifest(conf: Configuration, parts: Seq[String],
+      drop: String => Boolean)
+      : Option[(Seq[String], Seq[org.apache.spark.sql.Row])] = {
+    import scala.jdk.CollectionConverters._
+    import PrimitiveType.PrimitiveTypeName._
+    if (parts.isEmpty) return None
+    val schemas = parts.map { p =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p), conf))
+      try r.getFileMetaData.getSchema finally r.close()
+    }
+    val msg = schemas.head
+    if (schemas.exists(_.toString != msg.toString)) return None
+    val allCols = msg.getFields.asScala.map(_.getName).toSeq
+    val kept = msg.getFields.asScala.filter(f => !drop(f.getName)).toSeq
+    if (kept.exists(!_.isPrimitive)) return None
+    val types: Seq[(String, PrimitiveType, DataType)] = kept.map { f =>
+      val pt = f.asPrimitiveType()
+      sparkTypeOf(pt) match {
+        case Some(dt) => (f.getName, pt, dt)
+        case None => return None
+      }
+    }
+    val sparkSchema = StructType(types.map { case (n, _, dt) =>
+      StructField(n, dt) })
+    val reqMsg = new org.apache.parquet.schema.MessageType(
+      msg.getName, kept.asJava)
+    val rows = Seq.newBuilder[org.apache.spark.sql.Row]
+    parts.foreach { p =>
+      val rconf = new Configuration(conf)
+      rconf.set(org.apache.parquet.hadoop.api.ReadSupport
+        .PARQUET_READ_SCHEMA, reqMsg.toString)
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new Path(p))
+        .withConf(rconf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val gt = g.getType
+          val vals: Array[Any] = types.map { case (n, pt, dt) =>
+            val idx = gt.getFieldIndex(n)
+            if (g.getFieldRepetitionCount(idx) == 0) null
+            else {
+              val raw: AnyRef = pt.getPrimitiveTypeName match {
+                case INT64 => java.lang.Long.valueOf(g.getLong(idx, 0))
+                case INT32 => java.lang.Integer.valueOf(g.getInteger(idx, 0))
+                case DOUBLE => java.lang.Double.valueOf(g.getDouble(idx, 0))
+                case FLOAT => java.lang.Float.valueOf(g.getFloat(idx, 0))
+                case BOOLEAN =>
+                  java.lang.Boolean.valueOf(g.getBoolean(idx, 0))
+                case BINARY | FIXED_LEN_BYTE_ARRAY => g.getBinary(idx, 0)
+                case _ => return None
+              }
+              convert(pt, dt, raw, raw) match {
+                case Some((v, _)) => v
+                case None => return None
+              }
+            }
+          }.toArray
+          rows += new org.apache.spark.sql.catalyst.expressions
+            .GenericRowWithSchema(vals, sparkSchema)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    Some((allCols, rows.result()))
+  }
+
   /** Spark type implied by a parquet primitive + logical annotation —
     * the inverse of Spark's parquet writer for the types zone maps
     * cover. None = unsupported (INT96, nested, intervals, …).
