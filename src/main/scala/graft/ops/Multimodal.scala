@@ -138,6 +138,66 @@ object Multimodal {
       while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
       (w, h, px)
     }
+
+    // ——— REAL audio codec: WAV PCM via the JDK's javax.sound.sampled ———
+    //
+    // WAV file read/write is pure JDK (AudioSystem over byte streams —
+    // no audio device, headless-safe), so like PNG it gets a REAL codec
+    // tier: m06 synthesizes deterministic 16-bit PCM, encodes an actual
+    // RIFF/WAVE file, decodes it back executor-side and hash-checks
+    // sample statistics against an oracle recomputing the generator
+    // arithmetic (PCM is lossless). Compressed audio (MP3/AAC/Opus)
+    // stays behind the stub seam (SURVEY §8.1).
+
+    /** Encode signed 16-bit mono PCM samples as a real WAV
+      * (RIFF/WAVE, PCM16LE) via AudioSystem.
+      */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, /* signed */ true,
+        /* bigEndian */ false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAV payload to (sampleRate, channels, interleaved signed
+      * 16-bit samples) via AudioSystem. Throws on undecodable bytes or
+      * non-16-bit formats — same fail-loudly contract as the image
+      * decoder.
+      */
+    def decodeWav(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 &&
+        fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"unsupported WAV format: $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val samples = new Array[Short](n)
+      val le = !fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        samples(i) =
+          (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, samples)
+    }
   }
 
   /** Per-image RGB channel statistics through the REAL PNG decode:
@@ -169,6 +229,34 @@ object Multimodal {
       }
     }.toDF("media_id", "n_px", "r_sum", "g_sum", "b_sum",
       "r_min", "r_max", "g_min", "g_max", "b_min", "b_max")
+  }
+
+  /** Per-clip PCM sample statistics through the REAL WAV decode:
+    * (media_id, sample_rate, n_samples, s_sum, s_min, s_max). Map-only,
+    * payloads dropped before any shuffle — m05's scale shape with an
+    * audio codec in the middle.
+    */
+  def wavSampleStats(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val (rate, channels, samples) = Codecs.decodeWav(m.payload)
+        require(channels == 1, s"mono contract: $channels channels")
+        var sum = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toInt
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        (m.media_id, rate, samples.length.toLong, sum, mn, mx)
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "s_sum", "s_min",
+      "s_max")
   }
 
   /** Batch feature extraction: binary in, features out, per partition. */

@@ -1248,6 +1248,40 @@ object TrainingPack {
           max("g_max").cast("bigint").as("g_max"),
           min("b_min").cast("bigint").as("b_min"),
           max("b_max").cast("bigint").as("b_max"))
+    }),
+
+    // m06 — a REAL audio codec in the plan: per document, a signed
+    // 16-bit PCM waveform whose samples are a pure integer function of
+    // (doc_id, i) is encoded to an actual RIFF/WAVE file
+    // (javax.sound.sampled, JDK-native, headless-safe) and decoded back
+    // executor-side; per-clip sample statistics feed a bucketed rollup.
+    // PCM is lossless, so the oracle recomputes the identical sums over
+    // a DuckDB sample grid — any encode/decode defect (endianness,
+    // sign, header offset, truncation) hash-mismatches. Map-only,
+    // payloads dropped before the rollup shuffle. Compressed audio
+    // stays stubbed (SURVEY §8.1).
+    "m06_wav_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 256 + (id % 64).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i * 17) % 65536) - 32768).toShort)
+            Multimodal.MediaItem(id, "audio",
+              Multimodal.Codecs.encodeWav(samples, 16000),
+              width = 0, height = 0, sample_rate = 16000, n_frames = 1)
+          }
+        }
+      Multimodal.wavSampleStats(items)
+        .groupBy((col("media_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum("n_samples").as("n_samples"),
+          sum("s_sum").as("s_sum"),
+          min("s_min").cast("bigint").as("s_min"),
+          max("s_max").cast("bigint").as("s_max"),
+          min("sample_rate").cast("bigint").as("rate"))
     })
   )
 
@@ -2325,6 +2359,23 @@ object TrainingPack {
         | CAST(min(g) AS BIGINT) AS g_min, CAST(max(g) AS BIGINT) AS g_max,
         | CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
         |FROM px GROUP BY 1""".stripMargin,
+    // the decoded-WAV sample stats, recomputed from the same integer
+    // generator over a DuckDB sample grid — lossless PCM round-trip
+    // makes the generator the ground truth
+    "m06_wav_decode" ->
+      """WITH s AS (
+        | SELECT d.doc_id AS id,
+        |  (d.doc_id * 31 + i.range * 17) % 65536 - 32768 AS v
+        | FROM documents d, range(0, 320) i
+        | WHERE i.range < 256 + d.doc_id % 64)
+        |SELECT id % 8 AS bucket,
+        | CAST(count(DISTINCT id) AS BIGINT) AS n_clips,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(v) AS BIGINT) AS s_sum,
+        | CAST(min(v) AS BIGINT) AS s_min,
+        | CAST(max(v) AS BIGINT) AS s_max,
+        | CAST(16000 AS BIGINT) AS rate
+        |FROM s GROUP BY 1""".stripMargin,
     "m02_media_features" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         | octet_length(encode(text))::BIGINT AS n_bytes,

@@ -61,6 +61,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL WAV codec: lossless PCM round-trip, loud on garbage") {
+    val samples = Array.tabulate(300)(i =>
+      (((i * 7919 + 13) % 65536) - 32768).toShort)
+    val wav = Multimodal.Codecs.encodeWav(samples, 16000)
+    // a real RIFF/WAVE container, not a fake: magic bytes
+    assert(wav(0) == 'R'.toByte && wav(1) == 'I'.toByte &&
+      wav(2) == 'F'.toByte && wav(3) == 'F'.toByte &&
+      wav(8) == 'W'.toByte && wav(9) == 'A'.toByte)
+    val (rate, channels, got) = Multimodal.Codecs.decodeWav(wav)
+    assert(rate == 16000 && channels == 1)
+    assert(got.toSeq == samples.toSeq, "sample-exact round-trip")
+    // extremes round-trip (sign + endianness pinned at the edges)
+    val edge = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue)
+    val (_, _, got2) =
+      Multimodal.Codecs.decodeWav(Multimodal.Codecs.encodeWav(edge, 8000))
+    assert(got2.toSeq == edge.toSeq)
+    intercept[Exception] {
+      Multimodal.Codecs.decodeWav("not audio".getBytes)
+    }
+  }
+
+  test("wavSampleStats computes exact stats over the decoded samples") {
+    import spark.implicits._
+    val items = spark.createDataset(Seq(1L, 2L).map { id =>
+      val s = Array.tabulate(10)(i => (id * 100 + i).toShort)
+      Multimodal.MediaItem(id, "audio",
+        Multimodal.Codecs.encodeWav(s, 44100), 0, 0, 44100, 1)
+    })
+    val got = Multimodal.wavSampleStats(items).orderBy("media_id").collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    assert(r1.getInt(1) == 44100) // sample_rate
+    assert(r1.getLong(2) == 10L) // n_samples
+    assert(r1.getLong(3) == (0 until 10).map(_ + 100).sum.toLong) // s_sum
+    assert(r1.getInt(4) == 100 && r1.getInt(5) == 109) // min/max
+  }
+
   test("pngChannelStats computes exact stats over the decoded raster") {
     import spark.implicits._
     val items = spark.createDataset(Seq(1L, 2L).map { id =>
