@@ -241,6 +241,95 @@ object FooterStats {
     Some((allCols, rows.result()))
   }
 
+  /** DRIVER-SIDE stats-manifest write — the commit-side twin of
+    * [[readManifest]]. A manifest is one small file, yet writing it
+    * through `spark.createDataFrame(...).coalesce(1).write` costs a
+    * Spark job's scheduler latency (~150 ms) on EVERY commit; this
+    * writes the same parquet directly via parquet-hadoop's example
+    * Group writer. Types mirror what Spark's writer produced under the
+    * MicrosScope (strings, int/long, TIMESTAMP(MICROS, adjustedToUTC),
+    * DATE, ≤18-precision decimals as INT64, binary blobs), so the read
+    * side — readManifest, the spark.read fallback, readBetween — sees
+    * identical content. False = a shape this writer does not vouch for
+    * (wide decimals, exotic types) — the caller falls back to the
+    * Spark-job write, same conservative rule as everything here.
+    */
+  def writeManifestFile(conf: Configuration, dir: Path,
+      schema: StructType, rows: Seq[org.apache.spark.sql.Row]): Boolean = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => L, Types}
+    import PrimitiveType.PrimitiveTypeName._
+    val fields: Seq[org.apache.parquet.schema.Type] = schema.fields.toSeq
+      .map { f =>
+        val b = f.dataType match {
+          case StringType => Types.optional(BINARY).as(L.stringType())
+          case LongType => Types.optional(INT64)
+          case IntegerType => Types.optional(INT32)
+          case ShortType => Types.optional(INT32).as(L.intType(16, true))
+          case ByteType => Types.optional(INT32).as(L.intType(8, true))
+          case BooleanType => Types.optional(BOOLEAN)
+          case DoubleType => Types.optional(DOUBLE)
+          case FloatType => Types.optional(FLOAT)
+          case TimestampType =>
+            Types.optional(INT64).as(L.timestampType(true,
+              L.TimeUnit.MICROS))
+          case DateType => Types.optional(INT32).as(L.dateType())
+          case d: DecimalType if d.precision <= 18 =>
+            Types.optional(INT64).as(L.decimalType(d.scale, d.precision))
+          case BinaryType => Types.optional(BINARY)
+          case _ => return false
+        }
+        b.named(f.name)
+      }
+    val msg = new org.apache.parquet.schema.MessageType("graft_stats",
+      fields: _*)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val file = new Path(dir, "part-00000-graft-manifest.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, conf))
+      .withConf(conf).withType(msg)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val factory =
+        new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+      rows.foreach { r =>
+        val g = factory.newGroup()
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (!r.isNullAt(i)) f.dataType match {
+            case StringType => g.append(f.name, r.getString(i))
+            case LongType => g.append(f.name, r.getLong(i))
+            case IntegerType => g.append(f.name, r.getInt(i))
+            case ShortType => g.append(f.name, r.getShort(i).toInt)
+            case ByteType => g.append(f.name, r.getByte(i).toInt)
+            case BooleanType => g.append(f.name, r.getBoolean(i))
+            case DoubleType => g.append(f.name, r.getDouble(i))
+            case FloatType => g.append(f.name, r.getFloat(i))
+            case TimestampType =>
+              val t = r.getAs[java.sql.Timestamp](i)
+              g.append(f.name,
+                Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
+                  1000000L) + t.getNanos / 1000L)
+            case DateType =>
+              g.append(f.name,
+                r.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+            case d: DecimalType =>
+              g.append(f.name, r.getAs[java.math.BigDecimal](i)
+                .setScale(d.scale).unscaledValue().longValueExact())
+            case BinaryType =>
+              g.append(f.name, org.apache.parquet.io.api.Binary
+                .fromConstantByteArray(r.getAs[Array[Byte]](i)))
+            case _ => return false // unreachable: schema pre-validated
+          }
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    true
+  }
+
   /** Spark type implied by a parquet primitive + logical annotation —
     * the inverse of Spark's parquet writer for the types zone maps
     * cover. None = unsupported (INT96, nested, intervals, …).

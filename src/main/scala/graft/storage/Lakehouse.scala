@@ -801,16 +801,22 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         bloomCols.map(c => StructField(s"bloom_$c", BinaryType)))
         .toIndexedSeq)
     val statsByFile = stats.map(fst => fst.name -> fst).toMap
-    import scala.jdk.CollectionConverters._
-    val rows: java.util.List[Row] = files.map { f =>
+    val rows: Seq[Row] = files.map { f =>
       val n = f.getName
       Row.fromSeq(n +: rowsByFile(n) +:
         (types.flatMap { case (c, _) =>
           val (mn, mx, nl) = statsByFile(n).cols(c); Seq(mn, mx, nl) } ++
           bloomCols.map(c => blooms(n)(c))))
-    }.asJava
-    spark.createDataFrame(rows, mSchema).coalesce(1)
-      .write.mode("overwrite").parquet(s"$vdir/$StatsDir")
+    }
+    // DRIVER-SIDE manifest write (no Spark job — the manifest is one
+    // small file and a job costs ~150 ms of scheduler latency on every
+    // commit); unproven shapes fall back to the Spark write
+    if (!FooterStats.writeManifestFile(conf, new Path(s"$vdir/$StatsDir"),
+        mSchema, rows)) {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, mSchema).coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/$StatsDir")
+    }
     true
   }
 
@@ -820,7 +826,25 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // parquet's own SBBFs; ANY gap falls the whole commit back to the
     // scan path (which builds Spark-sketch blooms — the probe
     // distinguishes the two blob formats per cell)
-    if ((statsCols.nonEmpty || bloomCols.nonEmpty) &&
+    if (statsCols.isEmpty && bloomCols.isEmpty) {
+      // no stats configured: still persist a (file, rows) manifest —
+      // driver-side, metadata-cost — so the V2 scan's resolve never
+      // opens data-file footers for ANY graft table, not just
+      // stats-covered ones (plan time must be O(#commits), never
+      // O(#files), at 100 TB). Failure to decode a footer just skips
+      // the manifest (resolve falls back to its own footer open).
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = listDataFilesIn(new Path(vdir)).map(_.getPath)
+      if (files.nonEmpty)
+        FooterStats.rowCounts(fs, conf, files).foreach { counts =>
+          import org.apache.spark.sql.types.{LongType, StringType, StructField}
+          val mSchema = StructType(Seq(StructField("file", StringType),
+            StructField("rows", LongType)))
+          FooterStats.writeManifestFile(conf,
+            new Path(s"$vdir/$StatsDir"), mSchema,
+            files.map(f => Row(f.getName, counts(f.getName))))
+        }
+    } else if ((statsCols.nonEmpty || bloomCols.nonEmpty) &&
       writeFooterStats(vdir, statsCols, bloomCols))
       Lakehouse.lastStatsFromFooters = true // test observability only
     else if (statsCols.nonEmpty || bloomCols.nonEmpty) {
@@ -907,8 +931,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         fs.exists(new Path(p, s"$SeenPrefix$batchId"))
     }
     if (!already) {
-      val vdir = writeVersion(name, marker, () => ())(p =>
-        df.write.mode("overwrite").parquet(p))
+      val vdir = writeVersion(name, marker, () => ()) { p =>
+        df.write.mode("overwrite").parquet(p)
+        // (file, rows) manifest so V2 reads of streaming-fed catalog
+        // tables plan without per-file footer opens (driver-side, ~ms)
+        writeStats(p, Nil)
+      }
       ensureAboveFulls(dest, vdir)
     }
   }

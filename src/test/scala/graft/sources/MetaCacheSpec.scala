@@ -120,16 +120,30 @@ class MetaCacheSpec extends SparkSpec {
     }
   }
 
-  test("stats-less tables still resolve (footer fallback) with exact " +
-    "counts") {
+  test("stats-less commits persist a rows-only manifest; legacy tables " +
+    "without one still resolve (footer fallback) with exact counts") {
     val lake = new Lakehouse(spark, tmpDir("graft-mc-fallback"))
     lake.append("t", spark.range(0, 123)
       .select(col("id").as("k"), (col("id") * 3).as("v")))
+    val path = lake.tablePath("t")
     withSQLConf("spark.graft.metaCacheEntries" -> "0") {
+      // even with NO stats configured, resolve must not open footers —
+      // the commit wrote a (file, rows) manifest
       val o0 = LakehouseBatch.footerOpens.get()
-      val meta = LakehouseBatch.resolve(lake.tablePath("t"))
-      assert(LakehouseBatch.footerOpens.get() > o0)
+      val meta = LakehouseBatch.resolve(path)
+      assert(LakehouseBatch.footerOpens.get() == o0,
+        "rows-only manifest must serve the counts")
       assert(meta.dataFiles.map(_.rowCount).sum == 123)
+      // strip the manifest (a pre-manifest legacy commit): the footer
+      // fallback serves the same counts
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      lake.dataPaths("t").foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(r, "_GRAFT_STATS"), true)
+      }
+      val legacy = LakehouseBatch.resolve(path)
+      assert(LakehouseBatch.footerOpens.get() > o0)
+      assert(legacy.dataFiles.map(_.rowCount).sum == 123)
     }
   }
 

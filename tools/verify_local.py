@@ -188,11 +188,28 @@ def main():
     print(f"PASS {n_pass} FAIL {n_fail}")
     if json_out:
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        Path(json_out).write_text(json.dumps({
-            "sf": sf, "round": 7,
+        # MERGE into an existing round artifact, never overwrite: a
+        # targeted subset re-run must not clobber the full gate (round 7
+        # committed a 3-query file over a 182-query one — the evidence
+        # hole ADVICE r7 flags). New results replace same-name entries;
+        # totals recompute over the merged set.
+        merged = results
+        out_p = Path(json_out)
+        if out_p.exists():
+            try:
+                prev = json.loads(out_p.read_text())
+                if prev.get("sf") == sf and isinstance(
+                        prev.get("queries"), dict):
+                    merged = {**prev["queries"], **results}
+            except Exception:
+                pass
+        t_pass = sum(1 for r in merged.values() if r.get("pass"))
+        t_fail = len(merged) - t_pass
+        out_p.write_text(json.dumps({
+            "sf": sf, "round": 8,
             "gate": "tools/verify_local.py (local replica of the driver "
                     "DuckDB hash-compare, incl. the pandas driver-path layer)",
-            "pass": n_pass, "fail": n_fail, "queries": results}, indent=1))
+            "pass": t_pass, "fail": t_fail, "queries": merged}, indent=1))
     sys.exit(1 if n_fail else 0)
 
 
