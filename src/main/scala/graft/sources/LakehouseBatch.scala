@@ -1344,7 +1344,7 @@ private[graft] object LakehouseBatch {
     * BigDecimal — mirrors Catalyst's binary-comparison coercions for
     * the type combinations a same-column compare can produce.
     */
-  private def compareValues(a: Any, b: Any): Int = {
+  private[graft] def compareValues(a: Any, b: Any): Int = {
     def millis(x: Any): Option[Long] = x match {
       case t: java.sql.Timestamp => Some(t.getTime)
       case d: java.sql.Date => Some(d.getTime)

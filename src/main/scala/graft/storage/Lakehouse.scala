@@ -2133,19 +2133,47 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         if (!fs.exists(statsPath)) Nil
         else fs.listStatus(statsPath).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      // current manifests key by file NAME (dir-relocatable);
+      // absolute-path rows are legacy manifests
+      def toPath(f: String): String =
+        if (f.contains("/")) f else new Path(root, f).toString
+      // DRIVER-SIDE prune (FooterStats.readManifest + the V2 scan's
+      // value comparator — millis-truncation on temporals only ever
+      // over-keeps): the former spark.read job cost ~20 ms of scheduler
+      // latency per root per call, on the ETL's hottest read path. Any
+      // unproven shape or incomparable pair falls back to the job.
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def sparkPrune(): Option[Seq[String]] = {
+        val st = spark.read.parquet(manifest: _*)
+        if (!st.columns.contains(s"min_$colName")) None
+        else Some(st
+          .filter(col(s"max_$colName") >= lit(lo) &&
+            col(s"min_$colName") <= lit(hi))
+          .select(col("file")).collect().map(_.getString(0))
+          .map(toPath).toSeq)
+      }
       val pruned: Option[Seq[String]] =
         if (manifest.isEmpty) None
-        else {
-          val st = spark.read.parquet(manifest: _*)
-          if (!st.columns.contains(s"min_$colName")) None
-          else Some(st
-            .filter(col(s"max_$colName") >= lit(lo) &&
-              col(s"min_$colName") <= lit(hi))
-            .select(col("file")).collect().map(_.getString(0))
-            // current manifests key by file NAME (dir-relocatable);
-            // absolute-path rows are legacy manifests
-            .map(f => if (f.contains("/")) f
-              else new Path(root, f).toString).toSeq)
+        else FooterStats.readManifest(hconf, manifest,
+          _.startsWith("bloom_")) match {
+          case Some((cols, rows)) if cols.contains(s"min_$colName") =>
+            try Some(rows.flatMap { r =>
+              def v(n: String): Option[Any] = {
+                val i = r.schema.fieldNames.indexOf(n)
+                if (i < 0 || r.isNullAt(i)) None else Some(r.get(i))
+              }
+              val keep = (v(s"min_$colName"), v(s"max_$colName")) match {
+                case (Some(mn), Some(mx)) =>
+                  graft.sources.LakehouseBatch.compareValues(mx, lo) >= 0 &&
+                    graft.sources.LakehouseBatch.compareValues(mn, hi) <= 0
+                case _ => false // all-null file: never in a value range
+              }
+              if (keep) Some(toPath(r.getString(r.fieldIndex("file"))))
+              else None
+            })
+            catch { case _: IllegalArgumentException => sparkPrune() }
+          case Some(_) => None // manifest without this column's zone map
+          case None => sparkPrune()
         }
       pruned match {
         case Some(Nil) =>
