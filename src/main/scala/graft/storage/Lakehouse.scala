@@ -1451,6 +1451,30 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         finally in.close()
       }
     }
+    // per-file row counts from the roots' manifests (one driver-side
+    // read per root); the footer open survives only for legacy
+    // manifests without a `rows` column
+    val rowsByRoot: Map[String, Map[String, Long]] = roots.map { r =>
+      val sp = new Path(r, StatsDir)
+      val parts =
+        if (!fs.exists(sp)) Nil
+        else fs.listStatus(sp).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val m =
+        if (parts.isEmpty) Map.empty[String, Long]
+        else FooterStats.readManifest(conf, parts,
+          c => c != "file" && c != "rows") match {
+          case Some((cols, rws)) if cols.contains("rows") =>
+            rws.flatMap { row =>
+              val ri = row.fieldIndex("rows")
+              if (row.isNullAt(ri)) None
+              else Some(row.getString(row.fieldIndex("file")) ->
+                row.getLong(ri))
+            }.toMap
+          case _ => Map.empty[String, Long]
+        }
+      r -> m
+    }.toMap
     // (root, rootVersion, path, rows) per selected file
     val selected: Seq[(String, Long, Path, Long)] = for {
       r <- roots
@@ -1460,12 +1484,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         w > rv && names(st.getPath.getName) }
       sidecars = dvs.filter(_._1 > rv).flatMap(_._2.get(st.getPath.getName))
       if sidecars.nonEmpty
-      rows = {
+      rows = rowsByRoot(r).getOrElse(st.getPath.getName, {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(st.getPath, conf)
         val pr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try pr.getRecordCount finally pr.close()
-      }
+      })
       if rows > 0
       deleted = math.min(rows,
         sidecars.map(s => DvSidecar.readHeader(fs, new Path(s))._2).sum)
