@@ -743,7 +743,12 @@ private[graft] object LakehouseBatch {
     /** Make sure every (file, col) pair is fetched; one column-pruned
       * manifest read per call covering all missing files of all probed
       * columns of this VERSION. `candidates` carries both the file NAME
-      * and full-path keys (legacy manifests were path-keyed).
+      * and full-path keys (legacy manifests were path-keyed). The read
+      * is DRIVER-SIDE (FooterStats.readManifest pruned to file + the
+      * probed blob columns; non-candidate rows drop before decode) — a
+      * Spark job per root per probe costs ~100 ms of scheduler latency,
+      * which a 100-commit chain turns into a 10 s planning stall; the
+      * job route survives only as the unproven-shape fallback.
       */
     def ensure(spark: SparkSession, version: Long, parts: Seq[String],
         cols: Set[String], candidates: Seq[String]): Unit = synchronized {
@@ -755,31 +760,49 @@ private[graft] object LakehouseBatch {
         (c, m, candidates.filterNot(m.contains))
       }.filter(_._3.nonEmpty)
       if (need.isEmpty) return
-      import org.apache.spark.sql.functions.{col => fcol}
-      val missing = need.flatMap(_._3).distinct
-      val base = spark.read.parquet(parts: _*)
-        .select((fcol("file") +: need.map(n => fcol(s"bloom_${n._1}")))
-          .toIndexedSeq: _*)
-      // an IN-list that would dwarf the manifest read serves nothing —
-      // past the cap, fetch the whole column (still only PROBED columns)
-      val df = if (missing.size <= 10000) {
-        base.filter(fcol("file").isin(missing.map(x => x: Any): _*))
-      } else base
-      val got = df.collect()
+      val wanted = Set("file") ++ need.map(n => s"bloom_${n._1}")
+      val candSet = candidates.toSet
       var batch = 0L
-      got.foreach { r =>
-        val name = r.getString(0)
-        need.zipWithIndex.foreach { case ((_, m, _), i) =>
-          val blob =
-            if (r.isNullAt(i + 1)) None
-            else Some(r.get(i + 1).asInstanceOf[Array[Byte]])
-          batch += blob.map(_.length.toLong + 64L).getOrElse(16L)
-          m(name) = blob.map(decodeBloomBlob)
-        }
+      def insert(name: String, c: String,
+          m: scala.collection.mutable.Map[String, Option[Any => Boolean]],
+          blob: Option[Array[Byte]]): Unit = {
+        batch += blob.map(_.length.toLong + 64L).getOrElse(16L)
+        m(name) = blob.map(decodeBloomBlob)
       }
-      // files absent from the (possibly filtered) result: cache the
-      // miss as "no blob" so the probe answers might-contain and the
-      // fetch never repeats
+      graft.storage.FooterStats.readManifest(
+        spark.sparkContext.hadoopConfiguration, parts,
+        c => !wanted(c)) match {
+        case Some((_, rows)) =>
+          rows.foreach { r =>
+            val name = r.getString(r.fieldIndex("file"))
+            if (candSet(name)) need.foreach { case (c, m, _) =>
+              val i = r.schema.fieldNames.indexOf(s"bloom_$c")
+              insert(name, c, m,
+                if (i < 0 || r.isNullAt(i)) None
+                else Some(r.getAs[Array[Byte]](i)))
+            }
+          }
+        case None =>
+          // fallback: one Spark job, candidate-filtered when small
+          import org.apache.spark.sql.functions.{col => fcol}
+          val missing = need.flatMap(_._3).distinct
+          val base = spark.read.parquet(parts: _*)
+            .select((fcol("file") +:
+              need.map(n => fcol(s"bloom_${n._1}"))).toIndexedSeq: _*)
+          val df = if (missing.size <= 10000) {
+            base.filter(fcol("file").isin(missing.map(x => x: Any): _*))
+          } else base
+          df.collect().foreach { r =>
+            val name = r.getString(0)
+            need.zipWithIndex.foreach { case ((c, m, _), i) =>
+              insert(name, c, m,
+                if (r.isNullAt(i + 1)) None
+                else Some(r.get(i + 1).asInstanceOf[Array[Byte]]))
+            }
+          }
+      }
+      // candidates absent from the result: cache the miss as "no blob"
+      // so the probe answers might-contain and the fetch never repeats
       need.foreach { case (_, m, miss) =>
         miss.foreach(f => if (!m.contains(f)) m(f) = None)
       }
@@ -872,13 +895,37 @@ private[graft] object LakehouseBatch {
       path, asOf, branch)
     val maxBytes = spark.conf.getOption("spark.graft.metaCacheBytes")
       .map(_.toLong).getOrElse(256L << 20)
+    // OPT-IN staleness window: even a warm hit pays one listing per
+    // version dir to re-fingerprint the commit log — O(#commits) LIST
+    // RPCs per query, the dominant warm-path term on an object store
+    // with a long chain. `spark.graft.metaRefreshMs` > 0 trusts a
+    // validated snapshot for that many ms (bounded staleness, the
+    // HMS/Iceberg catalog-cache trade); the default 0 re-validates on
+    // every resolve — snapshot isolation semantics are unchanged
+    // unless explicitly relaxed.
+    val refreshMs = spark.conf.getOption("spark.graft.metaRefreshMs")
+      .map(_.toLong).getOrElse(0L)
     val key = (fs.makeQualified(dest).toString, asOf, branch)
+    if (refreshMs > 0L) {
+      metaCache.synchronized(Option(metaCache.get(key))).foreach {
+        case (_, cached) =>
+          val at = metaCacheCheckedAt.get(key)
+          if (at != null &&
+            (System.nanoTime() - at) / 1000000L < refreshMs) {
+            metaCacheHits += 1
+            return cached
+          }
+      }
+    }
     val fp = snapshotFingerprint(fs, dest)
     metaCache.synchronized {
       metaCacheMax = maxEntries
       Option(metaCache.get(key))
     } match {
-      case Some((`fp`, cached)) => metaCacheHits += 1; cached
+      case Some((`fp`, cached)) =>
+        metaCacheHits += 1
+        metaCacheCheckedAt.put(key, System.nanoTime())
+        cached
       case _ =>
         val meta = resolveUncached(spark, conf, fs, dest, path, asOf,
           branch)
@@ -892,6 +939,7 @@ private[graft] object LakehouseBatch {
             // never cached — it must not evict every other table
             if (sz <= maxBytes) {
               metaCache.put(key, (fp, meta))
+              metaCacheCheckedAt.put(key, System.nanoTime())
               metaCacheBytesHeld += sz
               val it = metaCache.entrySet().iterator()
               while ((metaCache.size() > metaCacheMax ||
@@ -899,6 +947,7 @@ private[graft] object LakehouseBatch {
                 val e = it.next()
                 if (e.getKey != key) {
                   metaCacheBytesHeld -= approxMetaBytes(e.getValue._2)
+                  metaCacheCheckedAt.remove(e.getKey)
                   it.remove()
                 }
               }
@@ -908,6 +957,12 @@ private[graft] object LakehouseBatch {
         meta
     }
   }
+
+  /** Last successful fingerprint validation per cache key (nanos) —
+    * drives the optional `spark.graft.metaRefreshMs` trust window.
+    */
+  private val metaCacheCheckedAt = new java.util.concurrent.ConcurrentHashMap[
+    (String, Option[Long], Option[String]), java.lang.Long]()
 
   /** LRU of resolved snapshots, keyed (qualified path, asOf, branch);
     * value = (commit-log fingerprint, meta). Access-ordered; bounded

@@ -361,6 +361,7 @@ object FooterStats {
       case (BINARY, _: StringLogicalTypeAnnotation) => Some(StringType)
       case (BINARY, a: DecimalLogicalTypeAnnotation) =>
         Some(DecimalType(a.getPrecision, a.getScale))
+      case (BINARY, null) => Some(BinaryType) // manifest bloom blobs
       case (FIXED_LEN_BYTE_ARRAY, a: DecimalLogicalTypeAnnotation) =>
         Some(DecimalType(a.getPrecision, a.getScale))
       case _ => None
@@ -414,6 +415,16 @@ object FooterStats {
   /** `a < b` under the SAME ordering the scan-based aggregate used. */
   private def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
     case StringType => utf8Lt(a.asInstanceOf[String], b.asInstanceOf[String])
+    case BinaryType => // unsigned lexicographic — Spark's binary ordering
+      val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
     case _: DecimalType =>
       a.asInstanceOf[java.math.BigDecimal]
         .compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
@@ -475,6 +486,8 @@ object FooterStats {
           .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         both(v => new String(
           v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, "UTF-8"))
+      case (BinaryType, BINARY) =>
+        both(v => v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
       case (d: DecimalType, INT32) =>
         both(v => new java.math.BigDecimal(
           java.math.BigInteger.valueOf(

@@ -44,7 +44,7 @@ object StressMeta {
           spark.range(c * 10000L, (c + 1) * 10000L)
             .select(col("id").as("k"), (col("id") * 3).as("v"))
             .repartition(filesPerCommit),
-          statsCols = Seq("k"))
+          statsCols = Seq("k"), bloomCols = Seq("v"))
       }
       lake.deleteRowsMoR("t", schema, col("k") % 1000 === 0)
       val path = lake.tablePath("t")
@@ -53,8 +53,31 @@ object StressMeta {
       // 100 TB contract is "pay the footer/manifest terms once per
       // snapshot, not once per query"
       spark.conf.set("spark.graft.metaCacheEntries", "0")
+      val opensBefore = graft.sources.LakehouseBatch.footerOpens.get()
       val (meta, tResolveCold) = StressUtil.timedValue(
         graft.sources.LakehouseBatch.resolve(path))
+      // the two r7-verdict 100×-scale claims, asserted per x:
+      // (a) ZERO data-file footer opens at plan time (rows come from
+      // the manifests the commits wrote);
+      val footerOpens =
+        graft.sources.LakehouseBatch.footerOpens.get() - opensBefore
+      require(footerOpens == 0L,
+        s"x=$x resolve opened $footerOpens data-file footers — the " +
+          "manifest rows column must serve them")
+      // (b) driver heap independent of bloomColumns: no blob rides the
+      // collected stats rows; blobs load lazily ONLY when a filter
+      // probes the bloom column, candidate-filtered
+      require(meta.dataFiles.flatMap(_.stats).forall(
+        !_.schema.fieldNames.exists(_.startsWith("bloom_"))),
+        s"x=$x plan-time stats rows carry bloom blobs")
+      require(meta.bloomCache.bytes == 0L,
+        s"x=$x bloom cache non-empty before any probe")
+      val bloomProbeMs = StressUtil.timed {
+        graft.sources.LakehouseBatch.skipFiles(meta, Array(
+          org.apache.spark.sql.sources.EqualTo("v", 12345L)))
+        ()
+      } * 1000
+      val bloomBytes = meta.bloomCache.bytes
       require(meta.dataFiles.length == commits * filesPerCommit,
         s"x=$x expected ${commits * filesPerCommit} files, " +
           s"got ${meta.dataFiles.length}")
@@ -76,7 +99,7 @@ object StressMeta {
         graft.sources.LakehouseBatch.resolve(path); ()
       }).min
       val tPlanWarm = (1 to 3).map(_ => timed(planOnce())).min
-      f"""{"x":$x,"files":${meta.dataFiles.length},"commits":$commits,"resolve_ms":${tResolveCold * 1000}%.0f,"resolve_warm_ms":${tResolveWarm * 1000}%.0f,"plan_ms":${tPlanCold * 1000}%.0f,"plan_warm_ms":${tPlanWarm * 1000}%.0f}"""
+      f"""{"x":$x,"files":${meta.dataFiles.length},"commits":$commits,"resolve_ms":${tResolveCold * 1000}%.0f,"resolve_warm_ms":${tResolveWarm * 1000}%.0f,"plan_ms":${tPlanCold * 1000}%.0f,"plan_warm_ms":${tPlanWarm * 1000}%.0f,"footer_opens":$footerOpens,"bloom_probe_ms":$bloomProbeMs%.0f,"bloom_cache_bytes":$bloomBytes}"""
     }
     out.foreach(println)
     spark.stop()

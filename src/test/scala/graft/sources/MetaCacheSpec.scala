@@ -103,6 +103,26 @@ class MetaCacheSpec extends SparkSpec {
     }
   }
 
+  test("metaRefreshMs trust window: bounded staleness, opt-in only") {
+    val (lake, path) = freshLake("graft-mc-refresh")
+    // populate + validate once
+    assert(LakehouseBatch.resolve(path).dataFiles.map(_.rowCount).sum
+      == 1000)
+    withSQLConf("spark.graft.metaRefreshMs" -> "3600000") {
+      lake.append("t", spark.range(1000, 1500)
+        .select(col("id").as("k"), (col("id") * 3).as("v")),
+        statsCols = Seq("k"))
+      // inside the window the cached snapshot serves WITHOUT the
+      // fingerprint listings — the new commit is invisible (that is
+      // the documented trade)
+      assert(LakehouseBatch.resolve(path).dataFiles.map(_.rowCount).sum
+        == 1000, "trust window must serve the validated snapshot")
+    }
+    // default (0) re-validates: the commit is seen immediately
+    assert(LakehouseBatch.resolve(path).dataFiles.map(_.rowCount).sum
+      == 1500)
+  }
+
   test("manifest-covered tables resolve with ZERO data-file footer opens") {
     val (lake, path) = freshLake("graft-mc-nofooter")
     lake.append("t", spark.range(1000, 2000).repartition(4)
