@@ -368,14 +368,12 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     aggResult match {
       case Some((schema, _)) => new PrecomputedAggReaderFactory(schema)
       case None =>
-        new LakehouseColumnarReaderFactory(required, pushed ++ runtime,
-          // Spark requires ONE columnar-vs-row decision per scan
-          // ("cannot mix"): equality-delete tombstones force the row
-          // path (the value probe lives in the row reader). Deletion
-          // vectors DON'T any more — the vectorized reader masks them
-          // with a selection remap ([[MaskedColumnVector]]), so a few
-          // MoR deletes never de-vectorize a 100 TB table.
-          rowForced = meta.eqDels.nonEmpty)
+        // both MoR delete flavors stay VECTORIZED: deletion vectors as
+        // a per-batch selection remap, equality deletes as an in-batch
+        // key probe against executor-loaded sets — neither ever
+        // de-vectorizes a 100 TB table. Only a zero-column projection
+        // takes the row fallback (factory doc).
+        new LakehouseColumnarReaderFactory(required, pushed ++ runtime)
     }
 
   /** ANALYZE-computed column stats (`_GRAFT_COLSTATS`) for the CBO —
@@ -472,17 +470,17 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
   * parquet source makes with filter pushdown off.
   */
 private[sources] class LakehouseColumnarReaderFactory(required: StructType,
-    filters: Array[Filter], rowForced: Boolean = false)
+    filters: Array[Filter])
     extends PartitionReaderFactory {
 
   // the decision is scan-wide (Spark refuses mixed partitions):
-  // columnar unless (a) a zero-column projection (the vectorized entry
-  // can't drive row iteration with no columns) or (b) equality-delete
-  // tombstones are outstanding (their value probe lives in the row
-  // reader). DV files stay COLUMNAR — the vector reader remaps
-  // surviving positions through a selection array per batch.
+  // columnar unless the projection is ZERO-column (the vectorized
+  // entry can't drive row iteration with no columns). Both MoR delete
+  // flavors stay COLUMNAR — the vector reader remaps surviving
+  // positions through a selection array per batch (DVs by position,
+  // eq-dels by an in-batch key probe over a widened read schema).
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    required.nonEmpty && !rowForced
+    required.nonEmpty
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
@@ -520,6 +518,15 @@ private[sources] class LakehouseVectorReader(
   }
   private val present = required.fields.filter(f => fileFields(f.name))
   private val absent = required.fields.filterNot(f => fileFields(f.name))
+  // equality-delete probing needs the KEY columns decoded even when the
+  // projection pruned them — widen the read schema (the output batch
+  // still exposes only `required`'s columns, via the wrapper below). A
+  // key column ABSENT from the file decodes null → null never matches a
+  // tombstone → that tombstone set is a no-op for this file (dropped
+  // from the probes). Same contract as the row reader.
+  private val keyOnly = partition.eqDels.flatMap(_.keySchema.fields)
+    .filter(f => fileFields(f.name) && !present.exists(_.name == f.name))
+    .distinctBy(_.name)
 
   private val reader = {
     // files are written by THIS engine on Spark 4 — proleptic Gregorian
@@ -536,7 +543,7 @@ private[sources] class LakehouseVectorReader(
     conf.set("parquet.read.support.class", "org.apache.spark.sql." +
       "execution.datasources.parquet.ParquetReadSupport")
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
-      StructType(present).json)
+      StructType(present ++ keyOnly).json)
     conf.setBoolean("spark.sql.parquet.binaryAsString", false)
     conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
     conf.setBoolean("spark.sql.caseSensitive", false)
@@ -561,12 +568,17 @@ private[sources] class LakehouseVectorReader(
     r
   }
 
-  // the reader's batch lays columns out as (present…, absent…); restore
-  // the scan's declared order with one permuted wrapper batch
+  // the reader's batch lays columns out as (present…, keyOnly…,
+  // absent…); restore the scan's declared order (and hide the widened
+  // key columns) with one permuted wrapper batch
   private val perm: Array[Int] = {
-    val pos = (present ++ absent).map(_.name).zipWithIndex.toMap
+    val pos = (present ++ keyOnly ++ absent).map(_.name).zipWithIndex.toMap
     required.fields.map(f => pos(f.name))
   }
+  // identity only when nothing was widened AND the order matches — a
+  // raw batch with extra trailing key vectors must never escape
+  private val permIsIdentity = keyOnly.isEmpty &&
+    perm.zipWithIndex.forall { case (s, i) => s == i }
   private var wrapped: ColumnarBatch = _
 
   // deletion-vector mask on the VECTORIZED path: the sidecar runs load
@@ -580,20 +592,74 @@ private[sources] class LakehouseVectorReader(
     if (partition.dvSidecars.isEmpty) graft.storage.DvSidecar.EmptyRuns
     else graft.storage.DvSidecar.loadFor(new Configuration(),
       partition.dvSidecars)
+
+  // equality-delete masks on the VECTORIZED path: per applicable
+  // tombstone set, (raw-batch column index, type) accessors for its key
+  // columns plus the executor-loaded value set (EqDelKeys — same JVM
+  // cache as the row reader and EqDelSurvives). Values extract as
+  // Catalyst internal types, which is what the sets hold.
+  private val eqDelProbes: Seq[(Array[(Int, DataType)], Set[Seq[Any]])] = {
+    val layout = (present ++ keyOnly).map(_.name)
+    partition.eqDels.flatMap { ref =>
+      val acc = ref.keySchema.fields.map(f =>
+        (layout.indexOf(f.name), f.dataType))
+      // any key column missing from the file → the set masks nothing
+      // here (null never matches) — drop the probe entirely
+      if (acc.exists(_._1 < 0)) None
+      else Some((acc, EqDelKeys.load(ref.dir, ref.keySchema)))
+    }
+  }
+
+  private def vecValue(b: ColumnarBatch, col: Int, dt: DataType,
+      row: Int): Any = {
+    val v = b.column(col)
+    if (v.isNullAt(row)) null
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType => v.getLong(row)
+      case IntegerType | DateType => v.getInt(row)
+      case StringType => v.getUTF8String(row)
+      case DoubleType => v.getDouble(row)
+      case FloatType => v.getFloat(row)
+      case BooleanType => v.getBoolean(row)
+      case d: DecimalType => v.getDecimal(row, d.precision, d.scale)
+      case other => throw new UnsupportedOperationException(
+        s"unreachable: eq-del key type $other passed validateSchema")
+    }
+  }
+
+  private def eqDeleted(raw: ColumnarBatch, row: Int): Boolean =
+    eqDelProbes.exists { case (acc, keys) =>
+      val vals = new Array[Any](acc.length)
+      var j = 0
+      var anyNull = false
+      while (j < acc.length && !anyNull) {
+        val v = vecValue(raw, acc(j)._1, acc(j)._2, row)
+        if (v == null) anyNull = true else vals(j) = v
+        j += 1
+      }
+      !anyNull && keys.contains(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+    }
+
   private var filePos = 0L
   private val sel: Array[Int] =
-    if (dvRuns.isEmpty) null else new Array[Int](4096)
+    if (dvRuns.isEmpty && partition.eqDels.isEmpty) null
+    else new Array[Int](4096)
   private var survivors = -1 // -1 = batch fully alive, no remap needed
   private var masked: ColumnarBatch = _
 
   override def next(): Boolean = {
     val has = reader.nextBatch()
-    if (has && !dvRuns.isEmpty) {
-      val n = reader.resultBatch().numRows()
+    if (has && sel != null) {
+      val raw = reader.resultBatch()
+      val n = raw.numRows()
       var out = 0
       var i = 0
       while (i < n) {
-        if (!dvRuns.contains(filePos + i)) { sel(out) = i; out += 1 }
+        if ((dvRuns.isEmpty || !dvRuns.contains(filePos + i)) &&
+          (eqDelProbes.isEmpty || !eqDeleted(raw, i))) {
+          sel(out) = i; out += 1
+        }
         i += 1
       }
       filePos += n
@@ -603,7 +669,7 @@ private[sources] class LakehouseVectorReader(
   }
 
   private def ordered(b: ColumnarBatch): ColumnarBatch =
-    if (perm.zipWithIndex.forall { case (s, i) => s == i }) b
+    if (permIsIdentity) b
     else {
       if (wrapped == null) {
         val cols = perm.map(i => b.column(i): ColumnVector)

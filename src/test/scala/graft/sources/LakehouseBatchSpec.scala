@@ -245,6 +245,11 @@ class LakehouseBatchSpec extends SparkSpec {
     // even when the projection PRUNES the key column, the probe decodes
     // it from the file (widened read schema)
     assert(v2(path).select("grp").count() == 28L)
+    // and the scan stays VECTORIZED with tombstones outstanding — the
+    // key probe rides the columnar batch, not a row-reader fallback
+    val plan = v2(path).select("grp")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
     // sequence rule: a key re-inserted AFTER its tombstone survives
     lake.append("t", rows(3, 4))
     assert(v2(path).count() == 29L)
