@@ -1184,11 +1184,17 @@ private[graft] object LakehouseBatch {
     // opens the ones for its own file, so plan-time memory carries no
     // O(#deleted rows) term (the former `.collect()` here was exactly
     // that ceiling).
-    val dvByVersion: Seq[(Long, Map[String, String])] =
+    // (version, name→sidecar path, name→deleted count) per DV commit:
+    // counts come from the commit's `_dv_counts` index (one small read
+    // per DV commit) — per-file header reads survive only for legacy
+    // commits without one
+    val dvByVersion: Seq[(Long, Map[String, String], Map[String, Long])] =
       roots.flatMap { case (v, p) =>
-        val idx = graft.storage.DvSidecar.index(fs,
-          new Path(p, Protocol.DvDir))
-        if (idx.isEmpty) None else Some((v, idx))
+        val dvDir = new Path(p, Protocol.DvDir)
+        val idx = graft.storage.DvSidecar.index(fs, dvDir)
+        if (idx.isEmpty) None
+        else Some((v, idx,
+          graft.storage.DvSidecar.deletedCounts(fs, dvDir, idx)))
       }
     // ——— parallel metadata walk ———
     // The walk is pure IO: one listing + one manifest read per ROOT,
@@ -1296,18 +1302,19 @@ private[graft] object LakehouseBatch {
       // no stats row, and must not defeat min/max coverage
       if (rows == 0L) None
       else {
-        // every DV from a HIGHER version contributes its sidecar;
-        // the 16-byte header reads give the exact deleted count for
-        // scan statistics (a later DV never re-deletes an
+        // every DV from a HIGHER version contributes its sidecar; the
+        // commit-written counts index gives the exact deleted count
+        // for scan statistics (a later DV never re-deletes an
         // already-masked position — deleteRowsMoR's identity pass
         // reads through the mask — so the sum is exact)
-        val sidecars = dvByVersion.filter(_._1 > rm.v)
-          .flatMap(_._2.get(st.getPath.getName))
+        val name = st.getPath.getName
+        val dvRefs = dvByVersion.filter(_._1 > rm.v)
+          .flatMap { case (_, idx, counts) =>
+            idx.get(name).map(p => (p, counts.getOrElse(name, 0L)))
+          }
         val dv =
-          if (sidecars.isEmpty) None
-          else Some(DvRef(sidecars,
-            sidecars.map(s => graft.storage.DvSidecar
-              .readHeader(fs, new Path(s))._2).sum))
+          if (dvRefs.isEmpty) None
+          else Some(DvRef(dvRefs.map(_._1), dvRefs.map(_._2).sum))
         Some(FileMeta(st.getPath.toString, rm.v, st.getLen, rows, stat,
           dv))
       }

@@ -105,6 +105,51 @@ object DvSidecar {
     */
   private val DoneMarker = "_dv_sidecars_done"
 
+  /** Per-file deleted-count index (`_dv_counts`: "name\tcount" lines),
+    * written at COMMIT time before the done marker — the plan-time
+    * replacement for one 16-byte header read per affected data file.
+    * At 100k DV'd files that header pass is 100k driver RPCs per cold
+    * resolve; the counts file is one read per DV commit. Absent on
+    * legacy commits → callers fall back to header reads.
+    */
+  private val CountsFile = "_dv_counts"
+
+  /** Deleted-row count per data file of one DV commit, from the counts
+    * index when present (one small read), else from per-sidecar header
+    * reads (legacy). `idx` is [[index]]'s output for the same dir.
+    */
+  def deletedCounts(fs: FileSystem, dvDir: Path,
+      idx: Map[String, String]): Map[String, Long] = {
+    val f = new Path(dvDir, CountsFile)
+    val fromFile: Option[Map[String, Long]] =
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map { l =>
+            val t = l.lastIndexOf('\t')
+            l.substring(0, t) -> l.substring(t + 1).toLong
+          }.toMap)
+        finally in.close()
+      }
+    fromFile match {
+      // names must cover the sidecar index (a torn/legacy counts file
+      // must not silently under-report) — else fall back wholesale
+      case Some(m) if idx.keySet.forall(m.contains) => m
+      case _ => idx.map { case (name, path) =>
+        name -> readHeader(fs, new Path(path))._2
+      }
+    }
+  }
+
+  private def writeCounts(fs: FileSystem, dvDir: Path,
+      counts: Seq[(String, Long)]): Unit = {
+    val out = fs.create(new Path(dvDir, CountsFile), true)
+    try out.write(counts.map { case (n, c) => s"$n\t$c" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   def index(fs: FileSystem, dvDir: Path): Map[String, String] =
     if (!fs.exists(dvDir)) Map.empty
     else {
@@ -172,14 +217,21 @@ object DvSidecar {
         }
         flushFile()
       }
-    // completion marker (driver-side, after every task wrote): readers
-    // use it to tell "sidecar-complete commit" from a legacy
+    // counts index + completion marker (driver-side, after every task
+    // wrote). The header pass here is the commit paying O(#affected
+    // files) ONCE so resolve never does per query; readers use the
+    // marker to tell "sidecar-complete commit" from a legacy
     // parquet-only one — load-bearing for EMPTY deletes, whose parquet
     // exists but yields zero sidecars
     val dir = new Path(dvDir)
-    val fs = dir.getFileSystem(
-      org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val names = fs.listStatus(dir).map(_.getPath)
+      .flatMap(p => dataFileOf(p.getName).map(_ -> p)).toSeq
+    writeCounts(fs, dir, DriverIo.parMap(names) { case (n, p) =>
+      n -> readHeader(fs, p)._2
+    })
     fs.create(new Path(dir, DoneMarker), true).close()
   }
 
@@ -206,6 +258,7 @@ object DvSidecar {
         d.flush()
       } finally out.close()
     }
+    writeCounts(fs, dvDir, files) // counts are the masked row counts
     fs.create(new Path(dvDir, DoneMarker), true).close()
   }
 

@@ -1435,6 +1435,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val dvs: Seq[(Long, Map[String, String])] =
       roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
     if (dvs.isEmpty) return Nil
+    // per-DV-commit deleted counts from the `_dv_counts` index (header
+    // reads only for legacy commits) — the selection loop below must
+    // not pay a per-sidecar RPC per candidate file
+    val dvCounts: Map[Long, Map[String, Long]] = roots.flatMap { r =>
+      val idx = dvIndex(r)
+      if (idx.isEmpty) None
+      else Some(rootVersion(r) -> DvSidecar.deletedCounts(fs,
+        new Path(r, Lakehouse.Protocol.DvDir), idx))
+    }.toMap
     val tombs: Seq[(Long, String, Seq[String])] = eqDelRefs(roots)
     val conf = spark.sparkContext.hadoopConfiguration
     // files an EARLIER rewrite already replaced never qualify again —
@@ -1482,8 +1491,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       st <- listDataFilesIn(new Path(r))
       if !alreadyRewritten.exists { case (w, names) =>
         w > rv && names(st.getPath.getName) }
-      sidecars = dvs.filter(_._1 > rv).flatMap(_._2.get(st.getPath.getName))
-      if sidecars.nonEmpty
+      applicable = dvs.filter(_._1 > rv)
+        .filter(_._2.contains(st.getPath.getName))
+      if applicable.nonEmpty
       rows = rowsByRoot(r).getOrElse(st.getPath.getName, {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(st.getPath, conf)
@@ -1491,8 +1501,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         try pr.getRecordCount finally pr.close()
       })
       if rows > 0
-      deleted = math.min(rows,
-        sidecars.map(s => DvSidecar.readHeader(fs, new Path(s))._2).sum)
+      deleted = math.min(rows, applicable.map { case (w, _) =>
+        dvCounts(w).getOrElse(st.getPath.getName, 0L)
+      }.sum)
       if deleted >= threshold * rows
     } yield (r, rv, st.getPath, rows)
     if (selected.isEmpty) return Nil

@@ -197,6 +197,22 @@ class DvSpec extends SparkSpec {
       plan)
   }
 
+  test("a DV commit without a counts index (legacy) still resolves " +
+    "exact deleted counts via header reads") {
+    val lake = mkLake("counts-legacy")
+    lake.append("t", rows(0, 100), statsCols = Seq("k"))
+    lake.deleteRowsMoR("t", schema, col("k") < 25)
+    val conf = spark.sparkContext.hadoopConfiguration
+    lake.dataPaths("t").foreach { r =>
+      val f = new Path(new Path(r, "_GRAFT_DV"), "_dv_counts")
+      val fs = f.getFileSystem(conf)
+      if (fs.exists(f)) fs.delete(f, false)
+    }
+    val meta = graft.sources.LakehouseBatch.resolve(lake.tablePath("t"))
+    assert(meta.dataFiles.flatMap(_.dv).map(_.deleted).sum == 25L,
+      "header-read fallback must serve the same counts")
+  }
+
   test("a pre-sidecar (parquet-only) DV commit is refused, not ignored") {
     import spark.implicits._
     val lake = mkLake("legacy")
