@@ -1426,6 +1426,58 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM q89_live GROUP BY 1""")
+    }),
+
+    // q90 — merge-on-read UPDATE (Lakehouse.updateRowsMoR via SQL under
+    // graft.deleteMode=mor): each UPDATE lands ONE atomic delta whose
+    // DV masks the pre-images and whose data files are the post-images
+    // — matched-rows cost, never a table rewrite (pinned: the original
+    // data files survive untouched). Composition under the sequence
+    // rule is the content under test: update → positional MoR delete →
+    // update again, each reading the LIVE (masked) state; the oracle
+    // replays the three statements arithmetically over `orders`.
+    "q90_mor_update" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q90")
+      s.conf.set("spark.sql.catalog.graftq90", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq90.root",
+        dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q90_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq90.q90")
+      s.sql("""CREATE TABLE graftq90.q90.fact (
+        trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))
+        TBLPROPERTIES ('graft.deleteMode' = 'mor')""")
+      s.sql("""INSERT INTO graftq90.q90.fact
+        SELECT trans_id, trans_date, amt FROM q90_src""")
+      val fs = new org.apache.hadoop.fs.Path(dir.resolve("lake").toString)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles: Set[String] = {
+        val out = Set.newBuilder[String]
+        def walk(p: org.apache.hadoop.fs.Path): Unit =
+          fs.listStatus(p).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory && !n.startsWith("_GRAFT")) walk(st.getPath)
+            else if (n.endsWith(".parquet") &&
+              !st.getPath.getParent.getName.startsWith("_GRAFT"))
+              out += st.getPath.toString
+          }
+        walk(new org.apache.hadoop.fs.Path(
+          dir.resolve("lake").resolve("q90").resolve("fact").toString))
+        out.result()
+      }
+      val before = dataFiles
+      s.sql("""UPDATE graftq90.q90.fact SET amt = amt + 500
+        WHERE CAST(trans_id AS BIGINT) % 2 = 0 AND amt < 100000""")
+      require(before.subsetOf(dataFiles),
+        "MoR UPDATE must not rewrite existing data files")
+      s.sql("""DELETE FROM graftq90.q90.fact
+        WHERE CAST(trans_id AS BIGINT) % 7 = 3""")
+      s.sql("""UPDATE graftq90.q90.fact SET amt = amt + 1000
+        WHERE CAST(trans_id AS BIGINT) % 10 = 6""")
+      s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graftq90.q90.fact GROUP BY 1""")
     })
   )
 
@@ -1551,6 +1603,23 @@ FROM (
   WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
     AND o_orderkey % 7 = 0
 ) GROUP BY 1""",
+    // the three MoR DML statements replayed arithmetically: +500 on
+    // even keys under 100k (against BASE amt), minus the k%7=3 slice,
+    // +1000 on k%10=6 — order matters only for the delete, which the
+    // WHERE handles; the second update is key-addressed so it composes
+    // additively
+    "q90_mor_update" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(
+    CASE WHEN o_orderkey % 2 = 0
+           AND CAST(o_totalprice AS DECIMAL(18,2)) < 100000
+         THEN CAST(o_totalprice AS DECIMAL(18,2)) + 500
+         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+    + CASE WHEN o_orderkey % 10 = 6 THEN 1000 ELSE 0 END) AS DOUBLE)
+    AS amt_sum
+FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1""",
     // quarter 1 = months 1-3, re-derived arithmetically (q78's dim)
     "q85_runtime_file_pruning" ->
       """SELECT CAST(1 AS BIGINT) AS quarter,

@@ -61,7 +61,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           condition.map(detach).getOrElse(lit(true)),
           assignments.map(a =>
             topLevelName(a.key, "UPDATE SET") -> detach(a.value)),
-          tbl.cdfEnabled, tbl.partCols)
+          tbl.cdfEnabled, tbl.partCols, mor = tbl.morDeletes)
 
       case d @ DeleteFromTable(table, condition)
           if d.resolved && graftTable(table).isDefined &&
@@ -218,16 +218,28 @@ private[sources] object GraftDml {
 }
 
 /** `UPDATE t SET … WHERE …` → [[Lakehouse.update]] (copy-on-write FULL
-  * commit, basis-tracked).
+  * commit, basis-tracked), or under `graft.deleteMode=mor` the
+  * merge-on-read [[Lakehouse.updateRowsMoR]] — one atomic delta whose
+  * DV masks the pre-images and whose data files are the post-images
+  * (matched-rows cost, never a table rewrite).
   */
 case class GraftUpdateCommand(tableDir: String, contract: StructType,
     condition: Column, assignments: Seq[(String, Column)],
-    cdf: Boolean, partCols: Seq[String] = Nil)
+    cdf: Boolean, partCols: Seq[String] = Nil, mor: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, t) = GraftDml.lakeOf(spark, tableDir)
-    lake.update(t, contract, condition, assignments, cdf,
-      clusterCols = partCols)
+    if (mor) {
+      // the batch changeFeed DOES type a mixed commit (delete
+      // pre-images + insert post-images), but the recorded-CDF
+      // contract (update_preimage/postimage rows under _GRAFT_CDF)
+      // is the copy-on-write path's — mirror MoR DELETE's refusal
+      require(!cdf, "graft.deleteMode=mor cannot record a change feed " +
+        "— use copy-on-write updates on CDF tables")
+      lake.updateRowsMoR(t, contract, condition, assignments)
+    } else
+      lake.update(t, contract, condition, assignments, cdf,
+        clusterCols = partCols)
     Nil
   }
 }

@@ -1367,6 +1367,68 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     ensureAboveFulls(dest, vdir)
   }
 
+  /** Merge-on-read UPDATE — the Iceberg MoR-update shape, ONE atomic
+    * DELTA commit carrying both halves: the matched rows' POSITIONS as
+    * a deletion vector (masking their pre-images in lower versions) and
+    * their POST-IMAGES as this version's data files. The sequence rule
+    * makes it correct with zero reader changes: a DV at version v masks
+    * only files in LOWER versions, so the post-images written at v
+    * itself escape their own commit's masks — exactly an update. A
+    * crash anywhere in the window leaves an invisible uncommitted dir:
+    * readers never see the delete without the insert or vice versa.
+    *
+    * Matched rows are read through the EXISTING masks (eq-del +
+    * DV-survives, the same per-root filters maskedUnion applies):
+    * updating an already-deleted row must not resurrect it as a
+    * post-image. Rows with a NULL predicate are not matched (the SQL
+    * UPDATE contract). Cost is a masked scan plus writes sized by the
+    * MATCHED rows — never a table rewrite (that is [[update]], the
+    * copy-on-write flavor).
+    */
+  def updateRowsMoR(name: String, schema: StructType,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      beforeCommit: () => Unit = () => (),
+      statsCols: Seq[String] = Nil): Unit = {
+    require(exists(name), s"no such table: $name")
+    assignments.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"UPDATE SET names unknown column $c of $name")
+    }
+    val (roots, _) = liveRootsAndBasis(name)
+    val tombs = eqDelRefs(roots)
+    val dvs: Seq[(Long, Map[String, String])] =
+      roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
+    val live = roots.map { r =>
+      val rv = rootVersion(r)
+      val base = spark.read.schema(schema).option("basePath", r).parquet(r)
+        .select(col("*"),
+          substring_index(col("_metadata.file_path"), "/", -1)
+            .as("__file"),
+          col("_metadata.row_index").as("__pos"))
+      val eqMasked = eqDelMask(base, schema, tombs.filter(_._1 > rv))
+      val applicable = dvs.filter(_._1 > rv).map(_._2)
+      if (applicable.isEmpty) eqMasked
+      else eqMasked.filter(graft.functions.DvSurvives(
+        col("__file"), col("__pos"),
+        applicable.flatMap(_.toSeq).groupMap(_._1)(_._2)))
+    }.reduce(_ unionByName _)
+    val matched = live.filter(predicate)
+    val dest = new Path(tablePath(name))
+    val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
+      val updated = assignments.foldLeft(matched) {
+        case (df, (c, e)) => df.withColumn(c, e)
+      }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      updated.write.mode("overwrite").parquet(p)
+      writeStats(p, statsCols)
+      val dvDir = s"$p/${Lakehouse.Protocol.DvDir}"
+      matched.select(col("__file").as("file"), col("__pos").as("pos"))
+        .write.mode("overwrite").parquet(dvDir)
+      DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
+    }
+    ensureAboveFulls(dest, vdir)
+  }
+
   /** Data-file walk of one root (underscore dirs invisible, recursive). */
   private def listDataFilesIn(root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
@@ -1746,26 +1808,38 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           if (fs.exists(d)) walk(d)
           out.result()
         }.distinct
-        if (paths.isEmpty) // empty delete: no affected files, no rows
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-            .withColumn(ChangeTypeCol, lit("delete"))
+        val deletes =
+          if (paths.isEmpty) // empty delete: no affected files, no rows
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+              .withColumn(ChangeTypeCol, lit("delete"))
+              .withColumn(CommitVersionCol, lit(v))
+              .select(outCols: _*)
+          else {
+            val dv = spark.read.parquet(dvDir.toString)
+              .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
+            spark.read.schema(schema)
+              .parquet(paths: _*)
+              .select(col("*"),
+                substring_index(col("_metadata.file_path"), "/", -1)
+                  .as("__dv_f"),
+                col("_metadata.row_index").as("__dv_p"))
+              .join(dv, Seq("__dv_f", "__dv_p"), "inner")
+              .drop("__dv_f", "__dv_p")
+              .withColumn(ChangeTypeCol, lit("delete"))
+              .withColumn(CommitVersionCol, lit(v))
+              .select(outCols: _*)
+          }
+        // a MIXED commit (updateRowsMoR) also carries data files: its
+        // post-images emit as inserts — update-as-CDC is the standard
+        // delete(pre-image) + insert(post-image) pair, which is what
+        // signed-aggregate MV folds consume
+        if (listDataFilesIn(p).isEmpty) deletes
+        else deletes.unionByName(
+          spark.read.schema(schema).option("basePath", p.toString)
+            .parquet(p.toString)
+            .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v))
-            .select(outCols: _*)
-        else {
-        val dv = spark.read.parquet(dvDir.toString)
-          .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
-        spark.read.schema(schema)
-          .parquet(paths: _*)
-          .select(col("*"),
-            substring_index(col("_metadata.file_path"), "/", -1)
-              .as("__dv_f"),
-            col("_metadata.row_index").as("__dv_p"))
-          .join(dv, Seq("__dv_f", "__dv_p"), "inner")
-          .drop("__dv_f", "__dv_p")
-          .withColumn(ChangeTypeCol, lit("delete"))
-          .withColumn(CommitVersionCol, lit(v))
-          .select(outCols: _*)
-        }
+            .select(outCols: _*))
       case (v, p, false) if fs.exists(new Path(p, EqDelDir)) =>
         // equality-delete tombstones: the standard delete-by-key CDC
         // record — key columns carry the values, the rest null

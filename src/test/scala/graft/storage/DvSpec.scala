@@ -197,6 +197,58 @@ class DvSpec extends SparkSpec {
       plan)
   }
 
+  test("MoR UPDATE: one atomic commit — DV pre-images + post-image " +
+    "data files, no rewrite") {
+    val lake = mkLake("upd")
+    lake.append("t", rows(0, 100))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFileNames: Set[String] = lake.dataPaths("t").flatMap(r =>
+      new Path(r).getFileSystem(conf).listStatus(new Path(r))
+        .map(_.getPath.getName)).filter(_.endsWith(".parquet")).toSet
+    val before = dataFileNames
+    lake.updateRowsMoR("t", schema, col("k") % 10 === 0,
+      Seq("v" -> (col("v") + 1000000L)))
+    // post-images serve; non-matched rows untouched; nothing rewritten
+    val got = lake.read("t", schema).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 100)
+    (0L until 100L).foreach { k =>
+      assert(got(k) == (if (k % 10 == 0) k * 10 + 1000000L else k * 10),
+        s"k=$k")
+    }
+    assert(before.subsetOf(dataFileNames), "originals must not rewrite")
+    // masked rows never resurrect: MoR-delete k=4, then update k<10
+    lake.deleteRowsMoR("t", schema, col("k") === 4)
+    lake.updateRowsMoR("t", schema, col("k") < 10,
+      Seq("v" -> lit(7L)))
+    val got2 = lake.read("t", schema).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!got2.contains(4L), "updating a deleted row must not " +
+      "resurrect it")
+    (0L until 10L).filterNot(_ == 4L).foreach(k => assert(got2(k) == 7L))
+    // the V2 scan agrees, stays vectorized, and COUNT(*) still pushes
+    // (post-image rows ride the manifests, deleted counts the DV index)
+    val df = spark.read.format("graft.sources.LakehouseBatchProvider")
+      .schema(schema).load(lake.tablePath("t"))
+    assert(df.count() == 99L)
+    assert(df.groupBy().count().queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    // the typed change feed emits delete(pre-image) + insert(post-image)
+    val lake2 = mkLake("updfeed")
+    lake2.append("t", rows(0, 20))
+    val v1 = lake2.versions("t").map(_._1).max
+    lake2.updateRowsMoR("t", schema, col("k") < 3,
+      Seq("v" -> (col("v") + 5L)))
+    val v2 = lake2.versions("t").map(_._1).max
+    val feed = lake2.changeFeed("t", v1, v2, schema)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dels.sorted.toSeq == Seq((0L, 0L), (1L, 10L), (2L, 20L)))
+    assert(ins.sorted.toSeq == Seq((0L, 5L), (1L, 15L), (2L, 25L)))
+  }
+
   test("a DV commit without a counts index (legacy) still resolves " +
     "exact deleted counts via header reads") {
     val lake = mkLake("counts-legacy")
