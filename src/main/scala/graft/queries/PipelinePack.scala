@@ -1478,6 +1478,62 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graftq90.q90.fact GROUP BY 1""")
+    }),
+
+    // q91 — merge-on-read MERGE: q75's full MERGE semantics (ordered
+    // matched clauses with guards, NOT MATCHED insert, NOT MATCHED BY
+    // SOURCE delete) on a graft.deleteMode=mor table — ONE atomic delta
+    // whose DV masks every updated/deleted pre-image and whose data
+    // files are the update post-images + inserts; pass-through rows
+    // never move (pinned: the original data files survive untouched).
+    // Same oracle expression as q75: MoR vs copy-on-write must be a
+    // pure physical trade, logically invisible.
+    "q91_mor_merge" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q91")
+      s.conf.set("spark.sql.catalog.graftq91", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq91.root",
+        dir.resolve("lake").toString)
+      ordersAsFact(s, d).createOrReplaceTempView("q91_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq91.q91")
+      s.sql("""CREATE TABLE graftq91.q91.fact (
+        trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2))
+        TBLPROPERTIES ('graft.deleteMode' = 'mor')""")
+      s.sql("""INSERT INTO graftq91.q91.fact
+        SELECT trans_id, trans_date, amt FROM q91_src
+        WHERE _slice % 3 IN (0, 1)""")
+      val fs = new org.apache.hadoop.fs.Path(dir.resolve("lake").toString)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles: Set[String] = {
+        val out = Set.newBuilder[String]
+        def walk(p: org.apache.hadoop.fs.Path): Unit =
+          fs.listStatus(p).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory && !n.startsWith("_GRAFT")) walk(st.getPath)
+            else if (n.endsWith(".parquet") &&
+              !st.getPath.getParent.getName.startsWith("_GRAFT"))
+              out += st.getPath.toString
+          }
+        walk(new org.apache.hadoop.fs.Path(
+          dir.resolve("lake").resolve("q91").resolve("fact").toString))
+        out.result()
+      }
+      val before = dataFiles
+      s.sql("""MERGE INTO graftq91.q91.fact t
+        USING (SELECT trans_id, trans_date, amt + 1000 AS amt
+               FROM q91_src WHERE _slice % 3 IN (1, 2)) s
+        ON t.trans_id = s.trans_id
+        WHEN MATCHED AND s.amt > 5000 THEN UPDATE SET amt = s.amt
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (trans_id, trans_date, amt)
+          VALUES (s.trans_id, s.trans_date, s.amt)
+        WHEN NOT MATCHED BY SOURCE AND t.amt < 1000 THEN DELETE""")
+      require(before.subsetOf(dataFiles),
+        "MoR MERGE must not rewrite existing data files")
+      s.sql("""SELECT CAST(month(trans_date) AS BIGINT) AS order_month,
+          count(*) AS n,
+          sum(CAST(trans_id AS BIGINT)) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graftq91.q91.fact GROUP BY 1""")
     })
   )
 
@@ -1603,6 +1659,23 @@ FROM (
   WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
     AND o_orderkey % 7 = 0
 ) GROUP BY 1""",
+    // identical to q75's oracle — MoR MERGE must be logically
+    // indistinguishable from the copy-on-write MERGE
+    "q91_mor_merge" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CASE WHEN o_orderkey % 3 = 0
+       THEN CAST(o_totalprice AS DECIMAL(18,2))
+       ELSE CAST(o_totalprice AS DECIMAL(18,2)) + 1000 END) AS DOUBLE)
+    AS amt_sum
+FROM orders
+WHERE (o_orderkey % 3 = 1
+         AND CAST(o_totalprice AS DECIMAL(18,2)) + 1000 > 5000)
+   OR o_orderkey % 3 = 2
+   OR (o_orderkey % 3 = 0
+         AND CAST(o_totalprice AS DECIMAL(18,2)) >= 1000)
+GROUP BY 1""",
     // the three MoR DML statements replayed arithmetically: +500 on
     // even keys under 100k (against BASE amt), minus the k%7=3 slice,
     // +1000 on k%10=6 — order matters only for the delete, which the

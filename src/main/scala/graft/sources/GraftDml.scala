@@ -95,7 +95,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           (matched ++ notMatchedBySource).map(toAct(_, detach)).toIndexedSeq,
           matched.length,
           notMatched.map(toAct(_, detach)).toIndexedSeq,
-          tbl.cdfEnabled, tbl.partCols)
+          tbl.cdfEnabled, tbl.partCols, mor = tbl.morDeletes)
     }
 
   /** The GraftTable under the statement's target (aliases stripped). */
@@ -287,7 +287,7 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
     source: LogicalPlan, mergeCond: Column,
     targetActs: IndexedSeq[GraftDml.Act], numMatchedActs: Int,
     insertActs: IndexedSeq[GraftDml.Act], cdf: Boolean,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, mor: Boolean = false)
     extends LeafRunnableCommand {
 
   import GraftDml._
@@ -300,7 +300,19 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
     val (lake, t) = GraftDml.lakeOf(spark, tableDir)
     val (matchedActs, nmbsActs) = targetActs.splitAt(numMatchedActs)
 
-    val (tgt0, basis) = lake.readWithBasis(t, contract)
+    // graft.deleteMode=mor: the target side reads MASKED rows with
+    // physical identity, and the statement commits ONE merge-on-read
+    // delta (changed rows' positions → DV; update post-images +
+    // inserts → data files) instead of rewriting the table —
+    // pass-through rows never move. Basis conflict tracking belongs to
+    // the rewrite path; deltas compose like any append/DV commit.
+    if (mor) require(!cdf, "graft.deleteMode=mor cannot record a " +
+      "change feed — use copy-on-write MERGE on CDF tables")
+    val (tgt0, basis) =
+      if (mor)
+        (lake.readMaskedWithPos(t, contract),
+          graft.storage.Lakehouse.ReadBasis(0L, Set.empty))
+      else lake.readWithBasis(t, contract)
     val srcDf = GraftColumnBridge.ofRows(spark, source)
     val rid = "__graft_t_rid"
     val mark = "__graft_s_mark"
@@ -426,6 +438,31 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
           .withColumn("_change_type", lit("insert"))
         Some(pre.unionByName(post).unionByName(dels).unionByName(ins))
       }
+
+    if (mor) {
+      // changed rows (update or delete fired) are masked by position;
+      // only post-images and inserts are written — matched-rows cost
+      def changedOf(a: Act) = a match {
+        case _: InsertAct => Some(lit(false))
+        case _ => Some(lit(true)) // update or delete: the row moves
+      }
+      val masks = tRows.filter(
+        when(matchedPred, chainFlag(matchedActs, changedOf, lit(false)))
+          .otherwise(chainFlag(nmbsActs, changedOf, lit(false))))
+        .select(
+          col(s"$TargetAlias.${graft.storage.Lakehouse.FileCol}")
+            .as("file"),
+          col(s"$TargetAlias.${graft.storage.Lakehouse.PosCol}")
+            .as("pos"))
+      val newRows = tOut.filter(col(upd)).select(outCols: _*)
+        .unionByName(sOut.filter(col(keep)).select(outCols: _*))
+      val (clusteredNew, stats) =
+        if (partCols.isEmpty) (newRows, Nil)
+        else (graft.storage.Clustering.byPartitionKeys(
+          spark, newRows, partCols), partCols)
+      lake.commitMoRDelta(t, masks, clusteredNew, statsCols = stats)
+      return Nil
+    }
 
     // a PARTITIONED BY table's rewrite re-establishes the exact
     // one-file-per-key clustering and zone maps the INSERT path

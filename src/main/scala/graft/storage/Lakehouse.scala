@@ -1395,34 +1395,66 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       require(schema.fieldNames.contains(c),
         s"UPDATE SET names unknown column $c of $name")
     }
+    val matched = readMaskedWithPos(name, schema).filter(predicate)
+    val updated = assignments.foldLeft(matched) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    commitMoRDelta(name,
+      matched.select(col(Lakehouse.FileCol).as("file"),
+        col(Lakehouse.PosCol).as("pos")),
+      updated, statsCols, beforeCommit)
+  }
+
+  /** The LIVE rows of a table (every mask applied — eq-del tombstones
+    * and DV survivorship, the same per-root filters maskedUnion uses)
+    * with each row's PHYSICAL identity as extra columns
+    * ([[Lakehouse.FileCol]], [[Lakehouse.PosCol]]) — what a
+    * merge-on-read mutation needs to name its pre-images positionally.
+    */
+  private[graft] def readMaskedWithPos(name: String,
+      schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(Lakehouse.FileCol) &&
+      !schema.fieldNames.contains(Lakehouse.PosCol),
+      s"reserved column name collision: ${Lakehouse.FileCol}/" +
+        s"${Lakehouse.PosCol}")
     val (roots, _) = liveRootsAndBasis(name)
     val tombs = eqDelRefs(roots)
     val dvs: Seq[(Long, Map[String, String])] =
       roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
-    val live = roots.map { r =>
+    roots.map { r =>
       val rv = rootVersion(r)
       val base = spark.read.schema(schema).option("basePath", r).parquet(r)
         .select(col("*"),
           substring_index(col("_metadata.file_path"), "/", -1)
-            .as("__file"),
-          col("_metadata.row_index").as("__pos"))
+            .as(Lakehouse.FileCol),
+          col("_metadata.row_index").as(Lakehouse.PosCol))
       val eqMasked = eqDelMask(base, schema, tombs.filter(_._1 > rv))
       val applicable = dvs.filter(_._1 > rv).map(_._2)
       if (applicable.isEmpty) eqMasked
       else eqMasked.filter(graft.functions.DvSurvives(
-        col("__file"), col("__pos"),
+        col(Lakehouse.FileCol), col(Lakehouse.PosCol),
         applicable.flatMap(_.toSeq).groupMap(_._1)(_._2)))
     }.reduce(_ unionByName _)
-    val matched = live.filter(predicate)
+  }
+
+  /** ONE atomic merge-on-read delta: `masks` (file STRING, pos BIGINT —
+    * pre-image positions, typically from [[readMaskedWithPos]]) land as
+    * this version's deletion vector and `newRows` as its data files.
+    * The sequence rule keeps the new files outside their own commit's
+    * masks, so readers serve exactly delete(pre-images) ∪
+    * insert(newRows) with zero changes — the primitive under MoR
+    * UPDATE and MoR MERGE. A crash anywhere leaves an invisible
+    * uncommitted dir, never one half.
+    */
+  private[graft] def commitMoRDelta(name: String, masks: DataFrame,
+      newRows: DataFrame, statsCols: Seq[String] = Nil,
+      beforeCommit: () => Unit = () => ()): Unit = {
     val dest = new Path(tablePath(name))
     val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
-      val updated = assignments.foldLeft(matched) {
-        case (df, (c, e)) => df.withColumn(c, e)
-      }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      updated.write.mode("overwrite").parquet(p)
+      newRows.write.mode("overwrite").parquet(p)
       writeStats(p, statsCols)
       val dvDir = s"$p/${Lakehouse.Protocol.DvDir}"
-      matched.select(col("__file").as("file"), col("__pos").as("pos"))
+      masks.select(col("file"), col("pos"))
         .write.mode("overwrite").parquet(dvDir)
       DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
     }
@@ -2330,6 +2362,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
 }
 
 object Lakehouse {
+
+  /** Physical-identity column names [[Lakehouse.readMaskedWithPos]]
+    * appends (reserved — a contract column with either name is
+    * rejected by the MoR mutation paths that join through them).
+    */
+  private[graft] val FileCol = "__graft_file"
+  private[graft] val PosCol = "__graft_pos"
 
   /** Best-effort java.util.Properties read (swap journals) — a journal
     * deleted or healed mid-read is absence, not an error.
