@@ -236,7 +236,8 @@ case class GraftUpdateCommand(tableDir: String, contract: StructType,
       // is the copy-on-write path's — mirror MoR DELETE's refusal
       require(!cdf, "graft.deleteMode=mor cannot record a change feed " +
         "— use copy-on-write updates on CDF tables")
-      lake.updateRowsMoR(t, contract, condition, assignments)
+      lake.updateRowsMoR(t, contract, condition, assignments,
+        clusterCols = partCols)
     } else
       lake.update(t, contract, condition, assignments, cdf,
         clusterCols = partCols)

@@ -1389,20 +1389,29 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       beforeCommit: () => Unit = () => (),
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      clusterCols: Seq[String] = Nil): Unit = {
     require(exists(name), s"no such table: $name")
     assignments.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c),
         s"UPDATE SET names unknown column $c of $name")
     }
     val matched = readMaskedWithPos(name, schema).filter(predicate)
-    val updated = assignments.foldLeft(matched) {
+    val updated0 = assignments.foldLeft(matched) {
       case (df, (c, e)) => df.withColumn(c, e)
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // PARTITIONED BY tables keep the one-file-per-key clustering (and
+    // its zone maps) on the post-image delta — same contract as the
+    // INSERT path and the MoR MERGE branch
+    val updated =
+      if (clusterCols.isEmpty) updated0
+      else Clustering.byPartitionKeys(spark, updated0, clusterCols)
     commitMoRDelta(name,
       matched.select(col(Lakehouse.FileCol).as("file"),
         col(Lakehouse.PosCol).as("pos")),
-      updated, statsCols, beforeCommit)
+      updated,
+      if (clusterCols.nonEmpty) clusterCols else statsCols,
+      beforeCommit)
   }
 
   /** The LIVE rows of a table (every mask applied — eq-del tombstones

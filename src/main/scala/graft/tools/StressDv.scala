@@ -56,12 +56,21 @@ object StressDv {
       val tPlanMs = timed {
         drain(spark.table(s"dvs.s.$t").limit(0))
       } * 1000.0
-      val tServeV2 = timed {
+      // COUNT(*) under DVs is a PUSHED metadata answer since round 8 —
+      // time it separately from a real masked scan (sum can't push)
+      val tCountV2 = timed {
         val got = spark.sql(s"SELECT count(*) FROM dvs.s.$t")
           .head().getLong(0)
-        require(got == rows - rows / 10, s"x=$x v2 read: $got")
+        require(got == rows - rows / 10, s"x=$x v2 count: $got")
       }
-      f"""{"x":$x,"rows":$rows,"deleted":${rows / 10},"delete_sec":$tDelete%.2f,"serve_sec":$tServe%.2f,"serve_v2_sec":$tServeV2%.2f,"plan_ms":$tPlanMs%.0f}"""
+      val tServeV2 = timed {
+        val got = spark.sql(s"SELECT sum(v) FROM dvs.s.$t")
+          .head().getLong(0)
+        val m = rows / 10
+        val want = 3L * (rows * (rows - 1) / 2 - 10L * (m * (m - 1) / 2))
+        require(got == want, s"x=$x v2 sum: $got != $want")
+      }
+      f"""{"x":$x,"rows":$rows,"deleted":${rows / 10},"delete_sec":$tDelete%.2f,"serve_sec":$tServe%.2f,"serve_v2_sec":$tServeV2%.2f,"count_v2_sec":$tCountV2%.2f,"plan_ms":$tPlanMs%.0f}"""
     }
     out.foreach(println)
     spark.stop()
