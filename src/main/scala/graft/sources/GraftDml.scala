@@ -305,14 +305,14 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
     // physical identity, and the statement commits ONE merge-on-read
     // delta (changed rows' positions → DV; update post-images +
     // inserts → data files) instead of rewriting the table —
-    // pass-through rows never move. Basis conflict tracking belongs to
-    // the rewrite path; deltas compose like any append/DV commit.
+    // pass-through rows never move. The basis of the masked read rides
+    // into commitMoRDelta so a FULL rewrite racing the merge is
+    // detected (a positional DV against replaced files would mask
+    // nothing) instead of silently voiding the delta.
     if (mor) require(!cdf, "graft.deleteMode=mor cannot record a " +
       "change feed — use copy-on-write MERGE on CDF tables")
     val (tgt0, basis) =
-      if (mor)
-        (lake.readMaskedWithPos(t, contract),
-          graft.storage.Lakehouse.ReadBasis(0L, Set.empty))
+      if (mor) lake.readMaskedWithPosBasis(t, contract)
       else lake.readWithBasis(t, contract)
     val srcDf = GraftColumnBridge.ofRows(spark, source)
     val rid = "__graft_t_rid"
@@ -461,7 +461,8 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
         if (partCols.isEmpty) (newRows, Nil)
         else (graft.storage.Clustering.byPartitionKeys(
           spark, newRows, partCols), partCols)
-      lake.commitMoRDelta(t, masks, clusteredNew, statsCols = stats)
+      lake.commitMoRDelta(t, masks, Some(clusteredNew), statsCols = stats,
+        beforeCommit = () => (), basis = basis)
       return Nil
     }
 

@@ -190,20 +190,21 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
       agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
           Some((StructField("count(*)", LongType, nullable = false), "count"))
+        // min/max soundness needs every live file's stat row to carry
+        // min_c/max_c for THIS column (meta.coveredCols) — mere stats-
+        // row presence is not enough: rows-only manifests would fold
+        // extremes over a subset of the files and answer wrong
         case m: Min => columnOf(m.column).collect {
-          case c if meta.statsCols.contains(c) && !anyDv =>
+          case c if meta.coveredCols.contains(c) && !anyDv =>
             (StructField(s"min($c)", full(c).dataType), s"min:$c")
         }
         case m: Max => columnOf(m.column).collect {
-          case c if meta.statsCols.contains(c) && !anyDv =>
+          case c if meta.coveredCols.contains(c) && !anyDv =>
             (StructField(s"max($c)", full(c).dataType), s"max:$c")
         }
         case _ => None
       }
     if (wanted.exists(_.isEmpty) || wanted.isEmpty) return false
-    // min/max soundness needs every live data file manifest-covered
-    val needsStats = wanted.flatten.exists(_._2 != "count")
-    if (needsStats && !meta.fullyCovered) return false
     if (probeOnly) return true
     val vals = LakehouseBatch.computeAgg(meta, wanted.flatten.map(_._2), full)
     aggResult = Some((StructType(wanted.flatten.map(_._1)), vals))
@@ -778,7 +779,8 @@ private[graft] object LakehouseBatch {
       statsCols: Set[String], fullyCovered: Boolean,
       bloomCols: Set[String] = Set.empty,
       eqDels: Seq[(Long, String, Seq[String])] = Nil,
-      bloomManifests: Map[Long, (Seq[String], Set[String])] = Map.empty) {
+      bloomManifests: Map[Long, (Seq[String], Set[String])] = Map.empty,
+      coveredCols: Set[String] = Set.empty) {
     /** Per-snapshot accumulating cache of DECODED bloom probes, loaded
       * lazily by [[skipFiles]] — rides the TableMeta so the snapshot
       * cache keeps warm probes across queries. Never serialized.
@@ -802,6 +804,12 @@ private[graft] object LakehouseBatch {
     private val fetched = scala.collection.mutable.Map.empty[
       (Long, String),
       scala.collection.mutable.Map[String, Option[Any => Boolean]]]
+    // per-(version, col) byte totals so an epoch reset can account for
+    // EVERYTHING it retains (a group keeps blobs from earlier ensure
+    // calls too — resetting to just the current batch's bytes would
+    // under-report and let the cache exceed its budget)
+    private val groupBytes =
+      scala.collection.mutable.Map.empty[(Long, String), Long]
     private var approxBytes = 0L
     /** Test observability (StressMeta / spec): bytes currently held. */
     def bytes: Long = synchronized(approxBytes)
@@ -832,7 +840,9 @@ private[graft] object LakehouseBatch {
       def insert(name: String, c: String,
           m: scala.collection.mutable.Map[String, Option[Any => Boolean]],
           blob: Option[Array[Byte]]): Unit = {
-        batch += blob.map(_.length.toLong + 64L).getOrElse(16L)
+        val b = blob.map(_.length.toLong + 64L).getOrElse(16L)
+        batch += b
+        groupBytes((version, c)) = groupBytes.getOrElse((version, c), 0L) + b
         m(name) = blob.map(decodeBloomBlob)
       }
       graft.storage.FooterStats.readManifest(
@@ -869,16 +879,26 @@ private[graft] object LakehouseBatch {
       }
       // candidates absent from the result: cache the miss as "no blob"
       // so the probe answers might-contain and the fetch never repeats
-      need.foreach { case (_, m, miss) =>
-        miss.foreach(f => if (!m.contains(f)) m(f) = None)
+      need.foreach { case (c, m, miss) =>
+        miss.foreach { f =>
+          if (!m.contains(f)) {
+            m(f) = None
+            batch += 16L
+            groupBytes((version, c)) =
+              groupBytes.getOrElse((version, c), 0L) + 16L
+          }
+        }
       }
       approxBytes += batch
       if (approxBytes > budget) {
         // epoch reset: drop everything but the groups just ensured —
-        // bounded heap beats warm probes
+        // bounded heap beats warm probes. The retained groups keep
+        // blobs from EARLIER ensure calls too, so the new total is the
+        // sum of their tracked bytes, not just this batch's.
         val keep = need.map(n => (version, n._1)).toSet
         fetched.filterInPlace { case (k, _) => keep(k) }
-        approxBytes = batch
+        groupBytes.filterInPlace { case (k, _) => keep(k) }
+        approxBytes = groupBytes.values.sum
       }
     }
 
@@ -1320,10 +1340,27 @@ private[graft] object LakehouseBatch {
       }
     }.flatten
     val covered = all.forall(_.stats.isDefined)
+    // MIN/MAX pushdown eligibility is PER COLUMN: a rows-only manifest
+    // (stats-less commit, streaming sink, MoR update default) yields
+    // stat rows that carry `rows` but no min_/max_ columns — such a
+    // file is "covered" for COUNT but proves nothing about extremes.
+    // Folding extremes over only the files that happen to carry the
+    // column would silently drop the true extreme, so a column is
+    // eligible only when EVERY live file's stat row schema contains
+    // both min_c and max_c (a null VALUE is fine — all-null file).
+    val coveredCols: Set[String] =
+      if (!covered || all.isEmpty) Set.empty
+      else statsCols.filter { c =>
+        val (lo, hi) = (s"min_$c", s"max_$c")
+        all.forall { f =>
+          val fn = f.stats.get.schema.fieldNames
+          fn.contains(lo) && fn.contains(hi)
+        }
+      }
     val bloomManifests = rootMetas.filter(_.mBlooms.nonEmpty)
       .map(rm => rm.v -> ((rm.manifestParts, rm.mBlooms))).toMap
     TableMeta(path, all, statsCols, covered && all.nonEmpty, bloomCols,
-      eqDels, bloomManifests)
+      eqDels, bloomManifests, coveredCols)
   }
 
   /** Order-preserving bounded-parallel map over driver-side IO tasks.
@@ -1400,25 +1437,37 @@ private[graft] object LakehouseBatch {
     // columns or cut files' blobs.
     def mightMatch(stats: org.apache.spark.sql.Row, f: Filter,
         bloomOf: String => Option[Any => Boolean]): Boolean = {
+      // ABSENT vs NULL: meta.statsCols is the UNION across commits, so
+      // a rows-only manifest (stats-less commit / streaming sink / MoR
+      // update default) yields stat rows whose SCHEMA lacks min_/max_
+      // for columns other commits do cover. Absent from the schema =
+      // nothing is known about this file — keep it (same as no stats
+      // row at all). Present-but-NULL = the manifest writer saw the
+      // file and every value was null — prunable for any comparison.
+      // Conflating the two silently drops matching rows.
+      def has(c: String): Boolean =
+        stats.schema.fieldNames.contains(s"min_$c")
       def mn(c: String): Option[Any] = get(stats, s"min_$c")
       def mx(c: String): Option[Any] = get(stats, s"max_$c")
       def cmp(a: Any, b: Any): Int = compareValues(a, b)
       def recur(f: Filter): Boolean = f match {
         case EqualTo(c, v)
           if meta.statsCols(c) || meta.bloomCols(c) =>
-          val range = !meta.statsCols(c) || ((mn(c), mx(c)) match {
-            case (Some(lo), Some(hi)) => cmp(lo, v) <= 0 && cmp(hi, v) >= 0
-            case _ => false // all-null file: c = v is never true
-          })
+          val range = !(meta.statsCols(c) && has(c)) ||
+            ((mn(c), mx(c)) match {
+              case (Some(lo), Some(hi)) =>
+                cmp(lo, v) <= 0 && cmp(hi, v) >= 0
+              case _ => false // all-null file: c = v is never true
+            })
           range && (!meta.bloomCols(c) || v == null ||
             bloomOf(c).forall(_(v)))
-        case GreaterThan(c, v) if meta.statsCols(c) =>
+        case GreaterThan(c, v) if meta.statsCols(c) && has(c) =>
           mx(c).exists(hi => cmp(hi, v) > 0)
-        case GreaterThanOrEqual(c, v) if meta.statsCols(c) =>
+        case GreaterThanOrEqual(c, v) if meta.statsCols(c) && has(c) =>
           mx(c).exists(hi => cmp(hi, v) >= 0)
-        case LessThan(c, v) if meta.statsCols(c) =>
+        case LessThan(c, v) if meta.statsCols(c) && has(c) =>
           mn(c).exists(lo => cmp(lo, v) < 0)
-        case LessThanOrEqual(c, v) if meta.statsCols(c) =>
+        case LessThanOrEqual(c, v) if meta.statsCols(c) && has(c) =>
           mn(c).exists(lo => cmp(lo, v) <= 0)
         case In(c, vs) if meta.statsCols(c) || meta.bloomCols(c) =>
           vs.exists(v => recur(EqualTo(c, v)))

@@ -719,11 +719,37 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             "jobs and re-run")
       }
       again = late.nonEmpty
-      late.foreach { case (_, p, _) =>
+      late.foreach { case (lv, p, _) =>
         val isRewrite =
           try fs.exists(new Path(p, Lakehouse.Protocol.MarkerRewrite))
           catch { case _: java.io.FileNotFoundException => false }
-        if (isRewrite) {
+        val hasDv = !isRewrite &&
+          (try fs.exists(new Path(p, Lakehouse.Protocol.DvDir))
+           catch { case _: java.io.FileNotFoundException => false })
+        if (hasDv) {
+          // a late MERGE-ON-READ delta can NEVER be rebased: its
+          // positional DV names files this full's snapshot replaced —
+          // renamed above the full, the masks become no-ops
+          // (resurrected deletes, duplicated post-image duplicates).
+          // The delta committer's own post-marker conflict check
+          // ([[commitMoRDelta]]) sees this full and SELF-ABORTS by
+          // deleting its dir before acknowledging — so wait for that,
+          // bounded; a delta that persists means its JVM died inside
+          // the commit window (or a pre-conflict-detection writer) and
+          // needs an operator, not a silent resurrection.
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          var gone = false
+          while (!gone && System.nanoTime() < deadline) {
+            gone = !(try fs.exists(p)
+              catch { case _: java.io.FileNotFoundException => true })
+            if (!gone) Thread.sleep(100L)
+          }
+          if (!gone) throw new IllegalStateException(
+            s"full commit _v$fullV raced merge-on-read delta _v$lv " +
+              s"under $dest and the delta did not self-abort — its " +
+              "positional deletion vector cannot be rebased above a " +
+              "rewrite; remove or re-apply the delta and re-run")
+        } else if (isRewrite) {
           // a late REWRITE delta ([[rewriteDeletes]]) carries no logical
           // rows — its survivors re-express data this full's snapshot
           // already read through the masks. Rebasing it would DUPLICATE
@@ -1343,28 +1369,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       predicate: org.apache.spark.sql.Column,
       beforeCommit: () => Unit = () => ()): Unit = {
     require(exists(name), s"no such table: $name")
-    val (roots, _) = liveRootsAndBasis(name)
-    val dv = roots.map { r =>
-      spark.read.schema(schema).option("basePath", r).parquet(r)
-        .select(col("*"),
-          substring_index(col("_metadata.file_path"), "/", -1).as("file"),
-          col("_metadata.row_index").as("pos"))
-    }.reduce(_ unionByName _)
-      .filter(predicate)
-      .select(col("file"), col("pos"))
-    val dest = new Path(tablePath(name))
-    val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
-      // data-less delta: the vector is the whole payload, hidden under
-      // the underscore dir so plain scans of the version see no rows.
-      // The parquet is the audit/feed record; the per-file binary
-      // sidecars next to it are what READERS consume (executor-side —
-      // see DvSidecar). Both land before the commit marker, so a crash
-      // here leaves an invisible uncommitted dir, never a half-DV.
-      val dvDir = s"$p/${Lakehouse.Protocol.DvDir}"
-      dv.write.mode("overwrite").parquet(dvDir)
-      DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
-    }
-    ensureAboveFulls(dest, vdir)
+    // identity pass through the EXISTING masks: a position already dead
+    // (earlier DV or eq-del tombstone) never re-enters a new vector, so
+    // the per-file `_dv_counts` sums stay exact — the invariant the
+    // COUNT(*) metadata pushdown depends on. The data-less delta commits
+    // through [[commitMoRDelta]] (no post-images), which also gives the
+    // DELETE the same FULL-rewrite conflict detection as UPDATE/MERGE.
+    val (masked, basis) = readMaskedWithPosBasis(name, schema)
+    val dv = masked.filter(predicate)
+      .select(col(Lakehouse.FileCol).as("file"),
+        col(Lakehouse.PosCol).as("pos"))
+    commitMoRDelta(name, dv, None, Nil, beforeCommit, basis)
   }
 
   /** Merge-on-read UPDATE — the Iceberg MoR-update shape, ONE atomic
@@ -1396,7 +1411,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       require(schema.fieldNames.contains(c),
         s"UPDATE SET names unknown column $c of $name")
     }
-    val matched = readMaskedWithPos(name, schema).filter(predicate)
+    val (maskedAll, basis) = readMaskedWithPosBasis(name, schema)
+    val matched = maskedAll.filter(predicate)
     val updated0 = assignments.foldLeft(matched) {
       case (df, (c, e)) => df.withColumn(c, e)
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -1409,9 +1425,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     commitMoRDelta(name,
       matched.select(col(Lakehouse.FileCol).as("file"),
         col(Lakehouse.PosCol).as("pos")),
-      updated,
+      Some(updated),
       if (clusterCols.nonEmpty) clusterCols else statsCols,
-      beforeCommit)
+      beforeCommit, basis)
   }
 
   /** The LIVE rows of a table (every mask applied — eq-del tombstones
@@ -1421,12 +1437,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * merge-on-read mutation needs to name its pre-images positionally.
     */
   private[graft] def readMaskedWithPos(name: String,
-      schema: StructType): DataFrame = {
+      schema: StructType): DataFrame =
+    readMaskedWithPosBasis(name, schema)._1
+
+  /** [[readMaskedWithPos]] plus the read basis of the SAME listing —
+    * what a merge-on-read mutation hands [[commitMoRDelta]] so a FULL
+    * commit racing the DML is detected instead of silently voiding the
+    * delta's positional masks.
+    */
+  private[graft] def readMaskedWithPosBasis(name: String,
+      schema: StructType): (DataFrame, Lakehouse.ReadBasis) = {
     require(!schema.fieldNames.contains(Lakehouse.FileCol) &&
       !schema.fieldNames.contains(Lakehouse.PosCol),
       s"reserved column name collision: ${Lakehouse.FileCol}/" +
         s"${Lakehouse.PosCol}")
-    val (roots, _) = liveRootsAndBasis(name)
+    val (roots, basis) = liveRootsAndBasis(name)
     val tombs = eqDelRefs(roots)
     val dvs: Seq[(Long, Map[String, String])] =
       roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
@@ -1443,31 +1468,64 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       else eqMasked.filter(graft.functions.DvSurvives(
         col(Lakehouse.FileCol), col(Lakehouse.PosCol),
         applicable.flatMap(_.toSeq).groupMap(_._1)(_._2)))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _) -> basis
   }
 
   /** ONE atomic merge-on-read delta: `masks` (file STRING, pos BIGINT —
     * pre-image positions, typically from [[readMaskedWithPos]]) land as
-    * this version's deletion vector and `newRows` as its data files.
-    * The sequence rule keeps the new files outside their own commit's
-    * masks, so readers serve exactly delete(pre-images) ∪
+    * this version's deletion vector and `newRows` (when present) as its
+    * data files. The sequence rule keeps the new files outside their
+    * own commit's masks, so readers serve exactly delete(pre-images) ∪
     * insert(newRows) with zero changes — the primitive under MoR
-    * UPDATE and MoR MERGE. A crash anywhere leaves an invisible
+    * DELETE, UPDATE and MERGE. A crash anywhere leaves an invisible
     * uncommitted dir, never one half.
+    *
+    * CONFLICT DETECTION (basis-based, like the CoW path): a positional
+    * DV is only valid against the exact files its snapshot read — a
+    * FULL commit (compact / z-order / CoW rewrite) replacing them
+    * would turn the masks into no-ops: resurrected deletes, duplicated
+    * updates. Any committed FULL outside `basis` therefore ABORTS the
+    * delta. Checked twice: immediately before the marker (clean abort
+    * — the dir is uncommitted and invisible) and again after it (a
+    * full's marker can land inside the first check's window; the
+    * post-check self-deletes the just-committed dir before this call
+    * ever acknowledges it, and the full committer's
+    * [[rebaseLateDeltas]] waits for exactly that self-abort). A full
+    * INSIDE the basis is always below our claimed version, so
+    * `ensureAboveFulls` is obsolete here — and renaming a DV delta
+    * above a full is precisely the corruption this protocol prevents.
     */
   private[graft] def commitMoRDelta(name: String, masks: DataFrame,
-      newRows: DataFrame, statsCols: Seq[String] = Nil,
-      beforeCommit: () => Unit = () => ()): Unit = {
+      newRows: Option[DataFrame], statsCols: Seq[String],
+      beforeCommit: () => Unit,
+      basis: Lakehouse.ReadBasis): Unit = {
     val dest = new Path(tablePath(name))
-    val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
-      newRows.write.mode("overwrite").parquet(p)
-      writeStats(p, statsCols)
+    def conflictingFull(): Option[Long] =
+      versionDirs(dest).sortBy(_._1).find { case (v, p) =>
+        !basis.committed(v) && commitKind(p).contains(true)
+      }.map(_._1)
+    def abort(v: Long, vdir: Option[Path]): Nothing = {
+      vdir.foreach(fs.delete(_, true))
+      throw new java.util.ConcurrentModificationException(
+        s"merge-on-read delta on $name raced FULL commit _v$v " +
+          s"(read basis ${basis.maxCommitted}): the delta's deletion " +
+          "vector names files the rewrite replaced — re-run the DML " +
+          "against the new snapshot")
+    }
+    val vdir = writeVersion(name, MarkerDelta, () => {
+      beforeCommit()
+      conflictingFull().foreach(v => abort(v, None))
+    }) { p =>
+      newRows.foreach { rows =>
+        rows.write.mode("overwrite").parquet(p)
+        writeStats(p, statsCols)
+      }
       val dvDir = s"$p/${Lakehouse.Protocol.DvDir}"
       masks.select(col("file"), col("pos"))
         .write.mode("overwrite").parquet(dvDir)
       DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
     }
-    ensureAboveFulls(dest, vdir)
+    conflictingFull().foreach(v => abort(v, Some(vdir)))
   }
 
   /** Data-file walk of one root (underscore dirs invisible, recursive). */

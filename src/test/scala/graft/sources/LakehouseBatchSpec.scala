@@ -265,4 +265,77 @@ class LakehouseBatchSpec extends SparkSpec {
     lake.compact("t", schema, numFiles = 1, sortCols = Seq("k"))
     assert(v2(path).count() == 28L)
   }
+
+  test("rows-only manifests never prune files (absent stats ≠ all-null)") {
+    val (lake, path) = mkLake("v2-mixed-stats")
+    // commit 1 carries zone maps on k; commit 2 is stats-less → its
+    // manifest has (file, rows) only. statsCols is the UNION across
+    // commits, so a pushed filter on k used to treat commit 2's rows
+    // as an all-null file and prune it — silently missing rows.
+    lake.append("t", rows(0, 50).repartition(1), statsCols = Seq("k"))
+    lake.append("t", rows(50, 100).repartition(1)) // rows-only manifest
+    val q = v2(path).filter(col("k") >= 60L && col("k") < 70L)
+    assert(q.count() == 10L, "rows in the stats-less commit were pruned")
+    val eq = v2(path).filter(col("k") === 75L)
+    assert(eq.count() == 1L)
+    // the stats-covered commit still prunes: k<40 cuts commit 1 only
+    // when it can prove it — here both survive or one is cut, but the
+    // result is exact either way
+    assert(v2(path).filter(col("k") < 40L).count() == 40L)
+  }
+
+  test("min/max pushdown declines per column on mixed stats coverage") {
+    val (lake, path) = mkLake("v2-mixed-agg")
+    lake.append("t", rows(0, 50), statsCols = Seq("k"))
+    lake.append("t", rows(50, 100)) // rows-only: no min_k/max_k
+    // folding extremes over only the covered files would answer 49
+    val q = v2(path).agg(max(col("k")).as("hi"), min(col("k")).as("lo"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"), s"unsound pushdown:\n$plan")
+    val r = q.head()
+    assert(r.getLong(0) == 99L && r.getLong(1) == 0L)
+    // COUNT(*) alone is still answerable: every file has a rows entry
+    val c = v2(path).agg(count(lit(1)).as("n"))
+    assert(c.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(c.head().getLong(0) == 100L)
+  }
+
+  test("a MoR delta racing a FULL rewrite aborts instead of corrupting") {
+    import org.apache.spark.sql.Row
+    val (lake, path) = mkLake("v2-mor-race")
+    lake.append("t", rows(0, 40), statsCols = Seq("k"))
+    // the compact lands BETWEEN the DV delta's payload write and its
+    // commit marker: the delta's positional masks name files the FULL
+    // replaced, so the commit must abort (ConcurrentModification), not
+    // land a vector that silently masks nothing
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      lake.deleteRowsMoR("t", schema, col("k") < 10L,
+        beforeCommit = () =>
+          lake.compact("t", schema, numFiles = 1, sortCols = Seq("k")))
+    }
+    assert(ex.getMessage.contains("raced FULL commit"))
+    // the table is intact: no rows lost, no rows deleted
+    assert(v2(path).count() == 40L)
+    // and the aborted delta left no committed version behind — a
+    // re-run against the new snapshot succeeds and deletes exactly 10
+    lake.deleteRowsMoR("t", schema, col("k") < 10L)
+    assert(v2(path).count() == 30L)
+    assert(v2(path).agg(min(col("k"))).head() == Row(10L))
+  }
+
+  test("repeated MoR deletes keep the pushed COUNT exact (masked identity pass)") {
+    val (lake, path) = mkLake("v2-mor-recount")
+    lake.append("t", rows(0, 60), statsCols = Seq("k"))
+    lake.deleteRowsMoR("t", schema, col("k") < 20L)
+    // same predicate again: already-masked positions must NOT re-enter
+    // the new vector, or the per-file deleted-count sums over-report
+    // and the metadata COUNT(*) under-counts
+    lake.deleteRowsMoR("t", schema, col("k") < 30L)
+    val c = v2(path).agg(count(lit(1)).as("n"))
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), s"count not pushed:\n$plan")
+    assert(c.head().getLong(0) == 30L)
+    assert(v2(path).count() == 30L)
+  }
 }
