@@ -656,7 +656,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("num_files", IntegerType).build(),
               ProcedureParameter.in("z_cols", StringType).build())
-            case "vacuum" | "history" | "analyze" => Array(
+            case "vacuum" | "history" | "analyze" | "checkpoint" => Array(
               ProcedureParameter.in("namespace", StringType).build(),
               ProcedureParameter.in("table", StringType).build())
             case "rewrite_deletes" => Array(
@@ -706,6 +706,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   gcGraceMs = grace).vacuum(t)
               case "analyze" => GraftCatalog.analyzeTable(spark,
                 new Path(nsPath(Array(ns)), t), tableSchema(ns, t))
+              // fold the chain's metadata into one snapshot file so
+              // resolve reads checkpoint + tail instead of O(#commits)
+              // dirs — the operator lever behind auto-checkpointing
+              case "checkpoint" => lake.checkpoint(t)
               // partial compaction: rewrite ONLY the data files whose
               // merge-on-read deleted fraction reaches the threshold
               // (Iceberg's rewrite_data_files + delete-threshold) —
@@ -778,7 +782,7 @@ private[graft] object GraftCatalog {
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch",
-      "rewrite_deletes")
+      "rewrite_deletes", "checkpoint")
 
   /** Heal grace for RTAS swap journals (`spark.graft.swapGraceMs`) and
     * default reclaim grace for `CALL graft.system.vacuum`

@@ -1095,12 +1095,23 @@ private[graft] object LakehouseBatch {
     }
   }
 
-  /** Digest of the commit log: every version dir's direct entries.
-    * One flat listing per `_v*` dir; no footer opens, no Spark jobs.
-    * Claim files and staging debris at the TABLE root are excluded on
-    * purpose (they don't affect what resolve serves); everything
-    * inside a version dir — markers, data files, _GRAFT_* subdirs'
-    * top-level mtimes — is included.
+  /** Digest of the commit log. Claim files and staging debris at the
+    * TABLE root are excluded on purpose (they don't affect what
+    * resolve serves).
+    *
+    * WITHOUT a checkpoint: every version dir's direct entries — one
+    * flat listing per `_v*` dir (O(#commits) RPCs per warm hit).
+    * WITH one: dirs the newest checkpoint covers AS COMMITTED digest
+    * by (version, mtime, len) from the ONE parent listing — sound
+    * because a committed dir is immutable (its inner content cannot
+    * change without a direct-child create/delete bumping the dir
+    * mtime, and GC only removes dirs whole, which drops the entry
+    * from the parent listing) — while everything else (the tail, and
+    * any dir uncommitted at checkpoint build) keeps the full inner
+    * listing, so an in-flight commit's marker landing is always seen.
+    * Warm validation is therefore O(tail), not O(#commits). The
+    * checkpoint file list itself rides the digest: a new checkpoint
+    * changes which dirs get the cheap treatment.
     */
   private def snapshotFingerprint(fs: FileSystem, dest: Path): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -1116,20 +1127,151 @@ private[graft] object LakehouseBatch {
       put(s"~${st.getPath.getName},${st.getModificationTime}," +
         s"${st.getLen}")
     }
-    // one listing per version dir — RPCs, so bounded-parallel; parMap
-    // preserves order, which keeps the digest deterministic
-    parMap(Protocol.versionDirs(fs, dest).sortBy(_._1)) { case (v, p) =>
-      val sb = new StringBuilder(s"|$v")
-      try fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-        sb ++= s";${st.getPath.getName},${st.getModificationTime}," +
-          s"${st.getLen}"
-      } catch { case _: java.io.FileNotFoundException => sb ++= ";gone" }
-      sb.result()
+    val ckptFiles = graft.storage.MetaCheckpoint.listCkptFiles(fs, dest)
+    ckptFiles.foreach(st =>
+      put(s"^${st.getPath.getName},${st.getLen}"))
+    val coveredCommitted: Set[Long] =
+      if (ckptFiles.isEmpty) Set.empty
+      else
+        try graft.storage.MetaCheckpoint.loadLatest(fs, dest)
+          .map(_.committedVs).getOrElse(Set.empty)
+        catch { case scala.util.control.NonFatal(_) => Set.empty }
+    // full listings only where needed — RPCs, so bounded-parallel;
+    // parMap preserves order, which keeps the digest deterministic
+    val vdirs = Protocol.versionDirStatusesOf(rootList).sortBy(_._1)
+    parMap(vdirs) { case (v, dst) =>
+      if (coveredCommitted(v))
+        s"|$v,${dst.getModificationTime},${dst.getLen}"
+      else {
+        val sb = new StringBuilder(s"|$v")
+        try fs.listStatus(dst.getPath).sortBy(_.getPath.getName)
+          .foreach { st =>
+            sb ++= s";${st.getPath.getName},${st.getModificationTime}," +
+              s"${st.getLen}"
+          }
+        catch { case _: java.io.FileNotFoundException => sb ++= ";gone" }
+        sb.result()
+      }
     }.foreach(put)
     java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 
   private def resolveUncached(spark: SparkSession, conf: Configuration,
+      fs: FileSystem, dest: Path, path: String, asOf: Option[Long],
+      branch: Option[String]): TableMeta = {
+    // METADATA CHECKPOINT (task: plan time O(1) in chain length): the
+    // hot path — a plain live read — resolves covered commits from ONE
+    // checkpoint file instead of O(#commits) dir listings + manifest
+    // reads; only the commit TAIL above the checkpoint is walked live.
+    // The checkpoint is DERIVED state: any validation miss (a covered
+    // dir changed, vanished without a full above, decode failure) falls
+    // back to the plain walk — correctness never depends on it.
+    // asOf/branch reads keep the plain walk (rare, audit-shaped).
+    val viaCkpt =
+      if (asOf.nonEmpty || branch.nonEmpty ||
+        !spark.conf.getOption("spark.graft.useCheckpoint")
+          .forall(_.toBoolean)) None
+      else
+        try graft.storage.MetaCheckpoint.loadLatest(fs, dest).flatMap(st =>
+          resolveWithCheckpoint(spark, conf, fs, dest, path, st))
+        catch { case scala.util.control.NonFatal(_) => None }
+    viaCkpt.getOrElse(
+      resolvePlain(spark, conf, fs, dest, path, asOf, branch))
+  }
+
+  /** Resolve against a loaded checkpoint: validate every covered dir's
+    * identity from ONE parent listing, decode covered roots from the
+    * checkpoint, walk only what it does not vouch for. None = the
+    * checkpoint cannot prove the snapshot (fall back to the plain
+    * walk) — never a wrong answer.
+    */
+  private def resolveWithCheckpoint(spark: SparkSession,
+      conf: Configuration, fs: FileSystem, dest: Path, path: String,
+      st: graft.storage.MetaCheckpoint.State): Option[TableMeta] = {
+    import graft.storage.MetaCheckpoint
+    val dirSt: Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
+      Protocol.versionDirStatuses(fs, dest)
+    val present = dirSt.toMap
+    val recs = st.versions
+    // a committed dir whose mtime moved = something this protocol says
+    // cannot happen (committed dirs are immutable; vacuum removes them
+    // whole) — distrust the whole checkpoint
+    if (recs.exists(r => present.get(r.v).exists(
+      _.getModificationTime != r.dirMtime))) return None
+    val recByV = recs.map(r => r.v -> r).toMap
+    // a dir recorded UNCOMMITTED whose identity is unchanged is still
+    // uncommitted (a marker landing bumps the dir mtime) — skip the
+    // probe; any change promotes it to the live walk below
+    val stillUncommitted: Set[Long] = st.uncommitted.filter(u =>
+      present.get(u.v).exists(_.getModificationTime == u.mtime))
+      .map(_.v).toSet
+    val probed: Seq[(Long, Path, Boolean)] = dirSt
+      .filter { case (v, _) => !recByV.contains(v) && !stillUncommitted(v) }
+      .sortBy(_._1)
+      .flatMap { case (v, s) =>
+        Protocol.commitKind(fs, s.getPath).map(full => (v, s.getPath, full))
+      }
+    val merged: Seq[(Long, Either[MetaCheckpoint.VersionRec, Path], Boolean)] =
+      (recs.filter(r => present.contains(r.v))
+        .map(r => (r.v,
+          Left(r): Either[MetaCheckpoint.VersionRec, Path], r.full)) ++
+        probed.map { case (v, p, full) =>
+          (v, Right(p): Either[MetaCheckpoint.VersionRec, Path], full) })
+        .sortBy(_._1)
+    // a covered dir that disappeared (vacuum, rebase-rename) is fine
+    // ONLY when a committed FULL sits above it — resolve would not
+    // serve it anyway; otherwise the chain lost a live commit: stale
+    val missing = recs.filterNot(r => present.contains(r.v))
+    if (missing.exists(m =>
+      !merged.exists { case (v, _, full) => full && v > m.v })) return None
+    val lastFull = merged.lastIndexWhere(_._3)
+    val live: Seq[(Long, Either[MetaCheckpoint.VersionRec, Path])] =
+      if (lastFull >= 0) merged.drop(lastFull).map(t => (t._1, t._2))
+      else {
+        val plain = fs.listStatus(dest).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        val all = merged.map(t => (t._1, t._2))
+        if (plain || all.isEmpty)
+          (0L, Right(dest): Either[MetaCheckpoint.VersionRec, Path]) +: all
+        else all
+      }
+    // identity-only records (below the build-time last full) carry no
+    // payload; if one ever lands in the live set the chain shape moved
+    // in a way the checkpoint cannot serve
+    if (live.exists { case (_, Left(r)) => !r.payload; case _ => false })
+      return None
+    val eqDels: Seq[(Long, String, Seq[String])] = live.flatMap {
+      case (v, Left(r)) => r.eqDel.map { case (rel, cols) =>
+        (v, new Path(dest, rel).toString, cols) }
+      case (v, Right(p)) => eqDelOf(fs, conf, v, p)
+    }
+    val dvByVersion: Seq[(Long, Map[String, String], Map[String, Long])] =
+      live.flatMap {
+        case (v, Left(r)) =>
+          if (r.dvIndex.isEmpty) None
+          else Some((v, r.dvIndex.map { case (n, rel) =>
+            n -> new Path(dest, rel).toString }, r.dvCounts))
+        case (v, Right(p)) => dvOf(fs, v, p)
+      }
+    val walked = parMap(live.collect { case (v, Right(p)) => (v, p) }) {
+      case (v, p) => walkRoot(spark, conf, fs, v, p)
+    }
+    val decoded = live.collect { case (_, Left(r)) =>
+      MetaCheckpoint.toRootData(dest, r) }
+    ckptServes.incrementAndGet()
+    Some(foldRoots(path, (decoded ++ walked).sortBy(_.v), dvByVersion,
+      eqDels, fs, conf))
+  }
+
+  /** Test observability: resolves served through a checkpoint (a
+    * covered table must stop paying the O(#commits) walk).
+    */
+  private[graft] val ckptServes =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def resolvePlain(spark: SparkSession, conf: Configuration,
       fs: FileSystem, dest: Path, path: String, asOf: Option[Long],
       branch: Option[String]): TableMeta = {
     val committedAll = Protocol.versionDirs(fs, dest).sortBy(_._1).flatMap {
@@ -1179,22 +1321,7 @@ private[graft] object LakehouseBatch {
     // eq-del tables (compact-first), which made them unreadable
     // through SQL while Lakehouse.read served them fine.
     val eqDels: Seq[(Long, String, Seq[String])] =
-      roots.flatMap { case (v, p) =>
-        val d = new Path(p, Protocol.EqDelDir)
-        if (!fs.exists(d)) None
-        else fs.listStatus(d).map(_.getPath)
-          .find(_.getName.endsWith(".parquet")).map { f =>
-            import scala.jdk.CollectionConverters._
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(f, conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            val names =
-              try r.getFileMetaData.getSchema.getFields.asScala
-                .map(_.getName).toSeq
-              finally r.close()
-            (v, d.toString, names)
-          }
-      }
+      roots.flatMap { case (v, p) => eqDelOf(fs, conf, v, p) }
     // deletion vectors ARE served natively (deleteRowsMoR): positional
     // tombstones apply per FILE at read time, no join stage needed. A
     // DV committed at version w masks (file, pos) rows of files in
@@ -1209,13 +1336,7 @@ private[graft] object LakehouseBatch {
     // per DV commit) — per-file header reads survive only for legacy
     // commits without one
     val dvByVersion: Seq[(Long, Map[String, String], Map[String, Long])] =
-      roots.flatMap { case (v, p) =>
-        val dvDir = new Path(p, Protocol.DvDir)
-        val idx = graft.storage.DvSidecar.index(fs, dvDir)
-        if (idx.isEmpty) None
-        else Some((v, idx,
-          graft.storage.DvSidecar.deletedCounts(fs, dvDir, idx)))
-      }
+      roots.flatMap { case (v, p) => dvOf(fs, v, p) }
     // ——— parallel metadata walk ———
     // The walk is pure IO: one listing + one manifest read per ROOT,
     // one footer open (+ DV header reads) per FILE. Both phases fan out
@@ -1223,93 +1344,150 @@ private[graft] object LakehouseBatch {
     // #files / parallelism with a per-file constant of one footer open
     // — StressMeta pins the scaling at ×1/×10/×30. Two flat phases
     // (roots, then files), never nested futures on the shared pool.
-    final case class RootMeta(v: Long, root: Path,
-        dataPaths: Seq[org.apache.hadoop.fs.FileStatus],
-        statRows: Map[String, org.apache.spark.sql.Row],
-        mStats: Set[String], mBlooms: Set[String],
-        rewritten: Set[String], manifestParts: Seq[String] = Nil)
-    val rootMetas: Seq[RootMeta] = parMap(roots) { case (v, root) =>
-      val dataPaths = listDataFiles(fs, root)
-      // a REWRITE commit (rewriteDeletes) names the data files it
-      // replaced — lower-version occurrences are dropped from the plan
-      // below (they are fully masked; scanning them is pure waste)
-      val rewritten: Set[String] = {
-        val f = new Path(root, Protocol.RewrittenList)
-        if (!fs.exists(f)) Set.empty
+    val rootDatas: Seq[RootData] = parMap(roots) { case (v, root) =>
+      walkRoot(spark, conf, fs, v, root)
+    }
+    foldRoots(path, rootDatas, dvByVersion, eqDels, fs, conf)
+  }
+
+  /** Equality-delete tombstone of one root: (version, eqdel dir, key
+    * column names) — key names come from one footer open; the key SETS
+    * load executor-side (EqDelKeys).
+    */
+  private[graft] def eqDelOf(fs: FileSystem, conf: Configuration,
+      v: Long, p: Path): Option[(Long, String, Seq[String])] = {
+    val d = new Path(p, Protocol.EqDelDir)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).map { f =>
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val names =
+          try r.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSeq
+          finally r.close()
+        (v, d.toString, names)
+      }
+  }
+
+  /** Deletion-vector commit of one root: (version, name→sidecar path,
+    * name→deleted count). Counts come from the commit's `_dv_counts`
+    * index (one small read per DV commit) — per-file header reads
+    * survive only for legacy commits without one.
+    */
+  private[graft] def dvOf(fs: FileSystem, v: Long,
+      p: Path): Option[(Long, Map[String, String], Map[String, Long])] = {
+    val dvDir = new Path(p, Protocol.DvDir)
+    val idx = graft.storage.DvSidecar.index(fs, dvDir)
+    if (idx.isEmpty) None
+    else Some((v, idx,
+      graft.storage.DvSidecar.deletedCounts(fs, dvDir, idx)))
+  }
+
+  /** Per-root metadata the fold needs: the data files (path, size), the
+    * zone-map rows, the manifest shape, the rewrite-replaced names.
+    * `knownRows` pre-resolves per-file row counts (checkpoint decode) so
+    * the fold never falls back to a footer open for covered roots.
+    */
+  private[graft] final case class RootData(v: Long, root: Path,
+      files: Seq[(Path, Long)],
+      statRows: Map[String, org.apache.spark.sql.Row],
+      mStats: Set[String], mBlooms: Set[String],
+      rewritten: Set[String], manifestParts: Seq[String] = Nil,
+      knownRows: Map[String, Long] = Map.empty)
+
+  /** Walk ONE root: list its data files, read its rewrite list and its
+    * stats manifest (bloom blobs column-pruned out — they load lazily
+    * via [[BloomBlobCache]]). The manifest read is DRIVER-SIDE
+    * (FooterStats.readManifest): a manifest is one commit's file list,
+    * and a Spark job per root would put ~20 ms of scheduler latency
+    * behind every commit of a 1000-commit cold resolve; the job route
+    * stays as the conservative fallback for unproven shapes.
+    */
+  private[graft] def walkRoot(spark: SparkSession, conf: Configuration,
+      fs: FileSystem, v: Long, root: Path): RootData = {
+    val dataPaths = listDataFiles(fs, root)
+    // a REWRITE commit (rewriteDeletes) names the data files it
+    // replaced — lower-version occurrences are dropped from the plan
+    // (they are fully masked; scanning them is pure waste)
+    val rewritten: Set[String] = {
+      val f = new Path(root, Protocol.RewrittenList)
+      if (!fs.exists(f)) Set.empty
+      else {
+        val in = fs.open(f)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      }
+    }
+    val manifest = new Path(root, Protocol.StatsDir)
+    var mStats = Set.empty[String]
+    var mBlooms = Set.empty[String]
+    var mParts = Seq.empty[String]
+    val statRows: Map[String, org.apache.spark.sql.Row] =
+      if (!fs.exists(manifest)) Map.empty
+      else {
+        val parts = fs.listStatus(manifest).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+        if (parts.isEmpty) Map.empty
         else {
-          val in = fs.open(f)
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().filter(_.nonEmpty).toSet
-          finally in.close()
+          mParts = parts.toIndexedSeq
+          val (cols, rows) = graft.storage.FooterStats.readManifest(
+            conf, parts.toIndexedSeq, _.startsWith("bloom_")) match {
+            case Some((cs, rs)) =>
+              (cs, rs.map(r => r.getString(r.fieldIndex("file")) -> r))
+            case None =>
+              val df = spark.read.parquet(parts.toIndexedSeq: _*)
+              val keep = df.columns.filterNot(_.startsWith("bloom_"))
+              (df.columns.toSeq,
+                df.select(keep.map(org.apache.spark.sql.functions.col)
+                  .toIndexedSeq: _*)
+                  .collect().toSeq.map(r =>
+                    r.getString(r.fieldIndex("file")) -> r))
+          }
+          mStats = cols.collect {
+            case c if c.startsWith("min_") => c.drop(4)
+          }.toSet
+          mBlooms = cols.collect {
+            case c if c.startsWith("bloom_") => c.drop(6)
+          }.toSet
+          rows.toMap
         }
       }
-      val manifest = new Path(root, Protocol.StatsDir)
-      var mStats = Set.empty[String]
-      var mBlooms = Set.empty[String]
-      var mParts = Seq.empty[String]
-      val statRows: Map[String, org.apache.spark.sql.Row] =
-        if (!fs.exists(manifest)) Map.empty
-        else {
-          val parts = fs.listStatus(manifest).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).map(_.toString)
-          if (parts.isEmpty) Map.empty
-          else {
-            mParts = parts.toIndexedSeq
-            // bloom blobs NEVER ride the plan-time collect (50 KB per
-            // (file, column) — O(#files) driver heap); skipFiles loads
-            // them lazily per probed column for zone-surviving files
-            // (TableMeta.bloomCache). Column pruning here means parquet
-            // never even reads the blob chunks. The read itself is
-            // DRIVER-SIDE (FooterStats.readManifest): a manifest is one
-            // commit's file list, and a Spark job per root would put
-            // ~20 ms of scheduler latency behind every commit of a
-            // 1000-commit cold resolve; the job route stays as the
-            // conservative fallback for unproven shapes.
-            val (cols, rows) = graft.storage.FooterStats.readManifest(
-              conf, parts.toIndexedSeq, _.startsWith("bloom_")) match {
-              case Some((cs, rs)) =>
-                (cs, rs.map(r => r.getString(r.fieldIndex("file")) -> r))
-              case None =>
-                val df = spark.read.parquet(parts.toIndexedSeq: _*)
-                val keep = df.columns.filterNot(_.startsWith("bloom_"))
-                (df.columns.toSeq,
-                  df.select(keep.map(org.apache.spark.sql.functions.col)
-                    .toIndexedSeq: _*)
-                    .collect().toSeq.map(r =>
-                      r.getString(r.fieldIndex("file")) -> r))
-            }
-            mStats = cols.collect {
-              case c if c.startsWith("min_") => c.drop(4)
-            }.toSet
-            mBlooms = cols.collect {
-              case c if c.startsWith("bloom_") => c.drop(6)
-            }.toSet
-            rows.toMap
-          }
-        }
-      RootMeta(v, root, dataPaths, statRows, mStats, mBlooms, rewritten,
-        mParts)
-    }
-    val statsCols = rootMetas.flatMap(_.mStats).toSet
-    val bloomCols = rootMetas.flatMap(_.mBlooms).toSet
+    RootData(v, root, dataPaths.map(st => (st.getPath, st.getLen)),
+      statRows, mStats, mBlooms, rewritten, mParts)
+  }
+
+  /** Fold per-root metadata into the planner's [[TableMeta]]: drop
+    * rewrite-replaced files, attach zone-map rows + row counts + DV
+    * references per file, compute per-column min/max coverage.
+    */
+  private[graft] def foldRoots(path: String, rootDatas: Seq[RootData],
+      dvByVersion: Seq[(Long, Map[String, String], Map[String, Long])],
+      eqDels: Seq[(Long, String, Seq[String])],
+      fs: FileSystem, conf: Configuration): TableMeta = {
+    val statsCols = rootDatas.flatMap(_.mStats).toSet
+    val bloomCols = rootDatas.flatMap(_.mBlooms).toSet
     // files a HIGHER-version rewrite replaced plan no task at all: their
     // whole-file masks make every row dead, and the replaced-name list
     // turns that from a scan-and-drop into a plan-time skip (the point
     // of rewriteDeletes — post-rewrite serve cost is clean-file cost)
     val rewrittenByVersion: Seq[(Long, Set[String])] =
-      rootMetas.filter(_.rewritten.nonEmpty).map(rm => (rm.v, rm.rewritten))
-    val fileTasks: Seq[(RootMeta, org.apache.hadoop.fs.FileStatus)] =
-      rootMetas.flatMap(rm => rm.dataPaths
-        .filterNot(st => rewrittenByVersion.exists { case (w, names) =>
-          w > rm.v && names(st.getPath.getName) })
-        .map(st => (rm, st)))
-    val all: Seq[FileMeta] = parMap(fileTasks) { case (rm, st) =>
+      rootDatas.filter(_.rewritten.nonEmpty).map(rm => (rm.v, rm.rewritten))
+    val fileTasks: Seq[(RootData, Path, Long)] =
+      rootDatas.flatMap(rm => rm.files
+        .filterNot { case (p, _) => rewrittenByVersion.exists {
+          case (w, names) => w > rm.v && names(p.getName) } }
+        .map { case (p, len) => (rm, p, len) })
+    val all: Seq[FileMeta] = parMap(fileTasks) { case (rm, p, len) =>
       // current manifests key by file NAME (dir-relocatable — a
       // staged CTAS/RTAS generation publishes by rename); the
       // path-keyed lookups serve legacy manifests
-      val stat = rm.statRows.get(st.getPath.getName)
-        .orElse(rm.statRows.get(st.getPath.toString))
-        .orElse(rm.statRows.get(st.getPath.toUri.toString))
+      val stat = rm.statRows.get(p.getName)
+        .orElse(rm.statRows.get(p.toString))
+        .orElse(rm.statRows.get(p.toUri.toString))
       // row count from the manifest's `rows` column (decoded from the
       // footers the COMMIT already had open — writeStats) — the footer
       // open here serves only legacy manifests and stats-less tables,
@@ -1317,7 +1495,8 @@ private[graft] object LakehouseBatch {
       val rows = stat.flatMap { r =>
         val i = r.schema.fieldNames.indexOf("rows")
         if (i < 0 || r.isNullAt(i)) None else Some(r.getLong(i))
-      }.getOrElse(footerRowCount(fs, conf, st.getPath))
+      }.orElse(rm.knownRows.get(p.getName))
+        .getOrElse(footerRowCount(fs, conf, p))
       // a 0-row file (empty input to an append) plans no task, carries
       // no stats row, and must not defeat min/max coverage
       if (rows == 0L) None
@@ -1327,16 +1506,15 @@ private[graft] object LakehouseBatch {
         // for scan statistics (a later DV never re-deletes an
         // already-masked position — deleteRowsMoR's identity pass
         // reads through the mask — so the sum is exact)
-        val name = st.getPath.getName
+        val name = p.getName
         val dvRefs = dvByVersion.filter(_._1 > rm.v)
           .flatMap { case (_, idx, counts) =>
-            idx.get(name).map(p => (p, counts.getOrElse(name, 0L)))
+            idx.get(name).map(sp => (sp, counts.getOrElse(name, 0L)))
           }
         val dv =
           if (dvRefs.isEmpty) None
           else Some(DvRef(dvRefs.map(_._1), dvRefs.map(_._2).sum))
-        Some(FileMeta(st.getPath.toString, rm.v, st.getLen, rows, stat,
-          dv))
+        Some(FileMeta(p.toString, rm.v, len, rows, stat, dv))
       }
     }.flatten
     val covered = all.forall(_.stats.isDefined)
@@ -1357,7 +1535,7 @@ private[graft] object LakehouseBatch {
           fn.contains(lo) && fn.contains(hi)
         }
       }
-    val bloomManifests = rootMetas.filter(_.mBlooms.nonEmpty)
+    val bloomManifests = rootDatas.filter(_.mBlooms.nonEmpty)
       .map(rm => rm.v -> ((rm.manifestParts, rm.mBlooms))).toMap
     TableMeta(path, all, statsCols, covered && all.nonEmpty, bloomCols,
       eqDels, bloomManifests, coveredCols)

@@ -650,8 +650,25 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     finally Lakehouse.MicrosScope.exit(spark)
     beforeCommit()
     fs.create(new Path(vdir, marker), false).close() // the commit point
+    // auto-checkpoint: fold the chain's metadata into one snapshot file
+    // every N commits so resolve reads checkpoint + tail instead of
+    // O(#commits) dirs. Best-effort DERIVED state — a failure here can
+    // never fail the commit, and readers fall back to the plain walk.
+    try MetaCheckpoint.maybeCheckpoint(spark, fs,
+      spark.sparkContext.hadoopConfiguration, dest)
+    catch { case scala.util.control.NonFatal(_) => () }
     vdir
   }
+
+  /** Fold the commit chain's metadata into one checkpoint file NOW
+    * (`CALL graft.system.checkpoint` / operator API) — see
+    * [[MetaCheckpoint]]. Returns false when the chain has an
+    * unprovable shape (nothing written; reads are unaffected).
+    */
+  def checkpoint(name: String): Boolean =
+    MetaCheckpoint.writeCheckpoint(spark, fs,
+      spark.sparkContext.hadoopConfiguration,
+      new Path(tablePath(name)))
 
   /** Atomic dir rename where a vanished source means "the other mover
     * won the race" (false) — the protocol's idempotent-mover contract.
@@ -2508,8 +2525,25 @@ object Lakehouse {
 
     /** (version, dir) for every `_v<N>` subdir, committed or not. */
     def versionDirs(fs: FileSystem, dest: Path): Seq[(Long, Path)] =
+      versionDirStatuses(fs, dest).map { case (v, st) => (v, st.getPath) }
+
+    /** [[versionDirs]] with the listing's full FileStatus — the dir
+      * mtime is the checkpoint protocol's change detector (a commit
+      * marker or any direct-child change bumps it; committed dirs are
+      * otherwise immutable and only ever removed whole).
+      */
+    def versionDirStatuses(fs: FileSystem, dest: Path)
+        : Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
       if (!fs.exists(dest)) Seq.empty
-      else fs.listStatus(dest).toSeq.collect {
+      else versionDirStatusesOf(fs.listStatus(dest).toSeq)
+
+    /** [[versionDirStatuses]] over an ALREADY-FETCHED table-root
+      * listing — the checkpoint paths reuse one listing for plain
+      * files, version dirs and identity validation.
+      */
+    def versionDirStatusesOf(listing: Seq[org.apache.hadoop.fs.FileStatus])
+        : Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
+      listing.collect {
         // suffix guards: nonEmpty (a stray dir named exactly "_v" must
         // not crash ""+toLong) and bounded length (Long overflow)
         case st if st.isDirectory && {
@@ -2518,7 +2552,7 @@ object Lakehouse {
             suffix.nonEmpty && suffix.length <= 18 &&
             suffix.forall(_.isDigit)
         } =>
-          (st.getPath.getName.drop(VersionPrefix.length).toLong, st.getPath)
+          (st.getPath.getName.drop(VersionPrefix.length).toLong, st)
       }
 
     /** None = uncommitted; Some(true) = full snapshot; Some(false) =

@@ -1,0 +1,88 @@
+package graft.tools
+
+import graft.storage.Lakehouse
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Commit-chain-length stress for METADATA CHECKPOINTING (VERDICT r8
+  * task 1): before it, cold resolve walked every commit (one listing +
+  * one manifest read each) and even a WARM cache hit re-listed every
+  * `_v*` dir to fingerprint the chain — O(#commits) RPCs per query,
+  * forever. With checkpoints the walk reads ONE state file + the tail
+  * above it, and the warm fingerprint validates covered dirs from the
+  * single parent listing.
+  *
+  * One table grows through checkpoints: at each requested chain length
+  * N (default 250 / 1000 / 2000 commits) the harness reports
+  *   - `cold_ms`: resolve with the snapshot cache OFF but the
+  *     checkpoint ON (state decode is cached; this is the steady-state
+  *     cold cost) — must stay ~flat as N grows (only the root listing
+  *     and the ≤interval tail scale);
+  *   - `cold_first_ms`: same but with the checkpoint state cache
+  *     dropped — adds the one-time gzip+JSON decode (O(N), paid once
+  *     per checkpoint file per driver);
+  *   - `plain_ms`: the pre-checkpoint walk (`spark.graft.useCheckpoint
+  *     =false`) — the O(#commits) baseline the checkpoint removes;
+  *   - `warm_ms`: snapshot-cache hit (fingerprint validation only) —
+  *     O(tail), the per-query cost of an unchanged table.
+  * Asserts per N: the resolve was SERVED by the checkpoint, zero data-
+  * file footer opens, exact row counts.
+  *
+  * Usage: `sbt "runMain graft.tools.StressCkpt [chainLengths...]"`.
+  * One JSON line per N.
+  */
+object StressCkpt {
+  def main(args: Array[String]): Unit = {
+    val ns = if (args.nonEmpty) args.toSeq.map(_.toInt)
+      else Seq(250, 1000, 2000)
+    val spark = graft.GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckptstress")
+    val schema = StructType.fromDDL("k BIGINT, v BIGINT")
+    val lake = new Lakehouse(spark, dir.toString)
+    val LB = graft.sources.LakehouseBatch
+    val path = lake.tablePath("t")
+    var committed = 0
+    import StressUtil.{timed, timedValue}
+
+    val out = for (n <- ns.sorted) yield {
+      while (committed < n) {
+        lake.append("t",
+          spark.range(committed * 100L, committed * 100L + 100L, 1L, 1)
+            .select(col("id").as("k"), (col("id") * 3).as("v")),
+          statsCols = Seq("k"))
+        committed += 1
+      }
+      // the auto-checkpoint (interval 20) has been riding the appends;
+      // fold once more so the tail is small and deterministic
+      require(lake.checkpoint("t"), s"n=$n checkpoint write failed")
+      spark.conf.set("spark.graft.metaCacheEntries", "0")
+      val opens0 = LB.footerOpens.get()
+      val served0 = LB.ckptServes.get()
+      val (meta, tColdFirstRaw) = timedValue(LB.resolve(path))
+      require(LB.ckptServes.get() > served0,
+        s"n=$n resolve was not served by the checkpoint")
+      require(LB.footerOpens.get() == opens0,
+        s"n=$n plan-time footer opens > 0")
+      require(meta.dataFiles.map(_.rowCount).sum == n * 100L,
+        s"n=$n wrong row count")
+      // drop the decoded-state cache to price the one-time decode
+      val tColdFirst = {
+        graft.storage.MetaCheckpoint.dropStateCache()
+        timed { LB.resolve(path); () }
+      }
+      val tCold = (1 to 3).map(_ => timed { LB.resolve(path); () }).min
+      val tPlain = {
+        spark.conf.set("spark.graft.useCheckpoint", "false")
+        try timed { LB.resolve(path); () }
+        finally spark.conf.set("spark.graft.useCheckpoint", "true")
+      }
+      spark.conf.set("spark.graft.metaCacheEntries", "64")
+      LB.resolve(path) // populate the snapshot cache
+      val tWarm = (1 to 3).map(_ => timed { LB.resolve(path); () }).min
+      f"""{"n":$n,"files":${meta.dataFiles.length},"cold_first_ms":${tColdFirst * 1000}%.0f,"cold_ms":${tCold * 1000}%.0f,"plain_ms":${tPlain * 1000}%.0f,"warm_ms":${tWarm * 1000}%.0f,"cold_first_raw_ms":${tColdFirstRaw * 1000}%.0f}"""
+    }
+    out.foreach(println)
+    spark.stop()
+  }
+}

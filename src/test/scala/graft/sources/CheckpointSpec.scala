@@ -1,0 +1,200 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.{Lakehouse, MetaCheckpoint}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Metadata checkpointing (MetaCheckpoint): resolve must serve COVERED
+  * commits from one checkpoint file — zero per-commit listings, zero
+  * manifest reads, zero footer opens — while composing exactly with
+  * tail commits, MoR masks, fulls, vacuum and staleness. The
+  * checkpoint is DERIVED state: every suspicious shape must fall back
+  * to the plain walk, never to a wrong answer.
+  */
+class CheckpointSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("grp", StringType),
+    StructField("ts", TimestampType),
+    StructField("amt", DecimalType(18, 2))))
+
+  private def rows(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map { i =>
+      (i.toLong, s"g${i % 3}",
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 27 + 1}%02d 10:00:00"),
+        new java.math.BigDecimal(s"$i.25"))
+    }.toDF("k", "grp", "ts", "amt")
+      .select(col("k"), col("grp"), col("ts"),
+        col("amt").cast("decimal(18,2)"))
+  }
+
+  private def v2(path: String) =
+    spark.read.format("graft.sources.LakehouseBatchProvider")
+      .schema(schema).load(path)
+
+  private def mkLake(prefix: String): (Lakehouse, String) = {
+    val lake = new Lakehouse(spark, tmpDir(prefix))
+    (lake, lake.tablePath("t"))
+  }
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("checkpointed resolve: identical snapshot, zero footer opens, " +
+    "zone maps and pushdowns survive the round trip") {
+    val (lake, path) = mkLake("ckpt-roundtrip")
+    withSQLConf("spark.graft.checkpointIntervalCommits" -> "0",
+      "spark.graft.metaCacheEntries" -> "0") {
+      lake.append("t", rows(0, 100).repartition(1),
+        statsCols = Seq("k", "ts"))
+      lake.append("t", rows(100, 200).repartition(1),
+        statsCols = Seq("k", "ts"))
+      lake.append("t", rows(200, 300).repartition(1)) // rows-only
+      val before = v2(path).orderBy("k").collect().toSeq
+      assert(lake.checkpoint("t"))
+      val s0 = LakehouseBatch.ckptServes.get()
+      val o0 = LakehouseBatch.footerOpens.get()
+      val meta = LakehouseBatch.resolve(path)
+      assert(LakehouseBatch.ckptServes.get() == s0 + 1,
+        "resolve must serve through the checkpoint")
+      assert(LakehouseBatch.footerOpens.get() == o0,
+        "covered resolve must open zero data-file footers")
+      assert(meta.dataFiles.map(_.rowCount).sum == 300)
+      assert(v2(path).orderBy("k").collect().toSeq == before)
+      // zone maps decoded from the checkpoint still prune files:
+      // commit 1 is provably out of range; commit 3 is rows-only and
+      // must be KEPT (absent stats are not all-null stats)
+      val q = v2(path).filter(col("k") >= 120L && col("k") < 180L)
+      assert(q.queryExecution.executedPlan.toString.contains("files: 2/3"),
+        q.queryExecution.executedPlan.toString)
+      assert(q.count() == 60L)
+      // timestamp zone maps survive the typed round trip
+      assert(v2(path)
+        .filter(col("ts") === ts("2024-01-05 10:00:00")).count() ==
+        (0 until 300).count(i => i % 27 + 1 == 5))
+      // COUNT pushes from checkpoint metadata; min/max declines per
+      // column (commit 3 is rows-only — the mixed-coverage rule)
+      val c = v2(path).agg(count(lit(1)).as("n"))
+      assert(c.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"))
+      assert(c.head().getLong(0) == 300L)
+      assert(v2(path).agg(max(col("k"))).head().getLong(0) == 299L)
+    }
+  }
+
+  test("tail commits compose over a checkpoint: appends, MoR deletes " +
+    "masking covered files, eq-del tombstones") {
+    val (lake, path) = mkLake("ckpt-tail")
+    withSQLConf("spark.graft.checkpointIntervalCommits" -> "0",
+      "spark.graft.metaCacheEntries" -> "0") {
+      lake.append("t", rows(0, 100), statsCols = Seq("k"))
+      lake.append("t", rows(100, 200), statsCols = Seq("k"))
+      assert(lake.checkpoint("t"))
+      // tail: an append, a DV delete whose masks hit COVERED files,
+      // and an equality delete
+      lake.append("t", rows(200, 250), statsCols = Seq("k"))
+      lake.deleteRowsMoR("t", schema, col("k") < 10L)
+      import spark.implicits._
+      lake.deleteByKeys("t", schema, Seq(150L, 220L).toDF("k"), () => ())
+      val s0 = LakehouseBatch.ckptServes.get()
+      val got = v2(path).select("k").collect().map(_.getLong(0)).sorted
+      assert(LakehouseBatch.ckptServes.get() > s0)
+      assert(got.toSeq ==
+        (10L until 250L).filterNot(Set(150L, 220L)).toSeq)
+      // the DV over covered files reports exact deleted counts
+      val meta = LakehouseBatch.resolve(path)
+      assert(meta.dataFiles.map(f =>
+        f.rowCount - f.dv.map(_.deleted).getOrElse(0L)).sum == 240L)
+    }
+  }
+
+  test("a FULL commit in the tail shadows covered commits; vacuum of " +
+    "covered dirs below a full keeps the checkpoint valid") {
+    val (lake0, path) = mkLake("ckpt-full")
+    val lake = new Lakehouse(spark, new Path(path).getParent.toString,
+      gcGraceMs = 0L)
+    withSQLConf("spark.graft.checkpointIntervalCommits" -> "0",
+      "spark.graft.metaCacheEntries" -> "0") {
+      lake.append("t", rows(0, 80), statsCols = Seq("k"))
+      lake.append("t", rows(80, 160), statsCols = Seq("k"))
+      assert(lake.checkpoint("t"))
+      // FULL in the tail: compact replaces the covered deltas and (with
+      // zero grace + no retention) deletes their dirs
+      lake.compact("t", schema, numFiles = 1, sortCols = Seq("k"))
+      val s0 = LakehouseBatch.ckptServes.get()
+      assert(v2(path).count() == 160L)
+      assert(LakehouseBatch.ckptServes.get() > s0,
+        "missing covered dirs below a full must not invalidate")
+      assert(v2(path).agg(min(col("k")), max(col("k"))).head() ==
+        org.apache.spark.sql.Row(0L, 159L))
+      // checkpoint again above the full; further reads re-cover
+      assert(lake.checkpoint("t"))
+      lake.append("t", rows(160, 200), statsCols = Seq("k"))
+      assert(v2(path).count() == 200L)
+    }
+  }
+
+  test("a mutated covered dir distrusts the checkpoint (plain-walk " +
+    "fallback, same answer)") {
+    val (lake, path) = mkLake("ckpt-stale")
+    withSQLConf("spark.graft.checkpointIntervalCommits" -> "0",
+      "spark.graft.metaCacheEntries" -> "0") {
+      lake.append("t", rows(0, 50), statsCols = Seq("k"))
+      assert(lake.checkpoint("t"))
+      // simulate the impossible: a committed dir's identity moves
+      // (here: a stray file lands inside it)
+      val fs = fsOf(path)
+      val vdir = graft.storage.Lakehouse.Protocol
+        .versionDirs(fs, new Path(path)).head._2
+      Thread.sleep(5L)
+      fs.create(new Path(vdir, "_stray"), true).close()
+      val s0 = LakehouseBatch.ckptServes.get()
+      assert(v2(path).count() == 50L)
+      assert(LakehouseBatch.ckptServes.get() == s0,
+        "a moved committed-dir mtime must fall back to the plain walk")
+    }
+  }
+
+  test("auto-checkpoint fires on the configured cadence and the warm " +
+    "path stops listing covered dirs") {
+    val (lake, path) = mkLake("ckpt-auto")
+    withSQLConf("spark.graft.checkpointIntervalCommits" -> "5") {
+      (0 until 6).foreach(i =>
+        lake.append("t", rows(i * 10, i * 10 + 10), statsCols = Seq("k")))
+      val fs = fsOf(path)
+      assert(MetaCheckpoint.listCkptFiles(fs, new Path(path)).nonEmpty,
+        "6 commits at interval 5 must have produced a checkpoint")
+      assert(v2(path).count() == 60L)
+      // warm hit through the checkpoint-aware fingerprint
+      val h0 = LakehouseBatch.metaCacheHits
+      assert(v2(path).count() == 60L)
+      assert(LakehouseBatch.metaCacheHits > h0)
+    }
+  }
+
+  test("CALL graft.system.checkpoint works from SQL") {
+    val wh = tmpDir("ckpt-sql-wh")
+    withSQLConf(
+      "spark.sql.catalog.graftckpt" -> "graft.sources.GraftCatalog",
+      "spark.sql.catalog.graftckpt.root" -> wh,
+      "spark.graft.checkpointIntervalCommits" -> "0",
+      "spark.graft.metaCacheEntries" -> "0") {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftckpt.cdb")
+      spark.sql("CREATE TABLE graftckpt.cdb.ct (k BIGINT, v STRING)")
+      spark.sql("INSERT INTO graftckpt.cdb.ct VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO graftckpt.cdb.ct VALUES (3, 'c')")
+      spark.sql("CALL graftckpt.system.checkpoint('cdb', 'ct')")
+      val fs = fsOf(wh)
+      assert(MetaCheckpoint.listCkptFiles(fs,
+        new Path(s"$wh/cdb/ct")).nonEmpty)
+      val s0 = LakehouseBatch.ckptServes.get()
+      assert(spark.sql("SELECT count(*) FROM graftckpt.cdb.ct")
+        .head().getLong(0) == 3L)
+      assert(LakehouseBatch.ckptServes.get() > s0)
+      spark.sql("DROP TABLE graftckpt.cdb.ct")
+    }
+  }
+}
