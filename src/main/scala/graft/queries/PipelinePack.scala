@@ -1516,6 +1516,71 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           sum(CAST(trans_id AS BIGINT)) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graftq91.q91.fact GROUP BY 1""")
+    }),
+
+    // q92 — COUNT(*) PUSHED under OUTSTANDING equality-delete
+    // tombstones: the takedown commit records its exact per-file
+    // matched counts (`_eq_counts`, the `_dv_counts` pattern), so the
+    // table-wide count stays a pure-metadata answer — Σ(rows − dv −
+    // matched) — instead of falling back to a masked scan the moment a
+    // tombstone lands. The `require` pins the mechanism (the plan must
+    // carry PushedAggregation with the tombstone delta still pending);
+    // the oracle pins the VALUE. At 100 TB: opt-out deletes land all
+    // day and `SELECT count(*)` stays a dashboard-latency answer, not
+    // a table scan.
+    "q92_count_pushed_eqdel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q92")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "trans_id STRING, trans_date TIMESTAMP, amt DECIMAL(18,2)")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val src = ordersAsFact(s, d)
+      lake.append("fact",
+        src.select(col("trans_id"), col("trans_date"), col("amt")),
+        statsCols = Seq("trans_date"))
+      lake.deleteByKeys("fact", schema,
+        src.filter(col("_slice") % 5 === 0).select(col("trans_id")),
+        () => ())
+      val t = s.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(schema).load(lake.tablePath("fact"))
+      val q = t.agg(count(lit(1L)).as("n"))
+      require(q.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"),
+        "q92: COUNT must stay pushed with tombstones outstanding")
+      q
+    }),
+
+    // q93 — MIN/MAX PUSHED under OUTSTANDING deletion vectors: the MoR
+    // delete records post-mask per-file extremes (`_extremes`) next to
+    // its sidecars, so carving both ends out of the key range still
+    // answers MIN/MAX from metadata — and with the MASKED values (the
+    // manifest zone maps alone would resurrect a deleted extreme,
+    // which is why any DV declined this pushdown before round 9). The
+    // oracle recomputes the same extremes from the surviving rows. At
+    // 100 TB: point deletes stop demoting every MIN/MAX dashboard
+    // query to a full scan until the next compaction.
+    "q93_minmax_pushed_dv" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q93")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "okey BIGINT, trans_date TIMESTAMP, amt DECIMAL(18,2)")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val src = ordersAsFact(s, d)
+        .select(col("_slice").as("okey"), col("trans_date"), col("amt"))
+      lake.append("fact", src, statsCols = Seq("okey"))
+      val hi = src.agg(max(col("okey"))).head().getLong(0)
+      // carve out both extremes: the smallest and largest 10% of keys
+      lake.deleteRowsMoR("fact", schema,
+        col("okey") <= hi / 10L || col("okey") > hi - hi / 10L)
+      val t = s.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(schema).load(lake.tablePath("fact"))
+      val q = t.agg(
+        min(col("okey")).as("lo"), max(col("okey")).as("hi"),
+        count(lit(1L)).as("n"))
+      require(q.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"),
+        "q93: MIN/MAX must stay pushed with DVs outstanding")
+      q
     })
   )
 
@@ -1619,6 +1684,16 @@ FROM (
     CAST(o_totalprice AS DECIMAL(18,2)) + 1000
   FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0
 ) GROUP BY 1""",
+    "q92_count_pushed_eqdel" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey % 5 <> 0""",
+    "q93_minmax_pushed_dv" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+SELECT CAST(min(o_orderkey) AS BIGINT) AS lo,
+  CAST(max(o_orderkey) AS BIGINT) AS hi,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders, mx
+WHERE o_orderkey > m // 10 AND o_orderkey <= m - m // 10""",
     // survivors of the two-file MoR delete (80% of the k%3=0 file, 5%
     // of the k%3=1 file) plus the post-rewrite re-insert at +1000 —
     // the rewrite itself must be INVISIBLE to the result (it moves

@@ -172,14 +172,6 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
     */
   private def tryPushAgg(agg: Aggregation, probeOnly: Boolean): Boolean = {
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
-    // equality-delete tombstones make every metadata answer an
-    // over-report (matched rows are unknown until probed) — decline
-    // wholesale. Deletion vectors only poison MIN/MAX (a masked row
-    // could be the extreme); COUNT(*) stays exact because each file's
-    // sidecar headers carry its exact deleted cardinality:
-    // count = Σ(footer rows − dv deleted).
-    if (meta.eqDels.nonEmpty) return false
-    val anyDv = meta.dataFiles.exists(_.dv.isDefined)
     def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -190,21 +182,41 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
       agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
           Some((StructField("count(*)", LongType, nullable = false), "count"))
-        // min/max soundness needs every live file's stat row to carry
-        // min_c/max_c for THIS column (meta.coveredCols) — mere stats-
-        // row presence is not enough: rows-only manifests would fold
-        // extremes over a subset of the files and answer wrong
+        // min/max soundness needs every live file's EFFECTIVE stat row
+        // (the post-mask `_extremes` row for a DV'd file, the manifest
+        // row otherwise — meta.coveredCols encodes exactly that) to
+        // carry min_c/max_c for THIS column; mere stats-row presence is
+        // not enough: rows-only manifests would fold extremes over a
+        // subset of the files and answer wrong
         case m: Min => columnOf(m.column).collect {
-          case c if meta.coveredCols.contains(c) && !anyDv =>
+          case c if meta.coveredCols.contains(c) =>
             (StructField(s"min($c)", full(c).dataType), s"min:$c")
         }
         case m: Max => columnOf(m.column).collect {
-          case c if meta.coveredCols.contains(c) && !anyDv =>
+          case c if meta.coveredCols.contains(c) =>
             (StructField(s"max($c)", full(c).dataType), s"max:$c")
         }
         case _ => None
       }
     if (wanted.exists(_.isEmpty) || wanted.isEmpty) return false
+    // equality-delete tombstones: COUNT(*) stays pushed when EVERY
+    // tombstone commit recorded exact per-file matched counts covering
+    // every lower-version live file — count = Σ(rows − dv − matched)
+    // with all three sets disjoint by the masked-identity-pass rule.
+    // An ABSENT entry means "unknown" (a rebase moved the tombstone
+    // above a rewrite), never zero. MIN/MAX under tombstones stays
+    // declined wholesale: the masked rows' extremes are unknowable
+    // from metadata.
+    if (meta.eqDels.nonEmpty) {
+      if (wanted.flatten.exists(_._2 != "count")) return false
+      val countsOk = meta.eqDels.forall { case (ev, _, _) =>
+        meta.eqDelCounts.get(ev).exists { m =>
+          meta.dataFiles.forall(f => f.version >= ev ||
+            m.contains(new Path(f.path).getName))
+        }
+      }
+      if (!countsOk) return false
+    }
     if (probeOnly) return true
     val vals = LakehouseBatch.computeAgg(meta, wanted.flatten.map(_._2), full)
     aggResult = Some((StructType(wanted.flatten.map(_._1)), vals))
@@ -767,7 +779,8 @@ private[graft] object LakehouseBatch {
     */
   final case class FileMeta(path: String, version: Long, sizeBytes: Long,
       rowCount: Long, stats: Option[org.apache.spark.sql.Row],
-      dv: Option[DvRef] = None)
+      dv: Option[DvRef] = None,
+      dvStats: Option[org.apache.spark.sql.Row] = None)
 
   /** Deletion-vector reference of one data file: the applicable sidecar
     * PATHS (opened executor-side by the partition reader) and the exact
@@ -775,12 +788,23 @@ private[graft] object LakehouseBatch {
     */
   final case class DvRef(sidecars: Seq[String], deleted: Long)
 
+  /** One DV commit as the planner sees it: version, file→sidecar path,
+    * file→exact deleted count, and (when the commit recorded them)
+    * file→POST-MASK extremes row — the `_extremes` manifest that keeps
+    * MIN/MAX pushdown and zone-map pruning exact under outstanding
+    * deletion vectors.
+    */
+  final case class DvCommit(v: Long, idx: Map[String, String],
+      counts: Map[String, Long],
+      extremes: Map[String, org.apache.spark.sql.Row] = Map.empty)
+
   final case class TableMeta(path: String, dataFiles: Seq[FileMeta],
       statsCols: Set[String], fullyCovered: Boolean,
       bloomCols: Set[String] = Set.empty,
       eqDels: Seq[(Long, String, Seq[String])] = Nil,
       bloomManifests: Map[Long, (Seq[String], Set[String])] = Map.empty,
-      coveredCols: Set[String] = Set.empty) {
+      coveredCols: Set[String] = Set.empty,
+      eqDelCounts: Map[Long, Map[String, Long]] = Map.empty) {
     /** Per-snapshot accumulating cache of DECODED bloom probes, loaded
       * lazily by [[skipFiles]] — rides the TableMeta so the snapshot
       * cache keeps warm probes across queries. Never serialized.
@@ -1090,6 +1114,7 @@ private[graft] object LakehouseBatch {
     meta.dataFiles.foldLeft(256L) { (acc, f) =>
       acc + 120L + 2L * f.path.length +
         f.stats.map(rowBytes).getOrElse(0L) +
+        f.dvStats.map(rowBytes).getOrElse(0L) +
         f.dv.map(d => 64L + d.sidecars.map(2L * _.length + 48L).sum)
           .getOrElse(0L)
     }
@@ -1247,13 +1272,20 @@ private[graft] object LakehouseBatch {
         (v, new Path(dest, rel).toString, cols) }
       case (v, Right(p)) => eqDelOf(fs, conf, v, p)
     }
-    val dvByVersion: Seq[(Long, Map[String, String], Map[String, Long])] =
+    val eqDelCounts: Map[Long, Map[String, Long]] = live.flatMap {
+      case (v, Left(r)) => r.eqCounts.map(v -> _)
+      case (v, Right(p)) =>
+        eqDels.collectFirst { case (`v`, dir, _) =>
+          eqDelCountsOf(fs, new Path(dir)).map(v -> _) }.flatten
+    }.toMap
+    val dvByVersion: Seq[DvCommit] =
       live.flatMap {
         case (v, Left(r)) =>
           if (r.dvIndex.isEmpty) None
-          else Some((v, r.dvIndex.map { case (n, rel) =>
-            n -> new Path(dest, rel).toString }, r.dvCounts))
-        case (v, Right(p)) => dvOf(fs, v, p)
+          else Some(DvCommit(v, r.dvIndex.map { case (n, rel) =>
+            n -> new Path(dest, rel).toString }, r.dvCounts,
+            MetaCheckpoint.decodeDvExtremes(r)))
+        case (v, Right(p)) => dvOf(fs, conf, v, p)
       }
     val walked = parMap(live.collect { case (v, Right(p)) => (v, p) }) {
       case (v, p) => walkRoot(spark, conf, fs, v, p)
@@ -1262,7 +1294,7 @@ private[graft] object LakehouseBatch {
       MetaCheckpoint.toRootData(dest, r) }
     ckptServes.incrementAndGet()
     Some(foldRoots(path, (decoded ++ walked).sortBy(_.v), dvByVersion,
-      eqDels, fs, conf))
+      eqDels, fs, conf, eqDelCounts))
   }
 
   /** Test observability: resolves served through a checkpoint (a
@@ -1322,6 +1354,9 @@ private[graft] object LakehouseBatch {
     // through SQL while Lakehouse.read served them fine.
     val eqDels: Seq[(Long, String, Seq[String])] =
       roots.flatMap { case (v, p) => eqDelOf(fs, conf, v, p) }
+    val eqDelCounts: Map[Long, Map[String, Long]] =
+      eqDels.flatMap { case (v, dir, _) =>
+        eqDelCountsOf(fs, new Path(dir)).map(v -> _) }.toMap
     // deletion vectors ARE served natively (deleteRowsMoR): positional
     // tombstones apply per FILE at read time, no join stage needed. A
     // DV committed at version w masks (file, pos) rows of files in
@@ -1335,8 +1370,8 @@ private[graft] object LakehouseBatch {
     // counts come from the commit's `_dv_counts` index (one small read
     // per DV commit) — per-file header reads survive only for legacy
     // commits without one
-    val dvByVersion: Seq[(Long, Map[String, String], Map[String, Long])] =
-      roots.flatMap { case (v, p) => dvOf(fs, v, p) }
+    val dvByVersion: Seq[DvCommit] =
+      roots.flatMap { case (v, p) => dvOf(fs, conf, v, p) }
     // ——— parallel metadata walk ———
     // The walk is pure IO: one listing + one manifest read per ROOT,
     // one footer open (+ DV header reads) per FILE. Both phases fan out
@@ -1347,7 +1382,8 @@ private[graft] object LakehouseBatch {
     val rootDatas: Seq[RootData] = parMap(roots) { case (v, root) =>
       walkRoot(spark, conf, fs, v, root)
     }
-    foldRoots(path, rootDatas, dvByVersion, eqDels, fs, conf)
+    foldRoots(path, rootDatas, dvByVersion, eqDels, fs, conf,
+      eqDelCounts)
   }
 
   /** Equality-delete tombstone of one root: (version, eqdel dir, key
@@ -1372,18 +1408,54 @@ private[graft] object LakehouseBatch {
       }
   }
 
-  /** Deletion-vector commit of one root: (version, name→sidecar path,
-    * name→deleted count). Counts come from the commit's `_dv_counts`
-    * index (one small read per DV commit) — per-file header reads
-    * survive only for legacy commits without one.
+  /** Deletion-vector commit of one root. Counts come from the commit's
+    * `_dv_counts` index (one small read per DV commit) — per-file
+    * header reads survive only for legacy commits without one; the
+    * post-mask extremes manifest loads driver-side the same way (also
+    * one small read, absent on commits that declined to record it).
     */
-  private[graft] def dvOf(fs: FileSystem, v: Long,
-      p: Path): Option[(Long, Map[String, String], Map[String, Long])] = {
+  private[graft] def dvOf(fs: FileSystem, conf: Configuration, v: Long,
+      p: Path): Option[DvCommit] = {
     val dvDir = new Path(p, Protocol.DvDir)
     val idx = graft.storage.DvSidecar.index(fs, dvDir)
     if (idx.isEmpty) None
-    else Some((v, idx,
-      graft.storage.DvSidecar.deletedCounts(fs, dvDir, idx)))
+    else {
+      val exDir = new Path(dvDir, Protocol.DvExtremesDir)
+      val extremes: Map[String, org.apache.spark.sql.Row] =
+        if (!fs.exists(exDir)) Map.empty
+        else {
+          val parts = fs.listStatus(exDir).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).map(_.toString)
+          graft.storage.FooterStats
+            .readManifest(conf, parts.toIndexedSeq, _ => false) match {
+            case Some((_, rows)) => rows.map(r =>
+              r.getString(r.fieldIndex("file")) -> r).toMap
+            case None => Map.empty // unreadable → pushdown declines
+          }
+        }
+      Some(DvCommit(v, idx,
+        graft.storage.DvSidecar.deletedCounts(fs, dvDir, idx), extremes))
+    }
+  }
+
+  /** Matched-row counts of one equality-delete commit (`_eq_counts`,
+    * "name\tcount" lines) — None on legacy commits or when the writer
+    * opted out; callers then decline the COUNT pushdown.
+    */
+  private[graft] def eqDelCountsOf(fs: FileSystem,
+      eqDelDir: Path): Option[Map[String, Long]] = {
+    val f = new Path(eqDelDir,
+      graft.storage.Lakehouse.Protocol.EqDelCountsFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val t = l.lastIndexOf('\t')
+          l.substring(0, t) -> l.substring(t + 1).toLong
+        }.toMap)
+      finally in.close()
+    }
   }
 
   /** Per-root metadata the fold needs: the data files (path, size), the
@@ -1465,9 +1537,11 @@ private[graft] object LakehouseBatch {
     * references per file, compute per-column min/max coverage.
     */
   private[graft] def foldRoots(path: String, rootDatas: Seq[RootData],
-      dvByVersion: Seq[(Long, Map[String, String], Map[String, Long])],
+      dvByVersion: Seq[DvCommit],
       eqDels: Seq[(Long, String, Seq[String])],
-      fs: FileSystem, conf: Configuration): TableMeta = {
+      fs: FileSystem, conf: Configuration,
+      eqDelCounts: Map[Long, Map[String, Long]] = Map.empty)
+      : TableMeta = {
     val statsCols = rootDatas.flatMap(_.mStats).toSet
     val bloomCols = rootDatas.flatMap(_.mBlooms).toSet
     // files a HIGHER-version rewrite replaced plan no task at all: their
@@ -1507,14 +1581,22 @@ private[graft] object LakehouseBatch {
         // already-masked position — deleteRowsMoR's identity pass
         // reads through the mask — so the sum is exact)
         val name = p.getName
-        val dvRefs = dvByVersion.filter(_._1 > rm.v)
-          .flatMap { case (_, idx, counts) =>
-            idx.get(name).map(sp => (sp, counts.getOrElse(name, 0L)))
+        val dvRefs = dvByVersion.filter(_.v > rm.v)
+          .flatMap { dc =>
+            dc.idx.get(name).map(sp =>
+              (dc.v, sp, dc.counts.getOrElse(name, 0L),
+                dc.extremes.get(name)))
           }
         val dv =
           if (dvRefs.isEmpty) None
-          else Some(DvRef(dvRefs.map(_._1), dvRefs.map(_._2).sum))
-        Some(FileMeta(p.toString, rm.v, len, rows, stat, dv))
+          else Some(DvRef(dvRefs.map(_._2), dvRefs.map(_._3).sum))
+        // post-mask extremes from the HIGHEST DV naming this file: that
+        // commit's survivors were read through every lower mask, so its
+        // extremes are exact under all outstanding DVs (and only ever
+        // conservative-wide under later eq-del tombstones — still sound
+        // for pruning; the agg gate separately requires zero eq-dels)
+        val dvStats = dvRefs.maxByOption(_._1).flatMap(_._4)
+        Some(FileMeta(p.toString, rm.v, len, rows, stat, dv, dvStats))
       }
     }.flatten
     val covered = all.forall(_.stats.isDefined)
@@ -1524,21 +1606,26 @@ private[graft] object LakehouseBatch {
     // file is "covered" for COUNT but proves nothing about extremes.
     // Folding extremes over only the files that happen to carry the
     // column would silently drop the true extreme, so a column is
-    // eligible only when EVERY live file's stat row schema contains
-    // both min_c and max_c (a null VALUE is fine — all-null file).
+    // eligible only when EVERY live file's EFFECTIVE stat row — the
+    // post-mask extremes for a DV'd file (a masked row could be the
+    // manifest extreme), the manifest row otherwise — carries both
+    // min_c and max_c (a null VALUE is fine — all-null file).
     val coveredCols: Set[String] =
       if (!covered || all.isEmpty) Set.empty
       else statsCols.filter { c =>
         val (lo, hi) = (s"min_$c", s"max_$c")
         all.forall { f =>
-          val fn = f.stats.get.schema.fieldNames
-          fn.contains(lo) && fn.contains(hi)
+          val eff = if (f.dv.isDefined) f.dvStats else f.stats
+          eff.exists { r =>
+            val fn = r.schema.fieldNames
+            fn.contains(lo) && fn.contains(hi)
+          }
         }
       }
     val bloomManifests = rootDatas.filter(_.mBlooms.nonEmpty)
       .map(rm => rm.v -> ((rm.manifestParts, rm.mBlooms))).toMap
     TableMeta(path, all, statsCols, covered && all.nonEmpty, bloomCols,
-      eqDels, bloomManifests, coveredCols)
+      eqDels, bloomManifests, coveredCols, eqDelCounts)
   }
 
   /** Order-preserving bounded-parallel map over driver-side IO tasks.
@@ -1655,8 +1742,16 @@ private[graft] object LakehouseBatch {
       recur(f)
     }
     val noBloom = (_: String) => None: Option[Any => Boolean]
+    // EFFECTIVE row per file: a DV'd file prunes with its post-mask
+    // extremes when the commit recorded them — never wider than the
+    // manifest's range and only ever conservative under later masks,
+    // so substitution is always sound (and strictly tighter after
+    // deletes carved out a range)
+    def effective(fm: FileMeta): Option[org.apache.spark.sql.Row] =
+      fm.dvStats.orElse(fm.stats)
     val zoned = meta.dataFiles.filter { fm =>
-      fm.stats.forall(st => pushed.forall(f => mightMatch(st, f, noBloom)))
+      effective(fm).forall(st =>
+        pushed.forall(f => mightMatch(st, f, noBloom)))
     }
     // which bloom columns do the filters actually probe?
     def probedCols(f: Filter): Set[String] = f match {
@@ -1683,7 +1778,7 @@ private[graft] object LakehouseBatch {
       val name = new Path(fm.path).getName
       def bloomOf(c: String): Option[Any => Boolean] =
         meta.bloomCache.probe(fm.version, c, name, fm.path)
-      fm.stats.forall(st =>
+      effective(fm).forall(st =>
         pushed.forall(f => mightMatch(st, f, bloomOf)))
     }
   }
@@ -1731,12 +1826,27 @@ private[graft] object LakehouseBatch {
       full: StructType): Seq[Any] = {
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
     specs.map {
-      case "count" => meta.dataFiles.map(f =>
-        f.rowCount - f.dv.map(_.deleted).getOrElse(0L)).sum
+      case "count" => meta.dataFiles.map { f =>
+        val name = new Path(f.path).getName
+        // eq-del matched counts are exact AND disjoint from the DV
+        // deleted set (each commit's scan reads through every earlier
+        // mask); the pushdown gate verified coverage, so a missing
+        // entry here can only mean "this tombstone is not above this
+        // file" — zero by the sequence rule
+        val eqMatched = meta.eqDels.filter(_._1 > f.version)
+          .map { case (ev, _, _) =>
+            meta.eqDelCounts.getOrElse(ev, Map.empty)
+              .getOrElse(name, 0L)
+          }.sum
+        f.rowCount - f.dv.map(_.deleted).getOrElse(0L) - eqMatched
+      }.sum
       case s =>
         val Array(kind, c) = s.split(":", 2)
-        val vals = meta.dataFiles.flatMap(_.stats).flatMap(r =>
-          get(r, s"${kind}_$c"))
+        // EFFECTIVE stats: a DV'd file answers from its post-mask
+        // extremes row (the gate guaranteed it exists for c)
+        val vals = meta.dataFiles
+          .flatMap(f => if (f.dv.isDefined) f.dvStats else f.stats)
+          .flatMap(r => get(r, s"${kind}_$c"))
         val folded =
           if (vals.isEmpty) null
           else if (kind == "min") vals.reduce((a, b) =>

@@ -1357,10 +1357,44 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         col(c).cast(schema(c).dataType).as(c)): _*)
       .distinct()
     val dest = new Path(tablePath(name))
+    // per-file MATCHED counts (the `_dv_counts` pattern): one pruned
+    // scan of the key columns through the EXISTING masks, so COUNT(*)
+    // stays pushed with tombstones outstanding — count = Σ(rows − dv −
+    // eq-matched) stays exact because every later mask reads through
+    // this one (disjoint sets by construction). Live lower files with
+    // zero matches get explicit 0 rows: at read time an ABSENT entry
+    // means "unknown" (a rebase moved the tombstone above a rewrite)
+    // and the pushdown declines rather than under-counting.
+    // `spark.graft.eqDelCounts=false` restores the metadata-only
+    // commit (and COUNT falls back to the scan, the pre-round-9 rule).
+    val counted: Option[Seq[(String, Long)]] =
+      if (!spark.conf.getOption("spark.graft.eqDelCounts")
+        .forall(_.toBoolean)) None
+      else if (!exists(name)) Some(Nil)
+      else {
+        val (masked, _) = readMaskedWithPosBasis(name, schema)
+        val keyCols = keys.columns.toSeq
+        val matched = masked
+          .select((Lakehouse.FileCol +: keyCols).map(col): _*)
+          .join(conformed, keyCols, "left_semi")
+          .groupBy(col(Lakehouse.FileCol)).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val allLive = liveRootsAndBasis(name)._1
+          .flatMap(r => listDataFilesIn(new Path(r)))
+          .map(_.getPath.getName)
+        Some(allLive.map(n => n -> matched.getOrElse(n, 0L)))
+      }
     val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
       // a data-less delta: the tombstones are the whole payload, hidden
       // under the underscore dir so plain scans of the version see no rows
       conformed.write.mode("overwrite").parquet(s"$p/$EqDelDir")
+      counted.foreach { cs =>
+        val out = fs.create(new Path(s"$p/$EqDelDir",
+          Lakehouse.Protocol.EqDelCountsFile), true)
+        try out.write(cs.map { case (n, c) => s"$n\t$c" }
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
     }
     ensureAboveFulls(dest, vdir)
   }
@@ -1393,10 +1427,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // through [[commitMoRDelta]] (no post-images), which also gives the
     // DELETE the same FULL-rewrite conflict detection as UPDATE/MERGE.
     val (masked, basis) = readMaskedWithPosBasis(name, schema)
-    val dv = masked.filter(predicate)
+    val hit = coalesce(predicate.cast("boolean"), lit(false))
+    val dv = masked.filter(hit)
       .select(col(Lakehouse.FileCol).as("file"),
         col(Lakehouse.PosCol).as("pos"))
-    commitMoRDelta(name, dv, None, Nil, beforeCommit, basis)
+    commitMoRDelta(name, dv, None, Nil, beforeCommit, basis,
+      survivors = Some(masked.filter(!hit)))
   }
 
   /** Merge-on-read UPDATE — the Iceberg MoR-update shape, ONE atomic
@@ -1429,7 +1465,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         s"UPDATE SET names unknown column $c of $name")
     }
     val (maskedAll, basis) = readMaskedWithPosBasis(name, schema)
-    val matched = maskedAll.filter(predicate)
+    val hitPred = coalesce(predicate.cast("boolean"), lit(false))
+    val matched = maskedAll.filter(hitPred)
     val updated0 = assignments.foldLeft(matched) {
       case (df, (c, e)) => df.withColumn(c, e)
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -1444,7 +1481,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         col(Lakehouse.PosCol).as("pos")),
       Some(updated),
       if (clusterCols.nonEmpty) clusterCols else statsCols,
-      beforeCommit, basis)
+      beforeCommit, basis,
+      survivors = Some(maskedAll.filter(!hitPred)))
   }
 
   /** The LIVE rows of a table (every mask applied — eq-del tombstones
@@ -1515,7 +1553,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private[graft] def commitMoRDelta(name: String, masks: DataFrame,
       newRows: Option[DataFrame], statsCols: Seq[String],
       beforeCommit: () => Unit,
-      basis: Lakehouse.ReadBasis): Unit = {
+      basis: Lakehouse.ReadBasis,
+      survivors: Option[DataFrame] = None): Unit = {
     val dest = new Path(tablePath(name))
     def conflictingFull(): Option[Long] =
       versionDirs(dest).sortBy(_._1).find { case (v, p) =>
@@ -1541,9 +1580,51 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       masks.select(col("file"), col("pos"))
         .write.mode("overwrite").parquet(dvDir)
       DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
+      survivors.foreach(writeDvExtremes(_, masks, dvDir))
     }
     conflictingFull().foreach(v => abort(v, Some(vdir)))
   }
+
+  /** POST-MASK extremes of the files this DV commit touches
+    * (`_GRAFT_DV/_extremes`, one row per affected file): min/max per
+    * zone-mappable column over the rows that SURVIVE every mask up to
+    * and including this commit's. They make MIN/MAX aggregate pushdown
+    * sound with deletion vectors outstanding — without them a masked
+    * row could be the zone-map extreme, so any DV declined the
+    * pushdown wholesale. An all-dead file gets a null-extremes row
+    * (nothing survives: prunable, contributes nothing to a fold),
+    * exactly the all-null-file convention of the stats manifests. The
+    * V2 scan also PRUNES with these rows — post-delete ranges are
+    * never wider than the manifest's, and later masks only shrink
+    * them, so substituting the newest extremes is always conservative.
+    * Best-effort: an unsupported shape writes nothing and the pushdown
+    * simply declines (never wrong, only slower).
+    */
+  private def writeDvExtremes(survivors: DataFrame, masks: DataFrame,
+      dvDir: String): Unit =
+    try {
+      val fileC = Lakehouse.FileCol
+      val dataCols = survivors.schema.fields.toSeq
+        .filterNot(f =>
+          f.name == Lakehouse.FileCol || f.name == Lakehouse.PosCol)
+        .filter(f => MetaCheckpoint.tagOf(f.dataType).isDefined)
+      if (dataCols.isEmpty) return
+      val affected = masks.select(col("file").cast("string")).distinct()
+      val aggs = dataCols.flatMap(f => Seq(
+        min(col(f.name)).as(s"min_${f.name}"),
+        max(col(f.name)).as(s"max_${f.name}")))
+      val perFile = survivors
+        .join(affected, survivors(fileC) === affected("file"), "left_semi")
+        .groupBy(col(fileC).as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      val joined = affected.join(perFile, Seq("file"), "left_outer")
+      val rows = joined.collect().toSeq
+      FooterStats.writeManifestFile(
+        spark.sparkContext.hadoopConfiguration,
+        new Path(s"$dvDir/${Lakehouse.Protocol.DvExtremesDir}"),
+        joined.schema, rows)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Data-file walk of one root (underscore dirs invisible, recursive). */
   private def listDataFilesIn(root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -2518,6 +2599,13 @@ object Lakehouse {
     // changes no logical rows). Distinct name required: `_b<id>`
     // exactly-once parsing must not match it.
     val MarkerRewrite = s"${MarkerDelta}_REWRITE"
+    /** Post-mask per-file extremes of a DV commit (inside DvDir). */
+    val DvExtremesDir = "_extremes"
+    /** Per-file matched-row counts of an equality-delete commit
+      * ("name\tcount" lines inside EqDelDir) — the `_dv_counts`
+      * pattern: keeps COUNT(*) pushed with tombstones outstanding.
+      */
+    val EqDelCountsFile = "_eq_counts"
     // Newline-separated data-file NAMES a rewrite commit replaced: the
     // V2 scan drops them from lower-version roots at plan time (zero
     // tasks, zero IO) instead of scanning fully-masked files.

@@ -71,7 +71,10 @@ private[graft] object MetaCheckpoint {
       mStats: Seq[String], mBlooms: Seq[String],
       manifestParts: Seq[String], rewritten: Seq[String],
       dvIndex: Map[String, String], dvCounts: Map[String, Long],
-      eqDel: Option[(String, Seq[String])])
+      eqDel: Option[(String, Seq[String])],
+      dvxCols: Seq[(String, String)] = Nil,
+      dvx: Map[String, IndexedSeq[Option[String]]] = Map.empty,
+      eqCounts: Option[Map[String, Long]] = None)
   final case class UncommittedRec(v: Long, mtime: Long)
   final case class State(version: Long, versions: Seq[VersionRec],
       uncommitted: Seq[UncommittedRec]) {
@@ -87,7 +90,10 @@ private[graft] object MetaCheckpoint {
       payload: Boolean, statCols: List[List[String]],
       mStats: List[String], mBlooms: List[String], parts: List[String],
       rewritten: List[String], dv: Map[String, String],
-      dvc: Map[String, Long], eq: Option[WEq], files: List[WFile])
+      dvc: Map[String, Long], eq: Option[WEq], files: List[WFile],
+      dvxCols: Option[List[List[String]]],
+      dvx: Option[Map[String, List[Option[String]]]],
+      eqc: Option[Map[String, Long]])
   private case class WUnc(v: Long, mt: Long)
   private case class WState(version: Long, uncommitted: List[WUnc],
       versions: List[WVer])
@@ -103,7 +109,12 @@ private[graft] object MetaCheckpoint {
       r.rewritten.toList, r.dvIndex, r.dvCounts,
       r.eqDel.map { case (d, cols) => WEq(d, cols.toList) },
       r.files.map(f => WFile(f.rel, f.size, f.rows,
-        f.stat.map(_.toList))).toList)).toList)
+        f.stat.map(_.toList))).toList,
+      if (r.dvxCols.isEmpty) None
+      else Some(r.dvxCols.map { case (n, t) => List(n, t) }.toList),
+      if (r.dvx.isEmpty) None
+      else Some(r.dvx.map { case (k, vs) => k -> vs.toList }),
+      r.eqCounts)).toList)
 
   private def fromWire(w: WState): State = State(w.version,
     w.versions.map(r => VersionRec(r.v, r.full, r.mt, r.payload,
@@ -111,7 +122,11 @@ private[graft] object MetaCheckpoint {
       r.files.map(f => FileRec(f.p, f.sz, f.n,
         f.st.map(_.toIndexedSeq))),
       r.mStats, r.mBlooms, r.parts, r.rewritten, r.dv, r.dvc,
-      r.eq.map(e => (e.dir, e.cols)))),
+      r.eq.map(e => (e.dir, e.cols)),
+      r.dvxCols.getOrElse(Nil).map(l => (l.head, l(1))),
+      r.dvx.getOrElse(Map.empty)
+        .map { case (k, vs) => k -> vs.toIndexedSeq },
+      r.eqc)),
     w.uncommitted.map(u => UncommittedRec(u.v, u.mt)))
 
   // ——— typed stat-value codec ———
@@ -406,17 +421,75 @@ private[graft] object MetaCheckpoint {
         manifestRows(p).orElse(footerRows.get(p.getName)).getOrElse(0L),
         encoded)
     }
-    val dv = graft.sources.LakehouseBatch.dvOf(fs, v, root)
+    val dv = graft.sources.LakehouseBatch.dvOf(fs, conf, v, root)
     val eq = graft.sources.LakehouseBatch.eqDelOf(fs, conf, v, root)
+    val eqCounts = eq.flatMap { case (_, d, _) =>
+      graft.sources.LakehouseBatch.eqDelCountsOf(fs, new Path(d)) }
+    // DV post-mask extremes ride the checkpoint with the same typed
+    // codec as stat rows (one shared schema per commit); an
+    // unencodable shape drops ONLY the extremes (MIN/MAX declines),
+    // never the whole checkpoint
+    val (dvxCols, dvx) = dv.map(_.extremes).filter(_.nonEmpty) match {
+      case None => (Nil, Map.empty[String, IndexedSeq[Option[String]]])
+      case Some(ex) =>
+        val row = ex.values.head
+        val tags = row.schema.fields.toSeq.map(f =>
+          tagOf(f.dataType).map(t => (f.name, t)))
+        if (tags.exists(_.isEmpty))
+          (Nil, Map.empty[String, IndexedSeq[Option[String]]])
+        else {
+          val cols = tags.flatten
+          var unencodable = false
+          val enc = ex.toSeq.map { case (name, r) =>
+            val vals = cols.toIndexedSeq.map { case (n, t) =>
+              val i = r.schema.fieldNames.indexOf(n)
+              if (i < 0 || r.isNullAt(i)) Option.empty[String]
+              else encodeVal(t, r.get(i)) match {
+                case some @ Some(_) => some
+                case None => // a value the tag can't carry: drop the
+                  unencodable = true // whole block, keep the checkpoint
+                  None
+              }
+            }
+            (name, vals)
+          }
+          if (unencodable)
+            (Nil, Map.empty[String, IndexedSeq[Option[String]]])
+          else (cols, enc.toMap)
+        }
+    }
     Some(VersionRec(v, full, st.getModificationTime, payload = true,
       statCols, files, rd.mStats.toSeq.sorted, rd.mBlooms.toSeq.sorted,
       rd.manifestParts.map(s => relOf(fs, dest, new Path(s))),
       rd.rewritten.toSeq.sorted,
-      dv.map(_._2.map { case (n, p) =>
+      dv.map(_.idx.map { case (n, p) =>
         n -> relOf(fs, dest, new Path(p)) }).getOrElse(Map.empty),
-      dv.map(_._3).getOrElse(Map.empty),
-      eq.map { case (_, d, cols) => (relOf(fs, dest, new Path(d)), cols) }))
+      dv.map(_.counts).getOrElse(Map.empty),
+      eq.map { case (_, d, cols) => (relOf(fs, dest, new Path(d)), cols) },
+      dvxCols, dvx, eqCounts))
   }
+
+  /** Decode one covered commit's DV post-mask extremes back to typed
+    * rows (the planner substitutes them for a DV'd file's manifest row
+    * in pruning and MIN/MAX folds).
+    */
+  def decodeDvExtremes(r: VersionRec)
+      : Map[String, org.apache.spark.sql.Row] =
+    if (r.dvxCols.isEmpty) Map.empty
+    else {
+      val schema = StructType(r.dvxCols.map { case (n, t) =>
+        StructField(n, dataTypeOf(t)) })
+      val tags = r.dvxCols.map(_._2)
+      r.dvx.map { case (name, vals) =>
+        val decoded: Array[Any] = vals.zip(tags).map {
+          case (Some(s), t) => decodeVal(t, s)
+          case (None, _) => null
+        }.toArray
+        name -> (new org.apache.spark.sql.catalyst.expressions
+          .GenericRowWithSchema(decoded, schema)
+          : org.apache.spark.sql.Row)
+      }
+    }
 
   /** Commit-side trigger: checkpoint when ≥ interval version dirs sit
     * above the newest checkpoint. Called best-effort after every

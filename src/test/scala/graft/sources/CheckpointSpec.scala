@@ -175,6 +175,42 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("DV extremes and eq-del matched counts survive the checkpoint " +
+    "round trip (pushdowns stay pushed on covered commits)") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val (lake, path) = mkLake("ckpt-dvx")
+    withSQLConf("spark.graft.checkpointIntervalCommits" -> "0",
+      "spark.graft.metaCacheEntries" -> "0") {
+      lake.append("t", rows(0, 100), statsCols = Seq("k"))
+      lake.deleteRowsMoR("t", schema,
+        col("k") < 10L || col("k") >= 90L)
+      lake.deleteByKeys("t", schema, Seq(50L).toDF("k"), () => ())
+      assert(lake.checkpoint("t"))
+      val s0 = LakehouseBatch.ckptServes.get()
+      // COUNT under eq-del + DV, answered from checkpointed metadata
+      val c = v2(path).agg(count(lit(1)).as("n"))
+      assert(c.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"))
+      assert(c.head().getLong(0) == 79L)
+      assert(LakehouseBatch.ckptServes.get() > s0)
+      // MIN/MAX on a DV-only covered table: the `_extremes` rows ride
+      // the checkpoint's typed codec
+      val (lake2, path2) = mkLake("ckpt-dvx2")
+      lake2.append("t", rows(0, 100), statsCols = Seq("k"))
+      lake2.deleteRowsMoR("t", schema,
+        col("k") < 10L || col("k") >= 90L)
+      assert(lake2.checkpoint("t"))
+      val mm = spark.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(schema).load(path2)
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      assert(mm.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"),
+        mm.queryExecution.executedPlan.toString)
+      assert(mm.head() == Row(10L, 89L))
+    }
+  }
+
   test("CALL graft.system.checkpoint works from SQL") {
     val wh = tmpDir("ckpt-sql-wh")
     withSQLConf(

@@ -324,6 +324,79 @@ class LakehouseBatchSpec extends SparkSpec {
     assert(v2(path).agg(min(col("k"))).head() == Row(10L))
   }
 
+  test("MIN/MAX push down with deletion vectors outstanding " +
+    "(post-mask extremes)") {
+    import org.apache.spark.sql.Row
+    val (lake, path) = mkLake("v2-dv-minmax")
+    lake.append("t", rows(0, 50).repartition(1), statsCols = Seq("k"))
+    lake.append("t", rows(50, 100).repartition(1), statsCols = Seq("k"))
+    // carve both extremes out via MoR deletes: the manifest zone maps
+    // still say [0, 99], the DV commit's `_extremes` manifest says
+    // [10, 89] — the pushdown must answer from the latter
+    lake.deleteRowsMoR("t", schema, col("k") < 10L || col("k") >= 90L)
+    val q = v2(path).agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"min/max not pushed under DV:\n$plan")
+    assert(q.head() == Row(10L, 89L))
+    // a SECOND delete composes: extremes re-computed through the
+    // first commit's masks
+    lake.deleteRowsMoR("t", schema, col("k") < 25L)
+    val q2 = v2(path).agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+    assert(q2.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(q2.head() == Row(25L, 89L))
+    // the tightened extremes also PRUNE: a range wholly inside the
+    // deleted span cuts the file at plan time
+    val pr = v2(path).filter(col("k") < 5L)
+    assert(pr.queryExecution.executedPlan.toString.contains("files: 0/"),
+      pr.queryExecution.executedPlan.toString)
+    assert(pr.count() == 0L)
+    // an ALL-DEAD file contributes nothing and prunes everywhere
+    lake.deleteRowsMoR("t", schema, col("k") < 50L)
+    assert(v2(path).agg(min(col("k"))).head() == Row(50L))
+  }
+
+  test("COUNT(*) stays pushed with equality-delete tombstones " +
+    "outstanding (matched-count index)") {
+    import spark.implicits._
+    val (lake, path) = mkLake("v2-eq-count")
+    lake.append("t", rows(0, 60), statsCols = Seq("k"))
+    lake.deleteByKeys("t", schema, Seq(3L, 7L, 11L).toDF("k"), () => ())
+    val c = v2(path).agg(count(lit(1)).as("n"))
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"count not pushed under eq-del:\n$plan")
+    assert(c.head().getLong(0) == 57L)
+    // a key deleted twice is subtracted once (the second commit's
+    // counting scan reads through the first's mask)
+    lake.deleteByKeys("t", schema, Seq(3L, 20L).toDF("k"), () => ())
+    assert(v2(path).agg(count(lit(1))).head().getLong(0) == 56L)
+    // composes with a DV delete (disjoint by the masked identity pass)
+    lake.deleteRowsMoR("t", schema, col("k") < 5L)
+    val c3 = v2(path).agg(count(lit(1)).as("n"))
+    assert(c3.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(c3.head().getLong(0) == 52L) // lost 0,1,2,4 (3 already dead)
+    // a re-inserted key is NOT masked (sequence rule) and counts again
+    lake.append("t", rows(7, 8))
+    assert(v2(path).agg(count(lit(1))).head().getLong(0) == 53L)
+    // MIN/MAX under tombstones still declines — unknowable from
+    // metadata
+    val mm = v2(path).agg(max(col("k")).as("hi"))
+    assert(!mm.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(mm.head().getLong(0) == 59L)
+    // opting the writer out restores the decline (absent index ≠ zero)
+    withSQLConf("spark.graft.eqDelCounts" -> "false") {
+      lake.deleteByKeys("t", schema, Seq(30L).toDF("k"), () => ())
+    }
+    val c4 = v2(path).agg(count(lit(1)).as("n"))
+    assert(!c4.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(c4.head().getLong(0) == 52L)
+  }
+
   test("repeated MoR deletes keep the pushed COUNT exact (masked identity pass)") {
     val (lake, path) = mkLake("v2-mor-recount")
     lake.append("t", rows(0, 60), statsCols = Seq("k"))

@@ -70,11 +70,12 @@ class DvSpec extends SparkSpec {
       .schema(schema).load(lake.tablePath("t"))
     assert(df.count() == 90L)
     assert(df.agg(max(col("k"))).head().getLong(0) == 89L)
-    // min/max must NOT have been answered from zone maps (a masked row
-    // could be the extreme): the plan carries a real scan, not a
-    // PushedAggregation
+    // round 9: min/max still must not come from the MANIFEST zone maps
+    // (a masked row could be the extreme) — it now pushes down from
+    // the DV commit's post-mask `_extremes` manifest instead, and the
+    // answer is the masked one (89, not the pre-delete 99)
     val plan = df.agg(max(col("k"))).queryExecution.executedPlan.toString
-    assert(!plan.contains("PushedAggregation"), plan)
+    assert(plan.contains("PushedAggregation"), plan)
     // COUNT(*) alone stays a metadata answer even with DVs outstanding:
     // Σ(footer rows − sidecar-header deleted) = 90, no data read
     val cplan = df.groupBy().count().queryExecution.executedPlan.toString
@@ -278,7 +279,7 @@ class DvSpec extends SparkSpec {
       if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
         if (!st.getPath.getName.endsWith(".parquet") &&
           !st.getPath.getName.startsWith("_SUCCESS"))
-          fs.delete(st.getPath, false)
+          fs.delete(st.getPath, true) // incl. the _extremes manifest dir
       }
     }
     val e = intercept[Exception] {
