@@ -1581,6 +1581,71 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         .contains("PushedAggregation"),
         "q93: MIN/MAX must stay pushed with DVs outstanding")
       q
+    }),
+
+    // q94 — BUCKET-TRANSFORM STORAGE-PARTITIONED JOIN: q81's
+    // zero-exchange join needs one file per distinct key tuple and
+    // declines past `graft.spjMaxKeys` (256) — useless for a fact-fact
+    // join on a real key. `PARTITIONED BY (bucket(16, okey))` caps the
+    // layout at 16 files per commit at ANY key cardinality: the write
+    // path routes by pmod(murmur3(okey), 16), the manifest records the
+    // per-file bucket id as a derived zone map, the scan reports
+    // KeyGroupedPartitioning(bucket(16, okey)), and the catalog's V2
+    // `bucket` function lets Spark prove both sides compatible — the
+    // orders×lineitem join (15k+ distinct keys at sf0.01) plans with
+    // no shuffle on either side. The require pins both the plan shape
+    // AND that the cardinality really is beyond the identity layout's
+    // ceiling. This is the Iceberg bucket SPJ shape — at 100 TB the
+    // dominant cost of a fact-fact equi-join is deleted outright.
+    "q94_bucket_spj" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q94")
+      s.conf.set("spark.sql.catalog.graftq94", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq94.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q94_ord")
+      s.read.parquet(s"$d/lineitem.parquet")
+        .createOrReplaceTempView("q94_li")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq94.q94")
+      s.sql("DROP TABLE IF EXISTS graftq94.q94.ord")
+      s.sql("DROP TABLE IF EXISTS graftq94.q94.li")
+      s.sql("""CREATE TABLE graftq94.q94.ord (
+          okey BIGINT, amt DECIMAL(18,2))
+        PARTITIONED BY (bucket(16, okey))""")
+      s.sql("""INSERT INTO graftq94.q94.ord
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+        FROM q94_ord""")
+      s.sql("""CREATE TABLE graftq94.q94.li (
+          okey BIGINT, qty DECIMAL(18,2))
+        PARTITIONED BY (bucket(16, okey))""")
+      s.sql("""INSERT INTO graftq94.q94.li
+        SELECT l_orderkey, CAST(l_quantity AS DECIMAL(18,2))
+        FROM q94_li""")
+      val distinctKeys =
+        s.sql("SELECT count(DISTINCT okey) FROM graftq94.q94.ord")
+          .head().getLong(0)
+      require(distinctKeys > graft.storage.Clustering.DefaultMaxKeys,
+        s"q94 needs key cardinality beyond the identity-SPJ ceiling, " +
+          s"got $distinctKeys")
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> s.conf.get(k))
+      keys.zip(Seq("true", "true", "-1")).foreach {
+        case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = s.sql(
+          """SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o.okey) AS BIGINT) AS key_sum,
+               CAST(sum(o.amt + l.qty) AS DOUBLE) AS v
+             FROM graftq94.q94.ord o JOIN graftq94.q94.li l
+               ON o.okey = l.okey""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"bucket SPJ must shuffle neither join side:\n$plan")
+        out.persist(); out.count() // materialize under the pinned confs
+        out
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
     })
   )
 
@@ -1687,6 +1752,12 @@ FROM (
     "q92_count_pushed_eqdel" ->
       """SELECT CAST(count(*) AS BIGINT) AS n
 FROM orders WHERE o_orderkey % 5 <> 0""",
+    "q94_bucket_spj" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) +
+           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
     "q93_minmax_pushed_dv" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
 SELECT CAST(min(o_orderkey) AS BIGINT) AS lo,

@@ -3,7 +3,7 @@ package graft.sources
 import graft.storage.Lakehouse
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
@@ -49,7 +49,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog with ViewCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ——— FunctionCatalog: the V2 `bucket` transform function ———
+  // Storage-partitioned joins over bucket-partitioned tables need the
+  // catalog to resolve `bucket(n, col)` so Spark can prove both scans'
+  // transforms compatible (same canonical name + same n → co-schedule
+  // matching buckets with no exchange). Resolvable from any namespace
+  // — Spark looks it up against the TABLE's catalog.
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "bucket" => GraftBucketFunction
+      case other => throw new NoSuchFunctionException(ident)
+    }
 
   private var catalogName: String = _
   private var root: String = _
@@ -318,20 +336,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def writeTableMeta(dir: Path, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Map[String, String] = {
-    // PARTITIONED BY (c1, c2) — identity transforms only (hidden
-    // partitioning by an expression: derive the column in the INSERT).
-    // The layout is CLUSTERING, not directories: every INSERT
-    // key-clusters on the partition columns and records their
-    // zone maps, so the V2 scan's file skipping prunes partitions
+    // PARTITIONED BY (c1, bucket(8, c2), …) — identity and bucket
+    // transforms (hidden partitioning by other expressions: derive the
+    // column in the INSERT). The layout is CLUSTERING, not
+    // directories: every INSERT key-clusters on the partition specs
+    // and records their zone maps (bucket ids as derived stats
+    // columns), so the V2 scan's file skipping prunes partitions
     // exactly — Iceberg's metadata-pruning shape without encoding
-    // values into paths (see GraftTable.newWriteBuilder).
-    val partCols = partitions.map { t =>
-      require(t.name == "identity" && t.references.length == 1 &&
-        t.references()(0).fieldNames().length == 1,
-        s"graft supports identity partition transforms only, got $t " +
-          "(for bucket/days/months: derive the column at INSERT time)")
-      t.references()(0).fieldNames()(0)
+    // values into paths (see GraftTable.newWriteBuilder) — and the
+    // scan reports the key-grouped layout for storage-partitioned
+    // joins at ANY key cardinality via bucket(n, col).
+    val partSpecs: Seq[PartSpec] = partitions.map { t =>
+      def oneCol: String = {
+        require(t.references.length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+          s"graft partition transforms take one column, got $t")
+        t.references()(0).fieldNames()(0)
+      }
+      t.name match {
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions
+                .Literal[_] => l.value() match {
+              case i: java.lang.Integer => i.intValue()
+              case x: java.lang.Long => x.toInt
+            }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a bucket count: $t"))
+          require(n > 0, s"bucket count must be positive, got $n in $t")
+          BucketSpec(n, oneCol)
+        case "identity" => IdentitySpec(oneCol)
+        case _ => throw new IllegalArgumentException(
+          s"graft supports identity and bucket partition transforms " +
+            s"only, got $t (for days/months: derive the column at " +
+            "INSERT time)")
+      }
     }.toSeq
+    val partCols = partSpecs.map(_.col)
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the table schema"))
     LakehouseStream.validateSchema(schema)
@@ -339,8 +380,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftCatalog.writeSchema(fs, new Path(dir, GraftCatalog.SchemaFile),
       schema)
     val props = GraftCatalog.userProps(properties) ++
-      (if (partCols.isEmpty) Map.empty
-       else Map(GraftCatalog.PartitionProp -> partCols.mkString(",")))
+      (if (partSpecs.isEmpty) Map.empty
+       else Map(GraftCatalog.PartitionProp ->
+         PartSpec.renderList(partSpecs)))
     if (props.nonEmpty)
       GraftCatalog.writeProps(fs, new Path(dir, GraftCatalog.PropsFile),
         props)
@@ -1049,16 +1091,31 @@ private[sources] class GraftTable(path: String, tableName: String,
   private[sources] def cdfEnabled: Boolean =
     props.get(GraftCatalog.CdfProp).exists(_.equalsIgnoreCase("true"))
 
-  /** Partition (clustering) columns from `PARTITIONED BY`. */
-  private[sources] def partCols: Seq[String] =
+  /** Partition specs from `PARTITIONED BY` — identity columns and
+    * bucket transforms (see [[PartSpec]]).
+    */
+  private[sources] def partSpecs: Seq[PartSpec] =
     props.get(GraftCatalog.PartitionProp)
-      .map(_.split(",").toSeq).getOrElse(Nil)
+      .map(PartSpec.parseList).getOrElse(Nil)
+
+  /** IDENTITY partition (clustering) columns only — what the DML
+    * rewrite paths re-cluster by. Bucket specs deliberately stay out:
+    * a copy-on-write rewrite re-clustered by the raw key column would
+    * claim a one-file-per-KEY layout a bucket table never has; bucket
+    * clustering re-establishes through INSERT/compact instead, and in
+    * the interim the scan simply declines the key-grouped report
+    * (correct, just an exchange again).
+    */
+  private[sources] def partCols: Seq[String] =
+    partSpecs.collect { case IdentitySpec(c) => c }
 
   /** Partitioned catalog tables report their key layout to the scan so
     * co-partitioned joins skip the exchange (storage-partitioned join;
-    * see the scan's `keyedFiles`).
+    * see the scan's `keyedFiles`). Rendered spec strings — the scan
+    * parses them back (identity or bucket).
     */
-  override protected def scanPartitionCols: Seq[String] = partCols
+  override protected def scanPartitionCols: Seq[String] =
+    partSpecs.map(_.render)
 
   /** Key-cardinality cap for the exact one-file-per-key layout
     * (`graft.spjMaxKeys` table property; see
@@ -1083,8 +1140,12 @@ private[sources] class GraftTable(path: String, tableName: String,
       .getOrElse(Nil)
 
   override def partitioning(): Array[Transform] =
-    partCols.map(c => org.apache.spark.sql.connector.expressions
-      .Expressions.identity(c)).toArray
+    partSpecs.map {
+      case IdentitySpec(c) => org.apache.spark.sql.connector
+        .expressions.Expressions.identity(c)
+      case BucketSpec(n, c) => org.apache.spark.sql.connector
+        .expressions.Expressions.bucket(n, c)
+    }.toArray
 
   private[sources] def contractSchema: StructType = tschema
   private[sources] def tableDir: String = path
@@ -1190,16 +1251,23 @@ private[sources] class GraftTable(path: String, tableName: String,
             // joins. Past the key-cardinality cap it falls back to
             // range clustering (pruning survives, the SPJ report is
             // declined).
-            val parts = partCols
+            val specs = partSpecs
             val clustered =
-              if (parts.isEmpty) data
-              else graft.storage.Clustering.byPartitionKeys(
-                SparkSession.active, data, parts, spjMaxKeys)
+              if (specs.isEmpty) data
+              else graft.storage.Clustering.bySpecs(
+                SparkSession.active, data, specs, spjMaxKeys)
+            // stats: identity columns by name; bucket specs as the
+            // derived `_gbk<n>_<col>` zone-map column the scan's key
+            // proof reads
+            val stats = specs.map {
+              case IdentitySpec(c) => c
+              case b: BucketSpec => b.statName
+            }
             if (overwrite || over)
               lake.overwritePartitioned(t, clustered, Nil,
-                statsCols = parts, bloomCols = bloomCols)
+                statsCols = stats, bloomCols = bloomCols)
             else {
-              lake.append(t, clustered, statsCols = parts,
+              lake.append(t, clustered, statsCols = stats,
                 bloomCols = bloomCols)
               maybeAutoCompact(lake, t)
             }

@@ -260,14 +260,25 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     * (returning None → UnknownPartitioning) merely reverts to the
     * normal exchange plan.
     */
+  private lazy val partSpecs: Seq[PartSpec] =
+    partitionCols.map(PartSpec.parse)
+
   private lazy val keyedFiles
       : Option[Map[String, (Seq[Any], InternalRow)]] = {
-    if (partitionCols.isEmpty || meta.dataFiles.isEmpty ||
-        !partitionCols.forall(meta.statsCols.contains)) None
+    def statNameOf(s: PartSpec): String = s match {
+      case IdentitySpec(c) => c
+      case b: BucketSpec => b.statName
+    }
+    if (partSpecs.isEmpty || meta.dataFiles.isEmpty ||
+        !partSpecs.map(statNameOf).forall(meta.statsCols.contains)) None
     else {
-      val convs = partitionCols.map(c => org.apache.spark.sql.catalyst
-        .CatalystTypeConverters.createToCatalystConverter(
-          tableSchema(c).dataType))
+      val convs = partSpecs.map {
+        case IdentitySpec(c) => org.apache.spark.sql.catalyst
+          .CatalystTypeConverters.createToCatalystConverter(
+            tableSchema(c).dataType)
+        // a bucket key IS its catalyst value (Int) — no conversion
+        case _: BucketSpec => (x: Any) => x
+      }
       val out = Map.newBuilder[String, (Seq[Any], InternalRow)]
       val allKeyed = meta.dataFiles.forall { fm =>
         fm.stats.exists { st =>
@@ -275,14 +286,20 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
             val i = st.schema.fieldNames.indexOf(n)
             if (i < 0 || st.isNullAt(i)) None else Some(st.get(i))
           }
-          val key: Seq[Option[Any]] = partitionCols.map { c =>
-            (v(s"min_$c"), v(s"max_$c"), v(s"nulls_$c")) match {
-              case (Some(lo), Some(hi), Some(z))
+          val key: Seq[Option[Any]] = partSpecs.map { spec =>
+            val c = statNameOf(spec)
+            (v(s"min_$c"), v(s"max_$c"), v(s"nulls_$c"), spec) match {
+              case ((Some(lo), Some(hi), Some(z), _))
                 if lo == hi && z == 0L => Some(lo)
+              // the derived bucket-id column is never null, so its
+              // manifest rows may omit a meaningful nulls guard —
+              // min == max alone proves the one-bucket-per-file claim
+              case ((Some(lo), Some(hi), _, _: BucketSpec))
+                if lo == hi => Some(lo)
               // the write path gives NULL partition keys a dedicated
               // slice: an all-null file is keyed by the null tuple
-              case (None, None, Some(z)) if z == fm.rowCount =>
-                Some(null)
+              case ((None, None, Some(z), _: IdentitySpec))
+                if z == fm.rowCount => Some(null)
               case _ => None
             }
           }
@@ -302,8 +319,12 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
   override def outputPartitioning(): Partitioning = keyedFiles match {
     case Some(keys) if aggResult.isEmpty =>
       new KeyGroupedPartitioning(
-        partitionCols.map(c => Expressions.identity(c)
-          : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        partSpecs.map {
+          case IdentitySpec(c) => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression
+          case BucketSpec(n, c) => Expressions.bucket(n, c)
+            : org.apache.spark.sql.connector.expressions.Expression
+        }.toArray,
         keys.values.map(_._1).toSet.size)
     case _ => new UnknownPartitioning(0)
   }
@@ -328,7 +349,11 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
   private var runtime: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    meta.statsCols.map(c => Expressions.column(c): NamedReference).toArray
+    // REAL columns only: derived bucket-id stats (`_gbk<n>_<col>`) are
+    // zone-map-only names — advertising them would make DPP's ref
+    // resolution fail against the scan output
+    meta.statsCols.filter(tableSchema.fieldNames.contains)
+      .map(c => Expressions.column(c): NamedReference).toArray
 
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(

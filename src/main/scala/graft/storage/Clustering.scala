@@ -96,6 +96,39 @@ object Clustering {
     }
   }
 
+  /** Cluster for a full `PARTITIONED BY` spec list: identity columns
+    * by value, bucket specs by their DERIVED bucket id —
+    * `pmod(murmur3(col, seed 42), n)`, the exact expression the V2
+    * `bucket` function and the stats-manifest writer compute, so the
+    * three views of "which bucket is this row in" can never diverge.
+    * Each output file then holds ONE (identity values × bucket ids)
+    * tuple, which is what lets the scan report
+    * `KeyGroupedPartitioning(bucket(n, col))` for zero-exchange
+    * fact-fact joins at ANY key cardinality — bucket cardinality is n
+    * by construction, so the identity path's `spjMaxKeys` ceiling
+    * stops mattering.
+    */
+  def bySpecs(spark: SparkSession, df: DataFrame,
+      specs: Seq[graft.sources.PartSpec],
+      maxKeys: Int = DefaultMaxKeys): DataFrame = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val derived = specs.zipWithIndex.collect {
+      case (b: graft.sources.BucketSpec, i) =>
+        (s"${GxCol}_b$i", pmod(hash(col(b.col)), lit(b.n)).cast("int"))
+    }
+    if (derived.isEmpty)
+      return byPartitionKeys(spark, df, specs.map(_.col), maxKeys)
+    val clusterCols = specs.zipWithIndex.map {
+      case (graft.sources.IdentitySpec(c), _) => c
+      case (_, i) => s"${GxCol}_b$i"
+    }
+    val withDerived = derived.foldLeft(df) {
+      case (d, (n, e)) => d.withColumn(n, e)
+    }
+    byPartitionKeys(spark, withDerived, clusterCols, maxKeys)
+      .drop(derived.map(_._1): _*)
+  }
+
   /** For each slice s in [0, k), the smallest non-negative Int whose
     * murmur3 hash (the exact expression `repartition(k, col)` routes
     * by) lands in s.

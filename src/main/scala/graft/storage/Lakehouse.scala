@@ -805,6 +805,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   private def writeFooterStats(vdir: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil): Boolean = {
+    // derived bucket-id stats (`_gbk<n>_<col>`) have no footer column
+    // to decode from — the scan-based path computes them
+    if (statsCols.exists(c =>
+      graft.sources.PartSpec.bucketOfStatName(c).isDefined)) return false
     val conf = spark.sparkContext.hadoopConfiguration
     val files = listDataFilesIn(new Path(vdir)).map(_.getPath)
     if (files.isEmpty) return false
@@ -898,9 +902,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // the same pruned pass
       // `rows` first (same manifest contract as the footer path): the
       // per-file count the scan's resolve serves instead of a footer open
+      // `_gbk<n>_<col>` markers are DERIVED stats columns: the bucket
+      // id of a bucket-partitioned table, computed from the raw column
+      // with the same expression the write path routed by — a keyed
+      // file then proves min == max on it and the scan reports the
+      // bucket-grouped layout (PartSpec)
+      def statExpr(c: String): org.apache.spark.sql.Column =
+        graft.sources.PartSpec.bucketOfStatName(c) match {
+          case Some(b) =>
+            pmod(hash(col(b.col)), lit(b.n)).cast("int")
+          case None => col(c)
+        }
       val aggs = count(lit(1L)).as("rows") +: (statsCols.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
+        Seq(min(statExpr(c)).as(s"min_$c"), max(statExpr(c)).as(s"max_$c"),
+          sum(when(statExpr(c).isNull, 1L).otherwise(0L))
+            .as(s"nulls_$c"))) ++
         // per-file bloom filters (`graft.bloomColumns`): point-lookup
         // file skipping on columns the table is NOT clustered by —
         // min/max over an unsorted high-cardinality column spans the

@@ -72,7 +72,35 @@ object StressSpj {
       require(!plan.contains("Exchange hashpartitioning"),
         s"SPJ run must not shuffle the join:\n$plan")
       val tSpj = timed(drain(q))
-      f"""{"x":$x,"a_rows":${2000000L * x},"b_rows":${1000000L * x},"layout_sec":$tLayout%.2f,"shuffle_sec":$tShuffle%.2f,"spj_sec":$tSpj%.2f}"""
+      // ——— bucket-transform SPJ (round 9): same join, but the layout
+      // is PARTITIONED BY (bucket(64, user)) — DIRECT co-partitioning
+      // on the high-cardinality entity key itself (2M·x distinct
+      // users, 4 orders of magnitude past spjMaxKeys), which the
+      // identity layout can never express. 64 buckets per commit,
+      // zero exchanges on either join side.
+      spark.sql(s"DROP TABLE IF EXISTS spjs.s.ba$x")
+      spark.sql(s"DROP TABLE IF EXISTS spjs.s.bb$x")
+      spark.sql(s"""CREATE TABLE spjs.s.ba$x
+        (user BIGINT, v BIGINT) PARTITIONED BY (bucket(64, user))""")
+      spark.sql(s"""CREATE TABLE spjs.s.bb$x
+        (user BIGINT, w BIGINT) PARTITIONED BY (bucket(64, user))""")
+      val tBucketLayout = timed {
+        spark.sql(s"""INSERT INTO spjs.s.ba$x
+          SELECT id, id * 3 FROM range(0, ${2000000L * x})""")
+        spark.sql(s"""INSERT INTO spjs.s.bb$x
+          SELECT id, id * 7 FROM range(0, ${1000000L * x})""")
+      }
+      def bquery = spark.sql(s"""SELECT count(*) AS n, sum(a.v + b.w) AS s
+        FROM spjs.s.ba$x a JOIN spjs.s.bb$x b ON a.user = b.user""")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val tBucketShuffle = timed(drain(bquery))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val bq = bquery
+      val bplan = bq.queryExecution.executedPlan.toString
+      require(!bplan.contains("Exchange hashpartitioning"),
+        s"bucket SPJ run must not shuffle the join:\n$bplan")
+      val tBucketSpj = timed(drain(bq))
+      f"""{"x":$x,"a_rows":${2000000L * x},"b_rows":${1000000L * x},"layout_sec":$tLayout%.2f,"shuffle_sec":$tShuffle%.2f,"spj_sec":$tSpj%.2f,"bucket_layout_sec":$tBucketLayout%.2f,"bucket_shuffle_sec":$tBucketShuffle%.2f,"bucket_spj_sec":$tBucketSpj%.2f}"""
     }
     out.foreach(println)
     spark.stop()

@@ -170,6 +170,57 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("bucket(n, k) tables join exchange-free at 10k+ distinct keys") {
+    init()
+    // identity SPJ dies past spjMaxKeys (one file per key = the
+    // small-files explosion); bucket transforms cap the file count at
+    // n regardless of key cardinality — the Iceberg bucket SPJ shape
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.ba
+      (k BIGINT, av BIGINT) PARTITIONED BY (bucket(8, k))""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.bb
+      (k BIGINT, bv BIGINT) PARTITIONED BY (bucket(8, k))""")
+    if (spark.table("graftspj.spj.ba").isEmpty) {
+      spark.sql("""INSERT INTO graftspj.spj.ba
+        SELECT id AS k, id * 3 AS av FROM range(0, 20000)""")
+      spark.sql("""INSERT INTO graftspj.spj.bb
+        SELECT id * 2 AS k, id * 7 AS bv FROM range(0, 8000)""")
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        """SELECT count(*) AS n, sum(a.av + b.bv) AS s
+          |FROM graftspj.spj.ba a JOIN graftspj.spj.bb b ON a.k = b.k
+          |""".stripMargin)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      val r = df.head()
+      // matches: k = 2i for i < 8000 and k < 20000 → i < 10000 → 8000
+      assert(r.getLong(0) == 8000L)
+      assert(r.getLong(1) ==
+        (0L until 8000L).map(i => (2 * i) * 3 + i * 7).sum)
+    }
+    // a second INSERT (delta commit) keeps the layout keyed: two
+    // files per bucket, still grouped by bucket id
+    spark.sql("""INSERT INTO graftspj.spj.ba
+      SELECT id AS k, id * 3 AS av FROM range(20000, 24000)""")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        """SELECT count(*) AS n
+          |FROM graftspj.spj.ba a JOIN graftspj.spj.bb b ON a.k = b.k
+          |""".stripMargin)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(df.head().getLong(0) == 8000L)
+    }
+  }
+
   test("byPartitionKeys never drops rows of a non-deterministic key") {
     // Clustering executes its input twice (distinct key pass, then the
     // probe join) — with rand() in the key expression the second pass
