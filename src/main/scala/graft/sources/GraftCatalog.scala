@@ -915,9 +915,16 @@ private[graft] object GraftCatalog {
           })
       }
     val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    // VERSION-STAMPED: stats describe ONE snapshot. The stamp (commit
+    // version + row count at ANALYZE time) lets the scan detect that
+    // the table has since grown/shrunk past recognition and decline
+    // the per-column numbers rather than feed the CBO an NDV/min/max
+    // from a different table — the classic stale-broadcast trap.
+    val version = lake.versions(tableDir.getName)
+      .map(_._1).maxOption.getOrElse(0L)
     val kv = row.schema.fieldNames.zipWithIndex.collect {
       case (n, i) if !row.isNullAt(i) => n -> row.get(i).toString
-    }.toMap
+    }.toMap + ("version__" -> version.toString)
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     writeProps(fs, new Path(tableDir, ColStatsFile), kv)
   }
@@ -1024,31 +1031,13 @@ private[graft] object GraftCatalog {
   def writeSchema(fs: FileSystem, dest: Path, schema: StructType): Unit =
     atomicWrite(fs, dest, schema.json.getBytes("UTF-8"))
 
-  /** Temp + rename with REPLACE semantics: a plain `FileSystem.rename`
-    * refuses an existing destination (so an ALTER would silently keep
-    * the old contract) — `FileContext.rename(OVERWRITE)` is the
-    * atomic-replace primitive on both local FS and HDFS.
+  /** Atomic whole-file replace via the [[graft.storage.CommitIo]]
+    * seam — see its contract scaladoc for what an object-store
+    * implementation must provide.
     */
   private def atomicWrite(fs: FileSystem, dest: Path,
-      bytes: Array[Byte]): Unit = {
-    val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    if (!fs.exists(dest)) {
-      if (fs.rename(tmp, dest)) return
-      // lost a create race — fall through to atomic replace
-    }
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dest.toUri, fs.getConf)
-    try fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch { case e: java.io.IOException =>
-      fs.delete(tmp, false)
-      require(fs.exists(dest), s"metadata persist failed and no " +
-        s"previous version exists: $dest (${e.getMessage})")
-      throw e
-    }
-  }
+      bytes: Array[Byte]): Unit =
+    graft.storage.CommitIo(fs).replace(dest, bytes)
 
   def readSchema(fs: FileSystem, src: Path): StructType = {
     val in = fs.open(src)

@@ -422,9 +422,30 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
     val dir = new Path(meta.path)
-    val fs = dir.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
-    GraftCatalog.readColStats(fs, dir).foreach { kv =>
+    val spark = SparkSession.active
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftCatalog.readColStats(fs, dir).filter { kv =>
+      // STALENESS GUARD: the stats are stamped with the snapshot they
+      // describe (rows__ / version__). A table that has grown or
+      // shrunk past `spark.graft.statsStaleFactor` (default 4×) since
+      // ANALYZE serves NO per-column stats — NDV/min/max from a
+      // different table would mis-price selectivity and join order
+      // (the stale-broadcast trap); rowCount/sizeInBytes stay live
+      // from the snapshot itself either way. Within the band the
+      // numbers are advisory-good (Iceberg/Delta serve stale stats the
+      // same way).
+      val factor = spark.conf
+        .getOption("spark.graft.statsStaleFactor")
+        .map(_.toDouble).getOrElse(4.0)
+      val analyzed = kv.get("rows__").map(_.toLong)
+      val current = meta.dataFiles.map(f =>
+        f.rowCount - f.dv.map(_.deleted).getOrElse(0L)).sum
+      analyzed.exists { a =>
+        val lo = a / factor
+        val hi = math.max(a, 1L) * factor
+        factor <= 0 || (current >= lo && current <= hi)
+      }
+    }.foreach { kv =>
       required.fields.foreach { f =>
         def get(k: String): Option[String] = kv.get(s"${k}__${f.name}")
         if (get("ndv").isDefined) {

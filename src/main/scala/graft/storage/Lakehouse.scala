@@ -569,28 +569,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
   }
 
-  /** Atomic exclusive create — the CAS primitive version allocation is
-    * built on. Atomicity is filesystem-dependent: local paths go through
-    * NIO's `createFile` (O_CREAT|O_EXCL — kernel-atomic; Hadoop's LOCAL
-    * fs implements create(overwrite=false) as a non-atomic
-    * exists-then-create), and on HDFS `create(overwrite=false)` is
-    * atomic by namenode contract. On S3-style object stores WITHOUT
-    * conditional-write support the Hadoop call is HEAD-then-PUT and NOT
-    * exclusive — there, multi-writer safety needs an external commit
-    * coordinator (the same reason Delta Lake requires one on S3) or an
-    * S3 conditional-PUT shim; single-writer deployments are unaffected.
-    * Returns false when the path already exists, i.e. this writer lost
-    * the race.
+  /** The storage seam every commit-atomicity assumption routes through
+    * — see [[CommitIo]] for the full contract (CAS create, commit
+    * marker, all-or-nothing rename, atomic replace) and what an
+    * object-store implementation must provide for each.
     */
-  private def atomicCreate(p: Path): Boolean =
-    if (fs.getScheme == "file")
-      try {
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    else
-      try { fs.create(p, false).close(); true }
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+  private def commitIo: CommitIo = CommitIo(fs)
+
+  /** CAS create via the [[CommitIo]] seam — the primitive version
+    * allocation is built on; false = this writer lost the race.
+    */
+  private def atomicCreate(p: Path): Boolean = commitIo.casCreate(p)
 
   /** Version numbers carried by claim files at the table root. */
   private def claimedVersions(dest: Path): Seq[Long] =
@@ -649,7 +638,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     try write(vdir.toString)
     finally Lakehouse.MicrosScope.exit(spark)
     beforeCommit()
-    fs.create(new Path(vdir, marker), false).close() // the commit point
+    commitIo.commitMarker(new Path(vdir, marker)) // the commit point
     // auto-checkpoint: fold the chain's metadata into one snapshot file
     // every N commits so resolve reads checkpoint + tail instead of
     // O(#commits) dirs. Best-effort DERIVED state — a failure here can
@@ -676,8 +665,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * rename(missing, _) instead of returning false.
     */
   private def tryRename(src: Path, dst: Path): Boolean =
-    try fs.rename(src, dst)
-    catch { case _: java.io.FileNotFoundException => false }
+    commitIo.atomicRename(src, dst)
 
   /** Appender-side half of the optimistic-concurrency protocol: if a FULL
     * commit landed ABOVE this fresh delta's version (a maintenance job
@@ -1114,7 +1102,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       }
     }.distinct
     seen.foreach(id =>
-      fs.create(new Path(vdir, s"$SeenPrefix$id"), false).close())
+      commitIo.commitMarker(new Path(vdir, s"$SeenPrefix$id")))
     // conflict resolution BEFORE GC: late-committed deltas move above the
     // full (their dirs must still exist when we look)
     rebaseLateDeltas(dest, basis, fullV)
@@ -2294,7 +2282,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       val marker = new Path(p, m)
       if (fs.exists(marker)) {
         if (commitKind(p).isEmpty)
-          fs.create(new Path(p, MarkerDelta), false).close()
+          commitIo.commitMarker(new Path(p, MarkerDelta))
         fs.delete(marker, false)
         ensureAboveFulls(dest, p)
       }

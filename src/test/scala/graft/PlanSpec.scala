@@ -377,6 +377,22 @@ class PlanSpec extends SparkSpec {
       val after = plan
       assert(!after.contains("SortMergeJoin"), after)
       assert(count(after, "BroadcastHashJoin") >= 2, after)
+      // VERSION-STAMPED STALENESS (round 9): grow `sel` 100× past its
+      // ANALYZE stamp — the scan must STOP serving the stale column
+      // stats (an NDV/min-max describing 300k rows would keep pricing
+      // the 30M-row filter as broadcastable), and the plan falls back
+      // to sort-merge until the next ANALYZE
+      spark.sql("""INSERT INTO graftcbo.c.sel
+        SELECT id, id, md5(CAST(id AS STRING))
+        FROM range(300000, 3300000)""")
+      val grown = plan
+      assert(count(grown, "SortMergeJoin") >= 1,
+        s"stale stats must decline after 100x growth:\n$grown")
+      // re-ANALYZE re-stamps: the fresh numbers serve again (the
+      // selective filter is still selective, so broadcasts return)
+      spark.sql("CALL graftcbo.system.analyze('c', 'sel')")
+      val restamped = plan
+      assert(count(restamped, "BroadcastHashJoin") >= 1, restamped)
     }
   }
 
