@@ -123,6 +123,27 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Encode a width×height RGB raster as a real BMP (24-bit
+      * uncompressed — lossless for ANY raster, unlike GIF's ≤256-color
+      * palette) via ImageIO. The third real-codec tier next to PNG and
+      * WAV.
+      */
+    def encodeBmp(width: Int, height: Int,
+        rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "bmp", out),
+        "JDK BMP writer missing")
+      out.toByteArray
+    }
+
     /** Decode a PNG/BMP/GIF/JPEG payload to (width, height, packed RGB
       * pixels row-major) via ImageIO. Throws on undecodable bytes — a
       * corrupt payload must fail loudly, not feature-extract garbage.
@@ -228,6 +249,62 @@ object Multimodal {
           rmin, rmax, gmin, gmax, bmin, bmax)
       }
     }.toDF("media_id", "n_px", "r_sum", "g_sum", "b_sum",
+      "r_min", "r_max", "g_min", "g_max", "b_min", "b_max")
+  }
+
+  /** REAL image RESIZE on REAL decoded pixels: decode the payload
+    * (BMP/PNG — any lossless ImageIO format), 2×2 AVERAGE-POOL each
+    * channel with exact integer floor (the canonical box downsample),
+    * and report channel statistics of the RESIZED raster —
+    * (media_id, out_w, out_h, r_sum, g_sum, b_sum, min/max per
+    * channel). This swaps the byte-level resize stub (m04's seam) for
+    * an actual raster operation behind an actual codec, with
+    * arithmetic an oracle can recompute exactly. Map-only; payloads
+    * and full-resolution rasters never cross a shuffle — at 100 TB the
+    * resize runs where the bytes already are and only the pooled
+    * statistics move.
+    */
+  def pooledChannelStats(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = Codecs.decodeImage(m.payload)
+        require(w % 2 == 0 && h % 2 == 0,
+          s"2x2 pool needs even dims, got ${w}x$h")
+        val (ow, oh) = (w / 2, h / 2)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var (rmin, gmin, bmin) = (255, 255, 255)
+        var (rmax, gmax, bmax) = (0, 0, 0)
+        var by = 0
+        while (by < oh) {
+          var bx = 0
+          while (bx < ow) {
+            var (r4, g4, b4) = (0, 0, 0)
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val p = px((by * 2 + dy) * w + bx * 2 + dx)
+                r4 += (p >> 16) & 0xff
+                g4 += (p >> 8) & 0xff
+                b4 += p & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            val (r, g, b) = (r4 / 4, g4 / 4, b4 / 4)
+            rs += r; gs += g; bs += b
+            if (r < rmin) rmin = r; if (r > rmax) rmax = r
+            if (g < gmin) gmin = g; if (g > gmax) gmax = g
+            if (b < bmin) bmin = b; if (b > bmax) bmax = b
+            bx += 1
+          }
+          by += 1
+        }
+        (m.media_id, ow.toLong, oh.toLong, rs, gs, bs,
+          rmin, rmax, gmin, gmax, bmin, bmax)
+      }
+    }.toDF("media_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum",
       "r_min", "r_max", "g_min", "g_max", "b_min", "b_max")
   }
 

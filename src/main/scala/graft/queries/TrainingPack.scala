@@ -1282,6 +1282,49 @@ object TrainingPack {
           min("s_min").cast("bigint").as("s_min"),
           max("s_max").cast("bigint").as("s_max"),
           min("sample_rate").cast("bigint").as("rate"))
+    }),
+
+    // m07 — a REAL image RESIZE behind a REAL third codec (BMP): per
+    // document a 16×12 raster (pure integer function of (doc_id, x,
+    // y)) is encoded to an actual 24-bit BMP (javax.imageio — lossless
+    // for any raster, unlike GIF's palette), decoded back
+    // executor-side, 2×2 AVERAGE-POOLED per channel with exact integer
+    // floor (the canonical box downsample — an actual raster op on
+    // actual pixels, not m04's byte-level stub), and the RESIZED
+    // raster's channel stats feed a bucketed rollup. The oracle
+    // recomputes the pooling arithmetic over a DuckDB pixel grid —
+    // any codec defect (BGR order, bottom-up rows, row padding) or
+    // pooling defect (off-by-one block, rounding mode)
+    // hash-mismatches. Map-only; payloads and full-res rasters never
+    // cross a shuffle.
+    "m07_bmp_resize" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val payload = Multimodal.Codecs.encodeBmp(16, 12, (x, y) => {
+              val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+              val g = ((id * 11 + x + y * 2) % 256).toInt
+              val b = ((id * 13 + x * 9 + y) % 256).toInt
+              (r << 16) | (g << 8) | b
+            })
+            Multimodal.MediaItem(id, "image", payload,
+              width = 16, height = 12, sample_rate = 0, n_frames = 1)
+          }
+        }
+      Multimodal.pooledChannelStats(items)
+        .groupBy((col("media_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(col("out_w") * col("out_h")).as("px"),
+          sum("r_sum").as("r_sum"), sum("g_sum").as("g_sum"),
+          sum("b_sum").as("b_sum"),
+          min("r_min").cast("bigint").as("r_min"),
+          max("r_max").cast("bigint").as("r_max"),
+          min("g_min").cast("bigint").as("g_min"),
+          max("g_max").cast("bigint").as("g_max"),
+          min("b_min").cast("bigint").as("b_min"),
+          max("b_max").cast("bigint").as("b_max"))
     })
   )
 
@@ -2359,6 +2402,31 @@ object TrainingPack {
         | CAST(min(g) AS BIGINT) AS g_min, CAST(max(g) AS BIGINT) AS g_max,
         | CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
         |FROM px GROUP BY 1""".stripMargin,
+    // the 2×2-average-pooled channel stats, recomputed from the same
+    // integer generator over a DuckDB pixel grid: block sums
+    // floor-divided by 4 (exactly the Scala pooling arithmetic) —
+    // lossless BMP round-trip makes the generator the ground truth
+    "m07_bmp_resize" ->
+      """WITH px AS (
+        | SELECT d.doc_id AS id, x.range // 2 AS bx, y.range // 2 AS by,
+        |  (d.doc_id * 7 + x.range * 3 + y.range * 5) % 256 AS r,
+        |  (d.doc_id * 11 + x.range + y.range * 2) % 256 AS g,
+        |  (d.doc_id * 13 + x.range * 9 + y.range) % 256 AS b
+        | FROM documents d, range(0, 16) x, range(0, 12) y),
+        |blk AS (
+        | SELECT id, bx, by,
+        |  sum(r) // 4 AS r, sum(g) // 4 AS g, sum(b) // 4 AS b
+        | FROM px GROUP BY 1, 2, 3)
+        |SELECT id % 8 AS bucket,
+        | CAST(count(DISTINCT id) AS BIGINT) AS n_imgs,
+        | CAST(count(*) AS BIGINT) AS px,
+        | CAST(sum(r) AS BIGINT) AS r_sum,
+        | CAST(sum(g) AS BIGINT) AS g_sum,
+        | CAST(sum(b) AS BIGINT) AS b_sum,
+        | CAST(min(r) AS BIGINT) AS r_min, CAST(max(r) AS BIGINT) AS r_max,
+        | CAST(min(g) AS BIGINT) AS g_min, CAST(max(g) AS BIGINT) AS g_max,
+        | CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
+        |FROM blk GROUP BY 1""".stripMargin,
     // the decoded-WAV sample stats, recomputed from the same integer
     // generator over a DuckDB sample grid — lossless PCM round-trip
     // makes the generator the ground truth

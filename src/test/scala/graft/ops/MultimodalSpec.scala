@@ -116,4 +116,32 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.getLong(4) == 7L * 8) // b_sum: constant 7
     assert(r1.getInt(5) == 10 && r1.getInt(6) == 13) // r min/max
   }
+
+  test("REAL BMP codec + 2x2 average pool: exact integer arithmetic " +
+    "on decoded pixels") {
+    import spark.implicits._
+    // BMP is 24-bit uncompressed — byte-exact round trip
+    val bytes = Multimodal.Codecs.encodeBmp(4, 2, (x, y) =>
+      ((x * 50) << 16) | ((y * 100) << 8) | 200)
+    val (w, h, px) = Multimodal.Codecs.decodeImage(bytes)
+    assert((w, h) == (4, 2))
+    assert(((px(1) >> 16) & 0xff) == 50 && (px(4) >> 8 & 0xff) == 100)
+    val items = spark.createDataset(Seq(
+      Multimodal.MediaItem(1L, "image", bytes, 4, 2, 0, 1)))
+    val r = Multimodal.pooledChannelStats(items).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L) // out 2x1
+    // block (0,0): r values 0,50,0,50 → sum 100 → 100/4 = 25
+    // block (1,0): r values 100,150,100,150 → 500/4 = 125
+    assert(r.getLong(3) == 25L + 125L) // r_sum over pooled pixels
+    // g: rows y=0 (0) and y=1 (100) in every block → 200/4 = 50
+    assert(r.getLong(4) == 50L + 50L)
+    assert(r.getLong(5) == 200L * 2) // b constant
+    assert(r.getInt(6) == 25 && r.getInt(7) == 125) // pooled r min/max
+    // odd dimensions refuse loudly instead of silently cropping
+    val odd = spark.createDataset(Seq(Multimodal.MediaItem(2L, "image",
+      Multimodal.Codecs.encodeBmp(3, 2, (_, _) => 0), 3, 2, 0, 1)))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.pooledChannelStats(odd).collect()
+    }
+  }
 }
