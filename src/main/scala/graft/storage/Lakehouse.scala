@@ -1436,7 +1436,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .select(col(Lakehouse.FileCol).as("file"),
         col(Lakehouse.PosCol).as("pos"))
     commitMoRDelta(name, dv, None, Nil, beforeCommit, basis,
-      survivors = Some(masked.filter(!hit)))
+      survivorsOf = Some(names =>
+        readMaskedWithPosBasis(name, schema, Some(names))._1
+          .filter(!hit)))
   }
 
   /** Merge-on-read UPDATE — the Iceberg MoR-update shape, ONE atomic
@@ -1486,7 +1488,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       Some(updated),
       if (clusterCols.nonEmpty) clusterCols else statsCols,
       beforeCommit, basis,
-      survivors = Some(maskedAll.filter(!hitPred)))
+      survivorsOf = Some(names =>
+        readMaskedWithPosBasis(name, schema, Some(names))._1
+          .filter(!hitPred)))
   }
 
   /** The LIVE rows of a table (every mask applied — eq-del tombstones
@@ -1505,7 +1509,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * delta's positional masks.
     */
   private[graft] def readMaskedWithPosBasis(name: String,
-      schema: StructType): (DataFrame, Lakehouse.ReadBasis) = {
+      schema: StructType,
+      onlyFiles: Option[Set[String]] = None)
+      : (DataFrame, Lakehouse.ReadBasis) = {
     require(!schema.fieldNames.contains(Lakehouse.FileCol) &&
       !schema.fieldNames.contains(Lakehouse.PosCol),
       s"reserved column name collision: ${Lakehouse.FileCol}/" +
@@ -1514,20 +1520,40 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val tombs = eqDelRefs(roots)
     val dvs: Seq[(Long, Map[String, String])] =
       roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
-    roots.map { r =>
+    val frames = roots.flatMap { r =>
       val rv = rootVersion(r)
-      val base = spark.read.schema(schema).option("basePath", r).parquet(r)
-        .select(col("*"),
-          substring_index(col("_metadata.file_path"), "/", -1)
-            .as(Lakehouse.FileCol),
-          col("_metadata.row_index").as(Lakehouse.PosCol))
-      val eqMasked = eqDelMask(base, schema, tombs.filter(_._1 > rv))
-      val applicable = dvs.filter(_._1 > rv).map(_._2)
-      if (applicable.isEmpty) eqMasked
-      else eqMasked.filter(graft.functions.DvSurvives(
-        col(Lakehouse.FileCol), col(Lakehouse.PosCol),
-        applicable.flatMap(_.toSeq).groupMap(_._1)(_._2)))
-    }.reduce(_ unionByName _) -> basis
+      // `onlyFiles`: restrict the scan to the NAMED data files at the
+      // source (explicit paths, whole files pruned before any IO) —
+      // what bounds the DV-extremes pass by the delete, not the table
+      val srcs: Seq[String] = onlyFiles match {
+        case None => Seq(r)
+        case Some(names) => listDataFilesIn(new Path(r))
+          .map(_.getPath).filter(p => names(p.getName)).map(_.toString)
+      }
+      if (srcs.isEmpty) None
+      else {
+        val base = spark.read.schema(schema).option("basePath", r)
+          .parquet(srcs: _*)
+          .select(col("*"),
+            substring_index(col("_metadata.file_path"), "/", -1)
+              .as(Lakehouse.FileCol),
+            col("_metadata.row_index").as(Lakehouse.PosCol))
+        val eqMasked = eqDelMask(base, schema, tombs.filter(_._1 > rv))
+        val applicable = dvs.filter(_._1 > rv).map(_._2)
+        Some(if (applicable.isEmpty) eqMasked
+        else eqMasked.filter(graft.functions.DvSurvives(
+          col(Lakehouse.FileCol), col(Lakehouse.PosCol),
+          applicable.flatMap(_.toSeq).groupMap(_._1)(_._2))))
+      }
+    }
+    val frame = frames.reduceOption(_ unionByName _).getOrElse {
+      val full = schema
+        .add(Lakehouse.FileCol, org.apache.spark.sql.types.StringType)
+        .add(Lakehouse.PosCol, org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    }
+    frame -> basis
   }
 
   /** ONE atomic merge-on-read delta: `masks` (file STRING, pos BIGINT —
@@ -1558,7 +1584,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       newRows: Option[DataFrame], statsCols: Seq[String],
       beforeCommit: () => Unit,
       basis: Lakehouse.ReadBasis,
-      survivors: Option[DataFrame] = None): Unit = {
+      survivorsOf: Option[Set[String] => DataFrame] = None): Unit = {
     val dest = new Path(tablePath(name))
     def conflictingFull(): Option[Long] =
       versionDirs(dest).sortBy(_._1).find { case (v, p) =>
@@ -1584,7 +1610,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       masks.select(col("file"), col("pos"))
         .write.mode("overwrite").parquet(dvDir)
       DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
-      survivors.foreach(writeDvExtremes(_, masks, dvDir))
+      // post-mask extremes, BOUNDED BY THE DELETE: affected-file names
+      // come from the just-written vector parquet (re-evaluating
+      // `masks` would re-run the whole matched scan — measured 2× on
+      // the MoR-update benchmark), and the survivors builder scans
+      // ONLY those files (explicit-path read), never the table
+      survivorsOf.foreach { build =>
+        val names = spark.read.parquet(dvDir).select(col("file"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        if (names.nonEmpty)
+          writeDvExtremes(build(names.toSet), names, dvDir)
+      }
     }
     conflictingFull().foreach(v => abort(v, Some(vdir)))
   }
@@ -1604,8 +1640,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * Best-effort: an unsupported shape writes nothing and the pushdown
     * simply declines (never wrong, only slower).
     */
-  private def writeDvExtremes(survivors: DataFrame, masks: DataFrame,
-      dvDir: String): Unit =
+  private def writeDvExtremes(survivors: DataFrame,
+      affectedNames: Seq[String], dvDir: String): Unit =
     try {
       val fileC = Lakehouse.FileCol
       val dataCols = survivors.schema.fields.toSeq
@@ -1613,20 +1649,33 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           f.name == Lakehouse.FileCol || f.name == Lakehouse.PosCol)
         .filter(f => MetaCheckpoint.tagOf(f.dataType).isDefined)
       if (dataCols.isEmpty) return
-      val affected = masks.select(col("file").cast("string")).distinct()
       val aggs = dataCols.flatMap(f => Seq(
         min(col(f.name)).as(s"min_${f.name}"),
         max(col(f.name)).as(s"max_${f.name}")))
+      // `survivors` is already restricted to the affected files at the
+      // source; collect is O(#affected files) — the dv index's own size
       val perFile = survivors
-        .join(affected, survivors(fileC) === affected("file"), "left_semi")
         .groupBy(col(fileC).as("file"))
         .agg(aggs.head, aggs.tail: _*)
-      val joined = affected.join(perFile, Seq("file"), "left_outer")
-      val rows = joined.collect().toSeq
+        .collect().map(r => r.getString(0) -> r).toMap
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType) +:
+          dataCols.flatMap(f => Seq(
+            org.apache.spark.sql.types.StructField(s"min_${f.name}",
+              f.dataType),
+            org.apache.spark.sql.types.StructField(s"max_${f.name}",
+              f.dataType))))
+      // an ALL-DEAD affected file still gets a row (null extremes =
+      // nothing survives: prunable, contributes nothing to folds)
+      val rows = affectedNames.map { n =>
+        perFile.getOrElse(n, org.apache.spark.sql.Row.fromSeq(
+          n +: Seq.fill(dataCols.length * 2)(null)))
+      }
       FooterStats.writeManifestFile(
         spark.sparkContext.hadoopConfiguration,
         new Path(s"$dvDir/${Lakehouse.Protocol.DvExtremesDir}"),
-        joined.schema, rows)
+        schema, rows)
       ()
     } catch { case scala.util.control.NonFatal(_) => () }
 
