@@ -221,6 +221,41 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("one-side bucket shuffle: Spark re-shuffles the unbucketed side " +
+    "BY THE V2 FUNCTION — write-side and function-side bucket ids agree") {
+    init()
+    // this is the sharpest correctness probe of GraftBucketFunction:
+    // with v2.bucketing.shuffle enabled Spark hashes the plain side by
+    // invoking OUR ScalarFunction.produceResult and co-schedules the
+    // result against the stored layout. If produceResult ever diverged
+    // from the write path's pmod(hash(col), n) routing, matching keys
+    // would land in different buckets and rows would SILENTLY drop —
+    // so the assert is on the VALUES, not just the plan.
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.bs
+      (k BIGINT, av BIGINT) PARTITIONED BY (bucket(8, k))""")
+    if (spark.table("graftspj.spj.bs").isEmpty)
+      spark.sql("""INSERT INTO graftspj.spj.bs
+        SELECT id AS k, id * 3 AS av FROM range(0, 5000)""")
+    spark.range(0, 2500).selectExpr("id * 2 AS k", "id AS bv")
+      .createOrReplaceTempView("spj_plain")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        """SELECT count(*) AS n, sum(a.av + p.bv) AS s
+          |FROM graftspj.spj.bs a JOIN spj_plain p ON a.k = p.k
+          |""".stripMargin)
+      val r = df.head()
+      // matches: k = 2i for i < 2500 → 2500 rows
+      assert(r.getLong(0) == 2500L,
+        s"rows dropped — bucket function disagrees with the write " +
+          s"path: got ${r.getLong(0)}")
+      assert(r.getLong(1) == (0L until 2500L).map(i => (2 * i) * 3 + i).sum)
+    }
+  }
+
   test("byPartitionKeys never drops rows of a non-deterministic key") {
     // Clustering executes its input twice (distinct key pass, then the
     // probe join) — with rand() in the key expression the second pass
