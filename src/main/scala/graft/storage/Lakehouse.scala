@@ -1611,13 +1611,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         .write.mode("overwrite").parquet(dvDir)
       DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
       // post-mask extremes, BOUNDED BY THE DELETE: affected-file names
-      // come from the just-written vector parquet (re-evaluating
-      // `masks` would re-run the whole matched scan — measured 2× on
-      // the MoR-update benchmark), and the survivors builder scans
-      // ONLY those files (explicit-path read), never the table
+      // come from the just-written SIDECAR INDEX (one fs listing, zero
+      // Spark jobs — re-evaluating `masks` would re-run the whole
+      // matched scan, measured 2× on the MoR-update benchmark), and
+      // the survivors builder scans ONLY those files (explicit-path
+      // read), never the table
       survivorsOf.foreach { build =>
-        val names = spark.read.parquet(dvDir).select(col("file"))
-          .distinct().collect().map(_.getString(0)).toSeq
+        val names = DvSidecar.index(fs, new Path(dvDir)).keySet.toSeq.sorted
         if (names.nonEmpty)
           writeDvExtremes(build(names.toSet), names, dvDir)
       }
