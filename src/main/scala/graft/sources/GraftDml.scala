@@ -461,8 +461,11 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
         if (partCols.isEmpty) (newRows, Nil)
         else (graft.storage.Clustering.byPartitionKeys(
           spark, newRows, partCols), partCols)
+      // extremesSchema: the MoR MERGE also records post-mask extremes
+      // (round-9 limit closed) — MIN/MAX pushdown survives a merge now
       lake.commitMoRDelta(t, masks, Some(clusteredNew), statsCols = stats,
-        beforeCommit = () => (), basis = basis)
+        beforeCommit = () => (), basis = basis,
+        extremesSchema = Some(contract))
       return Nil
     }
 

@@ -1436,9 +1436,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .select(col(Lakehouse.FileCol).as("file"),
         col(Lakehouse.PosCol).as("pos"))
     commitMoRDelta(name, dv, None, Nil, beforeCommit, basis,
-      survivorsOf = Some(names =>
-        readMaskedWithPosBasis(name, schema, Some(names))._1
-          .filter(!hit)))
+      extremesSchema = Some(schema))
   }
 
   /** Merge-on-read UPDATE — the Iceberg MoR-update shape, ONE atomic
@@ -1488,9 +1486,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       Some(updated),
       if (clusterCols.nonEmpty) clusterCols else statsCols,
       beforeCommit, basis,
-      survivorsOf = Some(names =>
-        readMaskedWithPosBasis(name, schema, Some(names))._1
-          .filter(!hitPred)))
+      extremesSchema = Some(schema))
   }
 
   /** The LIVE rows of a table (every mask applied — eq-del tombstones
@@ -1584,7 +1580,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       newRows: Option[DataFrame], statsCols: Seq[String],
       beforeCommit: () => Unit,
       basis: Lakehouse.ReadBasis,
-      survivorsOf: Option[Set[String] => DataFrame] = None): Unit = {
+      extremesSchema: Option[StructType] = None): Unit = {
     val dest = new Path(tablePath(name))
     def conflictingFull(): Option[Long] =
       versionDirs(dest).sortBy(_._1).find { case (v, p) =>
@@ -1610,16 +1606,28 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       masks.select(col("file"), col("pos"))
         .write.mode("overwrite").parquet(dvDir)
       DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
-      // post-mask extremes, BOUNDED BY THE DELETE: affected-file names
-      // come from the just-written SIDECAR INDEX (one fs listing, zero
-      // Spark jobs — re-evaluating `masks` would re-run the whole
-      // matched scan, measured 2× on the MoR-update benchmark), and
-      // the survivors builder scans ONLY those files (explicit-path
-      // read), never the table
-      survivorsOf.foreach { build =>
-        val names = DvSidecar.index(fs, new Path(dvDir)).keySet.toSeq.sorted
-        if (names.nonEmpty)
-          writeDvExtremes(build(names.toSet), names, dvDir)
+      // post-mask extremes, BOUNDED BY THE DELETE and CALLER-FREE:
+      // survivors = the affected files' rows through the EXISTING
+      // masks, minus THIS commit's masks — which is the same statement
+      // for DELETE, UPDATE and MERGE, so it derives here from the
+      // just-written sidecars instead of per-caller closures. Affected
+      // names come from the sidecar INDEX (one fs listing, zero Spark
+      // jobs — re-evaluating `masks` would re-run the whole matched
+      // scan, measured 2× on the MoR-update benchmark); the read scans
+      // ONLY those files (explicit-path), never the table; the new
+      // sidecars themselves supply the minus term (DvSurvives — the
+      // commit is still uncommitted, so the plain masked read cannot
+      // see it yet).
+      extremesSchema.foreach { sch =>
+        val idx = DvSidecar.index(fs, new Path(dvDir))
+        if (idx.nonEmpty) {
+          val survivors = readMaskedWithPosBasis(name, sch,
+            Some(idx.keySet))._1
+            .filter(graft.functions.DvSurvives(
+              col(Lakehouse.FileCol), col(Lakehouse.PosCol),
+              idx.map { case (n, sp) => n -> Seq(sp) }))
+          writeDvExtremes(survivors, idx.keySet.toSeq.sorted, dvDir)
+        }
       }
     }
     conflictingFull().foreach(v => abort(v, Some(vdir)))

@@ -110,6 +110,40 @@ class DvSpec extends SparkSpec {
     assert(df.count() == 30L)
   }
 
+  test("MIN/MAX stays pushed after a MoR MERGE (post-mask extremes " +
+    "from the merge commit too)") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("dv-merge-mm")
+    spark.conf.set("spark.sql.catalog.graftdvm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftdvm.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftdvm.d")
+    // PARTITIONED BY (k): the INSERT and the merge's post-images then
+    // carry zone maps on k — the coverage the pushdown needs (an
+    // unpartitioned table's rows-only manifests decline it, correctly)
+    spark.sql("""CREATE TABLE graftdvm.d.t (k BIGINT, v BIGINT)
+      PARTITIONED BY (k)
+      TBLPROPERTIES ('graft.deleteMode' = 'mor')""")
+    spark.sql("INSERT INTO graftdvm.d.t SELECT id, id FROM range(0, 100)")
+    // the merge DELETES the high extreme (k >= 90 matched-delete) and
+    // UPDATES the low end's v — one MoR delta with a DV + post-images
+    spark.range(0, 100).filter(col("id") >= 80)
+      .selectExpr("id AS k", "id + 1000 AS v")
+      .createOrReplaceTempView("dvm_src")
+    spark.sql("""MERGE INTO graftdvm.d.t t USING dvm_src s ON t.k = s.k
+      WHEN MATCHED AND s.k >= 90 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    val q = spark.sql("SELECT max(k) AS hi, min(k) AS lo FROM graftdvm.d.t")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "MIN/MAX must stay pushed after a MoR MERGE:\n" +
+        q.queryExecution.executedPlan.toString)
+    // the answer is the MASKED one: 90-99 deleted; 80-89 rewritten as
+    // post-images (their own files carry fresh stats)
+    assert(q.head() == org.apache.spark.sql.Row(89L, 0L))
+    assert(spark.sql("SELECT sum(v) FROM graftdvm.d.t").head().getLong(0)
+      == (0L until 80L).sum + (80L until 90L).map(_ + 1000L).sum)
+  }
+
   test("SQL DELETE routes through DVs under graft.deleteMode=mor") {
     val root = tmpDir("dv-sql")
     spark.conf.set("spark.sql.catalog.graftdv", "graft.sources.GraftCatalog")
