@@ -311,9 +311,14 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
     // nothing) instead of silently voiding the delta.
     if (mor) require(!cdf, "graft.deleteMode=mor cannot record a " +
       "change feed — use copy-on-write MERGE on CDF tables")
-    val (tgt0, basis) =
-      if (mor) lake.readMaskedWithPosBasis(t, contract)
-      else lake.readWithBasis(t, contract)
+    // MoR: resolve the masked-read context ONCE — the merge's matched
+    // scan and commitMoRDelta's post-mask extremes pass share the same
+    // snapshot without a second listing walk
+    val morCtx = if (mor) Some(lake.maskedCtx(t)) else None
+    val (tgt0, basis) = morCtx match {
+      case Some(c) => (lake.readMaskedWithPosOn(c, contract), c.basis)
+      case None => lake.readWithBasis(t, contract)
+    }
     val srcDf = GraftColumnBridge.ofRows(spark, source)
     val rid = "__graft_t_rid"
     val mark = "__graft_s_mark"
@@ -465,7 +470,7 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
       // (round-9 limit closed) — MIN/MAX pushdown survives a merge now
       lake.commitMoRDelta(t, masks, Some(clusteredNew), statsCols = stats,
         beforeCommit = () => (), basis = basis,
-        extremesSchema = Some(contract))
+        extremesSchema = Some(contract), morCtx = morCtx)
       return Nil
     }
 

@@ -1270,14 +1270,16 @@ private[graft] object LakehouseBatch {
     if (recs.exists(r => present.get(r.v).exists(
       _.getModificationTime != r.dirMtime))) return None
     val recByV = recs.map(r => r.v -> r).toMap
-    // a dir recorded UNCOMMITTED whose identity is unchanged is still
-    // uncommitted (a marker landing bumps the dir mtime) — skip the
-    // probe; any change promotes it to the live walk below
-    val stillUncommitted: Set[Long] = st.uncommitted.filter(u =>
-      present.get(u.v).exists(_.getModificationTime == u.mtime))
-      .map(_.v).toSet
+    // dirs recorded UNCOMMITTED at build time are probed UNCONDITIONALLY
+    // (one commitKind read each; the tail is small by construction): a
+    // marker landing within the same mtime tick as the build's listing
+    // would otherwise leave that committed version invisible to every
+    // checkpointed resolve — and the snapshot-cache digest would cache
+    // the stale TableMeta — until some later change bumps the dir mtime
+    // (mtime granularity is millisecond on HDFS/local, coarser on some
+    // filesystems).
     val probed: Seq[(Long, Path, Boolean)] = dirSt
-      .filter { case (v, _) => !recByV.contains(v) && !stillUncommitted(v) }
+      .filter { case (v, _) => !recByV.contains(v) }
       .sortBy(_._1)
       .flatMap { case (v, s) =>
         Protocol.commitKind(fs, s.getPath).map(full => (v, s.getPath, full))

@@ -619,6 +619,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val dest = new Path(tablePath(name))
     val next = claimVersion(dest)
     val vdir = new Path(dest, s"$VersionPrefix$next")
+    // FULL-commit intent lands at CLAIM time, before any payload byte:
+    // monotonic claims mean every merge-on-read delta that could commit
+    // above this full claims later, so its conflict checks always see
+    // the intent (see [[Lakehouse.Protocol.MarkerFullIntent]]). Deleted
+    // on a failed write so an aborted full stops blocking deltas; a
+    // JVM death leaves it, bounded by the freshness TTL.
+    val intent = new Path(vdir, Lakehouse.Protocol.MarkerFullIntent)
+    if (marker == MarkerFull) {
+      fs.mkdirs(vdir)
+      commitIo.commitMarker(intent)
+    }
     // Lakehouse-INTERNAL files write TIMESTAMP_MICROS instead of the
     // session's INT96 default: INT96 is deprecated and carries NO
     // parquet column statistics, which would force every commit with a
@@ -635,9 +646,20 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // it session-wide — which is exactly how 21 oracle dumps went
     // tz-aware before this was refcounted.
     Lakehouse.MicrosScope.enter(spark)
-    try write(vdir.toString)
-    finally Lakehouse.MicrosScope.exit(spark)
-    beforeCommit()
+    try {
+      try write(vdir.toString)
+      finally Lakehouse.MicrosScope.exit(spark)
+      beforeCommit()
+    } catch {
+      case e: Throwable =>
+        // a FAILED full must not keep aborting merge-on-read deltas:
+        // drop only the intent (the dir stays as ordinary crash debris,
+        // invisible and vacuum's job — the crash-sim tests lean on that)
+        if (marker == MarkerFull)
+          try fs.delete(intent, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     commitIo.commitMarker(new Path(vdir, marker)) // the commit point
     // auto-checkpoint: fold the chain's metadata into one snapshot file
     // every N commits so resolve reads checkpoint + tail instead of
@@ -1430,13 +1452,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // COUNT(*) metadata pushdown depends on. The data-less delta commits
     // through [[commitMoRDelta]] (no post-images), which also gives the
     // DELETE the same FULL-rewrite conflict detection as UPDATE/MERGE.
-    val (masked, basis) = readMaskedWithPosBasis(name, schema)
+    val ctx = maskedCtx(name)
+    val masked = readMaskedWithPosOn(ctx, schema)
     val hit = coalesce(predicate.cast("boolean"), lit(false))
     val dv = masked.filter(hit)
       .select(col(Lakehouse.FileCol).as("file"),
         col(Lakehouse.PosCol).as("pos"))
-    commitMoRDelta(name, dv, None, Nil, beforeCommit, basis,
-      extremesSchema = Some(schema))
+    commitMoRDelta(name, dv, None, Nil, beforeCommit, ctx.basis,
+      extremesSchema = Some(schema), morCtx = Some(ctx))
   }
 
   /** Merge-on-read UPDATE — the Iceberg MoR-update shape, ONE atomic
@@ -1468,7 +1491,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       require(schema.fieldNames.contains(c),
         s"UPDATE SET names unknown column $c of $name")
     }
-    val (maskedAll, basis) = readMaskedWithPosBasis(name, schema)
+    val ctx = maskedCtx(name)
+    val maskedAll = readMaskedWithPosOn(ctx, schema)
     val hitPred = coalesce(predicate.cast("boolean"), lit(false))
     val matched = maskedAll.filter(hitPred)
     val updated0 = assignments.foldLeft(matched) {
@@ -1485,8 +1509,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         col(Lakehouse.PosCol).as("pos")),
       Some(updated),
       if (clusterCols.nonEmpty) clusterCols else statsCols,
-      beforeCommit, basis,
-      extremesSchema = Some(schema))
+      beforeCommit, ctx.basis,
+      extremesSchema = Some(schema), morCtx = Some(ctx))
   }
 
   /** The LIVE rows of a table (every mask applied — eq-del tombstones
@@ -1508,14 +1532,38 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       schema: StructType,
       onlyFiles: Option[Set[String]] = None)
       : (DataFrame, Lakehouse.ReadBasis) = {
-    require(!schema.fieldNames.contains(Lakehouse.FileCol) &&
-      !schema.fieldNames.contains(Lakehouse.PosCol),
-      s"reserved column name collision: ${Lakehouse.FileCol}/" +
-        s"${Lakehouse.PosCol}")
+    val ctx = maskedCtx(name)
+    (readMaskedWithPosOn(ctx, schema, onlyFiles), ctx.basis)
+  }
+
+  /** Resolve ONE masked-read context (live roots + basis + tombstone and
+    * DV indexes) for a merge-on-read mutation to share across its passes
+    * — the matched scan AND the post-mask extremes scan read the same
+    * snapshot without paying the listing walk twice (the r9 driver bench
+    * showed the duplicated resolve as a 1.4-2× regression across the MoR
+    * DML pack).
+    */
+  private[graft] def maskedCtx(name: String): Lakehouse.MaskedCtx = {
     val (roots, basis) = liveRootsAndBasis(name)
     val tombs = eqDelRefs(roots)
     val dvs: Seq[(Long, Map[String, String])] =
       roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
+    Lakehouse.MaskedCtx(roots, basis, tombs, dvs)
+  }
+
+  /** [[readMaskedWithPosBasis]] over an already-resolved context —
+    * zero listings beyond the optional `onlyFiles` explicit-path walk.
+    */
+  private[graft] def readMaskedWithPosOn(ctx: Lakehouse.MaskedCtx,
+      schema: StructType,
+      onlyFiles: Option[Set[String]] = None): DataFrame = {
+    require(!schema.fieldNames.contains(Lakehouse.FileCol) &&
+      !schema.fieldNames.contains(Lakehouse.PosCol),
+      s"reserved column name collision: ${Lakehouse.FileCol}/" +
+        s"${Lakehouse.PosCol}")
+    val roots = ctx.roots
+    val tombs = ctx.tombs
+    val dvs = ctx.dvs
     val frames = roots.flatMap { r =>
       val rv = rootVersion(r)
       // `onlyFiles`: restrict the scan to the NAMED data files at the
@@ -1549,7 +1597,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     }
-    frame -> basis
+    frame
   }
 
   /** ONE atomic merge-on-read delta: `masks` (file STRING, pos BIGINT —
@@ -1580,7 +1628,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       newRows: Option[DataFrame], statsCols: Seq[String],
       beforeCommit: () => Unit,
       basis: Lakehouse.ReadBasis,
-      extremesSchema: Option[StructType] = None): Unit = {
+      extremesSchema: Option[StructType] = None,
+      morCtx: Option[Lakehouse.MaskedCtx] = None): Unit = {
     val dest = new Path(tablePath(name))
     def conflictingFull(): Option[Long] =
       versionDirs(dest).sortBy(_._1).find { case (v, p) =>
@@ -1618,11 +1667,24 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // sidecars themselves supply the minus term (DvSurvives — the
       // commit is still uncommitted, so the plain masked read cannot
       // see it yet).
-      extremesSchema.foreach { sch =>
+      // spark.graft.dvExtremes=false opts a write-heavy / compact-soon
+      // table out entirely: MIN/MAX pushdown declines under its DVs
+      // (never wrong, only slower) and each DML saves the survivors
+      // pass — the containment lever for commit-protocol-bound DML.
+      val wantExtremes = spark.conf
+        .getOption("spark.graft.dvExtremes").forall(_.toBoolean)
+      if (wantExtremes) extremesSchema.foreach { sch =>
         val idx = DvSidecar.index(fs, new Path(dvDir))
         if (idx.nonEmpty) {
-          val survivors = readMaskedWithPosBasis(name, sch,
-            Some(idx.keySet))._1
+          // the caller's resolved context (when given) makes this pass
+          // listing-free: same snapshot as the matched scan, only the
+          // affected files' explicit paths are opened
+          val base = morCtx match {
+            case Some(c) => readMaskedWithPosOn(c, sch, Some(idx.keySet))
+            case None => readMaskedWithPosBasis(name, sch,
+              Some(idx.keySet))._1
+          }
+          val survivors = base
             .filter(graft.functions.DvSurvives(
               col(Lakehouse.FileCol), col(Lakehouse.PosCol),
               idx.map { case (n, sp) => n -> Seq(sp) }))
@@ -2671,6 +2733,35 @@ object Lakehouse {
     // V2 scan drops them from lower-version roots at plan time (zero
     // tasks, zero IO) instead of scanning fully-masked files.
     val RewrittenList = "_GRAFT_REWRITTEN"
+    /** FULL-commit intent, created in the claimed version dir BEFORE the
+      * snapshot write begins. A merge-on-read delta's conflict check
+      * treats a FRESH intent in an uncommitted dir outside its basis as
+      * a conflict: the delta's positional DV would name files the
+      * in-flight rewrite is about to replace, and — because version
+      * claims are monotonic — any delta that could land ABOVE the full
+      * claimed after the intent existed, so its pre/post-marker checks
+      * always see it. This closes the window where a delta commits above
+      * an in-flight full and both sides' marker-based checks miss each
+      * other (delta post-check before the full's marker, full's rebase
+      * scan only below fullV). Freshness (`spark.graft.fullIntentTtlMs`)
+      * bounds crash debris: an abandoned intent stops blocking deltas
+      * once its dir mtime goes stale — a >TTL-slow full loses the
+      * prevention and falls back to the LOUD post-commit detection
+      * ([[rebaseLateDeltas]]' basis check), never a silent one.
+      */
+    val MarkerFullIntent = "_GRAFT_FULL_INTENT"
+    /** Committed-version set (one version per line) of the listing a
+      * mask-bearing delta (DV / equality-delete) derived its masks from.
+      * Read by the scan's aggregate-pushdown gate: pushed COUNT(*) =
+      * Σ(rows − dv − eqMatched) and MIN/MAX-from-extremes are sound only
+      * if every mask commit's identity scan read THROUGH every other
+      * mask (pairwise: one of each pair's bases contains the other) —
+      * two masks recorded concurrently can double-subtract a row or
+      * resurrect a masked extreme, and per-file coverage checks cannot
+      * see it. Also read by [[rebaseLateDeltas]] to detect a DV delta
+      * that landed above a full it never saw.
+      */
+    val BasisFile = "_GRAFT_BASIS"
 
     /** (version, dir) for every `_v<N>` subdir, committed or not. */
     def versionDirs(fs: FileSystem, dest: Path): Seq[(Long, Path)] =
@@ -2773,4 +2864,16 @@ object Lakehouse {
     * members and rebases every other committed dir above the new full.
     */
   final case class ReadBasis(maxCommitted: Long, committed: Set[Long])
+
+  /** One resolved masked-read snapshot, shared across a merge-on-read
+    * mutation's passes (matched scan, post-mask extremes): live roots,
+    * the basis of the SAME listing, the equality-delete tombstone refs
+    * (version, dir, keyCols) and per-version DV indexes (version →
+    * fileName → sidecarPath). Resolving this once per DML is both a
+    * correctness anchor (every pass sees one snapshot) and the fix for
+    * the duplicated-listing cost the r9 bench surfaced.
+    */
+  final case class MaskedCtx(roots: Seq[String], basis: ReadBasis,
+      tombs: Seq[(Long, String, Seq[String])],
+      dvs: Seq[(Long, Map[String, String])])
 }

@@ -16,7 +16,7 @@ Two comparison layers:
 
 Dev-only tool (driver-side python env); not part of the engine.
 """
-import json, math, sys
+import json, math, re, sys
 from pathlib import Path
 
 import duckdb
@@ -205,8 +205,12 @@ def main():
                 pass
         t_pass = sum(1 for r in merged.values() if r.get("pass"))
         t_fail = len(merged) - t_pass
+        # round label derives from the artifact filename (…_rNN.json) —
+        # a hardcoded value mislabeled the r9 artifact as round 8
+        m = re.search(r"_r(\d+)\.json$", out_p.name)
+        rnd = int(m.group(1)) if m else None
         out_p.write_text(json.dumps({
-            "sf": sf, "round": 8,
+            "sf": sf, "round": rnd,
             "gate": "tools/verify_local.py (local replica of the driver "
                     "DuckDB hash-compare, incl. the pandas driver-path layer)",
             "pass": t_pass, "fail": t_fail, "queries": merged}, indent=1))
