@@ -1646,6 +1646,81 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         out.persist(); out.count() // materialize under the pinned confs
         out
       } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    }),
+
+    // q95 — BUCKET-COUNT EVOLUTION (Iceberg partition-spec-evolution
+    // shape): at 100 TB a table outgrows its bucket count, and the
+    // evolution must be an ALTER, not a table rebuild. `ALTER TABLE …
+    // SET TBLPROPERTIES('graft.partition'='bucket(16,okey)')` changes
+    // the spec for NEW commits only (the catalog refuses structural
+    // changes — same columns, bucket counts only); while generations
+    // are mixed the scan cannot prove one key grouping, so the join
+    // correctly plans its exchange (require-pinned), and a keyed
+    // compact migrates the old files — after which the 16-bucket SPJ
+    // re-engages with zero exchanges (require-pinned). The oracle is
+    // the same plain join aggregate as q94: evolution must move BYTES,
+    // never rows.
+    "q95_bucket_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q95")
+      s.conf.set("spark.sql.catalog.graftq95", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq95.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q95_ord")
+      s.read.parquet(s"$d/lineitem.parquet")
+        .createOrReplaceTempView("q95_li")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq95.q95")
+      s.sql("DROP TABLE IF EXISTS graftq95.q95.ord")
+      s.sql("DROP TABLE IF EXISTS graftq95.q95.li")
+      s.sql("""CREATE TABLE graftq95.q95.ord (
+          okey BIGINT, amt DECIMAL(18,2))
+        PARTITIONED BY (bucket(8, okey))""")
+      s.sql("""INSERT INTO graftq95.q95.ord
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+        FROM q95_ord WHERE o_orderkey % 2 = 0""")
+      // evolve 8 → 16 buckets; rows written before the ALTER keep
+      // their 8-bucket layout until a keyed compact migrates them
+      s.sql("""ALTER TABLE graftq95.q95.ord
+        SET TBLPROPERTIES ('graft.partition' = 'bucket(16,okey)')""")
+      s.sql("""INSERT INTO graftq95.q95.ord
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+        FROM q95_ord WHERE o_orderkey % 2 = 1""")
+      s.sql("""CREATE TABLE graftq95.q95.li (
+          okey BIGINT, qty DECIMAL(18,2))
+        PARTITIONED BY (bucket(16, okey))""")
+      s.sql("""INSERT INTO graftq95.q95.li
+        SELECT l_orderkey, CAST(l_quantity AS DECIMAL(18,2))
+        FROM q95_li""")
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> s.conf.get(k))
+      keys.zip(Seq("true", "true", "-1")).foreach {
+        case (k, v) => s.conf.set(k, v) }
+      try {
+        val joinSql =
+          """SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(o.okey) AS BIGINT) AS key_sum,
+               CAST(sum(o.amt + l.qty) AS DOUBLE) AS v
+             FROM graftq95.q95.ord o JOIN graftq95.q95.li l
+               ON o.okey = l.okey"""
+        // mixed 8/16-bucket generations: no single key grouping is
+        // provable, so the join MUST keep its exchange (a key report
+        // here would co-schedule rows of the same key into different
+        // groups and silently drop matches)
+        val mixed = s.sql(joinSql).queryExecution.executedPlan.toString
+        require(mixed.contains("Exchange"),
+          s"mixed bucket generations must decline SPJ:\n$mixed")
+        // keyed compact migrates every file to the NEW spec
+        s.sql("CALL graftq95.system.compact('q95', 'ord', 16, " +
+          "'bucket(16,okey)')")
+        val out = s.sql(joinSql)
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"post-compact 16-bucket SPJ must re-engage:\n$plan")
+        out.persist(); out.count() // materialize under the pinned confs
+        out
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
     })
   )
 
@@ -1753,6 +1828,13 @@ FROM (
       """SELECT CAST(count(*) AS BIGINT) AS n
 FROM orders WHERE o_orderkey % 5 <> 0""",
     "q94_bucket_spj" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) +
+           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+    // evolution moves bytes, never rows — same oracle shape as q94
+    "q95_bucket_evolution" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) +

@@ -531,6 +531,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             f.withComment(c.newComment) else f))
         schemaDirty = true
       case p: TableChange.SetProperty =>
+        // partition-spec EVOLUTION (Iceberg shape): only bucket COUNTS
+        // may change — same columns, same spec kinds, identity specs
+        // untouched. New commits cluster under the new spec; mixed
+        // generations make the scan decline the key-grouped report
+        // (old files carry the old `_gbk<n>` stat, unprovable under
+        // the new spec) until a keyed compact migrates them. A
+        // structural change (different columns / identity↔bucket)
+        // would silently re-key directory layouts and zone maps over
+        // committed generations — refused.
+        if (p.property == GraftCatalog.PartitionProp) {
+          val before = props.get(GraftCatalog.PartitionProp)
+            .map(PartSpec.parseList).getOrElse(Nil)
+          val after = PartSpec.parseList(p.value)
+          val bucketCountOnly = before.length == after.length &&
+            before.zip(after).forall {
+              case (IdentitySpec(a), IdentitySpec(b)) => a == b
+              case (BucketSpec(_, a), BucketSpec(n, b)) =>
+                a == b && n > 0
+              case _ => false
+            }
+          require(bucketCountOnly,
+            s"ALTER TABLE can evolve only bucket counts of the " +
+              s"partition spec (same columns, same kinds): " +
+              s"'${PartSpec.renderList(before)}' -> '${p.value}'")
+        }
         props += (p.property -> p.value); propsDirty = true
       case p: TableChange.RemoveProperty =>
         props -= p.property; propsDirty = true
@@ -666,7 +691,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = new Path(nsPath(Array(ns)), new Path(t, GraftCatalog.PropsFile))
     if (!fs.exists(p)) Nil
     else GraftCatalog.readProps(fs, p).get(GraftCatalog.PartitionProp)
-      .map(_.split(",").toSeq).getOrElse(Nil)
+      .map(s => PartSpec.parseList(s).map(_.render)).getOrElse(Nil)
   }
 
   override def listProcedures(ns: Array[String]): Array[Identifier] =
@@ -723,11 +748,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             n match {
               case "compact" =>
                 val cols = args.getUTF8String(3).toString
+                // paren-aware split: "bucket(16,okey)" is ONE spec
                 val colSeq =
-                  if (cols.isEmpty) Nil else cols.split(",").toSeq
-                // compacting on the table's PARTITIONED BY columns
-                // re-establishes the exact one-file-per-key layout
-                // (keyed mode) rather than a sampled range split
+                  if (cols.isEmpty) Nil
+                  else PartSpec.parseList(cols).map(_.render)
+                // compacting on the table's PARTITIONED BY specs
+                // re-establishes the exact keyed layout (identity
+                // values / bucket ids) rather than a sampled range
+                // split
                 lake.compact(t, tableSchema(ns, t), args.getInt(2),
                   colSeq, keyedCols =
                     colSeq.nonEmpty && colSeq == tablePartCols(ns, t))
@@ -1087,16 +1115,22 @@ private[sources] class GraftTable(path: String, tableName: String,
     props.get(GraftCatalog.PartitionProp)
       .map(PartSpec.parseList).getOrElse(Nil)
 
-  /** IDENTITY partition (clustering) columns only — what the DML
-    * rewrite paths re-cluster by. Bucket specs deliberately stay out:
-    * a copy-on-write rewrite re-clustered by the raw key column would
-    * claim a one-file-per-KEY layout a bucket table never has; bucket
-    * clustering re-establishes through INSERT/compact instead, and in
-    * the interim the scan simply declines the key-grouped report
-    * (correct, just an exchange again).
-    */
+  /** IDENTITY partition (clustering) columns only — what the
+    * dynamic-overwrite path keys directories by. */
   private[sources] def partCols: Seq[String] =
     partSpecs.collect { case IdentitySpec(c) => c }
+
+  /** RENDERED spec list for the DML rewrite paths — identity columns
+    * as plain names, bucket specs as `bucket(n,col)`. The rewrite
+    * re-routes survivors by the SAME transforms the INSERT path uses
+    * (bucket id for bucket specs — never the raw key, which would
+    * claim a one-file-per-KEY layout a bucket table never has), so the
+    * storage-partitioned-join report survives copy-on-write
+    * DELETE/UPDATE/MERGE instead of declining until the next
+    * insert/compact.
+    */
+  private[sources] def rewriteSpecs: Seq[String] =
+    partSpecs.map(_.render)
 
   /** Partitioned catalog tables report their key layout to the scan so
     * co-partitioned joins skip the exchange (storage-partitioned join;
@@ -1181,7 +1215,8 @@ private[sources] class GraftTable(path: String, tableName: String,
         "CDF tables")
       l.deleteRowsMoR(t, tschema, pred)
     } else
-      l.delete(t, tschema, pred, cdf = cdfEnabled, clusterCols = partCols)
+      l.delete(t, tschema, pred, cdf = cdfEnabled,
+        clusterCols = rewriteSpecs)
   }
 
   override def truncateTable(): Boolean = {
@@ -1285,8 +1320,10 @@ private[sources] class GraftTable(path: String, tableName: String,
         val files = props.get(GraftCatalog.AutoCompactFilesProp)
           .map(_.toInt).getOrElse(SparkSession.active.conf
             .get("spark.sql.shuffle.partitions").toInt)
-        lake.compact(t, tschema, files, partCols,
-          keyedCols = partCols.nonEmpty)
+        // rendered specs: a bucket table's auto-compact re-clusters by
+        // bucket id, keeping the SPJ key report through maintenance
+        lake.compact(t, tschema, files, rewriteSpecs,
+          keyedCols = rewriteSpecs.nonEmpty)
       }
     }
 }

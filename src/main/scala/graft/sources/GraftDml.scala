@@ -61,7 +61,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           condition.map(detach).getOrElse(lit(true)),
           assignments.map(a =>
             topLevelName(a.key, "UPDATE SET") -> detach(a.value)),
-          tbl.cdfEnabled, tbl.partCols, mor = tbl.morDeletes)
+          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes)
 
       case d @ DeleteFromTable(table, condition)
           if d.resolved && graftTable(table).isDefined &&
@@ -74,7 +74,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         checkWritable(tbl, "DELETE")
         val detach = detacher(Map(rel.outputSet -> Nil))
         GraftDeleteCommand(tbl.tableDir, tbl.contractSchema,
-          detach(condition), tbl.cdfEnabled, tbl.partCols,
+          detach(condition), tbl.cdfEnabled, tbl.rewriteSpecs,
           mor = tbl.morDeletes)
 
       case m @ MergeIntoTable(target, source, mergeCond, matched,
@@ -95,7 +95,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           (matched ++ notMatchedBySource).map(toAct(_, detach)).toIndexedSeq,
           matched.length,
           notMatched.map(toAct(_, detach)).toIndexedSeq,
-          tbl.cdfEnabled, tbl.partCols, mor = tbl.morDeletes)
+          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes)
     }
 
   /** The GraftTable under the statement's target (aliases stripped). */
@@ -201,6 +201,17 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 private[sources] object GraftDml {
+
+  /** Zone-map stat names of a rendered partition-spec list: identity
+    * columns by name, bucket specs as the derived `_gbk<n>_<col>`
+    * column — the same mapping the INSERT path records, so the scan's
+    * storage-partitioned-join key proof survives a MERGE.
+    */
+  def statNamesOf(renders: Seq[String]): Seq[String] =
+    renders.map(PartSpec.parse).map {
+      case IdentitySpec(c) => c
+      case b: BucketSpec => b.statName
+    }
   val TargetAlias = "__t"
   val SourceAlias = "__s"
 
@@ -464,8 +475,9 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
         .unionByName(sOut.filter(col(keep)).select(outCols: _*))
       val (clusteredNew, stats) =
         if (partCols.isEmpty) (newRows, Nil)
-        else (graft.storage.Clustering.byPartitionKeys(
-          spark, newRows, partCols), partCols)
+        else (graft.storage.Clustering.bySpecs(spark, newRows,
+          partCols.map(PartSpec.parse)),
+          GraftDml.statNamesOf(partCols))
       // extremesSchema: the MoR MERGE also records post-mask extremes
       // (round-9 limit closed) — MIN/MAX pushdown survives a merge now
       lake.commitMoRDelta(t, masks, Some(clusteredNew), statsCols = stats,
@@ -482,8 +494,9 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
     // `CALL compact` or graft.autoCompact re-cluster)
     val (clustered, stats) =
       if (partCols.isEmpty) (result, Nil)
-      else (graft.storage.Clustering.byPartitionKeys(
-        spark, result, partCols), partCols)
+      else (graft.storage.Clustering.bySpecs(spark, result,
+        partCols.map(PartSpec.parse)),
+        GraftDml.statNamesOf(partCols))
     lake.overwritePartitioned(t, clustered, Nil, readBasis = Some(basis),
       statsCols = stats, changeData = changes)
     Nil

@@ -199,6 +199,23 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
         case _ => None
       }
     if (wanted.exists(_.isEmpty) || wanted.isEmpty) return false
+    // PAIRWISE mask disjointness: COUNT = Σ(rows − dv − eqMatched) and
+    // MIN/MAX-from-post-mask-extremes assume every mask commit's
+    // identity scan read THROUGH every other mask. Two masks recorded
+    // blind to each other (concurrent DELETEs racing) can each count or
+    // survive the same row — per-file coverage checks cannot see it, so
+    // the gate proves it from the commits' recorded read bases: for
+    // each pair, one basis must contain the other's version. A mask
+    // without a recorded basis proves nothing → decline when any other
+    // mask is outstanding (single-mask tables are trivially disjoint).
+    if (meta.maskVersions.size > 1) {
+      val vs = meta.maskVersions.toSeq.sorted
+      val ordered = vs.combinations(2).forall { case Seq(a, b) =>
+        meta.maskBasis.get(b).exists(_.contains(a)) ||
+          meta.maskBasis.get(a).exists(_.contains(b))
+      }
+      if (!ordered) return false
+    }
     // equality-delete tombstones: COUNT(*) stays pushed when EVERY
     // tombstone commit recorded exact per-file matched counts covering
     // every lower-version live file — count = Σ(rows − dv − matched)
@@ -312,7 +329,33 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
           ok
         }
       }
-      if (allKeyed) Some(out.result()) else None
+      if (!allKeyed) None
+      else {
+        val keyed = out.result()
+        // SKEW GUARD: a co-scheduled key group runs as ONE task and AQE
+        // cannot split it (OptimizeSkewedJoin works on shuffle reads,
+        // not storage-partitioned groups) — at 100 TB one hot customer
+        // melts the join. The per-group row totals are already in the
+        // zone-map manifests, so when the hottest group exceeds BOTH an
+        // absolute floor (`spark.graft.spjSkewMinRows` — tiny tables
+        // never decline) and `spark.graft.spjSkewRatio` × the mean,
+        // decline the key report: the plan reverts to a shuffle join
+        // where AQE's skew splitting CAN act. Never a correctness
+        // decision — only which exchange strategy runs.
+        val conf = org.apache.spark.sql.SparkSession.active.conf
+        val ratio = conf.getOption("spark.graft.spjSkewRatio")
+          .map(_.toDouble).getOrElse(5.0)
+        val minRows = conf.getOption("spark.graft.spjSkewMinRows")
+          .map(_.toLong).getOrElse(4000000L)
+        val rowsOf = meta.dataFiles.map(fm =>
+          fm.path -> fm.rowCount).toMap
+        val groups = keyed.toSeq.groupBy(_._2._1)
+          .map { case (_, fs) => fs.map(f => rowsOf(f._1)).sum }
+        val mx = if (groups.isEmpty) 0L else groups.max
+        val mean = if (groups.isEmpty) 0.0
+          else groups.sum.toDouble / groups.size
+        if (mx >= minRows && mx > ratio * mean) None else Some(keyed)
+      }
     }
   }
 
@@ -850,7 +893,15 @@ private[graft] object LakehouseBatch {
       eqDels: Seq[(Long, String, Seq[String])] = Nil,
       bloomManifests: Map[Long, (Seq[String], Set[String])] = Map.empty,
       coveredCols: Set[String] = Set.empty,
-      eqDelCounts: Map[Long, Map[String, Long]] = Map.empty) {
+      eqDelCounts: Map[Long, Map[String, Long]] = Map.empty,
+      // mask-bearing commit versions (DV + equality-delete) and their
+      // recorded read bases — the aggregate-pushdown gate proves
+      // PAIRWISE mask disjointness from these (each pair: one basis
+      // contains the other's version), declining when two masks were
+      // recorded blind to each other (concurrent mutators would
+      // double-subtract a row / resurrect a masked extreme)
+      maskVersions: Set[Long] = Set.empty,
+      maskBasis: Map[Long, Set[Long]] = Map.empty) {
     /** Per-snapshot accumulating cache of DECODED bloom probes, loaded
       * lazily by [[skipFiles]] — rides the TableMeta so the snapshot
       * cache keeps warm probes across queries. Never serialized.
@@ -1332,14 +1383,14 @@ private[graft] object LakehouseBatch {
           if (r.dvIndex.isEmpty) None
           else Some(DvCommit(v, r.dvIndex.map { case (n, rel) =>
             n -> new Path(dest, rel).toString }, r.dvCounts,
-            MetaCheckpoint.decodeDvExtremes(r)))
+            MetaCheckpoint.decodeDvExtremes(st, r)))
         case (v, Right(p)) => dvOf(fs, conf, v, p)
       }
     val walked = parMap(live.collect { case (v, Right(p)) => (v, p) }) {
       case (v, p) => walkRoot(spark, conf, fs, v, p)
     }
     val decoded = live.collect { case (_, Left(r)) =>
-      MetaCheckpoint.toRootData(dest, r) }
+      MetaCheckpoint.toRootData(dest, st, r) }
     ckptServes.incrementAndGet()
     Some(foldRoots(path, (decoded ++ walked).sortBy(_.v), dvByVersion,
       eqDels, fs, conf, eqDelCounts))
@@ -1516,7 +1567,8 @@ private[graft] object LakehouseBatch {
       statRows: Map[String, org.apache.spark.sql.Row],
       mStats: Set[String], mBlooms: Set[String],
       rewritten: Set[String], manifestParts: Seq[String] = Nil,
-      knownRows: Map[String, Long] = Map.empty)
+      knownRows: Map[String, Long] = Map.empty,
+      basis: Option[Set[Long]] = None)
 
   /** Walk ONE root: list its data files, read its rewrite list and its
     * stats manifest (bloom blobs column-pruned out — they load lazily
@@ -1577,7 +1629,8 @@ private[graft] object LakehouseBatch {
         }
       }
     RootData(v, root, dataPaths.map(st => (st.getPath, st.getLen)),
-      statRows, mStats, mBlooms, rewritten, mParts)
+      statRows, mStats, mBlooms, rewritten, mParts,
+      basis = graft.storage.Lakehouse.Protocol.readBasisFile(fs, root))
   }
 
   /** Fold per-root metadata into the planner's [[TableMeta]]: drop
@@ -1672,8 +1725,14 @@ private[graft] object LakehouseBatch {
       }
     val bloomManifests = rootDatas.filter(_.mBlooms.nonEmpty)
       .map(rm => rm.v -> ((rm.manifestParts, rm.mBlooms))).toMap
+    val maskVersions: Set[Long] =
+      dvByVersion.map(_.v).toSet ++ eqDels.map(_._1)
+    val maskBasis: Map[Long, Set[Long]] = rootDatas
+      .filter(rm => maskVersions(rm.v))
+      .flatMap(rm => rm.basis.map(rm.v -> _)).toMap
     TableMeta(path, all, statsCols, covered && all.nonEmpty, bloomCols,
-      eqDels, bloomManifests, coveredCols, eqDelCounts)
+      eqDels, bloomManifests, coveredCols, eqDelCounts, maskVersions,
+      maskBasis)
   }
 
   /** Order-preserving bounded-parallel map over driver-side IO tasks.

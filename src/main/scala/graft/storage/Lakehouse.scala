@@ -200,19 +200,41 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * time under its new version number. Same caveat as any
     * mtime-derived clock: it is the filesystem's, not the writer's.
     */
-  def history(name: String): Seq[(Long, Boolean, Long)] =
-    versionDirs(new Path(tablePath(name))).sortBy(_._1).flatMap {
-      case (v, p) =>
-        commitKind(p).map { full =>
-          val mt = fs.listStatus(p).collect {
-            case st if st.getPath.getName == MarkerFull ||
-              st.getPath.getName == MarkerLegacy ||
-              st.getPath.getName.startsWith(MarkerDelta) =>
-              st.getModificationTime
-          }
-          (v, full, mt.min)
+  def history(name: String): Seq[(Long, Boolean, Long)] = {
+    val dest = new Path(tablePath(name))
+    // commits the newest checkpoint covers answer from it (commit kind
+    // + marker mtime recorded at build) — one state read instead of a
+    // listing per dir, so `$history`/timestamp time travel stay O(tail)
+    // on long chains. Same identity rule as resolve: a covered dir
+    // whose mtime moved (impossible for a committed dir) or a version
+    // the checkpoint missed falls back to the per-dir listing.
+    val covered: Map[Long, (Boolean, Long, Long)] =
+      if (!spark.conf.getOption("spark.graft.useCheckpoint")
+        .forall(_.toBoolean)) Map.empty
+      else
+        try MetaCheckpoint.loadLatest(fs, dest)
+          .map(_.versions.filter(_.commitMs > 0L)
+            .map(r => r.v -> ((r.full, r.dirMtime, r.commitMs))).toMap)
+          .getOrElse(Map.empty)
+        catch { case scala.util.control.NonFatal(_) => Map.empty }
+    Lakehouse.Protocol.versionDirStatuses(fs, dest).sortBy(_._1).flatMap {
+      case (v, st) =>
+        covered.get(v) match {
+          case Some((full, mt, cms))
+            if st.getModificationTime == mt => Some((v, full, cms))
+          case _ =>
+            commitKind(st.getPath).map { full =>
+              val mt = fs.listStatus(st.getPath).collect {
+                case s if s.getPath.getName == MarkerFull ||
+                  s.getPath.getName == MarkerLegacy ||
+                  s.getPath.getName.startsWith(MarkerDelta) =>
+                  s.getModificationTime
+              }
+              (v, full, mt.min)
+            }
         }
     }
+  }
 
   /** Timestamp time travel (`AS OF <timestamp>`): the table as of the
     * newest commit at or before `asOfMs` — resolved through [[history]]
@@ -697,7 +719,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * raises our version. A failed rename means the full committer's own
     * [[rebaseLateDeltas]] already moved us — equally live, stop.
     */
-  private def ensureAboveFulls(dest: Path, vdir0: Path): Unit = {
+  private def ensureAboveFulls(dest: Path, vdir0: Path): Path = {
     var vdir = vdir0
     var v = vdir.getName.drop(VersionPrefix.length).toLong
     var moved = true
@@ -712,6 +734,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         if (tryRename(vdir, target)) { vdir = target; v = m; moved = true }
       }
     }
+    vdir
   }
 
   /** Full-committer-side half: after committing a FULL at `fullV` whose
@@ -790,6 +813,30 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           // losing the rename race (source gone) is fine: the appender's
           // own ensureAboveFulls moved it — already live above some full
           if (tryRename(p, target)) ensureAboveFulls(dest, target)
+        }
+      }
+    }
+    // UPPER-side audit (defense in depth for the intent TTL corner): a
+    // committed DV delta ABOVE fullV whose recorded basis does not
+    // contain fullV never saw this snapshot — its positional masks name
+    // files the rewrite replaced, and being above the full it is served
+    // as live while masking nothing (resurrected deletes). The intent
+    // protocol prevents this (such a delta claimed after our intent and
+    // self-aborts); reaching here means the intent went stale (a
+    // >TTL-slow full) — fail LOUDLY rather than serve corrupt masks.
+    // A delta without a basis file predates basis recording: assume the
+    // marker-based checks covered it (legacy behavior, not a new risk).
+    versionDirs(dest).foreach { case (v, p) =>
+      if (v > fullV && commitKind(p).contains(false) &&
+        (try fs.exists(new Path(p, Lakehouse.Protocol.DvDir))
+         catch { case _: java.io.FileNotFoundException => false })) {
+        Lakehouse.Protocol.readBasisFile(fs, p).foreach { b =>
+          if (!b.contains(fullV)) throw new IllegalStateException(
+            s"full commit _v$fullV raced acknowledged merge-on-read " +
+              s"delta _v$v whose read basis (max ${b.maxOption
+                .getOrElse(-1L)}) predates the rewrite — its deletion " +
+              "vector names replaced files; restore the table to a " +
+              "version before the full or re-apply the delta")
         }
       }
     }
@@ -1096,7 +1143,41 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val basis = readBasis.getOrElse(Lakehouse.ReadBasis(
       committedOlder.map(_._1).maxOption.getOrElse(0L),
       committedOlder.map(_._1).toSet))
-    val vdir = writeVersion(name, MarkerFull, beforeCommit) { p =>
+    // PRE-MARKER late-DV check: a merge-on-read delta that committed
+    // after the basis listing but BEFORE this full's intent existed is
+    // acknowledged and will never self-abort — committing this full
+    // would silently void its positional masks. Detected here the full
+    // aborts CLEANLY (its dir is still uncommitted and invisible; the
+    // intent is dropped by writeVersion's failure path) instead of
+    // throwing after a durable marker with the delta already shadowed.
+    // Deltas that claimed AFTER our intent self-abort on seeing it, so
+    // wait briefly before giving up on each.
+    def lateDvDeltas(): Seq[Long] = versionDirs(dest)
+      .filter { case (v, p) =>
+        !basis.committed(v) && commitKind(p).contains(false) &&
+          !(try fs.exists(new Path(p, Lakehouse.Protocol.MarkerRewrite))
+            catch { case _: java.io.FileNotFoundException => false }) &&
+          (try fs.exists(new Path(p, Lakehouse.Protocol.DvDir))
+           catch { case _: java.io.FileNotFoundException => false })
+      }.map(_._1)
+    val preMarkerCheck: () => Unit = () => {
+      val waitMs = spark.conf.getOption("spark.graft.fullRaceWaitMs")
+        .map(_.toLong).getOrElse(10000L)
+      val deadline = System.nanoTime() + waitMs * 1000 * 1000
+      var late = lateDvDeltas()
+      while (late.nonEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100L)
+        late = lateDvDeltas()
+      }
+      if (late.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"full commit on $name raced acknowledged merge-on-read " +
+          s"delta(s) ${late.map(v => s"_v$v").mkString(", ")} (read " +
+          s"basis ${basis.maxCommitted}) — their deletion vectors name " +
+          "files this snapshot replaces; re-run the maintenance job " +
+          "against the new snapshot")
+      beforeCommit()
+    }
+    val vdir = writeVersion(name, MarkerFull, preMarkerCheck) { p =>
       val w = Lakehouse.withBloomOptions(df.write.mode("overwrite"),
         bloomCols)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -1236,7 +1317,33 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       predicate: org.apache.spark.sql.Column, cdf: Boolean,
       clusterCols: Seq[String]): Unit =
     deleteImpl(name, schema, schema.fieldNames.toSeq, predicate,
-      clusterCols, () => (), cdf, clusterCols)
+      clusterStatNames(clusterCols), () => (), cdf, clusterCols)
+
+  /** `clusterCols` entries on the rewrite paths are RENDERED partition
+    * specs — a plain name (identity) or `bucket(n,col)`. Parsing here
+    * lets a copy-on-write DELETE/UPDATE/MERGE re-route survivors by the
+    * same bucket transform the INSERT path uses, so a bucket table's
+    * storage-partitioned-join report SURVIVES row-level DML instead of
+    * declining until the next insert/compact (the round-9 known limit).
+    */
+  private def clusterSpecsOf(renders: Seq[String])
+      : Seq[graft.sources.PartSpec] =
+    renders.map(graft.sources.PartSpec.parse)
+
+  private def clusterFrame(df: DataFrame,
+      renders: Seq[String]): DataFrame =
+    Clustering.bySpecs(spark, df, clusterSpecsOf(renders))
+
+  /** Zone-map stats for a clustered rewrite: identity columns by name,
+    * bucket specs as their derived `_gbk<n>_<col>` column — the exact
+    * mapping the INSERT path records, so the scan's key proof holds
+    * across DML.
+    */
+  private def clusterStatNames(renders: Seq[String]): Seq[String] =
+    clusterSpecsOf(renders).map {
+      case graft.sources.IdentitySpec(c) => c
+      case b: graft.sources.BucketSpec => b.statName
+    }
 
   private def deleteImpl(name: String, full: StructType,
       contractCols: Seq[String], predicate: org.apache.spark.sql.Column,
@@ -1268,7 +1375,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // not decay until the next compact)
     val out =
       if (clusterCols.isEmpty) surviving
-      else Clustering.byPartitionKeys(spark, surviving, clusterCols)
+      else clusterFrame(surviving, clusterCols)
     overwritePartitioned(name, out, partCols, beforeCommit,
       statsCols = statsCols, readBasis = Some(basis), changeData = removed)
   }
@@ -1332,9 +1439,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // same clustering contract as deleteImpl (see there)
     val clustered =
       if (clusterCols.isEmpty) out
-      else Clustering.byPartitionKeys(spark, out, clusterCols)
+      else clusterFrame(out, clusterCols)
     overwritePartitioned(name, clustered, Nil, beforeCommit,
-      statsCols = clusterCols, readBasis = Some(basis),
+      statsCols = clusterStatNames(clusterCols), readBasis = Some(basis),
       changeData = changes)
   }
 
@@ -1393,36 +1500,65 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // and the pushdown declines rather than under-counting.
     // `spark.graft.eqDelCounts=false` restores the metadata-only
     // commit (and COUNT falls back to the scan, the pre-round-9 rule).
-    val counted: Option[Seq[(String, Long)]] =
+    val counted: Option[(Seq[(String, Long)], Lakehouse.ReadBasis)] =
       if (!spark.conf.getOption("spark.graft.eqDelCounts")
         .forall(_.toBoolean)) None
-      else if (!exists(name)) Some(Nil)
+      else if (!exists(name)) Some((Nil,
+        Lakehouse.ReadBasis(0L, Set.empty)))
       else {
-        val (masked, _) = readMaskedWithPosBasis(name, schema)
+        val ctx = maskedCtx(name)
+        val masked = readMaskedWithPosOn(ctx, schema)
         val keyCols = keys.columns.toSeq
         val matched = masked
           .select((Lakehouse.FileCol +: keyCols).map(col): _*)
           .join(conformed, keyCols, "left_semi")
           .groupBy(col(Lakehouse.FileCol)).count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val allLive = liveRootsAndBasis(name)._1
+        val allLive = ctx.roots
           .flatMap(r => listDataFilesIn(new Path(r)))
           .map(_.getPath.getName)
-        Some(allLive.map(n => n -> matched.getOrElse(n, 0L)))
+        Some((allLive.map(n => n -> matched.getOrElse(n, 0L)), ctx.basis))
       }
     val vdir = writeVersion(name, MarkerDelta, beforeCommit) { p =>
       // a data-less delta: the tombstones are the whole payload, hidden
       // under the underscore dir so plain scans of the version see no rows
       conformed.write.mode("overwrite").parquet(s"$p/$EqDelDir")
-      counted.foreach { cs =>
+      counted.foreach { case (cs, cBasis) =>
         val out = fs.create(new Path(s"$p/$EqDelDir",
           Lakehouse.Protocol.EqDelCountsFile), true)
         try out.write(cs.map { case (n, c) => s"$n\t$c" }
           .mkString("\n").getBytes("UTF-8"))
         finally out.close()
+        // counts are only pairwise-sound against other masks recorded
+        // from a basis that saw this one (or vice versa) — the scan's
+        // pushdown gate proves that from the recorded basis
+        Lakehouse.Protocol.writeBasis(fs, new Path(p), cBasis)
       }
     }
-    ensureAboveFulls(dest, vdir)
+    val finalDir = ensureAboveFulls(dest, vdir)
+    // a committed REWRITE delta ABOVE this tombstone re-expressed files
+    // the value masks must keep covering: its survivors sit at a higher
+    // version and escape the version-ordered mask (a rewrite BELOW us is
+    // always fine — our masks cover its survivors). Claims are
+    // monotonic, so any such rewrite claimed after us and its basis
+    // cannot contain this tombstone; self-abort BEFORE acknowledging
+    // (the caller re-runs against the new snapshot). The rewrite's own
+    // post-check drops ITSELF when it sees us first — the two
+    // post-marker checks each run after their own marker, so a racing
+    // pair cannot both miss (the required interleaving is cyclic).
+    val myV = finalDir.getName.drop(VersionPrefix.length).toLong
+    val rewriteAbove = versionDirs(dest).find { case (v, p) =>
+      v > myV && (try fs.exists(
+        new Path(p, Lakehouse.Protocol.MarkerRewrite))
+      catch { case _: java.io.FileNotFoundException => false })
+    }
+    rewriteAbove.foreach { case (v, _) =>
+      fs.delete(finalDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"deleteByKeys on $name raced rewrite commit _v$v — the " +
+          "rewrite's survivors would escape this tombstone; re-run " +
+          "the delete against the new snapshot")
+    }
   }
 
   /** Merge-on-read row-level DELETE via DELETION VECTORS — the
@@ -1503,12 +1639,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // INSERT path and the MoR MERGE branch
     val updated =
       if (clusterCols.isEmpty) updated0
-      else Clustering.byPartitionKeys(spark, updated0, clusterCols)
+      else clusterFrame(updated0, clusterCols)
     commitMoRDelta(name,
       matched.select(col(Lakehouse.FileCol).as("file"),
         col(Lakehouse.PosCol).as("pos")),
       Some(updated),
-      if (clusterCols.nonEmpty) clusterCols else statsCols,
+      if (clusterCols.nonEmpty) clusterStatNames(clusterCols)
+      else statsCols,
       beforeCommit, ctx.basis,
       extremesSchema = Some(schema), morCtx = Some(ctx))
   }
@@ -1631,17 +1768,46 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       extremesSchema: Option[StructType] = None,
       morCtx: Option[Lakehouse.MaskedCtx] = None): Unit = {
     val dest = new Path(tablePath(name))
-    def conflictingFull(): Option[Long] =
-      versionDirs(dest).sortBy(_._1).find { case (v, p) =>
-        !basis.committed(v) && commitKind(p).contains(true)
-      }.map(_._1)
+    // Conflicts, all "outside the basis" (the snapshot this delta's
+    // positional masks derive from):
+    //  - a COMMITTED FULL: its snapshot replaced the files the DV names;
+    //  - a COMMITTED REWRITE delta ([[rewriteDeletes]]): its survivors
+    //    re-express those files under new names the DV cannot mask;
+    //  - a FRESH FULL INTENT in an uncommitted dir: an in-flight
+    //    full/compaction whose marker may land after this delta's
+    //    post-check — the window both marker-based checks used to miss
+    //    (v_delta > fullV ordering). Claims are monotonic, so the intent
+    //    exists before any delta that could land above the full even
+    //    claims; freshness (dir mtime within spark.graft.fullIntentTtlMs,
+    //    payload writes keep bumping it) stops crashed-full debris from
+    //    blocking DML forever.
+    def conflictingFull(): Option[Long] = {
+      val ttl = spark.conf.getOption("spark.graft.fullIntentTtlMs")
+        .map(_.toLong).getOrElse(600000L)
+      val now = System.currentTimeMillis()
+      Lakehouse.Protocol.versionDirStatuses(fs, dest).sortBy(_._1)
+        .find { case (v, st) =>
+          !basis.committed(v) && (commitKind(st.getPath) match {
+            case Some(true) => true
+            case Some(false) =>
+              try fs.exists(
+                new Path(st.getPath, Lakehouse.Protocol.MarkerRewrite))
+              catch { case _: java.io.FileNotFoundException => false }
+            case None =>
+              (try fs.exists(new Path(st.getPath,
+                Lakehouse.Protocol.MarkerFullIntent))
+              catch { case _: java.io.FileNotFoundException => false }) &&
+                now - st.getModificationTime < ttl
+          })
+        }.map(_._1)
+    }
     def abort(v: Long, vdir: Option[Path]): Nothing = {
       vdir.foreach(fs.delete(_, true))
       throw new java.util.ConcurrentModificationException(
-        s"merge-on-read delta on $name raced FULL commit _v$v " +
+        s"merge-on-read delta on $name raced FULL/REWRITE commit _v$v " +
           s"(read basis ${basis.maxCommitted}): the delta's deletion " +
-          "vector names files the rewrite replaced — re-run the DML " +
-          "against the new snapshot")
+          "vector names files the rewrite replaced (or is about to " +
+          "replace) — re-run the DML against the new snapshot")
     }
     val vdir = writeVersion(name, MarkerDelta, () => {
       beforeCommit()
@@ -1655,6 +1821,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       masks.select(col("file"), col("pos"))
         .write.mode("overwrite").parquet(dvDir)
       DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
+      // the masks' read basis rides the commit: the scan's pushdown
+      // gate proves pairwise mask disjointness from it, and the full
+      // committer's rebase check detects a DV that landed above a full
+      // it never saw (see [[Lakehouse.Protocol.BasisFile]])
+      Lakehouse.Protocol.writeBasis(fs, new Path(p), basis)
       // post-mask extremes, BOUNDED BY THE DELETE and CALLER-FREE:
       // survivors = the affected files' rows through the EXISTING
       // masks, minus THIS commit's masks — which is the same statement
@@ -1813,7 +1984,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"threshold must be in (0, 1]: $threshold")
     require(exists(name), s"no such table: $name")
     val dest = new Path(tablePath(name))
-    val (roots, _) = liveRootsAndBasis(name)
+    val (roots, rwBasis) = liveRootsAndBasis(name)
     val dvs: Seq[(Long, Map[String, String])] =
       roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
     if (dvs.isEmpty) return Nil
@@ -1923,11 +2094,31 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // raced by a FULL commit: the snapshot read the originals through
     // their masks, so this commit's content is redundant — drop it (the
     // full committer's rebaseLateDeltas does the same if it sees us
-    // first; either way the rewrite simply didn't happen)
-    val fullAbove = versionDirs(dest).exists { case (fv, p) =>
-      fv > rootVersion(vdir.toString) && commitKind(p).contains(true)
+    // first; either way the rewrite simply didn't happen).
+    // Raced by a MASK delta (DV or equality-delete) committed OUTSIDE
+    // our basis: the survivors were materialized without that mask —
+    // a DV's positions name the originals (which the rewrite's
+    // whole-file masks already kill) but never the survivor copies, so
+    // keeping this commit would resurrect the deleted rows; a
+    // value-based tombstone below our version likewise never masks the
+    // higher-version survivors. Self-drop is always safe (a rewrite
+    // carries no logical rows), and the mask committer's own post-check
+    // aborts on seeing US committed outside ITS basis — each side's
+    // post-marker check runs after its own marker, so at least one of
+    // any racing pair always detects the other (the four orderings
+    // cannot all interleave the checks before the markers).
+    val myV = rootVersion(vdir.toString)
+    val racedBy = versionDirs(dest).exists { case (v, p) =>
+      commitKind(p) match {
+        case Some(true) => v > myV
+        case Some(false) if v != myV && !rwBasis.committed(v) =>
+          (try fs.exists(new Path(p, Lakehouse.Protocol.DvDir)) ||
+            fs.exists(new Path(p, EqDelDir))
+          catch { case _: java.io.FileNotFoundException => false })
+        case _ => false
+      }
     }
-    if (fullAbove) { fs.delete(vdir, true); return Nil }
+    if (racedBy) { fs.delete(vdir, true); return Nil }
     replaced
   }
 
@@ -2478,13 +2669,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // columns — re-establish the exact one-file-per-key layout (the
       // storage-partitioned-join report survives compaction) instead of
       // a sampled range split
-      else if (keyedCols) Clustering.byPartitionKeys(spark, raw, sortCols)
+      else if (keyedCols) clusterFrame(raw, sortCols)
       else raw.repartitionByRange(numFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
     // sorted compaction gets a zone-map manifest for free — the stats
     // scan reads the files just written (for unpartitioned tables; a
-    // partitioned rewrite keeps partition pruning as its skipping axis)
-    val stats = if (partCols.isEmpty) sortCols else Nil
+    // partitioned rewrite keeps partition pruning as its skipping axis).
+    // Keyed mode maps bucket specs to their derived `_gbk` stat column.
+    val stats =
+      if (partCols.nonEmpty) Nil
+      else if (keyedCols) clusterStatNames(sortCols)
+      else sortCols
     overwritePartitioned(name, clustered, partCols, statsCols = stats,
       readBasis = Some(basis),
       changeData = Some(emptyChangeData(full, contractCols)))
@@ -2762,6 +2957,34 @@ object Lakehouse {
       * that landed above a full it never saw.
       */
     val BasisFile = "_GRAFT_BASIS"
+
+    /** Record a mask commit's read basis (sorted committed versions,
+      * one per line) inside its version dir — part of the payload,
+      * before the marker.
+      */
+    def writeBasis(fs: FileSystem, vdir: Path,
+        basis: Lakehouse.ReadBasis): Unit = {
+      val out = fs.create(new Path(vdir, BasisFile), true)
+      try out.write(basis.committed.toSeq.sorted.mkString("\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    /** The recorded read basis of one version dir; None = not recorded
+      * (legacy commit, or the writer opted out of counts).
+      */
+    def readBasisFile(fs: FileSystem, vdir: Path): Option[Set[Long]] = {
+      val f = new Path(vdir, BasisFile)
+      try {
+        if (!fs.exists(f)) None
+        else {
+          val in = fs.open(f)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).map(_.toLong).toSet)
+          finally in.close()
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
 
     /** (version, dir) for every `_v<N>` subdir, committed or not. */
     def versionDirs(fs: FileSystem, dest: Path): Seq[(Long, Path)] =

@@ -1,7 +1,6 @@
 package graft.storage
 
-import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPInputStream
 
 import scala.util.control.NonFatal
 
@@ -74,11 +73,30 @@ private[graft] object MetaCheckpoint {
       eqDel: Option[(String, Seq[String])],
       dvxCols: Seq[(String, String)] = Nil,
       dvx: Map[String, IndexedSeq[Option[String]]] = Map.empty,
-      eqCounts: Option[Map[String, Long]] = None)
+      eqCounts: Option[Map[String, Long]] = None,
+      basis: Option[Set[Long]] = None,
+      // commit-marker mtime (the commit instant [[Lakehouse.history]]
+      // serves); 0 = not recorded — history walks that dir live
+      commitMs: Long = 0L)
   final case class UncommittedRec(v: Long, mtime: Long)
+
+  /** The HEAVY columns — per-(version, fileRel) encoded zone-map values
+    * and per-(version, fileName) DV post-mask extremes. In the parquet
+    * container these live in their own column chunk, skipped by the
+    * core decode and loaded AT MOST ONCE per driver per checkpoint
+    * file, on the first resolve that actually rebuilds a TableMeta
+    * (the warm fingerprint's committedVs read never touches them).
+    */
+  final class Heavy(
+      val fileStats: Map[(Long, String), IndexedSeq[Option[String]]],
+      val dvx: Map[(Long, String), IndexedSeq[Option[String]]])
+
   final case class State(version: Long, versions: Seq[VersionRec],
-      uncommitted: Seq[UncommittedRec]) {
+      uncommitted: Seq[UncommittedRec],
+      heavyLoader: () => Heavy) {
     lazy val committedVs: Set[Long] = versions.map(_.v).toSet
+    /** Memoized — the column-pruned second pass runs at most once. */
+    lazy val heavy: Heavy = heavyLoader()
   }
 
   // ——— wire format (json4s extraction mirrors) ———
@@ -93,7 +111,8 @@ private[graft] object MetaCheckpoint {
       dvc: Map[String, Long], eq: Option[WEq], files: List[WFile],
       dvxCols: Option[List[List[String]]],
       dvx: Option[Map[String, List[Option[String]]]],
-      eqc: Option[Map[String, Long]])
+      eqc: Option[Map[String, Long]],
+      basis: Option[List[Long]])
   private case class WUnc(v: Long, mt: Long)
   private case class WState(version: Long, uncommitted: List[WUnc],
       versions: List[WVer])
@@ -101,23 +120,20 @@ private[graft] object MetaCheckpoint {
   private implicit val formats: org.json4s.Formats =
     org.json4s.DefaultFormats
 
-  private def toWire(st: State): WState = WState(st.version,
-    st.uncommitted.map(u => WUnc(u.v, u.mtime)).toList,
-    st.versions.map(r => WVer(r.v, r.full, r.dirMtime, r.payload,
-      r.statCols.map { case (n, t) => List(n, t) }.toList,
-      r.mStats.toList, r.mBlooms.toList, r.manifestParts.toList,
-      r.rewritten.toList, r.dvIndex, r.dvCounts,
-      r.eqDel.map { case (d, cols) => WEq(d, cols.toList) },
-      r.files.map(f => WFile(f.rel, f.size, f.rows,
-        f.stat.map(_.toList))).toList,
-      if (r.dvxCols.isEmpty) None
-      else Some(r.dvxCols.map { case (n, t) => List(n, t) }.toList),
-      if (r.dvx.isEmpty) None
-      else Some(r.dvx.map { case (k, vs) => k -> vs.toList }),
-      r.eqCounts)).toList)
+  /** Per-version SMALL header, JSON inside the parquet container's
+    * `hdr` column (O(#versions), never O(#files)): manifest schema
+    * tags, manifest locations, rewrite list, eq-del descriptor +
+    * counts-presence flag, DV-extremes schema, recorded read basis.
+    */
+  private case class WHdr(statCols: List[List[String]],
+      mStats: List[String], mBlooms: List[String], parts: List[String],
+      rewritten: List[String], eq: Option[WEq],
+      dvxCols: Option[List[List[String]]], basis: Option[List[Long]],
+      eqcP: Option[Boolean], cms: Option[Long])
 
-  private def fromWire(w: WState): State = State(w.version,
-    w.versions.map(r => VersionRec(r.v, r.full, r.mt, r.payload,
+  private def fromWire(w: WState): State = {
+    val versions = w.versions.map(r => VersionRec(r.v, r.full, r.mt,
+      r.payload,
       r.statCols.map(l => (l.head, l(1))),
       r.files.map(f => FileRec(f.p, f.sz, f.n,
         f.st.map(_.toIndexedSeq))),
@@ -126,8 +142,17 @@ private[graft] object MetaCheckpoint {
       r.dvxCols.getOrElse(Nil).map(l => (l.head, l(1))),
       r.dvx.getOrElse(Map.empty)
         .map { case (k, vs) => k -> vs.toIndexedSeq },
-      r.eqc)),
-    w.uncommitted.map(u => UncommittedRec(u.v, u.mt)))
+      r.eqc, r.basis.map(_.toSet)))
+    // legacy JSON carries the heavy values inline — the loader just
+    // re-keys what the parse already decoded
+    val loader = () => new Heavy(
+      versions.flatMap(r => r.files.flatMap(f =>
+        f.stat.map(((r.v, f.rel)) -> _))).toMap,
+      versions.flatMap(r => r.dvx.map { case (n, vs) =>
+        ((r.v, n)) -> vs }).toMap)
+    State(w.version, versions,
+      w.uncommitted.map(u => UncommittedRec(u.v, u.mt)), loader)
+  }
 
   // ——— typed stat-value codec ———
   // Tags pin the manifest column's Spark type; values round-trip as
@@ -226,13 +251,17 @@ private[graft] object MetaCheckpoint {
   private[graft] def dropStateCache(): Unit = stateCache.clear()
 
   private def parseName(n: String): Option[(Long, Long)] = {
-    // ckpt_<version>_<millis>.json.gz
-    if (!n.startsWith("ckpt_") || !n.endsWith(".json.gz")) None
-    else n.stripPrefix("ckpt_").stripSuffix(".json.gz").split("_") match {
-      case Array(v, ms) if v.forall(_.isDigit) && ms.forall(_.isDigit) &&
-        v.length <= 18 && ms.length <= 18 => Some((v.toLong, ms.toLong))
-      case _ => None
-    }
+    // ckpt_<version>_<millis>.parquet (current) / .json.gz (legacy read)
+    val stem =
+      if (n.endsWith(".parquet")) Some(n.stripSuffix(".parquet"))
+      else if (n.endsWith(".json.gz")) Some(n.stripSuffix(".json.gz"))
+      else None
+    stem.filter(_.startsWith("ckpt_"))
+      .map(_.stripPrefix("ckpt_").split("_")).flatMap {
+        case Array(v, ms) if v.forall(_.isDigit) && ms.forall(_.isDigit) &&
+          v.length <= 18 && ms.length <= 18 => Some((v.toLong, ms.toLong))
+        case _ => None
+      }
   }
 
   /** Names of checkpoint files, for the snapshot fingerprint (which
@@ -260,11 +289,17 @@ private[graft] object MetaCheckpoint {
     val key = s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
     Option(stateCache.get(key)).orElse {
       try {
-        val in = new GZIPInputStream(fs.open(st.getPath))
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val state = fromWire(org.json4s.jackson.JsonMethods.parse(txt)
-          .extract[WState])
+        val state =
+          if (st.getPath.getName.endsWith(".parquet"))
+            ParquetCodec.read(fs.getConf, st.getPath)
+          else {
+            val in = new GZIPInputStream(fs.open(st.getPath))
+            val txt = try scala.io.Source
+              .fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            fromWire(org.json4s.jackson.JsonMethods.parse(txt)
+              .extract[WState])
+          }
         if (stateCache.size > 64) stateCache.clear()
         stateCache.put(key, state)
         Some(state)
@@ -275,9 +310,11 @@ private[graft] object MetaCheckpoint {
   /** Reconstruct one covered root for the planner's fold: zone-map rows
     * rebuilt with the manifest's exact column schema (absent-vs-null
     * semantics survive the round trip), file sizes and row counts
-    * pre-resolved so the fold performs ZERO per-file IO.
+    * pre-resolved so the fold performs ZERO per-file IO. Forcing
+    * `st.heavy` here is what makes the heavy columns lazy: fingerprint
+    * reads (committedVs) never reach this.
     */
-  def toRootData(dest: Path, r: VersionRec)
+  def toRootData(dest: Path, st: State, r: VersionRec)
       : graft.sources.LakehouseBatch.RootData = {
     def abs(rel: String): Path =
       if (rel.startsWith("/") || rel.contains("://")) new Path(rel)
@@ -287,7 +324,7 @@ private[graft] object MetaCheckpoint {
     val tags = r.statCols.map(_._2)
     val statRows: Map[String, org.apache.spark.sql.Row] =
       r.files.flatMap { f =>
-        f.stat.map { vals =>
+        st.heavy.fileStats.get((r.v, f.rel)).map { vals =>
           val decoded: Array[Any] = vals.zip(tags).map {
             case (Some(s), t) => decodeVal(t, s)
             case (None, _) => null
@@ -303,7 +340,8 @@ private[graft] object MetaCheckpoint {
       r.files.map(f => (abs(f.rel), f.size)),
       statRows, r.mStats.toSet, r.mBlooms.toSet, r.rewritten.toSet,
       r.manifestParts.map(abs(_).toString),
-      r.files.map(f => abs(f.rel).getName -> f.rows).toMap)
+      r.files.map(f => abs(f.rel).getName -> f.rows).toMap,
+      basis = r.basis)
   }
 
   // ——— write side ———
@@ -341,23 +379,28 @@ private[graft] object MetaCheckpoint {
     val recs: Seq[Option[VersionRec]] =
       DriverIo.parMap(committed) { case (v, st, full) =>
         if (v < lastFullV)
+          // identity-only (resolve never serves it) — but the commit
+          // instant still rides along so [[Lakehouse.history]] answers
+          // retained-history rows without listing the dir
           Some(VersionRec(v, full, st.getModificationTime,
             payload = false, Nil, Nil, Nil, Nil, Nil, Nil,
-            Map.empty, Map.empty, None))
+            Map.empty, Map.empty, None,
+            commitMs = markerMs(fs, st.getPath)))
         else encodeRec(spark, fs, conf, dest, v, st, full)
       }
     if (recs.exists(_.isEmpty)) return false
-    val state = State(ckptV, recs.flatten, uncommitted)
     val dir = new Path(dest, Dir)
     fs.mkdirs(dir)
     val stamp = System.currentTimeMillis()
-    val name = s"ckpt_${ckptV}_$stamp.json.gz"
+    val name = s"ckpt_${ckptV}_$stamp.parquet"
     val tmp = new Path(dir, s"_tmp_$name")
-    val out = fs.create(tmp, true)
-    val gz = new GZIPOutputStream(out)
-    try gz.write(org.json4s.jackson.Serialization.write(toWire(state))
-      .getBytes(UTF_8))
-    finally gz.close()
+    try ParquetCodec.write(conf, tmp, recs.flatten, uncommitted)
+    catch {
+      case NonFatal(_) =>
+        try fs.delete(tmp, false)
+        catch { case NonFatal(_) => () }
+        return false
+    }
     if (!fs.rename(tmp, new Path(dir, name))) {
       fs.delete(tmp, false)
       return false
@@ -466,21 +509,37 @@ private[graft] object MetaCheckpoint {
         n -> relOf(fs, dest, new Path(p)) }).getOrElse(Map.empty),
       dv.map(_.counts).getOrElse(Map.empty),
       eq.map { case (_, d, cols) => (relOf(fs, dest, new Path(d)), cols) },
-      dvxCols, dvx, eqCounts))
+      dvxCols, dvx, eqCounts, rd.basis,
+      commitMs = markerMs(fs, root)))
   }
+
+  /** Commit instant of one version dir — the marker file's mtime (the
+    * same rule as [[Lakehouse.history]]; renames preserve file mtimes,
+    * so a rebased delta keeps its original commit time). 0 = no marker
+    * found (cannot happen for a committed dir; history walks it live).
+    */
+  private def markerMs(fs: FileSystem, root: Path): Long =
+    try fs.listStatus(root).collect {
+      case s if s.getPath.getName == Lakehouse.Protocol.MarkerFull ||
+        s.getPath.getName == Lakehouse.Protocol.MarkerLegacy ||
+        s.getPath.getName.startsWith(Lakehouse.Protocol.MarkerDelta) =>
+        s.getModificationTime
+    }.minOption.getOrElse(0L)
+    catch { case _: java.io.FileNotFoundException => 0L }
 
   /** Decode one covered commit's DV post-mask extremes back to typed
     * rows (the planner substitutes them for a DV'd file's manifest row
-    * in pruning and MIN/MAX folds).
+    * in pruning and MIN/MAX folds). Heavy-column access — lazy like
+    * [[toRootData]].
     */
-  def decodeDvExtremes(r: VersionRec)
+  def decodeDvExtremes(st: State, r: VersionRec)
       : Map[String, org.apache.spark.sql.Row] =
     if (r.dvxCols.isEmpty) Map.empty
     else {
       val schema = StructType(r.dvxCols.map { case (n, t) =>
         StructField(n, dataTypeOf(t)) })
       val tags = r.dvxCols.map(_._2)
-      r.dvx.map { case (name, vals) =>
+      st.heavy.dvx.collect { case ((v, name), vals) if v == r.v =>
         val decoded: Array[Any] = vals.zip(tags).map {
           case (Some(s), t) => decodeVal(t, s)
           case (None, _) => null
@@ -490,6 +549,259 @@ private[graft] object MetaCheckpoint {
           : org.apache.spark.sql.Row)
       }
     }
+
+  /** The PARQUET checkpoint container (Delta `_last_checkpoint` shape):
+    * one row per record, discriminated by `kind` —
+    *
+    *  - `ver`: one per covered commit; tiny JSON header in `hdr`
+    *    (schema tags, manifest locations, rewrite list, basis);
+    *  - `file`: one per data file — `rel`/`sz`/`n` are the core
+    *    columns, the encoded zone-map values live in the LIST column
+    *    `st`;
+    *  - `dv`: one per DV'd file name — sidecar path (`dvp`), deleted
+    *    count (`n`), post-mask extremes (`st`);
+    *  - `eqc`: one per (eq-del commit, file) matched count;
+    *  - `unc`: one per dir uncommitted at build time.
+    *
+    * Why parquet over the round-8 gzipped JSON: the JSON decode was
+    * O(#files) EAGER — every record parsed before the first byte of
+    * use (~50 µs/record ⇒ ~50 s at 1M files, the one named scale
+    * cliff). Here the CORE decode (resolve's file lists, row counts,
+    * commit shapes) projects AWAY the `st` column — parquet's columnar
+    * layout means those chunks are never read — and the heavy values
+    * load through [[State.heavy]] at most once per driver, only when a
+    * resolve actually rebuilds a TableMeta. A warm fingerprint read
+    * (committedVs) pays only the core columns, and the writer's
+    * dictionary encoding collapses the rel-path prefixes the JSON
+    * spelled out per record.
+    */
+  private object ParquetCodec {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.MessageTypeParser
+
+    private val SchemaStr =
+      """message graft_ckpt {
+        |  required binary kind (UTF8);
+        |  required int64 v;
+        |  optional boolean full;
+        |  optional int64 mt;
+        |  optional boolean payload;
+        |  optional binary hdr (UTF8);
+        |  optional binary rel (UTF8);
+        |  optional int64 sz;
+        |  optional int64 n;
+        |  optional binary dvp (UTF8);
+        |  optional group st (LIST) {
+        |    repeated group list {
+        |      optional binary element (UTF8);
+        |    }
+        |  }
+        |}""".stripMargin
+    private val Schema = MessageTypeParser.parseMessageType(SchemaStr)
+    /** Everything EXCEPT `st` — what resolve's fold and the warm
+      * fingerprint need; the heavy chunks are skipped on disk.
+      */
+    private val CoreProjection =
+      """message graft_ckpt {
+        |  required binary kind (UTF8);
+        |  required int64 v;
+        |  optional boolean full;
+        |  optional int64 mt;
+        |  optional boolean payload;
+        |  optional binary hdr (UTF8);
+        |  optional binary rel (UTF8);
+        |  optional int64 sz;
+        |  optional int64 n;
+        |  optional binary dvp (UTF8);
+        |}""".stripMargin
+    /** The lazy second pass: just enough to key the heavy values. */
+    private val HeavyProjection =
+      """message graft_ckpt {
+        |  required binary kind (UTF8);
+        |  required int64 v;
+        |  optional binary rel (UTF8);
+        |  optional group st (LIST) {
+        |    repeated group list {
+        |      optional binary element (UTF8);
+        |    }
+        |  }
+        |}""".stripMargin
+
+    def write(conf: Configuration, path: Path, versions: Seq[VersionRec],
+        uncommitted: Seq[UncommittedRec]): Unit = {
+      val w = ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(path, conf))
+        .withConf(conf).withType(Schema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .withDictionaryEncoding(true)
+        .build()
+      val gf = new SimpleGroupFactory(Schema)
+      def addSt(g: Group, vals: IndexedSeq[Option[String]]): Unit = {
+        val lst = g.addGroup("st")
+        vals.foreach { o =>
+          val e = lst.addGroup("list")
+          o.foreach(s => e.append("element", s))
+        }
+      }
+      try {
+        versions.foreach { r =>
+          val hdr = org.json4s.jackson.Serialization.write(WHdr(
+            r.statCols.map { case (n, t) => List(n, t) }.toList,
+            r.mStats.toList, r.mBlooms.toList, r.manifestParts.toList,
+            r.rewritten.toList,
+            r.eqDel.map { case (d, cols) => WEq(d, cols.toList) },
+            if (r.dvxCols.isEmpty) None
+            else Some(r.dvxCols.map { case (n, t) => List(n, t) }.toList),
+            r.basis.map(_.toList.sorted),
+            if (r.eqCounts.isDefined) Some(true) else None,
+            if (r.commitMs > 0L) Some(r.commitMs) else None))
+          w.write(gf.newGroup()
+            .append("kind", "ver").append("v", r.v)
+            .append("full", r.full).append("mt", r.dirMtime)
+            .append("payload", r.payload).append("hdr", hdr))
+          r.files.foreach { f =>
+            val g = gf.newGroup().append("kind", "file").append("v", r.v)
+              .append("rel", f.rel).append("sz", f.size)
+              .append("n", f.rows)
+            f.stat.foreach(addSt(g, _))
+            w.write(g)
+          }
+          val dvNames =
+            r.dvIndex.keySet ++ r.dvCounts.keySet ++ r.dvx.keySet
+          dvNames.toSeq.sorted.foreach { n =>
+            val g = gf.newGroup().append("kind", "dv").append("v", r.v)
+              .append("rel", n)
+            r.dvIndex.get(n).foreach(p => g.append("dvp", p))
+            r.dvCounts.get(n).foreach(c => g.append("n", c))
+            r.dvx.get(n).foreach(addSt(g, _))
+            w.write(g)
+          }
+          r.eqCounts.foreach(_.toSeq.sorted.foreach { case (n, c) =>
+            w.write(gf.newGroup().append("kind", "eqc").append("v", r.v)
+              .append("rel", n).append("n", c))
+          })
+        }
+        uncommitted.foreach(u =>
+          w.write(gf.newGroup().append("kind", "unc").append("v", u.v)
+            .append("mt", u.mtime)))
+      } finally w.close()
+    }
+
+    private def scan(conf: Configuration, path: Path, projection: String)(
+        f: Group => Unit): Unit = {
+      val c = new Configuration(conf)
+      c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projection)
+      val r = ParquetReader.builder(new GroupReadSupport(), path)
+        .withConf(c).build()
+      try {
+        var g = r.read()
+        while (g != null) { f(g); g = r.read() }
+      } finally r.close()
+    }
+
+    private def has(g: Group, field: String): Boolean =
+      g.getFieldRepetitionCount(field) > 0
+
+    private def stOf(g: Group): Option[IndexedSeq[Option[String]]] =
+      if (!has(g, "st")) None
+      else {
+        val lst = g.getGroup("st", 0)
+        val n = lst.getFieldRepetitionCount("list")
+        Some((0 until n).map { i =>
+          val e = lst.getGroup("list", i)
+          if (e.getFieldRepetitionCount("element") > 0)
+            Some(e.getString("element", 0))
+          else None
+        })
+      }
+
+    def read(conf: Configuration, path: Path): State = {
+      val ckptV = parseName(path.getName)
+        .map(_._1)
+        .getOrElse(throw new IllegalArgumentException(
+          s"not a checkpoint file name: ${path.getName}"))
+      final class VAcc {
+        var full = false; var mt = 0L; var payload = false
+        var hdr: WHdr = null
+        val files = Seq.newBuilder[FileRec]
+        val dvIdx = Map.newBuilder[String, String]
+        val dvCnt = Map.newBuilder[String, Long]
+        val eqc = Map.newBuilder[String, Long]
+      }
+      val accs = scala.collection.mutable.LinkedHashMap.empty[Long, VAcc]
+      val unc = Seq.newBuilder[UncommittedRec]
+      scan(conf, path, CoreProjection) { g =>
+        val kind = g.getString("kind", 0)
+        val v = g.getLong("v", 0)
+        kind match {
+          case "ver" =>
+            val a = accs.getOrElseUpdate(v, new VAcc)
+            a.full = g.getBoolean("full", 0)
+            a.mt = g.getLong("mt", 0)
+            a.payload = g.getBoolean("payload", 0)
+            a.hdr = org.json4s.jackson.JsonMethods
+              .parse(g.getString("hdr", 0)).extract[WHdr]
+          case "file" =>
+            accs.getOrElseUpdate(v, new VAcc).files += FileRec(
+              g.getString("rel", 0), g.getLong("sz", 0),
+              g.getLong("n", 0), None)
+          case "dv" =>
+            val a = accs.getOrElseUpdate(v, new VAcc)
+            val n = g.getString("rel", 0)
+            if (has(g, "dvp")) a.dvIdx += n -> g.getString("dvp", 0)
+            if (has(g, "n")) a.dvCnt += n -> g.getLong("n", 0)
+          case "eqc" =>
+            accs.getOrElseUpdate(v, new VAcc)
+              .eqc += g.getString("rel", 0) -> g.getLong("n", 0)
+          case "unc" =>
+            unc += UncommittedRec(v, g.getLong("mt", 0))
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown checkpoint record kind: $other")
+        }
+      }
+      val versions = accs.toSeq.map { case (v, a) =>
+        require(a.hdr != null, s"checkpoint rows without a ver record: $v")
+        val h = a.hdr
+        val eqCounts =
+          if (h.eqcP.contains(true)) Some(a.eqc.result()) else None
+        VersionRec(v, a.full, a.mt, a.payload,
+          h.statCols.map(l => (l.head, l(1))), a.files.result(),
+          h.mStats, h.mBlooms, h.parts, h.rewritten,
+          a.dvIdx.result(), a.dvCnt.result(),
+          h.eq.map(e => (e.dir, e.cols)),
+          h.dvxCols.getOrElse(Nil).map(l => (l.head, l(1))),
+          Map.empty, eqCounts, h.basis.map(_.toSet),
+          h.cms.getOrElse(0L))
+      }
+      // dvxCols tells which versions carry extremes; the values load
+      // through the heavy pass
+      val loader = () => {
+        val fileStats =
+          Map.newBuilder[(Long, String), IndexedSeq[Option[String]]]
+        val dvx =
+          Map.newBuilder[(Long, String), IndexedSeq[Option[String]]]
+        scan(conf, path, HeavyProjection) { g =>
+          g.getString("kind", 0) match {
+            case "file" => stOf(g).foreach(vals =>
+              fileStats += ((g.getLong("v", 0), g.getString("rel", 0)))
+                -> vals)
+            case "dv" => stOf(g).foreach(vals =>
+              dvx += ((g.getLong("v", 0), g.getString("rel", 0))) -> vals)
+            case _ => ()
+          }
+        }
+        new Heavy(fileStats.result(), dvx.result())
+      }
+      State(ckptV, versions, unc.result(), loader)
+    }
+  }
 
   /** Commit-side trigger: checkpoint when ≥ interval version dirs sit
     * above the newest checkpoint. Called best-effort after every

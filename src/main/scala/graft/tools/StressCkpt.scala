@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Commit-chain-length stress for METADATA CHECKPOINTING (VERDICT r8
-  * task 1): before it, cold resolve walked every commit (one listing +
-  * one manifest read each) and even a WARM cache hit re-listed every
+  * task 1; r9 task 1 swapped the container to column-pruned parquet):
+  * before it, cold resolve walked every commit (one listing + one
+  * manifest read each) and even a WARM cache hit re-listed every
   * `_v*` dir to fingerprint the chain — O(#commits) RPCs per query,
   * forever. With checkpoints the walk reads ONE state file + the tail
   * above it, and the warm fingerprint validates covered dirs from the
@@ -19,8 +20,17 @@ import org.apache.spark.sql.types.StructType
   *     cold cost) — must stay ~flat as N grows (only the root listing
   *     and the ≤interval tail scale);
   *   - `cold_first_ms`: same but with the checkpoint state cache
-  *     dropped — adds the one-time gzip+JSON decode (O(N), paid once
-  *     per checkpoint file per driver);
+  *     dropped — adds the one-time container decode, paid once per
+  *     checkpoint file per driver. With the parquet container this
+  *     splits into the CORE pass (file lists, row counts, commit
+  *     shapes — the `st` zone-map column chunks are never read) and
+  *     the lazy HEAVY pass (forced only when a resolve rebuilds a
+  *     TableMeta);
+  *   - `core_decode_ms`: the column-pruned CORE decode alone (what a
+  *     warm fingerprint's committedVs read pays after a driver
+  *     restart) — the r8 gzipped-JSON container paid the FULL decode
+  *     here, O(#file-records) eager (~50 µs/record ⇒ ~50 s at 1M
+  *     files, the named r9 scale cliff);
   *   - `plain_ms`: the pre-checkpoint walk (`spark.graft.useCheckpoint
   *     =false`) — the O(#commits) baseline the checkpoint removes;
   *   - `warm_ms`: snapshot-cache hit (fingerprint validation only) —
@@ -28,12 +38,19 @@ import org.apache.spark.sql.types.StructType
   * Asserts per N: the resolve was SERVED by the checkpoint, zero data-
   * file footer opens, exact row counts.
   *
-  * Usage: `sbt "runMain graft.tools.StressCkpt [chainLengths...]"`.
-  * One JSON line per N.
+  * Usage: `sbt "runMain graft.tools.StressCkpt [--files-per-commit=K]
+  * [chainLengths...]"`. `--files-per-commit=100 1000` prices a
+  * 100k-file-record checkpoint (the ≥100k done-criterion). One JSON
+  * line per N.
   */
 object StressCkpt {
   def main(args: Array[String]): Unit = {
-    val ns = if (args.nonEmpty) args.toSeq.map(_.toInt)
+    val fpc = args.collectFirst {
+      case a if a.startsWith("--files-per-commit=") =>
+        a.stripPrefix("--files-per-commit=").toInt
+    }.getOrElse(1)
+    val plainArgs = args.filterNot(_.startsWith("--"))
+    val ns = if (plainArgs.nonEmpty) plainArgs.toSeq.map(_.toInt)
       else Seq(250, 1000, 2000)
     val spark = graft.GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,13 +59,17 @@ object StressCkpt {
     val lake = new Lakehouse(spark, dir.toString)
     val LB = graft.sources.LakehouseBatch
     val path = lake.tablePath("t")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     var committed = 0
     import StressUtil.{timed, timedValue}
 
     val out = for (n <- ns.sorted) yield {
+      val rowsPer = 100L * fpc
       while (committed < n) {
         lake.append("t",
-          spark.range(committed * 100L, committed * 100L + 100L, 1L, 1)
+          spark.range(committed * rowsPer, (committed + 1) * rowsPer,
+            1L, fpc)
             .select(col("id").as("k"), (col("id") * 3).as("v")),
           statsCols = Seq("k"))
         committed += 1
@@ -64,9 +85,21 @@ object StressCkpt {
         s"n=$n resolve was not served by the checkpoint")
       require(LB.footerOpens.get() == opens0,
         s"n=$n plan-time footer opens > 0")
-      require(meta.dataFiles.map(_.rowCount).sum == n * 100L,
+      require(meta.dataFiles.map(_.rowCount).sum == n * rowsPer,
         s"n=$n wrong row count")
-      // drop the decoded-state cache to price the one-time decode
+      // the column-pruned CORE decode alone (fingerprint-shaped read
+      // after a driver restart: committedVs, no heavy columns)
+      val tCore = {
+        graft.storage.MetaCheckpoint.dropStateCache()
+        timed {
+          graft.storage.MetaCheckpoint
+            .loadLatest(fs, new org.apache.hadoop.fs.Path(path))
+            .map(_.committedVs.size).getOrElse(0)
+          ()
+        }
+      }
+      // drop the decoded-state cache to price the one-time FULL decode
+      // (core + lazy heavy, both forced by the TableMeta rebuild)
       val tColdFirst = {
         graft.storage.MetaCheckpoint.dropStateCache()
         timed { LB.resolve(path); () }
@@ -80,7 +113,17 @@ object StressCkpt {
       spark.conf.set("spark.graft.metaCacheEntries", "64")
       LB.resolve(path) // populate the snapshot cache
       val tWarm = (1 to 3).map(_ => timed { LB.resolve(path); () }).min
-      f"""{"n":$n,"files":${meta.dataFiles.length},"cold_first_ms":${tColdFirst * 1000}%.0f,"cold_ms":${tCold * 1000}%.0f,"plain_ms":${tPlain * 1000}%.0f,"warm_ms":${tWarm * 1000}%.0f,"cold_first_raw_ms":${tColdFirstRaw * 1000}%.0f}"""
+      // auxiliary reader: `$history`/timestamp travel must be O(tail)
+      // through the checkpoint, not a listing per commit dir
+      val nHist = lake.history("t").size
+      require(nHist >= n, s"n=$n history rows $nHist")
+      val tHist = (1 to 3).map(_ => timed { lake.history("t"); () }).min
+      val tHistPlain = {
+        spark.conf.set("spark.graft.useCheckpoint", "false")
+        try timed { lake.history("t"); () }
+        finally spark.conf.set("spark.graft.useCheckpoint", "true")
+      }
+      f"""{"n":$n,"files":${meta.dataFiles.length},"core_decode_ms":${tCore * 1000}%.0f,"cold_first_ms":${tColdFirst * 1000}%.0f,"cold_ms":${tCold * 1000}%.0f,"plain_ms":${tPlain * 1000}%.0f,"warm_ms":${tWarm * 1000}%.0f,"hist_ms":${tHist * 1000}%.0f,"hist_plain_ms":${tHistPlain * 1000}%.0f,"cold_first_raw_ms":${tColdFirstRaw * 1000}%.0f}"""
     }
     out.foreach(println)
     spark.stop()

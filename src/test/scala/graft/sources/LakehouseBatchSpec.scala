@@ -314,12 +314,91 @@ class LakehouseBatchSpec extends SparkSpec {
         beforeCommit = () =>
           lake.compact("t", schema, numFiles = 1, sortCols = Seq("k")))
     }
-    assert(ex.getMessage.contains("raced FULL commit"))
+    assert(ex.getMessage.contains("raced FULL/REWRITE commit"))
     // the table is intact: no rows lost, no rows deleted
     assert(v2(path).count() == 40L)
     // and the aborted delta left no committed version behind — a
     // re-run against the new snapshot succeeds and deletes exactly 10
     lake.deleteRowsMoR("t", schema, col("k") < 10L)
+    assert(v2(path).count() == 30L)
+    assert(v2(path).agg(min(col("k"))).head() == Row(10L))
+  }
+
+  test("a MoR delta aborts on a FRESH full-commit intent (in-flight " +
+    "rewrite, marker not yet landed); a stale intent stops blocking") {
+    val (lake, path) = mkLake("v2-mor-intent")
+    lake.append("t", rows(0, 40), statsCols = Seq("k"))
+    // simulate an in-flight full: a claimed version dir carrying the
+    // intent marker but no commit marker (a compaction mid-write)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val inflight = new org.apache.hadoop.fs.Path(path, "_v7")
+    fs.mkdirs(inflight)
+    fs.create(new org.apache.hadoop.fs.Path(inflight,
+      "_GRAFT_FULL_INTENT"), true).close()
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      lake.deleteRowsMoR("t", schema, col("k") < 10L)
+    }
+    assert(ex.getMessage.contains("_v7"))
+    assert(v2(path).count() == 40L) // nothing committed
+    // crash debris: once the intent dir's mtime goes stale (TTL), the
+    // delta proceeds — an abandoned full must not block DML forever
+    spark.conf.set("spark.graft.fullIntentTtlMs", "1")
+    try {
+      Thread.sleep(10L)
+      lake.deleteRowsMoR("t", schema, col("k") < 10L)
+      assert(v2(path).count() == 30L)
+    } finally spark.conf.unset("spark.graft.fullIntentTtlMs")
+  }
+
+  test("pushed COUNT declines when two masks were recorded blind to " +
+    "each other (concurrent mutators)") {
+    import spark.implicits._
+    val (lake, path) = mkLake("v2-blind-masks")
+    lake.append("t", rows(0, 60).repartition(1), statsCols = Seq("k"))
+    // an equality-delete whose matched counts were computed BEFORE a
+    // racing MoR delete committed: k<10 by value, k<5 by position — the
+    // masked sets overlap on 5 rows, so Σ(rows − dv − eqMatched) would
+    // answer 45 where the truth is 50
+    lake.deleteByKeys("t", schema,
+      (0L until 10L).toDF("k"),
+      beforeCommit = () =>
+        lake.deleteRowsMoR("t", schema, col("k") < 5L))
+    val c = v2(path).agg(count(lit(1)).as("n"))
+    val plan = c.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"),
+      s"blind-mask COUNT must not push:\n$plan")
+    assert(c.head().getLong(0) == 50L) // the scan composes masks exactly
+    // a SEQUENTIAL third mask (its basis saw both) keeps the decline:
+    // the blind PAIR is still outstanding until a rewrite clears it
+    lake.deleteRowsMoR("t", schema, col("k") >= 55L)
+    val c2 = v2(path).agg(count(lit(1)).as("n"))
+    assert(!c2.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(c2.head().getLong(0) == 45L)
+  }
+
+  test("a FULL whose basis predates an acknowledged MoR delta aborts " +
+    "pre-marker (the delta survives)") {
+    import org.apache.spark.sql.Row
+    val (lake, path) = mkLake("v2-full-vs-delta")
+    lake.append("t", rows(0, 40), statsCols = Seq("k"))
+    // snapshot + basis taken BEFORE the delta commits — the classic
+    // stale-maintenance race (a compaction that read weeks-old state)
+    val (df, basis) = lake.readWithBasis("t", schema)
+    val snapshot = df.collect() // materialize before the delete lands
+    lake.deleteRowsMoR("t", schema, col("k") < 10L) // acknowledged
+    spark.conf.set("spark.graft.fullRaceWaitMs", "200")
+    try {
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        lake.overwritePartitioned("t",
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(snapshot.toSeq), schema),
+          Nil, readBasis = Some(basis))
+      }
+      assert(ex.getMessage.contains("acknowledged merge-on-read"))
+    } finally spark.conf.unset("spark.graft.fullRaceWaitMs")
+    // the acknowledged delete is still served — nothing resurrected
     assert(v2(path).count() == 30L)
     assert(v2(path).agg(min(col("k"))).head() == Row(10L))
   }

@@ -269,4 +269,87 @@ class SpjSpec extends SparkSpec {
       spark, df.drop("id"), Seq("k"))
     assert(out.count() == 10000L)
   }
+
+  test("bucket SPJ survives copy-on-write DELETE and UPDATE — the " +
+    "rewrite re-routes survivors by bucket id (round-9 known limit)") {
+    init()
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.bd
+      (k BIGINT, av BIGINT) PARTITIONED BY (bucket(8, k))""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.be
+      (k BIGINT, bv BIGINT) PARTITIONED BY (bucket(8, k))""")
+    if (spark.table("graftspj.spj.bd").isEmpty) {
+      spark.sql("""INSERT INTO graftspj.spj.bd
+        SELECT id AS k, id * 3 AS av FROM range(0, 12000)""")
+      spark.sql("""INSERT INTO graftspj.spj.be
+        SELECT id * 2 AS k, id * 7 AS bv FROM range(0, 5000)""")
+    }
+    // CoW DELETE through the V2 deleteWhere path (simple predicate) and
+    // CoW UPDATE through the command path — each is a FULL rewrite that
+    // previously range-clustered the survivors, losing the `_gbk` key
+    // proof until the next insert/compact
+    spark.sql("DELETE FROM graftspj.spj.bd WHERE k < 2000")
+    spark.sql("UPDATE graftspj.spj.bd SET av = av + 1 WHERE k % 2 = 0")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        """SELECT count(*) AS n, sum(a.av + b.bv) AS s
+          |FROM graftspj.spj.bd a JOIN graftspj.spj.be b ON a.k = b.k
+          |""".stripMargin)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"SPJ declined after CoW DML:\n$p")
+      val r = df.head()
+      // matches: k = 2i (i < 5000), surviving k ∈ [2000, 12000) →
+      // i ∈ [1000, 5000); every matched k is even so av = 3k + 1 = 6i + 1
+      assert(r.getLong(0) == 4000L, s"rows lost/duplicated: ${r.getLong(0)}")
+      assert(r.getLong(1) == (1000L until 5000L).map(i => 13 * i + 1).sum)
+    }
+  }
+
+  test("a hot key group declines the SPJ report (skew guard) — the " +
+    "shuffle plan AQE can split replaces the unsplittable key group") {
+    init()
+    spark.sql("""CREATE TABLE IF NOT EXISTS graftspj.spj.sk
+      (k BIGINT, av BIGINT) PARTITIONED BY (k)""")
+    if (spark.table("graftspj.spj.sk").isEmpty)
+      // key 0 carries ~100x the rows of keys 1..9 (10 groups: the hot
+      // group is ~9.2x the mean, past the 5x ratio)
+      spark.sql("""INSERT INTO graftspj.spj.sk
+        SELECT CASE WHEN id < 10000 THEN 0 ELSE id % 9 + 1 END AS k,
+               id AS av FROM range(0, 10900)""")
+    val join =
+      """SELECT a.k, count(*) AS n
+        |FROM graftspj.spj.sk a JOIN graftspj.spj.b b ON a.k = b.k
+        |GROUP BY a.k""".stripMargin
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // floor low enough for test-sized data; default is 4M rows
+      "spark.graft.spjSkewMinRows" -> "1000",
+      "spark.graft.spjSkewRatio" -> "5.0") {
+      val df = spark.sql(join)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("Exchange"),
+        s"skewed layout must decline the key report:\n$p")
+      // values identical either way — the guard is a strategy choice
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      assert(got.head == (0L, 10000L * 80L), got.mkString(","))
+    }
+    // guard off (floor above the table size): the report re-engages
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.spjSkewMinRows" -> "100000000") {
+      val p = spark.sql(join).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("Exchange"), p)
+    }
+  }
 }
