@@ -1842,8 +1842,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // table out entirely: MIN/MAX pushdown declines under its DVs
       // (never wrong, only slower) and each DML saves the survivors
       // pass — the containment lever for commit-protocol-bound DML.
+      // Independently, a table with NO min/max zone-map manifest can
+      // never serve the pushdown (coveredCols is empty with or without
+      // extremes), so recording them is pure per-DML waste — skipped.
       val wantExtremes = spark.conf
-        .getOption("spark.graft.dvExtremes").forall(_.toBoolean)
+        .getOption("spark.graft.dvExtremes").forall(_.toBoolean) &&
+        morCtx.forall(c => anyMinMaxManifest(c.roots))
       if (wantExtremes) extremesSchema.foreach { sch =>
         val idx = DvSidecar.index(fs, new Path(dvDir))
         if (idx.nonEmpty) {
@@ -1865,6 +1869,32 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     conflictingFull().foreach(v => abort(v, Some(vdir)))
   }
+
+  /** Does any live root's zone-map manifest carry min_/max_ columns?
+    * One manifest-footer schema read per root (driver-side,
+    * tail-bounded — no data IO, no Spark job). Decides whether a MoR
+    * mutation records post-mask extremes at all: with no min/max
+    * manifest anywhere, the MIN/MAX pushdown can never fire
+    * (coveredCols stays empty), so the extremes pass would burn one
+    * Spark job per DML for nothing. Unknown shapes answer true — the
+    * pass is only ever skipped when provably useless.
+    */
+  private def anyMinMaxManifest(roots: Seq[String]): Boolean =
+    roots.exists { r =>
+      try {
+        val sp = new Path(r, StatsDir)
+        fs.exists(sp) && fs.listStatus(sp).toSeq.map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).exists { f =>
+            import scala.jdk.CollectionConverters._
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f, spark.sparkContext.hadoopConfiguration)
+            val pr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try pr.getFileMetaData.getSchema.getFields.asScala
+              .exists(_.getName.startsWith("min_"))
+            finally pr.close()
+          }
+      } catch { case scala.util.control.NonFatal(_) => true }
+    }
 
   /** POST-MASK extremes of the files this DV commit touches
     * (`_GRAFT_DV/_extremes`, one row per affected file): min/max per
