@@ -558,6 +558,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         props += (p.property -> p.value); propsDirty = true
       case p: TableChange.RemoveProperty =>
+        // UNSET of the partition spec is a STRUCTURAL change (new
+        // inserts would silently stop clustering over committed
+        // `_gbk` generations, and the bucket-count-only gate above
+        // would then refuse ever re-SETting a spec) — same refusal as
+        // identity↔bucket changes
+        require(p.property != GraftCatalog.PartitionProp ||
+          !props.contains(GraftCatalog.PartitionProp),
+          "ALTER TABLE cannot UNSET the partition spec — evolve bucket " +
+            "counts with SET TBLPROPERTIES, or recreate the table")
         props -= p.property; propsDirty = true
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName}: the lakehouse " +
@@ -1283,10 +1292,7 @@ private[sources] class GraftTable(path: String, tableName: String,
             // stats: identity columns by name; bucket specs as the
             // derived `_gbk<n>_<col>` zone-map column the scan's key
             // proof reads
-            val stats = specs.map {
-              case IdentitySpec(c) => c
-              case b: BucketSpec => b.statName
-            }
+            val stats = PartSpec.statNames(specs)
             if (overwrite || over)
               lake.overwritePartitioned(t, clustered, Nil,
                 statsCols = stats, bloomCols = bloomCols)

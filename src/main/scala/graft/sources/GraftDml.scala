@@ -208,10 +208,7 @@ private[sources] object GraftDml {
     * storage-partitioned-join key proof survives a MERGE.
     */
   def statNamesOf(renders: Seq[String]): Seq[String] =
-    renders.map(PartSpec.parse).map {
-      case IdentitySpec(c) => c
-      case b: BucketSpec => b.statName
-    }
+    PartSpec.statNames(renders.map(PartSpec.parse))
   val TargetAlias = "__t"
   val SourceAlias = "__s"
 

@@ -282,12 +282,9 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
 
   private lazy val keyedFiles
       : Option[Map[String, (Seq[Any], InternalRow)]] = {
-    def statNameOf(s: PartSpec): String = s match {
-      case IdentitySpec(c) => c
-      case b: BucketSpec => b.statName
-    }
     if (partSpecs.isEmpty || meta.dataFiles.isEmpty ||
-        !partSpecs.map(statNameOf).forall(meta.statsCols.contains)) None
+        !PartSpec.statNames(partSpecs).forall(meta.statsCols.contains))
+      None
     else {
       val convs = partSpecs.map {
         case IdentitySpec(c) => org.apache.spark.sql.catalyst
@@ -304,7 +301,7 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
             if (i < 0 || st.isNullAt(i)) None else Some(st.get(i))
           }
           val key: Seq[Option[Any]] = partSpecs.map { spec =>
-            val c = statNameOf(spec)
+            val c = PartSpec.statName(spec)
             (v(s"min_$c"), v(s"max_$c"), v(s"nulls_$c"), spec) match {
               case ((Some(lo), Some(hi), Some(z), _))
                 if lo == hi && z == 0L => Some(lo)

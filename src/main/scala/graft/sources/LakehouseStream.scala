@@ -156,6 +156,19 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
   // run terminates even while writers keep appending
   @volatile private var availableNowCap: Option[Long] = None
 
+  /** Commit facts the newest checkpoint answers (kind + marker
+    * presence), keyed by version — every tick's per-dir
+    * `commitKind`/marker probes collapse to one cached state read plus
+    * probes for the TAIL above the checkpoint. Same identity rule as
+    * the batch resolve: a fact applies only while the dir's mtime still
+    * equals the recorded one; anything else probes live.
+    */
+  private def ckptFacts()
+      : Map[Long, graft.storage.MetaCheckpoint.CommitFacts] =
+    graft.storage.MetaCheckpoint.commitFacts(fs, dest,
+      SparkSession.active.conf.getOption("spark.graft.useCheckpoint")
+        .forall(_.toBoolean))
+
   /** Largest N with every version ≤ N committed — modulo stale debris.
     * A fresh (< inflightGraceMs) uncommitted dir or bare claim below a
     * committed version HOLDS the head: its writer allocated the number
@@ -168,13 +181,18 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
     def fresh(p: Path): Boolean =
       try now - fs.getFileStatus(p).getModificationTime < inflightGraceMs
       catch { case _: java.io.FileNotFoundException => false }
-    val dirs = Protocol.versionDirs(fs, dest)
+    val facts = ckptFacts()
+    val dirs = Protocol.versionDirStatuses(fs, dest)
     var committed = Set.empty[Long]
     var pending = Set.empty[Long]
-    dirs.foreach { case (v, p) =>
-      Protocol.commitKind(fs, p) match {
-        case Some(_) => committed += v
-        case None => if (fresh(p)) pending += v
+    dirs.foreach { case (v, st) =>
+      facts.get(v) match {
+        case Some(f) if f.dirMtime == st.getModificationTime =>
+          committed += v
+        case _ => Protocol.commitKind(fs, st.getPath) match {
+          case Some(_) => committed += v
+          case None => if (fresh(st.getPath)) pending += v
+        }
       }
     }
     // a claim whose dir hasn't appeared yet (the window between CAS and
@@ -217,9 +235,19 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
       end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VersionOffset].version
     val to = end.asInstanceOf[VersionOffset].version
-    val dirs = Protocol.versionDirs(fs, dest).toMap.map {
-      case (v, p) => v -> p
-    }
+    val facts = ckptFacts()
+    val dirSt = Protocol.versionDirStatuses(fs, dest).toMap
+    val dirs = dirSt.map { case (v, st) => v -> st.getPath }
+    def factOf(fv: Long)
+        : Option[graft.storage.MetaCheckpoint.CommitFacts] =
+      facts.get(fv).filter(f => dirSt.get(fv)
+        .exists(_.getModificationTime == f.dirMtime))
+    def kindOf(fv: Long, p: Path): Option[Boolean] =
+      factOf(fv).map(_.full).orElse(Protocol.commitKind(fs, p))
+    def hasMark(fv: Long,
+        sel: graft.storage.MetaCheckpoint.CommitDetail => Boolean,
+        probe: => Boolean): Boolean =
+      factOf(fv).flatMap(_.detail).map(sel).getOrElse(probe)
     val files = Seq.newBuilder[LakehouseFilePartition]
     ((from + 1) to to).foreach { v =>
       dirs.get(v) match {
@@ -229,16 +257,17 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
           // GC'd a delta the stream never consumed — data loss for the
           // feed, fail loudly (run gcGraceMs above the consumer lag)
           val gcd = dirs.exists { case (fv, p) =>
-            fv > v && Protocol.commitKind(fs, p).contains(true)
+            fv > v && kindOf(fv, p).contains(true)
           }
           if (gcd) throw new IllegalStateException(
             s"$tablePath version $v was garbage-collected under the " +
               "stream (compaction outran the consumer) — the feed is " +
               "incomplete; re-seed the query or raise gcGraceMs")
-        case Some(p) => Protocol.commitKind(fs, p) match {
+        case Some(p) => kindOf(v, p) match {
           case None => // uncommitted debris inside the range: no rows
           case Some(false)
-            if fs.exists(new Path(p, Protocol.MarkerRewrite)) =>
+            if hasMark(v, _.rewrite,
+              fs.exists(new Path(p, Protocol.MarkerRewrite))) =>
             // a REWRITE commit (rewriteDeletes) changes no logical rows:
             // its whole-file masks cover rows whose deletes prior DV/
             // eq-del commits already emitted, and its data files are
@@ -253,7 +282,7 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
             // the tombstoned rows, positions never touch the driver.
             // An append stream still cannot represent a delete.
             val dvDir = new Path(p, Protocol.DvDir)
-            if (fs.exists(dvDir)) {
+            if (hasMark(v, _.dv, fs.exists(dvDir))) {
               if (!readChangeFeed) throw new IllegalStateException(
                 s"$tablePath version $v is a deletion-vector commit — " +
                   "an append stream cannot represent positional " +
@@ -276,7 +305,7 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
               }
             }
             val eqDel = new Path(p, Protocol.EqDelDir)
-            if (fs.exists(eqDel)) {
+            if (hasMark(v, _.eqDel, fs.exists(eqDel))) {
               // equality-delete tombstones: key-only delete records in
               // CDF mode; an append stream cannot represent them
               if (!readChangeFeed) throw new IllegalStateException(
@@ -572,7 +601,18 @@ private[sources] class LakehouseGroupReader(
   override def close(): Unit = reader.close()
 }
 
-private[sources] object LakehouseStream {
+private[graft] object LakehouseStream {
+
+  /** Stress/observability hook (StressCkpt): the admission head of a
+    * table path exactly as the streaming source computes it per tick —
+    * including the checkpoint-facts path — without standing up a query.
+    */
+  private[graft] def stableHeadOf(tablePath: String): Long =
+    new LakehouseMicroBatchStream(tablePath,
+      new org.apache.spark.sql.types.StructType(),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .reportLatestOffset().asInstanceOf[VersionOffset].version
 
   /** One parquet Group field → Catalyst value, by declared Spark type.
     * Shared by the partition reader's row materialization and the

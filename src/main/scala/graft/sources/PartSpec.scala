@@ -67,6 +67,20 @@ private[graft] object PartSpec {
   def renderList(specs: Seq[PartSpec]): String =
     specs.map(_.render).mkString(",")
 
+  /** Zone-map stat-column name of one spec: identity columns by name,
+    * bucket specs as the derived `_gbk<n>_<col>` column. Every producer
+    * and consumer of clustered layouts must agree on this mapping —
+    * INSERT's recorded stats, the DML rewrite paths' re-clustering, the
+    * scan's key-grouped proof — so it lives HERE and nowhere else.
+    */
+  def statName(s: PartSpec): String = s match {
+    case IdentitySpec(c) => c
+    case b: BucketSpec => b.statName
+  }
+
+  /** [[statName]] over a spec list. */
+  def statNames(specs: Seq[PartSpec]): Seq[String] = specs.map(statName)
+
   /** The `_gbk<n>_<col>` marker, decoded — the stats writer turns it
     * into an aggregate over the derived bucket expression.
     */

@@ -123,6 +123,34 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private def commitKind(vdir: Path): Option[Boolean] =
     Lakehouse.Protocol.commitKind(fs, vdir)
 
+  /** Every version dir (committed or not) from ONE root listing, with
+    * its commit kind and marker facts answered from the newest
+    * checkpoint where the dir's identity (mtime) still matches, probed
+    * live (lazily, memoized — only the dirs a caller actually
+    * classifies pay an RPC) otherwise — the feed readers' O(#commits)
+    * per-dir RPCs become one cached state read + probes for the TAIL.
+    * Detail (rewrite/DV/eq-del presence) is None when the checkpoint
+    * cannot prove it (identity-only record below the last full, or
+    * uncovered); callers keep their `fs.exists` probes as the
+    * range-sized fallback.
+    */
+  private def commitFactsListing(
+      dest: Path): Seq[Lakehouse.DirFacts] = {
+    val enabled = spark.conf.getOption("spark.graft.useCheckpoint")
+      .forall(_.toBoolean)
+    val facts = MetaCheckpoint.commitFacts(fs, dest, enabled)
+    Lakehouse.Protocol.versionDirStatuses(fs, dest).sortBy(_._1).map {
+      case (v, st) =>
+        facts.get(v) match {
+          case Some(f) if f.dirMtime == st.getModificationTime =>
+            new Lakehouse.DirFacts(v, st, () => Some(f.full), f.detail)
+          case _ =>
+            new Lakehouse.DirFacts(v, st,
+              () => commitKind(st.getPath), None)
+        }
+    }
+  }
+
   /** One version-dir listing → (live data roots oldest-first, snapshot
     * provenance). Maintenance ops resolve BOTH from the same listing —
     * the read basis and the snapshot's roots must agree, or a delta
@@ -183,12 +211,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   def equalityDeleteVersions(name: String, fromVersion: Long,
       toVersion: Long): Seq[Long] =
-    versionDirs(new Path(tablePath(name)))
-      .filter { case (v, _) => v > fromVersion && v <= toVersion }
-      .sortBy(_._1)
-      .flatMap { case (v, p) =>
-        commitKind(p) match {
-          case Some(false) if fs.exists(new Path(p, EqDelDir)) => Some(v)
+    commitFactsListing(new Path(tablePath(name)))
+      .filter(d => d.v > fromVersion && d.v <= toVersion)
+      .flatMap { d =>
+        d.kind match {
+          case Some(false) if d.detail.map(_.eqDel).getOrElse(
+            fs.exists(new Path(d.path, EqDelDir))) => Some(d.v)
           case _ => None
         }
       }
@@ -337,39 +365,40 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    val all = versionDirs(new Path(tablePath(name))).sortBy(_._1)
-    val committed = all
-      .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
+    val all = commitFactsListing(new Path(tablePath(name)))
     // completeness check against dirs PRESENT on disk, not committed
     // ones: an uncommitted dir is crash debris that contributed no rows
     // (a crashed append claims a version number forever — it must not
     // poison every later feed range), while a MISSING number means GC
     // folded that delta into a snapshot and the row-level feed is gone
-    val present = all.map(_._1).toSet
+    val present = all.map(_.v).toSet
     // a toVersion past the newest commit is a caller error, not GC — keep
     // the two failure modes distinguishable in the message
-    val latest = if (all.isEmpty) -1L else all.map(_._1).max
+    val latest = if (all.isEmpty) -1L else all.map(_.v).max
     require(toVersion <= latest,
       s"$name toVersion $toVersion exceeds latest version $latest")
     ((fromVersion + 1) to toVersion).foreach(v => require(present(v),
       s"$name version $v is not on disk (GC'd) — " +
         "the change feed would be incomplete"))
-    val range = committed.filter(t => t._1 > fromVersion && t._1 <= toVersion)
+    val range = all
+      .filter(d => d.v > fromVersion && d.v <= toVersion)
+      .flatMap(d => d.kind.map(full => (d.v, d.path, full, d.detail)))
       // a REWRITE commit (rewriteDeletes) appends nothing: its data
       // files are moved survivors of already-masked files, not new rows
       // — skip it entirely (before the DV-refusal below, which is about
       // genuine delete commits)
-      .filterNot(t =>
-        fs.exists(new Path(t._2, Lakehouse.Protocol.MarkerRewrite)))
-    range.find(_._3).foreach { case (v, _, _) =>
+      .filterNot(t => t._4.map(_.rewrite).getOrElse(
+        fs.exists(new Path(t._2, Lakehouse.Protocol.MarkerRewrite))))
+    range.find(_._3).foreach { case (v, _, _, _) =>
       throw new IllegalArgumentException(
         s"$name version $v is a FULL rewrite — no row-level change feed " +
           "across snapshots")
     }
     // an equality-delete tombstone delta REMOVES rows — serving it as an
     // append would misreport; the typed feed (changeFeed) carries it
-    range.find(t => fs.exists(new Path(t._2, EqDelDir))).foreach {
-      case (v, _, _) =>
+    range.find(t => t._4.map(_.eqDel).getOrElse(
+        fs.exists(new Path(t._2, EqDelDir)))).foreach {
+      case (v, _, _, _) =>
         throw new IllegalArgumentException(
           s"$name version $v is an equality-delete commit — not an " +
             "append; consume it through changeFeed")
@@ -378,14 +407,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // (serving delete records would need the pre-image fetched by
     // position; compact first, or use the copy-on-write delete when a
     // change feed consumes the table)
-    range.find(t => fs.exists(new Path(t._2, Lakehouse.Protocol.DvDir)))
-      .foreach { case (v, _, _) =>
+    range.find(t => t._4.map(_.dv).getOrElse(
+        fs.exists(new Path(t._2, Lakehouse.Protocol.DvDir))))
+      .foreach { case (v, _, _, _) =>
         throw new IllegalArgumentException(
           s"$name version $v is a deletion-vector commit — not an append")
       }
     if (range.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else range.map { case (_, p, _) =>
+    else range.map { case (_, p, _, _) =>
       spark.read.schema(readSchema(name, schema))
         .option("basePath", p.toString).parquet(p.toString)
     }.reduce(_ unionByName _)
@@ -644,14 +674,23 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // FULL-commit intent lands at CLAIM time, before any payload byte:
     // monotonic claims mean every merge-on-read delta that could commit
     // above this full claims later, so its conflict checks always see
-    // the intent (see [[Lakehouse.Protocol.MarkerFullIntent]]). Deleted
-    // on a failed write so an aborted full stops blocking deltas; a
-    // JVM death leaves it, bounded by the freshness TTL.
-    val intent = new Path(vdir, Lakehouse.Protocol.MarkerFullIntent)
+    // the intent (see [[Lakehouse.Protocol.FullIntentPrefix]] — a
+    // TABLE-ROOT file, because the snapshot's own mode("overwrite")
+    // write deletes and re-creates the version dir, which would wipe an
+    // in-dir marker for exactly the write window it must cover).
+    // Deleted on a failed write and after the commit marker lands so an
+    // aborted or finished full stops blocking deltas; a JVM death
+    // leaves it, bounded by the freshness TTL.
+    val intent = new Path(dest,
+      s"${Lakehouse.Protocol.FullIntentPrefix}$next")
     if (marker == MarkerFull) {
       fs.mkdirs(vdir)
       commitIo.commitMarker(intent)
     }
+    def dropIntent(): Unit =
+      if (marker == MarkerFull)
+        try fs.delete(intent, false)
+        catch { case scala.util.control.NonFatal(_) => () }
     // Lakehouse-INTERNAL files write TIMESTAMP_MICROS instead of the
     // session's INT96 default: INT96 is deprecated and carries NO
     // parquet column statistics, which would force every commit with a
@@ -677,12 +716,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         // a FAILED full must not keep aborting merge-on-read deltas:
         // drop only the intent (the dir stays as ordinary crash debris,
         // invisible and vacuum's job — the crash-sim tests lean on that)
-        if (marker == MarkerFull)
-          try fs.delete(intent, false)
-          catch { case scala.util.control.NonFatal(_) => () }
+        dropIntent()
         throw e
     }
     commitIo.commitMarker(new Path(vdir, marker)) // the commit point
+    // the committed marker supersedes the intent (conflict checks see
+    // the full itself); a crash between the two lines leaves a stale
+    // intent, bounded by the TTL and cleaned by the next full
+    dropIntent()
     // auto-checkpoint: fold the chain's metadata into one snapshot file
     // every N commits so resolve reads checkpoint + tail instead of
     // O(#commits) dirs. Best-effort DERIVED state — a failure here can
@@ -735,6 +776,33 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       }
     }
     vdir
+  }
+
+  /** A FRESH full-commit intent (root file) for an uncommitted version
+    * outside `basis` — an in-flight snapshot write that a rewrite or
+    * mask delta must not race (see
+    * [[Lakehouse.Protocol.FullIntentPrefix]]). Freshness = max of the
+    * intent file's and (when present) the claimed dir's mtime within
+    * the TTL; a version that has since COMMITTED is excluded (its
+    * leftover intent is superseded by the marker, which the callers'
+    * own committed-dir scans already handle).
+    */
+  private def freshFullIntentOutside(dest: Path,
+      basis: Lakehouse.ReadBasis): Option[Long] = {
+    val ttl = spark.conf.getOption("spark.graft.fullIntentTtlMs")
+      .map(_.toLong).getOrElse(600000L)
+    val now = System.currentTimeMillis()
+    val listing = try fs.listStatus(dest).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val dirSt = Lakehouse.Protocol.versionDirStatusesOf(listing)
+      .map { case (v, st) => v -> st }.toMap
+    Lakehouse.Protocol.fullIntents(listing).collect {
+      case (v, mt) if !basis.committed(v) &&
+        !dirSt.get(v).exists(st => commitKind(st.getPath).isDefined) &&
+        now - math.max(mt, dirSt.get(v)
+          .map(_.getModificationTime).getOrElse(0L)) < ttl =>
+        v
+    }.minOption
   }
 
   /** Full-committer-side half: after committing a FULL at `fullV` whose
@@ -817,26 +885,55 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       }
     }
     // UPPER-side audit (defense in depth for the intent TTL corner): a
-    // committed DV delta ABOVE fullV whose recorded basis does not
-    // contain fullV never saw this snapshot — its positional masks name
-    // files the rewrite replaced, and being above the full it is served
-    // as live while masking nothing (resurrected deletes). The intent
-    // protocol prevents this (such a delta claimed after our intent and
+    // committed mask-bearing delta ABOVE fullV whose recorded basis
+    // does not contain fullV never saw this snapshot — its positional
+    // masks name files the rewrite replaced, and being above the full
+    // it is served as live while masking nothing (resurrected deletes);
+    // a REWRITE above fullV likewise re-expresses pre-full bytes the
+    // snapshot already carries (duplicated rows). The intent protocol
+    // prevents both (such a writer claimed after our intent and
     // self-aborts); reaching here means the intent went stale (a
-    // >TTL-slow full) — fail LOUDLY rather than serve corrupt masks.
+    // >TTL-slow full) or the writer's post-check hasn't run yet.
     // A delta without a basis file predates basis recording: assume the
     // marker-based checks covered it (legacy behavior, not a new risk).
     versionDirs(dest).foreach { case (v, p) =>
-      if (v > fullV && commitKind(p).contains(false) &&
-        (try fs.exists(new Path(p, Lakehouse.Protocol.DvDir))
-         catch { case _: java.io.FileNotFoundException => false })) {
-        Lakehouse.Protocol.readBasisFile(fs, p).foreach { b =>
-          if (!b.contains(fullV)) throw new IllegalStateException(
-            s"full commit _v$fullV raced acknowledged merge-on-read " +
-              s"delta _v$v whose read basis (max ${b.maxOption
-                .getOrElse(-1L)}) predates the rewrite — its deletion " +
-              "vector names replaced files; restore the table to a " +
-              "version before the full or re-apply the delta")
+      if (v > fullV && commitKind(p).contains(false)) {
+        val isRewrite =
+          try fs.exists(new Path(p, Lakehouse.Protocol.MarkerRewrite))
+          catch { case _: java.io.FileNotFoundException => false }
+        val hasDv = isRewrite ||
+          (try fs.exists(new Path(p, Lakehouse.Protocol.DvDir))
+           catch { case _: java.io.FileNotFoundException => false })
+        if (hasDv) Lakehouse.Protocol.readBasisFile(fs, p).foreach { b =>
+          if (!b.contains(fullV)) {
+            if (isRewrite) {
+              // dropping a rewrite is ALWAYS safe (no logical rows) and
+              // is the resolution BOTH sides agree on — same verdict
+              // its own racedBy check reaches when it sees our full
+              fs.delete(p, true)
+            } else {
+              // the delta's own post-marker check sees our committed
+              // full and self-aborts — it has not ACKNOWLEDGED until
+              // that check passes, so wait for it (same bounded wait as
+              // the lower-side loop) instead of paging an operator for
+              // a self-healing race; a delta that persists means its
+              // JVM died inside the commit window
+              val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+              var gone = false
+              while (!gone && System.nanoTime() < deadline) {
+                gone = !(try fs.exists(p)
+                  catch { case _: java.io.FileNotFoundException => true })
+                if (!gone) Thread.sleep(100L)
+              }
+              if (!gone) throw new IllegalStateException(
+                s"full commit _v$fullV raced merge-on-read delta _v$v " +
+                  s"whose read basis (max ${b.maxOption.getOrElse(-1L)}) " +
+                  "predates the rewrite and it did not self-abort — its " +
+                  "deletion vector names replaced files; restore the " +
+                  "table to a version before the full or re-apply the " +
+                  "delta")
+            }
+          }
         }
       }
     }
@@ -1340,10 +1437,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * across DML.
     */
   private def clusterStatNames(renders: Seq[String]): Seq[String] =
-    clusterSpecsOf(renders).map {
-      case graft.sources.IdentitySpec(c) => c
-      case b: graft.sources.BucketSpec => b.statName
-    }
+    graft.sources.PartSpec.statNames(clusterSpecsOf(renders))
 
   private def deleteImpl(name: String, full: StructType,
       contractCols: Seq[String], predicate: org.apache.spark.sql.Column,
@@ -1773,33 +1867,42 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     //  - a COMMITTED FULL: its snapshot replaced the files the DV names;
     //  - a COMMITTED REWRITE delta ([[rewriteDeletes]]): its survivors
     //    re-express those files under new names the DV cannot mask;
-    //  - a FRESH FULL INTENT in an uncommitted dir: an in-flight
+    //  - a FRESH FULL INTENT (root file, see FullIntentPrefix) for an
+    //    uncommitted — or mid-write ABSENT — version: an in-flight
     //    full/compaction whose marker may land after this delta's
-    //    post-check — the window both marker-based checks used to miss
+    //    post-check, the window both marker-based checks used to miss
     //    (v_delta > fullV ordering). Claims are monotonic, so the intent
     //    exists before any delta that could land above the full even
-    //    claims; freshness (dir mtime within spark.graft.fullIntentTtlMs,
-    //    payload writes keep bumping it) stops crashed-full debris from
+    //    claims; freshness (max of the intent file's and the version
+    //    dir's mtime within spark.graft.fullIntentTtlMs — payload
+    //    writes keep bumping the dir) stops crashed-full debris from
     //    blocking DML forever.
     def conflictingFull(): Option[Long] = {
       val ttl = spark.conf.getOption("spark.graft.fullIntentTtlMs")
         .map(_.toLong).getOrElse(600000L)
       val now = System.currentTimeMillis()
-      Lakehouse.Protocol.versionDirStatuses(fs, dest).sortBy(_._1)
-        .find { case (v, st) =>
-          !basis.committed(v) && (commitKind(st.getPath) match {
-            case Some(true) => true
-            case Some(false) =>
-              try fs.exists(
-                new Path(st.getPath, Lakehouse.Protocol.MarkerRewrite))
-              catch { case _: java.io.FileNotFoundException => false }
-            case None =>
-              (try fs.exists(new Path(st.getPath,
-                Lakehouse.Protocol.MarkerFullIntent))
-              catch { case _: java.io.FileNotFoundException => false }) &&
-                now - st.getModificationTime < ttl
-          })
-        }.map(_._1)
+      val listing = try fs.listStatus(dest).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      val dirs = Lakehouse.Protocol.versionDirStatusesOf(listing)
+      val intents = Lakehouse.Protocol.fullIntents(listing)
+      dirs.sortBy(_._1).find { case (v, st) =>
+        !basis.committed(v) && (commitKind(st.getPath) match {
+          case Some(true) => true
+          case Some(false) =>
+            try fs.exists(
+              new Path(st.getPath, Lakehouse.Protocol.MarkerRewrite))
+            catch { case _: java.io.FileNotFoundException => false }
+          case None => intents.get(v).exists(mt =>
+            now - math.max(mt, st.getModificationTime) < ttl)
+        })
+      }.map(_._1).orElse {
+        // an intent whose version dir is momentarily ABSENT: the
+        // snapshot write's delete-and-recreate window — still in flight
+        intents.collect { case (v, mt)
+          if !basis.committed(v) && !dirs.exists(_._1 == v) &&
+            now - mt < ttl => v
+        }.minOption
+      }
     }
     def abort(v: Long, vdir: Option[Path]): Nothing = {
       vdir.foreach(fs.delete(_, true))
@@ -2107,7 +2210,19 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }.reduce(_ unionByName _)
     val replaced = selected.map(_._3.getName)
     val vdir = writeVersion(name, Lakehouse.Protocol.MarkerRewrite,
-      beforeCommit) { p =>
+      () => {
+        beforeCommit()
+        // pre-marker: an in-flight full (fresh root intent outside our
+        // basis) is about to replace the very originals this rewrite
+        // re-expresses — abort cleanly while still uncommitted; the
+        // post-marker check below covers an intent that lands later
+        freshFullIntentOutside(dest, rwBasis).foreach { v =>
+          throw new java.util.ConcurrentModificationException(
+            s"rewriteDeletes on $name raced in-flight full commit " +
+              s"_v$v (read basis ${rwBasis.maxCommitted}) — re-run " +
+              "after the compaction lands")
+        }
+      }) { p =>
       // survivor count tracks the masked remainder — one file unless
       // the rewrite folds many originals (then keep their count)
       survivors.coalesce(math.max(1, selected.size / 2))
@@ -2120,11 +2235,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         new Path(p, Lakehouse.Protocol.RewrittenList), true)
       try out.write(replaced.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      // the rewrite's read basis rides the commit like any mask-bearing
+      // delta's: the scan's pairwise pushdown gate needs it (the
+      // whole-file sidecars enter maskVersions — without a basis the
+      // gate would decline COUNT/MIN-MAX forever after a rewrite), and
+      // rebaseLateDeltas' upper-side audit uses it to recognize a
+      // rewrite that landed above a full it never saw
+      Lakehouse.Protocol.writeBasis(fs, new Path(p), rwBasis)
     }
-    // raced by a FULL commit: the snapshot read the originals through
-    // their masks, so this commit's content is redundant — drop it (the
-    // full committer's rebaseLateDeltas does the same if it sees us
-    // first; either way the rewrite simply didn't happen).
+    // raced by a FULL commit OUTSIDE our basis (above us, or claimed
+    // below us by an in-flight compaction that commits late): the
+    // snapshot read the originals through their masks, so this commit's
+    // content is redundant — and above a full it would DUPLICATE rows
+    // the snapshot already carries. Drop it (the full committer's
+    // rebaseLateDeltas does the same if it sees us first; either way
+    // the rewrite simply didn't happen).
     // Raced by a MASK delta (DV or equality-delete) committed OUTSIDE
     // our basis: the survivors were materialized without that mask —
     // a DV's positions name the originals (which the rewrite's
@@ -2140,14 +2265,14 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val myV = rootVersion(vdir.toString)
     val racedBy = versionDirs(dest).exists { case (v, p) =>
       commitKind(p) match {
-        case Some(true) => v > myV
+        case Some(true) => !rwBasis.committed(v)
         case Some(false) if v != myV && !rwBasis.committed(v) =>
           (try fs.exists(new Path(p, Lakehouse.Protocol.DvDir)) ||
             fs.exists(new Path(p, EqDelDir))
           catch { case _: java.io.FileNotFoundException => false })
         case _ => false
       }
-    }
+    } || freshFullIntentOutside(dest, rwBasis).isDefined
     if (racedBy) { fs.delete(vdir, true); return Nil }
     replaced
   }
@@ -2302,26 +2427,27 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         org.apache.spark.sql.types.StringType))
     val outCols = (schema.fieldNames.toSeq :+ ChangeTypeCol :+
       CommitVersionCol).map(col)
-    val all = versionDirs(new Path(tablePath(name))).sortBy(_._1)
-    val present = all.map(_._1).toSet
-    val latest = if (all.isEmpty) -1L else all.map(_._1).max
+    val all = commitFactsListing(new Path(tablePath(name)))
+    val present = all.map(_.v).toSet
+    val latest = if (all.isEmpty) -1L else all.map(_.v).max
     require(toVersion <= latest,
       s"$name toVersion $toVersion exceeds latest version $latest")
     ((fromVersion + 1) to toVersion).foreach(v => require(present(v),
       s"$name version $v is not on disk (GC'd) — " +
         "the change feed would be incomplete"))
     val range = all
-      .flatMap { case (v, p) => commitKind(p).map(full => (v, p, full)) }
-      .filter(t => t._1 > fromVersion && t._1 <= toVersion)
+      .filter(d => d.v > fromVersion && d.v <= toVersion)
+      .flatMap(d => d.kind.map(full => (d.v, d.path, full, d.detail)))
       // a REWRITE commit (rewriteDeletes) changes no logical rows: its
       // whole-file masks hide rows whose deletes were ALREADY emitted by
       // the DV/eq-del commits that motivated it, and its survivors are
       // moved bytes, not inserts — the feed emits nothing for it (the
       // same stance as compaction's recorded-empty change data)
-      .filterNot(t =>
-        fs.exists(new Path(t._2, Lakehouse.Protocol.MarkerRewrite)))
+      .filterNot(t => t._4.map(_.rewrite).getOrElse(
+        fs.exists(new Path(t._2, Lakehouse.Protocol.MarkerRewrite))))
     val parts = range.map {
-      case (v, p, _) if fs.exists(new Path(p, Lakehouse.Protocol.DvDir)) =>
+      case (v, p, _, det) if det.map(_.dv).getOrElse(
+          fs.exists(new Path(p, Lakehouse.Protocol.DvDir))) =>
         // a deletion-vector commit names rows by POSITION — the feed
         // resolves positions → PRE-IMAGE rows at feed time: read ONLY
         // the affected files (driver resolves their names from the DV
@@ -2333,8 +2459,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         // what signed-aggregate MV folds need.
         val dvDir = new Path(p, Lakehouse.Protocol.DvDir)
         val affected = DvSidecar.index(fs, dvDir).keySet
-        val lowerDirs = versionDirs(new Path(tablePath(name)))
-          .filter(_._1 < v).map(_._2) :+ new Path(tablePath(name))
+        val lowerDirs = all.filter(_.v < v).map(_.path) :+
+          new Path(tablePath(name))
         val paths = lowerDirs.flatMap { d =>
           val out = Seq.newBuilder[String]
           def walk(dir: Path): Unit =
@@ -2381,7 +2507,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v))
             .select(outCols: _*))
-      case (v, p, false) if fs.exists(new Path(p, EqDelDir)) =>
+      case (v, p, false, det) if det.map(_.eqDel).getOrElse(
+          fs.exists(new Path(p, EqDelDir))) =>
         // equality-delete tombstones: the standard delete-by-key CDC
         // record — key columns carry the values, the rest null
         val keys = spark.read.parquet(new Path(p, EqDelDir).toString)
@@ -2391,13 +2518,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           .withColumn(ChangeTypeCol, lit("delete"))
           .withColumn(CommitVersionCol, lit(v))
           .select(outCols: _*)
-      case (v, p, false) =>
+      case (v, p, false, _) =>
         spark.read.schema(schema).option("basePath", p.toString)
           .parquet(p.toString)
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(v))
           .select(outCols: _*)
-      case (v, p, true) =>
+      case (v, p, true, _) =>
         val cdfPath = new Path(p, CdfDir)
         require(fs.exists(cdfPath),
           s"$name version $v is a FULL commit without recorded change " +
@@ -2455,6 +2582,26 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     if (fs.exists(staging)) {
       fs.listStatus(staging).foreach { st =>
         if (newest(st.getPath) <= horizon0) fs.delete(st.getPath, true)
+      }
+    }
+    // stale full-commit intents: a crash between a full's marker and
+    // its intent drop (or a full that died mid-write) leaves the root
+    // intent file behind — the freshness TTL already stopped it
+    // blocking DML, so past the grace it is pure listing clutter; an
+    // intent whose version COMMITTED is superseded by the marker and
+    // reclaimable immediately
+    locally {
+      val listing = fs.listStatus(dest).toSeq
+      val dirSt = Lakehouse.Protocol.versionDirStatusesOf(listing).toMap
+      Lakehouse.Protocol.fullIntents(listing).foreach { case (v, mt) =>
+        val committedV = dirSt.get(v).exists(st =>
+          commitKind(st.getPath).isDefined)
+        val stale = math.max(mt, dirSt.get(v)
+          .map(_.getModificationTime).getOrElse(0L)) <= horizon0
+        if (committedV || stale)
+          try fs.delete(new Path(dest,
+            s"${Lakehouse.Protocol.FullIntentPrefix}$v"), false)
+          catch { case _: java.io.FileNotFoundException => () }
       }
     }
     // crashed-CTAS debris: a `_stage_<name>_*` generation whose query
@@ -2883,6 +3030,18 @@ object Lakehouse {
   private[graft] val FileCol = "__graft_file"
   private[graft] val PosCol = "__graft_pos"
 
+  /** One version dir's listing entry + commit facts. `kind` memoizes
+    * its live probe, so only the dirs a caller actually classifies pay
+    * an RPC — and checkpoint-covered dirs pay none.
+    */
+  private[graft] final class DirFacts(val v: Long,
+      val st: org.apache.hadoop.fs.FileStatus,
+      kindThunk: () => Option[Boolean],
+      val detail: Option[MetaCheckpoint.CommitDetail]) {
+    lazy val kind: Option[Boolean] = kindThunk()
+    def path: Path = st.getPath
+  }
+
   /** Best-effort java.util.Properties read (swap journals) — a journal
     * deleted or healed mid-read is absence, not an error.
     */
@@ -2958,23 +3117,52 @@ object Lakehouse {
     // V2 scan drops them from lower-version roots at plan time (zero
     // tasks, zero IO) instead of scanning fully-masked files.
     val RewrittenList = "_GRAFT_REWRITTEN"
-    /** FULL-commit intent, created in the claimed version dir BEFORE the
-      * snapshot write begins. A merge-on-read delta's conflict check
-      * treats a FRESH intent in an uncommitted dir outside its basis as
-      * a conflict: the delta's positional DV would name files the
-      * in-flight rewrite is about to replace, and — because version
-      * claims are monotonic — any delta that could land ABOVE the full
-      * claimed after the intent existed, so its pre/post-marker checks
-      * always see it. This closes the window where a delta commits above
-      * an in-flight full and both sides' marker-based checks miss each
-      * other (delta post-check before the full's marker, full's rebase
-      * scan only below fullV). Freshness (`spark.graft.fullIntentTtlMs`)
-      * bounds crash debris: an abandoned intent stops blocking deltas
-      * once its dir mtime goes stale — a >TTL-slow full loses the
-      * prevention and falls back to the LOUD post-commit detection
+    /** FULL-commit intent: a TABLE-ROOT file `_GRAFT_FULL_INTENT_<v>`
+      * created at version-claim time, BEFORE the snapshot write begins,
+      * deleted after the full's marker lands (or on a failed write). A
+      * merge-on-read delta's or rewrite's conflict check treats a FRESH
+      * intent for an uncommitted version outside its basis as a
+      * conflict: the delta's positional DV (or the rewrite's survivor
+      * re-expression) would name files the in-flight rewrite is about
+      * to replace, and — because version claims are monotonic — any
+      * delta that could land ABOVE the full claimed after the intent
+      * existed, so its pre/post-marker checks always see it. This
+      * closes the window where a delta commits above an in-flight full
+      * and both sides' marker-based checks miss each other (delta
+      * post-check before the full's marker, full's rebase scan only
+      * below fullV).
+      *
+      * At the ROOT, not inside the claimed dir: the snapshot's own
+      * `mode("overwrite")` payload write DELETES the version dir before
+      * re-writing it, so an in-dir intent would vanish for exactly the
+      * long write window it exists to cover (and the dir itself is
+      * briefly absent — the root file stays visible throughout).
+      *
+      * Freshness (`spark.graft.fullIntentTtlMs`) bounds crash debris:
+      * an abandoned intent stops blocking DML once both the intent
+      * file's mtime and (when present) its version dir's mtime go
+      * stale — payload writes keep bumping the dir, so a long-running
+      * full stays fresh. A >TTL-stalled full loses the prevention and
+      * falls back to the LOUD post-commit detection
       * ([[rebaseLateDeltas]]' basis check), never a silent one.
       */
-    val MarkerFullIntent = "_GRAFT_FULL_INTENT"
+    val FullIntentPrefix = "_GRAFT_FULL_INTENT_"
+
+    /** Versions with a LIVE full intent at the root: (version → intent
+      * file mtime), from one listing.
+      */
+    def fullIntents(listing: Seq[org.apache.hadoop.fs.FileStatus])
+        : Map[Long, Long] =
+      listing.collect {
+        case st if st.isFile && {
+          val suffix = st.getPath.getName.drop(FullIntentPrefix.length)
+          st.getPath.getName.startsWith(FullIntentPrefix) &&
+            suffix.nonEmpty && suffix.length <= 18 &&
+            suffix.forall(_.isDigit)
+        } =>
+          (st.getPath.getName.drop(FullIntentPrefix.length).toLong,
+            st.getModificationTime)
+      }.toMap
     /** Committed-version set (one version per line) of the listing a
       * mask-bearing delta (DV / equality-delete) derived its masks from.
       * Read by the scan's aggregate-pushdown gate: pushed COUNT(*) =

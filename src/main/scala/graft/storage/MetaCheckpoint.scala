@@ -539,16 +539,59 @@ private[graft] object MetaCheckpoint {
       val schema = StructType(r.dvxCols.map { case (n, t) =>
         StructField(n, dataTypeOf(t)) })
       val tags = r.dvxCols.map(_._2)
-      st.heavy.dvx.collect { case ((v, name), vals) if v == r.v =>
-        val decoded: Array[Any] = vals.zip(tags).map {
-          case (Some(s), t) => decodeVal(t, s)
-          case (None, _) => null
-        }.toArray
-        name -> (new org.apache.spark.sql.catalyst.expressions
-          .GenericRowWithSchema(decoded, schema)
-          : org.apache.spark.sql.Row)
-      }
+      // direct lookups by the version's own affected-file names (the
+      // extremes are recorded per sidecar-index entry) — a scan of the
+      // whole heavy map here would be O(#versions × #extremes-entries)
+      // across a resolve, quadratic exactly at the long-DV-chain scale
+      // the checkpoint exists for
+      r.dvIndex.keysIterator.flatMap { name =>
+        st.heavy.dvx.get((r.v, name)).map { vals =>
+          val decoded: Array[Any] = vals.zip(tags).map {
+            case (Some(s), t) => decodeVal(t, s)
+            case (None, _) => null
+          }.toArray
+          name -> (new org.apache.spark.sql.catalyst.expressions
+            .GenericRowWithSchema(decoded, schema)
+            : org.apache.spark.sql.Row)
+        }
+      }.toMap
     }
+
+  /** Marker-presence facts of one covered commit — answers the
+    * change-feed/stream classifiers' `fs.exists` probes (rewrite
+    * marker, DV dir, equality-delete dir) from the checkpoint.
+    * Recorded only for payload-bearing records: identity-only records
+    * (below the last full) answer commit KIND but not detail.
+    */
+  final case class CommitDetail(rewrite: Boolean, dv: Boolean,
+      eqDel: Boolean)
+
+  /** One covered commit's facts, valid for a live dir only while its
+    * mtime still equals [[dirMtime]] (the same identity rule resolve
+    * and history use; committed dirs are immutable, so a moved mtime
+    * means vacuum/GC touched it — fall back to the live probe).
+    */
+  final case class CommitFacts(full: Boolean, dirMtime: Long,
+      detail: Option[CommitDetail])
+
+  /** Per-version commit facts from the newest checkpoint, or empty on
+    * any doubt (disabled, no checkpoint, decode failure) — callers
+    * keep their live-probe path as the fallback for uncovered or
+    * identity-mismatched dirs. Serving a version range this way turns
+    * the feed readers' and the streaming source's per-dir
+    * `commitKind`/marker probes — O(#commits) RPCs per call — into one
+    * cached state read + probes for the TAIL only.
+    */
+  def commitFacts(fs: FileSystem, dest: Path,
+      enabled: Boolean): Map[Long, CommitFacts] =
+    if (!enabled) Map.empty
+    else try loadLatest(fs, dest).map(_.versions.map { r =>
+      r.v -> CommitFacts(r.full, r.dirMtime,
+        if (r.payload) Some(CommitDetail(r.rewritten.nonEmpty,
+          r.dvIndex.nonEmpty, r.eqDel.isDefined))
+        else None)
+    }.toMap).getOrElse(Map.empty)
+    catch { case NonFatal(_) => Map.empty }
 
   /** The PARQUET checkpoint container (Delta `_last_checkpoint` shape):
     * one row per record, discriminated by `kind` —

@@ -123,7 +123,30 @@ object StressCkpt {
         try timed { lake.history("t"); () }
         finally spark.conf.set("spark.graft.useCheckpoint", "true")
       }
-      f"""{"n":$n,"files":${meta.dataFiles.length},"core_decode_ms":${tCore * 1000}%.0f,"cold_first_ms":${tColdFirst * 1000}%.0f,"cold_ms":${tCold * 1000}%.0f,"plain_ms":${tPlain * 1000}%.0f,"warm_ms":${tWarm * 1000}%.0f,"hist_ms":${tHist * 1000}%.0f,"hist_plain_ms":${tHistPlain * 1000}%.0f,"cold_first_raw_ms":${tColdFirstRaw * 1000}%.0f}"""
+      // auxiliary readers (r9 verdict task 7): the incremental change
+      // feed and the streaming source's admission head must classify
+      // covered commits from the checkpoint — probes only for the tail
+      // — instead of a commitKind RPC per commit dir per call/tick
+      val latestV = lake.history("t").map(_._1).max
+      val tFeed = (1 to 3).map(_ => timed {
+        lake.changesBetween("t", schema, latestV - 5, latestV); () }).min
+      val tFeedPlain = {
+        spark.conf.set("spark.graft.useCheckpoint", "false")
+        try timed {
+          lake.changesBetween("t", schema, latestV - 5, latestV); () }
+        finally spark.conf.set("spark.graft.useCheckpoint", "true")
+      }
+      val head = graft.sources.LakehouseStream.stableHeadOf(path)
+      require(head == latestV, s"n=$n stream head $head != $latestV")
+      val tHead = (1 to 3).map(_ => timed {
+        graft.sources.LakehouseStream.stableHeadOf(path); () }).min
+      val tHeadPlain = {
+        spark.conf.set("spark.graft.useCheckpoint", "false")
+        try timed {
+          graft.sources.LakehouseStream.stableHeadOf(path); () }
+        finally spark.conf.set("spark.graft.useCheckpoint", "true")
+      }
+      f"""{"n":$n,"files":${meta.dataFiles.length},"core_decode_ms":${tCore * 1000}%.0f,"cold_first_ms":${tColdFirst * 1000}%.0f,"cold_ms":${tCold * 1000}%.0f,"plain_ms":${tPlain * 1000}%.0f,"warm_ms":${tWarm * 1000}%.0f,"hist_ms":${tHist * 1000}%.0f,"hist_plain_ms":${tHistPlain * 1000}%.0f,"feed_ms":${tFeed * 1000}%.0f,"feed_plain_ms":${tFeedPlain * 1000}%.0f,"head_ms":${tHead * 1000}%.0f,"head_plain_ms":${tHeadPlain * 1000}%.0f,"cold_first_raw_ms":${tColdFirstRaw * 1000}%.0f}"""
     }
     out.foreach(println)
     spark.stop()

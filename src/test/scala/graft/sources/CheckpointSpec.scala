@@ -211,6 +211,58 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("feed readers and the stream head classify covered commits from " +
+    "checkpoint facts: same answers as the plain walk, tampered dirs " +
+    "fall back to live probes") {
+    import spark.implicits._
+    val (lake, path) = mkLake("ckpt-feeds")
+    withSQLConf("spark.graft.checkpointIntervalCommits" -> "0",
+      "spark.graft.metaCacheEntries" -> "0") {
+      lake.append("t", rows(0, 50), statsCols = Seq("k"))
+      lake.append("t", rows(50, 100), statsCols = Seq("k"))
+      lake.deleteByKeys("t", schema, Seq(10L).toDF("k"), () => ())
+      lake.deleteRowsMoR("t", schema, col("k") === 20L)
+      lake.append("t", rows(100, 120), statsCols = Seq("k"))
+      assert(lake.checkpoint("t"))
+      val hist = lake.history("t").map(_._1)
+      val (v0, head) = (hist.min - 1, hist.max)
+      val eqV = hist.sorted.apply(2) // third commit = the eq-del delta
+      def feedSig() = lake.changeFeed("t", v0, head, schema)
+        .select(col("k"), col("_change_type"), col("_commit_version"))
+        .collect().map(_.toString).sorted.toSeq
+      def tailSig() = lake.changesBetween("t", schema, head - 1, head)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      val (feedOn, eqOn, tailOn) =
+        (feedSig(), lake.equalityDeleteVersions("t", v0, head), tailSig())
+      val headOn = LakehouseStream.stableHeadOf(path)
+      assert(eqOn == Seq(eqV), "the eq-del delta must classify from facts")
+      assert(headOn == head)
+      assert(feedOn.exists(_.contains("delete")), "DV + eq-del deletes " +
+        "must survive the facts-served classification")
+      // changesBetween refuses a masked range identically either way
+      intercept[IllegalArgumentException] {
+        lake.changesBetween("t", schema, v0, head) }
+      withSQLConf("spark.graft.useCheckpoint" -> "false") {
+        assert(feedSig() == feedOn)
+        assert(lake.equalityDeleteVersions("t", v0, head) == eqOn)
+        assert(tailSig() == tailOn)
+        assert(LakehouseStream.stableHeadOf(path) == headOn)
+        intercept[IllegalArgumentException] {
+          lake.changesBetween("t", schema, v0, head) }
+      }
+      // tamper a covered dir (identity moves): facts must not serve it,
+      // and the live probes still classify it correctly
+      val fs = fsOf(path)
+      val eqDir = graft.storage.Lakehouse.Protocol
+        .versionDirs(fs, new Path(path)).find(_._1 == eqV).get._2
+      Thread.sleep(5L)
+      fs.create(new Path(eqDir, "_stray"), true).close()
+      assert(lake.equalityDeleteVersions("t", v0, head) == eqOn)
+      assert(feedSig() == feedOn)
+      assert(LakehouseStream.stableHeadOf(path) == headOn)
+    }
+  }
+
   test("CALL graft.system.checkpoint works from SQL") {
     val wh = tmpDir("ckpt-sql-wh")
     withSQLConf(

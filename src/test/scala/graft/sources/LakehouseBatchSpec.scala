@@ -328,19 +328,29 @@ class LakehouseBatchSpec extends SparkSpec {
     "rewrite, marker not yet landed); a stale intent stops blocking") {
     val (lake, path) = mkLake("v2-mor-intent")
     lake.append("t", rows(0, 40), statsCols = Seq("k"))
-    // simulate an in-flight full: a claimed version dir carrying the
-    // intent marker but no commit marker (a compaction mid-write)
+    // simulate an in-flight full: a claimed version dir plus the ROOT
+    // intent file but no commit marker (a compaction mid-write; the
+    // intent lives at the root because the snapshot's own overwrite
+    // write deletes and re-creates the version dir)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     val inflight = new org.apache.hadoop.fs.Path(path, "_v7")
     fs.mkdirs(inflight)
-    fs.create(new org.apache.hadoop.fs.Path(inflight,
-      "_GRAFT_FULL_INTENT"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(path,
+      "_GRAFT_FULL_INTENT_7"), true).close()
     val ex = intercept[java.util.ConcurrentModificationException] {
       lake.deleteRowsMoR("t", schema, col("k") < 10L)
     }
     assert(ex.getMessage.contains("_v7"))
     assert(v2(path).count() == 40L) // nothing committed
+    // the intent also conflicts while the dir is ABSENT (the snapshot
+    // write's delete-and-recreate window)
+    fs.delete(inflight, true)
+    val ex2 = intercept[java.util.ConcurrentModificationException] {
+      lake.deleteRowsMoR("t", schema, col("k") < 10L)
+    }
+    assert(ex2.getMessage.contains("_v7"))
+    fs.mkdirs(inflight)
     // crash debris: once the intent dir's mtime goes stale (TTL), the
     // delta proceeds — an abandoned full must not block DML forever
     spark.conf.set("spark.graft.fullIntentTtlMs", "1")
@@ -349,6 +359,29 @@ class LakehouseBatchSpec extends SparkSpec {
       lake.deleteRowsMoR("t", schema, col("k") < 10L)
       assert(v2(path).count() == 30L)
     } finally spark.conf.unset("spark.graft.fullIntentTtlMs")
+  }
+
+  test("the full-commit intent SURVIVES the snapshot's own overwrite " +
+    "payload write (root file) and is dropped once the marker lands") {
+    val (lake, path) = mkLake("v2-intent-survives")
+    lake.append("t", rows(0, 40), statsCols = Seq("k"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def liveIntents(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("_GRAFT_FULL_INTENT_"))
+    var seenMidCommit: Seq[String] = Nil
+    // beforeCommit runs AFTER the payload write, BEFORE the marker —
+    // exactly the window a mode("overwrite") write wiped the old
+    // in-dir intent marker in
+    lake.overwritePartitioned("t", rows(0, 30), Nil,
+      beforeCommit = () => { seenMidCommit = liveIntents() })
+    assert(seenMidCommit.nonEmpty,
+      "the intent must still be visible after the snapshot write")
+    assert(liveIntents().isEmpty,
+      "a committed full's intent must be dropped (marker supersedes it)")
+    assert(v2(path).count() == 30L)
   }
 
   test("pushed COUNT declines when two masks were recorded blind to " +

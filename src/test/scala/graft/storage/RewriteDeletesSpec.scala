@@ -131,6 +131,61 @@ class RewriteDeletesSpec extends SparkSpec {
     assert(v2.select("k").collect().map(_.getLong(0)).sorted.toSeq == expect)
   }
 
+  test("a rewrite racing an IN-FLIGHT full (marker not yet landed) " +
+    "self-aborts on the full's root intent — neither side can miss " +
+    "the other") {
+    val lake = mkLake("intent")
+    seed(lake)
+    lake.deleteRowsMoR("t", schema, col("k") < 90)
+    val expect = (90L until 300L).sorted
+    // the rewrite starts inside the full's commit window (payload
+    // written, marker pending): its pre-marker check must see the
+    // full's FRESH root intent and abort — committing would re-express
+    // pre-full bytes above the snapshot (duplicated rows), and the
+    // full's checks never look above its own version
+    var rewriteAborted = false
+    lake.overwritePartitioned("t", rows(90, 300), Nil,
+      beforeCommit = () => {
+        try { lake.rewriteDeletes("t", schema, 0.5); () }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            rewriteAborted = true
+        }
+      })
+    assert(rewriteAborted, "the rewrite must abort on the fresh intent")
+    assert(lake.read("t", schema).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq == expect)
+    // no rewrite commit anywhere on the chain
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(lake.tablePath("t"))
+    val fs = dest.getFileSystem(conf)
+    assert(!Lakehouse.Protocol.versionDirs(fs, dest).exists { case (_, p) =>
+      fs.exists(new Path(p, Lakehouse.Protocol.MarkerRewrite)) })
+  }
+
+  test("COUNT pushdown survives a rewrite when other masks are " +
+    "outstanding — the rewrite records its read basis like any " +
+    "mask-bearing delta") {
+    val lake = mkLake("basis")
+    (0 to 2).foreach(i =>
+      lake.append("t", rows(i * 100L, i * 100L + 100L).coalesce(1),
+        statsCols = Seq("k")))
+    lake.deleteRowsMoR("t", schema, col("k") < 90)
+    val replaced = lake.rewriteDeletes("t", schema, 0.5)
+    assert(replaced.nonEmpty)
+    // a second DV AFTER the rewrite: three mask-bearing commits on the
+    // chain (DV, rewrite, DV) — the pairwise gate needs all three bases
+    lake.deleteRowsMoR("t", schema, col("k") >= 100 && col("k") < 110)
+    val v2 = spark.read.format("graft.sources.LakehouseBatchProvider")
+      .schema(schema).load(lake.tablePath("t"))
+    val c = v2.agg(count(lit(1)).as("n"))
+    assert(c.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "pushdown must stay alive across a basis-recorded rewrite:\n" +
+        c.queryExecution.executedPlan.toString)
+    assert(c.head().getLong(0) == 200L)
+  }
+
   test("CALL graft.system.rewrite_deletes drives it through SQL") {
     val root = tmpDir("rw-sql")
     spark.conf.set("spark.sql.catalog.graftrw", "graft.sources.GraftCatalog")
