@@ -667,7 +667,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * so the dir is exclusively owned even under concurrent writers.
     */
   private def writeVersion(name: String, marker: String,
-      beforeCommit: () => Unit)(write: String => Unit): Path = {
+      beforeCommit: () => Unit,
+      intentBasis: Option[Lakehouse.ReadBasis] = None)(
+      write: String => Unit): Path = {
     val dest = new Path(tablePath(name))
     val next = claimVersion(dest)
     val vdir = new Path(dest, s"$VersionPrefix$next")
@@ -681,11 +683,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // Deleted on a failed write and after the commit marker lands so an
     // aborted or finished full stops blocking deltas; a JVM death
     // leaves it, bounded by the freshness TTL.
+    // the intent CARRIES the full's read basis: a racing delta whose
+    // committed version is in it will be FOLDED by this snapshot, so
+    // its post-check must not self-abort (see readFullIntentBasis); a
+    // torn read degrades to "contains nothing" — the racer yields
     val intent = new Path(dest,
       s"${Lakehouse.Protocol.FullIntentPrefix}$next")
     if (marker == MarkerFull) {
       fs.mkdirs(vdir)
-      commitIo.commitMarker(intent)
+      val out = fs.create(intent, true)
+      try out.write(intentBasis.map(_.committed.toSeq.sorted
+        .mkString("\n")).getOrElse("").getBytes("UTF-8"))
+      finally out.close()
     }
     def dropIntent(): Unit =
       if (marker == MarkerFull)
@@ -788,7 +797,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * own committed-dir scans already handle).
     */
   private def freshFullIntentOutside(dest: Path,
-      basis: Lakehouse.ReadBasis): Option[Long] = {
+      basis: Lakehouse.ReadBasis,
+      selfV: Option[Long] = None): Option[Long] = {
     val ttl = spark.conf.getOption("spark.graft.fullIntentTtlMs")
       .map(_.toLong).getOrElse(600000L)
     val now = System.currentTimeMillis()
@@ -800,7 +810,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       case (v, mt) if !basis.committed(v) &&
         !dirSt.get(v).exists(st => commitKind(st.getPath).isDefined) &&
         now - math.max(mt, dirSt.get(v)
-          .map(_.getModificationTime).getOrElse(0L)) < ttl =>
+          .map(_.getModificationTime).getOrElse(0L)) < ttl &&
+        // a racer whose recorded basis contains the caller's own
+        // committed version has FOLDED it — benign (see conflictingFull)
+        !selfV.exists(sv =>
+          Lakehouse.Protocol.readFullIntentBasis(fs, dest, v)
+            .exists(_.contains(sv))) =>
         v
     }.minOption
   }
@@ -1274,12 +1289,18 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           "against the new snapshot")
       beforeCommit()
     }
-    val vdir = writeVersion(name, MarkerFull, preMarkerCheck) { p =>
+    val vdir = writeVersion(name, MarkerFull, preMarkerCheck,
+      intentBasis = Some(basis)) { p =>
       val w = Lakehouse.withBloomOptions(df.write.mode("overwrite"),
         bloomCols)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(p)
       writeStats(p, statsCols, bloomCols)
+      // the COMMITTED full records its basis too: a racing delta whose
+      // post-check finds this full already committed (marker landed,
+      // intent gone) proves "was I folded?" from the dir instead of
+      // spuriously self-aborting and telling its caller to re-apply
+      Lakehouse.Protocol.writeBasis(fs, new Path(p), basis)
       // change-data files land INSIDE the uncommitted version dir: the
       // feed is part of the commit payload (see [[changeFeed]]); an empty
       // frame still writes a dir — "this rewrite changed no rows"
@@ -1877,7 +1898,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     //    dir's mtime within spark.graft.fullIntentTtlMs — payload
     //    writes keep bumping the dir) stops crashed-full debris from
     //    blocking DML forever.
-    def conflictingFull(): Option[Long] = {
+    // POST-marker runs pass this delta's own committed version: a
+    // racer (committed full/rewrite, or in-flight intent) whose
+    // RECORDED basis contains it has FOLDED this delta's masks — the
+    // delta is correctly applied and must NOT self-abort (aborting
+    // would delete masks the racer materialized while telling the
+    // caller to re-apply them: a double-applied UPDATE on retry, the
+    // corruption StressRace exposed). An absent/torn basis reads as
+    // "contains nothing" — conservative, this side yields.
+    def conflictingFull(selfV: Option[Long]): Option[Long] = {
       val ttl = spark.conf.getOption("spark.graft.fullIntentTtlMs")
         .map(_.toLong).getOrElse(600000L)
       val now = System.currentTimeMillis()
@@ -1885,22 +1914,31 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         catch { case _: java.io.FileNotFoundException => Seq.empty }
       val dirs = Lakehouse.Protocol.versionDirStatusesOf(listing)
       val intents = Lakehouse.Protocol.fullIntents(listing)
+      def foldedUs(b: Option[Set[Long]]): Boolean =
+        selfV.exists(v => b.exists(_.contains(v)))
       dirs.sortBy(_._1).find { case (v, st) =>
         !basis.committed(v) && (commitKind(st.getPath) match {
-          case Some(true) => true
+          case Some(true) =>
+            !foldedUs(Lakehouse.Protocol.readBasisFile(fs, st.getPath))
           case Some(false) =>
-            try fs.exists(
+            (try fs.exists(
               new Path(st.getPath, Lakehouse.Protocol.MarkerRewrite))
-            catch { case _: java.io.FileNotFoundException => false }
+            catch { case _: java.io.FileNotFoundException => false }) &&
+              !foldedUs(
+                Lakehouse.Protocol.readBasisFile(fs, st.getPath))
           case None => intents.get(v).exists(mt =>
-            now - math.max(mt, st.getModificationTime) < ttl)
+            now - math.max(mt, st.getModificationTime) < ttl) &&
+            !foldedUs(
+              Lakehouse.Protocol.readFullIntentBasis(fs, dest, v))
         })
       }.map(_._1).orElse {
         // an intent whose version dir is momentarily ABSENT: the
         // snapshot write's delete-and-recreate window — still in flight
         intents.collect { case (v, mt)
           if !basis.committed(v) && !dirs.exists(_._1 == v) &&
-            now - mt < ttl => v
+            now - mt < ttl &&
+            !foldedUs(
+              Lakehouse.Protocol.readFullIntentBasis(fs, dest, v)) => v
         }.minOption
       }
     }
@@ -1914,7 +1952,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     val vdir = writeVersion(name, MarkerDelta, () => {
       beforeCommit()
-      conflictingFull().foreach(v => abort(v, None))
+      // pre-marker: not yet committed, so no racer's basis can contain
+      // us — any fresh conflict aborts
+      conflictingFull(selfV = None).foreach(v => abort(v, None))
     }) { p =>
       newRows.foreach { rows =>
         rows.write.mode("overwrite").parquet(p)
@@ -1970,7 +2010,9 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         }
       }
     }
-    conflictingFull().foreach(v => abort(v, Some(vdir)))
+    conflictingFull(selfV = Some(
+      vdir.getName.drop(VersionPrefix.length).toLong))
+      .foreach(v => abort(v, Some(vdir)))
   }
 
   /** Does any live root's zone-map manifest carry min_/max_ columns?
@@ -2263,16 +2305,22 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // any racing pair always detects the other (the four orderings
     // cannot all interleave the checks before the markers).
     val myV = rootVersion(vdir.toString)
+    // a racer whose recorded basis contains myV read THROUGH this
+    // rewrite (mask deltas masked its survivors; a full folded them) —
+    // benign, keep the commit; anything blind to us self-drops
+    def foldedUs(p: Path): Boolean =
+      Lakehouse.Protocol.readBasisFile(fs, p).exists(_.contains(myV))
     val racedBy = versionDirs(dest).exists { case (v, p) =>
       commitKind(p) match {
-        case Some(true) => !rwBasis.committed(v)
+        case Some(true) => !rwBasis.committed(v) && !foldedUs(p)
         case Some(false) if v != myV && !rwBasis.committed(v) =>
           (try fs.exists(new Path(p, Lakehouse.Protocol.DvDir)) ||
             fs.exists(new Path(p, EqDelDir))
-          catch { case _: java.io.FileNotFoundException => false })
+          catch { case _: java.io.FileNotFoundException => false }) &&
+            !foldedUs(p)
         case _ => false
       }
-    } || freshFullIntentOutside(dest, rwBasis).isDefined
+    } || freshFullIntentOutside(dest, rwBasis, Some(myV)).isDefined
     if (racedBy) { fs.delete(vdir, true); return Nil }
     replaced
   }
@@ -3147,6 +3195,27 @@ object Lakehouse {
       * ([[rebaseLateDeltas]]' basis check), never a silent one.
       */
     val FullIntentPrefix = "_GRAFT_FULL_INTENT_"
+
+    /** The committed set an intent's full RESOLVED (its content, one
+      * version per line — written at claim time, after the snapshot
+      * listing). A racer whose own committed version appears in it is
+      * FOLDED by the in-flight full (the snapshot read through its
+      * masks), so it must NOT self-abort: aborting would delete masks
+      * the full already materialized while telling the caller to
+      * re-apply them — a double-apply on retry. None (unreadable /
+      * torn) reads as "contains nothing": conservative, the racer
+      * yields.
+      */
+    def readFullIntentBasis(fs: FileSystem, dest: Path,
+        v: Long): Option[Set[Long]] = {
+      val f = new Path(dest, s"$FullIntentPrefix$v")
+      try {
+        val in = fs.open(f)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).map(_.toLong).toSet)
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
     /** Versions with a LIVE full intent at the root: (version → intent
       * file mtime), from one listing.
