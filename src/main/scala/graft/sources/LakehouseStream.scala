@@ -166,8 +166,7 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
   private def ckptFacts()
       : Map[Long, graft.storage.MetaCheckpoint.CommitFacts] =
     graft.storage.MetaCheckpoint.commitFacts(fs, dest,
-      SparkSession.active.conf.getOption("spark.graft.useCheckpoint")
-        .forall(_.toBoolean))
+      graft.storage.MetaCheckpoint.enabled(SparkSession.active))
 
   /** Largest N with every version ≤ N committed — modulo stale debris.
     * A fresh (< inflightGraceMs) uncommitted dir or bare claim below a
@@ -191,7 +190,10 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
           committed += v
         case _ => Protocol.commitKind(fs, st.getPath) match {
           case Some(_) => committed += v
-          case None => if (fresh(st.getPath)) pending += v
+          // the listing already carries the mtime — no second RPC
+          case None =>
+            if (now - st.getModificationTime < inflightGraceMs)
+              pending += v
         }
       }
     }

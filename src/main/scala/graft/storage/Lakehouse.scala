@@ -136,9 +136,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   private def commitFactsListing(
       dest: Path): Seq[Lakehouse.DirFacts] = {
-    val enabled = spark.conf.getOption("spark.graft.useCheckpoint")
-      .forall(_.toBoolean)
-    val facts = MetaCheckpoint.commitFacts(fs, dest, enabled)
+    val facts = MetaCheckpoint.commitFacts(fs, dest,
+      MetaCheckpoint.enabled(spark))
     Lakehouse.Protocol.versionDirStatuses(fs, dest).sortBy(_._1).map {
       case (v, st) =>
         facts.get(v) match {
@@ -237,8 +236,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     // whose mtime moved (impossible for a committed dir) or a version
     // the checkpoint missed falls back to the per-dir listing.
     val covered: Map[Long, (Boolean, Long, Long)] =
-      if (!spark.conf.getOption("spark.graft.useCheckpoint")
-        .forall(_.toBoolean)) Map.empty
+      if (!MetaCheckpoint.enabled(spark)) Map.empty
       else
         try MetaCheckpoint.loadLatest(fs, dest)
           .map(_.versions.filter(_.commitMs > 0L)
@@ -691,10 +689,23 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       s"${Lakehouse.Protocol.FullIntentPrefix}$next")
     if (marker == MarkerFull) {
       fs.mkdirs(vdir)
-      val out = fs.create(intent, true)
+      // staged + renamed, NOT created in place: a racer reading a
+      // half-visible intent would parse a digit-truncated version as a
+      // valid-but-wrong basis and could tolerate a full that is blind
+      // to it — the rename makes the content appear atomically (a
+      // reader before the rename sees no intent at all, which is the
+      // conservative side: it conflicts)
+      val tmp = new Path(dest,
+        s"._tmp_${Lakehouse.Protocol.FullIntentPrefix}$next")
+      val out = fs.create(tmp, true)
       try out.write(intentBasis.map(_.committed.toSeq.sorted
         .mkString("\n")).getOrElse("").getBytes("UTF-8"))
       finally out.close()
+      if (!commitIo.atomicRename(tmp, intent)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"full-intent publish failed for $vdir")
+      }
     }
     def dropIntent(): Unit =
       if (marker == MarkerFull)
@@ -787,6 +798,24 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     vdir
   }
 
+  /** Bounded wait for a racing mask delta's own post-marker self-abort
+    * (it deletes its dir BEFORE acknowledging — see [[commitMoRDelta]]).
+    * True = the dir vanished within the deadline; false = it persists
+    * (its JVM died inside the commit window, or a
+    * pre-conflict-detection writer) — the caller fails loudly.
+    */
+  private def awaitSelfAbort(p: Path, deadlineMs: Long = 30000L)
+      : Boolean = {
+    val deadline = System.nanoTime() + deadlineMs * 1000L * 1000L
+    var gone = false
+    while (!gone && System.nanoTime() < deadline) {
+      gone = !(try fs.exists(p)
+        catch { case _: java.io.FileNotFoundException => true })
+      if (!gone) Thread.sleep(100L)
+    }
+    gone
+  }
+
   /** A FRESH full-commit intent (root file) for an uncommitted version
     * outside `basis` — an in-flight snapshot write that a rewrite or
     * mask delta must not race (see
@@ -870,14 +899,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           // bounded; a delta that persists means its JVM died inside
           // the commit window (or a pre-conflict-detection writer) and
           // needs an operator, not a silent resurrection.
-          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-          var gone = false
-          while (!gone && System.nanoTime() < deadline) {
-            gone = !(try fs.exists(p)
-              catch { case _: java.io.FileNotFoundException => true })
-            if (!gone) Thread.sleep(100L)
-          }
-          if (!gone) throw new IllegalStateException(
+          if (!awaitSelfAbort(p)) throw new IllegalStateException(
             s"full commit _v$fullV raced merge-on-read delta _v$lv " +
               s"under $dest and the delta did not self-abort — its " +
               "positional deletion vector cannot be rebased above a " +
@@ -933,14 +955,7 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               // the lower-side loop) instead of paging an operator for
               // a self-healing race; a delta that persists means its
               // JVM died inside the commit window
-              val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-              var gone = false
-              while (!gone && System.nanoTime() < deadline) {
-                gone = !(try fs.exists(p)
-                  catch { case _: java.io.FileNotFoundException => true })
-                if (!gone) Thread.sleep(100L)
-              }
-              if (!gone) throw new IllegalStateException(
+              if (!awaitSelfAbort(p)) throw new IllegalStateException(
                 s"full commit _v$fullV raced merge-on-read delta _v$v " +
                   s"whose read basis (max ${b.maxOption.getOrElse(-1L)}) " +
                   "predates the rewrite and it did not self-abort — its " +
@@ -1307,23 +1322,26 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       // (compaction) is a positive statement, distinct from "no feed
       // recorded" (a blind overwrite)
       changeData.foreach(_.write.mode("overwrite").parquet(s"$p/$CdfDir"))
+      // carry exactly-once batch markers out of the dirs this commit
+      // shadows (a streaming batch replayed after compaction must still
+      // be recognized). Part of the PAYLOAD, before the marker: writing
+      // them post-commit bumped the dir's mtime after the
+      // auto-checkpoint recorded it, permanently failing the
+      // checkpoint-facts identity check for the newest full of every
+      // streaming-fed table. A dir already renamed away by a racing
+      // self-rebase keeps its own marker.
+      val seen = older.flatMap { case (_, op) =>
+        if (!fs.exists(op)) Nil
+        else fs.listStatus(op).map(_.getPath.getName).collect {
+          case n if n.startsWith(s"${MarkerDelta}_b") =>
+            n.stripPrefix(s"${MarkerDelta}_b")
+          case n if n.startsWith(SeenPrefix) => n.stripPrefix(SeenPrefix)
+        }
+      }.distinct
+      seen.foreach(id =>
+        commitIo.commitMarker(new Path(p, s"$SeenPrefix$id")))
     }
     val fullV = vdir.getName.drop(VersionPrefix.length).toLong
-    // carry exactly-once batch markers out of the dirs we are about to
-    // delete (a streaming batch replayed after compaction must still be
-    // recognized); a crash before this completes is safe — the old dirs
-    // and their markers still exist until the deletes below. A dir
-    // already renamed away by a racing self-rebase keeps its own marker.
-    val seen = older.flatMap { case (_, p) =>
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).map(_.getPath.getName).collect {
-        case n if n.startsWith(s"${MarkerDelta}_b") =>
-          n.stripPrefix(s"${MarkerDelta}_b")
-        case n if n.startsWith(SeenPrefix) => n.stripPrefix(SeenPrefix)
-      }
-    }.distinct
-    seen.foreach(id =>
-      commitIo.commitMarker(new Path(vdir, s"$SeenPrefix$id")))
     // conflict resolution BEFORE GC: late-committed deltas move above the
     // full (their dirs must still exist when we look)
     rebaseLateDeltas(dest, basis, fullV)
@@ -2307,20 +2325,40 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val myV = rootVersion(vdir.toString)
     // a racer whose recorded basis contains myV read THROUGH this
     // rewrite (mask deltas masked its survivors; a full folded them) —
-    // benign, keep the commit; anything blind to us self-drops
+    // benign, keep the commit; anything blind to us self-drops. ONE
+    // root listing serves both the committed-racer scan and the
+    // in-flight-intent probe (two listings could also classify a
+    // commit landing between them against different snapshots).
     def foldedUs(p: Path): Boolean =
       Lakehouse.Protocol.readBasisFile(fs, p).exists(_.contains(myV))
-    val racedBy = versionDirs(dest).exists { case (v, p) =>
-      commitKind(p) match {
-        case Some(true) => !rwBasis.committed(v) && !foldedUs(p)
+    val listing = try fs.listStatus(dest).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val ttl = spark.conf.getOption("spark.graft.fullIntentTtlMs")
+      .map(_.toLong).getOrElse(600000L)
+    val now = System.currentTimeMillis()
+    val dirSt = Lakehouse.Protocol.versionDirStatusesOf(listing)
+    val racedBy = dirSt.exists { case (v, st) =>
+      commitKind(st.getPath) match {
+        case Some(true) => !rwBasis.committed(v) && !foldedUs(st.getPath)
         case Some(false) if v != myV && !rwBasis.committed(v) =>
-          (try fs.exists(new Path(p, Lakehouse.Protocol.DvDir)) ||
-            fs.exists(new Path(p, EqDelDir))
+          (try fs.exists(new Path(st.getPath,
+            Lakehouse.Protocol.DvDir)) ||
+            fs.exists(new Path(st.getPath, EqDelDir))
           catch { case _: java.io.FileNotFoundException => false }) &&
-            !foldedUs(p)
+            !foldedUs(st.getPath)
         case _ => false
       }
-    } || freshFullIntentOutside(dest, rwBasis, Some(myV)).isDefined
+    } || {
+      val dirMt = dirSt.map { case (v, st) => v -> st }.toMap
+      Lakehouse.Protocol.fullIntents(listing).exists { case (v, mt) =>
+        !rwBasis.committed(v) &&
+          !dirMt.get(v).exists(st => commitKind(st.getPath).isDefined) &&
+          now - math.max(mt, dirMt.get(v)
+            .map(_.getModificationTime).getOrElse(0L)) < ttl &&
+          !Lakehouse.Protocol.readFullIntentBasis(fs, dest, v)
+            .exists(_.contains(myV))
+      }
+    }
     if (racedBy) { fs.delete(vdir, true); return Nil }
     replaced
   }

@@ -582,6 +582,13 @@ private[graft] object MetaCheckpoint {
     * `commitKind`/marker probes — O(#commits) RPCs per call — into one
     * cached state read + probes for the TAIL only.
     */
+  /** The `spark.graft.useCheckpoint` flag (default true) — the single
+    * source of truth for every facts/resolve caller.
+    */
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.useCheckpoint")
+      .forall(_.toBoolean)
+
   def commitFacts(fs: FileSystem, dest: Path,
       enabled: Boolean): Map[Long, CommitFacts] =
     if (!enabled) Map.empty
