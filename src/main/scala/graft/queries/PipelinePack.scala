@@ -1721,6 +1721,50 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         out.persist(); out.count() // materialize under the pinned confs
         out
       } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    }),
+
+    // q96 — BATCH CHANGE-DATA-FEED READ via the V2 OPTION surface
+    // (Delta's `readChangeFeed` batch shape): the same commit history
+    // as q65 — two slices, a CoW delete with a recorded feed, a third
+    // slice, a trailing compaction with an empty feed — consumed NOT
+    // through the typed API but through
+    // `spark.read.format(...).option("changesFrom", 0)` against the
+    // table path, planned as the stream source's CDF partitions (one
+    // implementation). The oracle recomputes both change sets from
+    // `orders`; a feed served through the option surface that missed a
+    // delete's rows, misattributed an insert, or mislabeled a change
+    // type hash-mismatches against the SAME oracle the API query uses.
+    "q96_cdf_batch_read" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q96")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString,
+        retainSnapshots = 1, gcGraceMs = 3600000L)
+      val asFact = ordersAsFact(s, d)
+      def slice(k: Int) =
+        asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice")
+      lake.append("fact_transactions", slice(0))
+      lake.append("fact_transactions", slice(1))
+      lake.delete("fact_transactions",
+        pmod(col("trans_id").cast("bigint"), lit(7)) === 0, cdf = true)
+      lake.append("fact_transactions", slice(2))
+      lake.compact("fact_transactions", numFiles = 2,
+        sortCols = Seq("trans_date"))
+      val cdfSchema = org.apache.spark.sql.types.StructType(
+        graft.model.Schemas.factTransactions.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType)))
+      val feed = s.read
+        .format("graft.sources.LakehouseBatchProvider")
+        .schema(cdfSchema)
+        .option("changesFrom", "0") // changesTo defaults to the head
+        .load(lake.tablePath("fact_transactions"))
+      feed.groupBy(col("_change_type").as("change_type"),
+          month(col("trans_date")).cast("bigint").as("order_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("trans_id").cast("bigint")).as("key_sum"),
+          sum(col("amt")).cast("double").as("amt_sum"))
     })
   )
 
@@ -2007,6 +2051,23 @@ FROM orders WHERE o_orderkey % 3 IN (0, 1) OR o_orderkey % 2 = 0 GROUP BY 1""",
     // predicate's rows in the slices the delete's snapshot saw (0+1);
     // the compact's recorded feed is empty by contract
     "q65_change_data_feed" ->
+      """SELECT 'insert' AS change_type,
+  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'delete' AS change_type,
+  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 = 0
+GROUP BY 2""",
+    // q96 consumes the SAME commit history through the option surface,
+    // so the same change sets must come back
+    "q96_cdf_batch_read" ->
       """SELECT 'insert' AS change_type,
   CAST(month(o_orderdate) AS BIGINT) AS order_month,
   CAST(count(*) AS BIGINT) AS n,

@@ -121,9 +121,64 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     // write-audit-publish: `branch` widens the live set with the
     // branch's staged (uncommitted) dirs — the SQL audit view
     val br = Option(options.get("branch")).orElse(branch)
-    new LakehouseScanBuilder(path, tschema, asOf, br, options,
-      scanPartitionCols)
+    // BATCH change-feed read (Delta's readChangeFeed shape):
+    //   spark.read.format(...).schema(contract + _change_type STRING
+    //     [+ _commit_version BIGINT])
+    //     .option("changesFrom", n)[.option("changesTo", m)].load(path)
+    // serves the row-level changes of the committed range (n, m] —
+    // deltas as inserts, DV commits as pre-image deletes, equality
+    // tombstones as key-only deletes, recorded FULL feeds verbatim —
+    // through the same partition classification as the streaming CDF
+    // source (one implementation, LakehouseStream.changePartitions).
+    val chFrom = Option(options.get("changesFrom")).map(_.toLong)
+    if (chFrom.isDefined) {
+      require(asOf.isEmpty && br.isEmpty,
+        "changesFrom does not compose with versionAsOf/branch — the " +
+          "feed's range IS its time selector")
+      require(tschema.fieldNames
+        .contains(graft.sources.LakehouseStream.ChangeTypeCol),
+        s"a change-feed read needs a " +
+          s"${graft.sources.LakehouseStream.ChangeTypeCol} STRING " +
+          "column in the schema")
+      new CdfBatchScan(path, tschema, chFrom.get,
+        Option(options.get("changesTo")).map(_.toLong))
+    } else
+      new LakehouseScanBuilder(path, tschema, asOf, br, options,
+        scanPartitionCols)
   }
+}
+
+/** The BATCH change-data-feed scan (`changesFrom`/`changesTo` read
+  * options): plans the stream source's CDF partitions over a fixed
+  * committed range. `changesTo` defaults to the table's stable head
+  * (every version at-or-below it committed — in-flight writers are
+  * never jumped, same rule as the stream's admission control).
+  * Completeness contract mirrors [[graft.storage.Lakehouse.changeFeed]]:
+  * a range version GC'd with a FULL above it throws (never a silent
+  * gap); an unrecorded FULL rewrite in range throws.
+  */
+private[sources] class CdfBatchScan(path: String, cdfSchema: StructType,
+    from: Long, to: Option[Long])
+    extends ScanBuilder with Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = cdfSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"graft CDF batch $path ($from, ${to.getOrElse("head")}]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(conf)
+    val toV = to.getOrElse(LakehouseStream.stableHeadOf(path))
+    require(from <= toV,
+      s"changesFrom $from exceeds changesTo/head $toV")
+    LakehouseStream.changePartitions(fs, path, from, toV,
+      readChangeFeed = true).map(p => p: InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakehouseReaderFactory(cdfSchema)
 }
 
 private[sources] class LakehouseScanBuilder(path: String, full: StructType,

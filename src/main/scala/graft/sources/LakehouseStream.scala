@@ -234,140 +234,11 @@ private[sources] class LakehouseMicroBatchStream(tablePath: String,
     availableNowCap = Some(math.max(startVersion, stableHead()))
 
   override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[VersionOffset].version
-    val to = end.asInstanceOf[VersionOffset].version
-    val facts = ckptFacts()
-    val dirSt = Protocol.versionDirStatuses(fs, dest).toMap
-    val dirs = dirSt.map { case (v, st) => v -> st.getPath }
-    def factOf(fv: Long)
-        : Option[graft.storage.MetaCheckpoint.CommitFacts] =
-      facts.get(fv).filter(f => dirSt.get(fv)
-        .exists(_.getModificationTime == f.dirMtime))
-    def kindOf(fv: Long, p: Path): Option[Boolean] =
-      factOf(fv).map(_.full).orElse(Protocol.commitKind(fs, p))
-    def hasMark(fv: Long,
-        sel: graft.storage.MetaCheckpoint.CommitDetail => Boolean,
-        probe: => Boolean): Boolean =
-      factOf(fv).flatMap(_.detail).map(sel).getOrElse(probe)
-    val files = Seq.newBuilder[LakehouseFilePartition]
-    ((from + 1) to to).foreach { v =>
-      dirs.get(v) match {
-        case None =>
-          // missing number: crash debris (claimed, never written — skip)
-          // unless a FULL commit above it exists, which means compaction
-          // GC'd a delta the stream never consumed — data loss for the
-          // feed, fail loudly (run gcGraceMs above the consumer lag)
-          val gcd = dirs.exists { case (fv, p) =>
-            fv > v && kindOf(fv, p).contains(true)
-          }
-          if (gcd) throw new IllegalStateException(
-            s"$tablePath version $v was garbage-collected under the " +
-              "stream (compaction outran the consumer) — the feed is " +
-              "incomplete; re-seed the query or raise gcGraceMs")
-        case Some(p) => kindOf(v, p) match {
-          case None => // uncommitted debris inside the range: no rows
-          case Some(false)
-            if hasMark(v, _.rewrite,
-              fs.exists(new Path(p, Protocol.MarkerRewrite))) =>
-            // a REWRITE commit (rewriteDeletes) changes no logical rows:
-            // its whole-file masks cover rows whose deletes prior DV/
-            // eq-del commits already emitted, and its data files are
-            // moved survivors, not inserts — both stream modes emit
-            // nothing for it (the recorded-empty stance compaction takes)
-          case Some(false) =>
-            // a deletion-vector commit names rows by POSITION. In CDF
-            // mode the feed resolves them to PRE-IMAGE delete records
-            // at plan time using only metadata: one partition per
-            // affected data file, carrying that file's sidecar path
-            // with emit-masked-only mode — the reader serves exactly
-            // the tombstoned rows, positions never touch the driver.
-            // An append stream still cannot represent a delete.
-            val dvDir = new Path(p, Protocol.DvDir)
-            if (hasMark(v, _.dv, fs.exists(dvDir))) {
-              if (!readChangeFeed) throw new IllegalStateException(
-                s"$tablePath version $v is a deletion-vector commit — " +
-                  "an append stream cannot represent positional " +
-                  "deletes; stream with readChangeFeed=true")
-              val idx = graft.storage.DvSidecar.index(fs, dvDir)
-              if (idx.nonEmpty) {
-                val lower: Map[String, String] =
-                  ((dirs.filter(_._1 < v).values.toSeq :+ dest)
-                    .filter(fs.exists(_))
-                    .flatMap(listDataFiles))
-                    .map(f => new Path(f).getName -> f).toMap
-                files ++= idx.toSeq.map { case (dataName, sidecar) =>
-                  val dataPath = lower.getOrElse(dataName,
-                    throw new IllegalStateException(
-                      s"$tablePath version $v tombstones unknown file " +
-                        dataName))
-                  LakehouseFilePartition(dataPath, v, Some("delete"),
-                    dvSidecars = Seq(sidecar), dvEmitMasked = true)
-                }
-              }
-            }
-            val eqDel = new Path(p, Protocol.EqDelDir)
-            if (hasMark(v, _.eqDel, fs.exists(eqDel))) {
-              // equality-delete tombstones: key-only delete records in
-              // CDF mode; an append stream cannot represent them
-              if (!readChangeFeed) throw new IllegalStateException(
-                s"$tablePath version $v is an equality-delete commit — " +
-                  "an append stream cannot represent it; stream with " +
-                  "readChangeFeed=true")
-              files ++= fs.listStatus(eqDel)
-                .filter(_.getPath.getName.endsWith(".parquet"))
-                .map(st => LakehouseFilePartition(
-                  st.getPath.toString, v, Some("delete")))
-            }
-            // delta files predate the change-type column: fill "insert"
-            files ++= listDataFiles(p).map(f =>
-              LakehouseFilePartition(f, v, Some("insert")))
-          case Some(true) =>
-            val cdf = new Path(p, Protocol.CdfDir)
-            if (readChangeFeed) {
-              // CDF mode serves the FULL commit's recorded change rows
-              // verbatim (they carry their own _change_type); unrecorded
-              // rewrites still fail loudly below
-              if (!fs.exists(cdf)) throw new IllegalStateException(
-                s"$tablePath version $v is a FULL commit without " +
-                  "recorded change data (blind overwrite, or delete/" +
-                  "merge with cdf=false) — no row-level feed across it")
-              files ++= fs.listStatus(cdf)
-                .filter(_.getPath.getName.endsWith(".parquet"))
-                .map(st => LakehouseFilePartition(
-                  st.getPath.toString, v, None))
-            } else {
-              // append mode rides through it ONLY if the recorded
-              // change feed says "no logical change"
-              val emptyFeed = fs.exists(cdf) &&
-                LakehouseStream.parquetRowCount(fs, hadoopConf, cdf) == 0L
-              if (!emptyFeed) throw new IllegalStateException(
-                s"$tablePath version $v is a FULL rewrite with row-level " +
-                  "changes (delete/merge/overwrite) — an append stream " +
-                  "cannot represent it; re-seed the query past it, or " +
-                  "stream with readChangeFeed=true")
-            }
-        }
-      }
-    }
-    files.result().map(p => p: InputPartition).toArray
-  }
-
-  /** Data files of one committed version dir, recursing into partition
-    * subdirs, skipping protocol files (underscore/dot prefixes).
-    */
-  private def listDataFiles(p: Path): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) {
-        if (st.isDirectory) walk(st.getPath)
-        else if (n.endsWith(".parquet")) out += st.getPath.toString
-      }
-    }
-    walk(p)
-    out.result()
-  }
+      end: Offset): Array[InputPartition] =
+    LakehouseStream.changePartitions(fs, tablePath,
+      start.asInstanceOf[VersionOffset].version,
+      end.asInstanceOf[VersionOffset].version, readChangeFeed)
+      .map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakehouseReaderFactory(schema)
@@ -615,6 +486,147 @@ private[graft] object LakehouseStream {
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Collections.emptyMap()))
       .reportLatestOffset().asInstanceOf[VersionOffset].version
+
+  /** CDF / append partition classification for the committed range
+    * (fromVersion, toVersion] — ONE implementation shared by the
+    * micro-batch stream (per batch) and the BATCH change-feed scan
+    * (`changesFrom`/`changesTo` read options). Covered commits classify
+    * from checkpoint facts (kind + marker presence) under the same
+    * mtime-identity rule as resolve; only the tail pays live probes.
+    */
+  private[sources] def changePartitions(fs: FileSystem,
+      tablePath: String, from: Long, to: Long,
+      readChangeFeed: Boolean): Seq[LakehouseFilePartition] = {
+    val dest = new Path(tablePath)
+    def listDataFiles(p: Path): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (n.endsWith(".parquet")) out += st.getPath.toString
+        }
+      }
+      walk(p)
+      out.result()
+    }
+    val facts = graft.storage.MetaCheckpoint.commitFacts(fs, dest,
+      graft.storage.MetaCheckpoint.enabled(SparkSession.active))
+    val dirSt = Protocol.versionDirStatuses(fs, dest).toMap
+    val dirs = dirSt.map { case (v, st) => v -> st.getPath }
+    def factOf(fv: Long)
+        : Option[graft.storage.MetaCheckpoint.CommitFacts] =
+      facts.get(fv).filter(f => dirSt.get(fv)
+        .exists(_.getModificationTime == f.dirMtime))
+    def kindOf(fv: Long, p: Path): Option[Boolean] =
+      factOf(fv).map(_.full).orElse(Protocol.commitKind(fs, p))
+    def hasMark(fv: Long,
+        sel: graft.storage.MetaCheckpoint.CommitDetail => Boolean,
+        probe: => Boolean): Boolean =
+      factOf(fv).flatMap(_.detail).map(sel).getOrElse(probe)
+    val files = Seq.newBuilder[LakehouseFilePartition]
+    ((from + 1) to to).foreach { v =>
+      dirs.get(v) match {
+        case None =>
+          // missing number: crash debris (claimed, never written — skip)
+          // unless a FULL commit above it exists, which means compaction
+          // GC'd a delta the stream never consumed — data loss for the
+          // feed, fail loudly (run gcGraceMs above the consumer lag)
+          val gcd = dirs.exists { case (fv, p) =>
+            fv > v && kindOf(fv, p).contains(true)
+          }
+          if (gcd) throw new IllegalStateException(
+            s"$tablePath version $v was garbage-collected under the " +
+              "stream (compaction outran the consumer) — the feed is " +
+              "incomplete; re-seed the query or raise gcGraceMs")
+        case Some(p) => kindOf(v, p) match {
+          case None => // uncommitted debris inside the range: no rows
+          case Some(false)
+            if hasMark(v, _.rewrite,
+              fs.exists(new Path(p, Protocol.MarkerRewrite))) =>
+            // a REWRITE commit (rewriteDeletes) changes no logical rows:
+            // its whole-file masks cover rows whose deletes prior DV/
+            // eq-del commits already emitted, and its data files are
+            // moved survivors, not inserts — both stream modes emit
+            // nothing for it (the recorded-empty stance compaction takes)
+          case Some(false) =>
+            // a deletion-vector commit names rows by POSITION. In CDF
+            // mode the feed resolves them to PRE-IMAGE delete records
+            // at plan time using only metadata: one partition per
+            // affected data file, carrying that file's sidecar path
+            // with emit-masked-only mode — the reader serves exactly
+            // the tombstoned rows, positions never touch the driver.
+            // An append stream still cannot represent a delete.
+            val dvDir = new Path(p, Protocol.DvDir)
+            if (hasMark(v, _.dv, fs.exists(dvDir))) {
+              if (!readChangeFeed) throw new IllegalStateException(
+                s"$tablePath version $v is a deletion-vector commit — " +
+                  "an append stream cannot represent positional " +
+                  "deletes; stream with readChangeFeed=true")
+              val idx = graft.storage.DvSidecar.index(fs, dvDir)
+              if (idx.nonEmpty) {
+                val lower: Map[String, String] =
+                  ((dirs.filter(_._1 < v).values.toSeq :+ dest)
+                    .filter(fs.exists(_))
+                    .flatMap(listDataFiles))
+                    .map(f => new Path(f).getName -> f).toMap
+                files ++= idx.toSeq.map { case (dataName, sidecar) =>
+                  val dataPath = lower.getOrElse(dataName,
+                    throw new IllegalStateException(
+                      s"$tablePath version $v tombstones unknown file " +
+                        dataName))
+                  LakehouseFilePartition(dataPath, v, Some("delete"),
+                    dvSidecars = Seq(sidecar), dvEmitMasked = true)
+                }
+              }
+            }
+            val eqDel = new Path(p, Protocol.EqDelDir)
+            if (hasMark(v, _.eqDel, fs.exists(eqDel))) {
+              // equality-delete tombstones: key-only delete records in
+              // CDF mode; an append stream cannot represent them
+              if (!readChangeFeed) throw new IllegalStateException(
+                s"$tablePath version $v is an equality-delete commit — " +
+                  "an append stream cannot represent it; stream with " +
+                  "readChangeFeed=true")
+              files ++= fs.listStatus(eqDel)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map(st => LakehouseFilePartition(
+                  st.getPath.toString, v, Some("delete")))
+            }
+            // delta files predate the change-type column: fill "insert"
+            files ++= listDataFiles(p).map(f =>
+              LakehouseFilePartition(f, v, Some("insert")))
+          case Some(true) =>
+            val cdf = new Path(p, Protocol.CdfDir)
+            if (readChangeFeed) {
+              // CDF mode serves the FULL commit's recorded change rows
+              // verbatim (they carry their own _change_type); unrecorded
+              // rewrites still fail loudly below
+              if (!fs.exists(cdf)) throw new IllegalStateException(
+                s"$tablePath version $v is a FULL commit without " +
+                  "recorded change data (blind overwrite, or delete/" +
+                  "merge with cdf=false) — no row-level feed across it")
+              files ++= fs.listStatus(cdf)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map(st => LakehouseFilePartition(
+                  st.getPath.toString, v, None))
+            } else {
+              // append mode rides through it ONLY if the recorded
+              // change feed says "no logical change"
+              val emptyFeed = fs.exists(cdf) &&
+                parquetRowCount(fs,
+                SparkSession.active.sparkContext.hadoopConfiguration, cdf) == 0L
+              if (!emptyFeed) throw new IllegalStateException(
+                s"$tablePath version $v is a FULL rewrite with row-level " +
+                  "changes (delete/merge/overwrite) — an append stream " +
+                  "cannot represent it; re-seed the query past it, or " +
+                  "stream with readChangeFeed=true")
+            }
+        }
+      }
+    }
+    files.result()
+  }
 
   /** One parquet Group field → Catalyst value, by declared Spark type.
     * Shared by the partition reader's row materialization and the
