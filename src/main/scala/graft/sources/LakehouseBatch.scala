@@ -131,15 +131,34 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     // through the same partition classification as the streaming CDF
     // source (one implementation, LakehouseStream.changePartitions).
     val chFrom = Option(options.get("changesFrom")).map(_.toLong)
+    // a dangling changesTo / readChangeFeed without changesFrom must
+    // fail LOUDLY: falling through to a snapshot scan would serve every
+    // live row with a null _change_type to a consumer that asked for
+    // changes
+    require(chFrom.isDefined || options.get("changesTo") == null,
+      "changesTo needs changesFrom — a change-feed read names its range")
+    require(chFrom.isDefined || options.get("readChangeFeed") == null,
+      "batch change-feed reads are addressed by range: use " +
+        "option(\"changesFrom\", n) [+ option(\"changesTo\", m)]")
     if (chFrom.isDefined) {
       require(asOf.isEmpty && br.isEmpty,
         "changesFrom does not compose with versionAsOf/branch — the " +
           "feed's range IS its time selector")
-      require(tschema.fieldNames
-        .contains(graft.sources.LakehouseStream.ChangeTypeCol),
+      // plan-time type gates, not executor crashes: the reader fills
+      // _change_type with strings and _commit_version with longs
+      val ct = tschema.fields.find(
+        _.name == graft.sources.LakehouseStream.ChangeTypeCol)
+      require(ct.exists(_.dataType == org.apache.spark.sql.types
+        .StringType),
         s"a change-feed read needs a " +
           s"${graft.sources.LakehouseStream.ChangeTypeCol} STRING " +
           "column in the schema")
+      tschema.fields.find(
+        _.name == graft.sources.LakehouseStream.CommitVersionCol)
+        .foreach(f => require(f.dataType == org.apache.spark.sql.types
+          .LongType,
+          s"${graft.sources.LakehouseStream.CommitVersionCol} must be " +
+            "BIGINT"))
       new CdfBatchScan(path, tschema, chFrom.get,
         Option(options.get("changesTo")).map(_.toLong))
     } else
@@ -171,7 +190,19 @@ private[sources] class CdfBatchScan(path: String, cdfSchema: StructType,
       .sparkContext.hadoopConfiguration
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(conf)
-    val toV = to.getOrElse(LakehouseStream.stableHeadOf(path))
+    // an EXPLICIT changesTo must sit at-or-below the stable head: above
+    // it the range covers versions that are in flight (a fresh claim
+    // would be silently classified as debris — a permanent feed gap
+    // once it commits) or nonexistent (the caller believes a range was
+    // covered that wasn't). Loud, like changeFeed's latest-version
+    // require. One head computation serves both the default and the
+    // validation (plan-time, two root listings total — the stream pays
+    // the same per tick).
+    val head = LakehouseStream.stableHeadOf(path)
+    to.foreach(t => require(t <= head,
+      s"changesTo $t exceeds the stable head $head of $path — the " +
+        "range would silently skip in-flight or nonexistent versions"))
+    val toV = to.getOrElse(head)
     require(from <= toV,
       s"changesFrom $from exceeds changesTo/head $toV")
     LakehouseStream.changePartitions(fs, path, from, toV,

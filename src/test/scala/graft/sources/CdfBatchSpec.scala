@@ -69,6 +69,48 @@ class CdfBatchSpec extends SparkSpec {
     assert(types.contains("delete") && types.contains("insert"))
   }
 
+  test("option and schema misuse fails at PLAN time: dangling " +
+    "changesTo/readChangeFeed, mistyped metadata columns, a range " +
+    "past the stable head") {
+    val lake = new Lakehouse(spark, tmpDir("cdfb3"))
+    val path = lake.tablePath("t")
+    lake.append("t", rows(0, 10).coalesce(1))
+    val head = lake.versions("t").map(_._1).max
+    def read(schema: StructType)(opts: (String, String)*): DataFrame = {
+      val r = spark.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(schema)
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(path)
+    }
+    // changesTo alone must not silently serve a snapshot as "changes"
+    // (the scan builds lazily — force planning)
+    intercept[IllegalArgumentException] {
+      read(cdfSchema)("changesTo" -> head.toString)
+        .queryExecution.executedPlan }
+    intercept[IllegalArgumentException] {
+      read(cdfSchema)("readChangeFeed" -> "true")
+        .queryExecution.executedPlan }
+    // mistyped metadata columns fail at plan time, not mid-job
+    val badCt = StructType(schema.fields :+
+      StructField("_change_type", LongType))
+    intercept[IllegalArgumentException] {
+      read(badCt)("changesFrom" -> "0")
+        .queryExecution.executedPlan }
+    val badCv = StructType(cdfSchema.fields.map(f =>
+      if (f.name == "_commit_version") f.copy(dataType = IntegerType)
+      else f))
+    intercept[IllegalArgumentException] {
+      read(badCv)("changesFrom" -> "0")
+        .queryExecution.executedPlan }
+    // a range past the stable head is a loud error, not a silent gap
+    intercept[Exception] {
+      read(cdfSchema)("changesFrom" -> "0",
+        "changesTo" -> (head + 5).toString).collect()
+    }
+    // the valid read still works
+    assert(read(cdfSchema)("changesFrom" -> "0").count() == 10L)
+  }
+
   test("a rewrite in range contributes nothing; a blind overwrite " +
     "in range fails loudly") {
     val lake = new Lakehouse(spark, tmpDir("cdfb2"),
