@@ -56,6 +56,37 @@ object AnnIndex {
     lake.read(IndexTable, indexSchema).filter(col("kind") === "code")
       .select(col("neighbor_id"), col("s"), col("label"), col("coarse"))
 
+  /** The stored index's BUILD PARAMETERS, stamped as one kind='meta'
+    * row (`s` = subspaces, `dim` = dims) and validated on every
+    * parameterized read/append: a serve or encode run with DIFFERENT
+    * values would silently rank by a subspace subset (the ADC join
+    * matches only overlapping `s`) instead of failing. None = a
+    * pre-stamp legacy index (validation skipped — the caller's values
+    * were the only source of truth then).
+    */
+  private def storedParams(lake: Lakehouse): Option[(Int, Int)] =
+    lake.read(IndexTable, indexSchema).filter(col("kind") === "meta")
+      .select(col("s"), col("dim")).collect().headOption
+      .map(r => (r.getInt(0), r.getInt(1)))
+
+  private def requireParams(lake: Lakehouse, subspaces: Int,
+      dims: Int): Unit =
+    storedParams(lake).foreach { case (ss, dd) =>
+      require(ss == subspaces && dims == dd,
+        s"$IndexTable was built with subspaces=$ss, dims=$dd — caller " +
+          s"passed subspaces=$subspaces, dims=$dims; mismatched " +
+          "parameters would silently rank by a subspace subset")
+    }
+
+  private def metaRow(lake: Lakehouse, subspaces: Int,
+      dims: Int): DataFrame =
+    lake.spark.range(1).select(lit("meta").as("kind"),
+      lit(null).cast("long").as("label"), lit(dims).cast("int").as("dim"),
+      lit(null).cast("long").as("c"),
+      lit(null).cast("long").as("neighbor_id"),
+      lit(subspaces).cast("int").as("s"),
+      lit(null).cast("long").as("coarse"))
+
   private def asIndexRows(cent: DataFrame, codes: DataFrame): DataFrame =
     cent.select(lit("cent").as("kind"), col("label").cast("long"),
       col("dim").cast("int"), col("c").cast("long"),
@@ -81,7 +112,8 @@ object AnnIndex {
     val codes = VectorOps.pqCodes(cent, width, corpus)
       .join(corpus.select(col("id").as("neighbor_id"),
         col("label").as("coarse")), "neighbor_id")
-    lake.overwrite(IndexTable, asIndexRows(cent, codes))
+    lake.overwrite(IndexTable, asIndexRows(cent, codes)
+      .unionByName(metaRow(lake, subspaces, dims)))
   }
 
   /** Frozen-codebook encode of NEW vectors against the STORED centroids:
@@ -96,22 +128,14 @@ object AnnIndex {
   private def encodeAgainstStored(lake: Lakehouse, newVectors: DataFrame,
       subspaces: Int, dims: Int): DataFrame = {
     require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
+    requireParams(lake, subspaces, dims)
     val cent = centRows(lake)
     require(!cent.isEmpty,
       s"$IndexTable has no committed centroid rows — run buildIvfPq " +
         "before appending vectors (the assignment join would silently " +
         "drop every new vector)")
-    val pr = Window.partitionBy(col("id"))
-      .orderBy(col("cdot").desc, col("label"))
-    val assigned = newVectors
-      .select(col("id"), posexplode(VectorOps.quantize(col("vec")))
-        .as(Seq("dim", "qc")))
-      .join(broadcast(cent), "dim")
-      .groupBy(col("id"), col("label"))
-      .agg(sum(col("qc") * col("c")).as("cdot"))
-      .withColumn("pr", row_number().over(pr))
-      .filter(col("pr") === 1)
-      .select(col("id").as("neighbor_id"), col("label").as("coarse"))
+    val assigned = VectorOps.coarseProbes(newVectors, cent, "id", 1)
+      .select(col("id").as("neighbor_id"), col("coarse"))
     val codes = VectorOps.pqCodes(cent, dims / subspaces,
       newVectors.select(col("id"), col("vec")))
       .join(assigned, "neighbor_id")
@@ -166,7 +190,9 @@ object AnnIndex {
       .select(col("neighbor_id"), col("s"), col("label"), col("coarse"))
       .join(ids.select(col("id").as("neighbor_id")),
         Seq("neighbor_id"), "left_anti")
-    lake.overwritePartitioned(IndexTable, asIndexRows(cent, surviving),
+    // the meta (build-parameter) row rides every rewrite
+    lake.overwritePartitioned(IndexTable, asIndexRows(cent, surviving)
+      .unionByName(all.filter(col("kind") === "meta")),
       Nil, readBasis = Some(basis))
   }
 
@@ -193,21 +219,12 @@ object AnnIndex {
       nProbe: Int, candidateFilter: org.apache.spark.sql.Column,
       subspaces: Int = 4, dims: Int = 64): DataFrame = {
     require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
+    requireParams(lake, subspaces, dims)
     val width = dims / subspaces
     val cent = centRows(lake)
     val codes = codeRows(lake)
     // coarse probes: nProbe closest stored cells by integer centroid dot
-    val pr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdot").desc, col("label"))
-    val probes = queries
-      .select(col("id").as("query_id"),
-        posexplode(VectorOps.quantize(col("vec"))).as(Seq("dim", "qc")))
-      .join(broadcast(cent), "dim")
-      .groupBy(col("query_id"), col("label"))
-      .agg(sum(col("qc") * col("c")).as("cdot"))
-      .withColumn("pr", row_number().over(pr))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("label").as("coarse"))
+    val probes = VectorOps.coarseProbes(queries, cent, "query_id", nProbe)
     val qd = VectorOps.subspaceDists(cent, width)(queries, "query_id")
       .select(col("query_id"), col("s"), col("label"), col("d2"))
     // candidate filter at list-scan time, then probe restriction — both

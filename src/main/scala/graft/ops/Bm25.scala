@@ -118,9 +118,12 @@ object Bm25 {
     // row of the probed terms) — the append-only design's serve side
     val dfreq = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    // ONE docs read serves both the lengths and the corpus constants —
+    // a second lake.read could resolve a DIFFERENT committed version
+    // under concurrent maintenance, making dl and N/avgdl mutually
+    // inconsistent within one serve call
     val dl = lake.read(DocsTable, docsSchema)
-    val corp = lake.read(DocsTable, docsSchema)
-      .agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sumdl"))
+    val corp = dl.agg(count(lit(1)).as("_n"), sum(col("dl")).as("_sumdl"))
     // per-term partial: rational idf × tf saturation × length norm.
     // Parenthesization is part of the contract (see class doc) — the
     // oracle spells the IDENTICAL tree.

@@ -29,6 +29,14 @@ object Dedup {
   def hash32(c: Column, seed: Int): Column =
     graft.functions.Md5Prefix64(concat(c, lit(s"#$seed")))
 
+  /** 60-bit variant (md5 prefix, see [[graft.functions.Md5Prefix60]]) —
+    * for MEMBERSHIP tests where a 32-bit collision silently corrupts
+    * (a benchmark-gram set of 10M puts ~0.23% of ALL corpus positions
+    * in collision at 32 bits; 2^-60-scale at 60).
+    */
+  def hash60(c: Column, seed: Int): Column =
+    graft.functions.Md5Prefix60(concat(c, lit(s"#$seed")))
+
   /** Corpus-wide chunk-granular dedup (MassiveText-style paragraph
     * dedup, fixed-width chunks here): a chunk survives only at its
     * globally FIRST occurrence ordered by (id, position); every doc is
@@ -628,16 +636,21 @@ object Dedup {
     val tk = corpus
       .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("tk"))
       .repartition(col(idCol))
+    // 60-bit gram hashes: this is a MEMBERSHIP test that CUTS spans —
+    // at 32 bits a 10M-gram benchmark falsely flags ~0.23% of every
+    // corpus position (each excising a margin-extended span of clean
+    // tokens); at 60 bits the false-hit rate is ~2^-60 per (gram, set
+    // entry), negligible at any corpus scale
     val bg = bench
       .select(TextOps.tokens(lower(col(textCol))).as("tk"))
       .select(explode(transform(TextOps.ngramsFromTokens(col("tk"), n),
-        g => hash32(g, 0))).as("g"))
+        g => hash60(g, 0))).as("g"))
       .distinct()
     // 1-based gram start positions whose n-gram occurs in the benchmark
     val hits = tk
       .select(col(idCol), posexplode(
         transform(TextOps.ngramsFromTokens(col("tk"), n),
-          g => hash32(g, 0))).as(Seq("pos", "g")))
+          g => hash60(g, 0))).as(Seq("pos", "g")))
       .select(col(idCol), (col("pos") + 1).cast("bigint").as("pos"), col("g"))
       .join(broadcast(bg), Seq("g"))
       .select(col(idCol), col("pos"))

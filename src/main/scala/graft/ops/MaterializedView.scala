@@ -138,8 +138,17 @@ object MaterializedView {
   private def foldAndCommit(lake: Lakehouse, mvName: String,
       schema: StructType, spec: Spec, mv: DataFrame, changeRows: DataFrame,
       stamp: Long): Unit = {
+    // fail-loudly contract: an unrecognized (or null) change type must
+    // not silently SUBTRACT — a typo'd/future type folding as a delete
+    // drifts the MV wrong with no error
     val sign = when(col(ChangeTypeCol).isin("insert", "update_postimage"),
-      lit(1L)).otherwise(lit(-1L))
+      lit(1L))
+      .when(col(ChangeTypeCol).isin("delete", "update_preimage"),
+        lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("materialized view: unknown _change_type '"),
+        coalesce(col(ChangeTypeCol), lit("null")), lit("'")))
+        .cast("long"))
     val delta = signedAggregate(changeRows, spec, sign)
     val groupNames = spec.groupCols.map(_._1)
     val foldAggs = sum(col(CountCol)).as(CountCol) +:
@@ -154,7 +163,23 @@ object MaterializedView {
     // drift would fork the MV's physical schema commit-over-commit)
     val conformed = folded.select(schema.fields.toIndexedSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    lake.overwrite(mvName, conformed)
+    // the stamp lives IN the rows — a fold that zeroes out EVERY group
+    // would otherwise commit an empty MV and lose the watermark: a
+    // replayed micro-batch (foreachBatch's at-least-once) then re-folds
+    // into phantom negated groups, and the version-driven refresh falls
+    // back to a spurious full reseed. A single n=0 sentinel row (all
+    // group keys null, measures null) carries the stamp; [[read]]
+    // filters n ≠ 0, and a later fold re-groups it away (n=0
+    // contributes nothing and the post-fold filter drops it).
+    val withWatermark =
+      if (!conformed.isEmpty) conformed
+      else lake.spark.range(1).select(
+        schema.fields.toIndexedSeq.map(f => f.name match {
+          case CountCol => lit(0L).cast(f.dataType).as(f.name)
+          case BasisCol => lit(stamp).cast(f.dataType).as(f.name)
+          case n => lit(null).cast(f.dataType).as(n)
+        }): _*)
+    lake.overwrite(mvName, withWatermark)
   }
 
   /** Streaming maintenance: fold ONE micro-batch of a change-data feed
@@ -182,9 +207,13 @@ object MaterializedView {
     foldAndCommit(lake, mvName, schema, spec, mv, batch, batchId)
   }
 
-  /** The served view — MV content without the lineage column. */
+  /** The served view — MV content without the lineage column (and
+    * without the n=0 watermark sentinel an all-groups-zeroed fold
+    * leaves behind).
+    */
   def read(lake: Lakehouse, mvName: String, baseSchema: StructType,
       spec: Spec): DataFrame =
     lake.read(mvName, mvSchema(lake.spark, baseSchema, spec))
+      .filter(col(CountCol) =!= 0L)
       .drop(BasisCol)
 }

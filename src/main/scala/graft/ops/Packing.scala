@@ -122,9 +122,19 @@ object Packing {
   def tokenBudgetSelect(df: DataFrame, scoreCol: String, tokensCol: String,
       tieCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"negative budget: $budget")
-    val hist = df.groupBy(col(scoreCol).as("s"))
-      .agg(sum(col(tokensCol)).as("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    // explicit long casts: the contract says INTEGRAL, not LongType —
+    // an int score (or int token count) would hit getLong with a
+    // java.lang.Integer on the driver; grouping is unchanged for any
+    // integral source type. A null score group refuses loudly from the
+    // histogram itself (no extra pass) — nulls have no place in a
+    // total order over quality.
+    val hist = df.groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(sum(col(tokensCol).cast("long")).as("t"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"tokenBudgetSelect: null values in score column $scoreCol")
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }.sortBy(-_._1)
     var cum = 0L
     var tau = Option.empty[Long]
     var remaining = 0L

@@ -69,7 +69,12 @@ object Sketches {
       seed: Int = 42): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val cms = df.stat.countMinSketch(col(key), eps, confidence, seed)
-    df.filter(CmsEstimate(col(key), bytesOf(cms.writeTo)) >= minCount)
+    // NULL keys bypass the sketch (CmsEstimate(null) is null, which the
+    // >= filter would silently DROP — losing a heavy null group from an
+    // "exact" answer); they ride straight to the exact aggregate, one
+    // group's worth of extra rows
+    df.filter(col(key).isNull ||
+        CmsEstimate(col(key), bytesOf(cms.writeTo)) >= minCount)
       .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)

@@ -166,8 +166,12 @@ object TextOps {
     * token-set operator here (and the DuckDB oracles).
     */
   def typeTokenRatio(text: Column): Column = {
-    val t = tokens(text)
-    size(array_distinct(tokens(lower(text)))).cast("double") /
+    // ONE tokenize pass: lowercasing never changes \S+ run boundaries
+    // (case mapping maps non-space to non-space), so the lowered token
+    // count equals the raw one — the second regex pass was pure waste
+    // on the quality-score hot path
+    val t = tokens(lower(text))
+    size(array_distinct(t)).cast("double") /
       greatest(size(t), lit(1)).cast("double")
   }
 

@@ -216,12 +216,10 @@ object VectorOps {
     */
   def ivfTopKFiltered(queries: DataFrame, corpus: DataFrame, k: Int,
       nProbe: Int, candidateFilter: Column): DataFrame = {
-    // floor(qsum / n) via the nonneg remainder, exact in integer math
-    // (plain `/` would detour through double with engine-specific rounding)
-    val cent = centroidSums(corpus.select(col("label"), col("vec")), "label")
-      .select(col("label"), col("dim"),
-        ((col("qsum") - pmod(col("qsum"), col("n"))) / col("n"))
-          .cast("long").as("c"))
+    // the one floor-mean centroid derivation (exact integer math) —
+    // see [[floorCentroids]]; an inline copy here forked the
+    // engine-parity-critical pmod spelling
+    val cent = floorCentroids(corpus)
     val q = queries.select(col("id").as("query_id"),
       quantize(col("vec")).as("qv"))
     val qd = q.select(col("query_id"), posexplode(col("qv")).as(Seq("dim", "qc")))
@@ -276,6 +274,29 @@ object VectorOps {
       .select(col("label"), col("dim"),
         ((col("qsum") - pmod(col("qsum"), col("n"))) / col("n"))
           .cast("long").as("c"))
+
+  /** The `nProbe` closest centroid cells per vector by integer centroid
+    * dot — the ONE coarse-probe ranking shared by index build/append
+    * assignment (nProbe = 1) and query probing. The tie-break
+    * (cdot desc, label asc) is a correctness contract, not cosmetics:
+    * appended vectors must land in exactly the cell their future
+    * queries probe first, and three hand-maintained copies of this
+    * block enforced that agreement by copy-paste.
+    */
+  private[ops] def coarseProbes(vectors: DataFrame, cent: DataFrame,
+      idName: String, nProbe: Int): DataFrame = {
+    val pr = Window.partitionBy(col(idName))
+      .orderBy(col("cdot").desc, col("label"))
+    vectors
+      .select(col("id").as(idName),
+        posexplode(quantize(col("vec"))).as(Seq("dim", "qc")))
+      .join(broadcast(cent), "dim")
+      .groupBy(col(idName), col("label"))
+      .agg(sum(col("qc") * col("c")).as("cdot"))
+      .withColumn("pr", row_number().over(pr))
+      .filter(col("pr") <= nProbe)
+      .select(col(idName), col("label").as("coarse"))
+  }
 
   /** Σ(q−c)² per (id, centroid label, subspace) — exact integers. */
   private[ops] def subspaceDists(cent: DataFrame, width: Int)(
@@ -345,18 +366,7 @@ object VectorOps {
     require(dims % subspaces == 0, s"$dims dims not divisible by $subspaces")
     val width = dims / subspaces
     val cent = floorCentroids(corpus)
-    // coarse probes: nProbe closest cells by integer centroid dot
-    val pr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdot").desc, col("label"))
-    val probes = queries
-      .select(col("id").as("query_id"),
-        posexplode(quantize(col("vec"))).as(Seq("dim", "qc")))
-      .join(broadcast(cent), "dim")
-      .groupBy(col("query_id"), col("label"))
-      .agg(sum(col("qc") * col("c")).as("cdot"))
-      .withColumn("pr", row_number().over(pr))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("label").as("coarse"))
+    val probes = coarseProbes(queries, cent, "query_id", nProbe)
     val coarse = corpus.select(col("id").as("neighbor_id"),
       col("label").as("coarse"))
     val codes = pqCodes(cent, width, corpus)

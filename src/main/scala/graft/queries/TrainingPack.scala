@@ -1465,6 +1465,10 @@ object TrainingPack {
   private def h32(e: String, seed: Int): String =
     s"CAST(concat('0x', substr(md5(concat($e, '#$seed')), 1, 8)) AS BIGINT)"
 
+  /** hash60 oracle form (membership tests — see Dedup.hash60). */
+  private def h60(e: String, seed: Int): String =
+    s"CAST(concat('0x', substr(md5(concat($e, '#$seed')), 1, 15)) AS BIGINT)"
+
   private[queries] val qv =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
 
@@ -1916,13 +1920,13 @@ object TrainingPack {
       // reach = n-1+2*margin = 11; span = [pos-2, pos+9] clamped to 1
       s"""WITH tkc AS (SELECT doc_id, $ltoks AS tk FROM documents
          |             WHERE source <> 'src0'),
-         |bgr AS (SELECT DISTINCT ${h32(s"concat($gram8)", 0)} AS g
+         |bgr AS (SELECT DISTINCT ${h60(s"concat($gram8)", 0)} AS g
          |        FROM (SELECT tk, unnest(range(1, len(tk) - 7 + 1)) AS i
          |              FROM (SELECT $ltoks AS tk FROM documents
          |                    WHERE source = 'src0') b
          |              WHERE len(tk) >= 8)),
          |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |        ${h32(s"concat($gram8)", 0)} AS gh
+         |        ${h60(s"concat($gram8)", 0)} AS gh
          |      FROM (SELECT doc_id, tk,
          |              unnest(range(1, len(tk) - 7 + 1)) AS i
          |            FROM tkc WHERE len(tk) >= 8)),

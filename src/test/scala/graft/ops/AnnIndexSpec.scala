@@ -101,6 +101,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("a serve or append with build parameters DIFFERENT from the " +
+    "stored index fails loudly instead of ranking by a subspace subset") {
+    val lake = new Lakehouse(spark, tmpDir("annidx-params"))
+    AnnIndex.buildIvfPq(lake, corpus, subspaces = 4, dims = 64)
+    import spark.implicits._
+    val q = corpus.limit(2).select(col("id"), col("vec"))
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.serveIvfPq(lake, q, k = 3, nProbe = 2,
+        subspaces = 8, dims = 64).collect()
+    }
+    assert(ex.getMessage.contains("was built with subspaces=4"))
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnIndex.appendVectors(lake,
+        corpus.limit(1).select((col("id") + 100000L).as("id"), col("vec")),
+        subspaces = 8, dims = 64)
+    }
+    assert(ex2.getMessage.contains("was built with"))
+    // matching parameters still serve
+    assert(AnnIndex.serveIvfPq(lake, q, k = 3, nProbe = 2).count() > 0)
+  }
+
   test("appendVectors without a built index fails loudly, never drops rows") {
     val lake = new Lakehouse(spark, tmpDir("annidx-nobuild"))
     val boom = intercept[IllegalArgumentException] {

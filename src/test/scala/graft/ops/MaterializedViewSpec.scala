@@ -123,6 +123,43 @@ class MaterializedViewSpec extends SparkSpec {
     assert(after == want)
   }
 
+  test("the exactly-once watermark survives a batch that zeroes out " +
+    "EVERY group — a replay after it must still no-op") {
+    val lake = lakeIn(tmpDir("mv-zero"))
+    val feed0 = rows(12).withColumn("_change_type", lit("insert"))
+    val feed1 = rows(12).withColumn("_change_type", lit("delete"))
+    MaterializedView.applyFeedBatch(lake, "mv", schema, spec, feed0, 0L)
+    MaterializedView.applyFeedBatch(lake, "mv", schema, spec, feed1, 1L)
+    assert(served(lake).isEmpty, "all groups zeroed out")
+    // foreachBatch's at-least-once: batch 1 replays after a crash —
+    // before the sentinel the empty MV lost the stamp and the deletes
+    // folded AGAIN into phantom negated groups
+    MaterializedView.applyFeedBatch(lake, "mv", schema, spec, feed1, 1L)
+    assert(served(lake).isEmpty,
+      "a replayed batch re-applied to an emptied MV")
+    // and the MV keeps working past the empty state
+    MaterializedView.applyFeedBatch(lake, "mv", schema, spec,
+      rows(6).withColumn("_change_type", lit("insert")), 2L)
+    assert(served(lake).agg(sum(col("n"))).head().getLong(0) == 6L)
+  }
+
+  test("an unknown _change_type fails loudly instead of folding as a " +
+    "delete") {
+    val lake = lakeIn(tmpDir("mv-badtype"))
+    MaterializedView.applyFeedBatch(lake, "mv", schema, spec,
+      rows(8).withColumn("_change_type", lit("insert")), 0L)
+    val bad = rows(4).withColumn("_change_type", lit("reinsert"))
+    val ex = intercept[Exception] {
+      MaterializedView.applyFeedBatch(lake, "mv", schema, spec, bad, 1L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("unknown _change_type")), ex)
+    // the failed fold committed nothing
+    assert(served(lake).agg(sum(col("n"))).head().getLong(0) == 8L)
+  }
+
   test("maintained decimal sums are exact (bit-equal to recompute)") {
     val lake = lakeIn(tmpDir("mv-exact"))
     lake.append("base", rows(50))

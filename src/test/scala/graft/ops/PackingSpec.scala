@@ -23,6 +23,23 @@ class PackingSpec extends SparkSpec {
     assert(got.size === rows.size)
   }
 
+  test("tokenBudgetSelect accepts any integral score/token type and " +
+    "refuses null scores loudly") {
+    // INT columns — the contract says integral, not LongType
+    val df = (1 to 50).map(i => (i, i % 5, 10)).toDF("id", "score", "nt")
+    val got = Packing.tokenBudgetSelect(df, "score", "nt", "id", 200L)
+    // scores 4 (10 docs) + 3 (10 docs) fill 200 exactly
+    assert(got.count() === 20L)
+    assert(got.agg(min(col("score"))).head().getInt(0) === 3)
+    val withNull = df.select(
+      when(col("id") === 1, lit(null)).otherwise(col("score")).as("score"),
+      col("nt"), col("id"))
+    val ex = intercept[IllegalArgumentException] {
+      Packing.tokenBudgetSelect(withNull, "score", "nt", "id", 200L)
+    }
+    assert(ex.getMessage.contains("null values in score column"))
+  }
+
   test("packSequences spans multiple partitions, not one sort task") {
     // 10k rows range-partition across many partitions; the global offsets
     // must still line up exactly across every partition boundary

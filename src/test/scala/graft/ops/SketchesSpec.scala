@@ -63,6 +63,19 @@ class SketchesSpec extends SparkSpec {
     assert(got.count() === 21) // keys 40..60
   }
 
+  test("cmsHeavyHitters keeps a heavy NULL-key group (the sketch " +
+    "cannot estimate null — it must not silently drop it)") {
+    val withNulls = skewed.select(
+      when(col("k") % 3 === 0, lit(null)).otherwise(col("k")).as("k"))
+    val got = Sketches.cmsHeavyHitters(withNulls, "k", minCount = 40,
+      eps = 1e-4, confidence = 0.999)
+    val want = withNulls.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 40)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.filter(col("k").isNull).count() === 1,
+      "the heavy null group must survive the prefilter")
+  }
+
   test("hllMonthlyUniques: rollup estimate within tolerance, exact counts exact") {
     val rows = for (day <- 1 to 90; u <- 1 to (day % 7) + 1)
       yield (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(day - 1)),
