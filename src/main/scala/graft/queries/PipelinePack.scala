@@ -1765,6 +1765,41 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         .agg(count(lit(1)).as("n"),
           sum(col("trans_id").cast("bigint")).as("key_sum"),
           sum(col("amt")).cast("double").as("amt_sum"))
+    }),
+
+    // q97 — TIMESTAMP time travel via the V2 OPTION surface (Delta's
+    // `timestampAsOf` reader-option shape): the q51 version chain
+    // addressed by commit INSTANT instead of version number. The
+    // instant is taken from the table's OWN history (version 2's
+    // marker time), so the read must implement "newest commit at or
+    // before t" exactly — an engine that rounds the wrong way,
+    // compares against dir mtimes instead of marker instants, or
+    // drifts from the SQL `TIMESTAMP AS OF` rule serves slice 2 too
+    // and hash-mismatches q51's oracle. String-form parsing and the
+    // option/SQL agreement are spec-pinned (LakehouseBatchSpec);
+    // this query pins the end-to-end resolution against DuckDB.
+    "q97_timestamp_travel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q97")
+      val lake = new Lakehouse(s, dir.resolve("lake").toString)
+      val asFact = ordersAsFact(s, d)
+      (0 to 2).foreach { k =>
+        // commits must carry distinct instants for the as-of point
+        // between v2 and v3 to exist (local-fs mtime granularity)
+        if (k > 0) Thread.sleep(20)
+        lake.append("fact_transactions",
+          asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice"))
+      }
+      val h = lake.history("fact_transactions")
+      val v2ms = h.find(_._1 == 2L).get._3
+      require(h.find(_._1 == 3L).get._3 > v2ms,
+        "commit instants must be distinct for a between-commits as-of")
+      val at2 = s.read
+        .format("graft.sources.LakehouseBatchProvider")
+        .schema(graft.model.Schemas.factTransactions)
+        .option("timestampAsOf", v2ms.toString)
+        .load(lake.tablePath("fact_transactions"))
+      sliceAgg(at2)
     })
   )
 
@@ -2082,6 +2117,9 @@ SELECT 'delete' AS change_type,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
 FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 = 0
 GROUP BY 2""",
+    // q97 resolves the same snapshot q51 pins by version — the
+    // timestamp between commits 2 and 3 must serve slices 0 and 1 only
+    "q97_timestamp_travel" -> sliceOracle("o_orderkey % 3 IN (0, 1)"),
     // rollback restores the full pre-delete content
     "q66_restore" -> sliceOracle("TRUE"),
     // both generations serve the same logical content: earlier slices

@@ -113,10 +113,20 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
       options: CaseInsensitiveStringMap): ScanBuilder = {
     // snapshot time travel: pin the live-set resolution at a committed
     // version (`readAt`'s semantics — throws past retention, never
-    // silently mis-resolves). The option serves path-based reads, the
+    // silently mis-resolves). The options serve path-based reads
+    // (Delta's `versionAsOf`/`timestampAsOf` reader-option shape); the
     // constructor pin serves SQL `VERSION/TIMESTAMP AS OF` via the
-    // catalog's loadTable overloads.
-    val asOf = Option(options.get("versionAsOf")).map(_.toLong)
+    // catalog's loadTable overloads. A timestamp resolves to the newest
+    // commit whose marker instant is at or before it — the SAME rule as
+    // the SQL path (Lakehouse.readAsOf), through the checkpoint-backed
+    // history so the resolution stays O(tail) on long chains.
+    val asOfV = Option(options.get("versionAsOf")).map(_.toLong)
+    val asOfTs = Option(options.get("timestampAsOf"))
+    require(asOfV.isEmpty || asOfTs.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive — a read " +
+        "names ONE as-of point")
+    val asOf = asOfV
+      .orElse(asOfTs.map(LakehouseBatchTable.resolveTimestampAsOf(path, _)))
       .orElse(tableAsOf)
     // write-audit-publish: `branch` widens the live set with the
     // branch's staged (uncommitted) dirs — the SQL audit view
@@ -142,7 +152,8 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
         "option(\"changesFrom\", n) [+ option(\"changesTo\", m)]")
     if (chFrom.isDefined) {
       require(asOf.isEmpty && br.isEmpty,
-        "changesFrom does not compose with versionAsOf/branch — the " +
+        "changesFrom does not compose with versionAsOf/timestampAsOf/" +
+          "branch — the " +
           "feed's range IS its time selector")
       // plan-time type gates, not executor crashes: the reader fills
       // _change_type with strings and _commit_version with longs
@@ -164,6 +175,63 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     } else
       new LakehouseScanBuilder(path, tschema, asOf, br, options,
         scanPartitionCols)
+  }
+}
+
+private[sources] object LakehouseBatchTable {
+
+  /** `timestampAsOf` → commit version: the newest commit whose marker
+    * instant is at or before the given time — [[graft.storage.Lakehouse
+    * .readAsOf]]'s resolution rule, the SAME one SQL `TIMESTAMP AS OF`
+    * uses (GraftCatalog.loadTable(ident, micros)), so the option and
+    * the SQL clause can never disagree about which snapshot an instant
+    * names. The value is epoch MILLIS when all-digits, otherwise a
+    * timestamp string (`yyyy-MM-dd[ HH:mm:ss[.S]]` interpreted in the
+    * session time zone, or ISO-8601 with an explicit offset) — Delta's
+    * `timestampAsOf` option shape. History resolves through the
+    * metadata checkpoint, so this is O(tail) on long commit chains.
+    */
+  def resolveTimestampAsOf(path: String, ts: String): Long = {
+    val spark = SparkSession.active
+    val ms = parseTsMs(spark, ts)
+    val dest = new Path(path)
+    val lake = new graft.storage.Lakehouse(spark, dest.getParent.toString)
+    val vs = lake.history(dest.getName).filter(_._3 <= ms).map(_._1)
+    require(vs.nonEmpty,
+      s"$path has no commit at or before timestampAsOf=$ts " +
+        "(before table creation, or past retention)")
+    vs.max
+  }
+
+  private def parseTsMs(spark: SparkSession, ts: String): Long = {
+    val t = ts.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else {
+      // parse order: explicit offset wins; else the session time zone
+      // (NOT the JVM default — on a non-UTC host that would shift the
+      // as-of point by the host's offset, the q55 footgun)
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val iso = t.replace(' ', 'T')
+      val instant =
+        try java.time.OffsetDateTime.parse(iso).toInstant
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDateTime.parse(iso).atZone(zone).toInstant
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                try java.time.LocalDate.parse(t).atStartOfDay(zone)
+                  .toInstant
+                catch {
+                  case _: java.time.format.DateTimeParseException =>
+                    throw new IllegalArgumentException(
+                      s"cannot parse timestampAsOf '$ts': use epoch " +
+                        "millis, 'yyyy-MM-dd[ HH:mm:ss]', or ISO-8601")
+                }
+            }
+        }
+      instant.toEpochMilli
+    }
   }
 }
 

@@ -346,6 +346,16 @@ private[graft] object MetaCheckpoint {
 
   // ——— write side ———
 
+  /** Test/stress observability: incremental-build accounting — records
+    * carried forward from the previous checkpoint vs encoded fresh
+    * from their dirs. A long-chain re-checkpoint must be
+    * carried-dominated or the build is back to O(chain) RPCs.
+    */
+  private[graft] val recsCarried =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val recsEncoded =
+    new java.util.concurrent.atomic.AtomicLong
+
   private def relOf(fs: FileSystem, dest: Path, p: Path): String = {
     val d = fs.makeQualified(dest).toUri.getPath
     val q = fs.makeQualified(p).toUri.getPath
@@ -358,26 +368,67 @@ private[graft] object MetaCheckpoint {
     * walk keeps serving the table. Versions strictly below the newest
     * FULL commit are recorded identity-only (resolve can never serve
     * them; their bytes would be dead weight).
+    *
+    * The build is INCREMENTAL (Delta's checkpoint-from-checkpoint
+    * shape): records of the previous checkpoint whose dir identity is
+    * unchanged carry forward — their kind probe is skipped (a
+    * committed dir never retracts its marker, so an unchanged mtime
+    * pins the kind) and their payload rehydrates from the previous
+    * file's columns instead of re-reading the dir's manifests. Only
+    * the tail above the previous checkpoint, plus any dir whose
+    * identity moved (rebase, vacuum, a slow writer's marker landing),
+    * pays encode IO — at 1M files the build stops being the one
+    * remaining O(chain)-RPC maintenance step. Dirs the previous build
+    * recorded UNCOMMITTED are always re-probed (their marker can land
+    * within the same mtime tick — the identity rule cannot see it).
     */
   def writeCheckpoint(spark: SparkSession, fs: FileSystem,
       conf: Configuration, dest: Path): Boolean = {
     val dirSt = Lakehouse.Protocol.versionDirStatuses(fs, dest)
       .sortBy(_._1)
     if (dirSt.isEmpty) return false
-    val kinds: Seq[(Long, FileStatus, Option[Boolean])] =
+    val prev: Option[State] =
+      try loadLatest(fs, dest)
+      catch { case NonFatal(_) => None }
+    val prevByV: Map[Long, VersionRec] =
+      prev.map(_.versions.map(r => r.v -> r).toMap).getOrElse(Map.empty)
+    val kinds: Seq[(Long, FileStatus, Option[Boolean],
+        Option[VersionRec])] =
       DriverIo.parMap(dirSt) { case (v, st) =>
-        (v, st, Lakehouse.Protocol.commitKind(fs, st.getPath))
+        prevByV.get(v) match {
+          case Some(old) if old.dirMtime == st.getModificationTime =>
+            // committed at the last build, identity unchanged: the
+            // kind is pinned (markers are never retracted)
+            (v, st, Some(old.full), Some(old))
+          case _ =>
+            (v, st, Lakehouse.Protocol.commitKind(fs, st.getPath), None)
+        }
       }
-    val committed = kinds.collect { case (v, st, Some(full)) =>
-      (v, st, full) }
+    val committed = kinds.collect { case (v, st, Some(full), old) =>
+      (v, st, full, old) }
     if (committed.isEmpty) return false
     val ckptV = committed.map(_._1).max
     val lastFullV = committed.filter(_._3).map(_._1).maxOption
       .getOrElse(Long.MinValue)
-    val uncommitted = kinds.collect { case (v, st, None) =>
+    val uncommitted = kinds.collect { case (v, st, None, _) =>
       UncommittedRec(v, st.getModificationTime) }
+    // heavy values group once per build, only if something rehydrates
+    // (forcing State.heavy is one columnar read of the previous file)
+    lazy val prevDvxByV
+        : Map[Long, Map[String, IndexedSeq[Option[String]]]] =
+      prev.map(_.heavy.dvx.toSeq.groupBy(_._1._1).map { case (v, es) =>
+        v -> es.map { case ((_, n), vals) => n -> vals }.toMap
+      }).getOrElse(Map.empty)
+    def rehydrate(p: State, old: VersionRec): VersionRec =
+      old.copy(
+        files = old.files.map(f =>
+          f.copy(stat = p.heavy.fileStats.get((old.v, f.rel)))),
+        dvx =
+          if (old.dvxCols.isEmpty)
+            Map.empty[String, IndexedSeq[Option[String]]]
+          else prevDvxByV.getOrElse(old.v, Map.empty))
     val recs: Seq[Option[VersionRec]] =
-      DriverIo.parMap(committed) { case (v, st, full) =>
+      DriverIo.parMap(committed) { case (v, st, full, old) =>
         if (v < lastFullV)
           // identity-only (resolve never serves it) — but the commit
           // instant still rides along so [[Lakehouse.history]] answers
@@ -385,8 +436,16 @@ private[graft] object MetaCheckpoint {
           Some(VersionRec(v, full, st.getModificationTime,
             payload = false, Nil, Nil, Nil, Nil, Nil, Nil,
             Map.empty, Map.empty, None,
-            commitMs = markerMs(fs, st.getPath)))
-        else encodeRec(spark, fs, conf, dest, v, st, full)
+            commitMs = old.map(_.commitMs).filter(_ > 0L)
+              .getOrElse(markerMs(fs, st.getPath))))
+        else old match {
+          case Some(o) if o.payload && o.commitMs > 0L =>
+            recsCarried.incrementAndGet()
+            Some(rehydrate(prev.get, o))
+          case _ =>
+            recsEncoded.incrementAndGet()
+            encodeRec(spark, fs, conf, dest, v, st, full)
+        }
       }
     if (recs.exists(_.isEmpty)) return false
     val dir = new Path(dest, Dir)

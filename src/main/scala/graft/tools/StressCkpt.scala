@@ -77,6 +77,28 @@ object StressCkpt {
       // the auto-checkpoint (interval 20) has been riding the appends;
       // fold once more so the tail is small and deterministic
       require(lake.checkpoint("t"), s"n=$n checkpoint write failed")
+      // checkpoint BUILD cost (round-10 incremental construction):
+      // FULL = no previous file to carry from (every live commit pays
+      // encode IO — the pre-r10 cost of every build), INCREMENTAL =
+      // carry-forward from the newest checkpoint (identity-unchanged
+      // records rehydrate from its columns; only the tail encodes).
+      val MC = graft.storage.MetaCheckpoint
+      val ckptDir = new org.apache.hadoop.fs.Path(path, MC.Dir)
+      fs.delete(ckptDir, true)
+      MC.dropStateCache()
+      val encB0 = MC.recsEncoded.get()
+      val tBuildFull = timed {
+        require(lake.checkpoint("t"), s"n=$n full build failed"); () }
+      val encFull = MC.recsEncoded.get() - encB0
+      MC.dropStateCache()
+      val (encB1, carB1) = (MC.recsEncoded.get(), MC.recsCarried.get())
+      val tBuildIncr = timed {
+        require(lake.checkpoint("t"), s"n=$n incr build failed"); () }
+      require(MC.recsEncoded.get() == encB1,
+        s"n=$n incremental build re-encoded covered records")
+      val carIncr = MC.recsCarried.get() - carB1
+      require(carIncr == encFull,
+        s"n=$n carried $carIncr != live chain $encFull")
       spark.conf.set("spark.graft.metaCacheEntries", "0")
       val opens0 = LB.footerOpens.get()
       val served0 = LB.ckptServes.get()
@@ -146,7 +168,7 @@ object StressCkpt {
           graft.sources.LakehouseStream.stableHeadOf(path); () }
         finally spark.conf.set("spark.graft.useCheckpoint", "true")
       }
-      f"""{"n":$n,"files":${meta.dataFiles.length},"core_decode_ms":${tCore * 1000}%.0f,"cold_first_ms":${tColdFirst * 1000}%.0f,"cold_ms":${tCold * 1000}%.0f,"plain_ms":${tPlain * 1000}%.0f,"warm_ms":${tWarm * 1000}%.0f,"hist_ms":${tHist * 1000}%.0f,"hist_plain_ms":${tHistPlain * 1000}%.0f,"feed_ms":${tFeed * 1000}%.0f,"feed_plain_ms":${tFeedPlain * 1000}%.0f,"head_ms":${tHead * 1000}%.0f,"head_plain_ms":${tHeadPlain * 1000}%.0f,"cold_first_raw_ms":${tColdFirstRaw * 1000}%.0f}"""
+      f"""{"n":$n,"files":${meta.dataFiles.length},"build_full_ms":${tBuildFull * 1000}%.0f,"build_incr_ms":${tBuildIncr * 1000}%.0f,"recs_live":$encFull,"core_decode_ms":${tCore * 1000}%.0f,"cold_first_ms":${tColdFirst * 1000}%.0f,"cold_ms":${tCold * 1000}%.0f,"plain_ms":${tPlain * 1000}%.0f,"warm_ms":${tWarm * 1000}%.0f,"hist_ms":${tHist * 1000}%.0f,"hist_plain_ms":${tHistPlain * 1000}%.0f,"feed_ms":${tFeed * 1000}%.0f,"feed_plain_ms":${tFeedPlain * 1000}%.0f,"head_ms":${tHead * 1000}%.0f,"head_plain_ms":${tHeadPlain * 1000}%.0f,"cold_first_raw_ms":${tColdFirstRaw * 1000}%.0f}"""
     }
     out.foreach(println)
     spark.stop()

@@ -111,6 +111,77 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint builds are incremental: identity-unchanged records " +
+    "carry forward instead of re-encoding their dirs") {
+    // retention keeps the pre-compact generation on disk so the FULL-
+    // in-tail case below has covered dirs to downgrade identity-only
+    val lake = new Lakehouse(spark, tmpDir("ckpt-incr"),
+      retainSnapshots = 2)
+    val path = lake.tablePath("t")
+    withSQLConf("spark.graft.checkpointIntervalCommits" -> "0",
+      "spark.graft.metaCacheEntries" -> "0") {
+      lake.append("t", rows(0, 100).repartition(2),
+        statsCols = Seq("k", "ts"))
+      lake.append("t", rows(100, 200).repartition(2),
+        statsCols = Seq("k", "ts"))
+      // a DV delete with post-mask extremes: the heavy dvx values must
+      // survive the carry, not just the core columns
+      lake.deleteRowsMoR("t", schema, col("k") < 5L)
+      assert(lake.checkpoint("t"))
+      val fs = fsOf(path)
+      MetaCheckpoint.dropStateCache()
+      val st1 = MetaCheckpoint.loadLatest(fs, new Path(path)).get
+      lake.append("t", rows(200, 260), statsCols = Seq("k", "ts"))
+      val (c0, e0) = (MetaCheckpoint.recsCarried.get(),
+        MetaCheckpoint.recsEncoded.get())
+      assert(lake.checkpoint("t"))
+      assert(MetaCheckpoint.recsCarried.get() - c0 == 3,
+        "the three covered live commits must carry forward")
+      assert(MetaCheckpoint.recsEncoded.get() - e0 == 1,
+        "only the tail commit pays encode IO")
+      // the carried checkpoint is indistinguishable from a fresh build
+      MetaCheckpoint.dropStateCache()
+      val st2 = MetaCheckpoint.loadLatest(fs, new Path(path)).get
+      assert(st2.versions.filter(_.v <= 3L) == st1.versions)
+      assert(st2.heavy.fileStats.filter(_._1._1 <= 3L) ==
+        st1.heavy.fileStats)
+      assert(st2.heavy.dvx == st1.heavy.dvx)
+      // and the planner still answers from it: exact rows, zone-map
+      // prune, DV counts
+      val got = v2(path).select("k").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (5L until 260L).toSeq)
+      assert(v2(path).filter(col("k") >= 210L && col("k") < 230L)
+        .count() == 20L)
+      // a covered dir whose identity moved is re-encoded, not trusted
+      val dir2 = new Path(path, "_v2")
+      val probe = new Path(dir2, "_identity_probe")
+      fs.create(probe, true).close()
+      fs.delete(probe, false)
+      val e1 = MetaCheckpoint.recsEncoded.get()
+      assert(lake.checkpoint("t"))
+      assert(MetaCheckpoint.recsEncoded.get() - e1 >= 1,
+        "a touched covered dir must pay a fresh encode")
+      MetaCheckpoint.dropStateCache()
+      assert(v2(path).select("k").collect().map(_.getLong(0)).sorted
+        .toSeq == (5L until 260L).toSeq)
+      // a FULL in the tail: carried payload recs below it downgrade to
+      // identity-only but keep their commit instants (history stays
+      // listing-free) without re-listing the dirs
+      lake.compact("t", schema, numFiles = 2, sortCols = Seq("k"))
+      assert(lake.checkpoint("t"))
+      MetaCheckpoint.dropStateCache()
+      val st3 = MetaCheckpoint.loadLatest(fs, new Path(path)).get
+      val fullV = st3.versions.filter(_.full).map(_.v).max
+      val below = st3.versions.filter(_.v < fullV)
+      assert(below.nonEmpty && below.forall(r =>
+        !r.payload && r.commitMs > 0L))
+      val st1cms = st1.versions.map(r => r.v -> r.commitMs).toMap
+      below.filter(r => st1cms.contains(r.v)).foreach(r =>
+        assert(r.commitMs == st1cms(r.v),
+          s"v${r.v}'s commit instant must survive the downgrade"))
+    }
+  }
+
   test("a FULL commit in the tail shadows covered commits; vacuum of " +
     "covered dirs below a full keeps the checkpoint valid") {
     val (lake0, path) = mkLake("ckpt-full")

@@ -151,6 +151,54 @@ class LakehouseBatchSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed version"))
   }
 
+  test("timestampAsOf: the option resolves commit instants like " +
+    "TIMESTAMP AS OF") {
+    val (lake, path) = mkLake("v2-tsasof")
+    lake.append("t", rows(0, 40))
+    Thread.sleep(20) // distinct commit instants (local-fs mtime tick)
+    lake.append("t", rows(40, 60))
+    val h = lake.history("t")
+    val (v1ms, v2ms) =
+      (h.find(_._1 == 1L).get._3, h.find(_._1 == 2L).get._3)
+    assert(v2ms > v1ms)
+    def at(ts: String) = spark.read
+      .format("graft.sources.LakehouseBatchProvider")
+      .schema(schema).option("timestampAsOf", ts).load(path)
+    // epoch millis, at-or-before INCLUSIVE: v1's own instant serves v1
+    assert(at(v1ms.toString).count() == 40L)
+    // the instant must name the same snapshot the version number does
+    assert(at(v1ms.toString).orderBy("k").collect().toSeq ==
+      spark.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(schema).option("versionAsOf", "1").load(path)
+        .orderBy("k").collect().toSeq)
+    // session-zone local string (no offset), millisecond precision
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val local = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(v1ms), zone)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(at(local).count() == 40L)
+    // ISO-8601 with explicit offset + date-only: far future = head
+    assert(at("2099-12-31T23:59:59Z").count() == 60L)
+    assert(at("2099-12-31").count() == 60L)
+    // before creation: loud, never silently empty
+    val early = intercept[IllegalArgumentException](
+      at("1999-01-01").count())
+    assert(early.getMessage.contains("no commit at or before"))
+    // one as-of point per read
+    val both = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(schema).option("timestampAsOf", v1ms.toString)
+        .option("versionAsOf", "1").load(path).count()
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+    // garbage fails at plan time with the accepted shapes named
+    val bad = intercept[IllegalArgumentException](
+      at("not-a-time").count())
+    assert(bad.getMessage.contains("cannot parse timestampAsOf"))
+  }
+
   test("runtime filters from a broadcast join reach the scan (DPP wiring)") {
     val (lake, path) = mkLake("v2-runtime")
     lake.append("t", rows(0, 100).repartition(1), statsCols = Seq("k"))
