@@ -1800,6 +1800,39 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         .option("timestampAsOf", v2ms.toString)
         .load(lake.tablePath("fact_transactions"))
       sliceAgg(at2)
+    }),
+
+    // q98 — PATH-based V2 WRITES (Delta's `df.write.format(...)
+    // .mode(append|overwrite).save(path)` shape): the table is built
+    // ENTIRELY through the DataFrameWriter option surface — two
+    // appended deltas, a FULL overwrite that replaces them, one more
+    // delta above it — and read back through the same provider. The
+    // oracle sees only the post-overwrite content plus the trailing
+    // append; an overwrite that leaked earlier slices (dir wipe
+    // instead of a snapshot commit, or an append that missed the
+    // rebase protocol) changes the hash. The commit-protocol
+    // equivalence with API writes is spec-pinned (LakehouseBatchSpec,
+    // including a catalog dir keeping its clustered layout on path
+    // writes); this query pins the end-to-end mode semantics.
+    "q98_path_write" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q98")
+      val path = dir.resolve("lake").resolve("fact_transactions").toString
+      val asFact = ordersAsFact(s, d)
+      def slice(k: Int) =
+        asFact.filter(pmod(col("_slice"), lit(3)) === k).drop("_slice")
+      val ddl = graft.model.Schemas.factTransactions.toDDL
+      def w(df: DataFrame) = df.write
+        .format("graft.sources.LakehouseBatchProvider")
+        .option("schemaDDL", ddl)
+      w(slice(0)).mode("append").save(path)
+      w(slice(1)).mode("append").save(path)
+      w(slice(2)).mode("overwrite").save(path)
+      w(slice(0)).mode("append").save(path)
+      val back = s.read
+        .format("graft.sources.LakehouseBatchProvider")
+        .schema(graft.model.Schemas.factTransactions).load(path)
+      sliceAgg(back)
     })
   )
 
@@ -2120,6 +2153,9 @@ GROUP BY 2""",
     // q97 resolves the same snapshot q51 pins by version — the
     // timestamp between commits 2 and 3 must serve slices 0 and 1 only
     "q97_timestamp_travel" -> sliceOracle("o_orderkey % 3 IN (0, 1)"),
+    // final state through the writer option surface: the overwrite
+    // keeps only slice 2, the trailing append adds slice 0
+    "q98_path_write" -> sliceOracle("o_orderkey % 3 IN (2, 0)"),
     // rollback restores the full pre-delete content
     "q66_restore" -> sliceOracle("TRUE"),
     // both generations serve the same logical content: earlier slices

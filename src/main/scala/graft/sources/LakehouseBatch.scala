@@ -5,7 +5,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.Expressions
@@ -98,7 +99,7 @@ class LakehouseBatchProvider extends TableProvider {
 
 private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     tableAsOf: Option[Long] = None, branch: Option[String] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_lakehouse($path)"
   override def schema(): StructType = tschema
   /** Partition (clustering) columns the scan may report as a
@@ -108,7 +109,65 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     */
   protected def scanPartitionCols: Seq[String] = Nil
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** PATH-based V2 writes (Delta's `df.write.format(...).save(path)`
+    * shape): `mode("append")` commits one delta, `mode("overwrite")`
+    * one FULL snapshot — both through the same crash-safe commit
+    * protocol as every other writer, so concurrent readers never tear
+    * and concurrent appends rebase. A catalog-managed dir keeps its
+    * persisted layout on THIS entry point too: partition/bucket specs
+    * cluster the incoming rows and record their zone-map stats and
+    * bloom columns exactly as `INSERT INTO` does, so file pruning and
+    * the storage-partitioned-join key proof survive path writes
+    * instead of silently degrading to unclustered files. A fresh
+    * (non-catalog) dir needs the contract declared once via
+    * `.option("schemaDDL", ...)`; the catalog write path
+    * (GraftTable.newWriteBuilder) overrides this with its richer
+    * builder (dynamic overwrite, streaming, auto-compact).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(tableAsOf.isEmpty && branch.isEmpty,
+      "cannot write through a time-travel/branch read handle")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, over: Boolean) => {
+            val spark = SparkSession.active
+            val dir = new Path(path)
+            val fs = dir.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            val propsFile = new Path(dir, GraftCatalog.PropsFile)
+            val props: Map[String, String] =
+              if (fs.exists(propsFile)) GraftCatalog.readProps(fs, propsFile)
+              else Map.empty
+            val specs = props.get(GraftCatalog.PartitionProp)
+              .map(PartSpec.parseList).getOrElse(Nil)
+            val clustered =
+              if (specs.isEmpty) data
+              else graft.storage.Clustering.bySpecs(spark, data, specs,
+                props.get(GraftCatalog.SpjMaxKeysProp).map(_.toInt)
+                  .getOrElse(graft.storage.Clustering.DefaultMaxKeys))
+            val stats = PartSpec.statNames(specs)
+            val blooms = props.get(GraftCatalog.BloomColumnsProp)
+              .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+              .getOrElse(Nil)
+            val lake = new graft.storage.Lakehouse(spark,
+              dir.getParent.toString)
+            val t = dir.getName
+            if (overwrite || over)
+              lake.overwritePartitioned(t, clustered, Nil,
+                statsCols = stats, bloomCols = blooms)
+            else lake.append(t, clustered, statsCols = stats,
+              bloomCols = blooms)
+          }
+      }
+    }
+  }
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     // snapshot time travel: pin the live-set resolution at a committed
@@ -140,16 +199,36 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     // tombstones as key-only deletes, recorded FULL feeds verbatim —
     // through the same partition classification as the streaming CDF
     // source (one implementation, LakehouseStream.changePartitions).
+    // Delta's exact spelling is accepted as an alias:
+    //   .option("readChangeFeed", "true").option("startingVersion", n)
+    //     [.option("endingVersion", m)]
+    // with Delta's INCLUSIVE bounds — startingVersion n maps to the
+    // native exclusive-start range (n-1, m]. Mixing the two vocabularies
+    // in one read is refused (ambiguous bounds are worse than loud).
+    val deltaStart = Option(options.get("startingVersion")).map(_.toLong)
+    val deltaEnd = Option(options.get("endingVersion")).map(_.toLong)
+    require(deltaStart.isEmpty ||
+      java.lang.Boolean.parseBoolean(options.get("readChangeFeed")),
+      "startingVersion needs readChangeFeed=true (Delta's CDF shape)")
+    require(deltaStart.isDefined || deltaEnd.isEmpty,
+      "endingVersion needs startingVersion")
+    require(deltaStart.isEmpty || options.get("changesFrom") == null,
+      "use ONE vocabulary: changesFrom/changesTo (exclusive start) or " +
+        "readChangeFeed + startingVersion/endingVersion (inclusive)")
     val chFrom = Option(options.get("changesFrom")).map(_.toLong)
-    // a dangling changesTo / readChangeFeed without changesFrom must
-    // fail LOUDLY: falling through to a snapshot scan would serve every
+      .orElse(deltaStart.map(_ - 1L))
+    val chTo = Option(options.get("changesTo")).map(_.toLong)
+      .orElse(deltaEnd)
+    // a dangling changesTo / readChangeFeed without a start must fail
+    // LOUDLY: falling through to a snapshot scan would serve every
     // live row with a null _change_type to a consumer that asked for
     // changes
     require(chFrom.isDefined || options.get("changesTo") == null,
       "changesTo needs changesFrom — a change-feed read names its range")
     require(chFrom.isDefined || options.get("readChangeFeed") == null,
       "batch change-feed reads are addressed by range: use " +
-        "option(\"changesFrom\", n) [+ option(\"changesTo\", m)]")
+        "option(\"changesFrom\", n) [+ option(\"changesTo\", m)] or " +
+        "readChangeFeed=true + startingVersion [+ endingVersion]")
     if (chFrom.isDefined) {
       require(asOf.isEmpty && br.isEmpty,
         "changesFrom does not compose with versionAsOf/timestampAsOf/" +
@@ -170,8 +249,7 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
           .LongType,
           s"${graft.sources.LakehouseStream.CommitVersionCol} must be " +
             "BIGINT"))
-      new CdfBatchScan(path, tschema, chFrom.get,
-        Option(options.get("changesTo")).map(_.toLong))
+      new CdfBatchScan(path, tschema, chFrom.get, chTo)
     } else
       new LakehouseScanBuilder(path, tschema, asOf, br, options,
         scanPartitionCols)

@@ -69,6 +69,42 @@ class CdfBatchSpec extends SparkSpec {
     assert(types.contains("delete") && types.contains("insert"))
   }
 
+  test("Delta's readChangeFeed + startingVersion/endingVersion spell " +
+    "the same reads (inclusive bounds)") {
+    val lake = new Lakehouse(spark, tmpDir("cdfb-alias"),
+      gcGraceMs = 3600000L)
+    val path = lake.tablePath("t")
+    lake.append("t", rows(0, 50).coalesce(1))
+    lake.append("t", rows(50, 80).coalesce(1))
+    lake.delete("t", schema, col("k") % 5 === 0, cdf = true)
+    lake.append("t", rows(80, 90).coalesce(1))
+    val head = lake.versions("t").map(_._1).max
+    def aliasRead(opts: (String, String)*): DataFrame = {
+      val r = spark.read.format("graft.sources.LakehouseBatchProvider")
+        .schema(cdfSchema)
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(path)
+    }
+    // startingVersion n (INCLUSIVE, Delta) == changesFrom n-1
+    // (exclusive, native) — same rows, same lineage
+    assert(sig(aliasRead("readChangeFeed" -> "true",
+      "startingVersion" -> "2")) == sig(optionRead(path, 1L, None)))
+    assert(sig(aliasRead("readChangeFeed" -> "true",
+      "startingVersion" -> "1", "endingVersion" -> head.toString)) ==
+      sig(optionRead(path, 0L, Some(head))))
+    // misuse is loud: startingVersion without the flag, a dangling
+    // endingVersion, and mixing the two vocabularies
+    intercept[IllegalArgumentException] {
+      aliasRead("startingVersion" -> "1")
+        .queryExecution.executedPlan }
+    intercept[IllegalArgumentException] {
+      aliasRead("readChangeFeed" -> "true", "endingVersion" -> "3")
+        .queryExecution.executedPlan }
+    intercept[IllegalArgumentException] {
+      aliasRead("readChangeFeed" -> "true", "startingVersion" -> "1",
+        "changesFrom" -> "0").queryExecution.executedPlan }
+  }
+
   test("option and schema misuse fails at PLAN time: dangling " +
     "changesTo/readChangeFeed, mistyped metadata columns, a range " +
     "past the stable head") {

@@ -199,6 +199,50 @@ class LakehouseBatchSpec extends SparkSpec {
     assert(bad.getMessage.contains("cannot parse timestampAsOf"))
   }
 
+  test("path-based V2 writes: append/overwrite commit through the " +
+    "protocol; a catalog dir keeps its layout") {
+    val (lake, path) = mkLake("v2-write")
+    def w(df: DataFrame) = df.write
+      .format("graft.sources.LakehouseBatchProvider")
+      .option("schemaDDL", schema.toDDL)
+    w(rows(0, 30)).mode("append").save(path)
+    w(rows(30, 50)).mode("append").save(path)
+    assert(v2(path).count() == 50L)
+    assert(lake.history("t").map(h => (h._1, h._2)) ==
+      Seq(1L -> false, 2L -> false))
+    // overwrite = one FULL snapshot commit, not a dir wipe: history
+    // keeps moving forward and the content is exactly the new frame
+    w(rows(100, 120)).mode("overwrite").save(path)
+    assert(v2(path).select("k").collect().map(_.getLong(0)).sorted
+      .toSeq == (100L until 120L).toSeq)
+    assert(lake.history("t").exists(h => h._1 == 3L && h._2))
+    w(rows(120, 130)).mode("append").save(path)
+    assert(v2(path).count() == 30L)
+    // a catalog-managed dir keeps its persisted layout on PATH writes:
+    // the incoming rows cluster by the partition spec and record zone
+    // maps, so partition filters prune files through this entry too
+    val catRoot = tmpDir("v2-write-cat")
+    spark.conf.set("spark.sql.catalog.graftpw", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftpw.root", catRoot)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftpw.ns")
+    spark.sql(
+      "CREATE TABLE graftpw.ns.t (k BIGINT, day INT) PARTITIONED BY (day)")
+    import spark.implicits._
+    (0L until 400L).map(i => (i, (i % 4).toInt)).toDF("k", "day")
+      .write.format("graft.sources.LakehouseBatchProvider")
+      .mode("append").save(s"$catRoot/ns/t") // contract from _GRAFT_SCHEMA
+    val q = spark.sql(
+      "SELECT count(*) AS n, sum(k) AS s FROM graftpw.ns.t WHERE day = 2")
+    val m = "files: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      .getOrElse(fail("no file-count marker in plan"))
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"path-written files must prune on the partition column: ${m.matched}")
+    assert(q.head().getLong(0) == 100L)
+    assert(q.head().getLong(1) == (0L until 400L).filter(_ % 4 == 2).sum)
+    spark.sql("DROP TABLE graftpw.ns.t")
+  }
+
   test("runtime filters from a broadcast join reach the scan (DPP wiring)") {
     val (lake, path) = mkLake("v2-runtime")
     lake.append("t", rows(0, 100).repartition(1), statsCols = Seq("k"))
