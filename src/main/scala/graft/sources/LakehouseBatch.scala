@@ -111,7 +111,7 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   /** PATH-based V2 writes (Delta's `df.write.format(...).save(path)`
     * shape): `mode("append")` commits one delta, `mode("overwrite")`
@@ -135,6 +135,16 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
+        // `writeStream.format(provider).start(path)` — the same
+        // exactly-once staged-parquet epoch commit the catalog's
+        // toTable sink uses (LakehouseStreamingWrite); append output
+        // mode only, like that sink
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(!overwrite,
+            "path streaming writes support APPEND output only")
+          new LakehouseStreamingWrite(path, info.schema(), info.queryId())
+        }
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, over: Boolean) => {
             val spark = SparkSession.active

@@ -243,6 +243,32 @@ class LakehouseBatchSpec extends SparkSpec {
     spark.sql("DROP TABLE graftpw.ns.t")
   }
 
+  test("path-based V2 STREAMING writes: exactly-once epochs into a " +
+    "table dir") {
+    val (srcLake, srcPath) = mkLake("v2-sw-src")
+    srcLake.append("t", rows(0, 30))
+    srcLake.append("t", rows(30, 60))
+    val dstLake = new Lakehouse(spark, tmpDir("v2-sw-dst"))
+    val dstPath = dstLake.tablePath("t")
+    def run(ckpt: String): Unit =
+      spark.readStream.schema(schema)
+        .format("graft.sources.LakehouseStreamProvider")
+        .option("maxVersionsPerTrigger", "1").load(srcPath)
+        .filter(col("k") % 3 =!= 1L)
+        .writeStream
+        .format("graft.sources.LakehouseBatchProvider")
+        .option("schemaDDL", schema.toDDL)
+        .option("checkpointLocation", tmpDir(ckpt))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dstPath).awaitTermination()
+    run("v2-sw-ck1")
+    // checkpoint destroyed, full replay: every epoch re-stages and the
+    // commit recognizes its batch marker — content as if run once
+    run("v2-sw-ck2")
+    assert(v2(dstPath).select("k").collect().map(_.getLong(0)).sorted
+      .toSeq == (0L until 60L).filterNot(_ % 3 == 1))
+  }
+
   test("runtime filters from a broadcast join reach the scan (DPP wiring)") {
     val (lake, path) = mkLake("v2-runtime")
     lake.append("t", rows(0, 100).repartition(1), statsCols = Seq("k"))
