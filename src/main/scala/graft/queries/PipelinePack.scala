@@ -1833,6 +1833,50 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         .format("graft.sources.LakehouseBatchProvider")
         .schema(graft.model.Schemas.factTransactions).load(path)
       sliceAgg(back)
+    }),
+
+    // q99 — DROP COLUMN schema evolution end-to-end: slices 0/1 land
+    // WITH a tag column, the column is dropped (metadata-only — the
+    // committed files keep their bytes), re-ADD is refused while
+    // pre-drop files are live, slice 2 lands under the narrow
+    // contract, a FULL compact retires the old generations, the
+    // column is re-added, and slice 0 lands again with tag values.
+    // The oracle expects tag NULL on everything except the final
+    // slice-0 insert — an engine that resurrected the pre-drop tag
+    // bytes under the re-added name (parquet addresses columns by
+    // name) inflates `tagged` and hash-mismatches; one that did data
+    // IO wrong on the narrow contract breaks n/key_sum.
+    "q99_drop_column" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q99")
+      s.conf.set("spark.sql.catalog.graftq99", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq99.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q99_ord")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq99.q99")
+      s.sql("DROP TABLE IF EXISTS graftq99.q99.fact")
+      s.sql("""CREATE TABLE graftq99.q99.fact (
+          okey BIGINT, odate DATE, amt DECIMAL(18,2), tag STRING)""")
+      def ins(k: Int, withTag: Boolean): Unit = s.sql(
+        s"""INSERT INTO graftq99.q99.fact
+          SELECT o_orderkey, o_orderdate,
+            CAST(o_totalprice AS DECIMAL(18,2))${
+          if (withTag) ", o_orderpriority" else ""}
+          FROM q99_ord WHERE o_orderkey % 3 = $k""")
+      ins(0, withTag = true)
+      ins(1, withTag = true)
+      s.sql("ALTER TABLE graftq99.q99.fact DROP COLUMN tag")
+      require(scala.util.Try(s.sql(
+        "ALTER TABLE graftq99.q99.fact ADD COLUMN tag STRING")).isFailure,
+        "re-ADD must be refused while pre-drop files are live")
+      ins(2, withTag = false)
+      s.sql("CALL graftq99.system.compact('q99', 'fact', 4, 'okey')")
+      s.sql("ALTER TABLE graftq99.q99.fact ADD COLUMN tag STRING")
+      ins(0, withTag = true)
+      s.sql("""SELECT CAST(month(odate) AS BIGINT) AS order_month,
+          count(*) AS n, sum(okey) AS key_sum, count(tag) AS tagged,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graftq99.q99.fact GROUP BY 1""")
     })
   )
 
@@ -2156,6 +2200,21 @@ GROUP BY 2""",
     // final state through the writer option surface: the overwrite
     // keeps only slice 2, the trailing append adds slice 0
     "q98_path_write" -> sliceOracle("o_orderkey % 3 IN (2, 0)"),
+    // tag is NULL on every row except the post-re-add slice-0 insert:
+    // the dropped generations' bytes must never resurface
+    "q99_drop_column" ->
+      """WITH final AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice, NULL AS tag FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority AS tag
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(count(tag) AS BIGINT) AS tagged,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM final GROUP BY 1""",
     // rollback restores the full pre-delete content
     "q66_restore" -> sliceOracle("TRUE"),
     // both generations serve the same logical content: earlier slices

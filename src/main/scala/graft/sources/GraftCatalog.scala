@@ -42,7 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * decision is driver-side, as in every lakehouse.
   *
   * CTAS works (create-then-insert; non-atomic without a staging catalog,
-  * Spark's documented default). `ALTER TABLE ADD COLUMN` and
+  * Spark's documented default). `ALTER TABLE ADD/DROP COLUMN` and
   * `SET/UNSET TBLPROPERTIES` are supported (see [[alterTable]]);
   * partition transforms are rejected loudly — partitioned layouts come
   * from the Lakehouse API's writers today.
@@ -486,10 +486,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *  - `SET/UNSET TBLPROPERTIES`: persisted in `_GRAFT_PROPS`.
     *  - `COMMENT ON COLUMN`: metadata-only contract edit.
     *
-    * RENAME/DROP/ALTER TYPE are rejected loudly: committed parquet
-    * files address columns BY NAME, so a rename would silently null the
-    * old generations (Iceberg solves this with field-id mapping — out
-    * of scope, and the failure mode is data-losing, so refuse).
+    *  - `DROP COLUMN` (top-level): a pure contract NARROWING — zero
+    *    data IO, committed files keep the bytes, readers project by
+    *    the contract. The dropped name is tombstoned
+    *    ([[GraftCatalog.DroppedColumnsProp]]) and may be re-ADDed only
+    *    after a FULL rewrite retires every pre-drop file — otherwise
+    *    parquet's by-name addressing would resurrect the old values.
+    *    Layout-bearing columns (partition spec, bloom set) and tables
+    *    with live equality-delete tombstones refuse the drop.
+    *
+    * RENAME/ALTER TYPE are rejected loudly: committed parquet files
+    * address columns BY NAME, so a rename would silently null the old
+    * generations (Iceberg solves this with field-id mapping — out of
+    * scope, and the failure mode is data-losing, so refuse).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tablePath(ident)
@@ -520,10 +529,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "with the data to stay consistent across generations)")
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(cname)),
           s"column $cname already exists")
+        // a TOMBSTONED name (dropped earlier) may only come back once a
+        // FULL rewrite committed after the drop has retired every
+        // pre-drop file — parquet addresses columns by name, so an
+        // earlier re-add would resurrect the dropped generations'
+        // values under the new column
+        GraftCatalog.parseDropped(props).get(cname.toLowerCase)
+          .foreach { dropV =>
+            val lake = new Lakehouse(spark, dir.getParent.toString)
+            val vs = lake.versions(ident.name)
+            val lastFull = vs.filter(_._2).map(_._1).maxOption
+              .getOrElse(-1L)
+            require(dropV == 0L || lastFull > dropV,
+              s"column $cname was dropped at version $dropV and files " +
+                "from before the drop are still live — re-adding now " +
+                "would resurrect their values; compact or overwrite " +
+                "the table first")
+            props += (GraftCatalog.DroppedColumnsProp ->
+              GraftCatalog.renderDropped(
+                GraftCatalog.parseDropped(props) - cname.toLowerCase))
+            propsDirty = true
+          }
         var f = StructField(cname, add.dataType, nullable = true)
         if (add.comment != null) f = f.withComment(add.comment)
         schema = StructType(schema.fields :+ f)
         schemaDirty = true
+      case del: TableChange.DeleteColumn =>
+        // DROP COLUMN is a metadata-only contract NARROWING: committed
+        // files keep the bytes, every reader projects by the contract,
+        // zero data IO. Sound where RENAME is not, because nothing ever
+        // reads the name again — the one hazard (re-ADDing the same
+        // name resurrecting old values) is closed by the tombstone gate
+        // above. Known limit: a compaction IN FLIGHT during the drop
+        // read its frame under the old contract and can carry the
+        // dropped bytes into its output; run maintenance after DDL.
+        require(del.fieldNames.length == 1,
+          "graft ALTER TABLE drops top-level columns only " +
+            s"(got ${del.fieldNames.mkString(".")})")
+        val dname = del.fieldNames()(0)
+        val existing = schema.fields.find(_.name.equalsIgnoreCase(dname))
+        require(existing.isDefined ||
+          java.lang.Boolean.TRUE.equals(del.ifExists()),
+          s"no such column: $dname")
+        existing.foreach { _ =>
+          require(schema.fields.length > 1, "cannot drop the last column")
+          val specs = props.get(GraftCatalog.PartitionProp)
+            .map(PartSpec.parseList).getOrElse(Nil)
+          require(!specs.exists {
+            case IdentitySpec(c) => c.equalsIgnoreCase(dname)
+            case BucketSpec(_, c) => c.equalsIgnoreCase(dname)
+          }, s"cannot drop $dname: it keys the partition spec " +
+            s"'${props(GraftCatalog.PartitionProp)}'")
+          require(!props.get(GraftCatalog.BloomColumnsProp).exists(
+            _.split(",").map(_.trim).exists(_.equalsIgnoreCase(dname))),
+            s"cannot drop $dname: it carries bloom filters " +
+              "(unset graft.bloomColumns first)")
+          // live equality-delete tombstones mask rows BY KEY COLUMN
+          // NAME; dropping a column from under them would void their
+          // masks — compact first (which folds the masks in)
+          val lake = new Lakehouse(spark, dir.getParent.toString)
+          val vs = lake.versions(ident.name)
+          val head = vs.map(_._1).maxOption.getOrElse(0L)
+          val lastFull = vs.filter(_._2).map(_._1).maxOption.getOrElse(0L)
+          require(lake.equalityDeleteVersions(ident.name, lastFull, head)
+            .isEmpty,
+            s"cannot drop $dname with live equality-delete tombstones " +
+              "(their key sets address columns by name) — compact first")
+          schema = StructType(
+            schema.fields.filterNot(_.name.equalsIgnoreCase(dname)))
+          schemaDirty = true
+          props += (GraftCatalog.DroppedColumnsProp ->
+            GraftCatalog.renderDropped(GraftCatalog.parseDropped(props) +
+              (dname.toLowerCase -> head)))
+          propsDirty = true
+        }
       case c: TableChange.UpdateColumnComment =>
         require(c.fieldNames.length == 1, "top-level columns only")
         schema = StructType(schema.fields.map(f =>
@@ -556,8 +635,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"partition spec (same columns, same kinds): " +
               s"'${PartSpec.renderList(before)}' -> '${p.value}'")
         }
+        require(p.property != GraftCatalog.DroppedColumnsProp,
+          s"${GraftCatalog.DroppedColumnsProp} is managed by " +
+            "ALTER TABLE ADD/DROP COLUMN — setting it by hand would " +
+            "forge the re-add safety gate")
         props += (p.property -> p.value); propsDirty = true
       case p: TableChange.RemoveProperty =>
+        require(p.property != GraftCatalog.DroppedColumnsProp,
+          s"${GraftCatalog.DroppedColumnsProp} is managed by " +
+            "ALTER TABLE ADD/DROP COLUMN — unsetting it would disarm " +
+            "the re-add safety gate")
         // UNSET of the partition spec is a STRUCTURAL change (new
         // inserts would silently stop clustering over committed
         // `_gbk` generations, and the bucket-count-only gate above
@@ -570,7 +657,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         props -= p.property; propsDirty = true
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName}: the lakehouse " +
-          "addresses parquet columns by name — renames/drops/retypes " +
+          "addresses parquet columns by name — renames/retypes " +
           "would silently lose committed generations, so they are " +
           "refused (add a column + backfill instead)")
     }
@@ -858,6 +945,25 @@ private[graft] object GraftCatalog {
     * default is copy-on-write.
     */
   val DeleteModeProp = "graft.deleteMode"
+  /** Tombstones for `DROP COLUMN` (the drop itself is metadata-only:
+    * committed files keep the bytes, readers project them away):
+    * `name:dropHeadVersion[,…]`, lower-cased names. Re-`ADD COLUMN` of
+    * a tombstoned name is gated until a FULL rewrite committed AFTER
+    * the drop has retired every pre-drop file — re-adding earlier
+    * would resurrect the old generations' values (parquet addresses
+    * columns by name). Managed exclusively by ALTER TABLE; SET/UNSET
+    * of this property is refused.
+    */
+  val DroppedColumnsProp = "graft.droppedColumns"
+  private[sources] def parseDropped(props: Map[String, String])
+      : Map[String, Long] =
+    props.get(DroppedColumnsProp).map(_.split(",").toSeq
+      .filter(_.nonEmpty).map { e =>
+        val i = e.lastIndexOf(':')
+        e.take(i) -> e.drop(i + 1).toLong
+      }.toMap).getOrElse(Map.empty)
+  private[sources] def renderDropped(t: Map[String, Long]): String =
+    t.toSeq.sorted.map { case (n, v) => s"$n:$v" }.mkString(",")
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch",

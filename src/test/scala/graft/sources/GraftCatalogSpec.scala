@@ -179,12 +179,63 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM graft.mart.t10 WHERE score >= 7.0")
       .head().getLong(0) == 6L)
-    // data-losing ALTERs are refused, not mangled
+    // data-losing ALTERs are refused, not mangled (DROP COLUMN is
+    // supported separately — it is contract-narrowing, not data-losing)
     intercept[Exception](
       spark.sql("ALTER TABLE graft.mart.t10 RENAME COLUMN v TO w"))
     intercept[Exception](
-      spark.sql("ALTER TABLE graft.mart.t10 DROP COLUMN v"))
+      spark.sql("ALTER TABLE graft.mart.t10 ALTER COLUMN k TYPE INT"))
     spark.sql("DROP TABLE graft.mart.t10")
+  }
+
+  test("ALTER TABLE DROP COLUMN narrows the contract; re-ADD is gated " +
+    "until a full rewrite retires the dropped values") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("CREATE TABLE graft.mart.t20 (k BIGINT, v STRING, tag STRING)")
+    spark.sql("INSERT INTO graft.mart.t20 " +
+      "SELECT id, concat('v', id), concat('t', id) FROM range(0, 20)")
+    spark.sql("ALTER TABLE graft.mart.t20 DROP COLUMN tag")
+    // metadata-only: the contract narrowed, the committed delta stayed
+    assert(spark.table("graft.mart.t20").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    intercept[Exception](
+      spark.sql("SELECT tag FROM graft.mart.t20").collect())
+    // re-ADD while pre-drop files are live would resurrect their values
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.mart.t20 ADD COLUMN tag STRING"))
+    assert(e.getMessage.contains("resurrect"))
+    // a DIFFERENT name is not gated
+    spark.sql("ALTER TABLE graft.mart.t20 ADD COLUMN tag2 STRING")
+    // post-drop inserts carry the narrow contract
+    spark.sql("INSERT INTO graft.mart.t20 " +
+      "SELECT id, concat('v', id), NULL FROM range(20, 30)")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t20")
+      .head().getLong(0) == 30L)
+    // a FULL rewrite retires the old generations → re-ADD allowed,
+    // and the dropped values did NOT come back
+    spark.sql("CALL graft.system.compact('mart', 't20', 2, 'k')")
+    spark.sql("ALTER TABLE graft.mart.t20 ADD COLUMN tag STRING")
+    assert(spark.sql("SELECT count(tag) FROM graft.mart.t20")
+      .head().getLong(0) == 0L,
+      "re-added column must read NULL, never the pre-drop values")
+    spark.sql("INSERT INTO graft.mart.t20 VALUES (100, 'x', NULL, 'fresh')")
+    assert(spark.sql("SELECT count(tag) FROM graft.mart.t20")
+      .head().getLong(0) == 1L)
+    // guards: layout-bearing columns, the last column, and forging or
+    // disarming the tombstone property by hand
+    spark.sql("CREATE TABLE graft.mart.t20p (k BIGINT, day INT) " +
+      "PARTITIONED BY (day)")
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.mart.t20p DROP COLUMN day"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t20 SET TBLPROPERTIES" +
+        "('graft.droppedColumns'='x:0')"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t20 UNSET TBLPROPERTIES" +
+        "('graft.droppedColumns')"))
+    spark.sql("DROP TABLE graft.mart.t20")
+    spark.sql("DROP TABLE graft.mart.t20p")
   }
 
   test("TBLPROPERTIES persist; graft.cdf opts SQL DELETE into the feed") {
