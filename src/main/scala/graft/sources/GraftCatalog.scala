@@ -495,10 +495,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *    Layout-bearing columns (partition spec, bloom set) and tables
     *    with live equality-delete tombstones refuse the drop.
     *
-    * RENAME/ALTER TYPE are rejected loudly: committed parquet files
-    * address columns BY NAME, so a rename would silently null the old
-    * generations (Iceberg solves this with field-id mapping — out of
-    * scope, and the failure mode is data-losing, so refuse).
+    *  - `RENAME COLUMN`: a pure contract RELABEL via name-mode column
+    *    mapping ([[GraftCatalog.RenamedColumnsProp]]) — the schema
+    *    file and every committed file/manifest keep the PHYSICAL
+    *    (creation) name; the catalog boundary translates
+    *    logical↔physical once per scan/write/DML. Layout-bearing
+    *    columns (partition spec, bloom set) refuse the rename, as do
+    *    names colliding with any live logical or physical name.
+    *
+    * ALTER TYPE is rejected loudly: committed parquet files carry the
+    * written type, so a retype would need per-generation cast logic
+    * the read path does not have (add a column + backfill instead).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tablePath(ident)
@@ -511,6 +518,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else Map.empty
     var schemaDirty = false
     var propsDirty = false
+    // `schema` (the file) is PHYSICAL; users address columns by their
+    // LOGICAL names — resolve through the rename mapping
+    def renames: Map[String, String] = GraftCatalog.parseRenames(props)
+    def logicalOf(phys: String): String = renames.getOrElse(phys,
+      renames.collectFirst {
+        case (p, l) if p.equalsIgnoreCase(phys) => l }.getOrElse(phys))
+    def fieldOf(logical: String): Option[StructField] =
+      schema.fields.find(f => logicalOf(f.name).equalsIgnoreCase(logical))
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -527,8 +542,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft ALTER TABLE does not support column DEFAULTs — old " +
             "rows read as NULL (a default would need to be versioned " +
             "with the data to stay consistent across generations)")
-        require(!schema.fieldNames.exists(_.equalsIgnoreCase(cname)),
+        require(!schema.fields.exists(f =>
+          logicalOf(f.name).equalsIgnoreCase(cname)),
           s"column $cname already exists")
+        // a LIVE physical name (a renamed column's creation name) is
+        // occupied in committed files: new files would write `cname`
+        // for the new column while old generations carry `cname` bytes
+        // belonging to the renamed column — by-name reads would fuse
+        // the two. Same hazard class as the dropped-column tombstone.
+        require(!schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(cname) &&
+            !logicalOf(f.name).equalsIgnoreCase(cname)),
+          s"column name $cname is the physical (pre-rename) name of " +
+            s"'${schema.fields.find(_.name.equalsIgnoreCase(cname))
+              .map(f => logicalOf(f.name)).getOrElse("")}' — committed " +
+            "files still carry it; pick another name")
         // a TOMBSTONED name (dropped earlier) may only come back once a
         // FULL rewrite committed after the drop has retired every
         // pre-drop file — parquet addresses columns by name, so an
@@ -567,21 +595,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft ALTER TABLE drops top-level columns only " +
             s"(got ${del.fieldNames.mkString(".")})")
         val dname = del.fieldNames()(0)
-        val existing = schema.fields.find(_.name.equalsIgnoreCase(dname))
+        val existing = fieldOf(dname)
         require(existing.isDefined ||
           java.lang.Boolean.TRUE.equals(del.ifExists()),
           s"no such column: $dname")
-        existing.foreach { _ =>
+        existing.foreach { df =>
+          // the PHYSICAL name is what files/specs/blooms/tombstones
+          // address — every gate below and the tombstone itself use it
+          val pname = df.name
           require(schema.fields.length > 1, "cannot drop the last column")
           val specs = props.get(GraftCatalog.PartitionProp)
             .map(PartSpec.parseList).getOrElse(Nil)
           require(!specs.exists {
-            case IdentitySpec(c) => c.equalsIgnoreCase(dname)
-            case BucketSpec(_, c) => c.equalsIgnoreCase(dname)
+            case IdentitySpec(c) => c.equalsIgnoreCase(pname)
+            case BucketSpec(_, c) => c.equalsIgnoreCase(pname)
           }, s"cannot drop $dname: it keys the partition spec " +
             s"'${props(GraftCatalog.PartitionProp)}'")
           require(!props.get(GraftCatalog.BloomColumnsProp).exists(
-            _.split(",").map(_.trim).exists(_.equalsIgnoreCase(dname))),
+            _.split(",").map(_.trim).exists(_.equalsIgnoreCase(pname))),
             s"cannot drop $dname: it carries bloom filters " +
               "(unset graft.bloomColumns first)")
           // live equality-delete tombstones mask rows BY KEY COLUMN
@@ -596,19 +627,85 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"cannot drop $dname with live equality-delete tombstones " +
               "(their key sets address columns by name) — compact first")
           schema = StructType(
-            schema.fields.filterNot(_.name.equalsIgnoreCase(dname)))
+            schema.fields.filterNot(_.name.equalsIgnoreCase(pname)))
           schemaDirty = true
           props += (GraftCatalog.DroppedColumnsProp ->
             GraftCatalog.renderDropped(GraftCatalog.parseDropped(props) +
-              (dname.toLowerCase -> head)))
+              (pname.toLowerCase -> head)))
+          val rm = renames.filterNot(_._1.equalsIgnoreCase(pname))
+          if (rm.isEmpty) props -= GraftCatalog.RenamedColumnsProp
+          else props += (GraftCatalog.RenamedColumnsProp ->
+            GraftCatalog.renderRenames(rm))
           propsDirty = true
         }
       case c: TableChange.UpdateColumnComment =>
         require(c.fieldNames.length == 1, "top-level columns only")
+        val target = fieldOf(c.fieldNames()(0)).map(_.name)
         schema = StructType(schema.fields.map(f =>
-          if (f.name.equalsIgnoreCase(c.fieldNames()(0)))
+          if (target.exists(f.name.equalsIgnoreCase))
             f.withComment(c.newComment) else f))
         schemaDirty = true
+
+      case rn: TableChange.RenameColumn =>
+        // RENAME COLUMN as a pure CONTRACT relabel (Delta's name-mode
+        // column mapping with "physical = creation name"): the schema
+        // file, committed parquet files, zone-map manifests, bloom
+        // sets, equality-delete key sets and checkpoints all keep the
+        // PHYSICAL name — zero data or metadata IO — and the mapping
+        // property carries physical→logical for the catalog boundary
+        // to translate (scan output, pushed filters, DML expressions,
+        // incoming writes). Sound because nothing below the boundary
+        // ever sees a logical name; the failure mode that makes naive
+        // rename data-losing (files addressed by the OLD name going
+        // silently all-null) cannot occur when reads always request
+        // physical names.
+        require(rn.fieldNames.length == 1,
+          "graft ALTER TABLE renames top-level columns only " +
+            s"(got ${rn.fieldNames.mkString(".")})")
+        val from = rn.fieldNames()(0)
+        val newName = rn.newName()
+        val f = fieldOf(from).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $from"))
+        require(!schema.fields.exists(g => g.name != f.name &&
+          logicalOf(g.name).equalsIgnoreCase(newName)),
+          s"column $newName already exists")
+        // occupying ANOTHER column's physical name would make a later
+        // write/read ambiguous in the files — refused (same hazard as
+        // the ADD COLUMN physical-collision gate)
+        require(!schema.fields.exists(g => g.name != f.name &&
+          g.name.equalsIgnoreCase(newName)),
+          s"$newName is the physical (pre-rename) name of " +
+            s"'${schema.fields.filter(_.name != f.name)
+              .find(_.name.equalsIgnoreCase(newName))
+              .map(g => logicalOf(g.name)).getOrElse("")}' — committed " +
+            "files still carry it; pick another name")
+        // layout-bearing columns are REPORTED to Spark by name
+        // (partitioning(), SPJ key expressions, DPP attributes) — a
+        // split logical/physical identity there would need translation
+        // in every report; refused like DROP
+        val rspecs = props.get(GraftCatalog.PartitionProp)
+          .map(PartSpec.parseList).getOrElse(Nil)
+        require(!rspecs.exists {
+          case IdentitySpec(c) => c.equalsIgnoreCase(f.name)
+          case BucketSpec(_, c) => c.equalsIgnoreCase(f.name)
+        }, s"cannot rename $from: it keys the partition spec " +
+          s"'${props(GraftCatalog.PartitionProp)}'")
+        require(!props.get(GraftCatalog.BloomColumnsProp).exists(
+          _.split(",").map(_.trim).exists(_.equalsIgnoreCase(f.name))),
+          s"cannot rename $from: it carries bloom filters " +
+            "(unset graft.bloomColumns first)")
+        val next =
+          if (newName == f.name) renames - f.name // renamed back
+          else renames + (f.name -> newName)
+        // validate the resulting LOGICAL contract (reserved names,
+        // duplicates) exactly as CREATE would
+        LakehouseStream.validateSchema(StructType(schema.fields.map(g =>
+          if (g.name == f.name) g.copy(name = newName)
+          else g.copy(name = logicalOf(g.name)))))
+        if (next.isEmpty) props -= GraftCatalog.RenamedColumnsProp
+        else props += (GraftCatalog.RenamedColumnsProp ->
+          GraftCatalog.renderRenames(next))
+        propsDirty = true
       case p: TableChange.SetProperty =>
         // partition-spec EVOLUTION (Iceberg shape): only bucket COUNTS
         // may change — same columns, same spec kinds, identity specs
@@ -639,12 +736,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${GraftCatalog.DroppedColumnsProp} is managed by " +
             "ALTER TABLE ADD/DROP COLUMN — setting it by hand would " +
             "forge the re-add safety gate")
+        require(p.property != GraftCatalog.RenamedColumnsProp,
+          s"${GraftCatalog.RenamedColumnsProp} is managed by " +
+            "ALTER TABLE RENAME COLUMN — setting it by hand would " +
+            "silently remap committed generations")
         props += (p.property -> p.value); propsDirty = true
       case p: TableChange.RemoveProperty =>
         require(p.property != GraftCatalog.DroppedColumnsProp,
           s"${GraftCatalog.DroppedColumnsProp} is managed by " +
             "ALTER TABLE ADD/DROP COLUMN — unsetting it would disarm " +
             "the re-add safety gate")
+        require(p.property != GraftCatalog.RenamedColumnsProp,
+          s"${GraftCatalog.RenamedColumnsProp} is managed by " +
+            "ALTER TABLE RENAME COLUMN — unsetting it would snap " +
+            "every renamed column back to its physical name")
         // UNSET of the partition spec is a STRUCTURAL change (new
         // inserts would silently stop clustering over committed
         // `_gbk` generations, and the bucket-count-only gate above
@@ -657,7 +762,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         props -= p.property; propsDirty = true
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName}: the lakehouse " +
-          "addresses parquet columns by name — renames/retypes " +
+          "addresses parquet columns by name — retypes/reorders " +
           "would silently lose committed generations, so they are " +
           "refused (add a column + backfill instead)")
     }
@@ -783,6 +888,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftCatalog.readSchema(fs, p)
   }
 
+  /** Procedure args name columns LOGICALLY; the lake speaks physical —
+    * translate a spec list's column names (identity and bucket inner
+    * cols) through the table's rename mapping.
+    */
+  private def physSpecs(ns: String, t: String,
+      specs: Seq[PartSpec]): Seq[String] = {
+    val p = new Path(nsPath(Array(ns)), new Path(t, GraftCatalog.PropsFile))
+    val l2p: Map[String, String] =
+      if (!fs.exists(p)) Map.empty
+      else GraftCatalog.parseRenames(GraftCatalog.readProps(fs, p))
+        .map(_.swap)
+    def r(c: String): String =
+      LakehouseBatch.ciLookup(l2p, c).getOrElse(c)
+    specs.map {
+      case IdentitySpec(c) => IdentitySpec(r(c)): PartSpec
+      case BucketSpec(n, c) => BucketSpec(n, r(c)): PartSpec
+    }.map(_.render)
+  }
+
   private def tablePartCols(ns: String, t: String): Seq[String] = {
     val p = new Path(nsPath(Array(ns)), new Path(t, GraftCatalog.PropsFile))
     if (!fs.exists(p)) Nil
@@ -847,7 +971,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 // paren-aware split: "bucket(16,okey)" is ONE spec
                 val colSeq =
                   if (cols.isEmpty) Nil
-                  else PartSpec.parseList(cols).map(_.render)
+                  else physSpecs(ns, t, PartSpec.parseList(cols))
                 // compacting on the table's PARTITIONED BY specs
                 // re-establishes the exact keyed layout (identity
                 // values / bucket ids) rather than a sampled range
@@ -856,8 +980,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   colSeq, keyedCols =
                     colSeq.nonEmpty && colSeq == tablePartCols(ns, t))
               case "zorder" =>
-                lake.compactZOrder(t, args.getInt(2),
-                  args.getUTF8String(3).toString.split(",").toSeq)
+                lake.compactZOrderAs(t, tableSchema(ns, t), args.getInt(2),
+                  physSpecs(ns, t, args.getUTF8String(3).toString
+                    .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+                    .map(c => IdentitySpec(c): PartSpec)))
               case "vacuum" =>
                 // NOT the zero-grace lake above: with gcGraceMs=0 the
                 // horizon is `now`, making every idle staging dir —
@@ -964,6 +1090,30 @@ private[graft] object GraftCatalog {
       }.toMap).getOrElse(Map.empty)
   private[sources] def renderDropped(t: Map[String, Long]): String =
     t.toSeq.sorted.map { case (n, v) => s"$n:$v" }.mkString(",")
+
+  /** `RENAME COLUMN` mapping: `physical:logical[,…]` — the schema file
+    * (`_GRAFT_SCHEMA`) keeps the column's PHYSICAL name forever (the
+    * name committed parquet files, zone-map manifests, bloom sets,
+    * equality-delete key sets and metadata checkpoints all address —
+    * none of which are rewritten by a rename), and the catalog
+    * presents the LOGICAL name. Every engine layer below the catalog
+    * boundary operates purely in physical names; the scan/write/DML
+    * surfaces translate exactly once at that boundary (Delta's
+    * name-mode column mapping, with "physical = creation name" instead
+    * of generated ids). Managed exclusively by ALTER TABLE RENAME
+    * COLUMN; SET/UNSET of this property is refused.
+    */
+  val RenamedColumnsProp = "graft.renamedColumns"
+  /** physical → logical (exact-case names as persisted). */
+  private[graft] def parseRenames(props: Map[String, String])
+      : Map[String, String] =
+    props.get(RenamedColumnsProp).map(_.split(",").toSeq
+      .filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        e.take(i) -> e.drop(i + 1)
+      }.toMap).getOrElse(Map.empty)
+  private[sources] def renderRenames(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (p, l) => s"$p:$l" }.mkString(",")
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch",
@@ -1209,10 +1359,19 @@ private[sources] class GraftTable(path: String, tableName: String,
     tschema: StructType, asOf: Option[Long] = None,
     props: Map[String, String] = Map.empty,
     branch: Option[String] = None)
-    extends LakehouseBatchTable(path, tschema, asOf, branch)
+    extends LakehouseBatchTable(path, tschema, asOf, branch,
+      GraftCatalog.parseRenames(props))
     with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.$tableName"
+
+  /** physical→logical mapping from `RENAME COLUMN` — empty for tables
+    * never renamed. `tschema`/`contractSchema` are PHYSICAL (what
+    * files, manifests and the Lakehouse API speak); [[schema]] (the
+    * base class) presents logical.
+    */
+  private[sources] def renamedCols: Map[String, String] =
+    GraftCatalog.parseRenames(props)
 
   override def properties(): java.util.Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -1314,7 +1473,16 @@ private[sources] class GraftTable(path: String, tableName: String,
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val pred = filters.toSeq.flatMap(GraftTable.toColumn)
+    // the predicate executes against the PHYSICAL snapshot read
+    // (Lakehouse.delete / deleteRowsMoR) — translate renamed names.
+    // A dropped conjunct would silently WIDEN the delete, so an
+    // untranslatable filter throws (unreachable: canDeleteWhere
+    // accepts exactly the node set renameFilter carries)
+    val pred = filters.toSeq
+      .map(f => LakehouseBatch.renameFilter(f, renamedCols.map(_.swap))
+        .getOrElse(throw new IllegalStateException(
+          s"untranslatable DELETE filter under renamed columns: $f")))
+      .flatMap(GraftTable.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val (l, t) = lake
@@ -1371,7 +1539,9 @@ private[sources] class GraftTable(path: String, tableName: String,
             .streaming.StreamingWrite = {
           require(!overwrite, s"graft.$tableName supports streaming " +
             "APPEND output only")
-          new LakehouseStreamingWrite(path, info.schema(), info.queryId())
+          new LakehouseStreamingWrite(path,
+            LakehouseBatch.physicalSchema(info.schema(),
+              renamedCols.map(_.swap)), info.queryId())
         }
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, over: Boolean) => {
@@ -1391,10 +1561,15 @@ private[sources] class GraftTable(path: String, tableName: String,
             // range clustering (pruning survives, the SPJ report is
             // declined).
             val specs = partSpecs
+            // logical → physical relabel (no-op for never-renamed
+            // tables); partition-spec columns are rename-refused, so
+            // clustering below sees its names either way
+            val physData = LakehouseBatch.toPhysicalDf(data,
+              renamedCols.map(_.swap))
             val clustered =
-              if (specs.isEmpty) data
+              if (specs.isEmpty) physData
               else graft.storage.Clustering.bySpecs(
-                SparkSession.active, data, specs, spjMaxKeys)
+                SparkSession.active, physData, specs, spjMaxKeys)
             // stats: identity columns by name; bucket specs as the
             // derived `_gbk<n>_<col>` zone-map column the scan's key
             // proof reads

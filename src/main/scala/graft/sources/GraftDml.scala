@@ -56,11 +56,15 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         val (rel, tbl) = graftTable(table).get
         checkWritable(tbl, "UPDATE")
         checkNoSubquery(condition.toSeq ++ assignments, "UPDATE")
-        val detach = detacher(Map(rel.outputSet -> Nil))
+        // detached names re-resolve against the PHYSICAL snapshot read
+        // — renamed columns translate here, once (see RenamedColumnsProp)
+        val l2p = tbl.renamedCols.map(_.swap)
+        val detach = detacher(Map(rel.outputSet -> (Nil, l2p)))
         GraftUpdateCommand(tbl.tableDir, tbl.contractSchema,
           condition.map(detach).getOrElse(lit(true)),
           assignments.map(a =>
-            topLevelName(a.key, "UPDATE SET") -> detach(a.value)),
+            physName(l2p, topLevelName(a.key, "UPDATE SET")) ->
+              detach(a.value)),
           tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes)
 
       case d @ DeleteFromTable(table, condition)
@@ -72,7 +76,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         // simple-predicate path stays on SupportsDelete.deleteWhere
         val (rel, tbl) = graftTable(table).get
         checkWritable(tbl, "DELETE")
-        val detach = detacher(Map(rel.outputSet -> Nil))
+        val detach = detacher(Map(
+          rel.outputSet -> (Nil, tbl.renamedCols.map(_.swap))))
         GraftDeleteCommand(tbl.tableDir, tbl.contractSchema,
           detach(condition), tbl.cdfEnabled, tbl.rewriteSpecs,
           mor = tbl.morDeletes)
@@ -87,14 +92,16 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         val exprs = mergeCond +: (matched ++ notMatched ++
           notMatchedBySource).flatMap(actionExprs)
         checkNoSubquery(exprs, "MERGE INTO")
+        val l2p = tbl.renamedCols.map(_.swap)
         val detach = detacher(Map(
-          rel.outputSet -> Seq(TargetAlias),
-          source.outputSet -> Seq(SourceAlias)))
+          rel.outputSet -> (Seq(TargetAlias), l2p),
+          source.outputSet -> (Seq(SourceAlias), Map.empty)))
         GraftMergeCommand(tbl.tableDir, tbl.contractSchema, source,
           detach(mergeCond),
-          (matched ++ notMatchedBySource).map(toAct(_, detach)).toIndexedSeq,
+          (matched ++ notMatchedBySource).map(toAct(_, detach, l2p))
+            .toIndexedSeq,
           matched.length,
-          notMatched.map(toAct(_, detach)).toIndexedSeq,
+          notMatched.map(toAct(_, detach, l2p)).toIndexedSeq,
           tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes)
     }
 
@@ -122,18 +129,26 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       s"MERGE action ${other.getClass.getSimpleName}")
   }
 
-  private def toAct(a: MergeAction,
-      detach: Expression => Column): GraftDml.Act = a match {
+  private def toAct(a: MergeAction, detach: Expression => Column,
+      l2p: Map[String, String]): GraftDml.Act = a match {
     case UpdateAction(cond, assigns, _) =>
       GraftDml.UpdateAct(cond.map(detach), assigns.map(as =>
-        topLevelName(as.key, "MERGE UPDATE SET") -> detach(as.value)))
+        physName(l2p, topLevelName(as.key, "MERGE UPDATE SET")) ->
+          detach(as.value)))
     case DeleteAction(cond) => GraftDml.DeleteAct(cond.map(detach))
     case InsertAction(cond, assigns) =>
       GraftDml.InsertAct(cond.map(detach), assigns.map(as =>
-        topLevelName(as.key, "MERGE INSERT") -> detach(as.value)))
+        physName(l2p, topLevelName(as.key, "MERGE INSERT")) ->
+          detach(as.value)))
     case other => throw new UnsupportedOperationException(
       s"MERGE action ${other.getClass.getSimpleName}")
   }
+
+  /** A renamed column's assignment key / reference, translated to the
+    * physical name the command's snapshot read carries.
+    */
+  private def physName(l2p: Map[String, String], n: String): String =
+    LakehouseBatch.ciLookup(l2p, n).getOrElse(n)
 
   private def topLevelName(key: Expression, ctx: String): String = key match {
     case a: Attribute => a.name
@@ -145,13 +160,15 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     * (optionally qualified), so they re-resolve against the command's
     * own snapshot read.
     */
-  private def detacher(sides: Map[AttributeSet, Seq[String]])
+  private def detacher(
+      sides: Map[AttributeSet, (Seq[String], Map[String, String])])
       : Expression => Column = { e =>
     GraftColumnBridge.toColumn(e.transform {
       case a: AttributeReference =>
         sides.collectFirst {
-          case (set, qual) if set.contains(a) =>
-            UnresolvedAttribute(qual :+ a.name)
+          case (set, (qual, ren)) if set.contains(a) =>
+            UnresolvedAttribute(qual :+
+              LakehouseBatch.ciLookup(ren, a.name).getOrElse(a.name))
         }.getOrElse(throw new IllegalStateException(
           s"reference $a escapes the statement's relations"))
     })

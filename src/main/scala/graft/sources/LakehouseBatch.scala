@@ -79,7 +79,13 @@ class LakehouseBatchProvider extends TableProvider {
       val p = new Path(path, GraftCatalog.SchemaFile)
       val fs = p.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) return GraftCatalog.readSchema(fs, p)
+      if (fs.exists(p))
+        // present the LOGICAL names: the schema file keeps physical
+        // (pre-rename) names, the table's contract is what RENAME
+        // COLUMN evolved it to
+        return LakehouseBatch.renameFields(
+          GraftCatalog.readSchema(fs, p),
+          LakehouseBatchProvider.renamesAt(fs, path))
     }
     throw new IllegalArgumentException(
       "graft lakehouse batch needs a schema: .schema(...), " +
@@ -93,15 +99,44 @@ class LakehouseBatchProvider extends TableProvider {
     require(path != null && path.nonEmpty,
       "graft lakehouse batch needs the table directory: .load(<path>)")
     LakehouseStream.validateSchema(schema)
-    new LakehouseBatchTable(path, schema)
+    // `schema` arrives in LOGICAL names (inferred above, or the
+    // caller's .schema(...)); a catalog dir with renamed columns maps
+    // it back to the PHYSICAL names the engine operates in
+    val fs = new Path(path).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val renames = LakehouseBatchProvider.renamesAt(fs, path)
+    new LakehouseBatchTable(path,
+      LakehouseBatch.physicalSchema(schema, renames.map(_.swap)),
+      renames = renames)
+  }
+}
+
+private[sources] object LakehouseBatchProvider {
+  /** physical→logical rename mapping persisted in the dir's props —
+    * empty for non-catalog dirs and tables never renamed.
+    */
+  def renamesAt(fs: FileSystem, path: String): Map[String, String] = {
+    val p = new Path(path, GraftCatalog.PropsFile)
+    if (!fs.exists(p)) Map.empty
+    else GraftCatalog.parseRenames(GraftCatalog.readProps(fs, p))
   }
 }
 
 private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
-    tableAsOf: Option[Long] = None, branch: Option[String] = None)
+    tableAsOf: Option[Long] = None, branch: Option[String] = None,
+    renames: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_lakehouse($path)"
-  override def schema(): StructType = tschema
+  /** `tschema` is PHYSICAL (file/manifest names); the presented schema
+    * is LOGICAL — `renames` (physical→logical) differs only for
+    * columns a `RENAME COLUMN` touched (see
+    * [[GraftCatalog.RenamedColumnsProp]]).
+    */
+  override def schema(): StructType =
+    LakehouseBatch.renameFields(tschema, renames)
+  /** logical → physical, for the write/filter boundary. */
+  protected final def l2p: Map[String, String] =
+    renames.map(_.swap)
   /** Partition (clustering) columns the scan may report as a
     * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
     * for storage-partitioned joins — overridden by the catalog table
@@ -143,7 +178,9 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
             .streaming.StreamingWrite = {
           require(!overwrite,
             "path streaming writes support APPEND output only")
-          new LakehouseStreamingWrite(path, info.schema(), info.queryId())
+          new LakehouseStreamingWrite(path,
+            LakehouseBatch.physicalSchema(info.schema(), l2p),
+            info.queryId())
         }
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, over: Boolean) => {
@@ -169,10 +206,11 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
             val lake = new graft.storage.Lakehouse(spark,
               dir.getParent.toString)
             val t = dir.getName
+            val phys = LakehouseBatch.toPhysicalDf(clustered, l2p)
             if (overwrite || over)
-              lake.overwritePartitioned(t, clustered, Nil,
+              lake.overwritePartitioned(t, phys, Nil,
                 statsCols = stats, bloomCols = blooms)
-            else lake.append(t, clustered, statsCols = stats,
+            else lake.append(t, phys, statsCols = stats,
               bloomCols = blooms)
           }
       }
@@ -259,10 +297,10 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
           .LongType,
           s"${graft.sources.LakehouseStream.CommitVersionCol} must be " +
             "BIGINT"))
-      new CdfBatchScan(path, tschema, chFrom.get, chTo)
+      new CdfBatchScan(path, tschema, chFrom.get, chTo, renames)
     } else
       new LakehouseScanBuilder(path, tschema, asOf, br, options,
-        scanPartitionCols)
+        scanPartitionCols, renames)
   }
 }
 
@@ -333,11 +371,16 @@ private[sources] object LakehouseBatchTable {
   * gap); an unrecorded FULL rewrite in range throws.
   */
 private[sources] class CdfBatchScan(path: String, cdfSchema: StructType,
-    from: Long, to: Option[Long])
+    from: Long, to: Option[Long],
+    renames: Map[String, String] = Map.empty)
     extends ScanBuilder with Scan
     with org.apache.spark.sql.connector.read.Batch {
   override def build(): Scan = this
-  override def readSchema(): StructType = cdfSchema
+  // `cdfSchema` is PHYSICAL (feed files are written under physical
+  // names); the presented schema relabels renamed columns — positional,
+  // so the reader's batches bind unchanged
+  override def readSchema(): StructType =
+    LakehouseBatch.renameFields(cdfSchema, renames)
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def description(): String =
     s"graft CDF batch $path ($from, ${to.getOrElse("head")}]"
@@ -371,10 +414,17 @@ private[sources] class CdfBatchScan(path: String, cdfSchema: StructType,
 private[sources] class LakehouseScanBuilder(path: String, full: StructType,
     asOf: Option[Long], branch: Option[String] = None,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    renames: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
+
+  // `full` and everything below this builder is PHYSICAL; Spark binds
+  // against the table's LOGICAL schema, so names arriving here
+  // (pruned columns, filters, aggregate refs) translate l2p once and
+  // presentation surfaces (readSchema, pushedFilters) translate back
+  private val l2p: Map[String, String] = renames.map(_.swap)
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -386,19 +436,22 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of the table schema (possibly empty for
     // bare count paths that weren't pushed as aggregates)
-    required = requiredSchema
+    required = LakehouseBatch.physicalSchema(requiredSchema, l2p)
 
   /** Accept every filter as post-scan (zone maps are file-granular — the
     * row-level predicate must still run); record the manifest-usable
     * subset as pushed so skipping happens and explain shows it.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(
-      LakehouseBatch.usableForSkipping(_, meta.statsCols, meta.bloomCols))
+    pushed = filters
+      .flatMap(LakehouseBatch.renameFilter(_, l2p))
+      .filter(LakehouseBatch.usableForSkipping(_, meta.statsCols,
+        meta.bloomCols))
     filters
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] =
+    pushed.flatMap(LakehouseBatch.renameFilter(_, renames))
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     aggResult.isDefined || tryPushAgg(aggregation, probeOnly = true)
@@ -430,14 +483,21 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
         // carry min_c/max_c for THIS column; mere stats-row presence is
         // not enough: rows-only manifests would fold extremes over a
         // subset of the files and answer wrong
-        case m: Min => columnOf(m.column).collect {
-          case c if meta.coveredCols.contains(c) =>
-            (StructField(s"min($c)", full(c).dataType), s"min:$c")
-        }
-        case m: Max => columnOf(m.column).collect {
-          case c if meta.coveredCols.contains(c) =>
-            (StructField(s"max($c)", full(c).dataType), s"max:$c")
-        }
+        // aggregate refs arrive LOGICAL; manifests/extremes are keyed
+        // physical — translate for the coverage test and the fold spec,
+        // keep the logical name in the output field for explain
+        case m: Min => columnOf(m.column)
+          .map(c => (c, LakehouseBatch.ciLookup(l2p, c).getOrElse(c)))
+          .collect {
+            case (c, p) if meta.coveredCols.contains(p) =>
+              (StructField(s"min($c)", full(p).dataType), s"min:$p")
+          }
+        case m: Max => columnOf(m.column)
+          .map(c => (c, LakehouseBatch.ciLookup(l2p, c).getOrElse(c)))
+          .collect {
+            case (c, p) if meta.coveredCols.contains(p) =>
+              (StructField(s"max($c)", full(p).dataType), s"max:$p")
+          }
         case _ => None
       }
     if (wanted.exists(_.isEmpty) || wanted.isEmpty) return false
@@ -485,7 +545,7 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
   override def build(): Scan =
     new LakehouseBatchScan(meta, required, pushed, aggResult,
       if (asOf.isEmpty && branch.isEmpty) Some((path, full, options))
-      else None, partitionCols, full)
+      else None, partitionCols, full, renames)
 }
 
 private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
@@ -493,10 +553,18 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     aggResult: Option[(StructType, Seq[Any])],
     streamable: Option[(String, StructType, CaseInsensitiveStringMap)] = None,
     partitionCols: Seq[String] = Nil,
-    tableSchema: StructType = new StructType())
+    tableSchema: StructType = new StructType(),
+    renames: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  // physical→logical for every name this scan SURFACES (readSchema,
+  // runtime-filter attributes, CBO column stats); `required`/`pushed`/
+  // `tableSchema` stay physical for the file readers and manifests
+  private val p2l: Map[String, String] = renames
+  private val lOf: String => String = n =>
+    LakehouseBatch.ciLookup(p2l, n).getOrElse(n)
 
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 
@@ -633,16 +701,22 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
   override def filterAttributes(): Array[NamedReference] =
     // REAL columns only: derived bucket-id stats (`_gbk<n>_<col>`) are
     // zone-map-only names — advertising them would make DPP's ref
-    // resolution fail against the scan output
+    // resolution fail against the scan output. Advertised LOGICAL
+    // (they must resolve against the scan's presented output).
     meta.statsCols.filter(tableSchema.fieldNames.contains)
-      .map(c => Expressions.column(c): NamedReference).toArray
+      .map(c => Expressions.column(lOf(c)): NamedReference).toArray
 
   override def filter(filters: Array[Filter]): Unit =
-    runtime = filters.filter(
-      LakehouseBatch.usableForSkipping(_, meta.statsCols, meta.bloomCols))
+    // runtime filters arrive bound to the LOGICAL output — translate
+    // into the physical space the zone maps live in
+    runtime = filters
+      .flatMap(LakehouseBatch.renameFilter(_, renames.map(_.swap)))
+      .filter(LakehouseBatch.usableForSkipping(_, meta.statsCols,
+        meta.bloomCols))
 
   override def readSchema(): StructType =
-    aggResult.map(_._1).getOrElse(required)
+    aggResult.map(_._1).getOrElse(
+      LakehouseBatch.renameFields(required, p2l))
 
   override def toBatch: Batch = this
 
@@ -747,7 +821,9 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
               Some(Decimal(new java.math.BigDecimal(s)))
             case _ => None
           }
-          out.put(Expressions.column(f.name), new ColumnStatistics {
+          // keyed by the LOGICAL name: transformV2Stats matches these
+          // references against the scan's output attributes by name
+          out.put(Expressions.column(lOf(f.name)), new ColumnStatistics {
             override def distinctCount(): OptionalLong =
               OptionalLong.of(get("ndv").get.toLong)
             override def nullCount(): OptionalLong =
@@ -2006,6 +2082,83 @@ private[graft] object LakehouseBatch {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
+  }
+
+  // ——— RENAME COLUMN boundary translation ———
+  //
+  // A renamed column keeps its PHYSICAL (creation) name in every
+  // committed parquet file, zone-map manifest, bloom set,
+  // equality-delete key set and metadata checkpoint — none of those
+  // are rewritten by a rename, so every layer below the catalog
+  // boundary stays in physical names and remains self-consistent. The
+  // catalog presents the LOGICAL name; these helpers translate exactly
+  // once at the scan/write boundary. All relabeling is POSITIONAL
+  // (names only — types and order untouched), so no data moves.
+
+  /** Relabel physical→logical for presentation (identity when the
+    * mapping is empty — the overwhelmingly common case costs nothing).
+    */
+  def renameFields(schema: StructType,
+      p2l: Map[String, String]): StructType =
+    if (p2l.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      ciLookup(p2l, f.name).map(l => f.copy(name = l)).getOrElse(f)))
+
+  /** Relabel a LOGICAL-named schema back to physical names. */
+  def physicalSchema(schema: StructType,
+      l2p: Map[String, String]): StructType = renameFields(schema, l2p)
+
+  /** Rename a DataFrame's logical columns to their physical names
+    * before a write — by NAME, not position, so it serves both
+    * contract-ordered inserts and user-ordered path writes.
+    */
+  def toPhysicalDf(df: org.apache.spark.sql.DataFrame,
+      l2p: Map[String, String]): org.apache.spark.sql.DataFrame =
+    if (l2p.isEmpty) df
+    else df.toDF(df.columns.toIndexedSeq.map(c =>
+      ciLookup(l2p, c).getOrElse(c)): _*)
+
+  /** Case-insensitive map lookup (Spark's default resolution rule). */
+  def ciLookup(m: Map[String, String], n: String): Option[String] =
+    m.get(n).orElse(
+      m.collectFirst { case (k, v) if k.equalsIgnoreCase(n) => v })
+
+  /** Rewrite a pushed filter's attribute names through `ren` (l2p on
+    * the way in, p2l for explain on the way out). None = a node shape
+    * this translator doesn't know that REFERENCES a renamed column —
+    * dropped from pushdown (Spark re-applies every filter post-scan,
+    * so dropping only loses skipping, never rows).
+    */
+  def renameFilter(f: Filter,
+      m: Map[String, String]): Option[Filter] = {
+    def r(n: String): String = ciLookup(m, n).getOrElse(n)
+    f match {
+      case EqualTo(c, v) => Some(EqualTo(r(c), v))
+      case EqualNullSafe(c, v) => Some(EqualNullSafe(r(c), v))
+      case GreaterThan(c, v) => Some(GreaterThan(r(c), v))
+      case GreaterThanOrEqual(c, v) => Some(GreaterThanOrEqual(r(c), v))
+      case LessThan(c, v) => Some(LessThan(r(c), v))
+      case LessThanOrEqual(c, v) => Some(LessThanOrEqual(r(c), v))
+      case In(c, vs) => Some(In(r(c), vs))
+      case IsNull(c) => Some(IsNull(r(c)))
+      case IsNotNull(c) => Some(IsNotNull(r(c)))
+      case StringStartsWith(c, v) => Some(StringStartsWith(r(c), v))
+      case StringEndsWith(c, v) => Some(StringEndsWith(r(c), v))
+      case StringContains(c, v) => Some(StringContains(r(c), v))
+      case And(l, rt) => for (a <- renameFilter(l, m);
+        b <- renameFilter(rt, m)) yield And(a, b)
+      case Or(l, rt) => for (a <- renameFilter(l, m);
+        b <- renameFilter(rt, m)) yield Or(a, b)
+      case Not(x) => renameFilter(x, m).map(Not)
+      case AlwaysTrue() => Some(f)
+      case AlwaysFalse() => Some(f)
+      case other =>
+        // unknown node: keep it only if none of its references need
+        // translation (then it's already correct in physical space)
+        if (other.references.forall(n => ciLookup(m, n).isEmpty))
+          Some(other)
+        else None
+    }
   }
 
   /** Is this filter usable for file skipping (zone-map-covered simple

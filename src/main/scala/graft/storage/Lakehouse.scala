@@ -2970,9 +2970,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * table's skipping axis is its partition filter).
     */
   def compactZOrder(name: String, numFiles: Int, zCols: Seq[String],
-      bits: Int = 8): Unit = {
-    val schema = Schemas.byName.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown table: $name"))
+      bits: Int = 8): Unit =
+    compactZOrderAs(name, Schemas.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table: $name")),
+      numFiles, zCols, bits)
+
+  /** [[compactZOrder]] with an explicit contract — the SQL procedure's
+    * entry for catalog tables (their schema lives in `_GRAFT_SCHEMA`,
+    * not the static [[Schemas.byName]] registry).
+    */
+  def compactZOrderAs(name: String, schema: StructType, numFiles: Int,
+      zCols: Seq[String], bits: Int = 8): Unit = {
     require(readSchema(name, schema) == schema,
       s"compactZOrder does not support partitioned table $name")
     val (raw, basis) = readRootsWithBasis(name, schema)

@@ -179,13 +179,90 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM graft.mart.t10 WHERE score >= 7.0")
       .head().getLong(0) == 6L)
-    // data-losing ALTERs are refused, not mangled (DROP COLUMN is
-    // supported separately — it is contract-narrowing, not data-losing)
-    intercept[Exception](
-      spark.sql("ALTER TABLE graft.mart.t10 RENAME COLUMN v TO w"))
+    // data-losing ALTERs are refused, not mangled (DROP and RENAME
+    // COLUMN are supported separately — contract narrowing/relabel,
+    // not data-losing)
     intercept[Exception](
       spark.sql("ALTER TABLE graft.mart.t10 ALTER COLUMN k TYPE INT"))
     spark.sql("DROP TABLE graft.mart.t10")
+  }
+
+  test("ALTER TABLE RENAME COLUMN relabels the contract; committed " +
+    "generations keep serving under the new name") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t30")
+    spark.sql("CREATE TABLE graft.mart.t30 (k BIGINT, amt DECIMAL(18,2)," +
+      " tag STRING)")
+    spark.sql("INSERT INTO graft.mart.t30 SELECT id, " +
+      "CAST(id * 1.5 AS DECIMAL(18,2)), concat('t', id) FROM range(0, 20)")
+    spark.sql("ALTER TABLE graft.mart.t30 RENAME COLUMN amt TO amount")
+    // pure relabel: the contract shows the new name, the PRE-RENAME
+    // generation's values serve under it (files were not touched)
+    assert(spark.table("graft.mart.t30").schema.fieldNames.toSeq ==
+      Seq("k", "amount", "tag"))
+    intercept[Exception](
+      spark.sql("SELECT amt FROM graft.mart.t30").collect())
+    assert(spark.sql("SELECT CAST(sum(amount) AS LONG) " +
+      "FROM graft.mart.t30").head().getLong(0) ==
+      (0L until 20L).map(i => i * 15 / 10.0).sum.toLong)
+    // the schema FILE stays physical; the mapping carries the relabel
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val persisted = GraftCatalog.readSchema(fs,
+      new org.apache.hadoop.fs.Path(s"$root/mart/t30", "_GRAFT_SCHEMA"))
+    assert(persisted.fieldNames.toSeq == Seq("k", "amt", "tag"),
+      "rename must not rewrite the physical schema file")
+    // post-rename INSERT binds the LOGICAL name and lands PHYSICAL
+    spark.sql("INSERT INTO graft.mart.t30 SELECT id, " +
+      "CAST(id * 1.5 AS DECIMAL(18,2)), concat('t', id) FROM range(20, 30)")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t30 " +
+      "WHERE amount IS NOT NULL").head().getLong(0) == 30L,
+      "old and new generations must serve one merged column")
+    // rename CHAIN re-resolves through the current logical name
+    spark.sql("ALTER TABLE graft.mart.t30 RENAME COLUMN amount TO total")
+    assert(spark.sql("SELECT CAST(sum(total) AS LONG) " +
+      "FROM graft.mart.t30").head().getLong(0) > 0L)
+    // …and renaming BACK to the physical name clears the mapping
+    spark.sql("ALTER TABLE graft.mart.t30 RENAME COLUMN total TO amt")
+    val props = GraftCatalog.readProps(fs,
+      new org.apache.hadoop.fs.Path(s"$root/mart/t30", "_GRAFT_PROPS"))
+    assert(!props.contains("graft.renamedColumns"),
+      s"rename-back must clear the mapping, got $props")
+    spark.sql("ALTER TABLE graft.mart.t30 RENAME COLUMN amt TO amount")
+    // refusals: duplicate logical, occupied physical, forged mapping
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t30 RENAME COLUMN tag TO amount"))
+    intercept[Exception](spark.sql( // k's physical name is live in files
+      "ALTER TABLE graft.mart.t30 RENAME COLUMN tag TO k"))
+    val eAmt = intercept[Exception](spark.sql( // amount's OWN physical
+      "ALTER TABLE graft.mart.t30 RENAME COLUMN tag TO amt"))
+    assert(eAmt.getMessage.contains("physical"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t30 SET TBLPROPERTIES" +
+        "('graft.renamedColumns'='amt:stolen')"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t30 UNSET TBLPROPERTIES" +
+        "('graft.renamedColumns')"))
+    // ADD COLUMN may not occupy a live physical name either
+    val eAdd = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t30 ADD COLUMN amt STRING"))
+    assert(eAdd.getMessage.contains("physical"))
+    // path-based reads of the catalog dir present the LOGICAL contract
+    val byPath = spark.read.format("graft.sources.LakehouseBatchProvider")
+      .load(s"$root/mart/t30")
+    assert(byPath.schema.fieldNames.toSeq == Seq("k", "amount", "tag"))
+    assert(byPath.agg(sum("amount")).head().getDecimal(0) != null)
+    // path-based writes bind logical and land physical
+    byPath.limit(0).sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1000L,
+        new java.math.BigDecimal("9.99"), "fresh")),
+      spark.table("graft.mart.t30").schema)
+      .write.format("graft.sources.LakehouseBatchProvider")
+      .mode("append").save(s"$root/mart/t30")
+    assert(spark.sql("SELECT tag FROM graft.mart.t30 WHERE k = 1000")
+      .head().getString(0) == "fresh")
+    spark.sql("DROP TABLE graft.mart.t30")
   }
 
   test("ALTER TABLE DROP COLUMN narrows the contract; re-ADD is gated " +
@@ -236,6 +313,100 @@ class GraftCatalogSpec extends SparkSpec {
         "('graft.droppedColumns')"))
     spark.sql("DROP TABLE graft.mart.t20")
     spark.sql("DROP TABLE graft.mart.t20p")
+  }
+
+  test("renamed columns keep zone-map pruning, aggregate pushdown and " +
+    "row-level DML (the physical manifests never went stale)") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t31")
+    spark.sql("CREATE TABLE graft.mart.t31 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.mart.t31 SELECT id, id * 10 " +
+      "FROM range(0, 4000)")
+    spark.sql("ALTER TABLE graft.mart.t31 RENAME COLUMN v TO val")
+    // maintenance procedures accept the LOGICAL name and cluster the
+    // physical column — the rewrite's zone maps stay keyed physical
+    spark.sql("CALL graft.system.zorder('mart', 't31', 8, 'val')")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM graft.mart.t31 WHERE val < 400")
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      .getOrElse(fail(s"no file-count marker in plan:\n$plan"))
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"filter on the renamed column pruned nothing: ${m.matched}")
+    assert(q.head().getLong(0) == 40L)
+    // complete aggregate pushdown folds the physical manifests and
+    // answers under the logical name
+    val agg = spark.sql(
+      "SELECT count(*) AS n, min(val) AS lo, max(val) AS hi " +
+        "FROM graft.mart.t31")
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      s"metadata aggregate must push:\n${agg.queryExecution.executedPlan}")
+    val ar = agg.head()
+    assert(ar.getLong(0) == 4000L && ar.getLong(1) == 0L &&
+      ar.getLong(2) == 39990L)
+    // row-level DML addresses the renamed column in conditions,
+    // assignments and MERGE actions
+    spark.sql("UPDATE graft.mart.t31 SET val = val + 1 WHERE val = 0")
+    assert(spark.sql("SELECT val FROM graft.mart.t31 WHERE k = 0")
+      .head().getLong(0) == 1L)
+    spark.sql("DELETE FROM graft.mart.t31 WHERE val = 3990") // pushed
+    spark.sql("DELETE FROM graft.mart.t31 WHERE pmod(val, 1000) = 730" +
+      " AND val > 3000") // arbitrary predicate → command path
+    // val = 10·k, so the modular delete hits 3730, 4730 … 39730 = 37 rows
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t31")
+      .head().getLong(0) == 4000L - 1L - 37L)
+    spark.sql("SELECT id AS k2, id * 100 AS nv FROM range(3, 5)")
+      .createOrReplaceTempView("t31_src")
+    spark.sql("""MERGE INTO graft.mart.t31 t USING t31_src s
+      ON t.k = s.k2
+      WHEN MATCHED THEN UPDATE SET val = s.nv
+      WHEN NOT MATCHED THEN INSERT (k, val) VALUES (s.k2, s.nv)""")
+    assert(spark.sql("SELECT sum(val) FROM graft.mart.t31 " +
+      "WHERE k IN (3, 4)").head().getLong(0) == 700L)
+    // merge-on-read: the DV delta path reads the same physical space
+    spark.sql("ALTER TABLE graft.mart.t31 SET TBLPROPERTIES " +
+      "('graft.deleteMode' = 'mor')")
+    spark.sql("DELETE FROM graft.mart.t31 WHERE val = 3980")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t31 " +
+      "WHERE val IN (3980, 3990)").head().getLong(0) == 0L)
+    spark.sql("DROP TABLE graft.mart.t31")
+  }
+
+  test("RENAME COLUMN composes with DROP/ADD: tombstones gate the " +
+    "PHYSICAL name; layout-bearing columns refuse the rename") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t32")
+    spark.sql("CREATE TABLE graft.mart.t32 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mart.t32 SELECT id, concat('v', id) " +
+      "FROM range(0, 10)")
+    spark.sql("ALTER TABLE graft.mart.t32 RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE graft.mart.t32 ADD COLUMN extra BIGINT")
+    spark.sql("ALTER TABLE graft.mart.t32 DROP COLUMN val")
+    // the dropped column's PHYSICAL name (v) carries the tombstone:
+    // re-adding IT is gated while pre-drop files are live…
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.mart.t32 ADD COLUMN v STRING"))
+    assert(e.getMessage.contains("resurrect"))
+    // …but the LOGICAL name points at no committed bytes — free
+    spark.sql("ALTER TABLE graft.mart.t32 ADD COLUMN val STRING")
+    assert(spark.sql("SELECT count(val) FROM graft.mart.t32")
+      .head().getLong(0) == 0L,
+      "re-added logical name must not resurrect the renamed bytes")
+    // layout-bearing columns refuse the rename, like DROP
+    spark.sql("CREATE TABLE graft.mart.t32p (k BIGINT, day INT) " +
+      "PARTITIONED BY (day)")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t32p RENAME COLUMN day TO d"))
+    spark.sql("CREATE TABLE graft.mart.t32b (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.bloomColumns' = 'v')")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t32b RENAME COLUMN v TO w"))
+    spark.sql("DROP TABLE graft.mart.t32")
+    spark.sql("DROP TABLE graft.mart.t32p")
+    spark.sql("DROP TABLE graft.mart.t32b")
   }
 
   test("TBLPROPERTIES persist; graft.cdf opts SQL DELETE into the feed") {
@@ -431,6 +602,56 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.mart.t16")
       .head().getLong(0) == 20L)
     spark.sql("DROP TABLE graft.mart.t16")
+  }
+
+  test("renamed columns serve the change feed and the streaming source " +
+    "under their logical names") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t33")
+    spark.sql("CREATE TABLE graft.mart.t33 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.cdf' = 'true')")
+    spark.sql("INSERT INTO graft.mart.t33 SELECT id, concat('v', id) " +
+      "FROM range(0, 10)")
+    spark.sql("ALTER TABLE graft.mart.t33 RENAME COLUMN v TO label")
+    spark.sql("INSERT INTO graft.mart.t33 SELECT id, concat('v', id) " +
+      "FROM range(10, 20)")
+    // streaming source first (the CoW delete below FULL-rewrites the
+    // chain — a fresh stream cannot replay GC'd versions, by contract):
+    // logical binding over physically-named files
+    val out = tmpDir("t33-out")
+    val q = spark.readStream.table("graft.mart.t33")
+      .filter(col("label").startsWith("v1"))
+      .select("k", "label")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("t33-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L +: (10L until 20L)).sorted,
+      s"streamed rows wrong: $got")
+    val preDelete = new graft.storage.Lakehouse(spark, s"$root/mart")
+      .versions("t33").map(_._1).max
+    spark.sql("DELETE FROM graft.mart.t33 WHERE k < 3")
+    // batch CDF read binds the LOGICAL schema; the feed files (written
+    // physical, pre- and post-rename) relabel positionally. The range
+    // covers only the delete — its FULL rewrite GC'd the shadowed
+    // insert versions (reading across them is correctly loud).
+    import org.apache.spark.sql.types._
+    val cdf = spark.read.format("graft.sources.LakehouseBatchProvider")
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("label", StringType),
+        StructField("_change_type", StringType))))
+      .option("changesFrom", preDelete.toString).load(s"$root/mart/t33")
+    val dels = cdf.filter(col("_change_type") === "delete")
+      .select("k", "label").collect()
+    assert(dels.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(dels.forall(r => r.getString(1) == s"v${r.getLong(0)}"),
+      "delete pre-images must carry the renamed column's values")
+    spark.sql("DROP TABLE graft.mart.t33")
   }
 
   test("readStream.table streams a catalog table's commit log by name") {
