@@ -1877,6 +1877,104 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           count(*) AS n, sum(okey) AS key_sum, count(tag) AS tagged,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graftq99.q99.fact GROUP BY 1""")
+    }),
+
+    // q100 — RENAME COLUMN end-to-end: slices 0/1 land under the
+    // CREATE-time name, the column is renamed (metadata-only — the
+    // physical name in every committed file and manifest never
+    // changes), slice 2 lands bound to the LOGICAL name, a pushed
+    // DELETE and a command-path UPDATE address it, and a second rename
+    // re-resolves through the chain. The oracle recomputes the
+    // surviving rows arithmetically — an engine that nulled the old
+    // generations under the new name (the naive-rename failure mode),
+    // mis-addressed the DML predicate, or broke zone-map/stat keying
+    // after the relabel mismatches n/key_sum/amt_sum.
+    "q100_rename_column" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q100")
+      s.conf.set("spark.sql.catalog.graftq100",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq100.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q100_ord")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq100.q100")
+      s.sql("DROP TABLE IF EXISTS graftq100.q100.fact")
+      s.sql("""CREATE TABLE graftq100.q100.fact (
+          okey BIGINT, odate DATE, amt DECIMAL(18,2))""")
+      def ins(k: Int, col: String): Unit = s.sql(
+        s"""INSERT INTO graftq100.q100.fact (okey, odate, $col)
+          SELECT o_orderkey, o_orderdate,
+            CAST(o_totalprice AS DECIMAL(18,2))
+          FROM q100_ord WHERE o_orderkey % 3 = $k""")
+      ins(0, "amt")
+      ins(1, "amt")
+      s.sql("ALTER TABLE graftq100.q100.fact RENAME COLUMN amt TO amount")
+      require(scala.util.Try(
+        s.sql("SELECT amt FROM graftq100.q100.fact").collect()).isFailure,
+        "the physical name must stop resolving after the rename")
+      ins(2, "amount")
+      // pushed-filter DELETE and command-path UPDATE address the
+      // renamed column; both run against the physical snapshot
+      s.sql("DELETE FROM graftq100.q100.fact WHERE amount < 10000.00")
+      s.sql("""UPDATE graftq100.q100.fact SET amount = amount + 1
+        WHERE okey % 10 = 0""")
+      // rename CHAIN: the second relabel resolves through the first
+      s.sql("ALTER TABLE graftq100.q100.fact RENAME COLUMN amount " +
+        "TO order_value")
+      s.sql("""SELECT CAST(month(odate) AS BIGINT) AS order_month,
+          count(*) AS n, sum(okey) AS key_sum,
+          CAST(sum(order_value) AS DOUBLE) AS amt_sum
+        FROM graftq100.q100.fact GROUP BY 1""")
+    }),
+
+    // q101 — ALTER COLUMN TYPE widening end-to-end: slices 0/1 land
+    // under the NARROW contract (INT count, DECIMAL(12,2) price), both
+    // columns widen (metadata-only — committed files keep the narrow
+    // encoding and every reader adapts per file from its footer),
+    // slice 2 lands with values only the WIDE types can hold, and
+    // UPDATE/DELETE predicates cross both generations. The oracle
+    // recomputes arithmetically — an engine that mis-decoded the
+    // narrow files under the wide contract (the vectorized widening
+    // updaters / the row path's primitive-aware decode), dropped rows,
+    // or broke the DML read path mismatches qty_sum/amt_sum.
+    "q101_type_widening" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q101")
+      s.conf.set("spark.sql.catalog.graftq101",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq101.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q101_ord")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq101.q101")
+      s.sql("DROP TABLE IF EXISTS graftq101.q101.fact")
+      s.sql("""CREATE TABLE graftq101.q101.fact (
+          okey BIGINT, odate DATE, qty INT, price DECIMAL(12,2))""")
+      def ins(k: Int, wide: Boolean): Unit = s.sql(
+        s"""INSERT INTO graftq101.q101.fact
+          SELECT o_orderkey, o_orderdate,
+            CAST(o_custkey AS ${if (wide) "BIGINT" else "INT"})${
+          if (wide) " + 5000000000" else ""},
+            CAST(o_totalprice AS DECIMAL(${if (wide) 18 else 12},2))
+          FROM q101_ord WHERE o_orderkey % 3 = $k""")
+      ins(0, wide = false)
+      ins(1, wide = false)
+      // narrowing and non-widening conversions refuse loudly
+      require(scala.util.Try(s.sql(
+        "ALTER TABLE graftq101.q101.fact ALTER COLUMN okey TYPE INT"))
+        .isFailure, "narrowing must be refused")
+      s.sql("ALTER TABLE graftq101.q101.fact ALTER COLUMN qty TYPE BIGINT")
+      s.sql("ALTER TABLE graftq101.q101.fact ALTER COLUMN price " +
+        "TYPE DECIMAL(18,2)")
+      ins(2, wide = true)
+      s.sql("""UPDATE graftq101.q101.fact
+        SET price = price + CAST(0.50 AS DECIMAL(18,2))
+        WHERE qty >= 5000000000""")
+      s.sql("DELETE FROM graftq101.q101.fact WHERE pmod(qty, 7) = 3")
+      s.sql("""SELECT CAST(month(odate) AS BIGINT) AS order_month,
+          count(*) AS n, sum(okey) AS key_sum,
+          CAST(sum(qty) AS BIGINT) AS qty_sum,
+          CAST(sum(price) AS DOUBLE) AS amt_sum
+        FROM graftq101.q101.fact GROUP BY 1""")
     })
   )
 
@@ -2215,6 +2313,47 @@ SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
   CAST(count(tag) AS BIGINT) AS tagged,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
 FROM final GROUP BY 1""",
+    // the rename is a pure relabel: content = all slices, minus the
+    // pushed DELETE's < 10000 band, with the UPDATE's +1 on %10 keys
+    "q100_rename_column" ->
+      """WITH base AS (
+  SELECT o_orderkey, o_orderdate,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders
+), survivors AS (
+  SELECT * FROM base WHERE NOT amt < CAST(10000.00 AS DECIMAL(18,2))
+)
+SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CASE WHEN o_orderkey % 10 = 0
+       THEN amt + CAST(1 AS DECIMAL(18,2)) ELSE amt END) AS DOUBLE)
+    AS amt_sum
+FROM survivors GROUP BY 1""",
+    // widening is metadata-only: content = narrow slices as written,
+    // wide slice shifted by 5e9, the UPDATE's +0.50 on wide rows, the
+    // modular DELETE across both generations
+    "q101_type_widening" ->
+      """WITH base AS (
+  SELECT o_orderkey, o_orderdate, CAST(o_custkey AS BIGINT) AS qty,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT o_orderkey, o_orderdate, o_custkey + 5000000000,
+    CAST(o_totalprice AS DECIMAL(18,2))
+  FROM orders WHERE o_orderkey % 3 = 2
+), upd AS (
+  SELECT o_orderkey, o_orderdate, qty,
+    CASE WHEN qty >= 5000000000
+      THEN price + CAST(0.50 AS DECIMAL(18,2)) ELSE price END AS price
+  FROM base
+), surv AS (SELECT * FROM upd WHERE qty % 7 <> 3)
+SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(qty) AS BIGINT) AS qty_sum,
+  CAST(sum(price) AS DOUBLE) AS amt_sum
+FROM surv GROUP BY 1""",
     // rollback restores the full pre-delete content
     "q66_restore" -> sliceOracle("TRUE"),
     // both generations serve the same logical content: earlier slices

@@ -626,6 +626,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             .isEmpty,
             s"cannot drop $dname with live equality-delete tombstones " +
               "(their key sets address columns by name) — compact first")
+          // a FULL rewrite in flight read its frame under the wide
+          // contract and would carry the dropped bytes into its output
+          // — refuse while its intent is fresh (the rewrite's own
+          // pre-marker contract check covers the other interleaving)
+          require(!lake.maintenanceIntentOutstanding(ident.name),
+            s"cannot drop $dname: a full rewrite (compact/zorder/" +
+              "overwrite) is in flight on ${ident.name} and would " +
+              "carry the dropped column's bytes — retry after it " +
+              "completes")
           schema = StructType(
             schema.fields.filterNot(_.name.equalsIgnoreCase(pname)))
           schemaDirty = true
@@ -644,6 +653,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         schema = StructType(schema.fields.map(f =>
           if (target.exists(f.name.equalsIgnoreCase))
             f.withComment(c.newComment) else f))
+        schemaDirty = true
+
+      case w: TableChange.UpdateColumnType =>
+        // ALTER COLUMN … TYPE — WIDENING conversions only (Delta's
+        // type-widening shape): the contract takes the wide type,
+        // committed files keep their written (narrow) encoding, and
+        // every reader adapts per file from its footer schema — the
+        // vectorized path through Spark's own widening updaters
+        // (IntegerToLong/IntegerToDouble/FloatToDouble/…ToDecimal),
+        // the row path through primitive-aware Group decoding. Zone
+        // maps stay sound unchanged: the skip compare and the pushed
+        // MIN/MAX fold bridge narrow stat values and wide literals
+        // through exact BigDecimal comparison, and the folded result
+        // widens before the Catalyst conversion. Narrowing (or any
+        // conversion outside the set) would silently corrupt committed
+        // generations — refused.
+        require(w.fieldNames.length == 1,
+          "graft ALTER TABLE retypes top-level columns only " +
+            s"(got ${w.fieldNames.mkString(".")})")
+        val wf = fieldOf(w.fieldNames()(0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no such column: ${w.fieldNames()(0)}"))
+        import org.apache.spark.sql.types._
+        val widens = (wf.dataType, w.newDataType()) match {
+          case (IntegerType, LongType) => true
+          case (IntegerType, DoubleType) => true
+          case (FloatType, DoubleType) => true
+          case (d1: DecimalType, d2: DecimalType) =>
+            d1.scale == d2.scale && d2.precision > d1.precision
+          case _ => false
+        }
+        require(widens,
+          s"ALTER COLUMN ${w.fieldNames()(0)} TYPE ${w.newDataType().sql}:" +
+            s" only WIDENING conversions are supported (INT→BIGINT, " +
+            "INT→DOUBLE, FLOAT→DOUBLE, DECIMAL(p,s)→DECIMAL(p+,s)) — " +
+            s"the column is ${wf.dataType.sql}, and anything else would " +
+            "corrupt committed generations (add a column + backfill " +
+            "instead)")
+        // layout-bearing columns derive persisted artifacts from the
+        // VALUE REPRESENTATION: bucket ids hash the catalyst value
+        // (murmur3(int) ≠ murmur3(long)), bloom filters hash it too —
+        // a widen would silently unmoor both. Same refusal as DROP.
+        val wspecs = props.get(GraftCatalog.PartitionProp)
+          .map(PartSpec.parseList).getOrElse(Nil)
+        require(!wspecs.exists {
+          case IdentitySpec(cn) => cn.equalsIgnoreCase(wf.name)
+          case BucketSpec(_, cn) => cn.equalsIgnoreCase(wf.name)
+        }, s"cannot widen ${w.fieldNames()(0)}: it keys the partition " +
+          s"spec '${props(GraftCatalog.PartitionProp)}'")
+        require(!props.get(GraftCatalog.BloomColumnsProp).exists(
+          _.split(",").map(_.trim).exists(_.equalsIgnoreCase(wf.name))),
+          s"cannot widen ${w.fieldNames()(0)}: it carries bloom " +
+            "filters (unset graft.bloomColumns first)")
+        // live equality-delete key sets hold values of the NARROW type
+        // — a wide probe would never match them (silent resurrection).
+        // Compact first (folds the masks in), like DROP.
+        val wlake = new Lakehouse(spark, dir.getParent.toString)
+        val wvs = wlake.versions(ident.name)
+        val whead = wvs.map(_._1).maxOption.getOrElse(0L)
+        val wfull = wvs.filter(_._2).map(_._1).maxOption.getOrElse(0L)
+        require(wlake.equalityDeleteVersions(ident.name, wfull, whead)
+          .isEmpty,
+          s"cannot widen ${w.fieldNames()(0)} with live equality-delete " +
+            "tombstones (their key sets hold the narrow type) — " +
+            "compact first")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(wf.name))
+            f.copy(dataType = w.newDataType()) else f))
         schemaDirty = true
 
       case rn: TableChange.RenameColumn =>
@@ -780,8 +857,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else fs.delete(dir, true)
   }
 
-  override def renameTable(old: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE")
+  /** `ALTER TABLE … RENAME TO …` — one directory rename IS the whole
+    * operation (the table's identity is its directory; every commit,
+    * manifest and checkpoint inside moves with it, and none of them
+    * embed the table path). A crashed RTAS swap on either name is
+    * healed first so the rename never moves a half-published
+    * generation. Writers racing the rename fail loudly on their next
+    * commit (their claimed dirs vanish from under them) — the same
+    * contract as DROP TABLE racing a writer. Path-based readers
+    * pinned to the old directory break by design: a rename is a
+    * catalog-identity change.
+    */
+  override def renameTable(old: Identifier, to: Identifier): Unit = {
+    healSwap(old)
+    healSwap(to)
+    if (!tableExists(old)) throw new NoSuchTableException(old)
+    if (tableExists(to) || viewExists(to))
+      throw new TableAlreadyExistsException(to)
+    require(namespaceExists(to.namespace),
+      s"target namespace ${to.namespace.mkString(".")} must exist")
+    check(to.name)
+    require(fs.rename(tablePath(old), tablePath(to)),
+      s"rename ${old.name} -> ${to.name} failed")
+  }
 
   // ——— SQL views: CREATE/DROP/ALTER/RENAME VIEW, SHOW VIEWS ———
   //
@@ -907,6 +1005,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.map(_.render)
   }
 
+  /** The contract state a full rewrite must hold still under: schema
+    * file + the engine-managed props. Captured by the maintenance
+    * procedures at entry and re-checked PRE-MARKER (beforeCommit), so a
+    * DDL landing mid-rewrite aborts the rewrite cleanly instead of the
+    * rewrite silently resurrecting dropped bytes / flattening a spec.
+    * With the DDL side refusing while a fresh full intent is
+    * outstanding, the remaining window is the instants between this
+    * check and the marker rename — no IO happens between them.
+    */
+  private def contractFingerprint(ns: String, t: String): String = {
+    val sf = new Path(nsPath(Array(ns)), new Path(t, GraftCatalog.SchemaFile))
+    val pf = new Path(nsPath(Array(ns)), new Path(t, GraftCatalog.PropsFile))
+    val schemaJson = GraftCatalog.readSchema(fs, sf).json
+    val keep =
+      if (!fs.exists(pf)) Nil
+      else GraftCatalog.readProps(fs, pf).toSeq
+        .filter(_._1.startsWith("graft.")).sorted
+    schemaJson + "|" + keep.mkString(",")
+  }
+
   private def tablePartCols(ns: String, t: String): Seq[String] = {
     val p = new Path(nsPath(Array(ns)), new Path(t, GraftCatalog.PropsFile))
     if (!fs.exists(p)) Nil
@@ -976,14 +1094,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 // re-establishes the exact keyed layout (identity
                 // values / bucket ids) rather than a sampled range
                 // split
+                val cfp = contractFingerprint(ns, t)
                 lake.compact(t, tableSchema(ns, t), args.getInt(2),
                   colSeq, keyedCols =
-                    colSeq.nonEmpty && colSeq == tablePartCols(ns, t))
+                    colSeq.nonEmpty && colSeq == tablePartCols(ns, t),
+                  beforeCommit = () =>
+                    require(contractFingerprint(ns, t) == cfp,
+                      s"$ns.$t: the table contract changed under this " +
+                        "compact (ALTER TABLE raced the rewrite) — " +
+                        "the rewrite aborts; retry"))
               case "zorder" =>
+                val zfp = contractFingerprint(ns, t)
                 lake.compactZOrderAs(t, tableSchema(ns, t), args.getInt(2),
                   physSpecs(ns, t, args.getUTF8String(3).toString
                     .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-                    .map(c => IdentitySpec(c): PartSpec)))
+                    .map(c => IdentitySpec(c): PartSpec)),
+                  beforeCommit = () =>
+                    require(contractFingerprint(ns, t) == zfp,
+                      s"$ns.$t: the table contract changed under this " +
+                        "zorder (ALTER TABLE raced the rewrite) — " +
+                        "the rewrite aborts; retry"))
               case "vacuum" =>
                 // NOT the zero-grace lake above: with gcGraceMs=0 the
                 // horizon is `now`, making every idle staging dir —
@@ -1608,9 +1738,37 @@ private[sources] class GraftTable(path: String, tableName: String,
           .map(_.toInt).getOrElse(SparkSession.active.conf
             .get("spark.sql.shuffle.partitions").toInt)
         // rendered specs: a bucket table's auto-compact re-clusters by
-        // bucket id, keeping the SPJ key report through maintenance
-        lake.compact(t, tschema, files, rewriteSpecs,
-          keyedCols = rewriteSpecs.nonEmpty)
+        // bucket id, keeping the SPJ key report through maintenance.
+        // The same pre-marker contract check as CALL compact: this
+        // table handle's tschema/props were captured at load time and
+        // a DDL may have landed since (or land mid-fold).
+        def fp(): String = {
+          val fsys = new Path(path).getFileSystem(
+            SparkSession.active.sparkContext.hadoopConfiguration)
+          val sf = new Path(path, GraftCatalog.SchemaFile)
+          val pf = new Path(path, GraftCatalog.PropsFile)
+          GraftCatalog.readSchema(fsys, sf).json + "|" +
+            (if (!fsys.exists(pf)) ""
+             else GraftCatalog.readProps(fsys, pf).toSeq
+               .filter(_._1.startsWith("graft.")).sorted.mkString(","))
+        }
+        val fp0 = fp()
+        // a DDL since this handle loaded: SKIP the inline fold (the
+        // INSERT itself already committed — the next insert through a
+        // fresh handle compacts), never fail the insert. Same rule for
+        // a DDL landing MID-fold: the pre-marker check aborts the
+        // rewrite cleanly and the insert's caller is not punished for
+        // maintenance that will simply run next time.
+        if (fp0.split('|').head == tschema.json)
+          try lake.compact(t, tschema, files, rewriteSpecs,
+            keyedCols = rewriteSpecs.nonEmpty,
+            beforeCommit = () => require(fp() == fp0,
+              s"graft.$tableName: contract changed under auto-compact"))
+          catch {
+            case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("contract changed under") => ()
+          }
       }
     }
 }

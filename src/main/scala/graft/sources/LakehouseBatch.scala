@@ -2351,7 +2351,20 @@ private[graft] object LakehouseBatch {
           else if (kind == "min") vals.reduce((a, b) =>
             if (compareValues(a, b) <= 0) a else b)
           else vals.reduce((a, b) => if (compareValues(a, b) >= 0) a else b)
-        conv.createToCatalystConverter(full(c).dataType)(folded)
+        // type WIDENING: stats recorded before ALTER COLUMN TYPE hold
+        // the narrow JVM type — widen before the Catalyst conversion
+        // (whose converters are exact-typed). Decimal stays as-is:
+        // widening preserves the scale and the converter re-scales.
+        val widened = (folded, full(c).dataType) match {
+          case (i: java.lang.Integer, LongType) =>
+            java.lang.Long.valueOf(i.longValue)
+          case (i: java.lang.Integer, DoubleType) =>
+            java.lang.Double.valueOf(i.doubleValue)
+          case (x: java.lang.Float, DoubleType) =>
+            java.lang.Double.valueOf(x.doubleValue)
+          case _ => folded
+        }
+        conv.createToCatalystConverter(full(c).dataType)(widened)
     }
   }
 }

@@ -395,7 +395,11 @@ private[sources] class LakehouseGroupReader(
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
         new Path(partition.file))
       .withConf(conf)
-    LakehouseStream.toParquetPredicate(filters, schema, presentNames) match {
+    LakehouseStream.toParquetPredicate(filters, schema, presentNames,
+      c => if (fileSchema.containsField(c))
+        Some(fileSchema.getType(fileSchema.getFieldIndex(c))
+          .asPrimitiveType().getPrimitiveTypeName)
+      else None) match {
       case Some(p) => b.withFilter(
         org.apache.parquet.filter2.compat.FilterCompat.get(p)).build()
       case None => b.build()
@@ -639,10 +643,19 @@ private[graft] object LakehouseStream {
       dt: DataType): Any = {
     if (!gt.containsField(name)) return null
     val idx = gt.getFieldIndex(name)
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def prim = gt.getType(idx).asPrimitiveType().getPrimitiveTypeName
     if (g.getFieldRepetitionCount(idx) == 0) null
     else dt match {
+      // type WIDENING (ALTER COLUMN TYPE): files written before the
+      // widen keep the narrow encoding — decode by the FILE's
+      // primitive, emit the contract's type (mirrors the vectorized
+      // reader's IntegerToLong/FloatToDouble/… updaters)
+      case LongType if prim == INT32 => g.getInteger(idx, 0).toLong
       case LongType => g.getLong(idx, 0)
       case IntegerType => g.getInteger(idx, 0)
+      case DoubleType if prim == FLOAT => g.getFloat(idx, 0).toDouble
+      case DoubleType if prim == INT32 => g.getInteger(idx, 0).toDouble
       case DoubleType => g.getDouble(idx, 0)
       case FloatType => g.getFloat(idx, 0)
       case BooleanType => g.getBoolean(idx, 0)
@@ -671,15 +684,40 @@ private[graft] object LakehouseStream {
     */
   def toParquetPredicate(
       filters: Array[org.apache.spark.sql.sources.Filter],
-      schema: StructType, presentCols: Set[String])
+      schema: StructType, presentCols: Set[String],
+      filePrim: String =>
+        Option[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] =
+        _ => None)
       : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
     import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
     import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import org.apache.spark.sql.sources._
 
     def colType(c: String): Option[DataType] =
       if (!presentCols.contains(c)) None
       else schema.fields.find(_.name == c).map(_.dataType)
+        .filter { dt =>
+          // type WIDENING: a file written before ALTER COLUMN TYPE
+          // carries the narrow physical encoding — a predicate typed by
+          // the (wide) contract would make parquet throw. Translate
+          // only when the file's primitive matches the contract's
+          // expectation; otherwise the conjunct stays a post-scan
+          // residual (exactness never depends on the parquet cut).
+          val expected: Option[PrimitiveTypeName] = dt match {
+            case LongType => Some(PrimitiveTypeName.INT64)
+            case IntegerType => Some(PrimitiveTypeName.INT32)
+            case DoubleType => Some(PrimitiveTypeName.DOUBLE)
+            case FloatType => Some(PrimitiveTypeName.FLOAT)
+            case StringType => Some(PrimitiveTypeName.BINARY)
+            case BooleanType => Some(PrimitiveTypeName.BOOLEAN)
+            case _ => None
+          }
+          (filePrim(c), expected) match {
+            case (Some(actual), Some(exp)) => actual == exp
+            case _ => true // unknown file layout: legacy call shape
+          }
+        }
 
     // comparison builder per supported physical type; None = untranslatable
     def cmp(c: String, v: Any,

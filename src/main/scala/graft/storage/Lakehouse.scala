@@ -2901,6 +2901,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       sortCols: Seq[String]): Unit =
     compactImpl(name, schema, schema.fieldNames.toSeq, numFiles, sortCols)
 
+  /** Any FRESH, uncommitted full-rewrite intent outstanding on `name`?
+    * The catalog's contract-changing DDL (DROP COLUMN) refuses while
+    * one is live: the rewrite read its frame under the wide contract
+    * and would carry the dropped bytes into its output (the other half
+    * of the race — the rewrite aborting when the contract changed
+    * under it — is the maintenance procedures' beforeCommit check).
+    */
+  def maintenanceIntentOutstanding(name: String): Boolean = {
+    val dest = new Path(tablePath(name))
+    val committed = versionDirs(dest).flatMap { case (v, p) =>
+      commitKind(p).map(_ => v) }.toSet
+    freshFullIntentOutside(dest, Lakehouse.ReadBasis(
+      committed.maxOption.getOrElse(0L), committed)).isDefined
+  }
+
   /** [[compact]] (schema-explicit) with `keyedCols` selecting the exact
     * one-file-per-key layout for `PARTITIONED BY` columns (see
     * [[Clustering.byPartitionKeys]]) instead of a sampled range split.
@@ -2910,9 +2925,21 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     compactImpl(name, schema, schema.fieldNames.toSeq, numFiles, sortCols,
       keyedCols)
 
+  /** [[compact]] with a pre-marker hook — the catalog's maintenance
+    * procedures pass their contract-fingerprint check here, so a DDL
+    * racing the rewrite aborts it cleanly instead of the rewrite
+    * committing stale-contract bytes.
+    */
+  def compact(name: String, schema: StructType, numFiles: Int,
+      sortCols: Seq[String], keyedCols: Boolean,
+      beforeCommit: () => Unit): Unit =
+    compactImpl(name, schema, schema.fieldNames.toSeq, numFiles, sortCols,
+      keyedCols, beforeCommit)
+
   private def compactImpl(name: String, full: StructType,
       contractCols: Seq[String], numFiles: Int,
-      sortCols: Seq[String], keyedCols: Boolean = false): Unit = {
+      sortCols: Seq[String], keyedCols: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Unit = {
     // a standing maintenance job may tick before the table's first
     // append — nothing to fold is a no-op, not an error
     if (!exists(name)) return
@@ -2943,7 +2970,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       if (partCols.nonEmpty) Nil
       else if (keyedCols) clusterStatNames(sortCols)
       else sortCols
-    overwritePartitioned(name, clustered, partCols, statsCols = stats,
+    overwritePartitioned(name, clustered, partCols, beforeCommit,
+      statsCols = stats,
       readBasis = Some(basis),
       changeData = Some(emptyChangeData(full, contractCols)))
   }
@@ -2980,7 +3008,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * not the static [[Schemas.byName]] registry).
     */
   def compactZOrderAs(name: String, schema: StructType, numFiles: Int,
-      zCols: Seq[String], bits: Int = 8): Unit = {
+      zCols: Seq[String], bits: Int = 8,
+      beforeCommit: () => Unit = () => ()): Unit = {
     require(readSchema(name, schema) == schema,
       s"compactZOrder does not support partitioned table $name")
     val (raw, basis) = readRootsWithBasis(name, schema)
@@ -2988,7 +3017,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")
-    overwritePartitioned(name, clustered, Nil, statsCols = zCols,
+    overwritePartitioned(name, clustered, Nil, beforeCommit,
+      statsCols = zCols,
       readBasis = Some(basis),
       changeData = Some(emptyChangeData(schema, schema.fieldNames.toSeq)))
   }

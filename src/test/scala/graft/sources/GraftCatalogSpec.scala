@@ -374,6 +374,89 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t31")
   }
 
+  test("ALTER COLUMN TYPE widens: committed narrow files serve under " +
+    "the wide contract; metadata pushdown bridges the generations") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t34")
+    spark.sql("CREATE TABLE graft.mart.t34 (k BIGINT, cnt INT, " +
+      "ratio FLOAT, amt DECIMAL(9,2))")
+    spark.sql("INSERT INTO graft.mart.t34 SELECT id, CAST(id AS INT), " +
+      "CAST(id / 2.0 AS FLOAT), CAST(id AS DECIMAL(9,2)) " +
+      "FROM range(0, 1000)")
+    // zone maps recorded under the NARROW type (the pre-widen layout)
+    spark.sql("CALL graft.system.zorder('mart', 't34', 4, 'cnt')")
+    spark.sql("ALTER TABLE graft.mart.t34 ALTER COLUMN cnt TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.mart.t34 ALTER COLUMN ratio TYPE DOUBLE")
+    spark.sql("ALTER TABLE graft.mart.t34 ALTER COLUMN amt " +
+      "TYPE DECIMAL(18,2)")
+    import org.apache.spark.sql.types._
+    assert(spark.table("graft.mart.t34").schema.fields.map(_.dataType)
+      .toSeq == Seq(LongType, LongType, DoubleType, DecimalType(18, 2)))
+    // the narrow generation serves under the wide contract (vectorized
+    // widening decode), and values survive exactly
+    assert(spark.sql("SELECT sum(cnt) FROM graft.mart.t34")
+      .head().getLong(0) == (0L until 1000L).sum)
+    assert(spark.sql("SELECT CAST(sum(ratio) AS LONG) " +
+      "FROM graft.mart.t34").head().getLong(0) ==
+      ((0 until 1000).map(_ / 2.0).sum).toLong)
+    // complete MIN/MAX pushdown folds the NARROW stat rows (the
+    // pre-widen zorder zone maps) into WIDE answers — the metadata
+    // fold crosses the type boundary without reading data
+    val agg = spark.sql("SELECT min(cnt) AS lo, max(cnt) AS hi " +
+      "FROM graft.mart.t34")
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      s"widened MIN/MAX must still push:\n${agg.queryExecution.executedPlan}")
+    val ar = agg.head()
+    assert(ar.getLong(0) == 0L && ar.getLong(1) == 999L)
+    // a value only the WIDE type can hold lands next to narrow files
+    spark.sql("INSERT INTO graft.mart.t34 VALUES " +
+      "(9999, 4000000000, 1.5, CAST(12345678901.25 AS DECIMAL(18,2)))")
+    assert(spark.sql("SELECT cnt FROM graft.mart.t34 WHERE k = 9999")
+      .head().getLong(0) == 4000000000L)
+    assert(spark.sql("SELECT max(cnt) FROM graft.mart.t34")
+      .head().getLong(0) == 4000000000L)
+    // zone-map skipping with a LONG literal over INT-typed stats
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM graft.mart.t34 WHERE cnt < 100")
+    val plan = q.queryExecution.executedPlan.toString
+    val mm = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      .getOrElse(fail(s"no file-count marker in plan:\n$plan"))
+    assert(mm.group(1).toInt < mm.group(2).toInt,
+      s"narrow zone maps must still cut files: ${mm.matched}")
+    assert(q.head().getLong(0) == 100L)
+    // row-level DML through the wide contract over narrow files
+    spark.sql("UPDATE graft.mart.t34 SET cnt = cnt + 1 WHERE k = 0")
+    assert(spark.sql("SELECT cnt FROM graft.mart.t34 WHERE k = 0")
+      .head().getLong(0) == 1L)
+    spark.sql("DELETE FROM graft.mart.t34 WHERE cnt = 500")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t34")
+      .head().getLong(0) == 1000L)
+    // refusals: narrowing, non-widening, layout-bearing columns
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t34 ALTER COLUMN k TYPE INT"))
+    intercept[Exception](spark.sql( // scale change is NOT a widen
+      "ALTER TABLE graft.mart.t34 ALTER COLUMN amt TYPE DECIMAL(18,4)"))
+    spark.sql("CREATE TABLE graft.mart.t34p (k BIGINT, day INT) " +
+      "PARTITIONED BY (day)")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t34p ALTER COLUMN day TYPE BIGINT"))
+    // widen COMPOSES with rename: the logical name resolves, the
+    // physical file keeps narrow bytes under the old name
+    spark.sql("ALTER TABLE graft.mart.t34 ADD COLUMN small INT")
+    spark.sql("INSERT INTO graft.mart.t34 VALUES " +
+      "(10000, 1, 1.0, CAST(1 AS DECIMAL(18,2)), 7)")
+    spark.sql("ALTER TABLE graft.mart.t34 RENAME COLUMN small TO tiny")
+    spark.sql("ALTER TABLE graft.mart.t34 ALTER COLUMN tiny TYPE BIGINT")
+    assert(spark.sql("SELECT tiny FROM graft.mart.t34 WHERE k = 10000")
+      .head().getLong(0) == 7L)
+    assert(spark.sql("SELECT sum(cnt) FROM graft.mart.t34 WHERE k < 10")
+      .head().getLong(0) == (1L until 10L).sum + 1L)
+    spark.sql("DROP TABLE graft.mart.t34")
+    spark.sql("DROP TABLE graft.mart.t34p")
+  }
+
   test("RENAME COLUMN composes with DROP/ADD: tombstones gate the " +
     "PHYSICAL name; layout-bearing columns refuse the rename") {
     init()
@@ -407,6 +490,93 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t32")
     spark.sql("DROP TABLE graft.mart.t32p")
     spark.sql("DROP TABLE graft.mart.t32b")
+  }
+
+  test("DROP COLUMN vs in-flight compaction: the DDL refuses under a " +
+    "fresh full intent; a contract change aborts the rewrite pre-marker") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t35")
+    spark.sql("CREATE TABLE graft.mart.t35 (k BIGINT, v STRING, " +
+      "tag STRING)")
+    spark.sql("INSERT INTO graft.mart.t35 SELECT id, concat('v', id), " +
+      "concat('t', id) FROM range(0, 20)")
+    spark.sql("INSERT INTO graft.mart.t35 SELECT id, concat('v', id), " +
+      "concat('t', id) FROM range(20, 40)")
+    val lake = new graft.storage.Lakehouse(spark, s"$root/mart")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // (a) DDL side: a fresh uncommitted full intent (an in-flight
+    // compact/zorder/overwrite) refuses the drop
+    val intent = new org.apache.hadoop.fs.Path(s"$root/mart/t35",
+      "_GRAFT_FULL_INTENT_99")
+    fs.create(intent, true).close()
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.mart.t35 DROP COLUMN tag"))
+    assert(e.getMessage.contains("in flight"))
+    fs.delete(intent, false)
+    // (b) the SAME gate serializes a DDL issued while a rewrite's
+    // intent is live mid-write: inside the rewrite's window the drop
+    // is refused — and the rewrite side's pre-marker fingerprint check
+    // (covering the land-before-intent interleaving) aborts the
+    // rewrite cleanly, chain untouched
+    val versionsBefore = lake.versions("t35")
+    val schema = spark.table("graft.mart.t35").schema
+    intercept[IllegalArgumentException](
+      lake.compact("t35", schema, 2, Seq("k"), keyedCols = false,
+        beforeCommit = () => {
+          val mid = intercept[Exception](
+            spark.sql("ALTER TABLE graft.mart.t35 DROP COLUMN tag"))
+          assert(mid.getMessage.contains("in flight"),
+            s"mid-rewrite DDL must hit the intent gate: $mid")
+          // simulate the land-before-intent interleaving: the
+          // procedure's fingerprint check sees a changed contract
+          throw new IllegalArgumentException(
+            "contract changed under compact")
+        }))
+    assert(lake.versions("t35") == versionsBefore,
+      "an aborted rewrite must leave the commit chain untouched")
+    // with no rewrite in flight the drop proceeds
+    spark.sql("ALTER TABLE graft.mart.t35 DROP COLUMN tag")
+    assert(spark.table("graft.mart.t35").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    spark.sql("CALL graft.system.compact('mart', 't35', 2, 'k')")
+    spark.sql("ALTER TABLE graft.mart.t35 ADD COLUMN tag STRING")
+    assert(spark.sql("SELECT count(tag) FROM graft.mart.t35")
+      .head().getLong(0) == 0L,
+      "no pre-drop bytes may resurface through the re-added name")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t35")
+      .head().getLong(0) == 40L)
+    spark.sql("DROP TABLE graft.mart.t35")
+  }
+
+  test("ALTER TABLE RENAME TO moves the table identity; the commit " +
+    "chain and every manifest move with it") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t36")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t36renamed")
+    spark.sql("CREATE TABLE graft.mart.t36 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.mart.t36 SELECT id, concat('v', id) " +
+      "FROM range(0, 25)")
+    spark.sql("ALTER TABLE graft.mart.t36 RENAME TO mart.t36renamed")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t36renamed")
+      .head().getLong(0) == 25L)
+    intercept[Exception](
+      spark.sql("SELECT count(*) FROM graft.mart.t36").collect())
+    // DML and maintenance keep working on the new identity
+    spark.sql("DELETE FROM graft.mart.t36renamed WHERE k < 5")
+    spark.sql("CALL graft.system.compact('mart', 't36renamed', 2, 'k')")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t36renamed")
+      .head().getLong(0) == 20L)
+    // refusals: target exists / missing source
+    spark.sql("CREATE TABLE graft.mart.t36other (k BIGINT)")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t36renamed RENAME TO mart.t36other"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.nope RENAME TO mart.whatever"))
+    spark.sql("DROP TABLE graft.mart.t36renamed")
+    spark.sql("DROP TABLE graft.mart.t36other")
   }
 
   test("TBLPROPERTIES persist; graft.cdf opts SQL DELETE into the feed") {
