@@ -1975,6 +1975,47 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           CAST(sum(qty) AS BIGINT) AS qty_sum,
           CAST(sum(price) AS DOUBLE) AS amt_sum
         FROM graftq101.q101.fact GROUP BY 1""")
+    }),
+
+    // q102 — bin-packing small-file compaction (`CALL pack`): ten
+    // small delta commits plus a merge-on-read DELETE's deletion
+    // vector fold into ONE rewrite commit — never a FULL (the require
+    // pins the commit kind), so at 100 TB the standing compaction
+    // prices exactly the small-file debt, not the table. Survivors
+    // materialize THROUGH the DV masks; an engine that resurrected
+    // masked rows, dropped live ones, or folded across the mask
+    // boundary wrong mismatches n/key_sum/amt_sum.
+    "q102_pack_small_files" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q102")
+      s.conf.set("spark.sql.catalog.graftq102",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq102.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q102_ord")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq102.q102")
+      s.sql("DROP TABLE IF EXISTS graftq102.q102.fact")
+      s.sql("""CREATE TABLE graftq102.q102.fact (
+          okey BIGINT, odate DATE, amt DECIMAL(18,2))
+          TBLPROPERTIES ('graft.deleteMode' = 'mor')""")
+      (0 until 10).foreach { k =>
+        s.sql(s"""INSERT INTO graftq102.q102.fact
+          SELECT o_orderkey, o_orderdate,
+            CAST(o_totalprice AS DECIMAL(18,2))
+          FROM q102_ord WHERE o_orderkey % 10 = $k""")
+      }
+      s.sql("DELETE FROM graftq102.q102.fact WHERE okey % 7 = 0")
+      val lake = new Lakehouse(s, dir.resolve("lake/q102").toString)
+      val before = lake.versions("fact")
+      s.sql("CALL graftq102.system.pack('q102', 'fact', 16, 128)")
+      val after = lake.versions("fact")
+      require(after.size == before.size + 1 && after.forall(!_._2),
+        s"pack must land ONE rewrite commit, never a FULL: " +
+          s"$before -> $after")
+      s.sql("""SELECT CAST(month(odate) AS BIGINT) AS order_month,
+          count(*) AS n, sum(okey) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graftq102.q102.fact GROUP BY 1""")
     })
   )
 
@@ -2354,6 +2395,14 @@ SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
   CAST(sum(qty) AS BIGINT) AS qty_sum,
   CAST(sum(price) AS DOUBLE) AS amt_sum
 FROM surv GROUP BY 1""",
+    // packing is byte-level maintenance: logical content = all rows
+    // minus the MoR delete
+    "q102_pack_small_files" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
     // rollback restores the full pre-delete content
     "q66_restore" -> sliceOracle("TRUE"),
     // both generations serve the same logical content: earlier slices

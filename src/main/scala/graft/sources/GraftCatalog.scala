@@ -1068,6 +1068,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               ProcedureParameter.in("namespace", StringType).build(),
               ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("threshold", DoubleType).build())
+            case "pack" => Array(
+              ProcedureParameter.in("namespace", StringType).build(),
+              ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("small_mb", IntegerType).build(),
+              ProcedureParameter.in("target_mb", IntegerType).build())
             case "stage_branch" => Array(
               ProcedureParameter.in("namespace", StringType).build(),
               ProcedureParameter.in("table", StringType).build(),
@@ -1139,6 +1144,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               case "rewrite_deletes" =>
                 lake.rewriteDeletes(t, tableSchema(ns, t),
                   args.getDouble(2))
+              // bin-packing small-file compaction as a REWRITE commit
+              // (never a FULL): files under small_mb fold toward
+              // target_mb outputs — per partition key on clustered
+              // tables, so the layout and its SPJ key proof survive.
+              // At 100 TB this is the standing compaction shape: a
+              // pack prices exactly the small-file debt, not the
+              // table. Same pre-marker contract-fingerprint check as
+              // CALL compact (a racing DDL aborts the rewrite).
+              case "pack" =>
+                val pfp = contractFingerprint(ns, t)
+                lake.packSmallFiles(t, tableSchema(ns, t),
+                  args.getInt(2).toLong * 1024 * 1024,
+                  args.getInt(3).toLong * 1024 * 1024,
+                  clusterSpecs = tablePartCols(ns, t),
+                  beforeCommit = () =>
+                    require(contractFingerprint(ns, t) == pfp,
+                      s"$ns.$t: the table contract changed under this " +
+                        "pack (ALTER TABLE raced the rewrite) — " +
+                        "the rewrite aborts; retry"))
               // write-audit-publish as SQL: stage a query's result on a
               // branch (invisible to readers), audit it via
               // `VERSION AS OF 'branch:<b>'`, then publish or discard.
@@ -1247,7 +1271,7 @@ private[graft] object GraftCatalog {
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch",
-      "rewrite_deletes", "checkpoint")
+      "rewrite_deletes", "checkpoint", "pack")
 
   /** Heal grace for RTAS swap journals (`spark.graft.swapGraceMs`) and
     * default reclaim grace for `CALL graft.system.vacuum`

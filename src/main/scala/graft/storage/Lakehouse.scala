@@ -2175,12 +2175,43 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       beforeCommit: () => Unit = () => ()): Seq[String] = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
+    rewriteImpl(name, schema, threshold, None, statsCols, Nil,
+      beforeCommit)
+  }
+
+  /** Bin-packing small-file compaction as a REWRITE commit (never a
+    * FULL): files under `smallBytes` fold into ~`targetBytes` outputs
+    * (per partition key when `clusterSpecs` name the table's layout),
+    * committed through the SAME masked-rewrite protocol as
+    * [[rewriteDeletes]] — whole-file DV sidecars kill the originals,
+    * survivors materialize through every mask above them, and the
+    * full/mask race checks apply unchanged. At 100 TB this is the ONLY
+    * affordable standing compaction: a FULL rewrite prices the whole
+    * table, a pack prices exactly the small-file debt. Selected files
+    * that also carry deletions fold their masks in for free.
+    */
+  def packSmallFiles(name: String, schema: StructType,
+      smallBytes: Long, targetBytes: Long,
+      statsCols: Seq[String] = Nil,
+      clusterSpecs: Seq[String] = Nil,
+      beforeCommit: () => Unit = () => ()): Seq[String] = {
+    require(smallBytes > 0 && targetBytes >= smallBytes,
+      s"need 0 < smallBytes <= targetBytes: $smallBytes/$targetBytes")
+    rewriteImpl(name, schema, /* never triggers */ 2.0,
+      Some((smallBytes, targetBytes)), statsCols, clusterSpecs,
+      beforeCommit)
+  }
+
+  private def rewriteImpl(name: String, schema: StructType,
+      threshold: Double, packing: Option[(Long, Long)],
+      statsCols: Seq[String], clusterSpecs: Seq[String],
+      beforeCommit: () => Unit): Seq[String] = {
     require(exists(name), s"no such table: $name")
     val dest = new Path(tablePath(name))
     val (roots, rwBasis) = liveRootsAndBasis(name)
     val dvs: Seq[(Long, Map[String, String])] =
       roots.map(r => (rootVersion(r), dvIndex(r))).filter(_._2.nonEmpty)
-    if (dvs.isEmpty) return Nil
+    if (dvs.isEmpty && packing.isEmpty) return Nil
     // per-DV-commit deleted counts from the `_dv_counts` index (header
     // reads only for legacy commits) — the selection loop below must
     // not pay a per-sidecar RPC per candidate file
@@ -2230,8 +2261,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         }
       r -> m
     }.toMap
-    // (root, rootVersion, path, rows) per selected file
-    val selected: Seq[(String, Long, Path, Long)] = for {
+    // (root, rootVersion, path, rows, bytes) per selected file
+    val selected: Seq[(String, Long, Path, Long, Long)] = for {
       r <- roots
       rv = rootVersion(r)
       st <- listDataFilesIn(new Path(r))
@@ -2239,7 +2270,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         w > rv && names(st.getPath.getName) }
       applicable = dvs.filter(_._1 > rv)
         .filter(_._2.contains(st.getPath.getName))
-      if applicable.nonEmpty
+      small = packing.exists(st.getLen < _._1)
+      if applicable.nonEmpty || small
       rows = rowsByRoot(r).getOrElse(st.getPath.getName, {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(st.getPath, conf)
@@ -2250,9 +2282,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       deleted = math.min(rows, applicable.map { case (w, _) =>
         dvCounts(w).getOrElse(st.getPath.getName, 0L)
       }.sum)
-      if deleted >= threshold * rows
-    } yield (r, rv, st.getPath, rows)
+      if deleted >= threshold * rows || small
+    } yield (r, rv, st.getPath, rows, st.getLen)
     if (selected.isEmpty) return Nil
+    // packing one lone small file into one file is a permanent no-op
+    // loop (its replacement stays small and re-selects forever) —
+    // require actual folding unless a deletes-threshold file qualifies
+    if (packing.isDefined && selected.size < 2) return Nil
     val survivors = selected.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (root, files) =>
         val rv = files.head._2
@@ -2269,6 +2305,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }.reduce(_ unionByName _)
     val replaced = selected.map(_._3.getName)
+    val outFiles = packing match {
+      case Some((_, target)) =>
+        math.max(1, math.ceil(
+          selected.map(_._5).sum.toDouble / target).toInt)
+      case None => math.max(1, selected.size / 2)
+    }
     val vdir = writeVersion(name, Lakehouse.Protocol.MarkerRewrite,
       () => {
         beforeCommit()
@@ -2283,11 +2325,23 @@ final class Lakehouse(val spark: SparkSession, val root: String,
               "after the compaction lands")
         }
       }) { p =>
-      // survivor count tracks the masked remainder — one file unless
-      // the rewrite folds many originals (then keep their count)
-      survivors.coalesce(math.max(1, selected.size / 2))
-        .write.mode("overwrite").parquet(p)
-      writeStats(p, statsCols)
+      // survivor shaping: a PACK of a spec-clustered table re-routes
+      // by the table's partition specs (the one-file-per-key / bucket
+      // layout and its zone maps SURVIVE packing — the SPJ key proof
+      // included); otherwise coalesce toward the byte target (pack)
+      // or the masked remainder (deletes rewrite)
+      val shaped =
+        if (clusterSpecs.nonEmpty)
+          Clustering.bySpecs(spark, survivors,
+            clusterSpecs.map(graft.sources.PartSpec.parse),
+            Clustering.DefaultMaxKeys)
+        else survivors.coalesce(outFiles)
+      shaped.write.mode("overwrite").parquet(p)
+      writeStats(p,
+        if (clusterSpecs.nonEmpty)
+          graft.sources.PartSpec.statNames(
+            clusterSpecs.map(graft.sources.PartSpec.parse))
+        else statsCols)
       DvSidecar.writeWholeFileSidecars(fs,
         new Path(p, Lakehouse.Protocol.DvDir),
         selected.map(t => (t._3.getName, t._4)))

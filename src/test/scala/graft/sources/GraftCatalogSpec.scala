@@ -550,6 +550,59 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t35")
   }
 
+  test("CALL pack folds small files through a REWRITE commit — never " +
+    "a FULL — and respects masks and partition layouts") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t37")
+    spark.sql("CREATE TABLE graft.mart.t37 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.deleteMode' = 'mor')")
+    (0 until 6).foreach { i =>
+      spark.sql(s"INSERT INTO graft.mart.t37 SELECT id, " +
+        s"concat('v', id) FROM range(${i * 50}, ${i * 50 + 50})")
+    }
+    // a MoR delete's DV masks fold into the pack for free
+    spark.sql("DELETE FROM graft.mart.t37 WHERE k % 10 = 0")
+    val lake = new graft.storage.Lakehouse(spark, s"$root/mart")
+    val versionsBefore = lake.versions("t37").size
+    val expect = spark.sql("SELECT sum(k) FROM graft.mart.t37")
+      .head().getLong(0)
+    spark.sql("CALL graft.system.pack('mart', 't37', 10, 128)")
+    val vs = lake.versions("t37")
+    assert(vs.size == versionsBefore + 1,
+      s"pack must land ONE rewrite commit: $vs")
+    assert(vs.forall(!_._2), s"pack must never commit a FULL: $vs")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t37")
+      .head().getLong(0) == 300L - 30L)
+    assert(spark.sql("SELECT sum(k) FROM graft.mart.t37")
+      .head().getLong(0) == expect,
+      "packed content must equal the masked pre-pack content")
+    // re-packing the lone packed output would loop forever — no-op
+    spark.sql("CALL graft.system.pack('mart', 't37', 10, 128)")
+    assert(lake.versions("t37").size == versionsBefore + 1,
+      "a second pack with nothing to fold must commit nothing")
+    // partitioned table: the pack re-clusters by the table's specs, so
+    // partition pruning (and the layout proof) survive
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t37p")
+    spark.sql("CREATE TABLE graft.mart.t37p (k BIGINT, day INT) " +
+      "PARTITIONED BY (day)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft.mart.t37p SELECT id, " +
+        s"CAST(id % 4 AS INT) FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    spark.sql("CALL graft.system.pack('mart', 't37p', 10, 128)")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM graft.mart.t37p WHERE day = 2")
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      .getOrElse(fail(s"no file-count marker in plan:\n$plan"))
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"partition pruning must survive the pack: ${m.matched}")
+    assert(q.head().getLong(0) == 100L)
+    spark.sql("DROP TABLE graft.mart.t37")
+    spark.sql("DROP TABLE graft.mart.t37p")
+  }
+
   test("ALTER TABLE RENAME TO moves the table identity; the commit " +
     "chain and every manifest move with it") {
     init()
