@@ -2016,6 +2016,55 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           count(*) AS n, sum(okey) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graftq102.q102.fact GROUP BY 1""")
+    }),
+
+    // q103 — enforced CHECK constraints end-to-end: ADD validates the
+    // existing rows (a violating table refuses), a violating INSERT
+    // and a violating UPDATE both abort with NOTHING landed (the
+    // requires pin commit-chain length), a valid UPDATE passes the
+    // guard, DROP CONSTRAINT re-opens the gate and the previously
+    // refused rows land. The oracle recomputes the surviving state —
+    // an engine that half-landed a refused write, skipped the guard on
+    // a path, or validated the wrong frame mismatches n/amt_sum.
+    "q103_check_constraints" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q103")
+      s.conf.set("spark.sql.catalog.graftq103",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq103.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q103_ord")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq103.q103")
+      s.sql("DROP TABLE IF EXISTS graftq103.q103.fact")
+      s.sql("""CREATE TABLE graftq103.q103.fact (
+          okey BIGINT, odate DATE, amt DECIMAL(18,2))""")
+      def ins(k: Int, sign: String): Unit = s.sql(
+        s"""INSERT INTO graftq103.q103.fact
+          SELECT o_orderkey, o_orderdate,
+            ${sign}CAST(o_totalprice AS DECIMAL(18,2))
+          FROM q103_ord WHERE o_orderkey % 3 = $k""")
+      ins(0, "")
+      ins(1, "")
+      s.sql("ALTER TABLE graftq103.q103.fact " +
+        "ADD CONSTRAINT pos CHECK (amt > 0)")
+      val lake = new Lakehouse(s, dir.resolve("lake/q103").toString)
+      val vsBefore = lake.versions("fact").size
+      require(scala.util.Try(ins(2, "-")).isFailure,
+        "a violating INSERT must be refused")
+      require(scala.util.Try(s.sql(
+        """UPDATE graftq103.q103.fact SET amt = -amt
+          WHERE okey % 11 = 0""")).isFailure,
+        "a violating UPDATE must be refused")
+      require(lake.versions("fact").size == vsBefore,
+        "refused writes must commit NOTHING")
+      s.sql("""UPDATE graftq103.q103.fact
+        SET amt = amt + CAST(10 AS DECIMAL(18,2)) WHERE okey % 11 = 0""")
+      s.sql("ALTER TABLE graftq103.q103.fact DROP CONSTRAINT pos")
+      ins(2, "-") // the gate re-opened
+      s.sql("""SELECT CAST(month(odate) AS BIGINT) AS order_month,
+          count(*) AS n, sum(okey) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM graftq103.q103.fact GROUP BY 1""")
     })
   )
 
@@ -2403,6 +2452,31 @@ FROM surv GROUP BY 1""",
   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
 FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
+    // constraint lifecycle: slices 0/1 with the valid UPDATE's +10 on
+    // %11 keys, slice 2 negated (inserted after DROP CONSTRAINT); the
+    // refused writes contributed NOTHING
+    "q103_check_constraints" ->
+      """WITH s01 AS (
+  SELECT o_orderkey, o_orderdate,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+), upd AS (
+  SELECT o_orderkey, o_orderdate,
+    CASE WHEN o_orderkey % 11 = 0
+      THEN amt + CAST(10 AS DECIMAL(18,2)) ELSE amt END AS amt
+  FROM s01
+), s2 AS (
+  SELECT o_orderkey, o_orderdate,
+    -CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders WHERE o_orderkey % 3 = 2
+), allrows AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM s2
+)
+SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(amt) AS DOUBLE) AS amt_sum
+FROM allrows GROUP BY 1""",
     // rollback restores the full pre-delete content
     "q66_restore" -> sliceOracle("TRUE"),
     // both generations serve the same logical content: earlier slices

@@ -52,6 +52,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
+  // ALTER TABLE ADD/DROP CONSTRAINT parse through to alterTable only
+  // when the catalog declares the capability
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   // ——— FunctionCatalog: the V2 `bucket` transform function ———
   // Storage-partitioned joins over bucket-partitioned tables need the
   // catalog to resolve `bucket(n, col)` so Spark can prove both scans'
@@ -526,7 +531,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case (p, l) if p.equalsIgnoreCase(phys) => l }.getOrElse(phys))
     def fieldOf(logical: String): Option[StructField] =
       schema.fields.find(f => logicalOf(f.name).equalsIgnoreCase(logical))
+    // LOGICAL column names a CHECK constraint's predicate references —
+    // the DROP/RENAME guards below keep every persisted predicate
+    // resolvable against the contract
+    def checkRefs(sql: String): Seq[String] =
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => a.nameParts.head
+      }.toSeq
+    def checksReferencing(logical: String): Seq[String] =
+      props.toSeq.collect {
+        case (k, sql) if k.startsWith(GraftCatalog.CheckPropPrefix) &&
+          checkRefs(sql).exists(_.equalsIgnoreCase(logical)) =>
+          k.stripPrefix(GraftCatalog.CheckPropPrefix)
+      }
     changes.foreach {
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          val key = GraftCatalog.CheckPropPrefix +
+            c.name().toLowerCase(java.util.Locale.ROOT)
+          require(!props.contains(key),
+            s"constraint ${c.name()} already exists")
+          val sql = Option(c.predicateSql()).filter(_.nonEmpty)
+            .getOrElse(throw new IllegalArgumentException(
+              s"CHECK constraint ${c.name()} carries no SQL predicate"))
+          // every referenced column must exist in the LOGICAL contract
+          val refs = checkRefs(sql)
+          require(refs.nonEmpty,
+            s"CHECK (${sql}) references no columns — a constant " +
+              "constraint is a mistake, not a contract")
+          refs.foreach(rc => require(fieldOf(rc).isDefined,
+            s"CHECK constraint ${c.name()} references unknown column " +
+              s"$rc"))
+          // Delta's ADD CONSTRAINT contract: existing rows must already
+          // satisfy the predicate (NULL passes, SQL-standard CHECK) —
+          // one validation scan at DDL time, loud refusal otherwise
+          val live = spark.read
+            .format("graft.sources.LakehouseBatchProvider")
+            .load(dir.toString)
+          val violations = live.filter(
+            !org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.expr(sql).cast("boolean"),
+              org.apache.spark.sql.functions.lit(true))).limit(1).count()
+          require(violations == 0L,
+            s"cannot add CHECK constraint ${c.name()}: existing rows " +
+              s"violate ($sql) — clean the data first")
+          props += (key -> sql); propsDirty = true
+        case other => throw new UnsupportedOperationException(
+          s"graft enforces CHECK constraints only; ${other.toDDL} is " +
+            "informational in this engine — record it as a table " +
+            "comment instead")
+      }
+      case dc: TableChange.DropConstraint =>
+        require(dc.mode() != TableChange.DropConstraint.Mode.CASCADE,
+          "DROP CONSTRAINT CASCADE: nothing depends on a CHECK here — " +
+            "use RESTRICT")
+        val key = GraftCatalog.CheckPropPrefix +
+          dc.name().toLowerCase(java.util.Locale.ROOT)
+        require(props.contains(key) || dc.ifExists(),
+          s"no such constraint: ${dc.name()}")
+        props -= key; propsDirty = true
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft ALTER TABLE adds top-level columns only " +
@@ -630,6 +694,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // contract and would carry the dropped bytes into its output
           // — refuse while its intent is fresh (the rewrite's own
           // pre-marker contract check covers the other interleaving)
+          require(checksReferencing(dname).isEmpty,
+            s"cannot drop $dname: CHECK constraint(s) " +
+              s"${checksReferencing(dname).mkString(", ")} reference " +
+              "it — DROP CONSTRAINT first")
           require(!lake.maintenanceIntentOutstanding(ident.name),
             s"cannot drop $dname: a full rewrite (compact/zorder/" +
               "overwrite) is in flight on ${ident.name} and would " +
@@ -771,6 +839,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           _.split(",").map(_.trim).exists(_.equalsIgnoreCase(f.name))),
           s"cannot rename $from: it carries bloom filters " +
             "(unset graft.bloomColumns first)")
+        require(checksReferencing(from).isEmpty,
+          s"cannot rename $from: CHECK constraint(s) " +
+            s"${checksReferencing(from).mkString(", ")} reference it " +
+            "by name — DROP CONSTRAINT, rename, re-ADD")
         val next =
           if (newName == f.name) renames - f.name // renamed back
           else renames + (f.name -> newName)
@@ -817,6 +889,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${GraftCatalog.RenamedColumnsProp} is managed by " +
             "ALTER TABLE RENAME COLUMN — setting it by hand would " +
             "silently remap committed generations")
+        require(!p.property.startsWith(GraftCatalog.CheckPropPrefix),
+          s"${p.property} is managed by ALTER TABLE ADD CONSTRAINT — " +
+            "setting it by hand would skip the existing-row validation")
         props += (p.property -> p.value); propsDirty = true
       case p: TableChange.RemoveProperty =>
         require(p.property != GraftCatalog.DroppedColumnsProp,
@@ -827,6 +902,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${GraftCatalog.RenamedColumnsProp} is managed by " +
             "ALTER TABLE RENAME COLUMN — unsetting it would snap " +
             "every renamed column back to its physical name")
+        require(!p.property.startsWith(GraftCatalog.CheckPropPrefix),
+          s"${p.property} is managed by ALTER TABLE DROP CONSTRAINT — " +
+            "unsetting it by hand would silently stop enforcement")
         // UNSET of the partition spec is a STRUCTURAL change (new
         // inserts would silently stop clustering over committed
         // `_gbk` generations, and the bucket-count-only gate above
@@ -1258,6 +1336,14 @@ private[graft] object GraftCatalog {
     * COLUMN; SET/UNSET of this property is refused.
     */
   val RenamedColumnsProp = "graft.renamedColumns"
+  /** `ALTER TABLE ADD CONSTRAINT <name> CHECK (<sql>)` persists as
+    * `graft.check.<name> = <predicate sql>` — ENFORCED on every write
+    * surface (Spark's own ResolveTableConstraints covers the insert
+    * paths from [[GraftTable.constraints]]; the DML commands carry the
+    * predicate into their post-image projections). Managed exclusively
+    * by ALTER TABLE ADD/DROP CONSTRAINT.
+    */
+  val CheckPropPrefix = "graft.check."
   /** physical → logical (exact-case names as persisted). */
   private[graft] def parseRenames(props: Map[String, String])
       : Map[String, String] =
@@ -1526,6 +1612,32 @@ private[sources] class GraftTable(path: String, tableName: String,
     */
   private[sources] def renamedCols: Map[String, String] =
     GraftCatalog.parseRenames(props)
+
+  /** Persisted CHECK constraints (`graft.check.<name>`), reported
+    * ENFORCED + VALID: Spark's ResolveTableConstraints injects the
+    * predicates into the insert paths' write projections, and the DML
+    * commands carry them into their post-image frames — every write
+    * surface validates single-pass. VALID because ADD CONSTRAINT
+    * scanned the existing rows before persisting.
+    */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    checkConstraints.map { case (n, sql) =>
+      Constraint.check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .rely(true).build(): Constraint
+    }.toArray
+  }
+
+  /** (name, logical-space predicate sql) per persisted CHECK. */
+  private[sources] def checkConstraints: Seq[(String, String)] =
+    props.toSeq
+      .filter(_._1.startsWith(GraftCatalog.CheckPropPrefix))
+      .sortBy(_._1)
+      .map { case (k, sql) =>
+        (k.stripPrefix(GraftCatalog.CheckPropPrefix), sql) }
 
   override def properties(): java.util.Map[String, String] = {
     import scala.jdk.CollectionConverters._

@@ -65,7 +65,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           assignments.map(a =>
             physName(l2p, topLevelName(a.key, "UPDATE SET")) ->
               detach(a.value)),
-          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes)
+          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes,
+          rowCheck = checkGuard(session, tbl))
 
       case d @ DeleteFromTable(table, condition)
           if d.resolved && graftTable(table).isDefined &&
@@ -102,7 +103,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             .toIndexedSeq,
           matched.length,
           notMatched.map(toAct(_, detach, l2p)).toIndexedSeq,
-          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes)
+          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes,
+          rowCheck = checkGuard(session, tbl))
     }
 
   /** The GraftTable under the statement's target (aliases stripped). */
@@ -149,6 +151,31 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private def physName(l2p: Map[String, String], n: String): String =
     LakehouseBatch.ciLookup(l2p, n).getOrElse(n)
+
+  /** The table's enforced CHECK constraints as ONE assert-backed filter
+    * over the PHYSICAL post-image space: keeps every satisfying row
+    * (NULL passes, SQL-standard CHECK), throws naming the constraint on
+    * the first violation — the DML commands filter their post-image
+    * frames with it, so enforcement is single-pass inside the write
+    * they were already doing. Attribute names in the predicate SQL are
+    * LOGICAL (the user's contract) and translate l2p here, once.
+    */
+  private def checkGuard(session: SparkSession,
+      tbl: GraftTable): Option[Column] = {
+    val l2p = tbl.renamedCols.map(_.swap)
+    val guards = tbl.checkConstraints.map { case (n, sql) =>
+      val parsed = session.sessionState.sqlParser.parseExpression(sql)
+        .transform {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+            UnresolvedAttribute(Seq(physName(l2p, a.nameParts.head)))
+        }
+      assert_true(
+        coalesce(GraftColumnBridge.toColumn(parsed).cast("boolean"),
+          lit(true)),
+        lit(s"CHECK constraint $n violated: ($sql)")).isNull
+    }
+    guards.reduceOption(_ && _)
+  }
 
   private def topLevelName(key: Expression, ctx: String): String = key match {
     case a: Attribute => a.name
@@ -250,7 +277,8 @@ private[sources] object GraftDml {
   */
 case class GraftUpdateCommand(tableDir: String, contract: StructType,
     condition: Column, assignments: Seq[(String, Column)],
-    cdf: Boolean, partCols: Seq[String] = Nil, mor: Boolean = false)
+    cdf: Boolean, partCols: Seq[String] = Nil, mor: Boolean = false,
+    rowCheck: Option[Column] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, t) = GraftDml.lakeOf(spark, tableDir)
@@ -262,10 +290,10 @@ case class GraftUpdateCommand(tableDir: String, contract: StructType,
       require(!cdf, "graft.deleteMode=mor cannot record a change feed " +
         "— use copy-on-write updates on CDF tables")
       lake.updateRowsMoR(t, contract, condition, assignments,
-        clusterCols = partCols)
+        clusterCols = partCols, rowCheck = rowCheck)
     } else
       lake.update(t, contract, condition, assignments, cdf,
-        clusterCols = partCols)
+        clusterCols = partCols, rowCheck = rowCheck)
     Nil
   }
 }
@@ -313,7 +341,8 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
     source: LogicalPlan, mergeCond: Column,
     targetActs: IndexedSeq[GraftDml.Act], numMatchedActs: Int,
     insertActs: IndexedSeq[GraftDml.Act], cdf: Boolean,
-    partCols: Seq[String] = Nil, mor: Boolean = false)
+    partCols: Seq[String] = Nil, mor: Boolean = false,
+    rowCheck: Option[Column] = None)
     extends LeafRunnableCommand {
 
   import GraftDml._
@@ -445,8 +474,13 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
       chainFlag(insertActs, keepOf, lit(false)).as(keep): _*)
 
     val outCols = contract.fieldNames.toIndexedSeq.map(col)
-    val result = tOut.filter(col(keep)).select(outCols: _*)
-      .unionByName(sOut.filter(col(keep)).select(outCols: _*))
+    // enforced CHECK constraints: the assert-backed guard validates the
+    // post-state single-pass inside the frame the write was already
+    // computing (see GraftDmlRule.checkGuard)
+    def checked(df: org.apache.spark.sql.DataFrame) =
+      rowCheck.foldLeft(df)((d, g) => d.filter(g))
+    val result = checked(tOut.filter(col(keep)).select(outCols: _*)
+      .unionByName(sOut.filter(col(keep)).select(outCols: _*)))
 
     val changes =
       if (!cdf) None
@@ -485,8 +519,8 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
             .as("file"),
           col(s"$TargetAlias.${graft.storage.Lakehouse.PosCol}")
             .as("pos"))
-      val newRows = tOut.filter(col(upd)).select(outCols: _*)
-        .unionByName(sOut.filter(col(keep)).select(outCols: _*))
+      val newRows = checked(tOut.filter(col(upd)).select(outCols: _*)
+        .unionByName(sOut.filter(col(keep)).select(outCols: _*)))
       val (clusteredNew, stats) =
         if (partCols.isEmpty) (newRows, Nil)
         else (graft.storage.Clustering.bySpecs(spark, newRows,

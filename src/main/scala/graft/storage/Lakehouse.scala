@@ -1538,7 +1538,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       cdf: Boolean = false,
       beforeCommit: () => Unit = () => (),
-      clusterCols: Seq[String] = Nil): Unit = {
+      clusterCols: Seq[String] = Nil,
+      rowCheck: Option[org.apache.spark.sql.Column] = None): Unit = {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     assignments.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c),
@@ -1559,7 +1560,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           case None => col(f.name)
         }
       }: _*)
-    val out = applied(raw, hit)
+    // enforced CHECK constraints validate the post-state single-pass:
+    // the guard is an assert-backed filter that keeps every row and
+    // throws on the first violation (the caller builds it — see
+    // GraftDml.checkGuard), so a violating UPDATE aborts before any
+    // commit instead of landing bad rows
+    val out = rowCheck.foldLeft(applied(raw, hit))((df, g) => df.filter(g))
     val changes =
       if (!cdf) None
       else {
@@ -1754,7 +1760,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       beforeCommit: () => Unit = () => (),
       statsCols: Seq[String] = Nil,
-      clusterCols: Seq[String] = Nil): Unit = {
+      clusterCols: Seq[String] = Nil,
+      rowCheck: Option[org.apache.spark.sql.Column] = None): Unit = {
     require(exists(name), s"no such table: $name")
     assignments.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c),
@@ -1764,9 +1771,10 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val maskedAll = readMaskedWithPosOn(ctx, schema)
     val hitPred = coalesce(predicate.cast("boolean"), lit(false))
     val matched = maskedAll.filter(hitPred)
-    val updated0 = assignments.foldLeft(matched) {
+    val updated0 = rowCheck.foldLeft(assignments.foldLeft(matched) {
       case (df, (c, e)) => df.withColumn(c, e)
-    }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }.select(schema.fieldNames.map(col).toIndexedSeq: _*))(
+      (df, g) => df.filter(g)) // CHECK guard: see update()
     // PARTITIONED BY tables keep the one-file-per-key clustering (and
     // its zone maps) on the post-image delta — same contract as the
     // INSERT path and the MoR MERGE branch

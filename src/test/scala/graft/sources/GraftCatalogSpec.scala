@@ -603,6 +603,87 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t37p")
   }
 
+  test("CHECK constraints: validated at ADD, enforced on inserts and " +
+    "DML, refusals guard the managed surface") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t38")
+    spark.sql("CREATE TABLE graft.mart.t38 (k BIGINT, amt DECIMAL(18,2))")
+    spark.sql("INSERT INTO graft.mart.t38 SELECT id, " +
+      "CAST(id + 1 AS DECIMAL(18,2)) FROM range(0, 20)")
+    // ADD validates existing rows: a violating table refuses
+    val bad = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t38 ADD CONSTRAINT big CHECK (amt > 100)"))
+    assert(bad.getMessage.contains("violate"))
+    spark.sql(
+      "ALTER TABLE graft.mart.t38 ADD CONSTRAINT pos CHECK (amt > 0)")
+    // INSERT enforcement (a violating row fails the write; nothing
+    // lands)
+    val versionsBefore = new graft.storage.Lakehouse(spark,
+      s"$root/mart").versions("t38").size
+    intercept[Exception](spark.sql(
+      "INSERT INTO graft.mart.t38 VALUES (100, CAST(-5 AS DECIMAL(18,2)))"))
+    assert(new graft.storage.Lakehouse(spark, s"$root/mart")
+      .versions("t38").size == versionsBefore,
+      "a refused insert must commit nothing")
+    // NULL passes (SQL-standard CHECK semantics)
+    spark.sql("INSERT INTO graft.mart.t38 VALUES (101, NULL)")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t38")
+      .head().getLong(0) == 21L)
+    // DML post-images enforce too (UPDATE / MERGE run through the
+    // engine's own commands, not Spark's write analysis)
+    intercept[Exception](spark.sql(
+      "UPDATE graft.mart.t38 SET amt = CAST(-1 AS DECIMAL(18,2)) " +
+        "WHERE k = 5"))
+    assert(spark.sql("SELECT amt FROM graft.mart.t38 WHERE k = 5")
+      .head().getDecimal(0).longValue == 6L,
+      "a refused UPDATE must change nothing")
+    spark.sql("SELECT 5 AS sk, CAST(-9 AS DECIMAL(18,2)) AS samt")
+      .createOrReplaceTempView("t38_src")
+    intercept[Exception](spark.sql(
+      """MERGE INTO graft.mart.t38 t USING t38_src s ON t.k = s.sk
+        WHEN MATCHED THEN UPDATE SET amt = s.samt"""))
+    intercept[Exception](spark.sql(
+      """MERGE INTO graft.mart.t38 t USING t38_src s ON t.k = -1
+        WHEN NOT MATCHED THEN INSERT (k, amt) VALUES (s.sk, s.samt)"""))
+    // valid DML passes
+    spark.sql("UPDATE graft.mart.t38 SET amt = amt + 1 WHERE k = 5")
+    assert(spark.sql("SELECT amt FROM graft.mart.t38 WHERE k = 5")
+      .head().getDecimal(0).longValue == 7L)
+    // merge-on-read flavors enforce the same predicates
+    spark.sql("ALTER TABLE graft.mart.t38 SET TBLPROPERTIES " +
+      "('graft.deleteMode' = 'mor')")
+    intercept[Exception](spark.sql(
+      "UPDATE graft.mart.t38 SET amt = CAST(-2 AS DECIMAL(18,2)) " +
+        "WHERE k = 6"))
+    assert(spark.sql("SELECT amt FROM graft.mart.t38 WHERE k = 6")
+      .head().getDecimal(0).longValue == 7L)
+    // managed surface: forging/disarming by hand refuses; DROP/RENAME
+    // of a referenced column refuses; DROP CONSTRAINT re-opens both
+    intercept[Exception](spark.sql("ALTER TABLE graft.mart.t38 " +
+      "SET TBLPROPERTIES ('graft.check.evil' = 'amt < 0')"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.mart.t38 " +
+      "UNSET TBLPROPERTIES ('graft.check.pos')"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t38 DROP COLUMN amt"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t38 RENAME COLUMN amt TO total"))
+    spark.sql("ALTER TABLE graft.mart.t38 DROP CONSTRAINT pos")
+    spark.sql("ALTER TABLE graft.mart.t38 RENAME COLUMN amt TO total")
+    spark.sql("INSERT INTO graft.mart.t38 VALUES " +
+      "(102, CAST(-5 AS DECIMAL(18,2)))")
+    // constraints compose with RENAME: the predicate binds the current
+    // logical contract
+    intercept[Exception](spark.sql("ALTER TABLE graft.mart.t38 " +
+      "ADD CONSTRAINT pos2 CHECK (total > 0)")) // -5 row violates
+    spark.sql("DELETE FROM graft.mart.t38 WHERE total < 0")
+    spark.sql("ALTER TABLE graft.mart.t38 " +
+      "ADD CONSTRAINT pos2 CHECK (total > 0)")
+    intercept[Exception](spark.sql(
+      "INSERT INTO graft.mart.t38 VALUES (103, CAST(-1 AS DECIMAL(18,2)))"))
+    spark.sql("DROP TABLE graft.mart.t38")
+  }
+
   test("ALTER TABLE RENAME TO moves the table identity; the commit " +
     "chain and every manifest move with it") {
     init()
