@@ -173,7 +173,18 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         coalesce(GraftColumnBridge.toColumn(parsed).cast("boolean"),
           lit(true)),
         lit(s"CHECK constraint $n violated: ($sql)")).isNull
-    }
+    } ++
+      // NOT NULL columns: the insert paths get AssertNotNull from
+      // Spark's own resolution; the DML post-images enforce here —
+      // an UPDATE SET c = NULL or a MERGE INSERT omitting a required
+      // column must abort, not land corruption
+      tbl.contractSchema.fields.toSeq.filterNot(_.nullable).map { f =>
+        assert_true(org.apache.spark.sql.functions.col(f.name)
+          .isNotNull,
+          lit(s"NOT NULL constraint violated: column " +
+            s"${LakehouseBatch.ciLookup(tbl.renamedCols, f.name)
+              .getOrElse(f.name)} is required")).isNull
+      }
     guards.reduceOption(_ && _)
   }
 

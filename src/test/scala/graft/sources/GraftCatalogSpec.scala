@@ -682,6 +682,24 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       "INSERT INTO graft.mart.t38 VALUES (103, CAST(-1 AS DECIMAL(18,2)))"))
     spark.sql("DROP TABLE graft.mart.t38")
+    // NOT NULL: inserts enforce via Spark's own resolution; the DML
+    // commands enforce on their post-images
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t39")
+    spark.sql("CREATE TABLE graft.mart.t39 (k BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO graft.mart.t39 VALUES (1, 'a'), (2, 'b')")
+    intercept[Exception](spark.sql(
+      "INSERT INTO graft.mart.t39 VALUES (CAST(NULL AS BIGINT), 'c')"))
+    intercept[Exception](spark.sql(
+      "UPDATE graft.mart.t39 SET k = NULL WHERE v = 'a'"))
+    assert(spark.sql("SELECT k FROM graft.mart.t39 WHERE v = 'a'")
+      .head().getLong(0) == 1L, "a refused UPDATE must change nothing")
+    spark.sql("SELECT 'd' AS sv").createOrReplaceTempView("t39_src")
+    intercept[Exception](spark.sql(
+      """MERGE INTO graft.mart.t39 t USING t39_src s ON t.v = s.sv
+        WHEN NOT MATCHED THEN INSERT (v) VALUES (s.sv)"""))
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t39")
+      .head().getLong(0) == 2L)
+    spark.sql("DROP TABLE graft.mart.t39")
   }
 
   test("ALTER TABLE RENAME TO moves the table identity; the commit " +
