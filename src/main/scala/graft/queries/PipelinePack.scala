@@ -2065,6 +2065,102 @@ FROM orders WHERE $slicePred GROUP BY 1"""
           count(*) AS n, sum(okey) AS key_sum,
           CAST(sum(amt) AS DOUBLE) AS amt_sum
         FROM graftq103.q103.fact GROUP BY 1""")
+    }),
+
+    // q106 — LAYOUT-BEARING RENAME (the q100 refusal, lifted): the
+    // PARTITION column renames on BOTH join sides and the BLOOM column
+    // renames too. The props keep the PHYSICAL (creation) names
+    // forever — directory layouts, zone maps, `_gbk` stat names and
+    // bloom manifest keys need zero migration — and only the two
+    // Spark-facing reports translate (GraftTable.partitioning() and
+    // the scan's KeyGroupedPartitioning present LOGICAL names; pushed
+    // and runtime filters were already translated before any manifest
+    // probe). The requires pin that partition pruning, bloom file
+    // skipping and the storage-partitioned join all still ENGAGE
+    // post-rename — including over a post-rename INSERT that must
+    // cluster under the physical spec; the oracle pins the values.
+    "q106_rename_layout" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q106")
+      s.conf.set("spark.sql.catalog.graftq106",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq106.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/customer.parquet")
+        .createOrReplaceTempView("q106_cust")
+      s.read.parquet(s"$d/supplier.parquet")
+        .createOrReplaceTempView("q106_supp")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq106.q106")
+      s.sql("DROP TABLE IF EXISTS graftq106.q106.cust")
+      s.sql("DROP TABLE IF EXISTS graftq106.q106.supp")
+      s.sql("""CREATE TABLE graftq106.q106.cust (
+          c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)
+        PARTITIONED BY (c_nationkey)
+        TBLPROPERTIES ('graft.bloomColumns' = 'c_custkey')""")
+      s.sql("""INSERT INTO graftq106.q106.cust
+        SELECT c_custkey, c_nationkey, c_acctbal FROM q106_cust""")
+      s.sql("""CREATE TABLE graftq106.q106.supp (
+          s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)
+        PARTITIONED BY (s_nationkey)""")
+      s.sql("""INSERT INTO graftq106.q106.supp
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM q106_supp
+        WHERE s_suppkey % 2 = 0""")
+      // rename the partition columns (both sides) and the bloom column
+      s.sql("ALTER TABLE graftq106.q106.cust RENAME COLUMN " +
+        "c_nationkey TO nation")
+      s.sql("ALTER TABLE graftq106.q106.supp RENAME COLUMN " +
+        "s_nationkey TO nation")
+      s.sql("ALTER TABLE graftq106.q106.cust RENAME COLUMN " +
+        "c_custkey TO cust_id")
+      // a POST-rename INSERT binds logical names and must still
+      // cluster under the (physical) spec and build blooms
+      s.sql("""INSERT INTO graftq106.q106.supp
+        SELECT s_suppkey, s_nationkey AS nation, s_acctbal FROM q106_supp
+        WHERE s_suppkey % 2 = 1""")
+      // 1. partition pruning engages on the NEW name
+      val pr = s.sql(
+        "SELECT count(*) FROM graftq106.q106.cust WHERE nation = 3")
+      val prPlan = pr.queryExecution.executedPlan.toString
+      val prCut = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(prPlan)
+        .getOrElse(throw new IllegalStateException(
+          s"no file-cut marker post-rename:\n$prPlan"))
+      require(prCut.group(1).toInt < prCut.group(2).toInt,
+        s"partition pruning must survive the rename: ${prCut.matched}")
+      pr.collect()
+      // 2. bloom file skipping engages on the renamed bloom column
+      val k = s.sql("SELECT max(c_custkey) FROM q106_cust").head().get(0)
+      val bl = s.sql(
+        s"SELECT count(*) FROM graftq106.q106.cust WHERE cust_id = $k")
+      val blPlan = bl.queryExecution.executedPlan.toString
+      val blCut = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(blPlan)
+        .getOrElse(throw new IllegalStateException(
+          s"no file-cut marker on the bloom lookup:\n$blPlan"))
+      require(blCut.group(1).toInt < blCut.group(2).toInt,
+        s"bloom skipping must survive the rename: ${blCut.matched}")
+      bl.collect()
+      // 3. the storage-partitioned join engages on the renamed key
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(kk => kk -> s.conf.get(kk))
+      keys.zip(Seq("true", "true", "-1")).foreach {
+        case (kk, v) => s.conf.set(kk, v) }
+      try {
+        val out = s.sql(
+          """SELECT CAST(k AS BIGINT) AS nation, n, bal_sum FROM (
+              SELECT c.nation AS k, count(*) AS n,
+                CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)) +
+                         CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS bal_sum
+              FROM graftq106.q106.cust c JOIN graftq106.q106.supp s
+                ON c.nation = s.nation
+              GROUP BY c.nation)""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          "the storage-partitioned join must survive the rename " +
+            s"(zero exchanges):\n$plan")
+        out.persist(); out.count() // materialize under the pinned confs
+        out
+      } finally prev.foreach { case (kk, v) => s.conf.set(kk, v) }
     })
   )
 
@@ -2477,6 +2573,15 @@ SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
   CAST(sum(amt) AS DOUBLE) AS amt_sum
 FROM allrows GROUP BY 1""",
+    // layout rename is metadata-only: the full cust × supp join by
+    // nation — the two inserts (pre/post rename) cover ALL suppliers
+    "q106_rename_layout" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) +
+           CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+GROUP BY 1""",
     // rollback restores the full pre-delete content
     "q66_restore" -> sliceOracle("TRUE"),
     // both generations serve the same logical content: earlier slices

@@ -523,6 +523,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else Map.empty
     var schemaDirty = false
     var propsDirty = false
+    // ADD CONSTRAINT races: (name, prop key, sql, pre-validation commit
+    // fingerprint) per added CHECK — re-validated after the props
+    // flush when new commits landed during the scan→persist window
+    val addedChecks = scala.collection.mutable.Buffer
+      .empty[(String, String, String, Set[(Long, Long)])]
+    def commitFp(): Set[(Long, Long)] =
+      graft.storage.Lakehouse.Protocol.versionDirStatuses(fs, dir)
+        .map { case (v, st) => (v, st.getModificationTime) }.toSet
     // `schema` (the file) is PHYSICAL; users address columns by their
     // LOGICAL names — resolve through the rename mapping
     def renames: Map[String, String] = GraftCatalog.parseRenames(props)
@@ -565,7 +573,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"$rc"))
           // Delta's ADD CONSTRAINT contract: existing rows must already
           // satisfy the predicate (NULL passes, SQL-standard CHECK) —
-          // one validation scan at DDL time, loud refusal otherwise
+          // one validation scan at DDL time, loud refusal otherwise.
+          // The commit fingerprint is captured BEFORE the scan resolves:
+          // a writer that commits during/after the scan (its run()-time
+          // guard predates this constraint) is caught by the post-flush
+          // re-validation below.
+          val preFp = commitFp()
           val live = spark.read
             .format("graft.sources.LakehouseBatchProvider")
             .load(dir.toString)
@@ -577,6 +590,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"cannot add CHECK constraint ${c.name()}: existing rows " +
               s"violate ($sql) — clean the data first")
           props += (key -> sql); propsDirty = true
+          addedChecks += ((c.name(), key, sql, preFp))
         case other => throw new UnsupportedOperationException(
           s"graft enforces CHECK constraints only; ${other.toDDL} is " +
             "informational in this engine — record it as a table " +
@@ -809,6 +823,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"(got ${rn.fieldNames.mkString(".")})")
         val from = rn.fieldNames()(0)
         val newName = rn.newName()
+        // the persisted mapping is ','-joined 'physical:logical' pairs —
+        // a (backtick-quotable) name carrying either delimiter would
+        // silently corrupt every renamed column's mapping on the next
+        // parse: a metadata-corrupting DDL that succeeds quietly
+        require(!newName.exists(c => c == ':' || c == ','),
+          s"cannot rename to '$newName': column names may not contain " +
+            "':' or ',' (rename-mapping delimiters)")
         val f = fieldOf(from).getOrElse(
           throw new IllegalArgumentException(s"no such column: $from"))
         require(!schema.fields.exists(g => g.name != f.name &&
@@ -824,21 +845,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .find(_.name.equalsIgnoreCase(newName))
               .map(g => logicalOf(g.name)).getOrElse("")}' — committed " +
             "files still carry it; pick another name")
-        // layout-bearing columns are REPORTED to Spark by name
-        // (partitioning(), SPJ key expressions, DPP attributes) — a
-        // split logical/physical identity there would need translation
-        // in every report; refused like DROP
-        val rspecs = props.get(GraftCatalog.PartitionProp)
-          .map(PartSpec.parseList).getOrElse(Nil)
-        require(!rspecs.exists {
-          case IdentitySpec(c) => c.equalsIgnoreCase(f.name)
-          case BucketSpec(_, c) => c.equalsIgnoreCase(f.name)
-        }, s"cannot rename $from: it keys the partition spec " +
-          s"'${props(GraftCatalog.PartitionProp)}'")
-        require(!props.get(GraftCatalog.BloomColumnsProp).exists(
-          _.split(",").map(_.trim).exists(_.equalsIgnoreCase(f.name))),
-          s"cannot rename $from: it carries bloom filters " +
-            "(unset graft.bloomColumns first)")
+        // LAYOUT-BEARING columns rename too (round-11 verdict item 3 —
+        // Delta's id-mode mapping handles these; name-mode with
+        // physical = creation name does as well): the partition-spec
+        // and bloom props keep the PHYSICAL name forever, exactly like
+        // zone maps and eq-del keys, so directory layouts, `_gbk` stat
+        // names, bloom manifest keys and the SPJ key proof all stay
+        // valid with zero migration. The two Spark-facing reports
+        // translate at their boundary — GraftTable.partitioning() and
+        // the scan's outputPartitioning() present LOGICAL names (they
+        // must resolve against the presented schema); pushed/runtime
+        // filters were already translated l2p before any manifest or
+        // bloom probe.
         require(checksReferencing(from).isEmpty,
           s"cannot rename $from: CHECK constraint(s) " +
             s"${checksReferencing(from).mkString(", ")} reference it " +
@@ -865,10 +883,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // structural change (different columns / identity↔bucket)
         // would silently re-key directory layouts and zone maps over
         // committed generations — refused.
+        // users address columns by LOGICAL name; the spec/bloom props
+        // persist PHYSICAL (creation) names like every other manifest —
+        // translate before comparing or persisting
+        def physOf(n: String): String = {
+          val l2p = renames.map(_.swap)
+          LakehouseBatch.ciLookup(l2p, n).getOrElse(n)
+        }
+        val value =
+          if (p.property == GraftCatalog.PartitionProp)
+            PartSpec.renderList(PartSpec.parseList(p.value).map {
+              case IdentitySpec(c) => IdentitySpec(physOf(c))
+              case BucketSpec(n, c) => BucketSpec(n, physOf(c))
+            })
+          else if (p.property == GraftCatalog.BloomColumnsProp)
+            p.value.split(",").map(_.trim).filter(_.nonEmpty)
+              .map(physOf).mkString(",")
+          else p.value
         if (p.property == GraftCatalog.PartitionProp) {
           val before = props.get(GraftCatalog.PartitionProp)
             .map(PartSpec.parseList).getOrElse(Nil)
-          val after = PartSpec.parseList(p.value)
+          val after = PartSpec.parseList(value)
           val bucketCountOnly = before.length == after.length &&
             before.zip(after).forall {
               case (IdentitySpec(a), IdentitySpec(b)) => a == b
@@ -892,7 +927,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!p.property.startsWith(GraftCatalog.CheckPropPrefix),
           s"${p.property} is managed by ALTER TABLE ADD CONSTRAINT — " +
             "setting it by hand would skip the existing-row validation")
-        props += (p.property -> p.value); propsDirty = true
+        props += (p.property -> value); propsDirty = true
       case p: TableChange.RemoveProperty =>
         require(p.property != GraftCatalog.DroppedColumnsProp,
           s"${GraftCatalog.DroppedColumnsProp} is managed by " +
@@ -926,6 +961,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftCatalog.writeSchema(fs, schemaFile, schema)
     }
     if (propsDirty) GraftCatalog.writeProps(fs, propsFile, props)
+    // close the ADD CONSTRAINT write race from the DDL side: the
+    // validation scan runs BEFORE the constraint persists, so a DML
+    // whose run()-time guard read predates the persist can commit
+    // violating rows after validation. The DML's own pre-marker re-read
+    // (GraftDml.runtimeCheckGuard) catches it once the props are
+    // visible; a commit that slipped into the scan→persist window is
+    // caught HERE — re-validate iff new commits landed, roll the
+    // constraint back on violation. Metadata-priced when nothing raced.
+    addedChecks.foreach { case (cname, key, sql, preFp) =>
+      if (commitFp() != preFp) {
+        val live = spark.read
+          .format("graft.sources.LakehouseBatchProvider")
+          .load(dir.toString)
+        val violations = live.filter(
+          !org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(sql).cast("boolean"),
+            org.apache.spark.sql.functions.lit(true))).limit(1).count()
+        if (violations != 0L) {
+          props -= key
+          GraftCatalog.writeProps(fs, propsFile, props)
+          throw new IllegalStateException(
+            s"CHECK constraint $cname rolled back: a concurrent write " +
+              s"landed rows violating ($sql) between the validation " +
+              "scan and the constraint persist — clean the data and " +
+              "re-add the constraint")
+        }
+      }
+    }
     new GraftTable(dir.toString, ident.name, schema, props = props)
   }
 
@@ -1702,13 +1765,18 @@ private[sources] class GraftTable(path: String, tableName: String,
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
 
-  override def partitioning(): Array[Transform] =
+  override def partitioning(): Array[Transform] = {
+    // report LOGICAL names: Spark resolves these transforms against
+    // the presented (logical) schema — the props keep physical
+    val pOf: String => String = c =>
+      LakehouseBatch.ciLookup(renamedCols, c).getOrElse(c)
     partSpecs.map {
       case IdentitySpec(c) => org.apache.spark.sql.connector
-        .expressions.Expressions.identity(c)
+        .expressions.Expressions.identity(pOf(c))
       case BucketSpec(n, c) => org.apache.spark.sql.connector
-        .expressions.Expressions.bucket(n, c)
+        .expressions.Expressions.bucket(n, pOf(c))
     }.toArray
+  }
 
   private[sources] def contractSchema: StructType = tschema
   private[sources] def tableDir: String = path

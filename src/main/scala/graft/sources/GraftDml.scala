@@ -65,8 +65,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           assignments.map(a =>
             physName(l2p, topLevelName(a.key, "UPDATE SET")) ->
               detach(a.value)),
-          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes,
-          rowCheck = checkGuard(session, tbl))
+          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes)
 
       case d @ DeleteFromTable(table, condition)
           if d.resolved && graftTable(table).isDefined &&
@@ -103,8 +102,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             .toIndexedSeq,
           matched.length,
           notMatched.map(toAct(_, detach, l2p)).toIndexedSeq,
-          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes,
-          rowCheck = checkGuard(session, tbl))
+          tbl.cdfEnabled, tbl.rewriteSpecs, mor = tbl.morDeletes)
     }
 
   /** The GraftTable under the statement's target (aliases stripped). */
@@ -151,42 +149,6 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private def physName(l2p: Map[String, String], n: String): String =
     LakehouseBatch.ciLookup(l2p, n).getOrElse(n)
-
-  /** The table's enforced CHECK constraints as ONE assert-backed filter
-    * over the PHYSICAL post-image space: keeps every satisfying row
-    * (NULL passes, SQL-standard CHECK), throws naming the constraint on
-    * the first violation — the DML commands filter their post-image
-    * frames with it, so enforcement is single-pass inside the write
-    * they were already doing. Attribute names in the predicate SQL are
-    * LOGICAL (the user's contract) and translate l2p here, once.
-    */
-  private def checkGuard(session: SparkSession,
-      tbl: GraftTable): Option[Column] = {
-    val l2p = tbl.renamedCols.map(_.swap)
-    val guards = tbl.checkConstraints.map { case (n, sql) =>
-      val parsed = session.sessionState.sqlParser.parseExpression(sql)
-        .transform {
-          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-            UnresolvedAttribute(Seq(physName(l2p, a.nameParts.head)))
-        }
-      assert_true(
-        coalesce(GraftColumnBridge.toColumn(parsed).cast("boolean"),
-          lit(true)),
-        lit(s"CHECK constraint $n violated: ($sql)")).isNull
-    } ++
-      // NOT NULL columns: the insert paths get AssertNotNull from
-      // Spark's own resolution; the DML post-images enforce here —
-      // an UPDATE SET c = NULL or a MERGE INSERT omitting a required
-      // column must abort, not land corruption
-      tbl.contractSchema.fields.toSeq.filterNot(_.nullable).map { f =>
-        assert_true(org.apache.spark.sql.functions.col(f.name)
-          .isNotNull,
-          lit(s"NOT NULL constraint violated: column " +
-            s"${LakehouseBatch.ciLookup(tbl.renamedCols, f.name)
-              .getOrElse(f.name)} is required")).isNull
-      }
-    guards.reduceOption(_ && _)
-  }
 
   private def topLevelName(key: Expression, ctx: String): String = key match {
     case a: Attribute => a.name
@@ -278,6 +240,86 @@ private[sources] object GraftDml {
     val dir = new Path(tableDir)
     (new Lakehouse(spark, dir.getParent.toString), dir.getName)
   }
+
+  /** The table's enforced CHECK + NOT NULL constraints as ONE
+    * assert-backed filter over the PHYSICAL post-image space — read
+    * from the CURRENT on-disk props/schema at EXECUTION time, never
+    * baked from the analysis-time table handle: a constraint added (or
+    * dropped) between a DML statement's analysis and its run must be
+    * enforced (or not) as of the COMMIT, or a stale handle lands
+    * violating rows after ADD CONSTRAINT's validation scan — the write
+    * race Delta closes with commit-time metadata conflict checks.
+    *
+    * Returns (guard, preMarkerHook): the guard keeps every satisfying
+    * row (NULL passes, SQL-standard CHECK) and throws naming the
+    * constraint on the first violation; the hook re-reads the same
+    * metadata immediately before the commit marker and aborts with
+    * ConcurrentModificationException if it drifted while the statement
+    * executed — the DML side of the two-sided closure (ADD CONSTRAINT
+    * re-validates commits that land during its own scan→persist
+    * window).
+    */
+  def runtimeCheckGuard(spark: SparkSession, tableDir: String)
+      : (Option[Column], () => Unit) = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readState(): (Seq[(String, String)], Map[String, String],
+        Seq[String]) = {
+      val props =
+        try GraftCatalog.readProps(fs,
+          new Path(dir, GraftCatalog.PropsFile))
+        catch { case _: java.io.FileNotFoundException =>
+          Map.empty[String, String] }
+      val checks = props.toSeq
+        .filter(_._1.startsWith(GraftCatalog.CheckPropPrefix))
+        .sortBy(_._1)
+        .map { case (k, sql) =>
+          (k.stripPrefix(GraftCatalog.CheckPropPrefix), sql) }
+      val renames = GraftCatalog.parseRenames(props)
+      val required =
+        try GraftCatalog.readSchema(fs,
+          new Path(dir, GraftCatalog.SchemaFile))
+          .fields.toSeq.filterNot(_.nullable).map(_.name)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      (checks, renames, required)
+    }
+    val state = readState()
+    val (checks, renames, required) = state
+    val l2p = renames.map(_.swap)
+    val guards = checks.map { case (n, sql) =>
+      // predicate names are LOGICAL (the user's contract); the
+      // post-image frames are PHYSICAL — translate here, once
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        .transform {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+            UnresolvedAttribute(Seq(LakehouseBatch
+              .ciLookup(l2p, a.nameParts.head)
+              .getOrElse(a.nameParts.head)))
+        }
+      assert_true(
+        coalesce(GraftColumnBridge.toColumn(parsed).cast("boolean"),
+          lit(true)),
+        lit(s"CHECK constraint $n violated: ($sql)")).isNull
+    } ++
+      // NOT NULL columns: the insert paths get AssertNotNull from
+      // Spark's own resolution; the DML post-images enforce here —
+      // an UPDATE SET c = NULL or a MERGE INSERT omitting a required
+      // column must abort, not land corruption
+      required.map { f =>
+        assert_true(col(f).isNotNull,
+          lit(s"NOT NULL constraint violated: column " +
+            s"${LakehouseBatch.ciLookup(renames, f).getOrElse(f)} " +
+            "is required")).isNull
+      }
+    val hook = () => {
+      if (readState() != state)
+        throw new java.util.ConcurrentModificationException(
+          s"constraints of $tableDir changed while a DML statement " +
+            "executed (concurrent ADD/DROP CONSTRAINT or schema " +
+            "change) — re-run the statement")
+    }
+    (guards.reduceOption(_ && _), hook)
+  }
 }
 
 /** `UPDATE t SET … WHERE …` → [[Lakehouse.update]] (copy-on-write FULL
@@ -288,11 +330,14 @@ private[sources] object GraftDml {
   */
 case class GraftUpdateCommand(tableDir: String, contract: StructType,
     condition: Column, assignments: Seq[(String, Column)],
-    cdf: Boolean, partCols: Seq[String] = Nil, mor: Boolean = false,
-    rowCheck: Option[Column] = None)
+    cdf: Boolean, partCols: Seq[String] = Nil, mor: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, t) = GraftDml.lakeOf(spark, tableDir)
+    // CHECK/NOT NULL enforcement from the CURRENT on-disk metadata,
+    // re-verified pre-marker (see GraftDml.runtimeCheckGuard)
+    val (rowCheck, guardHook) =
+      GraftDml.runtimeCheckGuard(spark, tableDir)
     if (mor) {
       // the batch changeFeed DOES type a mixed commit (delete
       // pre-images + insert post-images), but the recorded-CDF
@@ -301,10 +346,12 @@ case class GraftUpdateCommand(tableDir: String, contract: StructType,
       require(!cdf, "graft.deleteMode=mor cannot record a change feed " +
         "— use copy-on-write updates on CDF tables")
       lake.updateRowsMoR(t, contract, condition, assignments,
-        clusterCols = partCols, rowCheck = rowCheck)
+        beforeCommit = guardHook, clusterCols = partCols,
+        rowCheck = rowCheck)
     } else
       lake.update(t, contract, condition, assignments, cdf,
-        clusterCols = partCols, rowCheck = rowCheck)
+        beforeCommit = guardHook, clusterCols = partCols,
+        rowCheck = rowCheck)
     Nil
   }
 }
@@ -352,8 +399,7 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
     source: LogicalPlan, mergeCond: Column,
     targetActs: IndexedSeq[GraftDml.Act], numMatchedActs: Int,
     insertActs: IndexedSeq[GraftDml.Act], cdf: Boolean,
-    partCols: Seq[String] = Nil, mor: Boolean = false,
-    rowCheck: Option[Column] = None)
+    partCols: Seq[String] = Nil, mor: Boolean = false)
     extends LeafRunnableCommand {
 
   import GraftDml._
@@ -364,6 +410,10 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (lake, t) = GraftDml.lakeOf(spark, tableDir)
+    // CHECK/NOT NULL enforcement from the CURRENT on-disk metadata,
+    // re-verified pre-marker (see GraftDml.runtimeCheckGuard)
+    val (rowCheck, guardHook) =
+      GraftDml.runtimeCheckGuard(spark, tableDir)
     val (matchedActs, nmbsActs) = targetActs.splitAt(numMatchedActs)
 
     // graft.deleteMode=mor: the target side reads MASKED rows with
@@ -540,7 +590,7 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
       // extremesSchema: the MoR MERGE also records post-mask extremes
       // (round-9 limit closed) — MIN/MAX pushdown survives a merge now
       lake.commitMoRDelta(t, masks, Some(clusteredNew), statsCols = stats,
-        beforeCommit = () => (), basis = basis,
+        beforeCommit = guardHook, basis = basis,
         extremesSchema = Some(contract), morCtx = morCtx)
       return Nil
     }
@@ -556,7 +606,8 @@ case class GraftMergeCommand(tableDir: String, contract: StructType,
       else (graft.storage.Clustering.bySpecs(spark, result,
         partCols.map(PartSpec.parse)),
         GraftDml.statNamesOf(partCols))
-    lake.overwritePartitioned(t, clustered, Nil, readBasis = Some(basis),
+    lake.overwritePartitioned(t, clustered, Nil,
+      beforeCommit = guardHook, readBasis = Some(basis),
       statsCols = stats, changeData = changes)
     Nil
   }

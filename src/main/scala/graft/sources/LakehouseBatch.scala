@@ -669,10 +669,13 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
   override def outputPartitioning(): Partitioning = keyedFiles match {
     case Some(keys) if aggResult.isEmpty =>
       new KeyGroupedPartitioning(
+        // LOGICAL names: the key expressions must resolve against this
+        // scan's presented output (readSchema relabels p2l); the spec
+        // props and `_gbk` stat names stay physical underneath
         partSpecs.map {
-          case IdentitySpec(c) => Expressions.identity(c)
+          case IdentitySpec(c) => Expressions.identity(lOf(c))
             : org.apache.spark.sql.connector.expressions.Expression
-          case BucketSpec(n, c) => Expressions.bucket(n, c)
+          case BucketSpec(n, c) => Expressions.bucket(n, lOf(c))
             : org.apache.spark.sql.connector.expressions.Expression
         }.toArray,
         keys.values.map(_._1).toSet.size)

@@ -833,6 +833,15 @@ private[graft] object LakehouseStream {
     require(bad.isEmpty,
       s"graft lakehouse stream supports ${Supported.mkString(", ")}; " +
         s"unsupported: ${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")}")
+    // ':' and ',' are the rename mapping's delimiters ('physical:logical'
+    // pairs, ','-joined in graft.renamedColumns) — a column name carrying
+    // either would silently corrupt the persisted mapping of EVERY
+    // renamed column on the next parse. Refused at CREATE/ADD/RENAME.
+    val delim = schema.fields.filter(f =>
+      f.name.exists(c => c == ':' || c == ','))
+    require(delim.isEmpty,
+      "column names may not contain ':' or ',' (rename-mapping " +
+        s"delimiters): ${delim.map(f => s"`${f.name}`").mkString(", ")}")
   }
 
   /** Catalyst Decimal from any physical parquet decimal encoding Spark

@@ -164,9 +164,13 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   private def liveRootsAndBasis(
       name: String): (Seq[String], Lakehouse.ReadBasis) = {
     val dest = new Path(tablePath(name))
-    val committed = versionDirs(dest).sortBy(_._1).flatMap {
-      case (v, p) => commitKind(p).map(full => (v, p, full))
-    }
+    // checkpoint-aware: commit kinds answer from the newest checkpoint
+    // (mtime-validated) and only TAIL dirs pay a live probe — the
+    // resolve was the last O(#commits) per-dir listing on the DML/read
+    // path (the V2 scan's resolve already folded; StressCommit cost
+    // showed this one at 1 listStatus per version per resolve)
+    val committed = commitFactsListing(dest).flatMap(d =>
+      d.kind.map(full => (d.v, d.path, full)))
     val basis = Lakehouse.ReadBasis(
       committed.map(_._1).maxOption.getOrElse(0L),
       committed.map(_._1).toSet)
@@ -649,8 +653,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     fs.mkdirs(dest) // claim files need the table dir to exist
     var attempts = 0
     while (attempts < 1000) {
-      val next = (versionDirs(dest).map(_._1) ++ claimedVersions(dest))
-        .maxOption.getOrElse(0L) + 1L
+      // ONE root listing serves both the version dirs and the claim
+      // files — this loop ran two exists probes + two listings per
+      // attempt before (4 RPCs per commit on an object store)
+      val listing = try fs.listStatus(dest).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      val next =
+        (Lakehouse.Protocol.versionDirStatusesOf(listing).map(_._1) ++
+          Lakehouse.Protocol.claimedVersionsOf(listing))
+          .maxOption.getOrElse(0L) + 1L
       if (atomicCreate(new Path(dest, s"$ClaimPrefix$next"))) return next
       attempts += 1
     }
@@ -1842,31 +1853,56 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val roots = ctx.roots
     val tombs = ctx.tombs
     val dvs = ctx.dvs
-    val frames = roots.flatMap { r =>
-      val rv = rootVersion(r)
-      // `onlyFiles`: restrict the scan to the NAMED data files at the
-      // source (explicit paths, whole files pruned before any IO) —
-      // what bounds the DV-extremes pass by the delete, not the table
-      val srcs: Seq[String] = onlyFiles match {
-        case None => Seq(r)
-        case Some(names) => listDataFilesIn(new Path(r))
-          .map(_.getPath).filter(p => names(p.getName)).map(_.toString)
-      }
-      if (srcs.isEmpty) None
-      else {
-        val base = spark.read.schema(schema).option("basePath", r)
-          .parquet(srcs: _*)
-          .select(col("*"),
-            substring_index(col("_metadata.file_path"), "/", -1)
-              .as(Lakehouse.FileCol),
-            col("_metadata.row_index").as(Lakehouse.PosCol))
-        val eqMasked = eqDelMask(base, schema, tombs.filter(_._1 > rv))
-        val applicable = dvs.filter(_._1 > rv).map(_._2)
-        Some(if (applicable.isEmpty) eqMasked
-        else eqMasked.filter(graft.functions.DvSurvives(
-          col(Lakehouse.FileCol), col(Lakehouse.PosCol),
-          applicable.flatMap(_.toSeq).groupMap(_._1)(_._2))))
-      }
+    // ONE relation per GROUP of roots sharing the same applicable-mask
+    // set: a mask at version v applies only to roots BELOW v, so roots
+    // between two mask versions see identical masks and can scan as a
+    // single relation (mask filters are keyed by file NAME, never by
+    // root). With no masks at all — the common case — the whole table
+    // is ONE scan node. Before this the matched scan planned O(#roots)
+    // one-file relations: 103 scan nodes at a 100-commit chain, ~5x
+    // the wall clock of the same bytes through one node (StressCommit
+    // cost, scan-shape diagnostics). Partition columns still infer
+    // per input DIRECTORY, so day-partitioned roots group safely.
+    //
+    // `onlyFiles` (the DV-extremes pass) keeps one group per root:
+    // explicit FILE paths need the root as basePath for partition
+    // inference, and the pass is already bounded by the delete.
+    final case class MaskGroup(tombVs: Seq[Long], dvVs: Seq[Long],
+        srcs: Seq[String], basePath: Option[String])
+    val groups: Seq[MaskGroup] = onlyFiles match {
+      case Some(names) =>
+        roots.flatMap { r =>
+          val rv = rootVersion(r)
+          val srcs = listDataFilesIn(new Path(r))
+            .map(_.getPath).filter(p => names(p.getName)).map(_.toString)
+          if (srcs.isEmpty) None
+          else Some(MaskGroup(tombs.filter(_._1 > rv).map(_._1),
+            dvs.filter(_._1 > rv).map(_._1), srcs, Some(r)))
+        }
+      case None =>
+        roots.groupBy { r =>
+          val rv = rootVersion(r)
+          (tombs.filter(_._1 > rv).map(_._1),
+            dvs.filter(_._1 > rv).map(_._1))
+        }.toSeq.map { case ((tv, dvv), rs) => MaskGroup(tv, dvv, rs, None) }
+          .sortBy(_.srcs.headOption.getOrElse(""))
+    }
+    val tombByV = tombs.map(t => t._1 -> t).toMap
+    val dvByV = dvs.toMap
+    val frames = groups.map { g =>
+      val rd = spark.read.schema(schema)
+      val base = g.basePath.fold(rd)(b => rd.option("basePath", b))
+        .parquet(g.srcs: _*)
+        .select(col("*"),
+          substring_index(col("_metadata.file_path"), "/", -1)
+            .as(Lakehouse.FileCol),
+          col("_metadata.row_index").as(Lakehouse.PosCol))
+      val eqMasked = eqDelMask(base, schema, g.tombVs.map(tombByV))
+      val applicable = g.dvVs.map(dvByV)
+      if (applicable.isEmpty) eqMasked
+      else eqMasked.filter(graft.functions.DvSurvives(
+        col(Lakehouse.FileCol), col(Lakehouse.PosCol),
+        applicable.flatMap(_.toSeq).groupMap(_._1)(_._2)))
     }
     val frame = frames.reduceOption(_ unionByName _).getOrElse {
       val full = schema
@@ -2247,30 +2283,77 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     }
     // per-file row counts from the roots' manifests (one driver-side
     // read per root); the footer open survives only for legacy
-    // manifests without a `rows` column
-    val rowsByRoot: Map[String, Map[String, Long]] = roots.map { r =>
-      val sp = new Path(r, StatsDir)
-      val parts =
-        if (!fs.exists(sp)) Nil
-        else fs.listStatus(sp).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).map(_.toString)
-      val m =
-        if (parts.isEmpty) Map.empty[String, Long]
-        else FooterStats.readManifest(conf, parts,
-          c => c != "file" && c != "rows") match {
-          case Some((cols, rws)) if cols.contains("rows") =>
-            rws.flatMap { row =>
-              val ri = row.fieldIndex("rows")
-              if (row.isNullAt(ri)) None
-              else Some(row.getString(row.fieldIndex("file")) ->
-                row.getLong(ri))
-            }.toMap
-          case _ => Map.empty[String, Long]
-        }
-      r -> m
-    }.toMap
-    // (root, rootVersion, path, rows, bytes) per selected file
-    val selected: Seq[(String, Long, Path, Long, Long)] = for {
+    // manifests without a `rows` column. A spec-clustered PACK pulls
+    // the clustering-key proof (min == max, no nulls) from the SAME
+    // manifest read — the convergence filter below needs to know which
+    // selected files actually share a key.
+    val clusterKeyStats: Seq[String] =
+      if (packing.isDefined && clusterSpecs.nonEmpty)
+        graft.sources.PartSpec.statNames(
+          clusterSpecs.map(graft.sources.PartSpec.parse))
+      else Nil
+    val keepCols: Set[String] = Set("file", "rows") ++
+      clusterKeyStats.flatMap(c =>
+        Seq(s"min_$c", s"max_$c", s"nulls_$c"))
+    def renderKeyPart(v: Any): String = v match {
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case x => String.valueOf(x)
+    }
+    // fileName → proven clustering-key fingerprint (absent = unproven)
+    def provenKeys(cols: Seq[String], rws: Seq[Row]): Map[String, String] =
+      if (clusterKeyStats.isEmpty) Map.empty
+      else {
+        val fi = cols.indexOf("file"); val ri = cols.indexOf("rows")
+        rws.flatMap { row =>
+          if (fi < 0 || ri < 0 || row.isNullAt(ri)) None
+          else {
+            val rows = row.getLong(ri)
+            val parts = clusterKeyStats.map { c =>
+              val (mi, xi, ni) = (cols.indexOf(s"min_$c"),
+                cols.indexOf(s"max_$c"), cols.indexOf(s"nulls_$c"))
+              if (mi < 0 || xi < 0 || ni < 0 || row.isNullAt(ni)) None
+              else {
+                val nulls = row.getLong(ni)
+                if (nulls == rows) Some("\u0000NULL")
+                else if (nulls == 0L && !row.isNullAt(mi) &&
+                  !row.isNullAt(xi) &&
+                  renderKeyPart(row.get(mi)) == renderKeyPart(row.get(xi)))
+                  Some(renderKeyPart(row.get(mi)))
+                else None
+              }
+            }
+            if (parts.forall(_.isDefined))
+              Some(row.getString(fi) -> parts.flatten.mkString("\u0001"))
+            else None
+          }
+        }.toMap
+      }
+    val manByRoot: Map[String, (Map[String, Long], Map[String, String])] =
+      roots.map { r =>
+        val sp = new Path(r, StatsDir)
+        val parts =
+          if (!fs.exists(sp)) Nil
+          else fs.listStatus(sp).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).map(_.toString)
+        val m =
+          if (parts.isEmpty) (Map.empty[String, Long], Map.empty[String, String])
+          else FooterStats.readManifest(conf, parts,
+            c => !keepCols(c)) match {
+            case Some((cols, rws)) if cols.contains("rows") =>
+              (rws.flatMap { row =>
+                val ri = row.fieldIndex("rows")
+                if (row.isNullAt(ri)) None
+                else Some(row.getString(row.fieldIndex("file")) ->
+                  row.getLong(ri))
+              }.toMap, provenKeys(cols, rws))
+            case _ => (Map.empty[String, Long], Map.empty[String, String])
+          }
+        r -> m
+      }.toMap
+    val rowsByRoot: Map[String, Map[String, Long]] =
+      manByRoot.view.mapValues(_._1).toMap
+    // (root, rootVersion, path, rows, bytes, foldsMasks) per candidate
+    val candidates: Seq[(String, Long, Path, Long, Long, Boolean)] = for {
       r <- roots
       rv = rootVersion(r)
       st <- listDataFilesIn(new Path(r))
@@ -2291,12 +2374,40 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         dvCounts(w).getOrElse(st.getPath.getName, 0L)
       }.sum)
       if deleted >= threshold * rows || small
-    } yield (r, rv, st.getPath, rows, st.getLen)
+    } yield (r, rv, st.getPath, rows, st.getLen, deleted > 0L)
+    // CONVERGENCE on spec-clustered packs: Clustering.bySpecs emits one
+    // file per key, so a per-key output below smallBytes re-qualifies
+    // on every run — a standing pack job would re-copy the selection
+    // forever with zero consolidation. A small file whose PROVEN key no
+    // other selected file shares cannot fold with anything: drop it
+    // unless it carries masked rows to fold in (those don't re-select —
+    // the rewrite's output escapes the masks). Unproven keys (legacy
+    // manifests) fold once; their outputs come back keyed.
+    val selected: Seq[(String, Long, Path, Long, Long)] = {
+      val kept =
+        if (clusterKeyStats.isEmpty) candidates
+        else {
+          def keyOf(t: (String, Long, Path, Long, Long, Boolean)) =
+            manByRoot(t._1)._2.get(t._3.getName)
+          val groupSize: Map[String, Int] = candidates.flatMap(keyOf)
+            .groupBy(identity).view.mapValues(_.size).toMap
+          candidates.filter { t =>
+            t._6 || (keyOf(t) match {
+              case Some(k) => groupSize(k) >= 2
+              case None => true
+            })
+          }
+        }
+      kept.map(t => (t._1, t._2, t._3, t._4, t._5))
+    }
     if (selected.isEmpty) return Nil
     // packing one lone small file into one file is a permanent no-op
     // loop (its replacement stays small and re-selects forever) —
-    // require actual folding unless a deletes-threshold file qualifies
-    if (packing.isDefined && selected.size < 2) return Nil
+    // require actual folding unless the file folds masks (whose
+    // re-expression escapes them, so it never re-selects)
+    if (packing.isDefined && selected.size < 2 &&
+      !candidates.exists(t => t._6 && selected.exists(_._3 == t._3)))
+      return Nil
     val survivors = selected.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (root, files) =>
         val rv = files.head._2
@@ -3422,8 +3533,9 @@ object Lakehouse {
       */
     def versionDirStatuses(fs: FileSystem, dest: Path)
         : Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
-      if (!fs.exists(dest)) Seq.empty
-      else versionDirStatusesOf(fs.listStatus(dest).toSeq)
+      // list-and-catch, not exists-then-list: one RPC per call
+      try versionDirStatusesOf(fs.listStatus(dest).toSeq)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
 
     /** [[versionDirStatuses]] over an ALREADY-FETCHED table-root
       * listing — the checkpoint paths reuse one listing for plain
@@ -3458,8 +3570,15 @@ object Lakehouse {
 
     /** Version numbers carried by claim files at the table root. */
     def claimedVersions(fs: FileSystem, dest: Path): Seq[Long] =
-      if (!fs.exists(dest)) Seq.empty
-      else fs.listStatus(dest).toSeq.collect {
+      try claimedVersionsOf(fs.listStatus(dest).toSeq)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+    /** [[claimedVersions]] over an ALREADY-FETCHED root listing — the
+      * claim loop reuses one listing for dirs AND claims.
+      */
+    def claimedVersionsOf(
+        listing: Seq[org.apache.hadoop.fs.FileStatus]): Seq[Long] =
+      listing.collect {
         case st if st.isFile && {
           val suffix = st.getPath.getName.drop(ClaimPrefix.length)
           st.getPath.getName.startsWith(ClaimPrefix) &&

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object StressCommit {
   def main(args: Array[String]): Unit = {
+    // `cost` mode: per-commit fixed-cost pricing (file ops + wall
+    // time per scenario) — see [[StressCommitCost]]
+    if (args.headOption.contains("cost")) {
+      StressCommitCost.run(args.drop(1)); return
+    }
     val writers = args.headOption.map(_.toInt).getOrElse(4)
     val batches = args.lift(1).map(_.toInt).getOrElse(6)
     val rowsPer = 50

@@ -458,7 +458,8 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("RENAME COLUMN composes with DROP/ADD: tombstones gate the " +
-    "PHYSICAL name; layout-bearing columns refuse the rename") {
+    "PHYSICAL name; layout-bearing columns rename with the layout " +
+    "intact") {
     init()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
     spark.sql("DROP TABLE IF EXISTS graft.mart.t32")
@@ -478,15 +479,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(val) FROM graft.mart.t32")
       .head().getLong(0) == 0L,
       "re-added logical name must not resurrect the renamed bytes")
-    // layout-bearing columns refuse the rename, like DROP
+    // LAYOUT-BEARING columns rename too (round 11 — the q100 refusal
+    // lifted): props keep the PHYSICAL name, the Spark-facing reports
+    // translate. Pruning must still engage under the new name, the
+    // spec still keys new inserts, and DROP of the renamed partition
+    // column still refuses (by its physical identity).
     spark.sql("CREATE TABLE graft.mart.t32p (k BIGINT, day INT) " +
       "PARTITIONED BY (day)")
-    intercept[Exception](spark.sql(
-      "ALTER TABLE graft.mart.t32p RENAME COLUMN day TO d"))
+    spark.sql("INSERT INTO graft.mart.t32p SELECT id, " +
+      "CAST(id % 4 AS INT) FROM range(0, 100)")
+    spark.sql("ALTER TABLE graft.mart.t32p RENAME COLUMN day TO d")
+    assert(spark.table("graft.mart.t32p").schema.fieldNames.toSeq ==
+      Seq("k", "d"))
+    spark.sql("INSERT INTO graft.mart.t32p SELECT id, " +
+      "CAST(id % 4 AS INT) FROM range(100, 200)")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM graft.mart.t32p WHERE d = 2")
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      .getOrElse(fail(s"no file-cut marker post-rename:\n$plan"))
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"partition pruning must survive the rename: ${m.matched}")
+    assert(q.head().getLong(0) == 50L)
+    val ed = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t32p DROP COLUMN d"))
+    assert(ed.getMessage.contains("partition spec"))
+    // bloom columns rename; the point-lookup cut survives
     spark.sql("CREATE TABLE graft.mart.t32b (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('graft.bloomColumns' = 'v')")
-    intercept[Exception](spark.sql(
-      "ALTER TABLE graft.mart.t32b RENAME COLUMN v TO w"))
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO graft.mart.t32b SELECT /*+ COALESCE(1) */ id, " +
+        s"concat('v', id) FROM range(${i * 50}, ${i * 50 + 50})"))
+    spark.sql("ALTER TABLE graft.mart.t32b RENAME COLUMN v TO w")
+    val bq = spark.sql(
+      "SELECT count(*) AS n FROM graft.mart.t32b WHERE w = 'v120'")
+    val bplan = bq.queryExecution.executedPlan.toString
+    val bm = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(bplan)
+      .getOrElse(fail(s"no file-cut marker on bloom lookup:\n$bplan"))
+    assert(bm.group(1).toInt < bm.group(2).toInt,
+      s"bloom skipping must survive the rename: ${bm.matched}")
+    assert(bq.head().getLong(0) == 1L)
     spark.sql("DROP TABLE graft.mart.t32")
     spark.sql("DROP TABLE graft.mart.t32p")
     spark.sql("DROP TABLE graft.mart.t32b")
@@ -599,6 +631,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(m.group(1).toInt < m.group(2).toInt,
       s"partition pruning must survive the pack: ${m.matched}")
     assert(q.head().getLong(0) == 100L)
+    // CONVERGENCE: the clustered pack left one (small) file per day
+    // key — a second pack must fold NOTHING (each output is the sole
+    // small file of its key), not re-copy the whole table forever
+    val vP = lake.versions("t37p").size
+    spark.sql("CALL graft.system.pack('mart', 't37p', 10, 128)")
+    assert(lake.versions("t37p").size == vP,
+      "a second pack of a spec-clustered table must be a no-op: " +
+        "per-key sole small files cannot fold with anything")
+    // ...but NEW small files sharing a key with the packed outputs
+    // re-qualify the pair, so a standing pack job still consolidates
+    spark.sql("INSERT INTO graft.mart.t37p SELECT id, " +
+      "CAST(id % 4 AS INT) FROM range(400, 500)")
+    spark.sql("CALL graft.system.pack('mart', 't37p', 10, 128)")
+    assert(lake.versions("t37p").size == vP + 2,
+      "a pack after fresh small appends must fold them")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t37p")
+      .head().getLong(0) == 500L)
     spark.sql("DROP TABLE graft.mart.t37")
     spark.sql("DROP TABLE graft.mart.t37p")
   }
@@ -700,6 +749,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.mart.t39")
       .head().getLong(0) == 2L)
     spark.sql("DROP TABLE graft.mart.t39")
+  }
+
+  test("CHECK constraints bind at EXECUTION time: a DML command built " +
+    "before ADD CONSTRAINT enforces it, and a dropped constraint stops " +
+    "enforcing — the stale-handle write race") {
+    init()
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t40")
+    spark.sql("CREATE TABLE graft.mart.t40 (k BIGINT, amt BIGINT)")
+    spark.sql("INSERT INTO graft.mart.t40 VALUES (1, 5), (2, 6)")
+    val contract = spark.table("graft.mart.t40").schema
+    // the command object is the analysis-time artifact — built while
+    // the table carries NO constraint (a concurrent writer's stale
+    // handle), run AFTER the constraint landed
+    val cmd = GraftUpdateCommand(s"$root/mart/t40", contract,
+      col("k") === 1, Seq("amt" -> lit(-1L)), cdf = false)
+    spark.sql(
+      "ALTER TABLE graft.mart.t40 ADD CONSTRAINT pos CHECK (amt > 0)")
+    val e = intercept[Exception](cmd.run(spark))
+    assert(e.toString.contains("pos") ||
+      Option(e.getCause).exists(_.toString.contains("pos")) ||
+      e.getMessage != null && e.getMessage.contains("pos"),
+      s"the stale-handle UPDATE must fail on the NEW constraint: $e")
+    assert(spark.sql("SELECT amt FROM graft.mart.t40 WHERE k = 1")
+      .head().getLong(0) == 5L, "the refused UPDATE must land nothing")
+    // ...and the converse: a handle that SAW the constraint stops
+    // enforcing once it is dropped — no phantom enforcement
+    spark.sql("ALTER TABLE graft.mart.t40 DROP CONSTRAINT pos")
+    cmd.run(spark)
+    assert(spark.sql("SELECT amt FROM graft.mart.t40 WHERE k = 1")
+      .head().getLong(0) == -1L,
+      "after DROP CONSTRAINT the same command must apply")
+    // rename-mapping delimiters are refused everywhere a column name
+    // is minted: a ':' or ',' name would corrupt graft.renamedColumns
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t40 RENAME COLUMN amt TO `a:b`"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t40 RENAME COLUMN amt TO `a,b`"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.mart.t40bad (`x:y` BIGINT)"))
+    spark.sql("DROP TABLE graft.mart.t40")
   }
 
   test("ALTER TABLE RENAME TO moves the table identity; the commit " +

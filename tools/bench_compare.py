@@ -2,12 +2,21 @@
 """Round-over-round bench comparison.
 
 Usage: bench_compare.py OLD.json NEW.json [ratio_threshold]
+           [--normalize OLD_CANARY.json NEW_CANARY.json]
 
 Both files are BENCH_r*.json / BENCH_RESULT.json artifacts carrying a
 "queries" name->seconds map. Prints the common-query totals, the overall
 ratio, and every query whose ratio exceeds the threshold (default 1.2),
 sorted by absolute regression. Queries at -1 (failed) in either file are
 listed separately and excluded from totals.
+
+--normalize divides the sweep ratio by the canary ratio (the fixed
+10-query subset run from the PINNED round-10 jar via
+tools/canary_bench.sh, back-to-back with each sweep). The canary's code
+never changes, so day-to-day machine drift moves sweep and canary
+together and cancels out of the normalized ratio; a real engine change
+moves only the sweep. A normalized ratio near 1.0 under a raw ratio of
+1.3 means "the machine got slower, the engine didn't".
 """
 import json
 import sys
@@ -23,9 +32,21 @@ def load(path):
     return {k: float(v) for k, v in q.items()}
 
 
+def total_of(path):
+    q = load(path)
+    ok = [v for v in q.values() if v >= 0]
+    return sum(ok), len(ok)
+
+
 def main():
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
+    args = sys.argv[1:]
+    canary = None
+    if "--normalize" in args:
+        i = args.index("--normalize")
+        canary = (args[i + 1], args[i + 2])
+        args = args[:i] + args[i + 3:]
+    old_path, new_path = args[0], args[1]
+    thr = float(args[2]) if len(args) > 2 else 1.2
     old, new = load(old_path), load(new_path)
     common = sorted(set(old) & set(new))
     failed = [n for n in common if old[n] < 0 or new[n] < 0]
@@ -53,6 +74,15 @@ def main():
             print(f"  {n:35s} {o:7.3f} -> {w:7.3f}  ({r:.2f}x)")
     if failed:
         print("\nfailed somewhere:", ", ".join(failed))
+    if canary:
+        c_old, n_old = total_of(canary[0])
+        c_new, n_new = total_of(canary[1])
+        raw = t_new / t_old
+        c_ratio = c_new / c_old
+        print(f"\ncanary (pinned r10 jar): old {c_old:.1f}s ({n_old}q)"
+              f"  new {c_new:.1f}s ({n_new}q)  ratio: {c_ratio:.3f}")
+        print(f"NORMALIZED sweep ratio (sweep ÷ canary drift): "
+              f"{raw / c_ratio:.3f}")
 
 
 if __name__ == "__main__":
