@@ -2067,6 +2067,82 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         FROM graftq103.q103.fact GROUP BY 1""")
     }),
 
+    // q105 — SHALLOW CLONE (Delta's zero-copy snapshot reference):
+    // the clone pins the source's committed snapshot with NO bytes
+    // copied; independent DML (insert/delete/update, ending in a
+    // copy-on-write FULL) layers locally above the pin and never
+    // touches the source. The requires pin the hard parts: the source
+    // dir is BYTE-UNCHANGED by clone DML, and a source-side compact
+    // (whose GC reclaims shadowed dirs) plus a zero-grace vacuum KEEP
+    // the pinned versions alive — the clone still serves its snapshot
+    // after both. The oracle recomputes both tables arithmetically.
+    "q105_shallow_clone" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q105")
+      s.conf.set("spark.sql.catalog.graftq105",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq105.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q105_ord")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq105.q105")
+      s.sql("DROP TABLE IF EXISTS graftq105.q105.fact")
+      s.sql("DROP TABLE IF EXISTS graftq105.q105.fact_clone")
+      s.sql("""CREATE TABLE graftq105.q105.fact (
+          okey BIGINT, odate DATE, amt DECIMAL(18,2))""")
+      def ins(tbl: String, k: Int): Unit = s.sql(
+        s"""INSERT INTO graftq105.q105.$tbl
+          SELECT o_orderkey, o_orderdate,
+            CAST(o_totalprice AS DECIMAL(18,2))
+          FROM q105_ord WHERE o_orderkey % 3 = $k""")
+      ins("fact", 0); ins("fact", 1)
+      s.sql("CALL graftq105.system.clone('q105', 'fact', 'fact_clone')")
+      // fingerprint of the SOURCE dir before any clone DML
+      val fs = new org.apache.hadoop.fs.Path(dir.toString).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val srcDir = new org.apache.hadoop.fs.Path(
+        dir.resolve("lake/q105/fact").toString)
+      def dataFp(): Set[(String, Long, Long)] = {
+        def walk(p: org.apache.hadoop.fs.Path)
+            : Seq[(String, Long, Long)] =
+          fs.listStatus(p).toSeq.flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else Seq((st.getPath.toString, st.getLen,
+              st.getModificationTime))
+          }
+        walk(srcDir).filterNot(_._1
+          .contains(graft.storage.Lakehouse.Protocol.ClonePinPrefix))
+          .toSet
+      }
+      val before = dataFp()
+      // independent DML on the clone: append, MoR-free CoW delete and
+      // update (each a local commit; the last two are FULL rewrites)
+      ins("fact_clone", 2)
+      s.sql("DELETE FROM graftq105.q105.fact_clone WHERE okey % 7 = 0")
+      s.sql("""UPDATE graftq105.q105.fact_clone
+        SET amt = amt + CAST(1 AS DECIMAL(18,2)) WHERE okey % 10 = 0""")
+      require(dataFp() == before,
+        "clone DML must leave the source dir byte-unchanged")
+      // source-side maintenance: compact's GC and a ZERO-grace vacuum
+      // must keep the clone-pinned versions alive
+      s.sql("CALL graftq105.system.compact('q105', 'fact', 1, '')")
+      val g = "spark.graft.vacuumGraceMs"
+      val prevG = s.conf.getOption(g)
+      s.conf.set(g, "0")
+      try s.sql("CALL graftq105.system.vacuum('q105', 'fact')")
+      finally { prevG match { case Some(v) => s.conf.set(g, v)
+        case None => s.conf.unset(g) } }
+      s.sql("""SELECT gen, CAST(month(odate) AS BIGINT) AS order_month,
+          count(*) AS n, sum(okey) AS key_sum,
+          CAST(sum(amt) AS DOUBLE) AS amt_sum
+        FROM (
+          SELECT 'src' AS gen, odate, okey, amt
+          FROM graftq105.q105.fact
+          UNION ALL
+          SELECT 'clone' AS gen, odate, okey, amt
+          FROM graftq105.q105.fact_clone)
+        GROUP BY 1, 2""")
+    }),
+
     // q106 — LAYOUT-BEARING RENAME (the q100 refusal, lifted): the
     // PARTITION column renames on BOTH join sides and the BLOOM column
     // renames too. The props keep the PHYSICAL (creation) names
@@ -2573,6 +2649,30 @@ SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
   CAST(sum(amt) AS DOUBLE) AS amt_sum
 FROM allrows GROUP BY 1""",
+    // clone lifecycle: src = slices 0/1 untouched; clone = all slices
+    // minus %7 keys, +1 on %10 keys (the DELETE runs before the UPDATE)
+    "q105_shallow_clone" ->
+      """WITH base AS (
+  SELECT o_orderkey AS okey, o_orderdate AS odate,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+  FROM orders
+), src AS (
+  SELECT * FROM base WHERE okey % 3 IN (0, 1)
+), cl AS (
+  SELECT okey, odate,
+    CASE WHEN okey % 10 = 0 THEN amt + CAST(1 AS DECIMAL(18,2))
+         ELSE amt END AS amt
+  FROM base WHERE okey % 7 <> 0
+), u AS (
+  SELECT 'src' AS gen, odate, okey, amt FROM src
+  UNION ALL
+  SELECT 'clone' AS gen, odate, okey, amt FROM cl
+)
+SELECT gen, CAST(month(odate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(okey) AS BIGINT) AS key_sum,
+  CAST(sum(amt) AS DOUBLE) AS amt_sum
+FROM u GROUP BY 1, 2""",
     // layout rename is metadata-only: the full cust × supp join by
     // nation — the two inserts (pre/post rename) cover ALL suppliers
     "q106_rename_layout" ->

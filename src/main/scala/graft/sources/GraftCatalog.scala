@@ -995,7 +995,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tablePath(ident)
     if (!tableExists(ident)) false
-    else fs.delete(dir, true)
+    else {
+      // a shallow clone releases its pin on the source so the source's
+      // GC/vacuum can reclaim the previously-protected versions
+      new Lakehouse(spark, dir.getParent.toString)
+        .releaseClonePins(dir)
+      fs.delete(dir, true)
+    }
   }
 
   /** `ALTER TABLE … RENAME TO …` — one directory rename IS the whole
@@ -1117,7 +1123,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // layer only parses arguments.
 
   private def lakeFor(ns: String): (Lakehouse, String => String) = {
-    val lake = new Lakehouse(spark, nsPath(Array(check(ns))).toString)
+    val lake = new Lakehouse(spark, nsPath(Array(check(ns))).toString,
+      gcGraceMs = GraftCatalog.gcGraceMs(spark))
     (lake, (t: String) => check(t))
   }
 
@@ -1214,6 +1221,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("small_mb", IntegerType).build(),
               ProcedureParameter.in("target_mb", IntegerType).build())
+            case "clone" => Array(
+              ProcedureParameter.in("namespace", StringType).build(),
+              ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("new_table", StringType).build(),
+              ProcedureParameter.in("version", LongType)
+                .defaultValue("-1").build())
             case "stage_branch" => Array(
               ProcedureParameter.in("namespace", StringType).build(),
               ProcedureParameter.in("table", StringType).build(),
@@ -1309,6 +1322,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               // `VERSION AS OF 'branch:<b>'`, then publish or discard.
               // The staged frame is conformed to the contract types —
               // the same INSERT coercion the live write path gets.
+              // zero-copy snapshot reference (Delta's SHALLOW CLONE):
+              // `CALL graft.system.clone(ns, src, dst [, version])` —
+              // the new table reads the source's pinned snapshot with
+              // no bytes copied; independent DML layers locally above
+              // it, and the source's GC keeps the pinned versions
+              // alive until the clone is dropped. The contract files
+              // (schema, props — specs, renames, checks, blooms) copy
+              // so the clone presents the exact source contract.
+              case "clone" =>
+                val dst = ck(args.getUTF8String(2).toString)
+                val asOf = Some(args.getLong(3)).filter(_ >= 0L)
+                val srcSchemaF = new Path(nsPath(Array(ns)),
+                  new Path(t, GraftCatalog.SchemaFile))
+                require(fs.exists(srcSchemaF),
+                  s"no such catalog table: $ns.$t")
+                val dstDir = new Path(nsPath(Array(ns)), dst)
+                require(!fs.exists(new Path(dstDir,
+                  GraftCatalog.SchemaFile)),
+                  s"table already exists: $ns.$dst")
+                lake.shallowClone(t, dst, asOf)
+                // contract copy AFTER the reference lands: the table
+                // only becomes loadable when the schema file appears,
+                // so no reader can see a half-created clone
+                val srcPropsF = new Path(nsPath(Array(ns)),
+                  new Path(t, GraftCatalog.PropsFile))
+                if (fs.exists(srcPropsF))
+                  GraftCatalog.writeProps(fs,
+                    new Path(dstDir, GraftCatalog.PropsFile),
+                    GraftCatalog.readProps(fs, srcPropsF))
+                GraftCatalog.writeSchema(fs,
+                  new Path(dstDir, GraftCatalog.SchemaFile),
+                  GraftCatalog.readSchema(fs, srcSchemaF))
               case "stage_branch" =>
                 val b = args.getUTF8String(2).toString
                 val schema = tableSchema(ns, t)
@@ -1420,7 +1465,7 @@ private[graft] object GraftCatalog {
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch",
-      "rewrite_deletes", "checkpoint", "pack")
+      "rewrite_deletes", "checkpoint", "pack", "clone")
 
   /** Heal grace for RTAS swap journals (`spark.graft.swapGraceMs`) and
     * default reclaim grace for `CALL graft.system.vacuum`
@@ -1562,13 +1607,49 @@ private[graft] object GraftCatalog {
     atomicWrite(fs, dest, buf.toByteArray)
   }
 
-  def readProps(fs: FileSystem, src: Path): Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    val in = fs.open(src)
-    val jp = new java.util.Properties()
-    try jp.load(in) finally in.close()
-    jp.stringPropertyNames().asScala.map(k => k -> jp.getProperty(k)).toMap
+  def readProps(fs: FileSystem, src: Path): Map[String, String] =
+    retryChecksum(src) {
+      import scala.jdk.CollectionConverters._
+      val in = fs.open(src)
+      val jp = new java.util.Properties()
+      try jp.load(in) finally in.close()
+      jp.stringPropertyNames().asScala.map(k => k -> jp.getProperty(k))
+        .toMap
+    }
+
+  /** Bounded retry on ChecksumException: CommitIo.replace is atomic
+    * for the DATA file, but the local ChecksumFileSystem replaces the
+    * `.crc` sidecar in a SEPARATE rename — a concurrent read landing
+    * between the two sees new bytes under the old checksum. Transient
+    * by construction (content is never torn; StressRace's ddl mode
+    * exposed it); HDFS and object stores never hit this path.
+    */
+  private[sources] def retryChecksum[A](src: Path)(body: => A): A = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+          Thread.sleep(10L * attempts)
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $src")
   }
+
+  /** Reader-vs-GC grace for the catalog's WRITE surfaces (a full
+    * commit's GC, compaction, SQL DML rewrites): `spark.graft
+    * .gcGraceMs`, default 0 — immediate reclaim, the single-writer
+    * deployment. Deployments running concurrent readers or DML set it
+    * above their longest statement, the same contract as the
+    * Lakehouse constructor's parameter (which the SQL surface could
+    * not reach before round 11 — racing SQL statements read files a
+    * concurrent CoW commit had already reclaimed).
+    */
+  def gcGraceMs(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.gcGraceMs")
+      .map(_.toLong).getOrElse(0L)
 
   val ViewFile = "_GRAFT_VIEW"
   // array cells join on the ASCII unit separator (Properties escapes
@@ -1635,7 +1716,10 @@ private[graft] object GraftCatalog {
       bytes: Array[Byte]): Unit =
     graft.storage.CommitIo(fs).replace(dest, bytes)
 
-  def readSchema(fs: FileSystem, src: Path): StructType = {
+  def readSchema(fs: FileSystem, src: Path): StructType =
+    retryChecksum(src) { readSchemaOnce(fs, src) }
+
+  private def readSchemaOnce(fs: FileSystem, src: Path): StructType = {
     val in = fs.open(src)
     val bytes =
       try {
@@ -1797,7 +1881,10 @@ private[sources] class GraftTable(path: String, tableName: String,
 
   private def lake: (Lakehouse, String) = {
     val dir = new Path(path)
-    (new Lakehouse(SparkSession.active, dir.getParent.toString),
+    // reader-vs-GC grace threaded from `spark.graft.gcGraceMs` so
+    // concurrent SQL statements can outlive a CoW commit's reclaim
+    (new Lakehouse(SparkSession.active, dir.getParent.toString,
+      gcGraceMs = GraftCatalog.gcGraceMs(SparkSession.active)),
       dir.getName)
   }
 
@@ -1883,7 +1970,8 @@ private[sources] class GraftTable(path: String, tableName: String,
             // schema; the commit is the lakehouse's own crash-safe path
             val dir = new Path(path)
             val lake = new Lakehouse(SparkSession.active,
-              dir.getParent.toString)
+              dir.getParent.toString,
+              gcGraceMs = GraftCatalog.gcGraceMs(SparkSession.active))
             val t = dir.getName
             // partitioned table: EXACT one-file-per-key clustering on
             // the partition columns (graft.storage.Clustering) — each

@@ -238,7 +238,13 @@ private[sources] object GraftDml {
 
   def lakeOf(spark: SparkSession, tableDir: String): (Lakehouse, String) = {
     val dir = new Path(tableDir)
-    (new Lakehouse(spark, dir.getParent.toString), dir.getName)
+    // reader-vs-GC grace (`spark.graft.gcGraceMs`): a CoW DML's FULL
+    // commit GCs what it shadows — with zero grace a CONCURRENT
+    // statement that resolved its snapshot first reads deleted files
+    // (StressRace ddl exposed it); the conf is the SQL surface's
+    // equivalent of the Lakehouse constructor parameter
+    (new Lakehouse(spark, dir.getParent.toString,
+      gcGraceMs = GraftCatalog.gcGraceMs(spark)), dir.getName)
   }
 
   /** The table's enforced CHECK + NOT NULL constraints as ONE

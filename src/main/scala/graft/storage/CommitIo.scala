@@ -110,6 +110,29 @@ private[graft] final class FsCommitIo(fs: FileSystem) extends CommitIo {
     catch { case _: java.io.FileNotFoundException => false }
 
   override def replace(p: Path, bytes: Array[Byte]): Unit = {
+    // `file:` goes through NIO: POSIX rename(2) replaces the
+    // destination ATOMICALLY, while Hadoop's local
+    // FileContext.rename(OVERWRITE) is delete-then-rename — a window
+    // where the file is ABSENT (and ChecksumFs moves the `.crc`
+    // sidecar in a separate step — a window where new bytes verify
+    // against the old checksum). StressRace's ddl mode hit both.
+    // The NIO path bypasses ChecksumFileSystem, so any existing crc
+    // sidecar is dropped first — a stale one would permanently fail
+    // reads; absent means "no verification", which plain FileSystem
+    // readers accept.
+    if (fs.getScheme == "file") {
+      val pp = java.nio.file.Paths.get(p.toUri.getPath)
+      if (pp.getParent != null)
+        java.nio.file.Files.createDirectories(pp.getParent)
+      val tmpP = pp.resolveSibling(s".${p.getName}.tmp")
+      java.nio.file.Files.write(tmpP, bytes)
+      java.nio.file.Files.deleteIfExists(
+        pp.resolveSibling(s".${p.getName}.crc"))
+      java.nio.file.Files.move(tmpP, pp,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      return
+    }
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
@@ -118,8 +141,7 @@ private[graft] final class FsCommitIo(fs: FileSystem) extends CommitIo {
       // lost a create race — fall through to atomic replace
     }
     // FileContext.rename(OVERWRITE) is the atomic-replace primitive on
-    // both local FS and HDFS (FileSystem.rename refuses existing
-    // destinations)
+    // HDFS (FileSystem.rename refuses existing destinations)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       p.toUri, fs.getConf)
     try fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),

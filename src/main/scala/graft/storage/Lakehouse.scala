@@ -660,7 +660,11 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         catch { case _: java.io.FileNotFoundException => Seq.empty }
       val next =
         (Lakehouse.Protocol.versionDirStatusesOf(listing).map(_._1) ++
-          Lakehouse.Protocol.claimedVersionsOf(listing))
+          Lakehouse.Protocol.claimedVersionsOf(listing) ++
+          // a shallow clone's local commits sequence ABOVE the pinned
+          // source snapshot (same LOCAL listing — no source RPC)
+          Lakehouse.Protocol.cloneRefOf(fs, listing)
+            .flatMap(_._2.maxOption))
           .maxOption.getOrElse(0L) + 1L
       if (atomicCreate(new Path(dest, s"$ClaimPrefix$next"))) return next
       attempts += 1
@@ -1389,8 +1393,17 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     def oldEnough(p: Path): Boolean =
       fs.exists(p) &&
         (gcGraceMs == 0L || fs.getFileStatus(p).getModificationTime <= horizon)
+    // clone safety, both directions: (a) a CLONE's full commit must
+    // never delete SOURCE dirs its listing unioned in — only dirs
+    // directly under THIS table move or die; (b) versions a live clone
+    // of THIS table pins stay alive until the clone is dropped.
+    val destPathStr = fs.makeQualified(dest).toUri.getPath
+    def localDir(p: Path): Boolean = p.getParent != null &&
+      p.getParent.toUri.getPath == destPathStr
+    val clonePins = Lakehouse.Protocol.clonePinned(fs, dest)
     committedOlder.foreach { case (v, p, _) =>
-      if (basis.committed(v) && !keep(p.getName) && oldEnough(p))
+      if (basis.committed(v) && !keep(p.getName) && localDir(p) &&
+        !clonePins(v) && oldEnough(p))
         fs.delete(p, true)
     }
     if (!keepPreVersioningBase)
@@ -2821,6 +2834,95 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     * write job as well as the longest read — the same retention-vs-
     * in-flight-writer contract as Delta's VACUUM.
     */
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): `dst`
+    * becomes a zero-copy reference to `src`'s committed snapshot —
+    * optionally pinned at `VERSION AS OF asOf`. No data bytes move:
+    * the clone's root carries a [[Lakehouse.Protocol.CloneFile]]
+    * naming the source and the pinned committed-version set, and every
+    * resolver unions those dirs with the clone's own
+    * ([[Lakehouse.Protocol.versionDirStatuses]]). Local commits claim
+    * numbers ABOVE the pin, so DML/compaction on the clone layer
+    * exactly like commits on any table — and never touch the source
+    * (the GC paths act on local dirs only). The source's root gains a
+    * `_GRAFT_CLONE_PIN_<token>` file; its GC and vacuum keep the
+    * pinned dirs alive until the clone is dropped.
+    *
+    * Concurrency: creation races a source-side FULL commit's GC on the
+    * pin-write→verify window — the post-write verification fails
+    * LOUDLY (pin dropped, clone removed) if any pinned dir vanished;
+    * the same single-maintainer caveat as two racing fulls.
+    */
+  def shallowClone(src: String, dst: String,
+      asOf: Option[Long] = None): Unit = {
+    require(exists(src), s"no such table: $src")
+    require(!exists(dst), s"table already exists: $dst")
+    val srcDest = new Path(tablePath(src))
+    val srcListing = fs.listStatus(srcDest).toSeq
+    require(Lakehouse.Protocol.cloneRefOf(fs, srcListing).isEmpty,
+      s"$src is itself a shallow clone — clone the original table")
+    val committed = Lakehouse.Protocol.versionDirStatusesOf(srcListing)
+      .sortBy(_._1)
+      .flatMap { case (v, st) => commitKind(st.getPath).map(_ => v) }
+      .filter(v => asOf.forall(v <= _))
+    require(committed.nonEmpty, s"$src has no committed versions" +
+      asOf.map(v => s" at or below _v$v").getOrElse(""))
+    val pinned = committed.toSet
+    val pinBody = pinned.toSeq.sorted.mkString(",")
+    val dstDest = new Path(tablePath(dst))
+    fs.mkdirs(dstDest)
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(8)
+    val pinFile = new Path(srcDest,
+      s"${Lakehouse.Protocol.ClonePinPrefix}$token")
+    // PIN first, then verify: a racing source GC that never saw the
+    // pin may have deleted a pinned dir — detect and fail loudly
+    commitIo.replace(pinFile,
+      (s"clone=${fs.makeQualified(dstDest).toUri.getPath}\n" +
+        s"pin=$pinBody\n").getBytes("UTF-8"))
+    val still = Lakehouse.Protocol
+      .versionDirStatusesOf(fs.listStatus(srcDest).toSeq)
+      .map(_._1).toSet
+    if (!pinned.subsetOf(still)) {
+      try fs.delete(pinFile, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      fs.delete(dstDest, true)
+      throw new java.util.ConcurrentModificationException(
+        s"shallow clone of $src raced a full commit's GC " +
+          s"(version(s) ${(pinned -- still).toSeq.sorted.mkString(",")} " +
+          "vanished between the snapshot listing and the pin) — re-run")
+    }
+    commitIo.replace(new Path(dstDest, Lakehouse.Protocol.CloneFile),
+      (s"src=${fs.makeQualified(srcDest).toUri.getPath}\n" +
+        s"pin=$pinBody\n").getBytes("UTF-8"))
+  }
+
+  /** Drop the pin `cloneDir` holds on its source (the DROP TABLE path
+    * for clones) — matched by the clone path recorded in each pin.
+    */
+  def releaseClonePins(cloneDir: Path): Unit = {
+    val listing = try fs.listStatus(cloneDir).toSeq
+      catch { case _: java.io.FileNotFoundException => return }
+    Lakehouse.Protocol.cloneRefOf(fs, listing).foreach { case (src, _) =>
+      val me = fs.makeQualified(cloneDir).toUri.getPath
+      val srcPath = new Path(src)
+      val pins = try fs.listStatus(srcPath).toSeq.filter(st =>
+        st.isFile && st.getPath.getName
+          .startsWith(Lakehouse.Protocol.ClonePinPrefix))
+      catch { case _: java.io.FileNotFoundException => Nil }
+      pins.foreach { st =>
+        val mine = try {
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .exists(_ == s"clone=$me")
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (mine)
+          try fs.delete(st.getPath, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
   def vacuum(name: String): Unit = {
     val dest = new Path(tablePath(name))
     if (!fs.exists(dest)) return
@@ -2863,6 +2965,29 @@ final class Lakehouse(val spark: SparkSession, val root: String,
           catch { case _: java.io.FileNotFoundException => () }
       }
     }
+    // orphaned clone pins: a crash between the pin write and the
+    // clone's reference file leaves a pin protecting versions for a
+    // clone that never materialized (or whose dir was removed by hand)
+    // — reclaim once idle past the grace; a LIVE clone's reference
+    // file exists from creation on, so its pin always survives
+    fs.listStatus(dest).toSeq.filter(st => st.isFile &&
+      st.getPath.getName.startsWith(Lakehouse.Protocol.ClonePinPrefix))
+      .foreach { st =>
+        if (st.getModificationTime <= horizon0) {
+          val clonePath = try {
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .find(_.startsWith("clone=")).map(_.drop(6))
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+          val live = clonePath.exists(p =>
+            try fs.exists(new Path(p, Lakehouse.Protocol.CloneFile))
+            catch { case _: java.io.IOException => true })
+          if (!live)
+            try fs.delete(st.getPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
     // crashed-CTAS debris: a `_stage_<name>_*` generation whose query
     // died before commit (no journal — commitStagedChanges never ran)
     // and a `_old_<name>_*` backup whose swap finished are siblings of
@@ -2937,8 +3062,15 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       try fs.listStatus(p).exists(
         _.getPath.getName.startsWith(BranchPrefix))
       catch { case _: java.io.FileNotFoundException => false }
+    // clone safety (same contract as the full-commit GC): local dirs
+    // only, and versions a live clone pins survive until it is dropped
+    val destPathStr = fs.makeQualified(dest).toUri.getPath
+    def localDir(p: Path): Boolean = p.getParent != null &&
+      p.getParent.toUri.getPath == destPathStr
+    val clonePins = Lakehouse.Protocol.clonePinned(fs, dest)
     all.foreach { case (v, p) =>
-      if (v < newestFullV && !keep(v) && oldEnough(p) && !isStaged(p))
+      if (v < newestFullV && !keep(v) && localDir(p) && !clonePins(v) &&
+        oldEnough(p) && !isStaged(p))
         fs.delete(p, true)
     }
     if (!keepPreVersioningBase)
@@ -3522,6 +3654,67 @@ object Lakehouse {
       } catch { case _: java.io.FileNotFoundException => None }
     }
 
+    /** SHALLOW CLONE reference at a clone table's root (`_GRAFT_CLONE`,
+      * written once at creation, immutable): `src=<absolute table
+      * path>` and `pin=<comma-joined committed versions>`. A clone's
+      * version listing is the UNION of the source's PINNED dirs and
+      * its own local dirs ([[versionDirStatuses]]) — zero bytes
+      * copied; local commits claim numbers ABOVE the pin so every
+      * reader's version sequencing (fulls shadowing, mask
+      * applicability, time travel) applies unchanged. The SOURCE root
+      * carries one `_GRAFT_CLONE_PIN_<token>` file per live clone;
+      * source-side GC and vacuum keep pinned dirs alive until the
+      * clone is dropped (DROP TABLE on the clone releases its pin).
+      * Mutating maintenance on the clone never touches source dirs —
+      * the GC/vacuum/rewrite paths act on LOCAL dirs only.
+      */
+    val CloneFile = "_GRAFT_CLONE"
+    val ClonePinPrefix = "_GRAFT_CLONE_PIN_"
+
+    private val cloneRefCache = new java.util.concurrent
+      .ConcurrentHashMap[String, (String, Set[Long])]()
+
+    /** The clone reference of an ALREADY-FETCHED root listing; content
+      * cached by (path, mtime, length) — the file is immutable after
+      * creation. An unreadable reference fails LOUDLY: treating it as
+      * absent would silently serve the clone as an empty table.
+      */
+    def cloneRefOf(fs: FileSystem,
+        listing: Seq[org.apache.hadoop.fs.FileStatus])
+        : Option[(String, Set[Long])] =
+      listing.find(st => st.isFile && st.getPath.getName == CloneFile)
+        .map { st =>
+          val key = st.getPath.toUri.getPath +
+            s"@${st.getModificationTime}:${st.getLen}"
+          if (cloneRefCache.size > 64) cloneRefCache.clear()
+          cloneRefCache.computeIfAbsent(key, _ => {
+            val in = fs.open(st.getPath)
+            val m = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().filter(_.contains('=')).map { l =>
+                val i = l.indexOf('='); (l.take(i), l.drop(i + 1))
+              }.toMap
+            finally in.close()
+            (m("src"), m("pin").split(",").filter(_.nonEmpty)
+              .map(_.toLong).toSet)
+          })
+        }
+
+    /** Every version a live clone of `dest` pins — the set this
+      * table's GC and vacuum must keep alive. One root listing plus
+      * one tiny read per pin file (pins are rare; paid only on FULL
+      * commits and vacuum, never on appends).
+      */
+    def clonePinned(fs: FileSystem, dest: Path): Set[Long] =
+      try fs.listStatus(dest).toSeq.filter(st => st.isFile &&
+        st.getPath.getName.startsWith(ClonePinPrefix)).flatMap { st =>
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.startsWith("pin=")).flatMap(_.drop(4).split(","))
+            .filter(_.nonEmpty).map(_.toLong).toList
+          finally in.close()
+        }.toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty }
+
     /** (version, dir) for every `_v<N>` subdir, committed or not. */
     def versionDirs(fs: FileSystem, dest: Path): Seq[(Long, Path)] =
       versionDirStatuses(fs, dest).map { case (v, st) => (v, st.getPath) }
@@ -3533,9 +3726,30 @@ object Lakehouse {
       */
     def versionDirStatuses(fs: FileSystem, dest: Path)
         : Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
-      // list-and-catch, not exists-then-list: one RPC per call
-      try versionDirStatusesOf(fs.listStatus(dest).toSeq)
-      catch { case _: java.io.FileNotFoundException => Seq.empty }
+      // list-and-catch, not exists-then-list: one RPC per call.
+      // A SHALLOW CLONE's listing is the union of the source's pinned
+      // dirs and the clone's own — the ONE seam every resolver
+      // (reads, DML, streaming, history, time travel) goes through.
+      try {
+        val listing = fs.listStatus(dest).toSeq
+        val local = versionDirStatusesOf(listing)
+        cloneRefOf(fs, listing) match {
+          case None => local
+          case Some((src, pinned)) =>
+            val srcDirs =
+              try versionDirStatusesOf(fs.listStatus(new Path(src)).toSeq)
+                .filter { case (v, _) => pinned(v) }
+              catch { case _: java.io.FileNotFoundException =>
+                Seq.empty[(Long, org.apache.hadoop.fs.FileStatus)] }
+            require(srcDirs.size == pinned.size,
+              s"shallow clone $dest references version(s) " +
+                s"${(pinned -- srcDirs.map(_._1)).toSeq.sorted
+                  .mkString(",")} no longer present in $src — the " +
+                "source was GC'd past the clone pin (pin file removed " +
+                "by hand?)")
+            (srcDirs ++ local).sortBy(_._1)
+        }
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
 
     /** [[versionDirStatuses]] over an ALREADY-FETCHED table-root
       * listing — the checkpoint paths reuse one listing for plain

@@ -384,6 +384,15 @@ private[graft] object MetaCheckpoint {
     */
   def writeCheckpoint(spark: SparkSession, fs: FileSystem,
       conf: Configuration, dest: Path): Boolean = {
+    // SHALLOW CLONES never checkpoint: the checkpoint's file records
+    // assume every version dir lives under `dest`, but a clone's
+    // listing unions SOURCE dirs — resolving their rel paths against
+    // the clone root would point at nothing. Clones resolve via the
+    // live walk (correct, tail-priced once a local full lands).
+    try {
+      if (fs.exists(new Path(dest, Lakehouse.Protocol.CloneFile)))
+        return false
+    } catch { case NonFatal(_) => return false }
     val dirSt = Lakehouse.Protocol.versionDirStatuses(fs, dest)
       .sortBy(_._1)
     if (dirSt.isEmpty) return false
@@ -925,7 +934,13 @@ private[graft] object MetaCheckpoint {
     val lastV = listCkptFiles(fs, dest).lastOption
       .flatMap(st => parseName(st.getPath.getName)).map(_._1)
       .getOrElse(-1L)
-    val above = Lakehouse.Protocol.versionDirs(fs, dest)
+    // LOCAL dirs only (one listing): a shallow clone never checkpoints
+    // (see writeCheckpoint) and must not re-trigger on every commit
+    // because the pinned source dirs all sit above lastV
+    val listing = try fs.listStatus(dest).toSeq
+      catch { case _: java.io.FileNotFoundException => return }
+    if (Lakehouse.Protocol.cloneRefOf(fs, listing).isDefined) return
+    val above = Lakehouse.Protocol.versionDirStatusesOf(listing)
       .count(_._1 > lastV)
     if (above >= interval) writeCheckpoint(spark, fs, conf, dest)
   }

@@ -32,6 +32,11 @@ import org.apache.spark.sql.types.StructType
   */
 object StressRace {
   def main(args: Array[String]): Unit = {
+    // `ddl` mode: ALTER battery racing DML and pack — see
+    // [[StressRaceDdl]]
+    if (args.headOption.contains("ddl")) {
+      StressRaceDdl.run(args.drop(1)); return
+    }
     val writers = args.headOption.map(_.toInt).getOrElse(4)
     val opsPer = args.lift(1).map(_.toInt).getOrElse(6)
     val sliceRows = 50L
