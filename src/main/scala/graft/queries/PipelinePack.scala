@@ -916,6 +916,13 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         require(leaves.length == 2 &&
           leaves.forall(_.stats.attributeStats.nonEmpty),
           "ANALYZE column stats must reach both join leaves under CBO")
+        // round 11: ANALYZE also persists EQUI-HEIGHT histograms for
+        // numeric columns, served through columnStats() — the skewed
+        // selectivity estimates PlanSpec's witness flips on
+        require(leaves.exists(_.stats.attributeStats.exists {
+          case (a, st) => a.name == "order_month" &&
+            st.histogram.exists(_.bins.nonEmpty)
+        }), "the fact's order_month histogram must reach the CBO")
         out.persist()
         out.count() // materialize under CBO before the conf restores
         out

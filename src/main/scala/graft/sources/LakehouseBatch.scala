@@ -844,6 +844,17 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
             override def maxLen(): OptionalLong =
               get("maxlen").map(v => OptionalLong.of(v.toLong))
                 .getOrElse(OptionalLong.empty())
+            // equi-height histogram (`hist__<col>` =
+            // "height|lo:hi:ndv;…") — transformV2Stats carries it into
+            // the catalyst ColumnStat, where FilterEstimation prices
+            // skewed equality/range predicates by the bins a value
+            // spans instead of assuming uniformity over the NDV
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              get("hist").flatMap(LakehouseBatch.parseHistogram)
+                .map(java.util.Optional.of[
+                  org.apache.spark.sql.connector.read.colstats.Histogram])
+                .getOrElse(java.util.Optional.empty())
           })
         }
       }
@@ -2132,6 +2143,32 @@ private[graft] object LakehouseBatch {
     * dropped from pushdown (Spark re-applies every filter post-scan,
     * so dropping only loses skipping, never rows).
     */
+  /** `"height|lo:hi:ndv;…"` → a V2 Histogram; None on any malformed
+    * cell (stats are advisory — never fail a scan over them).
+    */
+  def parseHistogram(s: String)
+      : Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+    try {
+      val Array(h, binsStr) = s.split("\\|", 2)
+      val parsed = binsStr.split(";").filter(_.nonEmpty).map { b =>
+        val p = b.split(":", 3)
+        val (bl, bh, bn) = (p(0).toDouble, p(1).toDouble, p(2).toLong)
+        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+          override def lo(): Double = bl
+          override def hi(): Double = bh
+          override def ndv(): Long = bn
+        }
+      }
+      val hh = h.toDouble
+      if (parsed.isEmpty) None
+      else Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+        override def height(): Double = hh
+        override def bins(): Array[
+          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+          parsed.toArray
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def renameFilter(f: Filter,
       m: Map[String, String]): Option[Filter] = {
     def r(n: String): String = ciLookup(m, n).getOrElse(n)

@@ -396,6 +396,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("CBO equi-height histograms: a skewed equality filter flips the " +
+    "join strategy ONLY with the histogram (NDV alone mis-prices the " +
+    "hot value)") {
+    spark.conf.set("spark.sql.catalog.gh", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gh.root", tmpDir("hist-root"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gh.c")
+    spark.sql("DROP TABLE IF EXISTS gh.c.skew")
+    spark.sql("DROP TABLE IF EXISTS gh.c.probe")
+    // s is HOT at 0 (95% of rows) with 10k rare distinct values — the
+    // uniform NDV estimate prices `s = 0` at rows/ndv ≈ 20 rows
+    spark.sql("CREATE TABLE gh.c.skew (k BIGINT, s BIGINT)")
+    spark.sql("""INSERT INTO gh.c.skew
+      SELECT id, CASE WHEN id < 190000 THEN 0 ELSE id END
+      FROM range(0, 200000)""")
+    spark.sql("CREATE TABLE gh.c.probe (k BIGINT, w BIGINT)")
+    spark.sql(
+      "INSERT INTO gh.c.probe SELECT id, id * 3 FROM range(0, 100000)")
+    def plan(v: Long): String = spark.sql(
+      s"""SELECT count(*) FROM gh.c.skew b
+        JOIN gh.c.probe p ON b.k = p.k WHERE b.s = $v""")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    withSQLConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString) {
+      // NDV-only stats (histograms off): the hot value estimates as
+      // ~20 rows -> the filtered side broadcasts. WRONG: it is 95% of
+      // the table.
+      withSQLConf("spark.graft.histogramBins" -> "0") {
+        spark.sql("CALL gh.system.analyze('c', 'skew')")
+        spark.sql("CALL gh.system.analyze('c', 'probe')")
+      }
+      val ndvOnly = plan(0L)
+      assert(ndvOnly.contains("BroadcastHashJoin"),
+        s"uniform NDV must (mis-)broadcast the hot-value filter:\n$ndvOnly")
+      // re-ANALYZE with histograms: the hot value spans most bins ->
+      // ~190k estimated rows -> too big to broadcast -> sort-merge
+      spark.sql("CALL gh.system.analyze('c', 'skew')")
+      val hot = plan(0L)
+      assert(hot.contains("SortMergeJoin"),
+        s"the histogram must price the hot value at ~95% of rows:\n$hot")
+      // ...while a genuinely RARE value stays broadcastable — the
+      // histogram sharpens both directions, it doesn't just inflate
+      val rare = plan(195123L)
+      assert(rare.contains("BroadcastHashJoin"),
+        s"a rare value must still broadcast under the histogram:\n$rare")
+    }
+    spark.sql("DROP TABLE gh.c.skew")
+    spark.sql("DROP TABLE gh.c.probe")
+  }
+
   test("e12 serve: reads the stored index tables, broadcasts the probe " +
     "structures, no SMJ/cartesian") {
     // explain() triggers the in-query build job; the returned plan is
