@@ -123,6 +123,40 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Encode a width×height RGB raster as a real JPEG via ImageIO at
+      * an explicit quality. JPEG is LOSSY, so unlike PNG/BMP/WAV the
+      * decoded raster cannot equal the generator — the verifiable
+      * claim is BOUNDED ERROR ([[Multimodal.maxAbsChannelError]]): on
+      * a smooth raster the JDK decoder's output stays within a small
+      * per-channel band of the input, while any stride / channel-order
+      * / color-profile defect blows the band by an order of magnitude.
+      * m08 oracle-checks exactly that claim (SURVEY §8.1, round 11).
+      */
+    def encodeJpeg(width: Int, height: Int, quality: Float,
+        rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+      require(writers.hasNext, "JDK JPEG writer missing")
+      val w = writers.next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        val p = w.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { w.dispose(); ios.close() }
+      out.toByteArray
+    }
+
     /** Encode a width×height RGB raster as a real BMP (24-bit
       * uncompressed — lossless for ANY raster, unlike GIF's ≤256-color
       * palette) via ImageIO. The third real-codec tier next to PNG and
@@ -226,6 +260,38 @@ object Multimodal {
     * Map-only, payloads dropped before any shuffle — the same scale
     * shape as [[extractFeatures]], with an actual codec in the middle.
     */
+  /** Decode `payload` and return the MAX absolute per-channel error
+    * against the expected packed-RGB raster — the bounded-loss claim a
+    * LOSSY codec can be oracle-checked on (m08): a healthy JPEG
+    * round-trip of a smooth raster stays within a small band; a
+    * stride, channel-order or color-profile defect blows it by an
+    * order of magnitude. Throws on dimension mismatch or undecodable
+    * bytes — fail-loudly, like every codec here.
+    */
+  def maxAbsChannelError(payload: Array[Byte], width: Int, height: Int,
+      expected: (Int, Int) => Int): Int = {
+    val (w, h, px) = Codecs.decodeImage(payload)
+    require(w == width && h == height,
+      s"decoded ${w}x$h != expected ${width}x$height")
+    var worst = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val got = px(y * w + x)
+        val exp = expected(x, y)
+        def ch(v: Int, s: Int): Int = (v >> s) & 0xff
+        var e = math.abs(ch(got, 16) - ch(exp, 16))
+        e = math.max(e, math.abs(ch(got, 8) - ch(exp, 8)))
+        e = math.max(e, math.abs(ch(got, 0) - ch(exp, 0)))
+        if (e > worst) worst = e
+        x += 1
+      }
+      y += 1
+    }
+    worst
+  }
+
   def pngChannelStats(items: Dataset[MediaItem]): DataFrame = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>

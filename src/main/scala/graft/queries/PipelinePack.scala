@@ -2074,6 +2074,67 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         FROM graftq103.q103.fact GROUP BY 1""")
     }),
 
+    // q104 — NESTED (struct) SCHEMA EVOLUTION, the Iceberg staple:
+    // slice 0 lands under payload STRUCT<amt, cust, tag>; the struct
+    // gains `qty` (old files NULL-FILL it through Spark's per-file
+    // requested-schema clipping — no data IO), slices 1/2 land with
+    // qty; `tag` is dropped (contract narrowing, bytes stay) and its
+    // re-add REFUSES while pre-drop files live (the dotted tombstone
+    // gate, same contract as top-level DROP). The oracle recomputes
+    // the surviving shape arithmetically — an engine that nulled old
+    // generations' structs, mis-clipped the added field, or resurrected
+    // the dropped one mismatches n/amt_sum/qty_cnt/qty_sum.
+    "q104_nested_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q104")
+      s.conf.set("spark.sql.catalog.graftq104",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq104.root",
+        dir.resolve("lake").toString)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q104_ord")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq104.q104")
+      s.sql("DROP TABLE IF EXISTS graftq104.q104.fact")
+      s.sql("""CREATE TABLE graftq104.q104.fact (
+          okey BIGINT, odate DATE,
+          payload STRUCT<amt: DECIMAL(18,2), cust: BIGINT, tag: STRING>)""")
+      s.sql("""INSERT INTO graftq104.q104.fact
+        SELECT o_orderkey, o_orderdate,
+          named_struct('amt', CAST(o_totalprice AS DECIMAL(18,2)),
+            'cust', o_custkey, 'tag', o_orderstatus)
+        FROM q104_ord WHERE o_orderkey % 3 = 0""")
+      s.sql("ALTER TABLE graftq104.q104.fact ADD COLUMN payload.qty INT")
+      def insWide(k: Int): Unit = s.sql(
+        s"""INSERT INTO graftq104.q104.fact
+          SELECT o_orderkey, o_orderdate,
+            named_struct('amt', CAST(o_totalprice AS DECIMAL(18,2)),
+              'cust', o_custkey, 'tag', o_orderstatus,
+              'qty', CAST(o_orderkey % 50 AS INT))
+          FROM q104_ord WHERE o_orderkey % 3 = $k""")
+      insWide(1)
+      s.sql("ALTER TABLE graftq104.q104.fact DROP COLUMN payload.tag")
+      // resurrection gate: pre-drop files still live
+      require(scala.util.Try(s.sql(
+        "ALTER TABLE graftq104.q104.fact ADD COLUMN payload.tag STRING"))
+        .isFailure, "re-adding a dropped nested field over live " +
+        "pre-drop files must refuse")
+      // nested rename/widen refuse explicitly
+      require(scala.util.Try(s.sql(
+        "ALTER TABLE graftq104.q104.fact RENAME COLUMN payload.qty " +
+          "TO payload.n")).isFailure, "nested RENAME must refuse")
+      s.sql("""INSERT INTO graftq104.q104.fact
+        SELECT o_orderkey, o_orderdate,
+          named_struct('amt', CAST(o_totalprice AS DECIMAL(18,2)),
+            'cust', o_custkey, 'qty', CAST(o_orderkey % 50 AS INT))
+        FROM q104_ord WHERE o_orderkey % 3 = 2""")
+      s.sql("""SELECT CAST(month(odate) AS BIGINT) AS order_month,
+          count(*) AS n, sum(okey) AS key_sum,
+          CAST(sum(payload.amt) AS DOUBLE) AS amt_sum,
+          sum(payload.cust) AS cust_sum,
+          count(payload.qty) AS qty_cnt,
+          sum(payload.qty) AS qty_sum
+        FROM graftq104.q104.fact GROUP BY 1""")
+    }),
+
     // q105 — SHALLOW CLONE (Delta's zero-copy snapshot reference):
     // the clone pins the source's committed snapshot with NO bytes
     // copied; independent DML (insert/delete/update, ending in a
@@ -2656,6 +2717,24 @@ SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
   CAST(sum(amt) AS DOUBLE) AS amt_sum
 FROM allrows GROUP BY 1""",
+    // nested evolution: slice 0 predates payload.qty (NULL), slices
+    // 1/2 carry okey % 50; the dropped `tag` never reaches the result
+    "q104_nested_evolution" ->
+      """WITH f AS (
+  SELECT o_orderkey AS okey, o_orderdate AS odate,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS amt, o_custkey AS cust,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+         ELSE CAST(o_orderkey % 50 AS INT) END AS qty
+  FROM orders
+)
+SELECT CAST(month(odate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(okey) AS BIGINT) AS key_sum,
+  CAST(sum(amt) AS DOUBLE) AS amt_sum,
+  CAST(sum(cust) AS BIGINT) AS cust_sum,
+  CAST(count(qty) AS BIGINT) AS qty_cnt,
+  CAST(sum(qty) AS BIGINT) AS qty_sum
+FROM f GROUP BY 1""",
     // clone lifecycle: src = slices 0/1 untouched; clone = all slices
     // minus %7 keys, +1 on %10 keys (the DELETE runs before the UPDATE)
     "q105_shallow_clone" ->

@@ -1325,6 +1325,47 @@ object TrainingPack {
           max("g_max").cast("bigint").as("g_max"),
           min("b_min").cast("bigint").as("b_min"),
           max("b_max").cast("bigint").as("b_max"))
+    }),
+
+    // m08 — JPEG promoted to the REAL-codec tier (round-11 verdict
+    // item 8). JPEG is LOSSY, so unlike PNG/BMP/WAV the decoded
+    // raster cannot equal the generator and an exact pixel-sum oracle
+    // is impossible; the claim that IS deterministic and verifiable is
+    // BOUNDED ERROR: the JDK encoder at quality 0.9 on a SMOOTH
+    // gradient raster decodes within a small per-channel band of the
+    // input (measured ≲ 15 here; tolerance 48), while any stride,
+    // channel-order or color-profile defect blows the band by an
+    // order of magnitude. Each document's raster round-trips through
+    // a real ImageIO JPEG encode+decode executor-side; the rollup
+    // counts images within tolerance, and the oracle pins
+    // ok_imgs == n_imgs arithmetically — a broken decode path turns
+    // ok_imgs < n_imgs and hash-mismatches. Map-only; payloads never
+    // cross the shuffle.
+    "m08_jpeg_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      def raster(id: Long)(x: Int, y: Int): Int = {
+        // smooth monotone gradients (no modulo wrap): JPEG-friendly
+        val r = math.min(255, x * 16 + (id % 7).toInt)
+        val g = math.min(255, y * 21 + (id % 5).toInt)
+        val b = math.min(255, (x + y) * 9 + (id % 3).toInt)
+        (r << 16) | (g << 8) | b
+      }
+      docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val payload =
+              Multimodal.Codecs.encodeJpeg(16, 12, 0.9f, raster(id))
+            val err = Multimodal.maxAbsChannelError(payload, 16, 12,
+              raster(id))
+            (id, 16 * 12, err)
+          }
+        }.toDF("media_id", "n_px", "max_err")
+        .groupBy((col("media_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum("n_px").as("px"),
+          sum(when(col("max_err") <= 48, 1L).otherwise(0L))
+            .as("ok_imgs"))
     })
   )
 
@@ -2448,6 +2489,14 @@ object TrainingPack {
         | CAST(max(v) AS BIGINT) AS s_max,
         | CAST(16000 AS BIGINT) AS rate
         |FROM s GROUP BY 1""".stripMargin,
+    // the bounded-error claim: EVERY document's JPEG round-trip stays
+    // within tolerance, so ok_imgs == n_imgs arithmetically
+    "m08_jpeg_roundtrip" ->
+      """SELECT doc_id % 8 AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_imgs,
+        | CAST(count(*) * 192 AS BIGINT) AS px,
+        | CAST(count(*) AS BIGINT) AS ok_imgs
+        |FROM documents GROUP BY 1""".stripMargin,
     "m02_media_features" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         | octet_length(encode(text))::BIGINT AS n_bytes,

@@ -605,9 +605,107 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(props.contains(key) || dc.ifExists(),
           s"no such constraint: ${dc.name()}")
         props -= key; propsDirty = true
+      // NESTED field evolution (round-11 verdict item 5 — the Iceberg
+      // staple): ADD/DROP of a field INSIDE a one-level StructType
+      // column. Metadata-only both ways: committed files keep their
+      // struct shape, and Spark's own per-file requested-schema
+      // clipping NULL-FILLS an added field on pre-evolution files and
+      // projects a dropped one away — the vectorized reader path needs
+      // zero changes. RENAME and type-widening of nested fields stay
+      // refused (the rename mapping and the widening adapters are
+      // top-level); the dotted tombstone gives nested re-adds the same
+      // resurrection gate as top-level DROP.
+      case add: TableChange.AddColumn if add.fieldNames.length == 2 =>
+        val parentL = add.fieldNames()(0)
+        val child = add.fieldNames()(1)
+        val pf = fieldOf(parentL).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $parentL"))
+        val st = pf.dataType match {
+          case s: org.apache.spark.sql.types.StructType => s
+          case other => throw new IllegalArgumentException(
+            s"$parentL is $other — nested ADD needs a STRUCT column")
+        }
+        require(add.isNullable,
+          s"added field $parentL.$child must be nullable — committed " +
+            "files predate it and null-fill on read")
+        require(add.position() == null,
+          "nested fields append at the end")
+        require(add.defaultValue() == null,
+          "nested fields take no DEFAULT")
+        require(!add.dataType.isInstanceOf[
+          org.apache.spark.sql.types.StructType],
+          s"structs nest one level: $parentL.$child cannot itself be " +
+            "a struct")
+        require(!st.fields.exists(_.name.equalsIgnoreCase(child)),
+          s"field $parentL.$child already exists")
+        val nkey = s"${pf.name}.$child".toLowerCase
+        GraftCatalog.parseDropped(props).get(nkey).foreach { dropV =>
+          val lake = new Lakehouse(spark, dir.getParent.toString)
+          val lastFull = lake.versions(ident.name)
+            .filter(_._2).map(_._1).maxOption.getOrElse(-1L)
+          require(dropV == 0L || lastFull > dropV,
+            s"field $parentL.$child was dropped at version $dropV and " +
+              "files from before the drop are still live — re-adding " +
+              "now would resurrect their values; compact first")
+          props += (GraftCatalog.DroppedColumnsProp ->
+            GraftCatalog.renderDropped(
+              GraftCatalog.parseDropped(props) - nkey))
+          propsDirty = true
+        }
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == pf.name)
+            f.copy(dataType = StructType(st.fields :+
+              StructField(child, add.dataType, nullable = true)))
+          else f))
+        schemaDirty = true
+      case del: TableChange.DeleteColumn if del.fieldNames.length == 2 =>
+        val parentL = del.fieldNames()(0)
+        val child = del.fieldNames()(1)
+        val pfOpt = fieldOf(parentL)
+        require(pfOpt.isDefined ||
+          java.lang.Boolean.TRUE.equals(del.ifExists()),
+          s"no such column: $parentL")
+        pfOpt.foreach { pf =>
+          val st = pf.dataType match {
+            case s: org.apache.spark.sql.types.StructType => s
+            case other => throw new IllegalArgumentException(
+              s"$parentL is $other — nested DROP needs a STRUCT column")
+          }
+          val target = st.fields.find(_.name.equalsIgnoreCase(child))
+          require(target.isDefined ||
+            java.lang.Boolean.TRUE.equals(del.ifExists()),
+            s"no such field: $parentL.$child")
+          target.foreach { tf =>
+            require(st.fields.length > 1,
+              s"cannot drop the last field of $parentL — DROP the " +
+                "column instead")
+            require(checksReferencing(parentL).isEmpty,
+              s"cannot drop $parentL.$child: CHECK constraint(s) " +
+                s"${checksReferencing(parentL).mkString(", ")} " +
+                "reference the struct — DROP CONSTRAINT first")
+            val lake = new Lakehouse(spark, dir.getParent.toString)
+            val head = lake.versions(ident.name)
+              .map(_._1).maxOption.getOrElse(0L)
+            require(!lake.maintenanceIntentOutstanding(ident.name),
+              s"cannot drop $parentL.$child: a full rewrite is in " +
+                "flight and would carry the dropped field's bytes — " +
+                "retry after it completes")
+            schema = StructType(schema.fields.map(f =>
+              if (f.name == pf.name)
+                f.copy(dataType = StructType(
+                  st.fields.filterNot(_.name == tf.name)))
+              else f))
+            schemaDirty = true
+            props += (GraftCatalog.DroppedColumnsProp ->
+              GraftCatalog.renderDropped(GraftCatalog.parseDropped(props)
+                + (s"${pf.name}.${tf.name}".toLowerCase -> head)))
+            propsDirty = true
+          }
+        }
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
-          "graft ALTER TABLE adds top-level columns only " +
+          "graft ALTER TABLE adds top-level columns only — and ONE " +
+            "nested level (`parent.field`) for struct columns " +
             s"(got ${add.fieldNames.mkString(".")})")
         val cname = add.fieldNames()(0)
         require(add.isNullable,
@@ -670,7 +768,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // read its frame under the old contract and can carry the
         // dropped bytes into its output; run maintenance after DDL.
         require(del.fieldNames.length == 1,
-          "graft ALTER TABLE drops top-level columns only " +
+          "graft ALTER TABLE drops top-level columns and one nested " +
+            "level (`parent.field`) only " +
             s"(got ${del.fieldNames.mkString(".")})")
         val dname = del.fieldNames()(0)
         val existing = fieldOf(dname)
@@ -752,7 +851,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // conversion outside the set) would silently corrupt committed
         // generations — refused.
         require(w.fieldNames.length == 1,
-          "graft ALTER TABLE retypes top-level columns only " +
+          "graft ALTER TABLE retypes top-level columns only — NESTED " +
+            "fields never widen (the per-file adapters and zone-map " +
+            "bridges are top-level): drop and re-add the field " +
             s"(got ${w.fieldNames.mkString(".")})")
         val wf = fieldOf(w.fieldNames()(0)).getOrElse(
           throw new IllegalArgumentException(
@@ -819,7 +920,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // silently all-null) cannot occur when reads always request
         // physical names.
         require(rn.fieldNames.length == 1,
-          "graft ALTER TABLE renames top-level columns only " +
+          "graft ALTER TABLE renames top-level columns only — NESTED " +
+            "fields never rename (the column mapping is top-level): " +
+            "ADD the new field, backfill, DROP the old " +
             s"(got ${rn.fieldNames.mkString(".")})")
         val from = rn.fieldNames()(0)
         val newName = rn.newName()

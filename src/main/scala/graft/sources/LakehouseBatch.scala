@@ -297,6 +297,10 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
           .LongType,
           s"${graft.sources.LakehouseStream.CommitVersionCol} must be " +
             "BIGINT"))
+      // the feed reader decodes rows via the scalar Group decoder —
+      // struct columns refuse at plan time (CDF on struct tables is
+      // also refused at the property gate; this is the belt)
+      LakehouseStream.validateSchema(tschema, flatOnly = true)
       new CdfBatchScan(path, tschema, chFrom.get, chTo, renames)
     } else
       new LakehouseScanBuilder(path, tschema, asOf, br, options,
@@ -693,6 +697,9 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     val (path, full, options) = streamable.getOrElse(throw new
       UnsupportedOperationException("streaming a VERSION/TIMESTAMP AS " +
         "OF snapshot or branch audit view is not allowed"))
+    // the micro-batch reader is the scalar Group decoder — struct
+    // columns refuse at plan time, not mid-stream
+    LakehouseStream.validateSchema(tableSchema, flatOnly = true)
     new LakehouseMicroBatchStream(path, full, options)
   }
 

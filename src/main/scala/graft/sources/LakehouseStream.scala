@@ -100,7 +100,9 @@ class LakehouseStreamProvider extends TableProvider {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft lakehouse stream needs the table directory: .load(<path>)")
-    LakehouseStream.validateSchema(schema)
+    // the stream's Group decoder reads scalars only — struct columns
+    // refuse HERE, at plan time, not mid-stream
+    LakehouseStream.validateSchema(schema, flatOnly = true)
     new LakehouseStreamTable(path, schema)
   }
 }
@@ -827,11 +829,29 @@ private[graft] object LakehouseStream {
   /** Fail at plan time, not mid-stream, on column types the Group reader
     * doesn't decode.
     */
-  def validateSchema(schema: StructType): Unit = {
+  def validateSchema(schema: StructType): Unit =
+    validateSchema(schema, flatOnly = false)
+
+  /** `flatOnly = true` is the ROW-DECODER surfaces' contract (the
+    * streaming source and the change feed decode via the Group reader,
+    * which reads scalars only); the batch/catalog surface also accepts
+    * ONE level of StructType whose fields are all scalar — Spark's own
+    * vectorized reader decodes those, and nested ADD/DROP field
+    * evolution rides its per-file requested-schema clipping.
+    */
+  def validateSchema(schema: StructType, flatOnly: Boolean): Unit = {
+    def scalar(dt: org.apache.spark.sql.types.DataType): Boolean =
+      Supported.contains(dt) || dt.isInstanceOf[DecimalType]
     val bad = schema.fields.filterNot(f =>
-      Supported.contains(f.dataType) || f.dataType.isInstanceOf[DecimalType])
+      scalar(f.dataType) || (!flatOnly && (f.dataType match {
+        case s: StructType =>
+          s.fields.nonEmpty && s.fields.forall(g => scalar(g.dataType))
+        case _ => false
+      })))
     require(bad.isEmpty,
-      s"graft lakehouse stream supports ${Supported.mkString(", ")}; " +
+      s"graft lakehouse ${if (flatOnly) "stream/feed " else ""}supports " +
+        s"${Supported.mkString(", ")}" +
+        (if (flatOnly) "" else " and one-level structs of them") + "; " +
         s"unsupported: ${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")}")
     // ':' and ',' are the rename mapping's delimiters ('physical:logical'
     // pairs, ','-joined in graft.renamedColumns) — a column name carrying

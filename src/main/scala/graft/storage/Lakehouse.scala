@@ -1648,6 +1648,12 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     require(keys.columns.nonEmpty, "deleteByKeys needs key columns")
     keys.columns.foreach(c => require(schema.fieldNames.contains(c),
       s"tombstone key $c is not a column of $name"))
+    // eq-del key sets load through the scalar row decoder — a STRUCT
+    // key refuses here rather than mis-masking at read time
+    keys.columns.foreach(c => require(!schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType],
+      s"tombstone key $c is a struct — equality deletes key on " +
+        "scalar columns"))
     val conformed = keys
       .select(keys.columns.toIndexedSeq.map(c =>
         col(c).cast(schema(c).dataType).as(c)): _*)

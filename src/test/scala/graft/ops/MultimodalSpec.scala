@@ -144,4 +144,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.pooledChannelStats(odd).collect()
     }
   }
+
+  test("REAL JPEG codec: bounded-error round-trip on smooth rasters, " +
+    "deterministic within a JVM, loud on garbage") {
+    def raster(x: Int, y: Int): Int = {
+      val r = math.min(255, x * 16)
+      val g = math.min(255, y * 21)
+      val b = math.min(255, (x + y) * 9)
+      (r << 16) | (g << 8) | b
+    }
+    val p1 = Multimodal.Codecs.encodeJpeg(16, 12, 0.9f, raster)
+    // JPEG magic
+    assert((p1(0) & 0xff) == 0xff && (p1(1) & 0xff) == 0xd8)
+    // bounded error: the verifiable claim for a LOSSY codec — smooth
+    // gradients decode within a small band (a stride/channel-order
+    // defect reads ~100+)
+    val err = Multimodal.maxAbsChannelError(p1, 16, 12, raster)
+    assert(err <= 48, s"JPEG round-trip error out of band: $err")
+    assert(err >= 0)
+    // deterministic within one JVM: same input → same bytes (the m08
+    // oracle leans on the decoder being a fixed function)
+    val p2 = Multimodal.Codecs.encodeJpeg(16, 12, 0.9f, raster)
+    assert(java.util.Arrays.equals(p1, p2),
+      "JPEG encode must be deterministic")
+    // a SWAPPED-CHANNEL expectation must blow the band — the check
+    // actually discriminates (r and b differ by up to 240 here)
+    def swapped(x: Int, y: Int): Int = {
+      val v = raster(x, y)
+      ((v & 0xff) << 16) | (v & 0xff00) | ((v >> 16) & 0xff)
+    }
+    assert(Multimodal.maxAbsChannelError(p1, 16, 12, swapped) > 48,
+      "the error bound must catch a channel swap")
+    intercept[Exception] {
+      Multimodal.maxAbsChannelError("not a jpeg".getBytes, 16, 12, raster)
+    }
+  }
 }

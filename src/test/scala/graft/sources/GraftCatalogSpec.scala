@@ -793,6 +793,49 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mart.t40")
   }
 
+  test("nested struct evolution: ADD null-fills old generations, DROP " +
+    "narrows, the dotted tombstone gates re-adds until a full retires " +
+    "pre-drop files, row-decoder surfaces refuse structs") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t41")
+    spark.sql("CREATE TABLE graft.mart.t41 " +
+      "(k BIGINT, p STRUCT<a: BIGINT, b: STRING>)")
+    spark.sql("INSERT INTO graft.mart.t41 SELECT id, " +
+      "named_struct('a', id * 2, 'b', concat('x', id)) FROM range(0, 10)")
+    spark.sql("ALTER TABLE graft.mart.t41 ADD COLUMN p.q INT")
+    spark.sql("INSERT INTO graft.mart.t41 SELECT id, " +
+      "named_struct('a', id * 2, 'b', concat('y', id), " +
+      "'q', CAST(id AS INT)) FROM range(10, 20)")
+    val r = spark.sql("SELECT count(*), sum(p.a), count(p.q), sum(p.q) " +
+      "FROM graft.mart.t41").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((20L, 380L, 10L, 145L)),
+      s"old generations must null-fill the added nested field: $r")
+    // MoR deletion vectors are positional — they compose with structs
+    spark.sql("ALTER TABLE graft.mart.t41 SET TBLPROPERTIES " +
+      "('graft.deleteMode' = 'mor')")
+    spark.sql("DELETE FROM graft.mart.t41 WHERE k % 5 = 0")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t41")
+      .head().getLong(0) == 16L)
+    // DROP narrows; re-add refuses over live pre-drop files; a FULL
+    // (compact) retires them and re-opens the name
+    spark.sql("ALTER TABLE graft.mart.t41 DROP COLUMN p.b")
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t41 ADD COLUMN p.b STRING"))
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    spark.sql("CALL graft.system.compact('mart', 't41', 1, '')")
+    spark.sql("ALTER TABLE graft.mart.t41 ADD COLUMN p.b STRING")
+    assert(spark.sql("SELECT count(p.b) FROM graft.mart.t41")
+      .head().getLong(0) == 0L,
+      "the re-added nested field must not resurrect pre-drop bytes")
+    // the scalar row-decoder surfaces refuse struct schemas loudly
+    intercept[Exception](
+      graft.sources.LakehouseStream.validateSchema(
+        spark.table("graft.mart.t41").schema, flatOnly = true))
+    spark.sql("DROP TABLE graft.mart.t41")
+  }
+
   test("ALTER TABLE RENAME TO moves the table identity; the commit " +
     "chain and every manifest move with it") {
     init()
