@@ -685,6 +685,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q72_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q72")
       s.sql("DROP TABLE IF EXISTS graft.q72.fact")
@@ -727,6 +730,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q73")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       graft.Tables.events(s, d).createOrReplaceTempView("q73_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q73")
       s.sql("DROP TABLE IF EXISTS graft.q73.ev")
@@ -755,6 +761,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q74")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q74_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q74")
       s.sql("DROP TABLE IF EXISTS graft.q74.fact")
@@ -785,6 +794,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q75")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q75_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q75")
       s.sql("DROP TABLE IF EXISTS graft.q75.fact")
@@ -820,6 +832,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q76")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q76_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q76")
       s.sql("DROP TABLE IF EXISTS graft.q76.fact")
@@ -854,6 +869,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q77")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q77_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q77")
       s.sql("DROP VIEW IF EXISTS graft.q77.monthly")
@@ -889,6 +907,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q78")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q78_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q78")
       s.sql("DROP TABLE IF EXISTS graft.q78.fact")
@@ -940,6 +961,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q79")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q79_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q79")
       s.sql("DROP TABLE IF EXISTS graft.q79.fact")
@@ -979,6 +1003,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q80")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q80_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q80")
       s.sql("DROP TABLE IF EXISTS graft.q80.fact")
@@ -1017,6 +1044,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q81")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("q81_cust")
       s.read.parquet(s"$d/supplier.parquet").createOrReplaceTempView("q81_supp")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q81")
@@ -1072,6 +1102,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q82")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       // unlike its siblings, this query asserts against PATHS under its
       // own tmp root (the no-debris require) — force the re-pointed
       // root to take effect now; a long-lived session (the bench) must
@@ -1122,6 +1155,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q83")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q83_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q83")
       s.sql("DROP TABLE IF EXISTS graft.q83.fact")
@@ -1165,6 +1201,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q84")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q84_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q84")
       s.sql("DROP TABLE IF EXISTS graft.q84.fact")
@@ -1200,6 +1239,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val dir = java.nio.file.Files.createTempDirectory("graft-q85")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q85_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q85")
       s.sql("DROP TABLE IF EXISTS graft.q85.fact")
@@ -1293,6 +1335,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       // (below) must address the SAME directory the SQL surface writes
       s.conf.set("spark.sql.catalog.graft87", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft87.root", dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q87_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft87.q87")
       s.sql("DROP TABLE IF EXISTS graft87.q87.fact")
@@ -1448,6 +1493,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       s.conf.set("spark.sql.catalog.graftq90", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq90.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q90_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq90.q90")
       // a re-run in the same session reuses the CACHED catalog (its
@@ -1492,6 +1540,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       s.conf.set("spark.sql.catalog.graftq91", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq91.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       ordersAsFact(s, d).createOrReplaceTempView("q91_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq91.q91")
       // idempotent under re-run (cached catalog root) — the bench
@@ -1609,6 +1660,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       s.conf.set("spark.sql.catalog.graftq94", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq94.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/orders.parquet")
         .createOrReplaceTempView("q94_ord")
       s.read.parquet(s"$d/lineitem.parquet")
@@ -1672,6 +1726,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       s.conf.set("spark.sql.catalog.graftq95", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq95.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/orders.parquet")
         .createOrReplaceTempView("q95_ord")
       s.read.parquet(s"$d/lineitem.parquet")
@@ -1858,6 +1915,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       s.conf.set("spark.sql.catalog.graftq99", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq99.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/orders.parquet")
         .createOrReplaceTempView("q99_ord")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq99.q99")
@@ -1902,6 +1962,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq100.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/orders.parquet")
         .createOrReplaceTempView("q100_ord")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq100.q100")
@@ -1950,6 +2013,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq101.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/orders.parquet")
         .createOrReplaceTempView("q101_ord")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq101.q101")
@@ -1998,6 +2064,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq102.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/orders.parquet")
         .createOrReplaceTempView("q102_ord")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq102.q102")
@@ -2039,6 +2108,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq103.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/orders.parquet")
         .createOrReplaceTempView("q103_ord")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq103.q103")
@@ -2090,6 +2162,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq104.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/orders.parquet")
         .createOrReplaceTempView("q104_ord")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq104.q104")
@@ -2150,6 +2225,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq105.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/orders.parquet")
         .createOrReplaceTempView("q105_ord")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq105.q105")
@@ -2229,6 +2307,9 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graftq106.root",
         dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       s.read.parquet(s"$d/customer.parquet")
         .createOrReplaceTempView("q106_cust")
       s.read.parquet(s"$d/supplier.parquet")

@@ -873,6 +873,9 @@ object StreamingPack {
       val dir = java.nio.file.Files.createTempDirectory("graft-s19")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("cat").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
       graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -922,6 +925,9 @@ object StreamingPack {
       val dir = java.nio.file.Files.createTempDirectory("graft-s20")
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", dir.resolve("cat").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
       graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))

@@ -32,10 +32,12 @@ def load(path):
     return {k: float(v) for k, v in q.items()}
 
 
-def total_of(path):
-    q = load(path)
-    ok = [v for v in q.values() if v >= 0]
-    return sum(ok), len(ok)
+def common_totals(path_a, path_b):
+    """Totals over the canary queries BOTH runs measured (the subset can
+    grow between rounds; totals must stay apples-to-apples)."""
+    a, b = load(path_a), load(path_b)
+    names = [n for n in sorted(set(a) & set(b)) if a[n] >= 0 and b[n] >= 0]
+    return sum(a[n] for n in names), sum(b[n] for n in names), len(names)
 
 
 def main():
@@ -75,12 +77,11 @@ def main():
     if failed:
         print("\nfailed somewhere:", ", ".join(failed))
     if canary:
-        c_old, n_old = total_of(canary[0])
-        c_new, n_new = total_of(canary[1])
+        c_old, c_new, n_c = common_totals(canary[0], canary[1])
         raw = t_new / t_old
         c_ratio = c_new / c_old
-        print(f"\ncanary (pinned r10 jar): old {c_old:.1f}s ({n_old}q)"
-              f"  new {c_new:.1f}s ({n_new}q)  ratio: {c_ratio:.3f}")
+        print(f"\ncanary (pinned r10 jar, {n_c} common queries): "
+              f"old {c_old:.1f}s  new {c_new:.1f}s  ratio: {c_ratio:.3f}")
         print(f"NORMALIZED sweep ratio (sweep ÷ canary drift): "
               f"{raw / c_ratio:.3f}")
 
