@@ -82,6 +82,14 @@ object Bench {
     // not read as a speedup
     val times = scala.collection.mutable.Map(
       names.map(_ -> Vector.empty[Double]): _*)
+    // per-query protocol-wait telemetry (round-11 verdict item 1): any
+    // commit-protocol wait/retry loop that fires during a query is
+    // recorded here and surfaced in the artifacts — a bench number
+    // inflated by a silent 10-30 s protocol stall must name its stall
+    // instead of reading as "slow engine"
+    val waits = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[Long]): _*)
+    val waitDetail = scala.collection.mutable.Map.empty[String, String]
     for (r <- 1 to runs) {
       // deterministic per-sweep order: same seed → same schedule across
       // rounds (comparable artifacts), different order per sweep (no
@@ -89,6 +97,7 @@ object Bench {
       val order = new scala.util.Random(42L + r).shuffle(names)
       for (name <- order if r <= 2 || !RunTwice.contains(name)) {
         val fn = SparkEntry.queries(name)
+        graft.storage.ProtocolTelemetry.reset()
         val t0 = System.nanoTime()
         val sec =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -98,6 +107,13 @@ object Bench {
             -1.0
           }
         times(name) :+= sec
+        val snap = graft.storage.ProtocolTelemetry.snapshot()
+        waits(name) :+= snap.values.map(_.waitedMs).sum
+        if (snap.values.exists(_.waitedMs > 0)) {
+          waitDetail(name) = graft.storage.ProtocolTelemetry.render(snap)
+          System.err.println(s"[bench] $name protocol waits: " +
+            waitDetail(name))
+        }
       }
       // GC quiesce between sweeps: flush this sweep's garbage so its
       // collection pauses don't land inside the next sweep's timings
@@ -132,8 +148,15 @@ object Bench {
       n -> jmap(Seq(
         "runs" -> v.map(f3).mkString("[", ",", "]"),
         "min" -> f3(best(n)),
-        "median" -> f3(med(n))))
+        "median" -> f3(med(n))) ++
+        // protocol-wait ms per sweep + loop breakdown, only when a wait
+        // fired: the absent key IS the "zero protocol waits" statement
+        (if (waits(n).exists(_ > 0)) Seq(
+          "wait_ms" -> waits(n).mkString("[", ",", "]"),
+          "wait_loops" -> ("\"" + waitDetail.getOrElse(n, "") + "\""))
+         else Nil))
     })
+    val totalWaitMs = names.map(n => waits(n).sum).sum
     def writeFile(path: String, content: String): Unit =
       // best-effort: an unwritable cwd must not cost the stdout lines
       try java.nio.file.Files.writeString(
@@ -144,11 +167,51 @@ object Bench {
     // a canary subset must not clobber the full-sweep artifacts
     val artifactSuffix = if (only.isDefined) "_CANARY" else ""
     writeFile(s"BENCH_DETAIL$artifactSuffix.json",
-      s"""{"sf":"$sfDir","sweeps":$runs,"stat":"min (median in detail)","queries":$detail}""")
+      s"""{"sf":"$sfDir","sweeps":$runs,"protocol_wait_ms":$totalWaitMs,"stat":"min (median in detail)","queries":$detail}""")
+
+    // Pinned-canary companion (round-11 verdict item 2): the full sweep
+    // launches the FROZEN round-10 jar's fixed 10-query subset in a fresh
+    // JVM via tools/canary_bench.sh, in the SAME session as this
+    // artifact, so every BENCH_rNN.json ships with the frozen-code
+    // number that prices machine drift out of the round-over-round
+    // ratio. Best-effort: a missing jar or a canary crash is reported in
+    // the artifact (`"canary":"<reason>"`), never fatal to the sweep.
+    // SPARK_GRAFT_CANARY=0 skips (used by the canary run itself via the
+    // BENCH_ONLY guard, and by quick local iterations).
+    val canaryJson: String =
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_CANARY").contains("0"))
+        "\"skipped\""
+      else {
+        val sh = new java.io.File("tools/canary_bench.sh")
+        val jar = new java.io.File("tools/canary/graft-canary-r10.jar")
+        if (!sh.isFile || !jar.isFile) "\"jar or script missing\""
+        else try {
+          val pb = new ProcessBuilder("bash", sh.getPath,
+            "BENCH_CANARY.json")
+          pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes())
+          val rc = proc.waitFor()
+          if (rc != 0) {
+            System.err.println(s"[bench] canary rc=$rc: ${out.takeRight(500)}")
+            s""""failed rc=$rc""""
+          } else {
+            val c = java.nio.file.Files.readString(
+              java.nio.file.Paths.get("BENCH_CANARY.json")).trim
+            System.err.println("[bench] canary companion written: " +
+              "BENCH_CANARY.json")
+            c
+          }
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] canary failed: $e")
+          "\"failed: " + e.getClass.getSimpleName + "\""
+        }
+      }
 
     val fullLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
-        jmap(names.map(n => n -> f3(best(n))))},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}"""
+        jmap(names.map(n => n -> f3(best(n))))},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir","protocol_wait_ms":$totalWaitMs,"canary":$canaryJson}"""
     writeFile(s"BENCH_RESULT$artifactSuffix.json", fullLine)
     // compact keys: unique short prefix before the first underscore
     // ("q49_pipeline_scd2" → "q49"). CHECKED, not assumed: a future name
@@ -176,6 +239,6 @@ object Bench {
     // data at all. Full detail stays in the two lines above and the
     // BENCH_*.json artifacts.
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${names.size},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${names.size},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir","protocol_wait_ms":$totalWaitMs}""")
   }
 }

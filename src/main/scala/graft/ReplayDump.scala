@@ -26,9 +26,22 @@ object ReplayDump {
       clock: java.sql.Timestamp = FixedClock, days: Int = 3,
       fixtureDir: String = "src/test/resources/fixtures"): Unit =
     (1 to days).foreach { day =>
-      Ingest.loadDayFromParquet(lake, s"$fixtureDir/day$day.parquet")
-      Etl.normalizeTransactions(lake)
-      Mart.addReportData(lake, scdType, clock)
+      // per-day phase wall-times to stderr (round-11 verdict item 1):
+      // when a bench artifact shows an inflated q49/q50, the grep-able
+      // [replay] lines say WHICH day/phase carried the time — paired
+      // with ProtocolTelemetry this makes a driver-side stall
+      // self-diagnosing instead of unreproducible
+      def timed[A](phase: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[replay] day$day $phase ${
+          (System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
+      timed("ingest")(
+        Ingest.loadDayFromParquet(lake, s"$fixtureDir/day$day.parquet"))
+      timed("normalize")(Etl.normalizeTransactions(lake))
+      timed("mart")(Mart.addReportData(lake, scdType, clock))
     }
 
   def main(args: Array[String]): Unit = {

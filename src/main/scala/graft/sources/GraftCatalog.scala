@@ -1793,13 +1793,23 @@ private[graft] object GraftCatalog {
     */
   private[sources] def retryChecksum[A](src: Path)(body: => A): A = {
     var attempts = 0
+    var sleptMs = 0L
     while (true) {
-      try return body
-      catch {
+      try {
+        val r = body
+        if (attempts > 0)
+          graft.storage.ProtocolTelemetry.record("checksumRetry", sleptMs)
+        return r
+      } catch {
         case e: org.apache.hadoop.fs.ChecksumException =>
           attempts += 1
-          if (attempts >= 10) throw e
+          if (attempts >= 10) {
+            graft.storage.ProtocolTelemetry.record("checksumRetry",
+              sleptMs, timedOut = true)
+            throw e
+          }
           Thread.sleep(10L * attempts)
+          sleptMs += 10L * attempts
       }
     }
     throw new IllegalStateException(s"unreachable: $src")

@@ -821,13 +821,19 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     */
   private def awaitSelfAbort(p: Path, deadlineMs: Long = 30000L)
       : Boolean = {
-    val deadline = System.nanoTime() + deadlineMs * 1000L * 1000L
+    val start = System.nanoTime()
+    val deadline = start + deadlineMs * 1000L * 1000L
     var gone = false
+    var slept = false
     while (!gone && System.nanoTime() < deadline) {
       gone = !(try fs.exists(p)
         catch { case _: java.io.FileNotFoundException => true })
-      if (!gone) Thread.sleep(100L)
+      if (!gone) { Thread.sleep(100L); slept = true }
     }
+    // meter any pass that actually slept: a wait that clears inside the
+    // deadline is SUCCESS and otherwise invisible in every artifact
+    if (slept || !gone) ProtocolTelemetry.record("selfAbortWait",
+      (System.nanoTime() - start) / 1000000L, timedOut = !gone)
     gone
   }
 
@@ -1305,12 +1311,16 @@ final class Lakehouse(val spark: SparkSession, val root: String,
     val preMarkerCheck: () => Unit = () => {
       val waitMs = spark.conf.getOption("spark.graft.fullRaceWaitMs")
         .map(_.toLong).getOrElse(10000L)
-      val deadline = System.nanoTime() + waitMs * 1000 * 1000
+      val start = System.nanoTime()
+      val deadline = start + waitMs * 1000 * 1000
       var late = lateDvDeltas()
+      val waited = late.nonEmpty
       while (late.nonEmpty && System.nanoTime() < deadline) {
         Thread.sleep(100L)
         late = lateDvDeltas()
       }
+      if (waited) ProtocolTelemetry.record("fullRaceWait",
+        (System.nanoTime() - start) / 1000000L, timedOut = late.nonEmpty)
       if (late.nonEmpty) throw new java.util.ConcurrentModificationException(
         s"full commit on $name raced acknowledged merge-on-read " +
           s"delta(s) ${late.map(v => s"_v$v").mkString(", ")} (read " +

@@ -127,4 +127,24 @@ class PipelineSpec extends SparkSpec {
       idempotent = true).count()
     assert(n3 === n2)
   }
+
+  test("single-writer replay enters ZERO protocol wait loops") {
+    // Round-11 verdict item 1: BENCH_r11's q49 read 164 s where a
+    // fresh-JVM repro read 21 s, and the engine had three UNMETERED
+    // stall points (awaitSelfAbort 30 s/delta, fullRaceWaitMs 10 s,
+    // retryChecksum) any of which could silently produce that number —
+    // a wait that clears before its deadline returns success and left
+    // no trace. This spec pins the invariant the bench relies on: a
+    // single-writer replay must never enter ANY protocol wait/retry
+    // loop. If a future classification false-positive makes a
+    // single-writer commit wait, this fails here — not as an
+    // unexplainable number in a driver artifact.
+    graft.storage.ProtocolTelemetry.reset()
+    replay(MartStaging.Scd2Dims)
+    replay(MartStaging.Scd1Dims)
+    val snap = graft.storage.ProtocolTelemetry.snapshot()
+    assert(snap.isEmpty,
+      s"single-writer replay entered protocol wait loops: ${
+        graft.storage.ProtocolTelemetry.render(snap)}")
+  }
 }

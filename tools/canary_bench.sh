@@ -9,8 +9,15 @@
 # 1.2-1.4x on identical code here) moves both numbers together and
 # cancels, while a real engine regression moves only the sweep.
 #
-#   tools/canary_bench.sh [OUT.json]          # default BENCH_RESULT_CANARY.json
+#   tools/canary_bench.sh [OUT.json]          # default BENCH_CANARY.json
 #   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1   # same dir as the sweep
+#
+# Canonical artifact pair (round-11 verdict item 8 — the only canary
+# names in use from round 12 on): BENCH_CANARY.json (result line) +
+# BENCH_CANARY_DETAIL.json (per-sweep detail). graft.Bench runs this
+# script automatically after every full sweep and embeds the result
+# under the sweep artifact's "canary" key; round artifacts are the
+# committed copies of this pair alongside BENCH_rNN.json.
 #
 # Normalize with: tools/bench_compare.py SWEEP_OLD SWEEP_NEW --normalize
 #   CANARY_OLD CANARY_NEW
@@ -24,7 +31,7 @@ set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 JAR="$REPO/tools/canary/graft-canary-r10.jar"
 [ -f "$JAR" ] || { echo "canary jar missing: $JAR (see header)" >&2; exit 2; }
-OUT="${1:-$REPO/BENCH_RESULT_CANARY.json}"
+OUT="${1:-$REPO/BENCH_CANARY.json}"
 export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 # Fixed forever (the normalization breaks if this set moves): one agg,
 # one 5-way join, one percentile, the scd2 protocol replay, z-order
@@ -44,7 +51,9 @@ trap 'rm -rf "$WORK"' EXIT
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     "-Xmx${SPARK_DRIVER_MEM:-8g}" \
     -cp "$JAR:/opt/spark/jars/*" graft.Bench )
-# a BENCH_ONLY subset writes *_CANARY-suffixed artifacts (Bench.scala)
+# a BENCH_ONLY subset writes *_CANARY-suffixed artifacts inside $WORK
+# (the pinned jar's Bench.scala naming) — copied out to the canonical
+# pair names
 cp "$WORK/BENCH_RESULT_CANARY.json" "$OUT"
 [ -f "$WORK/BENCH_DETAIL_CANARY.json" ] && \
   cp "$WORK/BENCH_DETAIL_CANARY.json" "${OUT%.json}_DETAIL.json" || true
