@@ -41,11 +41,25 @@ object Etl {
       // SCD2 family (ETL.sql:86-235), fact (:121-130), SCD1 family
       // (ETL.sql:237-446) — all nine concurrently (doc comment above).
       implicit val ec: ExecutionContext = loadPool
-      val loads =
-        Entities.all.map(spec => Future(Scd2(lake, landing, spec))) ++
-          Seq(Future(loadFact(lake, landing))) ++
-          Entities.all.map(spec => Future(Scd1(lake, landing, spec)))
-      Await.result(Future.sequence(loads), Duration.Inf)
+      // Phase A: the four per-entity GRAINS ([[Scd2.grain]] — the
+      // aggregate BOTH families' stagings start from) + the fact append,
+      // concurrently. Each grain is cached and count()-materialized
+      // before the fan-out (two families racing an unfilled cache would
+      // contend on the cache-fill lock, same reason as the landing
+      // count above) — one shuffle per entity per batch instead of the
+      // four the independent stagings used to pay.
+      val grains = Entities.all.map(spec =>
+        spec -> Scd2.grain(landing, spec).cache())
+      val phaseA = grains.map { case (_, g) => Future(g.count()) } :+
+        Future(loadFact(lake, landing))
+      Await.result(Future.sequence(phaseA), Duration.Inf)
+      // Phase B: the eight merge+overwrite loads, all from cached grains.
+      val phaseB = grains.flatMap { case (spec, g) =>
+        Seq(Future(Scd2.applyFromGrain(lake, g, spec)),
+          Future(Scd1.applyFromGrain(lake, g, spec)))
+      }
+      try Await.result(Future.sequence(phaseB), Duration.Inf)
+      finally grains.foreach(_._2.unpersist())
 
       // TRUNCATE landing (ETL.sql:447) — only after every load committed.
       lake.truncate("denormalized")

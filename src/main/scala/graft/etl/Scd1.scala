@@ -30,12 +30,15 @@ object Scd1 {
     * the reference — ties across distinct combos with equal create_dt are
     * engine-order-dependent there and here.
     */
-  def staging(landing: DataFrame, spec: EntitySpec): DataFrame = {
-    val grain = landing
-      .groupBy(spec.attrs.map { case (src, _) => col(src) }: _*)
-      .agg(min(col("trans_date")).as("create_dt"))
-      .select(spec.attrs.map { case (src, dst) => col(src).as(dst) } :+
-        col("create_dt"): _*)
+  def staging(landing: DataFrame, spec: EntitySpec): DataFrame =
+    stagingFromGrain(Scd2.grain(landing, spec), spec)
+
+  /** Staging from the shared per-entity grain ([[Scd2.grain]]): the
+    * grain is key-hash-partitioned, so every window here runs
+    * exchange-free on top of it.
+    */
+  def stagingFromGrain(grainDf: DataFrame, spec: EntitySpec): DataFrame = {
+    val grain = grainDf.withColumnRenamed("_grain_dt", "create_dt")
     val full = Window.partitionBy(col(spec.key)).orderBy(col("create_dt"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val whole = Window.partitionBy(col(spec.key))
@@ -79,8 +82,13 @@ object Scd1 {
     joined.select(updatedCols: _*).unionByName(inserts)
   }
 
-  def apply(lake: Lakehouse, landing: DataFrame, spec: EntitySpec): Unit = {
-    val stg = staging(landing, spec)
+  def apply(lake: Lakehouse, landing: DataFrame, spec: EntitySpec): Unit =
+    applyFromGrain(lake, Scd2.grain(landing, spec), spec)
+
+  /** Same, from a pre-computed (typically cached) shared grain. */
+  def applyFromGrain(lake: Lakehouse, grain: DataFrame,
+      spec: EntitySpec): Unit = {
+    val stg = stagingFromGrain(grain, spec)
     val next = merge(lake.read(spec.scd1Dim), stg, spec)
     lake.overwrite(spec.scd1Dim, next)
   }

@@ -29,16 +29,37 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
-  /** Staging: grain + lead() end-dating (ETL.sql:11-84). */
-  def staging(landing: DataFrame, spec: EntitySpec): DataFrame = {
-    val grain = landing
+  /** Shared per-entity grain (ETL.sql:11-84 / :243-354 — both staging
+    * families start from the SAME `GROUP BY all-attrs, MIN(trans_date)`
+    * aggregate). Pre-hashing on the entity KEY makes this ONE exchange
+    * serve the whole per-entity chain: the key is an attr, so
+    * HashPartitioning(key) satisfies the grouping's distribution
+    * (no second shuffle for the agg), and every downstream
+    * key-partitioned window (SCD2's lead, SCD1's last/min/max) and
+    * SCD1's dropDuplicates(key) reuse it exchange-free. Previously each
+    * family recomputed the grain with two shuffles of its own — 4
+    * shuffles per entity per batch; now 1. [[Etl.normalizeTransactions]]
+    * caches the result and feeds both families.
+    */
+  def grain(landing: DataFrame, spec: EntitySpec): DataFrame = {
+    val srcKey = spec.attrs.find(_._2 == spec.key).get._1
+    landing.repartition(col(srcKey))
       .groupBy(spec.attrs.map { case (src, _) => col(src) }: _*)
-      .agg(min(col("trans_date")).as("start_dt"))
+      .agg(min(col("trans_date")).as("_grain_dt"))
       .select(spec.attrs.map { case (src, dst) => col(src).as(dst) } :+
-        col("start_dt"): _*)
-    val w = Window.partitionBy(col(spec.key)).orderBy(col("start_dt"))
-    grain.withColumn("end_dt", lead(col("start_dt"), 1).over(w))
+        col("_grain_dt"): _*)
   }
+
+  /** Staging from a shared grain: lead() end-dating (ETL.sql:86-119). */
+  def stagingFromGrain(grain: DataFrame, spec: EntitySpec): DataFrame = {
+    val g = grain.withColumnRenamed("_grain_dt", "start_dt")
+    val w = Window.partitionBy(col(spec.key)).orderBy(col("start_dt"))
+    g.withColumn("end_dt", lead(col("start_dt"), 1).over(w))
+  }
+
+  /** Staging: grain + lead() end-dating (ETL.sql:11-84). */
+  def staging(landing: DataFrame, spec: EntitySpec): DataFrame =
+    stagingFromGrain(grain(landing, spec), spec)
 
   /** Close + insert merge; returns the new dim snapshot (caller persists). */
   def merge(dim: DataFrame, stg: DataFrame, spec: EntitySpec): DataFrame = {
@@ -69,8 +90,13 @@ object Scd2 {
   }
 
   /** One entity: staging → merge → snapshot overwrite. */
-  def apply(lake: Lakehouse, landing: DataFrame, spec: EntitySpec): Unit = {
-    val stg = staging(landing, spec)
+  def apply(lake: Lakehouse, landing: DataFrame, spec: EntitySpec): Unit =
+    applyFromGrain(lake, grain(landing, spec), spec)
+
+  /** Same, from a pre-computed (typically cached) shared grain. */
+  def applyFromGrain(lake: Lakehouse, grain: DataFrame,
+      spec: EntitySpec): Unit = {
+    val stg = stagingFromGrain(grain, spec)
     val next = merge(lake.read(spec.scd2Dim), stg, spec)
     lake.overwrite(spec.scd2Dim, next)
   }

@@ -114,4 +114,26 @@ class ScdSpec extends SparkSpec {
     assert(dim.length === 2) // duplicate insert preserved (no DISTINCT)
     assert(dim.map(_.getString(1)).toSet === Set("ACC2")) // last_value wins in both
   }
+
+  test("shared grain: both families' stagings run on ONE exchange") {
+    // The key is an attr, so the grain's key-hash repartition satisfies
+    // the grouping distribution AND every downstream key-partitioned
+    // window — per entity per batch the whole staging chain pays one
+    // shuffle where the independent stagings paid four. Pinned here so
+    // a plan change that silently reintroduces the window repartition
+    // fails a spec, not a bench ratio.
+    val day = landing(
+      ("T1", "POS", "CityA", "Addr1", "2020-05-01 10:00:00"),
+      ("T1", "POS", "CityB", "Addr1", "2020-05-01 12:00:00"),
+      ("T2", "ATM", "CityC", "Addr2", "2020-05-01 11:00:00"))
+    Seq(Scd2.staging(day, Entities.terminals),
+      Scd1.staging(day, Entities.terminals)).foreach { stg =>
+      // AQE hides the tree from `collect`; count on explain text as in
+      // PlanSpec
+      val p = stg.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert("Exchange".r.findAllMatchIn(p).length === 1,
+        s"expected exactly one shuffle in the staging chain:\n$p")
+    }
+  }
 }
