@@ -90,6 +90,8 @@ object Scd1 {
       spec: EntitySpec): Unit = {
     val stg = stagingFromGrain(grain, spec)
     val next = merge(lake.read(spec.scd1Dim), stg, spec)
-    lake.overwrite(spec.scd1Dim, next)
+    // size-aware file count for the snapshot write — see the Scd2
+    // applyFromGrain note
+    lake.overwrite(spec.scd1Dim, next.hint("rebalance"))
   }
 }

@@ -98,6 +98,14 @@ object Scd2 {
       spec: EntitySpec): Unit = {
     val stg = stagingFromGrain(grain, spec)
     val next = merge(lake.read(spec.scd2Dim), stg, spec)
-    lake.overwrite(spec.scd2Dim, next)
+    // REBALANCE before the snapshot write: the merge plan ends in
+    // map-side joins/unions with no final exchange, so without this the
+    // write inherits the upstream task count (~32 near-empty files per
+    // snapshot — at the metered op bill, ~7 commit-protocol fs ops per
+    // file PLUS a footer getFileStatus+open on every subsequent read).
+    // AQE sizes the exchange output to advisoryPartitionSizeInBytes:
+    // one file for an entity-cardinality dim, proportionally many for a
+    // 100 TB one — size-aware, not a hardcoded coalesce(1).
+    lake.overwrite(spec.scd2Dim, next.hint("rebalance"))
   }
 }

@@ -40,7 +40,10 @@ object Mart {
           val cond = keys.map(k => rows(k) <=> existing(k)).reduce(_ && _)
           rows.join(existing, cond, "left_anti")
         }
-      lake.append("report", toInsert)
+      // rebalance: the rules union ends map-side (no final exchange), so
+      // the append would inherit one near-empty file per upstream task;
+      // AQE sizes the output instead (see Scd2.applyFromGrain note)
+      lake.append("report", toInsert.hint("rebalance"))
       lake.read("report")
     } finally stg.unpersist()
   }
