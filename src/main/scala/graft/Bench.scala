@@ -62,6 +62,26 @@ object Bench {
           .format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // warm-up failures surface in the timed run
       })
+    // the ETL/mart protocol classes (Scd1/Scd2/MartStaging/FraudRules/
+    // AmountGuessing + the commit protocol) are exercised ONLY by the
+    // q49/q50 replays, so their first run paid ~10 s of class-load+JIT
+    // that no other warm query covers — one 2-day replay per family
+    // warms the whole shape (same per-plan-shape policy as the list
+    // above; measured first-replay 27 s vs steady-state ~12 s). TWO
+    // days because day 2 is where the merge-on-read dim-load paths
+    // (commitMoRDelta, DvSurvives, the masked anti-joins) first
+    // execute — a 1-day warm-up left all of them to JIT inside the
+    // first timed replay.
+    Seq(graft.mart.MartStaging.Scd2Dims, graft.mart.MartStaging.Scd1Dims)
+      .foreach { fam =>
+        try {
+          val dir = java.nio.file.Files.createTempDirectory("graft-warm")
+          graft.ReplayDump.replay(
+            new graft.storage.Lakehouse(spark, dir.resolve("lake").toString),
+            fam, days = 2,
+            fixtureDir = "/root/repo/src/test/resources/fixtures")
+        } catch { case _: Throwable => () }
+      }
 
     // SPARK_GRAFT_BENCH_ONLY=q23_percentile,q24_approx_stats,... runs a
     // canary subset in an otherwise-idle JVM. Purpose: separate plan cost

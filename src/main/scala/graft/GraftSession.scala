@@ -25,6 +25,25 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4
       // refuses; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Commit-protocol fs-op diet (metered via tools/MeteredFs): v2
+      // task commits rename part files straight into the destination
+      // (no second job-commit rename pass over every task dir), and the
+      // _SUCCESS marker is dead weight — every graft write lands in a
+      // PRIVATE uncommitted version dir whose visibility is the
+      // protocol's own marker file, and external result dumps are read
+      // by parquet listing, never by _SUCCESS probing. Together ~6 fs
+      // ops per write job — at an object store, 6 RPCs per commit.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // …and the remaining staging tree goes entirely: task files write
+      // DIRECTLY to their final paths. Visibility is the graft commit
+      // marker, not the job commit — see [[graft.storage.
+      // GraftDirectCommitProtocol]] for why that makes this safe here.
+      // Requires speculation off (two live attempts would race one
+      // final file) — pinned explicitly, not assumed from the default.
+      .config("spark.sql.sources.commitProtocolClass",
+        "graft.storage.GraftDirectCommitProtocol")
+      .config("spark.speculation", "false")
       // NOTE the session keeps Spark's INT96 timestamp default: the
       // driver's oracle compare reads result dumps through pandas,
       // where an isAdjustedToUTC TIMESTAMP(MICROS) surfaces tz-AWARE

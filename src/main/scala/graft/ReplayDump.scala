@@ -24,25 +24,37 @@ object ReplayDump {
     */
   def replay(lake: Lakehouse, scdType: MartStaging.ScdType,
       clock: java.sql.Timestamp = FixedClock, days: Int = 3,
-      fixtureDir: String = "src/test/resources/fixtures"): Unit =
-    (1 to days).foreach { day =>
-      // per-day phase wall-times to stderr (round-11 verdict item 1):
-      // when a bench artifact shows an inflated q49/q50, the grep-able
-      // [replay] lines say WHICH day/phase carried the time — paired
-      // with ProtocolTelemetry this makes a driver-side stall
-      // self-diagnosing instead of unreproducible
-      def timed[A](phase: String)(body: => A): A = {
-        val t0 = System.nanoTime()
-        val r = body
-        System.err.println(f"[replay] day$day $phase ${
-          (System.nanoTime() - t0) / 1e9}%.2fs")
-        r
-      }
-      timed("ingest")(
-        Ingest.loadDayFromParquet(lake, s"$fixtureDir/day$day.parquet"))
-      timed("normalize")(Etl.normalizeTransactions(lake))
-      timed("mart")(Mart.addReportData(lake, scdType, clock))
+      fixtureDir: String = "src/test/resources/fixtures"): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // per-day phase wall-times to stderr (round-11 verdict item 1):
+    // when a bench artifact shows an inflated q49/q50, the grep-able
+    // [replay] lines say WHICH day/phase carried the time — paired
+    // with ProtocolTelemetry this makes a driver-side stall
+    // self-diagnosing instead of unreproducible
+    def timed[A](day: Int, phase: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[replay] day$day $phase ${
+        (System.nanoTime() - t0) / 1e9}%.2fs")
+      r
     }
+    def ingest(day: Int): Unit = timed(day, "ingest")(
+      Ingest.loadDayFromParquet(lake, s"$fixtureDir/day$day.parquet"))
+    ingest(1)
+    (1 to days).foreach { day =>
+      timed(day, "normalize")(Etl.normalizeTransactions(lake))
+      // day N's mart and day N+1's ingest touch DISJOINT tables (mart:
+      // fact/dims/report, ingest: the landing normalize just truncated)
+      // — overlap them. Every per-step table state the protocol defines
+      // is identical to the serial order; only wall clock changes.
+      val next =
+        if (day < days) Some(Future(ingest(day + 1))) else None
+      timed(day, "mart")(Mart.addReportData(lake, scdType, clock))
+      next.foreach(Await.result(_, Duration.Inf))
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val (scd, outDir) = (args(0), args(1))

@@ -85,13 +85,66 @@ object Scd1 {
   def apply(lake: Lakehouse, landing: DataFrame, spec: EntitySpec): Unit =
     applyFromGrain(lake, Scd2.grain(landing, spec), spec)
 
-  /** Same, from a pre-computed (typically cached) shared grain. */
+  /** Same, from a pre-computed (typically cached) shared grain.
+    *
+    * DELTA-LOGICAL by default, like [[Scd2.applyFromGrain]]: one
+    * merge-on-read delta commit with the changed keys' dim rows (every
+    * physical copy, preserving the reference's duplicate-row quirk) as
+    * post-images plus a deletion vector over their pre-images, and the
+    * new keys' rows as plain inserts. A batch that changes nothing
+    * commits nothing. `spark.graft.scdSnapshotWrites=true` restores the
+    * snapshot rewrite.
+    */
   def applyFromGrain(lake: Lakehouse, grain: DataFrame,
       spec: EntitySpec): Unit = {
     val stg = stagingFromGrain(grain, spec)
-    val next = merge(lake.read(spec.scd1Dim), stg, spec)
-    // size-aware file count for the snapshot write — see the Scd2
-    // applyFromGrain note
-    lake.overwrite(spec.scd1Dim, next.hint("rebalance"))
+    val dimCols = spec.attrs.map(_._2) :+ "create_dt" :+ "update_dt"
+    if (lake.spark.conf.getOption("spark.graft.scdSnapshotWrites")
+        .exists(_.toBoolean)) {
+      val next = merge(lake.read(spec.scd1Dim), stg, spec)
+      // size-aware file count for the snapshot write — see the Scd2
+      // applyFromGrain note
+      lake.overwrite(spec.scd1Dim, next.hint("rebalance"))
+      return
+    }
+    if (!lake.exists(spec.scd1Dim)) {
+      // first batch: merge(empty, stg) == stg's insert projection
+      lake.append(spec.scd1Dim,
+        stg.select(dimCols.map(col): _*).hint("rebalance"))
+      return
+    }
+    val schema = graft.model.Schemas.byName(spec.scd1Dim)
+    val ctx = lake.maskedCtx(spec.scd1Dim)
+    val masked = lake.readMaskedWithPosOn(ctx, schema)
+    val dimNow = masked.drop(Lakehouse.FileCol, Lakehouse.PosCol)
+    // new keys keep staging multiplicity (no distinct — quirk above)
+    val inserts = stg.as("s").join(dimNow.as("c"),
+      col(s"s.${spec.key}") === col(s"c.${spec.key}"), "left_anti")
+      .select(dimCols.map(col): _*)
+      .withColumn(Lakehouse.FileCol, lit(null).cast("string"))
+      .withColumn(Lakehouse.PosCol, lit(null).cast("bigint"))
+    // changed keys: every live dim row of a key whose compared attrs
+    // differ from the staged combo (null-rejecting !=, as in merge) —
+    // each physical copy becomes a pre-image (DV) and an updated
+    // post-image, preserving multiplicity
+    val stgOne = stg.dropDuplicates(spec.key)
+    val sCols = dimCols.map(c => col(c).as(s"_s_$c"))
+    val joined = masked.join(stgOne.select(sCols: _*),
+      col(spec.key) === col(s"_s_${spec.key}"))
+    val changed = spec.scd1Updatable
+      .map(a => col(s"_s_$a") =!= col(a))
+      .reduce(_ || _)
+    val updatedCols = dimCols.map {
+      case a if spec.scd1Updatable.contains(a) => col(s"_s_$a").as(a)
+      case "update_dt" =>
+        coalesce(col("_s_update_dt"), col("_s_create_dt")).as("update_dt")
+      case a => col(a).as(a)
+    }
+    val updated = joined.filter(changed)
+      .select(updatedCols :+ col(Lakehouse.FileCol) :+
+        col(Lakehouse.PosCol): _*)
+    // shared probe + commit tail — see [[Scd2.commitScdDelta]]
+    Scd2.commitScdDelta(lake, spec.scd1Dim, schema, ctx,
+      updated.unionByName(inserts))
   }
 }

@@ -93,19 +93,107 @@ object Scd2 {
   def apply(lake: Lakehouse, landing: DataFrame, spec: EntitySpec): Unit =
     applyFromGrain(lake, grain(landing, spec), spec)
 
-  /** Same, from a pre-computed (typically cached) shared grain. */
+  /** Same, from a pre-computed (typically cached) shared grain.
+    *
+    * DELTA-LOGICAL by default (round-11 verdict item 3): the dim write
+    * is ONE merge-on-read delta commit carrying only the batch's CHANGES
+    * — the new/changed version rows as data files plus a deletion vector
+    * naming the open rows they end-date ([[Lakehouse.commitMoRDelta]];
+    * the sequence rule masks the pre-images while the same commit's
+    * post-images escape it). A FULL snapshot rewrite priced ~45 metered
+    * fs ops and rewrote every unchanged row on every load — at a 100 TB
+    * dim that is rewriting a billion rows to change a thousand; the
+    * delta is O(churn) in both bytes and commit ops. A zero-change batch
+    * (the fixtures' terminals on day 2, clients on day 3) now commits
+    * NOTHING — the no-op test rides the change frame the merge computes
+    * anyway. Positional (not equality) deletes because the open row is
+    * identified by `end_dt IS NULL`, and equality tombstones are
+    * null-rejecting on both sides by contract.
+    *
+    * `spark.graft.scdSnapshotWrites=true` restores the snapshot path
+    * (kept for the metered A/B and as the compaction-free layout).
+    */
   def applyFromGrain(lake: Lakehouse, grain: DataFrame,
       spec: EntitySpec): Unit = {
     val stg = stagingFromGrain(grain, spec)
-    val next = merge(lake.read(spec.scd2Dim), stg, spec)
-    // REBALANCE before the snapshot write: the merge plan ends in
-    // map-side joins/unions with no final exchange, so without this the
-    // write inherits the upstream task count (~32 near-empty files per
-    // snapshot — at the metered op bill, ~7 commit-protocol fs ops per
-    // file PLUS a footer getFileStatus+open on every subsequent read).
-    // AQE sizes the exchange output to advisoryPartitionSizeInBytes:
-    // one file for an entity-cardinality dim, proportionally many for a
-    // 100 TB one — size-aware, not a hardcoded coalesce(1).
-    lake.overwrite(spec.scd2Dim, next.hint("rebalance"))
+    if (lake.spark.conf.getOption("spark.graft.scdSnapshotWrites")
+        .exists(_.toBoolean)) {
+      val next = merge(lake.read(spec.scd2Dim), stg, spec)
+      // REBALANCE before the snapshot write: the merge plan ends
+      // map-side (no final exchange), so the write would inherit ~32
+      // near-empty files per snapshot; AQE sizes the exchange output
+      // instead — size-aware, not a hardcoded coalesce(1).
+      lake.overwrite(spec.scd2Dim, next.hint("rebalance"))
+      return
+    }
+    val attrCols = spec.attrs.map(_._2)
+    val dimCols = attrCols :+ "start_dt" :+ "end_dt"
+    if (!lake.exists(spec.scd2Dim)) {
+      // first batch: merge(empty, stg) == stg — a plain delta create
+      lake.append(spec.scd2Dim,
+        stg.select(dimCols.map(col): _*).hint("rebalance"))
+      return
+    }
+    val schema = graft.model.Schemas.byName(spec.scd2Dim)
+    val ctx = lake.maskedCtx(spec.scd2Dim)
+    val masked = lake.readMaskedWithPosOn(ctx, schema)
+    val dimNow = masked.drop(Lakehouse.FileCol, Lakehouse.PosCol)
+    // same NOT-EXISTS semantics as [[merge]] (null-rejecting equality on
+    // the full attribute set), against the same masked live rows
+    val newRows = stg.as("s").join(dimNow.as("c"),
+      attrCols.map(a => col(s"s.$a") === col(s"c.$a")).reduce(_ && _),
+      "left_anti")
+    val closers = newRows.filter(col("end_dt").isNull)
+      .select(col(spec.key).as("_k"), col("start_dt").as("_new_end"))
+    // pre-images = the open dim rows being end-dated; their post-images
+    // differ only in end_dt and carry the physical (file, pos) identity
+    // the deletion vector needs
+    val closedPart = masked.join(closers, col(spec.key) === col("_k"))
+      .filter(col("end_dt").isNull)
+      .withColumn("end_dt", col("_new_end"))
+      .drop("_k", "_new_end")
+    val newPart = newRows.select(dimCols.map(col): _*)
+      .withColumn(Lakehouse.FileCol, lit(null).cast("string"))
+      .withColumn(Lakehouse.PosCol, lit(null).cast("bigint"))
+    commitScdDelta(lake, spec.scd2Dim, schema, ctx,
+      closedPart.unionByName(newPart))
+  }
+
+  /** Shared tail of both families' delta loads: ONE bounded collect of
+    * the change frame's (file, pos) identity columns answers emptiness
+    * (empty → no commit at all) AND — when the batch's churn fits the
+    * driver bound — hands [[Lakehouse.commitMoRDelta]] its deletion
+    * vector pre-collected, so the whole dim load costs exactly two
+    * Spark actions: this probe and the post-image write. (The previous
+    * shape paid three: isEmpty, the committer's own DV probe, the
+    * write — ~20 extra tiny jobs per 3-day replay.)
+    */
+  private[etl] def commitScdDelta(lake: Lakehouse, dim: String,
+      schema: org.apache.spark.sql.types.StructType,
+      ctx: Lakehouse.MaskedCtx, deltaRaw: DataFrame): Unit = {
+    val delta = deltaRaw.cache()
+    try {
+      val max = lake.spark.conf
+        .getOption("spark.graft.dvDriverWriteMax")
+        .map(_.toInt).getOrElse(1 << 16)
+      val probe = delta
+        .select(col(Lakehouse.FileCol), col(Lakehouse.PosCol))
+        .limit(math.max(max, 1) + 1).collect()
+      if (probe.nonEmpty) {
+        val pairs =
+          if (max > 0 && probe.length <= max)
+            Some(probe.toSeq.filter(!_.isNullAt(1))
+              .map(r => (r.getString(0), r.getLong(1))))
+          else None
+        val masks = delta.filter(col(Lakehouse.PosCol).isNotNull)
+          .select(col(Lakehouse.FileCol).as("file"),
+            col(Lakehouse.PosCol).as("pos"))
+        val post = delta.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .hint("rebalance")
+        lake.commitMoRDelta(dim, masks, Some(post), Nil,
+          () => (), ctx.basis, extremesSchema = Some(schema),
+          morCtx = Some(ctx), masksCollected = pairs)
+      }
+    } finally delta.unpersist()
   }
 }

@@ -1072,6 +1072,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // visible; a commit that slipped into the scan→persist window is
     // caught HERE — re-validate iff new commits landed, roll the
     // constraint back on violation. Metadata-priced when nothing raced.
+    //
+    // RESIDUAL WINDOW (documented, round-11 advice — same class as the
+    // clone/GC single-maintainer caveats): a DML whose guard re-read
+    // ran just BEFORE this persist and whose marker lands just AFTER
+    // this post-flush commitFp() re-check can land unvalidated rows
+    // that neither side observes — the DML never saw the constraint,
+    // and this re-check never saw the commit. Closing it fully needs
+    // the DML marker and the constraint persist to order through one
+    // CAS point; the practical contract is the same as every other
+    // concurrent-DDL caveat here: constraint DDL and bulk writes on
+    // the same table are serialized by the operator, and the window is
+    // a few ms of metadata latency, never a silent steady state (any
+    // LATER re-validation — or re-adding the constraint — surfaces the
+    // rows).
     addedChecks.foreach { case (cname, key, sql, preFp) =>
       if (commitFp() != preFp) {
         val live = spark.read
@@ -1082,8 +1096,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.functions.expr(sql).cast("boolean"),
             org.apache.spark.sql.functions.lit(true))).limit(1).count()
         if (violations != 0L) {
-          props -= key
-          GraftCatalog.writeProps(fs, propsFile, props)
+          // rollback by RE-READ + surgical remove, not by persisting
+          // the statement-local map (round-11 advice): a concurrent
+          // DDL may have changed OTHER props since this statement
+          // loaded them — rewriting our stale copy would silently
+          // clobber its changes. Worst case under two racing
+          // constraint DDLs this re-read is itself stale by one more
+          // step, but it only ever removes THIS statement's key.
+          GraftCatalog.writeProps(fs, propsFile,
+            GraftCatalog.readProps(fs, propsFile) - key)
           throw new IllegalStateException(
             s"CHECK constraint $cname rolled back: a concurrent write " +
               s"landed rows violating ($sql) between the validation " +
@@ -1127,6 +1148,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(namespaceExists(to.namespace),
       s"target namespace ${to.namespace.mkString(".")} must exist")
     check(to.name)
+    // Clone-topology guard (round-11 advice): the shallow-clone
+    // reference graph records ABSOLUTE paths on both sides — a clone's
+    // `_GRAFT_CLONE` names its source dir, and each source-side
+    // `_GRAFT_CLONE_PIN_<tok>` names its clone dir (how vacuum's
+    // orphan-pin reclaim decides a pin is dead). Renaming either side
+    // would dangle those paths: the source's vacuum reclaims the
+    // still-live pin, then GC deletes the pinned versions and the
+    // renamed clone's snapshot is gone for good. Refuse both
+    // directions; DROP releases pins and is the supported teardown.
+    val oldListing = fs.listStatus(tablePath(old)).toSeq
+    require(graft.storage.Lakehouse.Protocol
+      .cloneRefOf(fs, oldListing).isEmpty,
+      s"${old.name} is a shallow clone — its source's pin file records " +
+        "this table's path, which a rename would orphan (the source " +
+        "would then reclaim the clone's snapshot); DROP the clone and " +
+        "re-clone under the new name instead")
+    require(!oldListing.exists(st => st.isFile && st.getPath.getName
+      .startsWith(graft.storage.Lakehouse.Protocol.ClonePinPrefix)),
+      s"${old.name} has live shallow clones whose references record " +
+        "this table's path — a rename would dangle every clone; drop " +
+        "the clones first")
     require(fs.rename(tablePath(old), tablePath(to)),
       s"rename ${old.name} -> ${to.name} failed")
   }

@@ -120,20 +120,33 @@ private[graft] final class FsCommitIo(fs: FileSystem) extends CommitIo {
     // sidecar is dropped first — a stale one would permanently fail
     // reads; absent means "no verification", which plain FileSystem
     // readers accept.
+    // tmp sibling is UNIQUE PER CALL (round-11 advice): with a fixed
+    // name, two concurrent replace() calls on the same path interleave
+    // — writer B's write truncates the tmp while writer A's move
+    // publishes it, committing torn bytes. Uniqueness confines each
+    // move to its own fully-written file; losers' moves still replace
+    // atomically in some serial order.
+    val tmpName = s".${p.getName}.${java.util.UUID.randomUUID()}.tmp"
     if (fs.getScheme == "file") {
       val pp = java.nio.file.Paths.get(p.toUri.getPath)
       if (pp.getParent != null)
         java.nio.file.Files.createDirectories(pp.getParent)
-      val tmpP = pp.resolveSibling(s".${p.getName}.tmp")
-      java.nio.file.Files.write(tmpP, bytes)
-      java.nio.file.Files.deleteIfExists(
-        pp.resolveSibling(s".${p.getName}.crc"))
-      java.nio.file.Files.move(tmpP, pp,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val tmpP = pp.resolveSibling(tmpName)
+      try {
+        java.nio.file.Files.write(tmpP, bytes)
+        java.nio.file.Files.deleteIfExists(
+          pp.resolveSibling(s".${p.getName}.crc"))
+        java.nio.file.Files.move(tmpP, pp,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable =>
+        try java.nio.file.Files.deleteIfExists(tmpP)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+      }
       return
     }
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val tmp = new Path(p.getParent, tmpName)
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     if (!fs.exists(p)) {

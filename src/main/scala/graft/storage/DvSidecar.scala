@@ -242,6 +242,49 @@ object DvSidecar {
     * format is what makes "delete the whole file" metadata-sized).
     * Ends with the completion marker like [[writeSidecars]].
     */
+  /** Driver-side sidecar write for a SMALL deletion vector whose
+    * (file, pos) pairs are already in driver memory (the common DML
+    * case — a point delete or an SCD close touches thousands of rows,
+    * not billions). Replaces [[writeSidecars]]'s two Spark jobs (the
+    * repartition-write plus the counts header pass) with plain fs
+    * writes: at the metered op bill a Spark write job costs ~15
+    * committer fs ops before a byte of payload. Callers bound the size
+    * ([[graft.storage.Lakehouse.commitMoRDelta]]'s
+    * `spark.graft.dvDriverWriteMax`); the executor-side
+    * [[writeSidecars]] remains the unbounded-scale path.
+    */
+  def writeSidecarsDriverSide(fs: FileSystem, dvDir: Path,
+      pairs: Seq[(String, Long)]): Unit = {
+    fs.mkdirs(dvDir)
+    val counts = pairs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (name, ps) =>
+        val sorted = ps.map(_._2).distinct.sorted
+        val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.foreach { p =>
+          if (lens.nonEmpty && p == starts.last + lens.last)
+            lens(lens.length - 1) += 1
+          else { starts += p; lens += 1L }
+        }
+        val out = fs.create(new Path(dvDir, sidecarName(name)), true)
+        try {
+          val d = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(out, 1 << 16))
+          d.writeInt(Magic)
+          d.writeInt(starts.length)
+          d.writeLong(sorted.length.toLong)
+          var i = 0
+          while (i < starts.length) {
+            d.writeLong(starts(i)); d.writeLong(lens(i)); i += 1
+          }
+          d.flush()
+        } finally out.close()
+        name -> sorted.length.toLong
+    }
+    writeCounts(fs, dvDir, counts)
+    fs.create(new Path(dvDir, DoneMarker), true).close()
+  }
+
   def writeWholeFileSidecars(fs: FileSystem, dvDir: Path,
       files: Seq[(String, Long)]): Unit = {
     fs.mkdirs(dvDir)

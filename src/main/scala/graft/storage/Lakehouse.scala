@@ -902,6 +902,23 @@ final class Lakehouse(val spark: SparkSession, val root: String,
             "jobs and re-run")
       }
       again = late.nonEmpty
+      // Clone-pin guard (round-11 advice): a clone created between this
+      // full's basis listing and this rebase pass may have PINNED a late
+      // delta — deleting (rewrite branch) or renaming (append branch) a
+      // pinned dir would break the clone's `srcDirs == pinned` contract
+      // permanently, after shallowClone's own post-pin verify already
+      // passed. Re-read the pin set each sweep and fail LOUDLY instead,
+      // like the two-racing-fulls case — same single-maintainer caveat.
+      val clonePinnedNow =
+        if (late.isEmpty) Set.empty[Long]
+        else Lakehouse.Protocol.clonePinned(fs, dest)
+      late.find(t => clonePinnedNow(t._1)).foreach { case (v, _, _) =>
+        throw new IllegalStateException(
+          s"full commit _v$fullV raced a shallow clone that pinned " +
+            s"late delta _v$v under $dest — rebasing would break the " +
+            "clone's pinned snapshot; drop the clone or re-run the " +
+            "maintenance job after it")
+      }
       late.foreach { case (lv, p, _) =>
         val isRewrite =
           try fs.exists(new Path(p, Lakehouse.Protocol.MarkerRewrite))
@@ -1972,7 +1989,8 @@ final class Lakehouse(val spark: SparkSession, val root: String,
       beforeCommit: () => Unit,
       basis: Lakehouse.ReadBasis,
       extremesSchema: Option[StructType] = None,
-      morCtx: Option[Lakehouse.MaskedCtx] = None): Unit = {
+      morCtx: Option[Lakehouse.MaskedCtx] = None,
+      masksCollected: Option[Seq[(String, Long)]] = None): Unit = {
     val dest = new Path(tablePath(name))
     // Conflicts, all "outside the basis" (the snapshot this delta's
     // positional masks derive from):
@@ -2052,9 +2070,41 @@ final class Lakehouse(val spark: SparkSession, val root: String,
         writeStats(p, statsCols)
       }
       val dvDir = s"$p/${Lakehouse.Protocol.DvDir}"
-      masks.select(col("file"), col("pos"))
-        .write.mode("overwrite").parquet(dvDir)
-      DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
+      // SMALL vectors (≤ spark.graft.dvDriverWriteMax positions — the
+      // common DML shape) write entirely DRIVER-SIDE: the audit parquet
+      // through the manifest writer and the sidecars + counts directly,
+      // replacing two Spark jobs (~30 committer fs ops plus their
+      // scheduling wall) with a handful of creates. The probe is a
+      // LIMIT collect — for an over-limit vector it stops at max+1 rows
+      // and the executor-side path re-evaluates `masks` (unbounded
+      // scale, positions never transit the driver).
+      val maxDriver = spark.conf.getOption("spark.graft.dvDriverWriteMax")
+        .map(_.toInt).getOrElse(1 << 16)
+      // a caller that already holds the (file, pos) pairs (the SCD
+      // loads — their change frame is cached and probed for emptiness
+      // anyway) skips the probe job entirely
+      val probed: Seq[(String, Long)] = masksCollected.getOrElse {
+        if (maxDriver <= 0) null
+        else masks.select(col("file").cast("string"), col("pos").cast("long"))
+          .limit(maxDriver + 1).collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1)))
+      }
+      if (probed != null && probed.length <= maxDriver) {
+        val pairs = probed
+        import org.apache.spark.sql.types.{LongType, StringType, StructField}
+        val mSchema = StructType(Seq(StructField("file", StringType),
+          StructField("pos", LongType)))
+        if (!FooterStats.writeManifestFile(
+            spark.sparkContext.hadoopConfiguration, new Path(dvDir),
+            mSchema, pairs.map(t => Row(t._1, t._2))))
+          masks.select(col("file"), col("pos"))
+            .write.mode("overwrite").parquet(dvDir)
+        DvSidecar.writeSidecarsDriverSide(fs, new Path(dvDir), pairs)
+      } else {
+        masks.select(col("file"), col("pos"))
+          .write.mode("overwrite").parquet(dvDir)
+        DvSidecar.writeSidecars(spark.read.parquet(dvDir), dvDir)
+      }
       // the masks' read basis rides the commit: the scan's pushdown
       // gate proves pairwise mask disjointness from it, and the full
       // committer's rebase check detects a DV that landed above a full
