@@ -37,6 +37,11 @@ object StressRace {
     if (args.headOption.contains("ddl")) {
       StressRaceDdl.run(args.drop(1)); return
     }
+    // `clone` mode: shallow-clone create/read racing source
+    // pack/vacuum — see [[StressRaceClone]]
+    if (args.headOption.contains("clone")) {
+      StressRaceClone.run(args.drop(1)); return
+    }
     val writers = args.headOption.map(_.toInt).getOrElse(4)
     val opsPer = args.lift(1).map(_.toInt).getOrElse(6)
     val sliceRows = 50L

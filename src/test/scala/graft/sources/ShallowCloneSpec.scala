@@ -135,4 +135,33 @@ class ShallowCloneSpec extends SparkSpec {
     spark.sql("DROP TABLE gcl.m.c4")
     spark.sql("DROP TABLE gcl.m.s3")
   }
+
+  test("RENAME TO refuses on both sides of a clone relationship — the " +
+    "pin/ref files record absolute paths a rename would dangle") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS gcl.m.s5")
+    spark.sql("DROP TABLE IF EXISTS gcl.m.c5")
+    spark.sql("CREATE TABLE gcl.m.s5 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gcl.m.s5 SELECT id, concat('v', id) " +
+      "FROM range(0, 20)")
+    spark.sql("CALL gcl.system.clone('m', 's5', 'c5')")
+    // renaming the CLONE would orphan the source-side pin (vacuum's
+    // orphan-pin reclaim checks the recorded clone path) — refused
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE gcl.m.c5 RENAME TO m.c5r"))
+    assert(e1.getMessage.contains("shallow clone"), e1.getMessage)
+    // renaming the SOURCE would dangle every clone's src= path — refused
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gcl.m.s5 RENAME TO m.s5r"))
+    assert(e2.getMessage.contains("live shallow clones"), e2.getMessage)
+    // both still read; DROP of the clone releases the pin, after which
+    // the source renames normally
+    assert(spark.sql("SELECT count(*) FROM gcl.m.c5")
+      .head().getLong(0) == 20L)
+    spark.sql("DROP TABLE gcl.m.c5")
+    spark.sql("ALTER TABLE gcl.m.s5 RENAME TO m.s5r")
+    assert(spark.sql("SELECT count(*) FROM gcl.m.s5r")
+      .head().getLong(0) == 20L)
+    spark.sql("DROP TABLE gcl.m.s5r")
+  }
 }

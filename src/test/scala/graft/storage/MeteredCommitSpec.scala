@@ -88,4 +88,24 @@ class MeteredCommitSpec extends SparkSpec {
         12L * 100L + 3L - 1L, "grouped-scan row count")
     }
   }
+
+  test("the 3-day protocol replay's total fs-op bill stays under its " +
+    "round-12 ceiling") {
+    // End-to-end regression gate for the round-12 commit-cost work
+    // (delta-logical SCD loads + driver-side small DVs + the
+    // direct-write committer): measured 1229 ops, down from 1774 —
+    // ceiling carries slack for file-layout noise, but an O(commits)
+    // or O(files) regression anywhere on the ingest path reads
+    // hundreds over and fails here before a bench artifact ever
+    // shows it.
+    MeteredFs.install(spark.sparkContext.hadoopConfiguration)
+    val root = tmpDir("metered-replay")
+    val lake = new Lakehouse(spark, s"graftmeter://$root/lake")
+    val bill = ops(graft.ReplayDump.replay(lake,
+      graft.mart.MartStaging.Scd2Dims,
+      fixtureDir = "/root/repo/src/test/resources/fixtures"))
+    assert(bill <= 1450L,
+      s"3-day replay op bill regressed: $bill fs ops (measured 1229 " +
+        "at round 12, was 1774 before the delta-logical dim loads)")
+  }
 }
