@@ -926,17 +926,34 @@ FROM orders WHERE $slicePred GROUP BY 1"""
       val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
       s.conf.set("spark.sql.cbo.enabled", "true")
       try {
-        val out = s.sql("""SELECT d.quarter,
+        // two legs: the plain join, and a RANGE-predicated one — with
+        // the round-12 range-selectivity work the BETWEEN leg's
+        // filter estimate comes from the histogram bins the predicate
+        // spans (FilterEstimation's range math), not a uniform
+        // min/max fraction; the oracle checks the result the
+        // estimate-driven plan produces either way
+        val out = s.sql("""SELECT 'all' AS leg, d.quarter,
             count(*) AS n,
             sum(CAST(f.trans_id AS BIGINT)) AS key_sum,
             CAST(sum(f.amt) AS DOUBLE) AS amt_sum
           FROM graft.q78.fact f JOIN graft.q78.dim d
             ON f.order_month = d.month_id
+          GROUP BY d.quarter
+          UNION ALL
+          SELECT 'mid' AS leg, d.quarter,
+            count(*) AS n,
+            sum(CAST(f.trans_id AS BIGINT)) AS key_sum,
+            CAST(sum(f.amt) AS DOUBLE) AS amt_sum
+          FROM graft.q78.fact f JOIN graft.q78.dim d
+            ON f.order_month = d.month_id
+          WHERE f.order_month BETWEEN 4 AND 9
           GROUP BY d.quarter""")
         val leaves = out.queryExecution.optimizedPlan.collectLeaves()
-        require(leaves.length == 2 &&
+        require(leaves.length == 4 &&
           leaves.forall(_.stats.attributeStats.nonEmpty),
-          "ANALYZE column stats must reach both join leaves under CBO")
+          "ANALYZE column stats must reach all four join leaves " +
+            s"(2 legs x fact+dim) under CBO: ${leaves.map(l =>
+              l.stats.attributeStats.size)}")
         // round 11: ANALYZE also persists EQUI-HEIGHT histograms for
         // numeric columns, served through columnStats() — the skewed
         // selectivity estimates PlanSpec's witness flips on
@@ -2192,10 +2209,13 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         "ALTER TABLE graftq104.q104.fact ADD COLUMN payload.tag STRING"))
         .isFailure, "re-adding a dropped nested field over live " +
         "pre-drop files must refuse")
-      // nested rename/widen refuse explicitly
+      // nested rename now EVOLVES (q107); the refusal ladder that
+      // remains: renaming onto a sibling's name would fuse committed
+      // generations — must refuse
       require(scala.util.Try(s.sql(
         "ALTER TABLE graftq104.q104.fact RENAME COLUMN payload.qty " +
-          "TO payload.n")).isFailure, "nested RENAME must refuse")
+          "TO amt")).isFailure,
+        "nested RENAME onto a sibling's name must refuse")
       s.sql("""INSERT INTO graftq104.q104.fact
         SELECT o_orderkey, o_orderdate,
           named_struct('amt', CAST(o_totalprice AS DECIMAL(18,2)),
@@ -2386,6 +2406,62 @@ FROM orders WHERE $slicePred GROUP BY 1"""
         out.persist(); out.count() // materialize under the pinned confs
         out
       } finally prev.foreach { case (kk, v) => s.conf.set(kk, v) }
+    }),
+
+    // q107 — NESTED RENAME + WIDEN across generations (round-12,
+    // lifting q104's refusals): slice 0 lands under payload
+    // STRUCT<amt DECIMAL(12,2), cnt INT>; `cnt` RENAMES to `qty`
+    // (dotted name-mode mapping — committed files keep the physical
+    // inner name) and WIDENS INT→BIGINT, `amt` widens
+    // DECIMAL(12,2)→DECIMAL(18,2); slices 1/2 land under the new
+    // contract (physically still `cnt`, wide types). The SELECT
+    // filters on the renamed leaf and aggregates both generations —
+    // an engine that mis-mapped the inner name (old files would
+    // null-fill qty), skipped the per-file widen (decode error), or
+    // wrote the logical name physically (generations fork) cannot
+    // match the oracle's arithmetic recompute.
+    "q107_nested_rename_widen" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q107")
+      s.conf.set("spark.sql.catalog.graftq107",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq107.root",
+        dir.resolve("lake").toString)
+      // catalog instances cache per name: re-point the fresh root NOW
+      // (repeated bench sweeps re-register the same catalog name)
+      org.apache.spark.sql.GraftColumnBridge.resetCatalogs(s)
+      s.read.parquet(s"$d/orders.parquet")
+        .createOrReplaceTempView("q107_ord")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq107.q107")
+      s.sql("DROP TABLE IF EXISTS graftq107.q107.fact")
+      s.sql("""CREATE TABLE graftq107.q107.fact (
+          okey BIGINT, odate DATE,
+          payload STRUCT<amt: DECIMAL(12,2), cnt: INT>)""")
+      s.sql("""INSERT INTO graftq107.q107.fact
+        SELECT o_orderkey, o_orderdate,
+          named_struct('amt',
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 1000.00
+              AS DECIMAL(12,2)),
+            'cnt', CAST(o_orderkey % 50 AS INT))
+        FROM q107_ord WHERE o_orderkey % 3 = 0""")
+      s.sql("ALTER TABLE graftq107.q107.fact RENAME COLUMN " +
+        "payload.cnt TO qty")
+      s.sql("ALTER TABLE graftq107.q107.fact ALTER COLUMN " +
+        "payload.qty TYPE BIGINT")
+      s.sql("ALTER TABLE graftq107.q107.fact ALTER COLUMN " +
+        "payload.amt TYPE DECIMAL(18,2)")
+      (1 to 2).foreach(k => s.sql(
+        s"""INSERT INTO graftq107.q107.fact
+          SELECT o_orderkey, o_orderdate,
+            named_struct('amt',
+              CAST(o_totalprice AS DECIMAL(18,2)) % 1000.00,
+              'qty', CAST(o_orderkey % 50 AS BIGINT) * 100)
+          FROM q107_ord WHERE o_orderkey % 3 = $k"""))
+      s.sql("""SELECT CAST(month(odate) AS BIGINT) AS order_month,
+          count(*) AS n, sum(okey) AS key_sum,
+          CAST(sum(payload.amt) AS DOUBLE) AS amt_sum,
+          sum(payload.qty) AS qty_sum
+        FROM graftq107.q107.fact
+        WHERE payload.qty >= 10 GROUP BY 1""")
     })
   )
 
@@ -2623,11 +2699,19 @@ GROUP BY 1""",
 FROM orders GROUP BY 1""",
     // quarter join re-derived arithmetically (dim is month→quarter)
     "q78_analyze_cbo" ->
-      """SELECT CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS quarter,
+      """SELECT 'all' AS leg,
+  CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS quarter,
   CAST(count(*) AS BIGINT) AS n,
   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
-FROM orders GROUP BY 1""",
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'mid' AS leg,
+  CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS quarter,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum
+FROM orders WHERE month(o_orderdate) BETWEEN 4 AND 9 GROUP BY 2""",
     // the composed views' aggregate, re-derived directly
     "q77_sql_view" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
@@ -2849,6 +2933,23 @@ FROM u GROUP BY 1, 2""",
            CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
 FROM customer JOIN supplier ON c_nationkey = s_nationkey
 GROUP BY 1""",
+    // nested rename+widen: both generations re-derived arithmetically
+    // (slice 0 wrote the narrow pre-rename shape, slices 1/2 the wide
+    // renamed one — the engine must fuse them by PHYSICAL inner name)
+    "q107_nested_rename_widen" ->
+      """WITH f AS (
+  SELECT o_orderkey AS okey, o_orderdate AS odate,
+    CAST(o_totalprice AS DECIMAL(18,2)) % 1000.00 AS amt,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 50
+         ELSE (o_orderkey % 50) * 100 END AS qty
+  FROM orders
+)
+SELECT CAST(month(odate) AS BIGINT) AS order_month,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(okey) AS BIGINT) AS key_sum,
+  CAST(sum(amt) AS DOUBLE) AS amt_sum,
+  CAST(sum(qty) AS BIGINT) AS qty_sum
+FROM f WHERE qty >= 10 GROUP BY 1""",
     // rollback restores the full pre-delete content
     "q66_restore" -> sliceOracle("TRUE"),
     // both generations serve the same logical content: earlier slices

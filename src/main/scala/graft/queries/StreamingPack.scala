@@ -740,6 +740,60 @@ object StreamingPack {
             .as("val_sum"))
     }),
 
+    // s23 — STRUCT rows through the streaming CDF surface (round-12,
+    // lifting the round-11 refusal): the feed table carries a
+    // one-level STRUCT payload, lands as three deltas plus a
+    // CDF-recorded row-level DELETE, and the change feed streams
+    // end-to-end — the source's Group row decoder now decodes struct
+    // fields (nested-null-fill and per-leaf widening included), where
+    // round 11 refused the schema at plan time. The drained feed is
+    // flattened and aggregated by change type against a DuckDB oracle
+    // that recomputes both branches from the raw events — a decoder
+    // that nulled struct leaves, misattributed a change type, or
+    // dropped the delete records hash-mismatches.
+    "s23_stream_struct_cdf" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-s23")
+      // grace keeps consumed version dirs on disk — a feed consumer IS
+      // a reader of old versions (the q65 retention contract)
+      val lake = new graft.storage.Lakehouse(s,
+        dir.resolve("lake").toString, gcGraceMs = 3600000L)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"),
+          struct(col("value").as("v"), col("event_type").as("t"))
+            .as("p"))
+      (0 to 2).foreach { sl =>
+        lake.append("struct_feed",
+          ev.filter(pmod(col("event_id"), lit(3)) === sl))
+      }
+      val contract = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, p STRUCT<v: DOUBLE, t: STRING>")
+      lake.delete("struct_feed", contract,
+        pmod(col("event_id"), lit(7)) === 0, cdf = true)
+      val feedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, p STRUCT<v: DOUBLE, t: STRING>, " +
+          "_change_type STRING, _commit_version BIGINT")
+      val source = s.readStream.schema(feedSchema)
+        .format("graft.sources.LakehouseStreamProvider")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(lake.tablePath("struct_feed"))
+      val q = source.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          lake.appendExactlyOnce("struct_cdc_sunk", batch, id)
+      }
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lake.read("struct_cdc_sunk", feedSchema)
+        .groupBy(col("_change_type").as("change_type"),
+          col("p.t").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("key_sum"),
+          sum(col("p.v").cast("decimal(18,2)")).cast("double")
+            .as("val_sum"))
+    }),
+
     // s17 — lakehouse → lakehouse streaming with ZERO user sink code:
     // the DSv2 source tails the feed table's commit log and the
     // first-class sink lands every micro-batch through
@@ -1281,6 +1335,20 @@ object StreamingPack {
     // inserts = every event (three delta commits); deletes = exactly the
     // rows the takedown removed, as recorded inside its commit
     "s15_stream_cdc_feed" ->
+      """SELECT 'insert' AS change_type, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'delete' AS change_type, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events WHERE event_id % 7 = 0 GROUP BY 2""".stripMargin,
+    // same two-branch recomputation as s15 — the struct payload is
+    // transparent to the oracle (it reads the raw flat events)
+    "s23_stream_struct_cdf" ->
       """SELECT 'insert' AS change_type, event_type,
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(event_id) AS BIGINT) AS key_sum,

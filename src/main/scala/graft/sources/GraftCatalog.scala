@@ -539,6 +539,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case (p, l) if p.equalsIgnoreCase(phys) => l }.getOrElse(phys))
     def fieldOf(logical: String): Option[StructField] =
       schema.fields.find(f => logicalOf(f.name).equalsIgnoreCase(logical))
+    // NESTED fields resolve the same way: the schema file keeps the
+    // PHYSICAL inner names, dotted mapping entries
+    // (`physParent.physChild:logChild`) carry the logical relabels
+    def nestedLogicalOf(physParent: String, physChild: String): String = {
+      val key = s"$physParent.$physChild"
+      renames.getOrElse(key, renames.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(key) => v
+      }.getOrElse(physChild))
+    }
+    def innerFieldOf(pf: StructField, st: org.apache.spark.sql.types
+        .StructType, logicalChild: String): Option[StructField] =
+      st.fields.find(g =>
+        nestedLogicalOf(pf.name, g.name).equalsIgnoreCase(logicalChild))
     // LOGICAL column names a CHECK constraint's predicate references —
     // the DROP/RENAME guards below keep every persisted predicate
     // resolvable against the contract
@@ -636,8 +649,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.sql.types.StructType],
           s"structs nest one level: $parentL.$child cannot itself be " +
             "a struct")
-        require(!st.fields.exists(_.name.equalsIgnoreCase(child)),
+        require(!st.fields.exists(g =>
+          nestedLogicalOf(pf.name, g.name).equalsIgnoreCase(child)),
           s"field $parentL.$child already exists")
+        require(!st.fields.exists(g => g.name.equalsIgnoreCase(child) &&
+          !nestedLogicalOf(pf.name, g.name).equalsIgnoreCase(child)),
+          s"field name $child is the physical (pre-rename) name of " +
+            s"another field of $parentL — committed files still carry " +
+            "it; pick another name")
         val nkey = s"${pf.name}.$child".toLowerCase
         GraftCatalog.parseDropped(props).get(nkey).foreach { dropV =>
           val lake = new Lakehouse(spark, dir.getParent.toString)
@@ -671,7 +690,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             case other => throw new IllegalArgumentException(
               s"$parentL is $other — nested DROP needs a STRUCT column")
           }
-          val target = st.fields.find(_.name.equalsIgnoreCase(child))
+          val target = innerFieldOf(pf, st, child)
           require(target.isDefined ||
             java.lang.Boolean.TRUE.equals(del.ifExists()),
             s"no such field: $parentL.$child")
@@ -699,6 +718,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             props += (GraftCatalog.DroppedColumnsProp ->
               GraftCatalog.renderDropped(GraftCatalog.parseDropped(props)
                 + (s"${pf.name}.${tf.name}".toLowerCase -> head)))
+            // a dropped RENAMED field retires its mapping entry (the
+            // tombstone is keyed by the physical path either way)
+            val rkey = s"${pf.name}.${tf.name}"
+            if (renames.keys.exists(_.equalsIgnoreCase(rkey))) {
+              val cleaned = renames.filterNot(_._1.equalsIgnoreCase(rkey))
+              if (cleaned.isEmpty)
+                props -= GraftCatalog.RenamedColumnsProp
+              else props += (GraftCatalog.RenamedColumnsProp ->
+                GraftCatalog.renderRenames(cleaned))
+            }
             propsDirty = true
           }
         }
@@ -836,6 +865,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             f.withComment(c.newComment) else f))
         schemaDirty = true
 
+      // NESTED widen (round-12, lifting q104's refusal): the same
+      // per-file adaptation that serves top-level widening serves
+      // struct leaves — Spark's requested-schema clipping hands the
+      // vectorized reader the WIDE leaf type and its per-leaf updaters
+      // (IntegerToLong/…) convert during decode, nesting-agnostic
+      // (verified empirically: int→long, decimal precision). Zone
+      // maps, partition specs and equality-delete key sets all address
+      // TOP-LEVEL names, so the layout guards of the top-level path
+      // have nothing to protect here; bloom columns are guarded
+      // against dotted names anyway.
+      case w: TableChange.UpdateColumnType if w.fieldNames.length == 2 =>
+        val parentL = w.fieldNames()(0)
+        val childL = w.fieldNames()(1)
+        val pf = fieldOf(parentL).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $parentL"))
+        val st = pf.dataType match {
+          case s: org.apache.spark.sql.types.StructType => s
+          case other => throw new IllegalArgumentException(
+            s"$parentL is $other — nested ALTER TYPE needs a STRUCT " +
+              "column")
+        }
+        val tf = innerFieldOf(pf, st, childL).getOrElse(
+          throw new IllegalArgumentException(
+            s"no such field: $parentL.$childL"))
+        import org.apache.spark.sql.types._
+        val nWidens = (tf.dataType, w.newDataType()) match {
+          case (IntegerType, LongType) => true
+          case (IntegerType, DoubleType) => true
+          case (FloatType, DoubleType) => true
+          case (d1: DecimalType, d2: DecimalType) =>
+            d1.scale == d2.scale && d2.precision > d1.precision
+          case _ => false
+        }
+        require(nWidens,
+          s"ALTER COLUMN $parentL.$childL TYPE ${w.newDataType().sql}: " +
+            "only WIDENING conversions are supported (INT→BIGINT, " +
+            "INT→DOUBLE, FLOAT→DOUBLE, DECIMAL(p,s)→DECIMAL(p+,s)) — " +
+            s"the field is ${tf.dataType.sql}")
+        require(!props.get(GraftCatalog.BloomColumnsProp).exists(
+          _.split(",").map(_.trim).exists(
+            _.equalsIgnoreCase(s"${pf.name}.${tf.name}"))),
+          s"cannot widen $parentL.$childL: it carries bloom filters")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == pf.name)
+            f.copy(dataType = StructType(st.fields.map(g =>
+              if (g.name == tf.name) g.copy(dataType = w.newDataType())
+              else g)))
+          else f))
+        schemaDirty = true
+
       case w: TableChange.UpdateColumnType =>
         // ALTER COLUMN … TYPE — WIDENING conversions only (Delta's
         // type-widening shape): the contract takes the wide type,
@@ -851,9 +930,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // conversion outside the set) would silently corrupt committed
         // generations — refused.
         require(w.fieldNames.length == 1,
-          "graft ALTER TABLE retypes top-level columns only — NESTED " +
-            "fields never widen (the per-file adapters and zone-map " +
-            "bridges are top-level): drop and re-add the field " +
+          "graft ALTER TABLE retypes top-level columns and ONE nested " +
+            "level (`parent.field`) only " +
             s"(got ${w.fieldNames.mkString(".")})")
         val wf = fieldOf(w.fieldNames()(0)).getOrElse(
           throw new IllegalArgumentException(
@@ -906,6 +984,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             f.copy(dataType = w.newDataType()) else f))
         schemaDirty = true
 
+      // NESTED rename (round-12, lifting q104's refusal): the same
+      // name-mode mapping, keyed by the DOTTED physical path
+      // (`physParent.physChild:logChild`). Committed files, manifests
+      // and tombstones keep physical names; the catalog boundary's
+      // translators (renameFields / invertRenames / renameFilter /
+      // toPhysicalDf) relabel struct leaves exactly as they relabel
+      // top-level columns — reads request physical inner names per
+      // file, writes cast the struct to its physical field names
+      // (position-matched, a pure relabel).
+      case rn: TableChange.RenameColumn if rn.fieldNames.length == 2 =>
+        val parentL = rn.fieldNames()(0)
+        val childL = rn.fieldNames()(1)
+        val newName = rn.newName()
+        require(!newName.exists(c => c == ':' || c == ',' || c == '.'),
+          s"cannot rename to '$newName': field names may not contain " +
+            "':', ',' or '.' (rename-mapping delimiters)")
+        val pf = fieldOf(parentL).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $parentL"))
+        val st = pf.dataType match {
+          case s: org.apache.spark.sql.types.StructType => s
+          case other => throw new IllegalArgumentException(
+            s"$parentL is $other — nested RENAME needs a STRUCT column")
+        }
+        val tf = innerFieldOf(pf, st, childL).getOrElse(
+          throw new IllegalArgumentException(
+            s"no such field: $parentL.$childL"))
+        require(!st.fields.exists(g => g.name != tf.name &&
+          nestedLogicalOf(pf.name, g.name).equalsIgnoreCase(newName)),
+          s"field $parentL.$newName already exists")
+        // occupying a SIBLING's physical name would fuse the two in
+        // committed files — same hazard as the top-level gate
+        require(!st.fields.exists(g => g.name != tf.name &&
+          g.name.equalsIgnoreCase(newName)),
+          s"$newName is the physical (pre-rename) name of " +
+            s"'$parentL.${st.fields.filter(_.name != tf.name)
+              .find(_.name.equalsIgnoreCase(newName))
+              .map(g => nestedLogicalOf(pf.name, g.name)).getOrElse("")}'" +
+            " — committed files still carry it; pick another name")
+        require(checksReferencing(parentL).isEmpty,
+          s"cannot rename $parentL.$childL: CHECK constraint(s) " +
+            s"${checksReferencing(parentL).mkString(", ")} reference " +
+            "the struct — DROP CONSTRAINT, rename, re-ADD")
+        val nkey = s"${pf.name}.${tf.name}"
+        val next =
+          if (newName == tf.name) renames - nkey // renamed back
+          else renames + (nkey -> newName)
+        if (next.isEmpty) props -= GraftCatalog.RenamedColumnsProp
+        else props += (GraftCatalog.RenamedColumnsProp ->
+          GraftCatalog.renderRenames(next))
+        propsDirty = true
+
       case rn: TableChange.RenameColumn =>
         // RENAME COLUMN as a pure CONTRACT relabel (Delta's name-mode
         // column mapping with "physical = creation name"): the schema
@@ -920,9 +1049,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // silently all-null) cannot occur when reads always request
         // physical names.
         require(rn.fieldNames.length == 1,
-          "graft ALTER TABLE renames top-level columns only — NESTED " +
-            "fields never rename (the column mapping is top-level): " +
-            "ADD the new field, backfill, DROP the old " +
+          "graft ALTER TABLE renames top-level columns and ONE nested " +
+            "level (`parent.field`) only " +
             s"(got ${rn.fieldNames.mkString(".")})")
         val from = rn.fieldNames()(0)
         val newName = rn.newName()
@@ -990,7 +1118,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // persist PHYSICAL (creation) names like every other manifest —
         // translate before comparing or persisting
         def physOf(n: String): String = {
-          val l2p = renames.map(_.swap)
+          val l2p = GraftCatalog.invertRenames(renames)
           LakehouseBatch.ciLookup(l2p, n).getOrElse(n)
         }
         val value =
@@ -1288,8 +1416,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = new Path(nsPath(Array(ns)), new Path(t, GraftCatalog.PropsFile))
     val l2p: Map[String, String] =
       if (!fs.exists(p)) Map.empty
-      else GraftCatalog.parseRenames(GraftCatalog.readProps(fs, p))
-        .map(_.swap)
+      else GraftCatalog.invertRenames(
+        GraftCatalog.parseRenames(GraftCatalog.readProps(fs, p)))
     def r(c: String): String =
       LakehouseBatch.ciLookup(l2p, c).getOrElse(c)
     specs.map {
@@ -1607,6 +1735,32 @@ private[graft] object GraftCatalog {
       }.toMap).getOrElse(Map.empty)
   private[sources] def renderRenames(m: Map[String, String]): String =
     m.toSeq.sorted.map { case (p, l) => s"$p:$l" }.mkString(",")
+
+  /** Invert the physical→logical rename mapping into the
+    * logical→physical direction the write/filter boundary uses.
+    *
+    * NOT a naive `.map(_.swap)`: nested entries are keyed
+    * `physParent.physChild -> logChild` (the value is the LEAF name),
+    * so the inverse must be keyed by the LOGICAL dotted path
+    * (`logParent.logChild -> physChild`) — a flat swap would register
+    * the bare leaf as a key and mis-translate any top-level column
+    * that happens to share its name.
+    */
+  private[graft] def invertRenames(renames: Map[String, String])
+      : Map[String, String] = {
+    def logTop(p: String): String = renames.getOrElse(p,
+      renames.collectFirst {
+        case (k, v) if k.indexOf('.') < 0 && k.equalsIgnoreCase(p) => v
+      }.getOrElse(p))
+    renames.map { case (phys, log) =>
+      val i = phys.indexOf('.')
+      if (i < 0) log -> phys
+      else {
+        val (pp, pc) = (phys.take(i), phys.drop(i + 1))
+        s"${logTop(pp)}.$log" -> pc
+      }
+    }
+  }
   val ProcedureNames: Set[String] =
     Set("compact", "zorder", "vacuum", "history", "analyze",
       "stage_branch", "publish_branch", "discard_branch",
@@ -2119,7 +2273,7 @@ private[sources] class GraftTable(path: String, tableName: String,
     // untranslatable filter throws (unreachable: canDeleteWhere
     // accepts exactly the node set renameFilter carries)
     val pred = filters.toSeq
-      .map(f => LakehouseBatch.renameFilter(f, renamedCols.map(_.swap))
+      .map(f => LakehouseBatch.renameFilter(f, GraftCatalog.invertRenames(renamedCols))
         .getOrElse(throw new IllegalStateException(
           s"untranslatable DELETE filter under renamed columns: $f")))
       .flatMap(GraftTable.toColumn)
@@ -2181,7 +2335,7 @@ private[sources] class GraftTable(path: String, tableName: String,
             "APPEND output only")
           new LakehouseStreamingWrite(path,
             LakehouseBatch.physicalSchema(info.schema(),
-              renamedCols.map(_.swap)), info.queryId())
+              GraftCatalog.invertRenames(renamedCols)), info.queryId())
         }
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, over: Boolean) => {
@@ -2206,7 +2360,7 @@ private[sources] class GraftTable(path: String, tableName: String,
             // tables); partition-spec columns are rename-refused, so
             // clustering below sees its names either way
             val physData = LakehouseBatch.toPhysicalDf(data,
-              renamedCols.map(_.swap))
+              GraftCatalog.invertRenames(renamedCols))
             val clustered =
               if (specs.isEmpty) physData
               else graft.storage.Clustering.bySpecs(

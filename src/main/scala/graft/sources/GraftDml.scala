@@ -58,7 +58,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         checkNoSubquery(condition.toSeq ++ assignments, "UPDATE")
         // detached names re-resolve against the PHYSICAL snapshot read
         // — renamed columns translate here, once (see RenamedColumnsProp)
-        val l2p = tbl.renamedCols.map(_.swap)
+        val l2p = GraftCatalog.invertRenames(tbl.renamedCols)
         val detach = detacher(Map(rel.outputSet -> (Nil, l2p)))
         GraftUpdateCommand(tbl.tableDir, tbl.contractSchema,
           condition.map(detach).getOrElse(lit(true)),
@@ -77,7 +77,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         val (rel, tbl) = graftTable(table).get
         checkWritable(tbl, "DELETE")
         val detach = detacher(Map(
-          rel.outputSet -> (Nil, tbl.renamedCols.map(_.swap))))
+          rel.outputSet -> (Nil, GraftCatalog.invertRenames(tbl.renamedCols))))
         GraftDeleteCommand(tbl.tableDir, tbl.contractSchema,
           detach(condition), tbl.cdfEnabled, tbl.rewriteSpecs,
           mor = tbl.morDeletes)
@@ -92,7 +92,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         val exprs = mergeCond +: (matched ++ notMatched ++
           notMatchedBySource).flatMap(actionExprs)
         checkNoSubquery(exprs, "MERGE INTO")
-        val l2p = tbl.renamedCols.map(_.swap)
+        val l2p = GraftCatalog.invertRenames(tbl.renamedCols)
         val detach = detacher(Map(
           rel.outputSet -> (Seq(TargetAlias), l2p),
           source.outputSet -> (Seq(SourceAlias), Map.empty)))
@@ -291,7 +291,7 @@ private[sources] object GraftDml {
     }
     val state = readState()
     val (checks, renames, required) = state
-    val l2p = renames.map(_.swap)
+    val l2p = GraftCatalog.invertRenames(renames)
     val guards = checks.map { case (n, sql) =>
       // predicate names are LOGICAL (the user's contract); the
       // post-image frames are PHYSICAL — translate here, once

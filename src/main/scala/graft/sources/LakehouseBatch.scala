@@ -106,7 +106,7 @@ class LakehouseBatchProvider extends TableProvider {
       SparkSession.active.sparkContext.hadoopConfiguration)
     val renames = LakehouseBatchProvider.renamesAt(fs, path)
     new LakehouseBatchTable(path,
-      LakehouseBatch.physicalSchema(schema, renames.map(_.swap)),
+      LakehouseBatch.physicalSchema(schema, GraftCatalog.invertRenames(renames)),
       renames = renames)
   }
 }
@@ -136,7 +136,7 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
     LakehouseBatch.renameFields(tschema, renames)
   /** logical → physical, for the write/filter boundary. */
   protected final def l2p: Map[String, String] =
-    renames.map(_.swap)
+    GraftCatalog.invertRenames(renames)
   /** Partition (clustering) columns the scan may report as a
     * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
     * for storage-partitioned joins — overridden by the catalog table
@@ -297,10 +297,9 @@ private[sources] class LakehouseBatchTable(path: String, tschema: StructType,
           .LongType,
           s"${graft.sources.LakehouseStream.CommitVersionCol} must be " +
             "BIGINT"))
-      // the feed reader decodes rows via the scalar Group decoder —
-      // struct columns refuse at plan time (CDF on struct tables is
-      // also refused at the property gate; this is the belt)
-      LakehouseStream.validateSchema(tschema, flatOnly = true)
+      // round 12: the feed's Group decoder handles one-level structs
+      // (decodeGroupField recurses) — same contract as the batch scan
+      LakehouseStream.validateSchema(tschema)
       new CdfBatchScan(path, tschema, chFrom.get, chTo, renames)
     } else
       new LakehouseScanBuilder(path, tschema, asOf, br, options,
@@ -428,7 +427,7 @@ private[sources] class LakehouseScanBuilder(path: String, full: StructType,
   // against the table's LOGICAL schema, so names arriving here
   // (pruned columns, filters, aggregate refs) translate l2p once and
   // presentation surfaces (readSchema, pushedFilters) translate back
-  private val l2p: Map[String, String] = renames.map(_.swap)
+  private val l2p: Map[String, String] = GraftCatalog.invertRenames(renames)
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -697,9 +696,9 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     val (path, full, options) = streamable.getOrElse(throw new
       UnsupportedOperationException("streaming a VERSION/TIMESTAMP AS " +
         "OF snapshot or branch audit view is not allowed"))
-    // the micro-batch reader is the scalar Group decoder — struct
-    // columns refuse at plan time, not mid-stream
-    LakehouseStream.validateSchema(tableSchema, flatOnly = true)
+    // round 12: the micro-batch Group decoder handles one-level
+    // structs — same contract as the batch scan
+    LakehouseStream.validateSchema(tableSchema)
     new LakehouseMicroBatchStream(path, full, options)
   }
 
@@ -720,7 +719,7 @@ private[sources] class LakehouseBatchScan(meta: LakehouseBatch.TableMeta,
     // runtime filters arrive bound to the LOGICAL output — translate
     // into the physical space the zone maps live in
     runtime = filters
-      .flatMap(LakehouseBatch.renameFilter(_, renames.map(_.swap)))
+      .flatMap(LakehouseBatch.renameFilter(_, GraftCatalog.invertRenames(renames)))
       .filter(LakehouseBatch.usableForSkipping(_, meta.statsCols,
         meta.bloomCols))
 
@@ -2122,8 +2121,21 @@ private[graft] object LakehouseBatch {
   def renameFields(schema: StructType,
       p2l: Map[String, String]): StructType =
     if (p2l.isEmpty) schema
-    else StructType(schema.fields.map(f =>
-      ciLookup(p2l, f.name).map(l => f.copy(name = l)).getOrElse(f)))
+    else StructType(schema.fields.map { f =>
+      // NESTED rename entries are keyed `parent.child` in the SAME
+      // direction as this map (physical-dotted for p2l, logical-dotted
+      // for the inverted map) with the LEAF name as value — the parent
+      // component is always this field's INPUT name
+      val dt = f.dataType match {
+        case st: StructType =>
+          StructType(st.fields.map(g =>
+            ciLookup(p2l, s"${f.name}.${g.name}")
+              .map(l => g.copy(name = l)).getOrElse(g)))
+        case other => other
+      }
+      val f2 = if (dt eq f.dataType) f else f.copy(dataType = dt)
+      ciLookup(p2l, f.name).map(l => f2.copy(name = l)).getOrElse(f2)
+    })
 
   /** Relabel a LOGICAL-named schema back to physical names. */
   def physicalSchema(schema: StructType,
@@ -2136,8 +2148,28 @@ private[graft] object LakehouseBatch {
   def toPhysicalDf(df: org.apache.spark.sql.DataFrame,
       l2p: Map[String, String]): org.apache.spark.sql.DataFrame =
     if (l2p.isEmpty) df
-    else df.toDF(df.columns.toIndexedSeq.map(c =>
-      ciLookup(l2p, c).getOrElse(c)): _*)
+    else {
+      // nested renames first: relabel a struct column's INNER fields
+      // to their physical names via a same-type cast (struct casts
+      // match by POSITION, so an identical-typed cast is a pure
+      // relabel — no per-row conversion survives codegen)
+      val base =
+        if (!l2p.keysIterator.exists(_.indexOf('.') >= 0)) df
+        else df.schema.fields.foldLeft(df) { (d, f) =>
+          f.dataType match {
+            case st: org.apache.spark.sql.types.StructType =>
+              val phys = org.apache.spark.sql.types.StructType(
+                st.fields.map(g =>
+                  ciLookup(l2p, s"${f.name}.${g.name}")
+                    .map(p => g.copy(name = p)).getOrElse(g)))
+              if (phys == st) d
+              else d.withColumn(f.name, d.col(f.name).cast(phys))
+            case _ => d
+          }
+        }
+      base.toDF(base.columns.toIndexedSeq.map(c =>
+        ciLookup(l2p, c).getOrElse(c)): _*)
+    }
 
   /** Case-insensitive map lookup (Spark's default resolution rule). */
   def ciLookup(m: Map[String, String], n: String): Option[String] =
@@ -2178,7 +2210,19 @@ private[graft] object LakehouseBatch {
 
   def renameFilter(f: Filter,
       m: Map[String, String]): Option[Filter] = {
-    def r(n: String): String = ciLookup(m, n).getOrElse(n)
+    // a dotted attribute (nested-field pushdown) translates each
+    // component: the parent through its top-level entry, the leaf
+    // through the dotted entry keyed in this map's own direction —
+    // never the whole dotted string through a single lookup (nested
+    // entries' values are LEAF names)
+    def r(n: String): String = {
+      val i = n.indexOf('.')
+      if (i < 0) ciLookup(m, n).getOrElse(n)
+      else {
+        val (p, c) = (n.take(i), n.drop(i + 1))
+        s"${ciLookup(m, p).getOrElse(p)}.${ciLookup(m, n).getOrElse(c)}"
+      }
+    }
     f match {
       case EqualTo(c, v) => Some(EqualTo(r(c), v))
       case EqualNullSafe(c, v) => Some(EqualNullSafe(r(c), v))

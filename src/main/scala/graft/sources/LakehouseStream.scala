@@ -100,9 +100,9 @@ class LakehouseStreamProvider extends TableProvider {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft lakehouse stream needs the table directory: .load(<path>)")
-    // the stream's Group decoder reads scalars only — struct columns
-    // refuse HERE, at plan time, not mid-stream
-    LakehouseStream.validateSchema(schema, flatOnly = true)
+    // round 12: the Group decoder handles one-level structs (same
+    // contract as the batch surface) — decodeGroupField recurses
+    LakehouseStream.validateSchema(schema)
     new LakehouseStreamTable(path, schema)
   }
 }
@@ -670,6 +670,17 @@ private[graft] object LakehouseStream {
       case dt2: DecimalType =>
         LakehouseStream.decodeDecimal(
           gt.getType(idx).asPrimitiveType(), g, idx, dt2)
+      // one-level STRUCT (round-12: the streaming/CDF row surfaces no
+      // longer refuse them): decode the nested Group field-by-field
+      // through this same path, so nested ADD (absent → null) and
+      // nested WIDEN (file-primitive-aware) behave exactly as they do
+      // on the vectorized batch path
+      case st: StructType =>
+        val sub = g.getGroup(idx, 0)
+        val subType = gt.getType(idx).asGroupType()
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          st.fields.map(f2 =>
+            decodeGroupField(sub, subType, f2.name, f2.dataType)))
       case other => throw new UnsupportedOperationException(
         s"unreachable: $other passed validateSchema")
     }

@@ -447,6 +447,60 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE gh.c.probe")
   }
 
+  test("CBO histograms price RANGE predicates (round-12): a skewed " +
+    "BETWEEN flips the join strategy only with the histogram") {
+    spark.conf.set("spark.sql.catalog.ghr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ghr.root", tmpDir("histr-root"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghr.c")
+    spark.sql("DROP TABLE IF EXISTS ghr.c.skew")
+    spark.sql("DROP TABLE IF EXISTS ghr.c.probe")
+    // 95% of s-values are DENSE in [0, 1000); the rest spread to 200k.
+    // Uniform range selectivity prices BETWEEN 0 AND 999 as
+    // 1000/200000 = 0.5% (~1k rows — broadcastable); the histogram
+    // knows those bins hold ~95% of the table.
+    spark.sql("CREATE TABLE ghr.c.skew (k BIGINT, s BIGINT)")
+    spark.sql("""INSERT INTO ghr.c.skew
+      SELECT id, CASE WHEN id < 190000 THEN id % 1000 ELSE id END
+      FROM range(0, 200000)""")
+    spark.sql("CREATE TABLE ghr.c.probe (k BIGINT, w BIGINT)")
+    spark.sql(
+      "INSERT INTO ghr.c.probe SELECT id, id * 3 FROM range(0, 100000)")
+    def plan(lo: Long, hi: Long): String = spark.sql(
+      s"""SELECT count(*) FROM ghr.c.skew b
+        JOIN ghr.c.probe p ON b.k = p.k
+        WHERE b.s BETWEEN $lo AND $hi""")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    withSQLConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString) {
+      // NDV/min-max only: the hot range estimates uniform -> ~0.5% ->
+      // broadcast. WRONG: it is 95% of the table.
+      withSQLConf("spark.graft.histogramBins" -> "0") {
+        spark.sql("CALL ghr.system.analyze('c', 'skew')")
+        spark.sql("CALL ghr.system.analyze('c', 'probe')")
+      }
+      val uniform = plan(0L, 999L)
+      assert(uniform.contains("BroadcastHashJoin"),
+        s"uniform range selectivity must (mis-)broadcast the hot " +
+          s"range:\n$uniform")
+      // with histograms the spanned bins carry ~95% of rows ->
+      // sort-merge
+      spark.sql("CALL ghr.system.analyze('c', 'skew')")
+      val hot = plan(0L, 999L)
+      assert(hot.contains("SortMergeJoin"),
+        s"the histogram must price the hot BETWEEN at ~95% of " +
+          s"rows:\n$hot")
+      // a range over the SPARSE region stays broadcastable — the
+      // histogram sharpens both directions
+      val sparse = plan(150000L, 151000L)
+      assert(sparse.contains("BroadcastHashJoin"),
+        s"a sparse range must still broadcast under the histogram:\n$sparse")
+    }
+    spark.sql("DROP TABLE ghr.c.skew")
+    spark.sql("DROP TABLE ghr.c.probe")
+  }
+
   test("e12 serve: reads the stored index tables, broadcasts the probe " +
     "structures, no SMJ/cartesian") {
     // explain() triggers the in-query build job; the returned plan is

@@ -829,11 +829,74 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(p.b) FROM graft.mart.t41")
       .head().getLong(0) == 0L,
       "the re-added nested field must not resurrect pre-drop bytes")
-    // the scalar row-decoder surfaces refuse struct schemas loudly
-    intercept[Exception](
-      graft.sources.LakehouseStream.validateSchema(
-        spark.table("graft.mart.t41").schema, flatOnly = true))
+    // round 12: the row-decoder surfaces accept one-level structs
+    // (decodeGroupField recurses — s23 drives the CDF stream end to
+    // end); deeper nesting still refuses on every surface
+    graft.sources.LakehouseStream.validateSchema(
+      spark.table("graft.mart.t41").schema)
     spark.sql("DROP TABLE graft.mart.t41")
+  }
+
+  test("nested RENAME + WIDEN (round-12): dotted name-mode mapping " +
+    "relabels struct leaves across generations; per-file adapters " +
+    "widen nested leaves; refusal ladder holds") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mart")
+    spark.sql("DROP TABLE IF EXISTS graft.mart.t42")
+    spark.sql("CREATE TABLE graft.mart.t42 " +
+      "(k BIGINT, p STRUCT<a: INT, b: STRING>)")
+    spark.sql("INSERT INTO graft.mart.t42 SELECT id, " +
+      "named_struct('a', CAST(id AS INT), 'b', concat('x', id)) " +
+      "FROM range(0, 10)")
+    // RENAME: old generation's physical `a` serves under logical `qty`
+    spark.sql("ALTER TABLE graft.mart.t42 RENAME COLUMN p.a TO qty")
+    assert(spark.table("graft.mart.t42").schema("p").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("qty", "b"), "presented inner names")
+    // WIDEN the renamed field: INT -> BIGINT
+    spark.sql("ALTER TABLE graft.mart.t42 ALTER COLUMN p.qty TYPE BIGINT")
+    // new generation writes under the LOGICAL name + wide type;
+    // physically lands as `a` so both generations fuse by name
+    spark.sql("INSERT INTO graft.mart.t42 SELECT id, " +
+      "named_struct('qty', id * 10, 'b', concat('y', id)) " +
+      "FROM range(10, 20)")
+    val r = spark.sql("SELECT count(*), sum(p.qty), " +
+      "count(CASE WHEN p.qty >= 100 THEN 1 END) " +
+      "FROM graft.mart.t42").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((20L, 45L + 1450L, 10L)),
+      s"both generations must serve the renamed+widened leaf: $r")
+    // filter on the renamed nested field — crosses the rename boundary
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.mart.t42 WHERE p.qty = 5").head()
+      .getLong(0) == 1L, "nested filter on renamed leaf")
+    // UPDATE through the logical name (DML boundary translation)
+    spark.sql("UPDATE graft.mart.t42 SET k = k + 100 " +
+      "WHERE p.qty = 110")
+    assert(spark.sql("SELECT count(*) FROM graft.mart.t42 " +
+      "WHERE k = 111").head().getLong(0) == 1L,
+      "DML predicate on renamed nested leaf")
+    // refusal ladder: collision with sibling logical name; collision
+    // with a sibling PHYSICAL name; rename of a non-struct; deep paths
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t42 RENAME COLUMN p.qty TO b"))
+    spark.sql("ALTER TABLE graft.mart.t42 RENAME COLUMN p.b TO label")
+    intercept[Exception](spark.sql(
+      // `b` is now label's PHYSICAL name — occupying it would fuse
+      "ALTER TABLE graft.mart.t42 RENAME COLUMN p.qty TO b"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t42 ALTER COLUMN p.label TYPE BIGINT"))
+    // rename BACK retires the mapping entry
+    spark.sql("ALTER TABLE graft.mart.t42 RENAME COLUMN p.label TO b")
+    // DROP of a renamed field retires its mapping + tombstones the
+    // physical path
+    spark.sql("ALTER TABLE graft.mart.t42 DROP COLUMN p.qty")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.mart.t42 ADD COLUMN p.a INT")) // phys tombstone
+    assert(spark.table("graft.mart.t42").schema("p").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("b"))
+    spark.sql("DROP TABLE graft.mart.t42")
   }
 
   test("ALTER TABLE RENAME TO moves the table identity; the commit " +
