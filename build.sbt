@@ -40,4 +40,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 200-query suite generates thousands of whole-stage-codegen classes.
+  // Spark's generated-class cache holds only 100 (static conf) and the
+  // JVM's default code cache 240 MB; both overflow mid-suite, so janino
+  // recompiles evicted classes and HotSpot flushes+re-JITs warm code —
+  // measured on the q49 replay as 24-154 s of JIT time PER RUN (GC was
+  // 0.5-1.2 s) and as erratic 5-30× whole-JVM slowdown windows. Sized
+  // for any long-lived executor running a many-plan workload, not for
+  // this bench alone.
+  s"-Dspark.sql.codegen.cache.maxEntries=${
+    sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096")}",
+  s"-XX:ReservedCodeCacheSize=${
+    sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
 )

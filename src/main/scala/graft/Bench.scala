@@ -110,6 +110,24 @@ object Bench {
     val waits = scala.collection.mutable.Map(
       names.map(_ -> Vector.empty[Long]): _*)
     val waitDetail = scala.collection.mutable.Map.empty[String, String]
+    // JVM-debt telemetry (round-12): per-query GC + JIT-compilation time
+    // deltas, surfaced next to the protocol waits. Round 11's one red
+    // number (q49 = 164 s driver-side, unreproducible) matched neither a
+    // protocol wait (telemetry read 0) nor GC — the round-12 profiler
+    // found whole-stage-codegen recompile churn (JIT 125-150 s per
+    // replay) as the only mechanism of that size. With these columns an
+    // inflated bench number names its JVM debt instead of reading as
+    // "slow engine". (MXBean counters are JVM-global; under the bench's
+    // serial query loop attribution is exact.)
+    import scala.jdk.CollectionConverters._
+    def gcNowMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitNowMs: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    val gcs = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[Long]): _*)
+    val jits = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[Long]): _*)
     for (r <- 1 to runs) {
       // deterministic per-sweep order: same seed → same schedule across
       // rounds (comparable artifacts), different order per sweep (no
@@ -118,6 +136,7 @@ object Bench {
       for (name <- order if r <= 2 || !RunTwice.contains(name)) {
         val fn = SparkEntry.queries(name)
         graft.storage.ProtocolTelemetry.reset()
+        val (gc0, jit0) = (gcNowMs, jitNowMs)
         val t0 = System.nanoTime()
         val sec =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -127,6 +146,8 @@ object Bench {
             -1.0
           }
         times(name) :+= sec
+        gcs(name) :+= gcNowMs - gc0
+        jits(name) :+= jitNowMs - jit0
         val snap = graft.storage.ProtocolTelemetry.snapshot()
         waits(name) :+= snap.values.map(_.waitedMs).sum
         if (snap.values.exists(_.waitedMs > 0)) {
@@ -174,9 +195,18 @@ object Bench {
         (if (waits(n).exists(_ > 0)) Seq(
           "wait_ms" -> waits(n).mkString("[", ",", "]"),
           "wait_loops" -> ("\"" + waitDetail.getOrElse(n, "") + "\""))
-         else Nil))
+         else Nil) ++
+        // JVM-debt columns, only when nontrivial (>0.2 s in some sweep):
+        // a query whose number is inflated by GC pauses or JIT
+        // recompilation names it here
+        (if (gcs(n).exists(_ > 200)) Seq(
+          "gc_ms" -> gcs(n).mkString("[", ",", "]")) else Nil) ++
+        (if (jits(n).exists(_ > 200)) Seq(
+          "jit_ms" -> jits(n).mkString("[", ",", "]")) else Nil))
     })
     val totalWaitMs = names.map(n => waits(n).sum).sum
+    val totalGcMs = names.map(n => gcs(n).sum).sum
+    val totalJitMs = names.map(n => jits(n).sum).sum
     def writeFile(path: String, content: String): Unit =
       // best-effort: an unwritable cwd must not cost the stdout lines
       try java.nio.file.Files.writeString(
@@ -187,7 +217,7 @@ object Bench {
     // a canary subset must not clobber the full-sweep artifacts
     val artifactSuffix = if (only.isDefined) "_CANARY" else ""
     writeFile(s"BENCH_DETAIL$artifactSuffix.json",
-      s"""{"sf":"$sfDir","sweeps":$runs,"protocol_wait_ms":$totalWaitMs,"stat":"min (median in detail)","queries":$detail}""")
+      s"""{"sf":"$sfDir","sweeps":$runs,"protocol_wait_ms":$totalWaitMs,"gc_ms":$totalGcMs,"jit_ms":$totalJitMs,"stat":"min (median in detail)","queries":$detail}""")
 
     // Pinned-canary companion (round-11 verdict item 2): the full sweep
     // launches the FROZEN round-10 jar's fixed 10-query subset in a fresh
@@ -231,7 +261,7 @@ object Bench {
 
     val fullLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
-        jmap(names.map(n => n -> f3(best(n))))},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir","protocol_wait_ms":$totalWaitMs,"canary":$canaryJson}"""
+        jmap(names.map(n => n -> f3(best(n))))},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir","protocol_wait_ms":$totalWaitMs,"gc_ms":$totalGcMs,"jit_ms":$totalJitMs,"canary":$canaryJson}"""
     writeFile(s"BENCH_RESULT$artifactSuffix.json", fullLine)
     // compact keys: unique short prefix before the first underscore
     // ("q49_pipeline_scd2" → "q49"). CHECKED, not assumed: a future name
@@ -259,6 +289,6 @@ object Bench {
     // data at all. Full detail stays in the two lines above and the
     // BENCH_*.json artifacts.
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${names.size},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir","protocol_wait_ms":$totalWaitMs}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${names.size},"stat":"min_of_$runs","failed":${failedNames.size},"runs":$runs,"sf":"$sfDir","protocol_wait_ms":$totalWaitMs,"gc_ms":$totalGcMs,"jit_ms":$totalJitMs}""")
   }
 }

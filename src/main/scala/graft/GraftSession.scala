@@ -20,6 +20,17 @@ object GraftSession {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      // Whole-stage codegen embeds a GLOBALLY incrementing stage id in
+      // the generated class NAME by default, so no two codegen stages in
+      // an application ever share source text — the generated-class
+      // cache can never hit across repeated query shapes, and janino +
+      // HotSpot recompile every plan forever. On the q49 protocol replay
+      // (242 jobs) that measured as 125-150 s of JIT time per REPEATED
+      // run (vs 1 s of GC). Dropping the id from the class name restores
+      // source-identical codegen (the id still appears in the comment /
+      // job description for debugging); any long-lived executor running
+      // recurring query shapes wants this.
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4

@@ -18,6 +18,22 @@ object ProfileNormalize {
     val spark = graft.GraftSession.get()
     val fix = "/root/repo/src/test/resources/fixtures"
 
+    // per-job callsite trace (SPARK_GRAFT_TRACE_JOBS=1): WHAT launches
+    // each of the replay's ~240 jobs — the census said how many, this
+    // says who
+    if (sys.env.get("SPARK_GRAFT_TRACE_JOBS").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            println(s"[job] ${j.jobId} tasks=${
+              j.stageInfos.map(_.numTasks).sum} ${
+              j.stageInfos.lastOption.map(si => si.name + " | " +
+                si.details.linesIterator.find(l =>
+                  l.contains("graft") && !l.contains("tools.Profile"))
+                  .getOrElse("")).getOrElse("?")}")
+        })
+
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f

@@ -19,10 +19,23 @@ object ProfilePipeline {
     val spark = graft.GraftSession.get()
     val fix = "/root/repo/src/test/resources/fixtures"
 
+    // per-phase job counter: which phase launches how many Spark jobs —
+    // at fixture scale the per-job fixed cost dominates, so the job
+    // census IS the phase cost model
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
+      val j0 = jobs.get()
       val r = f
-      println(f"[profile] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      Thread.sleep(150) // listener drain
+      println(f"[profile] $label%-22s ${(System.nanoTime() - t0) / 1e9 - 0.15}%6.2f s  jobs=${jobs.get() - j0}")
       r
     }
 

@@ -43,16 +43,23 @@ object ProfileQuery {
         taskMs.addAndGet(st.stageInfo.taskMetrics.executorRunTime)
       }
     })
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMs: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
     for (name <- names; r <- 1 to runs) {
       val fn = graft.SparkEntry.queries(name)
       jobs.set(0); stages.set(0); taskMs.set(0); busyNs.set(0)
+      val (gc0, jit0) = (gcMs, jitMs)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       Thread.sleep(300) // listener bus drain
       val wall = (System.nanoTime() - t0) / 1e9 - 0.3
       println(f"[profq] $name run$r: jobs=${jobs.get()} stages=${stages.get()} " +
         f"wall=$wall%.2fs busy=${busyNs.get() / 1e9}%.2fs " +
-        f"gap=${wall - busyNs.get() / 1e9}%.2fs taskSum=${taskMs.get() / 1e3}%.1fs")
+        f"gap=${wall - busyNs.get() / 1e9}%.2fs taskSum=${taskMs.get() / 1e3}%.1fs " +
+        f"gc=${(gcMs - gc0) / 1e3}%.1fs jit=${(jitMs - jit0) / 1e3}%.1fs")
     }
     spark.stop()
   }
