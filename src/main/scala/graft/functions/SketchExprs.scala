@@ -31,6 +31,40 @@ import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
   * UTF-8 bytes (`putString` ≡ `putBinary(utf8)`); SketchesSpec pins the
   * round-trip on both types.
   */
+/** A serialized sketch as a PLAN-RESIDENT BLOB, not a `Literal`.
+  *
+  * `Literal` special-cases arrays with DEEP equals/hashCode
+  * (`java.util.Arrays.hashCode`), so an MB-scale sketch literal makes
+  * every Catalyst expression-map insertion and `semanticEquals` probe
+  * re-hash the whole array — measured as tens of seconds of driver-only
+  * gap on q42's 11 MB CMS (the optimizer + AQE re-planning touch the
+  * predicate's hash hundreds of times). This leaf keeps case-class
+  * IDENTITY semantics for the array field (reference equality — two
+  * copies of one plan share the reference, distinct sketches stay
+  * distinct; the conservative direction only costs a missed
+  * common-subexpression merge), and it is deliberately NON-foldable so
+  * `ConstantFolding` cannot collapse it back into the `Literal` this
+  * exists to avoid. Reaches generated code via `addReferenceObj`, same
+  * as the probes' deserialized sketches.
+  */
+case class SketchBytes(bytes: Array[Byte])
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    bytes
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("sketchBytes", bytes, "byte[]")
+    ev.copy(code = code"byte[] ${ev.value} = $ref;", isNull = FalseLiteral)
+  }
+  override def prettyName: String = "sketch_bytes"
+  // render as a placeholder, not MBs of hex, in explain output
+  override def toString: String = s"sketch_bytes(${bytes.length}B)"
+}
+
 private[graft] trait SketchProbe extends BinaryExpression {
   def key: Expression
   def sketch: Expression
@@ -39,7 +73,9 @@ private[graft] trait SketchProbe extends BinaryExpression {
   override def right: Expression = sketch
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (sketch.dataType != BinaryType || !sketch.foldable)
+    val sketchOk = sketch.dataType == BinaryType &&
+      (sketch.foldable || sketch.isInstanceOf[SketchBytes])
+    if (!sketchOk)
       return TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable BINARY sketch argument")
     if (sketch.eval() == null)
@@ -97,8 +133,7 @@ case class BloomMightContain(key: Expression, sketch: Expression)
 object BloomMightContain {
   def apply(key: Column, sketchBytes: Array[Byte]): Column =
     GraftColumnBridge.toColumn(BloomMightContain(
-      GraftColumnBridge.toExpr(key),
-      org.apache.spark.sql.catalyst.expressions.Literal(sketchBytes, BinaryType)))
+      GraftColumnBridge.toExpr(key), SketchBytes(sketchBytes)))
 }
 
 /** `cms_estimate(key, sketchBytes)` — the Count-Min estimate of `key`'s
@@ -142,6 +177,5 @@ case class CmsEstimate(key: Expression, sketch: Expression)
 object CmsEstimate {
   def apply(key: Column, sketchBytes: Array[Byte]): Column =
     GraftColumnBridge.toColumn(CmsEstimate(
-      GraftColumnBridge.toExpr(key),
-      org.apache.spark.sql.catalyst.expressions.Literal(sketchBytes, BinaryType)))
+      GraftColumnBridge.toExpr(key), SketchBytes(sketchBytes)))
 }

@@ -68,13 +68,27 @@ object Sketches {
       eps: Double = 1e-5, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val cms = df.stat.countMinSketch(col(key), eps, confidence, seed)
+    // build via the codegen count_min_sketch AGGREGATE (partial/merge
+    // map-side, columnar input) instead of DataFrameStatFunctions'
+    // RDD-of-Rows aggregate — same CountMinSketchImpl serialization
+    // (merge is commutative addition, so the sketch is byte-identical
+    // regardless of build path), no boxed-row pass over the corpus
+    val cmsBytes = df.na.drop(Seq(key)).agg(
+      org.apache.spark.sql.GraftColumnBridge.toColumn(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .CountMinSketchAgg(
+            org.apache.spark.sql.GraftColumnBridge.toExpr(col(key)),
+            org.apache.spark.sql.catalyst.expressions.Literal(eps),
+            org.apache.spark.sql.catalyst.expressions.Literal(confidence),
+            org.apache.spark.sql.catalyst.expressions.Literal(seed))
+          .toAggregateExpression()).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
     // NULL keys bypass the sketch (CmsEstimate(null) is null, which the
     // >= filter would silently DROP — losing a heavy null group from an
     // "exact" answer); they ride straight to the exact aggregate, one
     // group's worth of extra rows
     df.filter(col(key).isNull ||
-        CmsEstimate(col(key), bytesOf(cms.writeTo)) >= minCount)
+        CmsEstimate(col(key), cmsBytes) >= minCount)
       .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)

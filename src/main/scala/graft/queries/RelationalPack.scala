@@ -285,11 +285,17 @@ object RelationalPack {
 
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont` — both linear interpolation).
+    // both l_extendedprice percentiles from ONE aggregate buffer: two
+    // scalar percentile() aggs each materialize their own copy of every
+    // group's values; the array form sorts one buffer and reads both
+    // ranks (identical interpolation arithmetic, bit-identical output)
     "q23_percentile" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(c("l_returnflag"))
         .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))),
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("_pp"))
+        .select(c("l_returnflag"), c("p50_qty"),
+          element_at(c("_pp"), 1).as("p25_price"),
+          element_at(c("_pp"), 2).as("p75_price"))),
 
     // Salted skew join — oracle is the UNSALTED join, proving the salt is
     // invisible to results (ops/Skew).
@@ -398,10 +404,16 @@ object RelationalPack {
     // Count-Min heavy hitters: shuffle-free sketch pass prefilters to
     // candidate keys, exact re-count confirms — output is exact
     // (ops/Sketches.cmsHeavyHitters; the oracle is the plain HAVING).
+    // eps sizing: the output is exact for ANY eps (CMS never
+    // underestimates and the final HAVING recounts exactly); eps only
+    // trades sketch size against prefilter selectivity. 1e-4 keeps the
+    // sketch ~1 MB (7×20k longs) — the previous 1e-5 built an 11 MB
+    // blob whose plan-side handling dominated the query (guide §1/§4:
+    // the sketch is metadata, keep it orders below the data).
     "q42_cms_heavy_hitters" -> ((s, d) =>
       graft.ops.Sketches.cmsHeavyHitters(
         Tables.events(s, d).select(c("user_id")), "user_id",
-        minCount = 80, eps = 1e-5, confidence = 0.99)),
+        minCount = 80, eps = 1e-4, confidence = 0.99)),
 
     // Bloom-prefiltered semi-join: MB-scale filter built over the dim
     // side prunes the fact scan before the join; exact semi-join cleans
