@@ -55,8 +55,19 @@ object Dedup {
   def crossDocChunkDedup(docs: DataFrame, idCol: String, textCol: String,
       width: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // chunking + explode is the CPU-heavy map step and it runs at the
+    // SCAN's parallelism — a small single-file corpus is one split, so
+    // the whole tokenize/explode pass serialized (measured 3.1 s at
+    // parallelism 1 on d33 @ sf0.1). Fan out only when the scan is
+    // narrower than the session's cores (guide §2.5: repartition right
+    // after an unsplittable read); a corpus that already has enough
+    // splits is left alone — at 100 TB this branch never fires and no
+    // full-text shuffle is added.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val chunks = TextOps.fixedChunks(col(textCol), width)
-    val exploded = docs
+    val exploded = src
       .select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
     val w = Window.partitionBy(col("chunk"))
       .orderBy(col(idCol).asc, col("pos").asc)
@@ -69,7 +80,7 @@ object Dedup {
           transform(
             array_sort(collect_list(struct(col("pos"), col("chunk")))),
             x => x.getField("chunk")), " ").as("kept_text"))
-    docs
+    src
       .select(col(idCol), size(chunks).cast("bigint").as("n_chunks"))
       .join(re, Seq(idCol), "left")
       .select(col(idCol),

@@ -1223,7 +1223,16 @@ object TrainingPack {
     "m05_png_decode" -> ((s, d) => {
       import s.implicits._
       import graft.ops.Multimodal
+      // fan the codec work out to the cores BEFORE the per-row encode/
+      // decode: documents.parquet is one small file, so the scan is a
+      // single split and the (CPU-bound) codec loop would run serially —
+      // measured 3.4 s busy at parallelism 1 on m05. Repartitioning the
+      // bare ids costs a shuffle of 8-byte rows; the heavy payloads are
+      // born AFTER it, already spread (guide §2.5: repartition right
+      // after an unsplittable read). Sized from the scheduler, not a
+      // constant — scales with the session's cores.
       val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           it.map { id =>
             val payload = Multimodal.Codecs.encodePng(16, 12, (x, y) => {
@@ -1263,7 +1272,9 @@ object TrainingPack {
     "m06_wav_decode" -> ((s, d) => {
       import s.implicits._
       import graft.ops.Multimodal
+      // ids-first repartition before the CPU-bound codec loop (m05 note)
       val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           it.map { id =>
             val n = 256 + (id % 64).toInt
@@ -1300,7 +1311,9 @@ object TrainingPack {
     "m07_bmp_resize" -> ((s, d) => {
       import s.implicits._
       import graft.ops.Multimodal
+      // ids-first repartition before the CPU-bound codec loop (m05 note)
       val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           it.map { id =>
             val payload = Multimodal.Codecs.encodeBmp(16, 12, (x, y) => {
@@ -1351,7 +1364,9 @@ object TrainingPack {
         val b = math.min(255, (x + y) * 9 + (id % 3).toInt)
         (r << 16) | (g << 8) | b
       }
+      // ids-first repartition before the CPU-bound codec loop (m05 note)
       docs(s, d).select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           it.map { id =>
             val payload =
