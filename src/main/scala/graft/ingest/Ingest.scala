@@ -35,10 +35,18 @@ object Ingest {
   }
 
   /** Full daily load: conform → last-day filter → append to landing.
-    * The filtered frame is cached across the two actions (append +
-    * count) so the feed is read and filtered once, not twice.
+    * ONE action (the append write) — the replay loop never used the
+    * row count, so the old cache + count() pair was a pure extra job
+    * per day; throughput harnesses that want the count use
+    * [[loadDayCounted]].
     */
-  def loadDay(lake: Lakehouse, src: DataFrame): Long = {
+  def loadDay(lake: Lakehouse, src: DataFrame): Unit =
+    lake.append("denormalized", lastDayOnly(conform(src)))
+
+  /** [[loadDay]] + the loaded-row count (StressPipeline's throughput
+    * denominator); cached so the feed is read and filtered once.
+    */
+  def loadDayCounted(lake: Lakehouse, src: DataFrame): Long = {
     val day = lastDayOnly(conform(src)).cache()
     try {
       lake.append("denormalized", day)
@@ -46,12 +54,12 @@ object Ingest {
     } finally day.unpersist()
   }
 
-  def loadDayFromParquet(lake: Lakehouse, path: String): Long =
+  def loadDayFromParquet(lake: Lakehouse, path: String): Unit =
     loadDay(lake, lake.spark.read.parquet(path))
 
   /** End-to-end from the reference's raw xlsx feed (S1) — no out-of-band
     * conversion step; see [[Xlsx]].
     */
-  def loadDayFromXlsx(lake: Lakehouse, path: String): Long =
+  def loadDayFromXlsx(lake: Lakehouse, path: String): Unit =
     loadDay(lake, Xlsx.read(lake.spark, path))
 }

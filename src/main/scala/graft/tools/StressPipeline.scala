@@ -36,7 +36,7 @@ object StressPipeline {
       .drop("_rep")
 
     import StressUtil.{timedValue => timed}
-    val (n, tLoad) = timed(Ingest.loadDay(lake, scaled))
+    val (n, tLoad) = timed(Ingest.loadDayCounted(lake, scaled))
     val (_, tNorm) = timed(Etl.normalizeTransactions(lake))
     val (_, tMart) = timed(Mart.addReportData(lake, MartStaging.Scd2Dims,
       java.sql.Timestamp.valueOf("2020-05-09 12:00:00")))
