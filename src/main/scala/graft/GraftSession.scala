@@ -31,6 +31,17 @@ object GraftSession {
       // job description for debugging); any long-lived executor running
       // recurring query shapes wants this.
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // Streaming-checkpoint WAL io measured 120-200 ms per micro-batch
+      // (walCommit + commitOffsets in the progress telemetry) — the
+      // FileContext path for file:// routes through the CHECKSUMMED
+      // LocalFs, which doubles every metadata-file op with a .crc
+      // sibling. Route it through RawLocalFs instead: production
+      // checkpoints live on object stores whose integrity is the
+      // store's, not a client-side CRC sibling — the raw local form is
+      // the parity configuration, not a shortcut. (FileSystem-API users
+      // — the lakehouse protocol, parquet io — are untouched.)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4
