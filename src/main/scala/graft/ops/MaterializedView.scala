@@ -168,18 +168,20 @@ object MaterializedView {
     // replayed micro-batch (foreachBatch's at-least-once) then re-folds
     // into phantom negated groups, and the version-driven refresh falls
     // back to a spurious full reseed. A single n=0 sentinel row (all
-    // group keys null, measures null) carries the stamp; [[read]]
-    // filters n ≠ 0, and a later fold re-groups it away (n=0
-    // contributes nothing and the post-fold filter drops it).
-    val withWatermark =
-      if (!conformed.isEmpty) conformed
-      else lake.spark.range(1).select(
-        schema.fields.toIndexedSeq.map(f => f.name match {
-          case CountCol => lit(0L).cast(f.dataType).as(f.name)
-          case BasisCol => lit(stamp).cast(f.dataType).as(f.name)
-          case n => lit(null).cast(f.dataType).as(n)
-        }): _*)
-    lake.overwrite(mvName, withWatermark)
+    // group keys null, measures null) carries the stamp UNCONDITIONALLY
+    // (an `isEmpty` probe here re-ran the whole fold aggregate once per
+    // commit just to decide whether the sentinel was needed — one extra
+    // aggregate job per micro-batch); it is invisible by construction:
+    // [[read]] filters n ≠ 0, the next fold's n=0 adds nothing to a
+    // colliding all-null-keys group (sum ignores the null measures) and
+    // its own post-fold n ≠ 0 filter regroups it away.
+    val sentinel = lake.spark.range(1).select(
+      schema.fields.toIndexedSeq.map(f => f.name match {
+        case CountCol => lit(0L).cast(f.dataType).as(f.name)
+        case BasisCol => lit(stamp).cast(f.dataType).as(f.name)
+        case n => lit(null).cast(f.dataType).as(n)
+      }): _*)
+    lake.overwrite(mvName, conformed.unionByName(sentinel))
   }
 
   /** Streaming maintenance: fold ONE micro-batch of a change-data feed

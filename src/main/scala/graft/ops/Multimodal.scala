@@ -46,6 +46,17 @@ object Multimodal {
     * exercise realistic data flow and stay reproducible.
     */
   object Codecs {
+    // ImageIO wraps every read/write — even over ByteArray streams — in a
+    // FileCache stream by default (useCache=true): one temp FILE created,
+    // written and deleted per encode/decode call. On the codec hot path
+    // (tens of thousands of 16×12 rasters per query) that is pure disk
+    // churn whose cost tracks /tmp state, measured as a 4-8× erratic
+    // slowdown of m05/m07/m08 inside the full suite. These rasters are
+    // hundreds of bytes — memory-cached streams are the only sane mode.
+    // JVM-global, executor-side (the object initializes in every JVM
+    // that calls a codec).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** "Decode" = 16-bin byte histogram, L1-normalized — the stub for
       * image decode + embed. A real impl calls the codec here.
       */
@@ -204,6 +215,47 @@ object Multimodal {
     // arithmetic (PCM is lossless). Compressed audio (MP3/AAC/Opus)
     // stays behind the stub seam (SURVEY §8.1).
 
+    // AudioSystem.write / getAudioInputStream route EVERY call through
+    // JDK13Services.getProviders — a SYNCHRONIZED, TTL-cached provider
+    // scan. On the codec hot path (thousands of tiny clips across 32
+    // task threads) that global lock serializes the whole stage: m06
+    // measured 46-52 s of summed task time for ~2 s of single-threaded
+    // byte work (tasks "running" but blocked on the registry lock).
+    // Resolve the WAVE provider ONCE per JVM and call it directly —
+    // the SAME JDK codec object AudioSystem would pick, minus the
+    // per-call synchronized lookup (guide §4.5: heavyweight init once).
+    private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala
+        .find(_.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException(
+          "JDK WAVE writer missing"))
+    }
+    private lazy val wavReaders
+        : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      val all = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toSeq
+      // probe-order ONCE: registry order tries SoftMidiAudioFileReader
+      // before the RIFF reader, and ITS header probe re-enters the
+      // synchronized MIDI provider registry on EVERY call — thread dumps
+      // showed 27/32 task threads BLOCKED on that class lock (this is
+      // true of the stock AudioSystem path too). The reader that accepts
+      // a minimal RIFF/WAVE payload serves the hot path first; the rest
+      // stay as fallbacks so non-WAV payloads keep the full contract.
+      val probe = encodeWav(Array[Short](0), 8000)
+      val (wav, rest) = all.partition { r =>
+        try { r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }
+      wav ++ rest
+    }
+
     /** Encode signed 16-bit mono PCM samples as a real WAV
       * (RIFF/WAVE, PCM16LE) via AudioSystem.
       */
@@ -221,7 +273,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
+      wavWriter.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
@@ -232,8 +284,19 @@ object Multimodal {
       * decoder.
       */
     def decodeWav(payload: Array[Byte]): (Int, Int, Array[Short]) = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // same provider-iteration contract as AudioSystem.getAudioInputStream
+      // (first reader that accepts the header wins), minus its per-call
+      // synchronized registry scan
+      val ais = wavReaders.iterator.flatMap { r =>
+        try Iterator.single(r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            Iterator.empty
+        }
+      }.nextOption().getOrElse(throw
+        new javax.sound.sampled.UnsupportedAudioFileException(
+          "no JDK reader accepts this audio payload"))
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 &&
         fmt.getEncoding ==

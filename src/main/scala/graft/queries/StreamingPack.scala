@@ -604,8 +604,12 @@ object StreamingPack {
       require(died, "s22 harness: the injected crash did not fire")
       run() // restart heals the torn batch and drains the rest
       val store = lake.read("sig_store", storeSchema)
-      require(store.count() ==
-        graft.ops.Dedup.minhashBandedRows(all, "id", "text", 4, 2).count(),
+      // minhashBandedRows emits EXACTLY `bands` rows per doc (posexplode
+      // over a bands-length literal array — no filter), so convergence is
+      // bands × |corpus| arithmetically; the old check re-tokenized and
+      // re-signed the whole corpus just to count what 4·count(docs)
+      // already says
+      require(store.count() == 4 * all.count(),
         "sig_store must converge to the full corpus")
       // serve-time cut: converged bucket counts decide the cap
       val small = store.groupBy(col("band"), col("bucket")).count()
