@@ -86,14 +86,11 @@ object PipelinePack {
     val dir = java.nio.file.Files.createTempDirectory("graft-versions")
     val lake = new Lakehouse(spark, dir.resolve("lake").toString,
       retainSnapshots = retainSnapshots)
-    // one orders scan feeds all three slice commits (the cache lives
-    // only inside this builder — computed fresh on every invocation);
-    // uncached, each append re-read and re-projected the parquet
-    val asFact = ordersAsFact(spark, sfDir).cache()
-    try (0 to 2).foreach { s =>
+    val asFact = ordersAsFact(spark, sfDir)
+    (0 to 2).foreach { s =>
       lake.append("fact_transactions",
         asFact.filter(pmod(col("_slice"), lit(3)) === s).drop("_slice"))
-    } finally asFact.unpersist()
+    }
     lake
   }
 
