@@ -831,10 +831,18 @@ object TrainingPack {
     // FIRST occurrence
     // (array_distinct preserves first-occurrence order), reassemble.
     // Map-only — one projection, zero exchanges, whole-stage codegen; at
-    // 100 TB it costs exactly one corpus scan, no state.
+    // 100 TB it costs exactly one corpus scan, no state. (Locally the
+    // single-file corpus is ONE split, so the chunk/distinct pass ran
+    // serially — measured busy≈taskSum≈1.5 s; fan out only when the scan
+    // is narrower than the cores, same d33/guide §2.5 idiom, which at
+    // 100 TB never fires and keeps the zero-exchange claim.)
     "d30_chunk_dedup" -> ((s, d) => {
       val chunks = TextOps.fixedChunks(col("text"), 2)
-      docs(s, d)
+      val base = docs(s, d)
+      val par = s.sparkContext.defaultParallelism
+      val src =
+        if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+      src
         .select(col("doc_id"), chunks.as("ch"))
         .select(col("doc_id"),
           array_join(array_distinct(col("ch")), " ").as("dedup_text"),
