@@ -56,13 +56,17 @@ object Packing {
       .sortWithinPartitions("id")
       .localCheckpoint(true)
 
+    // one row RDD for both the partition count and the phase-3 fold —
+    // `.rdd` plans a fresh deserializing RDD per call, so a second call
+    // would pay (and plan) it twice
+    val baseRdd = base.rdd
     val partSums = base
       .groupBy(spark_partition_id().as("pid"))
       .agg(sum(col("n_tokens")).as("s"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
-    val nParts = base.rdd.getNumPartitions
+    val nParts = baseRdd.getNumPartitions
     val offsets = new Array[Long](nParts)
     var acc = 0L
     (0 until nParts).foreach { p =>
@@ -71,7 +75,7 @@ object Packing {
     }
     val bOffsets = spark.sparkContext.broadcast(offsets)
 
-    val out = base.rdd.mapPartitions { it =>
+    val out = baseRdd.mapPartitions { it =>
       var cum = bOffsets.value(TaskContext.getPartitionId())
       it.map { row =>
         val id = row.getLong(0)

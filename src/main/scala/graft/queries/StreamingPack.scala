@@ -562,12 +562,16 @@ object StreamingPack {
       val lake = new graft.storage.Lakehouse(s, dir.resolve("lake").toString)
       val storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "id BIGINT, band INT, bucket STRING")
+      // ONE bands constant for the seed signing, the incremental batches
+      // and the convergence arithmetic below — a drift between them would
+      // fail (or silently mis-validate) the store-size check
+      val bands = 4
       val all = graft.Tables.documents(s, d)
         .select(col("doc_id").as("id"), col("text"))
       val seed = all.filter(pmod(col("id"), lit(3)) === 0)
       lake.append("corpus", seed)
       lake.append("sig_store",
-        graft.ops.Dedup.minhashBandedRows(seed, "id", "text", 4, 2)
+        graft.ops.Dedup.minhashBandedRows(seed, "id", "text", bands, 2)
           .repartitionByRange(8, col("bucket")),
         statsCols = Seq("bucket"))
       val stage = dir.resolve("stream").toString
@@ -583,7 +587,7 @@ object StreamingPack {
         val q = source.writeStream.foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, id: Long) =>
             graft.ops.Dedup.appendBatchIncremental(lake, "corpus",
-              "sig_store", "pairs", batch, "id", "text", bands = 4,
+              "sig_store", "pairs", batch, "id", "text", bands = bands,
               rowsPerBand = 2, threshold = 0.8, maxBucket = 100,
               batchId = id,
               midCrash = () =>
@@ -609,7 +613,7 @@ object StreamingPack {
       // bands × |corpus| arithmetically; the old check re-tokenized and
       // re-signed the whole corpus just to count what 4·count(docs)
       // already says
-      require(store.count() == 4 * all.count(),
+      require(store.count() == bands * all.count(),
         "sig_store must converge to the full corpus")
       // serve-time cut: converged bucket counts decide the cap
       val small = store.groupBy(col("band"), col("bucket")).count()

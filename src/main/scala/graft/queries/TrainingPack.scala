@@ -18,6 +18,19 @@ object TrainingPack {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
+  /** Conditional fan-out for CPU-bound per-row work born from a narrow
+    * scan (guide §2.5: repartition right after an unsplittable read) —
+    * repartition ONLY when the planned scan has fewer partitions than
+    * the session's cores, so a many-thousand-split scan at 100 TB is
+    * never coalesced through a needless shuffle (r12 verdict "what's
+    * wrong" #1: the m05–m08 repartition used to be unconditional).
+    */
+  private def fanned[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val par = ds.sparkSession.sparkContext.defaultParallelism
+    if (Dedup.scanParts(ds) < par) ds.repartition(par) else ds
+  }
+
   /** d10's near-dup clustering (banded MinHash pairs → connected
     * components), factored so d31's canonical selection composes the
     * SAME labeling by construction — a parameter drift between the two
@@ -839,9 +852,7 @@ object TrainingPack {
     "d30_chunk_dedup" -> ((s, d) => {
       val chunks = TextOps.fixedChunks(col("text"), 2)
       val base = docs(s, d)
-      val par = s.sparkContext.defaultParallelism
-      val src =
-        if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+      val src = fanned(base)
       src
         .select(col("doc_id"), chunks.as("ch"))
         .select(col("doc_id"),
@@ -1237,10 +1248,9 @@ object TrainingPack {
       // measured 3.4 s busy at parallelism 1 on m05. Repartitioning the
       // bare ids costs a shuffle of 8-byte rows; the heavy payloads are
       // born AFTER it, already spread (guide §2.5: repartition right
-      // after an unsplittable read). Sized from the scheduler, not a
-      // constant — scales with the session's cores.
-      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+      // after an unsplittable read). Conditional (see `fanned`): a wide
+      // scan at scale is never coalesced.
+      val items = fanned(docs(s, d).select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { it =>
           it.map { id =>
             val payload = Multimodal.Codecs.encodePng(16, 12, (x, y) => {
@@ -1280,9 +1290,8 @@ object TrainingPack {
     "m06_wav_decode" -> ((s, d) => {
       import s.implicits._
       import graft.ops.Multimodal
-      // ids-first repartition before the CPU-bound codec loop (m05 note)
-      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+      // conditional ids-first fan-out before the CPU-bound codec loop
+      val items = fanned(docs(s, d).select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { it =>
           it.map { id =>
             val n = 256 + (id % 64).toInt
@@ -1319,9 +1328,8 @@ object TrainingPack {
     "m07_bmp_resize" -> ((s, d) => {
       import s.implicits._
       import graft.ops.Multimodal
-      // ids-first repartition before the CPU-bound codec loop (m05 note)
-      val items = docs(s, d).select(col("doc_id").cast("long")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+      // conditional ids-first fan-out before the CPU-bound codec loop
+      val items = fanned(docs(s, d).select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { it =>
           it.map { id =>
             val payload = Multimodal.Codecs.encodeBmp(16, 12, (x, y) => {
@@ -1372,9 +1380,8 @@ object TrainingPack {
         val b = math.min(255, (x + y) * 9 + (id % 3).toInt)
         (r << 16) | (g << 8) | b
       }
-      // ids-first repartition before the CPU-bound codec loop (m05 note)
-      docs(s, d).select(col("doc_id").cast("long")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+      // conditional ids-first fan-out before the CPU-bound codec loop
+      fanned(docs(s, d).select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { it =>
           it.map { id =>
             val payload =
