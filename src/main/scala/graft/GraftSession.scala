@@ -35,13 +35,19 @@ object GraftSession {
       // (walCommit + commitOffsets in the progress telemetry) — the
       // FileContext path for file:// routes through the CHECKSUMMED
       // LocalFs, which doubles every metadata-file op with a .crc
-      // sibling. Route it through RawLocalFs instead: production
+      // sibling. Route it through the raw form instead: production
       // checkpoints live on object stores whose integrity is the
       // store's, not a client-side CRC sibling — the raw local form is
       // the parity configuration, not a shortcut. (FileSystem-API users
-      // — the lakehouse protocol, parquet io — are untouched.)
+      // — the lakehouse protocol, parquet io — keep their checksums.)
+      // Round 13: both local filesystems additionally skip the
+      // per-create `chmod` FORK that Hadoop falls back to without its
+      // native library — sampled at ~15 % of driver wall on the warm
+      // q102 lifecycle (see graft.storage.NoChmodRawLocalFileSystem).
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
-        "org.apache.hadoop.fs.local.RawLocalFs")
+        "graft.storage.NoChmodRawLocalFs")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.storage.NoChmodLocalFileSystem")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4

@@ -944,7 +944,7 @@ private[sources] class LakehouseVectorReader(
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val fileFields: Set[String] = {
-    val conf = new Configuration()
+    val conf = graft.storage.HadoopConfs.fresh()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new Path(partition.file), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -976,7 +976,7 @@ private[sources] class LakehouseVectorReader(
     // List<String> convenience hardcodes int96AsTimestamp=false and
     // breaks on INT96 timestamps, Spark's default write encoding);
     // conf carries the same keys ParquetFileFormat sets for its readers
-    val conf = new Configuration()
+    val conf = graft.storage.HadoopConfs.fresh()
     conf.set("parquet.read.support.class", "org.apache.spark.sql." +
       "execution.datasources.parquet.ParquetReadSupport")
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
@@ -1027,7 +1027,7 @@ private[sources] class LakehouseVectorReader(
   // position counter tracks `_metadata.row_index` exactly.
   private val dvRuns: graft.storage.DvSidecar.Runs =
     if (partition.dvSidecars.isEmpty) graft.storage.DvSidecar.EmptyRuns
-    else graft.storage.DvSidecar.loadFor(new Configuration(),
+    else graft.storage.DvSidecar.loadFor(graft.storage.HadoopConfs.fresh(),
       partition.dvSidecars)
 
   // equality-delete masks on the VECTORIZED path: per applicable

@@ -306,7 +306,7 @@ private[graft] object EqDelKeys {
     cache.computeIfAbsent(dir, d => doLoad(d, keySchema))
 
   private def doLoad(dir: String, keySchema: StructType): Set[Seq[Any]] = {
-    val conf = new Configuration()
+    val conf = graft.storage.HadoopConfs.fresh()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     val out = Set.newBuilder[Seq[Any]]
@@ -362,7 +362,7 @@ private[sources] class LakehouseGroupReader(
   // may predate widened columns (schema evolution), and a predicate or
   // projection naming an absent column would make parquet throw rather
   // than null-fill.
-  private val conf = new Configuration()
+  private val conf = graft.storage.HadoopConfs.fresh()
   private val fileSchema: org.apache.parquet.schema.MessageType = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new Path(partition.file), conf)

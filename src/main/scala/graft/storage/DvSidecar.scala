@@ -177,7 +177,7 @@ object DvSidecar {
       .repartition(col("file"))
       .sortWithinPartitions("file", "pos")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val conf = new Configuration()
+        val conf = graft.storage.HadoopConfs.fresh()
         val dir = new Path(dvDir)
         val fs = dir.getFileSystem(conf)
         var curFile: String = null

@@ -24,7 +24,7 @@ object GraftParquetWriterBridge {
     * batch write path uses, so files are indistinguishable to readers).
     */
   def create(file: String, schema: StructType): ParquetWriter[InternalRow] = {
-    val conf = new Configuration()
+    val conf = graft.storage.HadoopConfs.fresh()
     ParquetWriteSupport.setSchema(schema, conf)
     // every key ParquetWriteSupport/SparkToParquetSchemaConverter read
     // from the hadoop conf (normally injected from the session's
