@@ -21,10 +21,11 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   */
 object Etl {
 
-  // daemon pool sized to the 9 independent loads; driver-side threads that
+  // daemon pool sized to the 13 concurrent load tasks (4 entity chains ×
+  // up to 3 live futures + the fact append); driver-side threads that
   // only submit jobs and block on them, so the count is not a CPU concern
   private lazy val loadPool: ExecutionContext =
-    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(9, r => {
+    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(13, r => {
       val t = new Thread(r, "graft-etl-load")
       t.setDaemon(true)
       t
@@ -41,25 +42,27 @@ object Etl {
       // SCD2 family (ETL.sql:86-235), fact (:121-130), SCD1 family
       // (ETL.sql:237-446) — all nine concurrently (doc comment above).
       implicit val ec: ExecutionContext = loadPool
-      // Phase A: the four per-entity GRAINS ([[Scd2.grain]] — the
-      // aggregate BOTH families' stagings start from) + the fact append,
-      // concurrently. Each grain is cached and count()-materialized
-      // before the fan-out (two families racing an unfilled cache would
-      // contend on the cache-fill lock, same reason as the landing
-      // count above) — one shuffle per entity per batch instead of the
-      // four the independent stagings used to pay.
-      val grains = Entities.all.map(spec =>
-        spec -> Scd2.grain(landing, spec).cache())
-      val phaseA = grains.map { case (_, g) => Future(g.count()) } :+
-        Future(loadFact(lake, landing))
-      Await.result(Future.sequence(phaseA), Duration.Inf)
-      // Phase B: the eight merge+overwrite loads, all from cached grains.
-      val phaseB = grains.flatMap { case (spec, g) =>
-        Seq(Future(Scd2.applyFromGrain(lake, g, spec)),
-          Future(Scd1.applyFromGrain(lake, g, spec)))
-      }
-      try Await.result(Future.sequence(phaseB), Duration.Inf)
-      finally grains.foreach(_._2.unpersist())
+      // Per-entity PIPELINE, no cross-entity barrier (guide §2.6 /
+      // pipeline-over-barrier): each entity's grain ([[Scd2.grain]] —
+      // the aggregate BOTH families' stagings start from) is cached and
+      // count()-materialized (two families racing an unfilled cache
+      // would contend on the cache-fill lock, same reason as the
+      // landing count above), then THAT entity's two family loads run
+      // — while other entities are still on their grain. The previous
+      // shape barriered ALL grains before ANY load, so every load
+      // waited on the slowest grain (measured ~0.2-0.4 s of idle per
+      // day). flatMap chains, not nested Awaits: no pool thread is
+      // held across a dependency, so the pool can never deadlock.
+      val chains = Entities.all.map { spec =>
+        Future { val g = Scd2.grain(landing, spec).cache(); g.count(); g }
+          .flatMap { g =>
+            Future(Scd2.applyFromGrain(lake, g, spec))
+              .zip(Future(Scd1.applyFromGrain(lake, g, spec)))
+              .andThen { case _ => g.unpersist() }
+              .map(_ => ())
+          }
+      } :+ Future(loadFact(lake, landing)).map(_ => ())
+      Await.result(Future.sequence(chains), Duration.Inf)
 
       // TRUNCATE landing (ETL.sql:447) — only after every load committed.
       lake.truncate("denormalized")

@@ -43,7 +43,12 @@ object MartStaging {
           lake.read("dim_accounts"), lake.read("dim_clients"))
     }
     val fact = lake.readWithPartitionColumns("fact_transactions")
-    val cutoff = maxDayMidnight(fact)
+    // metadata-only when provable (append-only day-partitioned layout:
+    // the max partition dir IS midnight of max(trans_date) — see
+    // [[Lakehouse.maxPartitionDay]]); the scan is the fallback, not the
+    // norm — at 100 TB the scan reads all history to find one scalar
+    val cutoff = lake.maxPartitionDay("fact_transactions")
+      .getOrElse(maxDayMidnight(fact))
     // redundant day-grain predicate on the physical partition column: the
     // trans_date filter alone is only a row-group filter; this one prunes
     // whole day partitions (at 100 TB, the difference between scanning

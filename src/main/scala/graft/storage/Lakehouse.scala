@@ -198,6 +198,45 @@ final class Lakehouse(val spark: SparkSession, val root: String,
   /** Newest live root (the compaction/inspection target). */
   def dataPath(name: String): String = dataPaths(name).last
 
+  /** Max `trans_dt_day=` partition value across the live data roots —
+    * a metadata-only walk (ONE listStatus per live root, the same LIST
+    * an object store serves), no data scan. The day-partition writer
+    * ([[appendPartitionedByDay]]) renders the partition value as
+    * `to_date(tsCol)` under the UTC-pinned session, so for an
+    * APPEND-ONLY day-partitioned fact the max partition dir IS
+    * `date_trunc('DAY', max(tsCol))`. Returns None — callers fall back
+    * to the scan — whenever that equivalence is not provable from the
+    * layout: a flat (unpartitioned) root, a row-level mask sidecar
+    * (`_dv`/`_eqdel` could have emptied the newest day), or no
+    * partition dirs at all. At 100 TB this replaces a full-history
+    * max() scan per mart build with O(#roots) LIST calls.
+    */
+  def maxPartitionDay(name: String): Option[java.sql.Timestamp] = {
+    if (!exists(name)) return None
+    var maxDay: String = null
+    for (r <- dataPaths(name)) {
+      val sts =
+        try fs.listStatus(new Path(r))
+        catch { case _: java.io.FileNotFoundException => return None }
+      for (st <- sts) {
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".parquet")) return None // flat layout
+        if (n == Lakehouse.Protocol.DvDir || n == EqDelDir)
+          return None // masks could hide the newest day's rows
+        if (st.isDirectory && n.startsWith("trans_dt_day=")) {
+          val v = n.substring("trans_dt_day=".length)
+          if (maxDay == null || v > maxDay) maxDay = v
+        }
+      }
+    }
+    // UTC midnight explicitly — the scan path's date_trunc runs under
+    // the UTC-pinned session, and Timestamp.valueOf would parse in the
+    // JVM default zone instead
+    Option(maxDay).map(d => java.sql.Timestamp.from(
+      java.time.LocalDate.parse(d)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
+  }
+
   /** Committed versions, oldest first: (version, isFullSnapshot). */
   def versions(name: String): Seq[(Long, Boolean)] =
     versionDirs(new Path(tablePath(name))).sortBy(_._1).flatMap {
