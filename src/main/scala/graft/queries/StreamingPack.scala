@@ -43,10 +43,26 @@ object StreamingPack {
     }
   }
 
+  /** Per-streaming-job state-partition sizing, scoped and restored
+    * (the s03 idiom, r12-audited): a stateful operator materializes one
+    * state store PER SHUFFLE PARTITION per micro-batch — load, update,
+    * snapshot/delta commit — so the batch-sized 32-partition session
+    * default costs 4× the store maintenance this stream's volume needs.
+    * Real deployments size shuffle partitions per streaming job (the
+    * partition count is even frozen into the checkpoint); the aggregate
+    * results are partition-count-independent.
+    */
+  private def withStreamPartitions[A](s: SparkSession, n: Int = 8)(
+      body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 1-hour windows × event type, streamed then drained; the
     // epoch-aligned window start equals date_trunc('hour') in the oracle
-    "s01_stream_hourly_counts" -> ((s, d) => {
+    "s01_stream_hourly_counts" -> ((s, d) => withStreamPartitions(s) {
       val sink = s"s01_out_${System.nanoTime()}"
       val q = eventsStream(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -64,7 +80,7 @@ object StreamingPack {
     // stream-static join: the event stream enriched against a static
     // dimension (the batch customer table), aggregated per segment —
     // the streaming form of the mart's dim-enrichment joins
-    "s02_stream_static_enrich" -> ((s, d) => {
+    "s02_stream_static_enrich" -> ((s, d) => withStreamPartitions(s) {
       val sink = s"s02_out_${System.nanoTime()}"
       val cust = s.read.parquet(s"$d/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -252,7 +268,7 @@ object StreamingPack {
     // This replay keeps state unbounded (drain-and-stop); the production
     // watermark-TTL'd variant is Streams.dedupByFingerprint (spec-tested,
     // state evicted by event time).
-    "s04_stream_dedup" -> ((s, d) => {
+    "s04_stream_dedup" -> ((s, d) => withStreamPartitions(s) {
       val sink = s"s04_out_${System.nanoTime()}"
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val q = s.readStream.schema(schema)
@@ -277,7 +293,7 @@ object StreamingPack {
     // in ONE micro-batch (the file source's batching unit is a whole
     // file), so no identity straddles a watermark advance and the result
     // is exactly DISTINCT — which is what the oracle checks.
-    "s08_stream_dedup_watermark" -> ((s, d) => {
+    "s08_stream_dedup_watermark" -> ((s, d) => withStreamPartitions(s) {
       val sink = s"s08_out_${System.nanoTime()}"
       val q = eventsStream(s, d)
         .withWatermark("ts", "1 hour")
@@ -1103,7 +1119,7 @@ object StreamingPack {
     // Spark expands the 4 window assignments map-side; state is keyed on
     // (window, type) so the overlap costs 4× state entries, not 4×
     // shuffles.
-    "s11_stream_hopping_counts" -> ((s, d) => {
+    "s11_stream_hopping_counts" -> ((s, d) => withStreamPartitions(s) {
       val sink = s"s11_out_${System.nanoTime()}"
       val q = eventsStream(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"),
