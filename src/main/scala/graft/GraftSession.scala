@@ -20,6 +20,16 @@ object GraftSession {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE inside CACHED plans too (off by default for one niche
+      // consumer class — callers that pin a cached frame's output
+      // partitioning; none here): without it every .cache()
+      // materialization runs its shuffles at the full static partition
+      // count — the SCD delta caches collected across 34 near-empty
+      // tasks, each paying the per-task fixed costs (conf gunzip,
+      // writer init). Scale-neutral: it merely extends the session's
+      // existing AQE coalescing to cache builds.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // Whole-stage codegen embeds a GLOBALLY incrementing stage id in
       // the generated class NAME by default, so no two codegen stages in
       // an application ever share source text — the generated-class

@@ -19,12 +19,21 @@ import org.apache.hadoop.conf.Configuration
   * never shared.
   */
 object HadoopConfs {
-  private lazy val template: Configuration = {
+  // ONE parsed template per JVM...
+  private lazy val parsed: Configuration = {
     val c = new Configuration()
-    c.size() // force the default-resource parse NOW, once
+    c.size() // force the default-resource parse NOW, once per JVM
     c
   }
+  // ...copied once per thread: Configuration's copy constructor
+  // synchronizes on its SOURCE, so per-call copies from one process-wide
+  // template would serialize every concurrent task through a single
+  // lock. Each thread pays the global lock exactly once (its own
+  // template copy) and every later fresh() locks only the thread's own
+  // object — uncontended by construction.
+  private val template: ThreadLocal[Configuration] =
+    ThreadLocal.withInitial(() => new Configuration(parsed))
 
   /** A mutable copy of the defaults — drop-in for `new Configuration()`. */
-  def fresh(): Configuration = new Configuration(template)
+  def fresh(): Configuration = new Configuration(template.get())
 }

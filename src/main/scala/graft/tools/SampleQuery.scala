@@ -28,6 +28,20 @@ object SampleQuery {
       counts.merge(key, 1, (a, _) => a + 1)
     val sampler = new Thread(() => {
       while (sampling) {
+        // executor task threads: top RUNNABLE frames, weighted across
+        // all live tasks — names per-task hot spots (codec init, footer
+        // io, row codecs) that the driver-thread view can't see
+        import scala.jdk.CollectionConverters._
+        Thread.getAllStackTraces.asScala.foreach { case (t, frames) =>
+          if (t.getName.startsWith("Executor task launch worker") &&
+              t.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
+            val fs = frames.iterator
+              .map(f => s"${f.getClassName}.${f.getMethodName}")
+              .filterNot(f => f.startsWith("java.lang.Thread"))
+              .take(3).mkString(" <- ")
+            if (fs.nonEmpty) bump(s"[task] $fs")
+          }
+        }
         val st = mainThread.getStackTrace
         if (st.nonEmpty) {
           val all = st.iterator
