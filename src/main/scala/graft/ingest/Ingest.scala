@@ -54,8 +54,53 @@ object Ingest {
     } finally day.unpersist()
   }
 
-  def loadDayFromParquet(lake: Lakehouse, path: String): Unit =
-    loadDay(lake, lake.spark.read.parquet(path))
+  def loadDayFromParquet(lake: Lakehouse, path: String): Unit = {
+    val src = lake.spark.read.parquet(path)
+    // footer-stats fast path: the feed's last day IS max(trans_date),
+    // which the parquet footers already record — a driver-side footer
+    // read (one per feed file) replaces [[lastDayOnly]]'s scalar
+    // max-scan job + broadcast build. At 100 TB the scan reads the
+    // whole feed to find one scalar; the footers are metadata. Decode
+    // trust and type mapping are [[FooterStats]]'s (the zone-map
+    // decoder): any absent/untrusted statistic falls back to the scan.
+    footerMaxTransDate(lake, path) match {
+      case Some(maxTs) =>
+        lake.append("denormalized", conform(src).filter(
+          to_date(col("trans_date")) === to_date(lit(maxTs))))
+      case None => loadDay(lake, src)
+    }
+  }
+
+  /** max(trans_date) across the feed's parquet footers, in the same
+    * external form the scan-based aggregate yields — None when any
+    * footer lacks a trustworthy statistic (caller scans instead).
+    */
+  private def footerMaxTransDate(lake: Lakehouse,
+      path: String): Option[java.sql.Timestamp] = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val conf = lake.spark.sparkContext.hadoopConfiguration
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        else Seq(p)
+      graft.storage.FooterStats.collect(fs, conf, files, Seq("trans_date"))
+        .flatMap { case (stats, types) =>
+          types.head._2 match {
+            case org.apache.spark.sql.types.TimestampType =>
+              val maxes = stats.map(_.cols("trans_date")._2)
+              if (maxes.exists(_ == null)) None
+              else maxes.map(_.asInstanceOf[java.sql.Timestamp])
+                .reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b)
+            case _ => None
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** End-to-end from the reference's raw xlsx feed (S1) — no out-of-band
     * conversion step; see [[Xlsx]].
